@@ -13,7 +13,10 @@ object SparkEntry {
 
   /** All declared query suites, in coverage order. */
   def allDefs: Seq[QueryDef] =
-    Relational.defs
+    Relational.defs ++
+      operators.TextOps.defs ++
+      operators.DedupOps.defs ++
+      operators.SimilarityOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped multi-aggregate (O-A7 analogue).

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] vectors).
+  *
+  * Baseline: brute-force cosine top-k — the query side is tiny and
+  * broadcast, so the scan side streams once with no shuffle; dot products
+  * are sequential folds over zipped arrays (codegen'd, order-deterministic,
+  * bit-identical to the DuckDB oracle when computed in double).
+  *
+  * Scale path: sign-projection LSH codes bucket the corpus; candidate
+  * search touches one bucket per query instead of the full corpus. At
+  * 100 TB the bucketed table would be written partitionBy(code) so a query
+  * prunes to one partition.
+  */
+object SimilarityOps {
+
+  /** embeddings with the float vector cast to double + its squared norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("e", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("aggregate(e, cast(0 as double), (a, x) -> a + x * x)"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-5 for each query vector (vec_id % 100 = 0).
+    // Exact oracle: DuckDB's list_cosine_similarity over double-cast lists
+    // is the same sequential fold; scores rounded to 6 dp to absorb any
+    // final-ulp divergence in sqrt/divide ordering.
+    QueryDef.sqlBacked(
+      "ann_cosine_topk",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, ed AS qe FROM e WHERE vec_id % 100 = 0)
+        |SELECT q_id, vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY round(list_cosine_similarity(qe, ed), 6) DESC, vec_id)
+        |    AS BIGINT) AS rank,
+        |  round(list_cosine_similarity(qe, ed), 6) AS cos
+        |FROM e, q
+        |WHERE vec_id <> q_id
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      cosineTopK(Tables.embeddings(s, d),
+        isQuery = col("vec_id") % 100 === 0, k = 5)
+    },
+
+    // Sign-projection LSH bucketing: 16-bit code from the signs of the first
+    // 16 dimensions. Exact oracle (pure integer/sign arithmetic).
+    QueryDef.sqlBacked(
+      "ann_lsh_buckets",
+      """SELECT CAST(list_sum(list_transform(range(0, 16),
+        |    i -> CASE WHEN embedding[i + 1] > 0
+        |              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS code,
+        |  count(*) AS n
+        |FROM embeddings
+        |GROUP BY 1
+        |ORDER BY code""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("code", expr(
+          """aggregate(sequence(0, 15), bigint(0), (acc, i) ->
+            |  acc + if(cast(element_at(embedding, i + 1) as double) > cast(0 as double),
+            |           shiftleft(bigint(1), i), bigint(0)))""".stripMargin))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("code"))
+    },
+
+    // LSH-bucketed ANN: query vectors search only their own random-hyperplane
+    // bucket (8 planes, pseudo-random components derived from xxhash64 —
+    // engine-specific hash → rows-only oracle; recall vs the brute-force
+    // baseline is asserted in SimilaritySpec).
+    QueryDef.rowsOnly("ann_lsh_topk") { (s, d) =>
+      annLshTopK(Tables.embeddings(s, d), planes = 8, k = 3)
+    }
+  )
+
+  /** Brute-force cosine top-k: the exact baseline every ANN variant is
+    * measured against. Query side is broadcast; the corpus streams once.
+    */
+  def cosineTopK(embeddings: DataFrame, isQuery: org.apache.spark.sql.Column,
+                 k: Int): DataFrame = {
+    val emb = withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
+    val q = withNorm(embeddings).filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH top-k: hyperplane p's component for dimension i is
+    * a deterministic pseudo-random value in [-1, 1) derived from xxhash64.
+    * Both sides of the candidate join compute the same 8-bit code, so
+    * matching is exact; ranking within a bucket is exact cosine.
+    */
+  def annLshTopK(embeddings: DataFrame, planes: Int, k: Int): DataFrame = {
+    val coded = withNorm(embeddings).withColumn("code", expr(
+      s"""aggregate(sequence(0, ${planes - 1}), bigint(0), (acc, p) ->
+         |  acc + if(aggregate(zip_with(e, sequence(0, size(e) - 1),
+         |                       (x, i) -> x * (pmod(xxhash64(p, i), 2000) / 1000.0 - 1.0)),
+         |                     cast(0 as double), (a, x) -> a + x) > cast(0 as double),
+         |           shiftleft(bigint(1), p), bigint(0)))""".stripMargin))
+    val q = coded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              col("nrm").as("qn"), col("code").as("qcode"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    coded.join(broadcast(q), col("code") === col("qcode") && col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

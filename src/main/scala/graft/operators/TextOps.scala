@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. All are narrow per-row projections — they parallelize
+  * trivially and keep whole-stage codegen (no UDFs; built-in string/array
+  * expressions only), so the same plan runs at 100 TB with zero shuffles
+  * except the final declared ORDER BY.
+  */
+object TextOps {
+
+  /** Whitespace tokens, lower-cased, empties dropped — shared definition so
+    * Spark and the DuckDB oracle agree on tokenization exactly.
+    */
+  def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** BPE-ish token regex: runs of alphanumerics OR single non-space symbols. */
+  val TokenRe = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "it")
+
+  /** Tiny per-language stopword profiles (public-knowledge heuristic set). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("de5", "shi4", "bu4", "wo3", "le5", "zai4", "you3"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens + raw length.
+    QueryDef.sqlBacked(
+      "txt_tokens",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+        |       AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_ws_tokens"),
+          regexp_count(lower(col("text")), lit(TokenRe)).cast("long").as("n_re_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: stopword ratio, mean word length, punctuation ratio,
+    // composite score. Every double is derived from exact integer counts by
+    // the identical arithmetic on both sides → bit-exact.
+    QueryDef.sqlBacked(
+      "txt_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> len(x) > 0) AS w,
+         |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tok,
+         |  len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))
+         |    / CAST(len(w) AS DOUBLE) AS stop_ratio,
+         |  CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+         |    AS mean_word_len,
+         |  n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         |  0.5 * (len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))
+         |           / CAST(len(w) AS DOUBLE))
+         |    + 0.3 * least(1.0, len(w) / 50.0)
+         |    + 0.2 * (1.0 - n_punct / CAST(n_chars AS DOUBLE)) AS quality_score
+         |FROM t
+         |WHERE len(w) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stopArr = array(Stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("w", words(col("text")))
+        .filter(size(col("w")) > 0)
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("w"), x => array_contains(stopArr, x))).cast("long"))
+        .withColumn("n_punct",
+          regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).cast("long"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_word_chars",
+          expr("aggregate(w, bigint(0), (a, x) -> a + length(x))"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_stop") / col("n_tok")).as("stop_ratio"),
+          (col("n_word_chars").cast("double") / col("n_tok")).as("mean_word_len"),
+          (col("n_punct") / col("n_chars").cast("double")).as("punct_ratio"),
+          (lit(0.5) * (col("n_stop") / col("n_tok"))
+            + lit(0.3) * least(lit(1.0), col("n_tok") / 50.0)
+            + lit(0.2) * (lit(1.0) - col("n_punct") / col("n_chars").cast("double")))
+            .as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID: stopword-profile voting over whitespace tokens. The scorer
+    // is Spark-side only (profile tables + argmax) → rows-only oracle check.
+    QueryDef.rowsOnly("txt_langid") { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("w", words(col("text")))
+      val scored = LangProfiles.foldLeft(docs) { case (df, (lang, profile)) =>
+        df.withColumn(s"score_$lang",
+          size(array_intersect(col("w"), array(profile.map(lit): _*))))
+      }
+      // argmax via greatest over (score, lang) structs — deterministic
+      // tie-break on lang name descending encoded in the struct comparison.
+      val structs = LangProfiles.map { case (lang, _) =>
+        struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+      }
+      scored
+        .withColumn("predicted", greatest(structs: _*).getField("l"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // Document fingerprinting: content hash of whitespace-normalized text.
+    // md5 is identical across engines → exact oracle.
+    QueryDef.sqlBacked(
+      "txt_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the near-dup operators on constructed corpora with
+  * known ground truth (the fixture corpus' planted dups are asserted too).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire in winter"
+  private val nearDup = base.replace("winter", "summer") // 1-word edit
+  private val unrelated =
+    "spark executes distributed dataframe plans with catalyst optimizing every stage of the physical query pipeline today"
+
+  private def corpus = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated),
+    (3L, "short text"), // below shingle threshold, must be ignored not crash
+    (4L, base) // exact copy of 0
+  ).toDF("doc_id", "text")
+
+  test("minhashLsh finds the planted near-dup and exact dup, not the unrelated pair") {
+    val pairs = DedupOps.minhashLsh(corpus, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missed planted near-dup: $pairs")
+    assert(pairs.contains((0L, 4L)) && pairs.contains((1L, 4L)), s"missed exact dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false positive: $pairs")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dup within threshold, unrelated outside") {
+    val out = DedupOps.simhash(corpus, maxHamming = 16)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m.get((0L, 4L)).contains(0), s"exact dup not at hamming 0: $m")
+    assert(m.get((0L, 1L)).exists(_ <= 16), s"near-dup missed: $m")
+    assert(!m.contains((0L, 2L)) && !m.contains((1L, 2L)), s"unrelated pair matched: $m")
+  }
+
+  test("exact dedup is idempotent and keyed by normalized content") {
+    val messy = Seq(
+      (10L, "Hello   World"), (11L, "hello world"), (12L, "different entirely")
+    ).toDF("doc_id", "text")
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+    val once = messy.groupBy(fp.as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    assert(once.count() == 2) // case/whitespace variants collapse
+    val canon = once.select(col("canonical_id").as("doc_id"))
+      .join(messy, "doc_id")
+    val twice = canon.groupBy(fp.as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    assert(twice.count() == once.count(), "dedup not idempotent")
+  }
+
+  test("fixture corpus: minhash candidates are verified-jaccard >= threshold") {
+    val out = DedupOps.minhashLsh(
+      Tables.documents(spark, TestSpark.Sf0001), threshold = 0.5)
+    val jacs = out.select("jac").as[Double].collect()
+    assert(jacs.nonEmpty, "no near-dups found in fixture corpus (dups are planted)")
+    assert(jacs.forall(_ >= 0.5))
+  }
+}

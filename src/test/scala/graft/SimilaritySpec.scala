@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Corpus with a known neighbor structure: vec 1 ≈ vec 0 (tiny noise),
+    * vec 2 orthogonal-ish, vec 3 = -vec 0.
+    */
+  private def vectors = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.99f, 0.01f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 1),
+    (3L, Array(-1f, 0f, 0f, 0f), 1),
+    (4L, Array(0.7f, 0.7f, 0f, 0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks the planted nearest neighbor first") {
+    val out = SimilarityOps.cosineTopK(vectors, isQuery = col("vec_id") === 0, k = 4)
+      .select("neighbor_id", "rank", "cos")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.head._1 == 1L, s"nearest neighbor wrong: ${out.toSeq}")
+    assert(out.head._3 > 0.999)
+    assert(out.last._1 == 3L && out.last._3 == -1.0, s"antipode not last: ${out.toSeq}")
+  }
+
+  test("annLshTopK only returns same-bucket candidates ranked by exact cosine") {
+    val out = SimilarityOps.annLshTopK(
+      Tables.embeddings(spark, TestSpark.Sf0001), planes = 4, k = 3)
+    val rows = out.select("q_id", "rank", "cos").as[(Long, Long, Double)].collect()
+    // ranks are 1..k dense per query and cosine is non-increasing within query
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+
+  test("lsh recall vs brute force baseline is measurable and sane") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = SimilarityOps.cosineTopK(emb, col("vec_id") % 100 === 0, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.annLshTopK(emb, planes = 2, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // with only 2 planes (4 buckets) recall should be well above zero
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.0, s"zero recall: exact=$exact approx=$approx")
+  }
+}
