@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++
-      operators.SimilarityOps.defs
+      operators.SimilarityOps.defs ++
+      operators.MarketOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped multi-aggregate (O-A7 analogue).

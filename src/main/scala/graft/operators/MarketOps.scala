@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Market-data operators re-expressing the reference's domain semantics over
+  * the `events` fixture (user_id ≈ ticker, value ≈ price, signup events ≈
+  * splits): as-of enrichment, EMA/VWAP indicators, the OHLCV resample
+  * ladder, split-adjustment cumulative factors, and the incremental
+  * watermark-append protocol (SURVEY.md §3-E3).
+  */
+object MarketOps {
+
+  private val D18 = DecimalType(18, 2)
+
+  /** 5-minute OHLC bars from raw events — the q14 aggregate kept as a
+    * reusable stage; `vol` stays DECIMAL so a second resample level can sum
+    * it exactly.
+    */
+  def bars5m(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), window(col("ts"), "5 minutes"))
+      .agg(
+        min_by(col("value"), col("ts")).as("o"),
+        max(col("value")).as("h"),
+        min(col("value")).as("l"),
+        max_by(col("value"), col("ts")).as("c"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(D18)).as("vol_dec"))
+      .select(col("user_id"), col("window.start").as("b5"),
+        col("o"), col("h"), col("l"), col("c"), col("n"), col("vol_dec"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of enrichment: each purchase picks up the most recent signup value
+    // at-or-before its time, per user. Oracle: DuckDB's native ASOF JOIN
+    // (inclusive >=, same tie rule as our union+window implementation).
+    QueryDef.sqlBacked(
+      "mkt_asof_enrich",
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value AS signup_value
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.value, r.signup_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      AsOf.asofJoin(purchases, signups, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", rightVals = Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("value"), col("signup_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // EMA over a trailing 20-row window (finite-window normalized EMA, the
+    // pandas ewm(adjust=True) form): weights (1-α)^j off the frame list.
+    // pow() may differ by an ulp across libms → rounded to 6 dp.
+    QueryDef.sqlBacked(
+      "mkt_ema20",
+      """WITH t AS (SELECT event_id, user_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(list_sum(list_transform(range(0, len(arr)),
+        |          i -> arr[i + 1] * pow(0.8, len(arr) - 1 - i)))
+        |        / list_sum(list_transform(range(0, len(arr)),
+        |          i -> pow(0.8, len(arr) - 1 - i))), 6) AS ema20
+        |FROM t
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("arr", collect_list(col("value")).over(w))
+        .withColumn("ema20", round(
+          expr("""aggregate(sequence(0, size(arr) - 1), cast(0 as double),
+                 |  (a, i) -> a + element_at(arr, i + 1) * power(0.8, size(arr) - 1 - i))"""
+            .stripMargin) /
+          expr("""aggregate(sequence(0, size(arr) - 1), cast(0 as double),
+                 |  (a, i) -> a + power(0.8, size(arr) - 1 - i))""".stripMargin), 6))
+        .select(col("event_id"), col("user_id"), col("ema20"))
+        .orderBy(col("event_id"))
+    },
+
+    // True sequential EMA (infinite memory) via sorted-group iteration — the
+    // per-key ordered-state pattern that generalizes to any recursive
+    // indicator. Engine-side only → rows-only oracle; EmaSpec pins values.
+    QueryDef.rowsOnly("mkt_ema_exact") { (s, d) =>
+      emaExact(s, Tables.events(s, d), alpha = 0.2)
+    },
+
+    // Rolling VWAP: volume from the JSON props (k+1 to stay nonzero), price
+    // from value. Exact decimal window sums on both sides.
+    QueryDef.sqlBacked(
+      "mkt_vwap20",
+      """WITH t AS (SELECT event_id, user_id, ts, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS vol
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value * vol AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / CAST(SUM(vol) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS vwap20
+        |FROM t
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("vol",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k") + 1)
+        .withColumn("vwap20",
+          sum((col("value") * col("vol")).cast(D18)).over(w).cast(DoubleType) /
+          sum(col("vol")).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("vwap20"))
+        .orderBy(col("event_id"))
+    },
+
+    // Resample ladder: 5-minute bars re-aggregated to 1-hour bars — the
+    // granularity ladder of old_source/old_source_op.py:18 (1m..24h), with
+    // open/close carried by min_by/max_by on the sub-bar time.
+    QueryDef.sqlBacked(
+      "mkt_resample_1h",
+      """WITH b5 AS (
+        |  SELECT user_id,
+        |    time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b5,
+        |    arg_min(value, ts) AS o, max(value) AS h, min(value) AS l,
+        |    arg_max(value, ts) AS c, count(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS vol_dec
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, time_bucket(INTERVAL '1 hour', b5) AS bucket,
+        |  arg_min(o, b5) AS o, max(h) AS h, min(l) AS l, arg_max(c, b5) AS c,
+        |  CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(vol_dec) AS DOUBLE) AS vol
+        |FROM b5
+        |GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
+      bars5m(Tables.events(s, d))
+        .groupBy(col("user_id"), window(col("b5"), "1 hour"))
+        .agg(
+          min_by(col("o"), col("b5")).as("o"),
+          max(col("h")).as("h"),
+          min(col("l")).as("l"),
+          max_by(col("c"), col("b5")).as("c"),
+          sum(col("n")).as("n"),
+          sum(col("vol_dec")).cast(DoubleType).as("vol"))
+        .select(col("user_id"), col("window.start").as("bucket"),
+          col("o"), col("h"), col("l"), col("c"), col("n"), col("vol"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // Split-adjustment cumulative factor (O-J4/O-W2): for every event, the
+    // sum of log-factors of all STRICTLY LATER signups of the same user —
+    // the backward-looking adjustment a native engine applies to raw bars.
+    // Union + desc running window, splits excluded from their own timestamp
+    // by the (_t DESC, side) sort. Rounded: ln + window-sum-order noise.
+    QueryDef.sqlBacked(
+      "mkt_adjust_cumfactor",
+      """WITH u AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+        |         CAST(NULL AS DOUBLE) AS lf
+        |  FROM events
+        |  UNION ALL
+        |  SELECT NULL, user_id, CAST(ts AS TIMESTAMP), 1,
+        |         ln(1 + value / 1000)
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (
+        |  SELECT event_id, user_id, side,
+        |    COALESCE(SUM(lf) OVER (PARTITION BY user_id
+        |      ORDER BY t DESC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_log_adj
+        |  FROM u)
+        |SELECT event_id, user_id, round(cum_log_adj, 6) AS cum_log_adj
+        |FROM c WHERE side = 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bars = ev.select(col("event_id"), col("user_id"), col("ts").as("t"),
+        lit(0).as("side"), lit(null).cast("double").as("lf"))
+      val splits = ev.filter(col("event_type") === "signup")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts").as("t"), lit(1).as("side"),
+          log(lit(1) + col("value") / 1000).as("lf"))
+      // side ASC after t DESC: at equal timestamps the bar precedes the
+      // split, so a split never adjusts its own timestamp (strict >).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").desc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bars.unionByName(splits)
+        .withColumn("cum_log_adj", coalesce(sum(col("lf")).over(w), lit(0.0)))
+        .filter(col("side") === 0)
+        .select(col("event_id"), col("user_id"),
+          round(col("cum_log_adj"), 6).as("cum_log_adj"))
+        .orderBy(col("event_id"))
+    },
+
+    // Incremental watermark append (O-F5/O-J2, SURVEY.md §3-E3): existing
+    // sink = events before Jan 20; incoming batch overlaps one day back
+    // (at-least-once refetch); visible new rows = strictly past the
+    // watermark AND not already present (anti-join) — exactly-once visible.
+    QueryDef.sqlBacked(
+      "mkt_incremental_append",
+      """WITH existing AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'),
+        |incoming AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-19 00:00:00'),
+        |wm AS (SELECT max(ts) AS m FROM existing)
+        |SELECT i.event_id, i.user_id, i.ts, i.value
+        |FROM incoming i, wm
+        |WHERE i.ts > wm.m
+        |  AND i.event_id NOT IN (SELECT event_id FROM existing)
+        |ORDER BY i.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val existing = ev.filter(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"))
+      val incoming = ev.filter(col("ts") >= lit("2024-01-19 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val wm = existing.agg(max(col("ts")).as("m"))
+      incoming.crossJoin(broadcast(wm))
+        .filter(col("ts") > col("m"))
+        .join(existing.select(col("event_id")), Seq("event_id"), "left_anti")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  /** True recursive EMA per key: ema_0 = x_0; ema_t = α·x_t + (1-α)·ema_{t-1}.
+    * flatMapSortedGroups gives each group's rows in (ts, event_id) order with
+    * per-key partitioning — the scalable home for any sequential indicator
+    * (one shuffle, streaming iteration, no per-row window state).
+    */
+  def emaExact(s: SparkSession, events: DataFrame, alpha: Double): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"event_id") { case (_, rows) =>
+        var ema = Double.NaN
+        rows.map { case (uid, _, eid, x) =>
+          ema = if (ema.isNaN) x else alpha * x + (1 - alpha) * ema
+          (eid, uid, ema)
+        }
+      }
+      .toDF("event_id", "user_id", "ema")
+      .orderBy(col("event_id"))
+  }
+}
