@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TextOps.defs ++
       operators.DedupOps.defs ++
       operators.SimilarityOps.defs ++
-      operators.MarketOps.defs
+      operators.MarketOps.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped multi-aggregate (O-A7 analogue).

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{Nonce, OhlcAggregator}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nonce: 5-char [A-Z0-9], deterministic per (seed, partition), codegen path") {
+    Nonce.register(spark)
+    val df = spark.range(0, 1000, 1, numPartitions = 4)
+      .withColumn("nonce", expr("nonce(42)"))
+    val values = df.select("nonce").as[String].collect()
+    assert(values.forall(_.matches("[A-Z0-9]{5}")))
+    assert(values.distinct.length > 900, "nonces should rarely collide")
+    // partition-seeded determinism: same seed → same sequence
+    val again = spark.range(0, 1000, 1, numPartitions = 4)
+      .withColumn("nonce", expr("nonce(42)")).select("nonce").as[String].collect()
+    assert(values.toSeq == again.toSeq)
+    // different seed → different stream
+    val other = spark.range(0, 1000, 1, numPartitions = 4)
+      .withColumn("nonce", expr("nonce(7)")).select("nonce").as[String].collect()
+    assert(values.toSeq != other.toSeq)
+  }
+
+  test("OhlcAggregator: order-insensitive and merge-safe across partitionings") {
+    import OhlcAggregator._
+    val ticks = Seq(
+      In(t = 3, 30, 30, 30, 30, v = 10, vw = 30, n = 1),
+      In(t = 1, 10, 10, 10, 10, v = 20, vw = 10, n = 1),
+      In(t = 2, 25, 25, 25, 25, v = 5, vw = 25, n = 1))
+    // single partition vs many partitions vs reversed order: identical result
+    val results = Seq(
+      spark.createDataset(ticks).repartition(1),
+      spark.createDataset(ticks).repartition(3),
+      spark.createDataset(ticks.reverse).repartition(2)
+    ).map(_.select(OhlcAggregator.agg.toColumn).collect().head)
+    results.foreach { r =>
+      assert(r.o == 10.0 && r.c == 30.0 && r.h == 30.0 && r.l == 10.0)
+      assert(r.v == 35.0 && r.n == 3)
+      assert(math.abs(r.vw - (10 * 20 + 25 * 5 + 30 * 10) / 35.0) < 1e-12)
+    }
+    assert(results.distinct.size == 1)
+  }
+
+  test("OhlcAggregator groups by key like the SQL OHLC aggregate") {
+    import OhlcAggregator._
+    val ev = Tables.events(spark, TestSpark.Sf0001).limit(200)
+      .select(col("user_id"),
+        unix_millis(col("ts")).as("t"), col("value"))
+      .as[(Long, Long, Double)]
+      .map { case (u, t, x) => (u, In(t, x, x, x, x, 1.0, x, 1)) }
+    val typed = ev.groupByKey(_._1).mapValues(_._2)
+      .agg(OhlcAggregator.agg.toColumn).toDF("user_id", "bar")
+      .select(col("user_id"), col("bar.o").as("o"), col("bar.c").as("c"))
+    val sql = Tables.events(spark, TestSpark.Sf0001).limit(200)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("value"), col("ts")).as("o"),
+           max_by(col("value"), col("ts")).as("c"))
+    assert(typed.exceptAll(sql).isEmpty && sql.exceptAll(typed).isEmpty)
+  }
+}
