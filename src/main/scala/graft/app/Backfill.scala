@@ -1,0 +1,55 @@
+package graft.app
+
+import graft.core.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Batch backfill driver — the E2 sweep of the reference
+  * (polygon-etl-container/src/main.py traced in SURVEY.md §3-E2) as one
+  * lineage graph: polygon source scan → keyed dedup → silver bars
+  * partitioned by (ticker, adjusted) → 5-minute OHLC resample → gold.
+  * The reference's per-ticker driver loop is the source's partition planning;
+  * its drop_duplicates is the keyed dropDuplicates; its CSV landing is
+  * partitioned parquet.
+  *
+  * Usage: runMain graft.app.Backfill <pagesDir> <warehouseDir>
+  */
+object Backfill {
+  def main(args: Array[String]): Unit = {
+    val Array(pagesDir, warehouse) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-backfill")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, pagesDir, warehouse)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, pagesDir: String, warehouse: String): Unit = {
+    // bronze→silver: at-least-once pages, exactly-once visible rows
+    val bars = spark.read.format("polygon").option("path", pagesDir).load()
+      .dropDuplicates("ticker", "t", "adjusted")
+      .withColumn("datetime", timestamp_millis(col("t")))
+    Sinks.idempotentAppend(bars, s"$warehouse/silver/bars",
+      keys = Seq("ticker", "t", "adjusted"),
+      partitionCols = Seq("ticker", "adjusted"))
+
+    // silver→gold: 5-minute resample per series (O-A7)
+    val silver = spark.read.parquet(s"$warehouse/silver/bars")
+    val bars5m = silver
+      .groupBy(col("ticker"), col("adjusted"), window(col("datetime"), "5 minutes"))
+      .agg(
+        min_by(col("o"), col("t")).as("o"), max(col("h")).as("h"),
+        min(col("l")).as("l"), max_by(col("c"), col("t")).as("c"),
+        sum(col("v")).as("v"), sum(col("n")).as("n"),
+        (sum(col("vw") * col("v")) / sum(col("v"))).as("vw"))
+      .select(col("ticker"), col("adjusted"), col("window.start").as("bucket"),
+        col("o"), col("h"), col("l"), col("c"), col("v"), col("vw"), col("n"))
+    Sinks.writeCurrent(bars5m, s"$warehouse/gold/bars_5m")
+  }
+}
