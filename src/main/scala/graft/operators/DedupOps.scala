@@ -3,17 +3,22 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline: exact, n-gram
   * Jaccard, MinHash+LSH, and SimHash near-dup detection over `documents`.
   *
-  * Scale design: the only all-pairs computation is inside LSH buckets /
-  * shared-shingle groups, never across the whole corpus. MinHash signatures
-  * are computed with higher-order array expressions (no explode until the
-  * band step), so the per-row cost is bounded and codegen-friendly. At
-  * 100 TB the band→bucket join is the single shuffle; skewed buckets (very
-  * common shingles) are the thing to watch — the Jaccard variant caps
-  * candidate generation by a document-frequency filter for that reason.
+  * Scale design:
+  * - The shingle table is computed ONCE and persisted (MEMORY_AND_DISK):
+  *   every dedup variant self-joins its derivatives, and Spark does not CSE
+  *   across join branches — without materialization the tokenize+shingle
+  *   subtree (interpreted higher-order lambdas) runs 4-6× per query. At
+  *   100 TB this is a real intermediate table, not a cache.
+  * - Signatures (MinHash mins, SimHash bit sums) are computed as exploded
+  *   rows + codegen'd hash/sum/min aggregates — NOT nested array lambdas,
+  *   which fall off the codegen path and evaluate interpreted per element.
+  * - All-pairs work only ever happens inside LSH buckets / shared-shingle
+  *   groups, never across the corpus; candidate verification is exact.
   */
 object DedupOps {
 
@@ -26,6 +31,14 @@ object DedupOps {
           |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2),
           |                 element_at(w, i + 3))))""".stripMargin))
 
+  /** The materialized (doc_id, sh: array<string>) table — shared ancestor of
+    * every near-dup pipeline. Identical logical plans share one cache entry
+    * across queries in a session.
+    */
+  def shingleTable(documents: DataFrame): DataFrame =
+    withShingles(documents).select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   private val duckShingles =
     """SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(w) - 1),
@@ -36,9 +49,25 @@ object DedupOps {
       |      FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
-  /** Exact pairwise Jaccard on (doc_a, doc_b) with shingle arrays present. */
+  /** Exact pairwise Jaccard from intersection count and set sizes. */
   private def jaccard(inter: Column, sa: Column, sb: Column): Column =
     inter.cast("double") / (sa + sb - inter)
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the shingle table; keeps pairs with jac >= threshold.
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("jac", jaccard(col("inter"),
+        size(col("sa.sh")).cast("long"), size(col("sb.sh")).cast("long")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -79,8 +108,7 @@ object DedupOps {
          |JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = withShingles(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
-        .select(col("doc_id"), col("sh"))
+      val sh = shingleTable(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
       val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val pairs = ex.as("a").join(ex.as("b"),
@@ -97,17 +125,15 @@ object DedupOps {
     },
 
     // MinHash + LSH near-dup over the FULL corpus — the scale path.
-    // 64 minhashes (seeded xxhash64 over the shingle set, computed as one
-    // higher-order expression: no explode, no shuffle), 16 bands × 4 rows,
-    // bucket self-join on (band, signature), exact-Jaccard verification of
-    // candidates only. Threshold 0.5. Hash functions are engine-specific →
-    // rows-only oracle; correctness is locked by DedupSpec (planted dups)
-    // and by containment in dedup_ngram_jaccard on the sampled subset.
+    // 64 minhashes, 16 bands × 4 rows, bucket self-join on (band, sig),
+    // exact-Jaccard verification of candidates only. Hash functions are
+    // engine-specific → rows-only oracle; correctness is locked by DedupSpec
+    // (planted dups) and containment in dedup_ngram_jaccard on the sample.
     QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
       minhashLsh(Tables.documents(s, d), threshold = 0.5)
     },
 
-    // SimHash near-dup: 64-bit signature from token hashes, banded into 4
+    // SimHash near-dup: 64-bit signature from shingle hashes, banded into 4
     // 16-bit chunks (guarantees detection at hamming distance ≤ 3).
     QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
       simhash(Tables.documents(s, d), maxHamming = 3)
@@ -115,58 +141,63 @@ object DedupOps {
   )
 
   /** MinHash-LSH candidate generation + exact verification. Returns
-    * (doc_a, doc_b, jac) for pairs with Jaccard ≥ threshold.
+    * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold.
+    *
+    * Signature: minhash_i(doc) = min over shingles of xxhash64(i, shingle),
+    * computed as 64 codegen'd min-aggregates over the exploded shingle rows
+    * (one shuffle by doc_id, map-side partial mins).
     */
   def minhashLsh(documents: DataFrame, threshold: Double,
                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = withShingles(documents).select(col("doc_id"), col("sh"))
-    // signature: mh[i] = min over shingles of xxhash64(i, shingle)
-    val signed = sh.withColumn("mh", expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  i -> array_min(transform(sh, t -> xxhash64(i, t))))""".stripMargin))
-    val banded = signed.select(col("doc_id"), col("sh"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(
-           |  ${(1 to rowsPerBand).map(r => s"element_at(mh, $rowsPerBand * b + $r)").mkString(", ")}))"""
-          .stripMargin)).as(Seq("band", "sig")))
+    val sh = shingleTable(documents)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val mhAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh$i")): _*).as("sig"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jac", jaccard(col("inter"),
-        size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyPairs(cand, sh, threshold)
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming. Banding into
-    * (maxHamming + 1) chunks guarantees any qualifying pair shares a chunk.
+  /** SimHash near-dup pairs with hamming distance <= maxHamming. Banding
+    * into (maxHamming + 1) chunks guarantees any qualifying pair shares a
+    * chunk. Bit sums are 64 codegen'd aggregates over exploded shingle
+    * hashes (feature weight ±1 per bit).
     */
   def simhash(documents: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
-    // Features are 3-word shingles, not words: on a small vocabulary every
-    // document shares most WORDS (signatures collapse), while shingle sets
-    // stay discriminative.
-    val sig = withShingles(documents)
-      .withColumn("th", expr("transform(sh, t -> xxhash64(t))"))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 63), bigint(0), (acc, j) ->
-          |  acc + if(aggregate(th, bigint(0),
-          |             (sv, h) -> sv + 2 * getbit(h, j) - 1) > 0,
-          |           shiftleft(bigint(1), j), bigint(0)))""".stripMargin))
+    val sh = shingleTable(documents)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val bitAggs = (0 until 64).map(j =>
+      sum(expr(s"getbit(h, $j)") * 2 - 1).as(s"b$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("sig", (0 until 64)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
       .select(col("doc_id"), col("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${chunks - 1}),
-           |  c -> (shiftright(sig, c * $chunkBits) & ${(1L << chunkBits) - 1}))"""
-          .stripMargin)).as(Seq("chunk_idx", "chunk")))
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("sig"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("sig"), explode(array(chunkCols: _*)).as("cs"))
+      .select(col("doc_id"), col("sig"),
+        col("cs.ci").as("chunk_idx"), col("cs.chunk").as("chunk"))
     banded.as("a").join(banded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&
