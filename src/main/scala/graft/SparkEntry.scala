@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Relational, Relational2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,6 +14,7 @@ object SparkEntry {
   /** All declared query suites, in coverage order. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++
+      Relational2.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++
       operators.SimilarityOps.defs ++

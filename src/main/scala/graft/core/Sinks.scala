@@ -34,6 +34,27 @@ object Sinks {
     df.filter(col("snapshot_ts") === lit(maxTs))
   }
 
+  /** O-SNK3: JDBC full-replace dimension refresh — the reference's
+    * to_sql(if_exists='replace') (v2022/etl-containers/reference-data/src/
+    * reference_data_etl.py:60-67). truncate=true keeps the DDL in place on
+    * engines that support it.
+    */
+  def writeJdbcReplace(df: DataFrame, url: String, table: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("truncate", "true")
+      .mode(SaveMode.Overwrite).save()
+
+  /** O-SNK4: JDBC audited append — the designed per-ticker append with
+    * insert_timestamp (v2022/etl-containers/aggregates/src/
+    * aggregates_etl.py:169-177).
+    */
+  def writeJdbcAppend(df: DataFrame, url: String, table: String): Unit =
+    df.withColumn("insert_timestamp", current_timestamp())
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .mode(SaveMode.Append).save()
+
   /** Idempotent keyed append: anti-join strips rows whose key already exists,
     * then appends partitioned by the partition columns. Replaying the same
     * batch is a no-op.

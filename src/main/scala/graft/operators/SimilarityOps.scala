@@ -76,6 +76,14 @@ object SimilarityOps {
     // baseline is asserted in SimilaritySpec).
     QueryDef.rowsOnly("ann_lsh_topk") { (s, d) =>
       annLshTopK(Tables.embeddings(s, d), planes = 8, k = 3)
+    },
+
+    // IVF-bucketed ANN — the other scale path: corpus assigned to its
+    // nearest centroid once (inverted lists), queries probe only the
+    // nProbe nearest lists. At 100 TB the assignment is written
+    // partitionBy(cid), so a probe is a partition-pruned scan.
+    QueryDef.rowsOnly("ann_ivf_topk") { (s, d) =>
+      annIvfTopK(Tables.embeddings(s, d), nProbe = 2, k = 3)
     }
   )
 
@@ -94,6 +102,45 @@ object SimilarityOps {
         "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
       .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: deterministic "training-free" centroids (every
+    * 50th vector), one broadcast assignment pass over the corpus, probe the
+    * nProbe nearest inverted lists per query, exact cosine within them.
+    */
+  def annIvfTopK(embeddings: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val emb = withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
+    val cents = withNorm(embeddings).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    def cos(qe: String, qn: String) = expr(
+      s"aggregate(zip_with($qe, ce, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
+      sqrt(col(qn) * col("cn"))
+    // inverted lists: each corpus vector → its nearest centroid
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cos("e", "nrm"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+    // probe lists: each query → its nProbe nearest centroids
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+    val probes = withNorm(embeddings).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cos("qe", "qn"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("cid"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("q_id"), col("rank"))

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Coverage-closing queries for the remaining SURVEY.md §2 operator rows not
+  * exercised by Q01-Q15: cube grouping sets (O-A8), computed sort keys
+  * (O-S2), the scalar-function surface (O-X1..X14), approximate distinct
+  * (O-A9), and seeded random ordering (O-S3).
+  */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // O-A8: CUBE over two grouping dimensions (rollup is Q11).
+    QueryDef.sqlBacked(
+      "q16_cube",
+      """SELECT n_regionkey, n_nationkey % 5 AS nk_mod, count(*) AS n
+        |FROM nation
+        |GROUP BY CUBE(n_regionkey, nk_mod)
+        |ORDER BY n_regionkey NULLS FIRST, nk_mod NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .cube(col("n_regionkey"), (col("n_nationkey") % 5).as("nk_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey").asc_nulls_first, col("nk_mod").asc_nulls_first)
+    },
+
+    // O-S2 + O-T1: sort by computed key with deterministic tie-break + limit.
+    QueryDef.sqlBacked(
+      "q17_sort_computed",
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |ORDER BY n_chars % 7, n_chars DESC, doc_id
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars") % 7, col("n_chars").desc, col("doc_id"))
+        .limit(100)
+    },
+
+    // O-X1/X2/X3/X4/X6/X7/X11/X14: the scalar-function surface of the
+    // reference — upper (aggregates_stocks_etl.py:31), literal replace
+    // (API-key redaction, reference_endpoints_etl.py:31), '--'-joined key
+    // construction (aggregates_stocks_etl.py:43), timestamp formatting
+    // (helper_functions.py:15-16), UTC→exchange-time conversion
+    // (reference_data_etl.py:66), conditional adjusted/raw naming
+    // (aggregates_stocks_etl.py:33-41).
+    QueryDef.sqlBacked(
+      "q18_scalar_funcs",
+      """SELECT event_id,
+        |  upper(event_type) AS etype_u,
+        |  replace(props, 'k', 'key') AS props_renamed,
+        |  concat_ws('--', event_type, CAST(user_id AS VARCHAR)) AS path_key,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y%m%d-%H%M%S') AS ts_str,
+        |  CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+        |    AT TIME ZONE 'America/New_York' AS ts_eastern,
+        |  CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS value_bucket,
+        |  CAST(length(event_type) AS BIGINT) AS etype_len
+        |FROM events
+        |ORDER BY event_id
+        |LIMIT 2000""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          upper(col("event_type")).as("etype_u"),
+          regexp_replace(col("props"), "k", "key").as("props_renamed"),
+          concat_ws("--", col("event_type"), col("user_id").cast("string"))
+            .as("path_key"),
+          date_format(col("ts"), "yyyyMMdd-HHmmss").as("ts_str"),
+          from_utc_timestamp(col("ts"), "America/New_York").as("ts_eastern"),
+          when(col("value") > 100, "hi").otherwise("lo").as("value_bucket"),
+          length(col("event_type")).cast("long").as("etype_len"))
+        .orderBy(col("event_id"))
+        .limit(2000)
+    },
+
+    // O-A9: approximate distinct (HLL). Sketch implementations differ across
+    // engines → rows-only; ApproxSpec bounds the relative error instead.
+    QueryDef.rowsOnly("q19_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // O-S3: seeded random work-order shuffle (main.py:36) — deterministic
+    // within Spark for a fixed seed+partitioning, engine-specific → rows-only.
+    QueryDef.rowsOnly("q20_random_order") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(rand(42), col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+    }
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the physical-plan properties that make these queries survive a
+  * 100× scale-up: parquet filter pushdown, column pruning, broadcast joins
+  * for small dims, no cartesian products anywhere. A regression here is a
+  * performance bug even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q01: predicate pushed to parquet scan, columns pruned") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q05/q09: dimension joins broadcast, no sort-merge on small dims") {
+    Seq("q05_join_revenue", "q09_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
+    }
+  }
+
+  test("q07 range join: equi-key hash join with range residual, not BNLJ") {
+    val p = plan("q07_range_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"range join fell off the hash path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q07 degenerated to a nested loop:\n$p")
+  }
+
+  test("mkt_asof_enrich: as-of join is union+window, no nested loop") {
+    val p = plan("mkt_asof_enrich")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of degenerated:\n$p")
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+  }
+
+  test("no query plans a cartesian product (cross joins are broadcast by design)") {
+    SparkEntry.allDefs.foreach { q =>
+      val p = q.build(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans CartesianProduct")
+    }
+  }
+
+  test("scans read only required columns (spot-check heavy fact queries)") {
+    val p4 = plan("q04_pricing_summary")
+    assert(!p4.contains("l_orderkey"), s"q04 reads unneeded columns:\n$p4")
+    val p14 = plan("q14_ohlc_bars")
+    assert(!p14.contains("props"), s"q14 reads unneeded props column:\n$p14")
+  }
+}
