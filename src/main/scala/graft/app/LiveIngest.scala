@@ -1,0 +1,50 @@
+package graft.app
+
+import graft.streaming.LiveBars
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming ingest driver — the E1 daily pipeline of the reference
+  * (airflow-dags/dag_aggregates_etl.py traced in SURVEY.md §3-E1) as one
+  * Structured Streaming query: polygon micro-batch source → watermarked
+  * dedup → silver append + 5-minute OHLC gold, exactly-once via checkpoint.
+  *
+  * Trigger.AvailableNow() == the reference's daily catch-up run (process
+  * everything new, then stop); swap for ProcessingTime for true live.
+  *
+  * Usage: runMain graft.app.LiveIngest <pagesDir> <warehouseDir>
+  */
+object LiveIngest {
+  def main(args: Array[String]): Unit = {
+    val Array(pagesDir, warehouse) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-live-ingest")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = start(spark, pagesDir, warehouse)
+    q.awaitTermination()
+    spark.stop()
+  }
+
+  def start(spark: SparkSession, pagesDir: String, warehouse: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val bars = spark.readStream.format("polygon")
+      .option("path", pagesDir).load()
+      .withColumn("datetime", timestamp_millis(col("t")))
+    LiveBars.dedupStream(bars, "datetime", "1 hour",
+        keys = Seq("ticker", "t", "adjusted"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$warehouse/silver/bars_live")
+      .option("checkpointLocation", s"$warehouse/_checkpoints/bars_live")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batch half of the incremental protocol (SURVEY.md §3-E3, §4): an
+  * explicit `_watermarks` table — (ticker, adjusted) → max ingested event
+  * time — replacing the reference's sink-scraping watermark discovery
+  * (airflow-dags/dag_aggregates_etl.py:128-150 re-downloads the latest S3
+  * object and maxes over its rows on every run).
+  *
+  * Protocol per batch: read watermarks → fetch/scan with from = watermark
+  * (at-least-once, the source refetches the boundary) → keep rows strictly
+  * past the watermark → append → advance watermarks. Idempotent under
+  * replay; FIXTURES.md §_watermarks is this table's schema.
+  */
+object Watermarks {
+
+  def path(warehouse: String): String = s"$warehouse/_watermarks"
+
+  def read(spark: SparkSession, warehouse: String): DataFrame = {
+    val p = path(warehouse)
+    if (!new java.io.File(p).exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ticker STRING, adjusted BOOLEAN, max_t BIGINT, updated_at TIMESTAMP"))
+    else spark.read.parquet(p)
+  }
+
+  /** New-rows-only filter for an incoming batch: strict t > watermark per
+    * (ticker, adjusted); series without a watermark pass whole.
+    */
+  def filterNew(incoming: DataFrame, wm: DataFrame): DataFrame =
+    incoming.join(broadcast(wm.select(col("ticker"), col("adjusted"), col("max_t"))),
+        Seq("ticker", "adjusted"), "left")
+      .filter(col("max_t").isNull || col("t") > col("max_t"))
+      .drop("max_t")
+
+  /** Advance watermarks with the batch's per-series max t (full-outer merge,
+    * monotone: never moves backward).
+    */
+  def advance(spark: SparkSession, warehouse: String, batch: DataFrame): Unit = {
+    val newWm = batch.groupBy(col("ticker"), col("adjusted"))
+      .agg(max(col("t")).as("batch_max"))
+    val merged = read(spark, warehouse).as("old")
+      .join(newWm.as("new"), Seq("ticker", "adjusted"), "full_outer")
+      .select(col("ticker"), col("adjusted"),
+        greatest(coalesce(col("old.max_t"), lit(Long.MinValue)),
+                 coalesce(col("new.batch_max"), lit(Long.MinValue))).as("max_t"),
+        current_timestamp().as("updated_at"))
+    // tiny dim table: rewrite whole (atomic via temp + swap not needed for
+    // an idempotent, monotone merge)
+    val tmp = path(warehouse) + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val spark2 = merged.sparkSession
+    spark2.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(warehouse))
+  }
+}

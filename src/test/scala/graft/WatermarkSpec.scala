@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Watermarks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WatermarkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("batch incremental protocol: filterNew + advance, idempotent, monotone") {
+    val wh = Files.createTempDirectory("wm").toString
+    val b1 = Seq(("AAPL", true, 100L, 1.0), ("AAPL", true, 200L, 2.0),
+                 ("MSFT", true, 150L, 3.0))
+      .toDF("ticker", "adjusted", "t", "c")
+    // first batch: no watermarks yet → everything passes
+    val wm0 = Watermarks.read(spark, wh)
+    assert(Watermarks.filterNew(b1, wm0).count() == 3)
+    Watermarks.advance(spark, wh, b1)
+    val wm1 = Watermarks.read(spark, wh)
+    assert(wm1.filter(col("ticker") === "AAPL").select("max_t").as[Long].head() == 200L)
+
+    // replayed batch (at-least-once): fully filtered
+    assert(Watermarks.filterNew(b1, wm1).count() == 0, "replay must be invisible")
+
+    // overlapping next batch: only strictly-new rows pass
+    val b2 = Seq(("AAPL", true, 200L, 2.0), ("AAPL", true, 300L, 4.0),
+                 ("GOOG", true, 50L, 5.0))
+      .toDF("ticker", "adjusted", "t", "c")
+    val fresh = Watermarks.filterNew(b2, wm1)
+    assert(fresh.select("t").as[Long].collect().sorted.toSeq == Seq(50L, 300L))
+    Watermarks.advance(spark, wh, fresh)
+    val wm2 = Watermarks.read(spark, wh)
+    assert(wm2.filter(col("ticker") === "AAPL").select("max_t").as[Long].head() == 300L)
+    assert(wm2.filter(col("ticker") === "MSFT").select("max_t").as[Long].head() == 150L,
+      "untouched series must keep its watermark (monotone merge)")
+    assert(wm2.count() == 3)
+  }
+
+  test("LiveIngest: streaming pages → deduped silver parquet, restart-safe") {
+    val pages = Files.createTempDirectory("li-pages")
+    val wh = Files.createTempDirectory("li-wh").toString
+    val dir = pages.resolve("AAPL/adjusted")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2},
+        |{"t":120000,"o":2,"h":3,"l":2,"c":3,"v":20,"vw":2.5,"n":2}],
+        |"next_url":null}""".stripMargin)
+    val q1 = graft.app.LiveIngest.start(spark, pages.toString, wh)
+    q1.awaitTermination()
+    val silver = spark.read.parquet(s"$wh/silver/bars_live")
+    assert(silver.count() == 2)
+    // restart with a new page chained on: only the new rows append
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2},
+        |{"t":120000,"o":2,"h":3,"l":2,"c":3,"v":20,"vw":2.5,"n":2}],
+        |"next_url":"page-0001.json"}""".stripMargin)
+    Files.writeString(dir.resolve("page-0001.json"),
+      """{"results":[{"t":180000,"o":3,"h":4,"l":3,"c":4,"v":30,"vw":3.5,"n":2}],
+        |"next_url":null}""".stripMargin)
+    val q2 = graft.app.LiveIngest.start(spark, pages.toString, wh)
+    q2.awaitTermination()
+    val after = spark.read.parquet(s"$wh/silver/bars_live")
+    assert(after.select("t").as[Long].collect().sorted.toSeq ==
+      Seq(60000L, 120000L, 180000L), "restart must resume from checkpoint")
+  }
+}
