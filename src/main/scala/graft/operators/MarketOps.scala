@@ -71,20 +71,23 @@ object MarketOps {
         |SELECT event_id, user_id,
         |  round(list_sum(list_transform(range(0, len(arr)),
         |          i -> arr[i + 1] * pow(0.8, len(arr) - 1 - i)))
-        |        / list_sum(list_transform(range(0, len(arr)),
-        |          i -> pow(0.8, len(arr) - 1 - i))), 6) AS ema20
+        |        / ((1 - pow(0.8, len(arr))) / 0.2), 6) AS ema20
         |FROM t
         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // weights looked up from a literal power table (the interpreted
+      // lambda then does one multiply per element, no pow); normalization
+      // via the closed-form geometric series — both mirrored in the oracle.
+      val powTable = typedlit((0 until 20).map(j => math.pow(0.8, j)))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-19, Window.currentRow)
       Tables.events(s, d)
         .withColumn("arr", collect_list(col("value")).over(w))
+        .withColumn("_pw", powTable)
         .withColumn("ema20", round(
           expr("""aggregate(sequence(0, size(arr) - 1), cast(0 as double),
-                 |  (a, i) -> a + element_at(arr, i + 1) * power(0.8, size(arr) - 1 - i))"""
+                 |  (a, i) -> a + element_at(arr, i + 1) * element_at(_pw, size(arr) - i))"""
             .stripMargin) /
-          expr("""aggregate(sequence(0, size(arr) - 1), cast(0 as double),
-                 |  (a, i) -> a + power(0.8, size(arr) - 1 - i))""".stripMargin), 6))
+          ((lit(1.0) - pow(lit(0.8), size(col("arr")))) / lit(0.2)), 6))
         .select(col("event_id"), col("user_id"), col("ema20"))
         .orderBy(col("event_id"))
     },

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,27 +9,30 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (Array[Float] vectors).
   *
   * Baseline: brute-force cosine top-k — the query side is tiny and
-  * broadcast, so the scan side streams once with no shuffle; dot products
-  * are sequential folds over zipped arrays (codegen'd, order-deterministic,
-  * bit-identical to the DuckDB oracle when computed in double).
+  * broadcast, so the scan side streams once with no shuffle. Dot products
+  * use the codegen'd DotProduct expression (graft.functions.VectorExprs):
+  * a primitive double loop in whole-stage codegen, bit-identical to the
+  * DuckDB oracle's sequential fold.
   *
-  * Scale path: sign-projection LSH codes bucket the corpus; candidate
-  * search touches one bucket per query instead of the full corpus. At
-  * 100 TB the bucketed table would be written partitionBy(code) so a query
-  * prunes to one partition.
+  * Scale paths: sign-projection LSH codes, random-hyperplane LSH buckets,
+  * and IVF inverted lists — each prunes the candidate set so a query
+  * touches one bucket/list instead of the corpus; at 100 TB the bucketed
+  * assignment is written partitionBy(code) so a probe is partition-pruned.
   */
 object SimilarityOps {
 
   /** embeddings with the float vector cast to double + its squared norm. */
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
     df.withColumn("e", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr("aggregate(e, cast(0 as double), (a, x) -> a + x * x)"))
+      .withColumn("nrm", expr("graft_dot(e, e)"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for each query vector (vec_id % 100 = 0).
     // Exact oracle: DuckDB's list_cosine_similarity over double-cast lists
-    // is the same sequential fold; scores rounded to 6 dp to absorb any
+    // is the same sequential loop; scores rounded to 6 dp to absorb any
     // final-ulp divergence in sqrt/divide ordering.
     QueryDef.sqlBacked(
       "ann_cosine_topk",
@@ -70,18 +74,15 @@ object SimilarityOps {
         .orderBy(col("code"))
     },
 
-    // LSH-bucketed ANN: query vectors search only their own random-hyperplane
-    // bucket (8 planes, pseudo-random components derived from xxhash64 —
-    // engine-specific hash → rows-only oracle; recall vs the brute-force
-    // baseline is asserted in SimilaritySpec).
+    // LSH-bucketed ANN: queries search only their own random-hyperplane
+    // bucket (rows-only oracle; recall vs brute force in SimilaritySpec).
     QueryDef.rowsOnly("ann_lsh_topk") { (s, d) =>
       annLshTopK(Tables.embeddings(s, d), planes = 8, k = 3)
     },
 
     // IVF-bucketed ANN — the other scale path: corpus assigned to its
     // nearest centroid once (inverted lists), queries probe only the
-    // nProbe nearest lists. At 100 TB the assignment is written
-    // partitionBy(cid), so a probe is a partition-pruned scan.
+    // nProbe nearest lists.
     QueryDef.rowsOnly("ann_ivf_topk") { (s, d) =>
       annIvfTopK(Tables.embeddings(s, d), nProbe = 2, k = 3)
     }
@@ -98,9 +99,43 @@ object SimilarityOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
-      .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(expr("graft_dot(qe, e)") /
+        sqrt(col("qn") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH top-k: `planes` seeded-random hyperplanes are
+    * generated driver-side and embedded as literal arrays; each vector's
+    * code is the sign pattern of its dot products with them (codegen'd).
+    * Both sides of the candidate join compute the same code, so matching is
+    * exact; ranking within a bucket is exact cosine.
+    */
+  def annLshTopK(embeddings: DataFrame, planes: Int, k: Int,
+                 dims: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planeVecs = Seq.fill(planes)(Seq.fill(dims)(rng.nextDouble() * 2 - 1))
+    def addCode(df: DataFrame): DataFrame = {
+      val withPlanes = planeVecs.zipWithIndex.foldLeft(df) {
+        case (acc, (p, i)) => acc.withColumn(s"_pl$i", typedlit(p))
+      }
+      val code = (0 until planes).map(i =>
+        when(expr(s"graft_dot(e, _pl$i)") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      withPlanes.withColumn("code", code)
+        .drop((0 until planes).map(i => s"_pl$i"): _*)
+    }
+    val coded = addCode(withNorm(embeddings))
+    val q = coded.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              col("nrm").as("qn"), col("code").as("qcode"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    coded.join(broadcast(q),
+        col("code") === col("qcode") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr("graft_dot(qe, e)") /
+        sqrt(col("qn") * col("nrm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
@@ -115,58 +150,28 @@ object SimilarityOps {
     val emb = withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
     val cents = withNorm(embeddings).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    def cos(qe: String, qn: String) = expr(
-      s"aggregate(zip_with($qe, ce, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
-      sqrt(col(qn) * col("cn"))
-    // inverted lists: each corpus vector → its nearest centroid
+    def centCos(qe: String, qn: String) =
+      expr(s"graft_dot($qe, ce)") / sqrt(col(qn) * col("cn"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", cos("e", "nrm"))
+      .withColumn("ccos", centCos("e", "nrm"))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
-    // probe lists: each query → its nProbe nearest centroids
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
     val probes = withNorm(embeddings).filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", cos("qe", "qn"))
+      .withColumn("ccos", centCos("qe", "qn"))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
       .select(col("q_id"), col("qe"), col("qn"), col("cid"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
-      .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(expr("graft_dot(qe, e)") /
+        sqrt(col("qn") * col("nrm")), 6))
       .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
-  }
-
-  /** Random-hyperplane LSH top-k: hyperplane p's component for dimension i is
-    * a deterministic pseudo-random value in [-1, 1) derived from xxhash64.
-    * Both sides of the candidate join compute the same 8-bit code, so
-    * matching is exact; ranking within a bucket is exact cosine.
-    */
-  def annLshTopK(embeddings: DataFrame, planes: Int, k: Int): DataFrame = {
-    val coded = withNorm(embeddings).withColumn("code", expr(
-      s"""aggregate(sequence(0, ${planes - 1}), bigint(0), (acc, p) ->
-         |  acc + if(aggregate(zip_with(e, sequence(0, size(e) - 1),
-         |                       (x, i) -> x * (pmod(xxhash64(p, i), 2000) / 1000.0 - 1.0)),
-         |                     cast(0 as double), (a, x) -> a + x) > cast(0 as double),
-         |           shiftleft(bigint(1), p), bigint(0)))""".stripMargin))
-    val q = coded.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"),
-              col("nrm").as("qn"), col("code").as("qcode"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    coded.join(broadcast(q), col("code") === col("qcode") && col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
-      .withColumn("cos", round(col("dot") / sqrt(col("qn") * col("nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("q_id"), col("rank"))

@@ -25,6 +25,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(values.toSeq != other.toSeq)
   }
 
+  test("graft_dot: codegen and interpreted paths agree with the sequential fold") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val viaExprs = df.selectExpr("graft_dot(a, b) AS d").as[Double].head()
+    assert(viaExprs == 32.0)
+    // parity with the interpreted higher-order fold it replaces
+    val viaFold = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x) AS d")
+      .as[Double].head()
+    assert(viaExprs == viaFold)
+    // interpreted path (codegen off) matches
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.selectExpr("graft_dot(a, b) AS d").as[Double].head()
+      assert(interp == viaExprs)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // length mismatch: shorter array bounds the loop, no crash
+    val short = Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d").as[Double].head()
+    assert(short == 3.0)
+  }
+
   test("OhlcAggregator: order-insensitive and merge-safe across partitionings") {
     import OhlcAggregator._
     val ticks = Seq(
