@@ -55,5 +55,7 @@ object Watermarks {
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val spark2 = merged.sparkSession
     spark2.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(warehouse))
+    // tmp only breaks the read-while-overwrite cycle; drop it
+    org.apache.spark.util.Utils.deleteRecursively(new java.io.File(tmp))
   }
 }

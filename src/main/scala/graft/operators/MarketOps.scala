@@ -16,21 +16,29 @@ object MarketOps {
 
   private val D18 = DecimalType(18, 2)
 
-  /** 5-minute OHLC bars from raw events — the q14 aggregate kept as a
-    * reusable stage; `vol` stays DECIMAL so a second resample level can sum
-    * it exactly.
+  /** Tumbling OHLC bars at any granularity of the reference's ladder
+    * (1/5/15/30 min, 1 h, 24 h — old_source/old_source_op.py:18). `vol`
+    * stays DECIMAL so further resample levels sum exactly; bars compose:
+    * resample(resample(e, 5m), 1h) == resample(e, 1h) (MarketSpec,
+    * PropertySpec).
     */
-  def bars5m(events: DataFrame): DataFrame =
-    events.groupBy(col("user_id"), window(col("ts"), "5 minutes"))
+  def resampleBars(events: DataFrame, granularity: String,
+                   timeCol: String = "ts", keyCol: String = "user_id",
+                   priceCol: String = "value"): DataFrame =
+    events.groupBy(col(keyCol), window(col(timeCol), granularity))
       .agg(
-        min_by(col("value"), col("ts")).as("o"),
-        max(col("value")).as("h"),
-        min(col("value")).as("l"),
-        max_by(col("value"), col("ts")).as("c"),
+        min_by(col(priceCol), col(timeCol)).as("o"),
+        max(col(priceCol)).as("h"),
+        min(col(priceCol)).as("l"),
+        max_by(col(priceCol), col(timeCol)).as("c"),
         count(lit(1)).as("n"),
-        sum(col("value").cast(D18)).as("vol_dec"))
-      .select(col("user_id"), col("window.start").as("b5"),
+        sum(col(priceCol).cast(D18)).as("vol_dec"))
+      .select(col(keyCol), col("window.start").as("bucket"),
         col("o"), col("h"), col("l"), col("c"), col("n"), col("vol_dec"))
+
+  /** 5-minute bars (the DAG's granularity, airflow-dags/dag_aggregates_etl.py:219). */
+  def bars5m(events: DataFrame): DataFrame =
+    resampleBars(events, "5 minutes").withColumnRenamed("bucket", "b5")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -6,7 +6,10 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Live-data path (README.md:7 of the reference): streaming transforms that
   * mirror the batch operators exactly, so backfill (batch) and live
-  * (streaming) produce identical silver tables.
+  * (streaming) produce identical silver tables — the prefix-consistency
+  * model of "Structured Streaming: A Declarative API for Real-Time
+  * Applications in Apache Spark" (SIGMOD 2018): one declarative query, the
+  * engine incrementalizes it.
   *
   * The reference's daily Airflow trigger + watermark-scraping
   * (airflow-dags/dag_aggregates_etl.py:128-150) becomes: checkpointed
