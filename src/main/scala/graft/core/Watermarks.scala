@@ -56,6 +56,10 @@ object Watermarks {
     val spark2 = merged.sparkSession
     spark2.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(warehouse))
     // tmp only breaks the read-while-overwrite cycle; drop it
-    org.apache.spark.util.Utils.deleteRecursively(new java.io.File(tmp))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(tmp))
   }
 }
