@@ -23,22 +23,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(): Seq[(String, Double)] =
-      SparkEntry.allDefs.map { q =>
+    // Locale.ROOT formatting: f"" uses the default locale and would emit
+    // comma decimals (invalid JSON) on comma-decimal JVMs.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+    def once(): (Seq[(String, Double)], Seq[String]) = {
+      val failed = Seq.newBuilder[String]
+      val times = SparkEntry.allDefs.map { q =>
         val t0 = System.nanoTime()
         try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         q.name -> (System.nanoTime() - t0) / 1e9
       }
+      (times, failed.result())
+    }
 
     once() // warmup
-    val results = once()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val (results, failed) = once()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,17 +39,15 @@ object Backfill {
       keys = Seq("ticker", "t", "adjusted"),
       partitionCols = Seq("ticker", "adjusted"))
 
-    // silver→gold: 5-minute resample per series (O-A7)
+    // silver→gold: 5-minute resample per series (O-A7), via the shared
+    // OHLC refold; vw re-derived from the volume-weighted sum
     val silver = spark.read.parquet(s"$warehouse/silver/bars")
-    val bars5m = silver
-      .groupBy(col("ticker"), col("adjusted"), window(col("datetime"), "5 minutes"))
-      .agg(
-        min_by(col("o"), col("t")).as("o"), max(col("h")).as("h"),
-        min(col("l")).as("l"), max_by(col("c"), col("t")).as("c"),
-        sum(col("v")).as("v"), sum(col("n")).as("n"),
-        (sum(col("vw") * col("v")) / sum(col("v"))).as("vw"))
-      .select(col("ticker"), col("adjusted"), col("window.start").as("bucket"),
-        col("o"), col("h"), col("l"), col("c"), col("v"), col("vw"), col("n"))
+      .withColumn("vwv", col("vw") * col("v"))
+    val bars5m = graft.operators.MarketOps.refoldBars(silver, "5 minutes",
+        keys = Seq("ticker", "adjusted"), timeCol = "datetime",
+        sumCols = Seq("v", "n", "vwv"))
+      .withColumn("vw", col("vwv") / col("v"))
+      .drop("vwv")
     Sinks.writeCurrent(bars5m, s"$warehouse/gold/bars_5m")
   }
 }

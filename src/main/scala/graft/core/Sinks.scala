@@ -59,11 +59,20 @@ object Sinks {
     * then appends partitioned by the partition columns. Replaying the same
     * batch is a no-op.
     */
+  /** Filesystem-agnostic existence check (local, HDFS, s3a, ...) — a bare
+    * java.io.File would silently report false for any non-local URI and
+    * disable the idempotence guards.
+    */
+  private[core] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def idempotentAppend(df: DataFrame, path: String, keys: Seq[String],
                        partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     val fresh =
-      if (!new java.io.File(path).exists()) df
+      if (!pathExists(spark, path)) df
       else {
         val existing = spark.read.parquet(path).select(keys.map(col): _*)
         df.join(existing, keys, "left_anti")

@@ -20,7 +20,7 @@ object Watermarks {
 
   def read(spark: SparkSession, warehouse: String): DataFrame = {
     val p = path(warehouse)
-    if (!new java.io.File(p).exists())
+    if (!Sinks.pathExists(spark, p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(

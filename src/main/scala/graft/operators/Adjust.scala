@@ -55,6 +55,10 @@ object Adjust {
         (col("h") * col("adj_factor")).as("adj_h"),
         (col("l") * col("adj_factor")).as("adj_l"),
         (col("c") * col("adj_factor")).as("adj_c"),
-        (col("v") / col("adj_factor")).as("adj_v")): _*)
+        (col("v") / col("adj_factor")).as("adj_v")) ++
+        // vw is a price: same scale as o/h/l/c (if present)
+        (if (barCols.contains("vw"))
+           Seq((col("vw") * col("adj_factor")).as("adj_vw"))
+         else Nil): _*)
   }
 }

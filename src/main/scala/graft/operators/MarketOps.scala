@@ -40,6 +40,24 @@ object MarketOps {
   def bars5m(events: DataFrame): DataFrame =
     resampleBars(events, "5 minutes").withColumnRenamed("bucket", "b5")
 
+  /** Re-aggregate finer OHLC bars into coarser buckets — the shared second
+    * level of every resample ladder (batch gold, 5m→1h, etc.): open/close
+    * follow the sub-bar time, extrema fold, sum columns pass through.
+    */
+  def refoldBars(bars: DataFrame, granularity: String, keys: Seq[String],
+                 timeCol: String, sumCols: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      min_by(col("o"), col(timeCol)).as("o"),
+      max(col("h")).as("h"),
+      min(col("l")).as("l"),
+      max_by(col("c"), col(timeCol)).as("c")) ++
+      sumCols.map(c => sum(col(c)).as(c))
+    bars.groupBy((keys.map(col) :+ window(col(timeCol), granularity)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keys.map(col) :+ col("window.start").as("bucket") :+
+        col("o") :+ col("h") :+ col("l") :+ col("c")) ++ sumCols.map(col): _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // As-of enrichment: each purchase picks up the most recent signup value
@@ -73,7 +91,7 @@ object MarketOps {
     QueryDef.sqlBacked(
       "mkt_ema20",
       """WITH t AS (SELECT event_id, user_id,
-        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    list(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
         |  FROM events)
         |SELECT event_id, user_id,
@@ -116,9 +134,9 @@ object MarketOps {
         |  FROM events)
         |SELECT event_id, user_id,
         |  CAST(SUM(CAST(value * vol AS DECIMAL(18,2)))
-        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |  / CAST(SUM(vol) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  / CAST(SUM(vol) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS vwap20
         |FROM t
@@ -155,17 +173,10 @@ object MarketOps {
         |FROM b5
         |GROUP BY user_id, bucket
         |ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
-      bars5m(Tables.events(s, d))
-        .groupBy(col("user_id"), window(col("b5"), "1 hour"))
-        .agg(
-          min_by(col("o"), col("b5")).as("o"),
-          max(col("h")).as("h"),
-          min(col("l")).as("l"),
-          max_by(col("c"), col("b5")).as("c"),
-          sum(col("n")).as("n"),
-          sum(col("vol_dec")).cast(DoubleType).as("vol"))
-        .select(col("user_id"), col("window.start").as("bucket"),
-          col("o"), col("h"), col("l"), col("c"), col("n"), col("vol"))
+      refoldBars(bars5m(Tables.events(s, d)), "1 hour",
+          keys = Seq("user_id"), timeCol = "b5", sumCols = Seq("n", "vol_dec"))
+        .select(col("user_id"), col("bucket"), col("o"), col("h"), col("l"),
+          col("c"), col("n"), col("vol_dec").cast(DoubleType).as("vol"))
         .orderBy(col("user_id"), col("bucket"))
     },
 

@@ -54,8 +54,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val content = r.getAs[Array[Byte]]("content")
-          val (w, h, sum) = decodeStub(content)
-          Row(r.getLong(0), r.getString(1), content.length.toLong, w, h, sum)
+          if (content == null) // missing payload → null features, not an NPE
+            Row(r.getLong(0), r.getString(1), null, null, null, null)
+          else {
+            val (w, h, sum) = decodeStub(content)
+            Row(r.getLong(0), r.getString(1), content.length.toLong, w, h, sum)
+          }
         }
       }(enc)
   }

@@ -26,8 +26,12 @@ object Salting {
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 aggs: Map[String, Column => Column],
                 valueCols: Map[String, Column]): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id()
-      + xxhash64(monotonically_increasing_id()), lit(buckets)))
+    // deterministic per row content: task retries re-derive the same salt
+    // (partition-id / monotonic-id salts break under partial recomputation —
+    // recomputed rows would land in different sub-keys than copies already
+    // consumed by surviving reducers)
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
     val partialAggs = aggs.map { case (alias, fn) =>
       fn(valueCols(alias)).as(alias)
     }.toSeq

@@ -189,9 +189,9 @@ object Relational {
       "q08b_moving_avg",
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
-        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
         |FROM events
         |ORDER BY event_id""".stripMargin) { (s, d) =>
@@ -331,7 +331,7 @@ object Relational {
       "q15_cumulative_factor",
       """SELECT event_id, user_id,
         |  round(SUM(ln(1 + value / 1000))
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS cum_log_factor
         |FROM events

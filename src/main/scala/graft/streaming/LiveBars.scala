@@ -29,23 +29,16 @@ object LiveBars {
     bars.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Tumbling OHLC bars over a live tick/event stream — the streaming twin
-    * of MarketOps.bars5m (same aggregate functions, same grouping), so a
-    * replay of the history through the stream equals the batch table.
+  /** Tumbling OHLC bars over a live tick/event stream — literally the batch
+    * resample (MarketOps.resampleBars) applied to a watermarked stream, so
+    * a replay of the history through the stream equals the batch table by
+    * construction.
     */
   def ohlcStream(events: DataFrame, eventTimeCol: String, delay: String,
                  windowLength: String): DataFrame =
-    events
-      .withWatermark(eventTimeCol, delay)
-      .groupBy(col("user_id"), window(col(eventTimeCol), windowLength))
-      .agg(
-        min_by(col("value"), col(eventTimeCol)).as("o"),
-        max(col("value")).as("h"),
-        min(col("value")).as("l"),
-        max_by(col("value"), col(eventTimeCol)).as("c"),
-        count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("vol_dec"))
-      .select(col("user_id"), col("window.start").as("bucket"),
-        col("o"), col("h"), col("l"), col("c"), col("n"),
-        col("vol_dec").cast("double").as("vol"))
+    graft.operators.MarketOps.resampleBars(
+        events.withWatermark(eventTimeCol, delay), windowLength,
+        timeCol = eventTimeCol)
+      .withColumn("vol", col("vol_dec").cast("double"))
+      .drop("vol_dec")
 }
