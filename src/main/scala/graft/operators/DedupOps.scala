@@ -137,6 +137,25 @@ object DedupOps {
     // 16-bit chunks (guarantees detection at hamming distance ≤ 3).
     QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
       simhash(Tables.documents(s, d), maxHamming = 3)
+    },
+
+    // Embedding-cosine near-dup: all pairs above a cosine threshold. This
+    // oracle-exact variant is brute-force with the broadcast side bounded
+    // (the all-pairs op IS the semantics at this size); the 100 TB path is
+    // the same threshold filter applied within ann_lsh/ann_ivf buckets —
+    // bucket first, compare within buckets only.
+    QueryDef.sqlBacked(
+      "dedup_embedding_cosine",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.ed, b.ed), 6) AS cos
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.ed, b.ed), 6) >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      SimilarityOps.cosinePairs(Tables.embeddings(s, d), threshold = 0.42)
     }
   )
 

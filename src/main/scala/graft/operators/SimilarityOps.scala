@@ -88,6 +88,23 @@ object SimilarityOps {
     }
   )
 
+  /** All pairs with cosine >= threshold (embedding near-dup). One side is
+    * broadcast; the join is a broadcast nested loop by nature (all-pairs
+    * comparison), with the codegen'd dot in the condition's hot path.
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = withNorm(embeddings).select(col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = withNorm(embeddings).select(col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr("graft_dot(ea, eb)") /
+        sqrt(col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Brute-force cosine top-k: the exact baseline every ANN variant is
     * measured against. Query side is broadcast; the corpus streams once.
     */
