@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
 
 /** Split/dividend adjustment of raw bars (O-J4/O-W2, SURVEY.md §2.3/§2.5):
   * the computation the reference outsources to Polygon by fetching both
@@ -29,26 +30,11 @@ object Adjust {
     */
   def adjustBars(bars: DataFrame, splits: DataFrame): DataFrame = {
     val barCols = bars.columns.toSeq
-    val b = bars
-      .withColumn("_d", to_date(col("datetime")))
-      .withColumn("_side", lit(0))
-      .withColumn("_factor", lit(null).cast("double"))
-    val s = splits
-      .select(col("ticker"), col("execution_date").as("_d"),
-        (col("split_from") / col("split_to")).as("_factor"))
-      .withColumn("_side", lit(1))
-    val unioned = b.select(
-      (Seq(col("ticker"), col("_d"), col("_side"), col("_factor")) ++
-        barCols.filterNot(_ == "ticker").map(col)): _*)
-      .unionByName(s, allowMissingColumns = true)
-    // descending by date; at equal dates the bar sorts first so a same-day
-    // split does NOT adjust that day's bar (strictly-later rule)
-    val w = Window.partitionBy(col("ticker"))
-      .orderBy(col("_d").desc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val factors = unioned.withColumn("adj_factor",
-      coalesce(product(col("_factor")).over(w), lit(1.0)))
-    factors.filter(col("_side") === 0)
+    val splitFactors = splits.select(col("ticker"),
+      col("execution_date"),
+      (col("split_from") / col("split_to")).as("split_factor"))
+    applyFactors(bars, splitFactors, "execution_date", "split_factor",
+        "adj_factor")
       .select(barCols.map(col) ++ Seq(
         col("adj_factor"),
         (col("o") * col("adj_factor")).as("adj_o"),
@@ -60,5 +46,61 @@ object Adjust {
         (if (barCols.contains("vw"))
            Seq((col("vw") * col("adj_factor")).as("adj_vw"))
          else Nil): _*)
+  }
+
+  /** Cash-dividend adjustment factors: for each dividend, the standard
+    * CRSP-style multiplier 1 - cash / prev_close, where prev_close is the
+    * last close at-or-before the day preceding the ex-date (an as-of join
+    * of dividends onto the bar series). Bars before the ex-date are scaled
+    * down by the compound product of later dividend factors — composable
+    * with split factors by multiplying the two adjustment columns.
+    *
+    * Returns (ticker, ex_date, div_factor); feed to `applyFactors`.
+    */
+  def dividendFactors(bars: DataFrame, dividends: DataFrame): DataFrame = {
+    val closes = bars.select(col("ticker"),
+      to_date(col("datetime")).cast(DateType).as("close_date"),
+      col("datetime"), col("c"))
+    val divs = dividends.select(col("ticker"),
+      col("ex_dividend_date").as("ex_date"), col("cash_amount"))
+      // as-of anchor: the last bar strictly before the ex-date
+      .withColumn("anchor_ts",
+        to_timestamp(col("ex_date")) - expr("INTERVAL 1 MICROSECOND"))
+    val withClose = AsOf.asofJoin(
+      divs, closes.withColumnRenamed("datetime", "bar_ts"),
+      keys = Seq("ticker"), leftTime = "anchor_ts", rightTime = "bar_ts",
+      rightVals = Seq("c"))
+    withClose
+      .withColumn("div_factor",
+        when(col("c").isNull || col("c") <= col("cash_amount"), lit(1.0))
+          .otherwise(lit(1.0) - col("cash_amount") / col("c")))
+      .select(col("ticker"), col("ex_date"), col("div_factor"))
+  }
+
+  /** Apply a (ticker, effective_date, factor) table to bars with the same
+    * strictly-later compounding rule as adjustBars.
+    */
+  def applyFactors(bars: DataFrame, factors: DataFrame,
+                   dateCol: String, factorCol: String,
+                   outCol: String): DataFrame = {
+    val barCols = bars.columns.toSeq
+    val b = bars
+      .withColumn("_d", to_date(col("datetime")))
+      .withColumn("_side", lit(0))
+      .withColumn("_factor", lit(null).cast("double"))
+    val f = factors
+      .select(col("ticker"), col(dateCol).as("_d"), col(factorCol).as("_factor"))
+      .withColumn("_side", lit(1))
+    val unioned = b.select(
+      (Seq(col("ticker"), col("_d"), col("_side"), col("_factor")) ++
+        barCols.filterNot(_ == "ticker").map(col)): _*)
+      .unionByName(f, allowMissingColumns = true)
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("_d").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    unioned
+      .withColumn(outCol, coalesce(product(col("_factor")).over(w), lit(1.0)))
+      .filter(col("_side") === 0)
+      .select(barCols.map(col) :+ col(outCol): _*)
   }
 }

@@ -121,6 +121,13 @@ final class FilePageFetcher(root: String) extends PageFetcher {
 
   override def fetch(cursor: String): Page = {
     val node = mapper.readTree(new java.io.File(cursor))
+    // upstream error statuses abort the scan (the reference hard-exits on
+    // non-200, v2022/etl-containers/reference-data/src/reference_data_etl.py:42-43);
+    // "DELAYED" is a success status on deferred-data tiers
+    Option(node.get("status")).filterNot(_.isNull).map(_.asText()).foreach { s =>
+      if (s != "OK" && s != "DELAYED")
+        throw new IllegalStateException(s"polygon page status '$s' at $cursor")
+    }
     val results = Option(node.get("results")).map { arr =>
       arr.elements().asScala.map { b =>
         Bar0(b.get("t").asLong(), b.get("o").asDouble(), b.get("h").asDouble(),

@@ -46,6 +46,43 @@ class AdjustSpec extends AnyFunSuite {
     assert(f4 == 1.0)
   }
 
+  test("dividend adjustment: factor from prev close, strictly-later compounding") {
+    val bars = Seq(
+      ("AAPL", ts("2024-01-10 16:00:00"), 100.0), // prev close for the div
+      ("AAPL", ts("2024-01-11 16:00:00"), 95.0),  // ex-date bar: NOT adjusted
+      ("AAPL", ts("2024-01-12 16:00:00"), 96.0)
+    ).toDF("ticker", "datetime", "c")
+    val dividends = Seq(
+      ("AAPL", d("2024-01-11"), 5.0, 4) // $5 on prev close 100 → factor 0.95
+    ).toDF("ticker", "ex_dividend_date", "cash_amount", "frequency")
+
+    val factors = Adjust.dividendFactors(bars, dividends)
+    val f = factors.select("div_factor").as[Double].head()
+    assert(f == 0.95, s"factor should be 1 - 5/100: $f")
+
+    val adjusted = Adjust.applyFactors(bars, factors,
+      "ex_date", "div_factor", "div_adj")
+      .select(col("datetime"), col("div_adj"))
+      .collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getDouble(1))
+      .toMap
+    assert(adjusted("2024-01-10") == 0.95, "pre-ex-date bar must be scaled")
+    assert(adjusted("2024-01-11") == 1.0, "ex-date bar itself is unadjusted")
+    assert(adjusted("2024-01-12") == 1.0)
+  }
+
+  test("dividend factor degenerate cases: no prior close, dividend >= close") {
+    val bars = Seq(("NEW", ts("2024-02-01 16:00:00"), 10.0))
+      .toDF("ticker", "datetime", "c")
+    val dividends = Seq(
+      ("NEW", d("2024-01-15"), 2.0, 4),  // before any bar: no prev close
+      ("NEW", d("2024-02-05"), 50.0, 4)  // absurd: cash >= close
+    ).toDF("ticker", "ex_dividend_date", "cash_amount", "frequency")
+    val factors = Adjust.dividendFactors(bars, dividends)
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(2)).toMap
+    assert(factors("2024-01-15") == 1.0, "no prior close → neutral factor")
+    assert(factors("2024-02-05") == 1.0, "cash >= close → neutral, not negative")
+  }
+
   test("indicators: sma/vwap/rsi behave on a deterministic ramp") {
     val bars = (1 to 30).map(i =>
       ("T", ts(f"2024-01-01 ${9 + i / 60}%02d:${i % 60}%02d:00"), i.toDouble, 10.0))

@@ -94,6 +94,19 @@ class PolygonSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("no-progress")))
   }
 
+  test("error-status page aborts the scan with a pointed message") {
+    val root = Files.createTempDirectory("polygon-err")
+    val dir = root.resolve("BAD/adjusted")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"status":"ERROR","results":[],"next_url":null}""")
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("polygon").option("path", root.toString).load().count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("status 'ERROR'"), s"unhelpful error: $msg")
+  }
+
   test("per-JVM rate limit spaces page fetches") {
     val root = fixture().toString
     val t0 = System.currentTimeMillis()

@@ -41,6 +41,24 @@ class StreamingSpec extends AnyFunSuite {
       "streaming replay != batch aggregate")
   }
 
+  test("stream-static enrichment join: live bars pick up dimension attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    val tickers = Seq(("AAPL", "Apple Inc", "XNAS"), ("MSFT", "Microsoft", "XNAS"))
+      .toDF("ticker", "name", "primary_exchange")
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("ticker", "ts", "price")
+      .join(broadcast(tickers), Seq("ticker"), "left")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_bars").start()
+    input.addData(("AAPL", ts("2024-01-01 10:00:00"), 100.0),
+                  ("ZZZZ", ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched_bars")
+      .select("ticker", "name").as[(String, Option[String])].collect().toMap
+    assert(out("AAPL").contains("Apple Inc"))
+    assert(out("ZZZZ").isEmpty, "unknown ticker keeps null dimension (left join)")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
