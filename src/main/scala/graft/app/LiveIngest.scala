@@ -47,4 +47,25 @@ object LiveIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Continuous gold: 5-minute OHLC bars aggregated on the live stream
+    * itself (same operator as the batch gold, windows emitted once closed
+    * past the watermark) appended to a separate gold table.
+    */
+  def startGold(spark: SparkSession, pagesDir: String, warehouse: String,
+                delay: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ticks = spark.readStream.format("polygon")
+      .option("path", pagesDir).load()
+      .select(col("ticker").as("user_id"),
+        timestamp_millis(col("t")).as("ts"), col("c").as("value"))
+    LiveBars.ohlcStream(ticks, "ts", delay, "5 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$warehouse/gold/bars_5m_live")
+      .option("checkpointLocation", s"$warehouse/_checkpoints/bars_5m_live")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -334,17 +334,39 @@ final case class PolygonOffset(pages: Map[String, Int]) extends Offset {
 
 class PolygonMicroBatchStream(path: String, series: Seq[(String, Boolean)],
                               tFromExcl: Option[Long], tToIncl: Option[Long],
-                              rateLimitMs: Long) extends MicroBatchStream {
+                              rateLimitMs: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def key(t: String, a: Boolean) = s"$t|${if (a) "adjusted" else "raw"}"
   private val fetcher = new FilePageFetcher(path)
+
+  // Trigger.AvailableNow: pin "latest" to the offsets present when the
+  // query started, so pages landing mid-run don't extend the run.
+  private var availableNowCap: Option[PolygonOffset] = None
+
+  private def currentLatest(): PolygonOffset =
+    PolygonOffset(series.map { case (t, a) =>
+      key(t, a) -> fetcher.pageCount(t, a)
+    }.toMap)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentLatest())
 
   override def initialOffset(): Offset =
     PolygonOffset(series.map { case (t, a) => key(t, a) -> 0 }.toMap)
 
   override def latestOffset(): Offset =
-    PolygonOffset(series.map { case (t, a) =>
-      key(t, a) -> fetcher.pageCount(t, a)
-    }.toMap)
+    availableNowCap.getOrElse(currentLatest())
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
+  // rate-based admission control — each trigger takes everything up to the
+  // (possibly pinned) latest offset.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(json)

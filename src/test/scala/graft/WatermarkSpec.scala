@@ -39,6 +39,47 @@ class WatermarkSpec extends AnyFunSuite {
     assert(wm2.count() == 3)
   }
 
+  test("LiveIngest gold: streaming 5m OHLC appends closed windows only") {
+    val pages = Files.createTempDirectory("lg-pages")
+    val wh = Files.createTempDirectory("lg-wh").toString
+    val dir = pages.resolve("AAPL/adjusted")
+    Files.createDirectories(dir)
+    // ticks at 0s, 60s, 400s: first 5-min window [0,300) closes once the
+    // watermark (delay 0) passes 300s; window [300,600) stays open
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":0,"o":1,"h":1,"l":1,"c":10,"v":1,"vw":1,"n":1},
+        |{"t":60000,"o":1,"h":1,"l":1,"c":20,"v":1,"vw":1,"n":1},
+        |{"t":400000,"o":1,"h":1,"l":1,"c":30,"v":1,"vw":1,"n":1}],
+        |"next_url":null}""".stripMargin)
+    val q = graft.app.LiveIngest.startGold(spark, pages.toString, wh, delay = "0 seconds")
+    q.awaitTermination()
+    // AvailableNow runs a watermark-flushing batch before stopping: the
+    // [0,300) window (end 300s <= watermark 400s) closes within run 1;
+    // [300,600) stays open (end 600s > 400s)
+    def goldBuckets(): Map[Long, Double] =
+      try spark.read.parquet(s"$wh/gold/bars_5m_live").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket").getTime ->
+          r.getAs[Double]("c")).toMap
+      catch { case _: Throwable => Map.empty }
+    val run1 = goldBuckets()
+    assert(run1.keySet == Set(0L), s"only [0,300) may close in run 1: $run1")
+    assert(run1(0L) == 20.0, "close of the first bar must be the 60s tick")
+    // a t=700s page advances the watermark → run 2 closes [300,600)
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":0,"o":1,"h":1,"l":1,"c":10,"v":1,"vw":1,"n":1},
+        |{"t":60000,"o":1,"h":1,"l":1,"c":20,"v":1,"vw":1,"n":1},
+        |{"t":400000,"o":1,"h":1,"l":1,"c":30,"v":1,"vw":1,"n":1}],
+        |"next_url":"page-0001.json"}""".stripMargin)
+    Files.writeString(dir.resolve("page-0001.json"),
+      """{"results":[{"t":700000,"o":1,"h":1,"l":1,"c":40,"v":1,"vw":1,"n":1}],
+        |"next_url":null}""".stripMargin)
+    val q2 = graft.app.LiveIngest.startGold(spark, pages.toString, wh, delay = "0 seconds")
+    q2.awaitTermination()
+    val run2 = goldBuckets()
+    assert(run2.keySet == Set(0L, 300000L), s"run 2 should close [300,600): $run2")
+    assert(run2(300000L) == 30.0, "close of the second bar must be the 400s tick")
+  }
+
   test("LiveIngest: streaming pages → deduped silver parquet, restart-safe") {
     val pages = Files.createTempDirectory("li-pages")
     val wh = Files.createTempDirectory("li-wh").toString
