@@ -48,7 +48,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is interleaved with sbt/log4j noise; also land the line in a
+    // clean file so the driver can parse it without scraping logs
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

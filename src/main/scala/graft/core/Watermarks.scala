@@ -20,12 +20,17 @@ object Watermarks {
 
   def read(spark: SparkSession, warehouse: String): DataFrame = {
     val p = path(warehouse)
-    if (!Sinks.pathExists(spark, p))
+    // crash recovery: if a swap died between rename(main, bak) and
+    // rename(tmp, main), the previous table survives at _bak
+    val src =
+      if (Sinks.pathExists(spark, p)) Some(p)
+      else if (Sinks.pathExists(spark, p + "_bak")) Some(p + "_bak")
+      else None
+    src.map(spark.read.parquet(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "ticker STRING, adjusted BOOLEAN, max_t BIGINT, updated_at TIMESTAMP"))
-    else spark.read.parquet(p)
+          "ticker STRING, adjusted BOOLEAN, max_t BIGINT, updated_at TIMESTAMP")))
   }
 
   /** New-rows-only filter for an incoming batch: strict t > watermark per
@@ -49,17 +54,20 @@ object Watermarks {
         greatest(coalesce(col("old.max_t"), lit(Long.MinValue)),
                  coalesce(col("new.batch_max"), lit(Long.MinValue))).as("max_t"),
         current_timestamp().as("updated_at"))
-    // tiny dim table: rewrite whole (atomic via temp + swap not needed for
-    // an idempotent, monotone merge)
-    val tmp = path(warehouse) + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val spark2 = merged.sparkSession
-    spark2.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(warehouse))
-    // tmp only breaks the read-while-overwrite cycle; drop it
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(tmp))
+    // tiny dim table: rewrite whole via write-tmp + rename swap. Hadoop
+    // FileSystem (not java.io.File) so the same code works on hdfs/s3a, and
+    // rename (not read-back + overwrite) so a crash window never leaves the
+    // table half-written: at every instant the full merged data exists in
+    // at least one of _tmp/_bak/main. If a crash strands a _bak, the next
+    // advance clears it; the merge is monotone so replay is idempotent.
+    val tmp = new org.apache.hadoop.fs.Path(path(warehouse) + "_tmp")
+    val main = new org.apache.hadoop.fs.Path(path(warehouse))
+    val bak = new org.apache.hadoop.fs.Path(path(warehouse) + "_bak")
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(main)) fs.rename(main, bak)
+    fs.rename(tmp, main)
+    fs.delete(bak, true)
   }
 }

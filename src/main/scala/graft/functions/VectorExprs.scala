@@ -65,8 +65,15 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register `graft_dot(a, b)`; idempotent, call before expr("graft_dot..."). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  /** Register `graft_dot(a, b)` once per session; a no-op when already
+    * present (createOrReplaceTempFunction would log a replacement WARN per
+    * call, which at one call per declared query floods the bench output).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(id))
+      registry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -22,16 +22,29 @@ object Salting {
     * @param aggs  partial aggregates as (alias → agg builder); each must be
     *              re-combinable by the same function (sum, count→sum, min,
     *              max — not avg: derive it from sum/count afterwards)
+    * @param discriminator  extra salt input for inputs that can contain
+    *              byte-identical duplicate rows: the content hash sends all
+    *              copies of an identical row to ONE sub-key, so a hot key
+    *              made of repeated identical ticks (common in market tapes)
+    *              would get no spread. Pass any caller-stable column that
+    *              varies across copies (a file/row offset from
+    *              `_metadata.file_path`/`row_index`, a bronze page id, …).
+    *              Must be deterministic under task retry — partition-id or
+    *              monotonically_increasing_id are NOT (recomputed rows would
+    *              re-salt differently than copies already consumed by
+    *              surviving reducers, double-counting under recovery).
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 aggs: Map[String, Column => Column],
-                valueCols: Map[String, Column]): DataFrame = {
+                valueCols: Map[String, Column],
+                discriminator: Option[Column] = None): DataFrame = {
     // deterministic per row content: task retries re-derive the same salt
     // (partition-id / monotonic-id salts break under partial recomputation —
     // recomputed rows would land in different sub-keys than copies already
     // consumed by surviving reducers)
+    val saltInputs = df.columns.map(col).toSeq ++ discriminator.toSeq
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
+      pmod(xxhash64(saltInputs: _*), lit(buckets)))
     val partialAggs = aggs.map { case (alias, fn) =>
       fn(valueCols(alias)).as(alias)
     }.toSeq

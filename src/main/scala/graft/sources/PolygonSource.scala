@@ -178,8 +178,12 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
       case In("ticker", _) => true
       case EqualTo("adjusted", _: Boolean) => true
       case GreaterThan("t", _: Long) => true
-      case GreaterThanOrEqual("t", _: Long) => true
-      case LessThan("t", _: Long) => true
+      // v - 1 folds >= / < into the exclusive/inclusive bound pair below;
+      // v == Long.MinValue would underflow that decrement to Long.MaxValue
+      // (turning a no-op bound into drop-everything), so leave the
+      // degenerate case to Spark post-scan
+      case GreaterThanOrEqual("t", v: Long) => v != Long.MinValue
+      case LessThan("t", v: Long) => v != Long.MinValue
       case LessThanOrEqual("t", _: Long) => true
       case _ => false
     }

@@ -68,6 +68,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(results.distinct.size == 1)
   }
 
+  test("OhlcAggregator: duplicate timestamps tie-break identically under any partitioning") {
+    import OhlcAggregator._
+    // two ticks share the earliest t and two share the latest t: o/c must
+    // not depend on which copy a partition sees first (min-on-tie policy)
+    val ticks = Seq(
+      In(t = 1, 10, 10, 10, 10, v = 1, vw = 10, n = 1),
+      In(t = 1, 12, 12, 12, 12, v = 1, vw = 12, n = 1),
+      In(t = 9, 90, 90, 90, 90, v = 1, vw = 90, n = 1),
+      In(t = 9, 85, 85, 85, 85, v = 1, vw = 85, n = 1))
+    val perms = Seq(ticks, ticks.reverse, ticks.sortBy(_.o))
+    val results = (1 to 4).flatMap { p =>
+      perms.map(ts =>
+        spark.createDataset(ts).repartition(p)
+          .select(OhlcAggregator.agg.toColumn).collect().head)
+    }
+    results.foreach { r =>
+      assert(r.o == 10.0, s"open tie must take min of tied values: $r")
+      assert(r.c == 85.0, s"close tie must take min of tied values: $r")
+    }
+    assert(results.distinct.size == 1)
+  }
+
   test("OhlcAggregator groups by key like the SQL OHLC aggregate") {
     import OhlcAggregator._
     val ev = Tables.events(spark, TestSpark.Sf0001).limit(200)

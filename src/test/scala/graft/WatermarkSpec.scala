@@ -39,6 +39,33 @@ class WatermarkSpec extends AnyFunSuite {
     assert(wm2.count() == 3)
   }
 
+  test("advance leaves exactly one _watermarks dir: no _tmp/_bak survivors") {
+    val wh = Files.createTempDirectory("wm-clean").toString
+    val b = Seq(("AAPL", true, 100L)).toDF("ticker", "adjusted", "t")
+    Watermarks.advance(spark, wh, b)
+    Watermarks.advance(spark, wh, b.withColumn("t", col("t") + 1))
+    val survivors = new java.io.File(wh).listFiles().map(_.getName).toSet
+    assert(survivors == Set("_watermarks"),
+      s"advance must clean its swap dirs, found: $survivors")
+    assert(Watermarks.read(spark, wh)
+      .select("max_t").as[Long].head() == 101L)
+  }
+
+  test("read falls back to _bak when a swap crashed mid-rename") {
+    val wh = Files.createTempDirectory("wm-bak").toString
+    val b = Seq(("AAPL", true, 100L)).toDF("ticker", "adjusted", "t")
+    Watermarks.advance(spark, wh, b)
+    // simulate a crash between rename(main, bak) and rename(tmp, main)
+    val main = new java.io.File(Watermarks.path(wh))
+    assert(main.renameTo(new java.io.File(Watermarks.path(wh) + "_bak")))
+    assert(Watermarks.read(spark, wh)
+      .select("max_t").as[Long].head() == 100L)
+    // and the next advance heals back to a single main dir
+    Watermarks.advance(spark, wh, b.withColumn("t", col("t") + 5))
+    val survivors = new java.io.File(wh).listFiles().map(_.getName).toSet
+    assert(survivors == Set("_watermarks"))
+  }
+
   test("LiveIngest gold: streaming 5m OHLC appends closed windows only") {
     val pages = Files.createTempDirectory("lg-pages")
     val wh = Files.createTempDirectory("lg-wh").toString
