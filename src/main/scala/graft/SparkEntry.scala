@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, Relational2}
+import graft.queries.{Relational, Relational2, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++
       Relational2.defs ++
+      SourceQueries.defs ++
       operators.TextOps.defs ++
       operators.DedupOps.defs ++
       operators.SimilarityOps.defs ++

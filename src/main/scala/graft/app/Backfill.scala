@@ -30,18 +30,29 @@ object Backfill {
     spark.stop()
   }
 
+  /** The full series key the reference encodes in its storage paths
+    * (old_source/old_source_op.py:146: ticker--timespan--multiplier--variant).
+    */
+  private val seriesKey = Seq("ticker", "timespan", "multiplier", "adjusted")
+
   def run(spark: SparkSession, pagesDir: String, warehouse: String): Unit = {
-    // bronze→silver: at-least-once pages, exactly-once visible rows
+    // bronze→silver: at-least-once pages, exactly-once visible rows; a
+    // mixed-granularity tree lands as one table keyed+partitioned by the
+    // full series identity, so a 1-minute and a 1-hour series of the same
+    // ticker never collide
     val bars = spark.read.format("polygon").option("path", pagesDir).load()
-      .dropDuplicates("ticker", "t", "adjusted")
+      .dropDuplicates(seriesKey :+ "t")
       .withColumn("datetime", timestamp_millis(col("t")))
     Sinks.idempotentAppend(bars, s"$warehouse/silver/bars",
-      keys = Seq("ticker", "t", "adjusted"),
-      partitionCols = Seq("ticker", "adjusted"))
+      keys = seriesKey :+ "t",
+      partitionCols = seriesKey)
 
-    // silver→gold: 5-minute resample per series (O-A7), via the shared
-    // OHLC refold; vw re-derived from the volume-weighted sum
+    // silver→gold: 5-minute resample of the finest granularity (O-A7), via
+    // the shared OHLC refold; vw re-derived from the volume-weighted sum.
+    // Coarser source granularities are already bars — resampling them into
+    // 5m buckets would double-count, so gold reads minute series only.
     val silver = spark.read.parquet(s"$warehouse/silver/bars")
+      .filter(col("timespan") === "minute" && col("multiplier") === 1)
       .withColumn("vwv", col("vw") * col("v"))
     val bars5m = graft.operators.MarketOps.refoldBars(silver, "5 minutes",
         keys = Seq("ticker", "adjusted"), timeCol = "datetime",

@@ -38,7 +38,7 @@ object LiveIngest {
       .option("path", pagesDir).load()
       .withColumn("datetime", timestamp_millis(col("t")))
     LiveBars.dedupStream(bars, "datetime", "1 hour",
-        keys = Seq("ticker", "t", "adjusted"))
+        keys = Seq("ticker", "timespan", "multiplier", "t", "adjusted"))
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -55,9 +55,12 @@ object LiveIngest {
   def startGold(spark: SparkSession, pagesDir: String, warehouse: String,
                 delay: String = "1 hour")
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // group key = the full series identity: a 1m and a 1h series of the
+    // same ticker must fold into separate gold bars
     val ticks = spark.readStream.format("polygon")
       .option("path", pagesDir).load()
-      .select(col("ticker").as("user_id"),
+      .select(concat_ws("|", col("ticker"), col("timespan"),
+          col("multiplier"), col("adjusted")).as("user_id"),
         timestamp_millis(col("t")).as("ts"), col("c").as("value"))
     LiveBars.ohlcStream(ticks, "ts", delay, "5 minutes")
       .writeStream

@@ -17,44 +17,70 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 "polygon" source (SURVEY.md §2 O-SRC1/O-SRC2, §4): the
-  * reference's paginated per-ticker bar scan re-expressed as a Spark source.
+  * reference's paginated scans re-expressed as one Spark source with two
+  * faces:
   *
+  *   // fact scan: multi-granularity bar series
+  *   spark.read.format("polygon").option("path", dir).load()
+  *   // dimension scan: the v3 reference endpoints
   *   spark.read.format("polygon").option("path", dir)
-  *     .option("tickers", "AAPL,MSFT").load()
+  *     .option("endpoint", "tickers").load()   // | "splits" | "dividends"
   *
-  * - One input partition per (ticker, adjusted) series — the reference's
-  *   per-ticker ECS fan-out (airflow-dags/dag_aggregates_etl.py:225-335)
+  * - Bars: one input partition per (ticker, timespan, multiplier, adjusted)
+  *   series — the reference keys every fetch by exactly this tuple
+  *   (old_source/old_source_op.py:18,59: period_list × adjusted per ticker).
+  *   The per-ticker ECS fan-out (airflow-dags/dag_aggregates_etl.py:225-335)
   *   becomes partition-level parallelism; at 1000 executors, 1000 series
   *   scan concurrently.
-  * - Filter pushdown (SupportsPushDownFilters): ticker equality/IN prunes
-  *   partitions (the API's ticker path segment); t-range bounds become the
-  *   from/to of the scan (the /range/{from}/{to} URL segment,
-  *   polygon-etl-container/src/aggregates_stocks_etl.py:49); adjusted
-  *   equality picks the series variant. Unsupported filters stay post-scan.
-  * - Limit pushdown (SupportsPushDownLimit) caps rows per series (the
-  *   API's `limit=` page parameter).
+  * - Dimensions: the same cursor protocol over tickers/splits/dividends
+  *   (polygon-etl-container/src/main.py:31-33,
+  *   reference_endpoints_etl.py:28-53). The cursor chain is inherently
+  *   sequential (each page names the next), so a dim scan is one input
+  *   partition — correct for <20 MB dims (README.md:20), which broadcast
+  *   downstream anyway.
+  * - Filter pushdown: ticker/timespan/multiplier/adjusted equality+IN prune
+  *   bar partitions (the API's URL path segments); t-range bounds become
+  *   the /range/{from}/{to} of the scan; for dims, equality/IN on any
+  *   column becomes a server-side query param (the reference pushes
+  *   market=stocks exactly this way, old_source/old_source_op.py:37-38).
+  * - Limit pushdown caps rows per series (the API's `limit=` parameter).
   * - The reader applies the reference's in-loop watermark skip and
   *   monotonic dedup (O-F6, v2022/.../aggregates_etl.py:128-140) and a
   *   correct progress guard (the reference's is dead code — SURVEY.md §7.4).
+  *   A partition resuming mid-chain (streaming) first reads the previous
+  *   page's tail timestamp, so the protocol's by-design page-boundary
+  *   overlap rows are not re-emitted across micro-batches.
   * - Rate limiting is a per-JVM token bucket (`rateLimitMs`) — per-JVM, not
   *   per-task, so executor-level parallelism can't hammer the upstream.
   *
   * Offline mode (the only mode in this zero-egress build): pages are canned
-  * JSON files `{path}/{TICKER}/{adjusted|raw}/page-NNNN.json` with the raw
-  * response shape (results array + next cursor), including the duplicate-
-  * bearing overlaps the real protocol produces. A live HTTP fetcher would
-  * implement the same `PageFetcher` trait.
+  * JSON files with the raw response shape (results array + next cursor),
+  * including the duplicate-bearing overlaps the real protocol produces:
+  *
+  *   {path}/{TICKER}/{timespan}--{multiplier}--{adjusted|raw}/page-NNNN.json
+  *   {path}/{TICKER}/{adjusted|raw}/page-NNNN.json      (legacy = minute--1)
+  *   {path}/_ref/{endpoint}/page-NNNN.json              (dimension pages)
+  *
+  * A live HTTP fetcher implements the same `PageFetcher` trait.
   */
 class PolygonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "polygon"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PolygonSource.schema
+    PolygonSource.schemaFor(Option(options.get("endpoint")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PolygonTable(new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    Option(opts.get("endpoint")) match {
+      case None | Some("bars") => new PolygonTable(opts)
+      case Some(ep) => new PolygonDimTable(ep, opts)
+    }
+  }
 }
 
 object PolygonSource {
+  /** Bar fact schema: the de-facto Polygon aggregate bar (SURVEY.md §1.3)
+    * plus the full series key the storage path carries (§1.2).
+    */
   val schema: StructType = StructType(Seq(
     StructField("ticker", StringType, nullable = false),
     StructField("t", LongType, nullable = false),
@@ -62,7 +88,46 @@ object PolygonSource {
     StructField("l", DoubleType), StructField("c", DoubleType),
     StructField("v", DoubleType), StructField("vw", DoubleType),
     StructField("n", LongType),
-    StructField("adjusted", BooleanType, nullable = false)))
+    StructField("adjusted", BooleanType, nullable = false),
+    StructField("timespan", StringType, nullable = false),
+    StructField("multiplier", IntegerType, nullable = false)))
+
+  /** Dimension schemas: the fields the reference's code touches plus the
+    * stable public v3 response fields it materializes via inference
+    * (SURVEY.md §1.3; v2022/.../reference_data_etl.py:58).
+    */
+  val tickersSchema: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("market", StringType),
+    StructField("locale", StringType),
+    StructField("primary_exchange", StringType),
+    StructField("type", StringType),
+    StructField("active", BooleanType),
+    StructField("currency_name", StringType)))
+
+  val splitsSchema: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("execution_date", StringType),
+    StructField("split_from", DoubleType),
+    StructField("split_to", DoubleType)))
+
+  val dividendsSchema: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("ex_dividend_date", StringType),
+    StructField("pay_date", StringType),
+    StructField("cash_amount", DoubleType),
+    StructField("frequency", LongType)))
+
+  def schemaFor(endpoint: Option[String]): StructType = endpoint match {
+    case None | Some("bars") => schema
+    case Some("tickers") => tickersSchema
+    case Some("splits") => splitsSchema
+    case Some("dividends") => dividendsSchema
+    case Some(other) =>
+      throw new IllegalArgumentException(
+        s"unknown polygon endpoint '$other' (expected bars|tickers|splits|dividends)")
+  }
 
   /** Per-JVM token bucket: time of the earliest next allowed request. */
   private val nextAllowed = new AtomicLong(0L)
@@ -82,6 +147,31 @@ object PolygonSource {
   }
 }
 
+/** Full series identity: the reference keys every bar fetch by exactly this
+  * tuple (old_source/old_source_op.py:18,59 — period_list × adjusted per
+  * ticker; file name {ticker}--{timespan}--{multiplier}--{adjusted}.csv at
+  * :146).
+  */
+final case class SeriesKey(ticker: String, timespan: String,
+                           multiplier: Int, adjusted: Boolean) {
+  def variant: String = if (adjusted) "adjusted" else "raw"
+  def dirName: String = s"$timespan--$multiplier--$variant"
+  def offsetKey: String = s"$ticker|$timespan|$multiplier|$variant"
+}
+
+object SeriesKey {
+  /** Parse a series directory name; legacy `adjusted|raw` = 1-minute. */
+  def fromDir(ticker: String, dir: String): Option[SeriesKey] = dir match {
+    case "adjusted" => Some(SeriesKey(ticker, "minute", 1, adjusted = true))
+    case "raw" => Some(SeriesKey(ticker, "minute", 1, adjusted = false))
+    case s => s.split("--") match {
+      case Array(ts, m, v) if (v == "adjusted" || v == "raw") && m.forall(_.isDigit) =>
+        Some(SeriesKey(ticker, ts, m.toInt, v == "adjusted"))
+      case _ => None
+    }
+  }
+}
+
 /** One page of the upstream protocol. */
 final case class Page(results: Array[Bar0], nextCursor: Option[String])
 final case class Bar0(t: Long, o: Double, h: Double, l: Double, c: Double,
@@ -92,7 +182,7 @@ final case class Bar0(t: Long, o: Double, h: Double, l: Double, c: Double,
   * (duplicate rows across page boundaries) — the reader dedups.
   */
 trait PageFetcher extends Serializable {
-  def firstCursor(ticker: String, adjusted: Boolean): Option[String]
+  def firstCursor(key: SeriesKey): Option[String]
   def fetch(cursor: String): Page
 }
 
@@ -102,24 +192,33 @@ trait PageFetcher extends Serializable {
 final class FilePageFetcher(root: String) extends PageFetcher {
   @transient private lazy val mapper = new ObjectMapper()
 
-  private def pages(ticker: String, adjusted: Boolean): Seq[String] = {
-    val dir = new java.io.File(
-      s"$root/$ticker/${if (adjusted) "adjusted" else "raw"}")
+  private def pagesIn(dir: java.io.File): Seq[String] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
       .map(_.getPath).sorted.toSeq
+
+  private def pages(key: SeriesKey): Seq[String] = {
+    val base = new java.io.File(s"$root/${key.ticker}")
+    val preferred = new java.io.File(base, key.dirName)
+    // legacy layout: {ticker}/{adjusted|raw} holds the 1-minute series
+    val dir =
+      if (preferred.isDirectory) preferred
+      else if (key.timespan == "minute" && key.multiplier == 1)
+        new java.io.File(base, key.variant)
+      else preferred
+    pagesIn(dir)
   }
 
-  def pageCount(ticker: String, adjusted: Boolean): Int =
-    pages(ticker, adjusted).size
+  def pageCount(key: SeriesKey): Int = pages(key).size
 
-  override def firstCursor(ticker: String, adjusted: Boolean): Option[String] =
-    pages(ticker, adjusted).headOption
+  override def firstCursor(key: SeriesKey): Option[String] =
+    pages(key).headOption
 
-  def cursorAt(ticker: String, adjusted: Boolean, idx: Int): Option[String] =
-    pages(ticker, adjusted).drop(idx).headOption
+  def cursorAt(key: SeriesKey, idx: Int): Option[String] =
+    pages(key).drop(idx).headOption
 
-  override def fetch(cursor: String): Page = {
+  /** Raw page parse shared by the bar and dimension readers. */
+  def fetchRaw(cursor: String): (Seq[JsonNode], Option[String]) = {
     val node = mapper.readTree(new java.io.File(cursor))
     // upstream error statuses abort the scan (the reference hard-exits on
     // non-200, v2022/etl-containers/reference-data/src/reference_data_etl.py:42-43);
@@ -128,28 +227,40 @@ final class FilePageFetcher(root: String) extends PageFetcher {
       if (s != "OK" && s != "DELAYED")
         throw new IllegalStateException(s"polygon page status '$s' at $cursor")
     }
-    val results = Option(node.get("results")).map { arr =>
-      arr.elements().asScala.map { b =>
-        Bar0(b.get("t").asLong(), b.get("o").asDouble(), b.get("h").asDouble(),
-          b.get("l").asDouble(), b.get("c").asDouble(), b.get("v").asDouble(),
-          b.get("vw").asDouble(), b.get("n").asLong())
-      }.toArray
-    }.getOrElse(Array.empty[Bar0])
+    val results = Option(node.get("results"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val next = Option(node.get("next_url"))
       .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
       .map(n => new java.io.File(new java.io.File(cursor).getParentFile, n).getPath)
-    Page(results, next)
+    (results, next)
   }
 
-  /** All (ticker, adjusted) series present under root. */
-  def discoverSeries(): Seq[(String, Boolean)] = {
+  override def fetch(cursor: String): Page = {
+    val (results, next) = fetchRaw(cursor)
+    val bars = results.map { b =>
+      Bar0(b.get("t").asLong(), b.get("o").asDouble(), b.get("h").asDouble(),
+        b.get("l").asDouble(), b.get("c").asDouble(), b.get("v").asDouble(),
+        b.get("vw").asDouble(), b.get("n").asLong())
+    }.toArray
+    Page(bars, next)
+  }
+
+  /** All bar series present under root (dirs starting with "_" are reserved:
+    * _ref holds dimension pages).
+    */
+  def discoverSeries(): Seq[SeriesKey] = {
     val rootDir = new java.io.File(root)
-    Option(rootDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
       .flatMap { t =>
         Option(t.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
-          .map(v => (t.getName, v.getName == "adjusted"))
-      }.toSeq.sorted
+          .flatMap(v => SeriesKey.fromDir(t.getName, v.getName))
+      }.toSeq.sortBy(_.offsetKey)
   }
+
+  /** First cursor of a dimension endpoint's page chain. */
+  def dimFirstCursor(endpoint: String): Option[String] =
+    pagesIn(new java.io.File(s"$root/_ref/$endpoint")).headOption
 }
 
 class PolygonTable(options: CaseInsensitiveStringMap)
@@ -166,16 +277,25 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var tickerFilter: Option[Set[String]] = None
+  private var timespanFilter: Option[Set[String]] = None
+  private var multiplierFilter: Option[Set[Int]] = None
   private var adjustedFilter: Option[Boolean] = None
   private var tFromExcl: Option[Long] = None // strict lower bound (watermark)
   private var tToIncl: Option[Long] = None
   private var limit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
 
+  private def intersect[T](cur: Option[Set[T]], vs: Set[T]): Option[Set[T]] =
+    Some(cur.fold(vs)(_ intersect vs))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("ticker", _: String) => true
       case In("ticker", _) => true
+      case EqualTo("timespan", _: String) => true
+      case In("timespan", _) => true
+      case EqualTo("multiplier", _: Int) => true
+      case In("multiplier", _) => true
       case EqualTo("adjusted", _: Boolean) => true
       case GreaterThan("t", _: Long) => true
       // v - 1 folds >= / < into the exclusive/inclusive bound pair below;
@@ -188,11 +308,15 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
       case _ => false
     }
     accepted.foreach {
-      case EqualTo("ticker", v: String) =>
-        tickerFilter = Some(tickerFilter.getOrElse(Set(v)).intersect(Set(v)))
+      case EqualTo("ticker", v: String) => tickerFilter = intersect(tickerFilter, Set(v))
       case In("ticker", vs) =>
-        val s = vs.collect { case x: String => x }.toSet
-        tickerFilter = Some(tickerFilter.fold(s)(_ intersect s))
+        tickerFilter = intersect(tickerFilter, vs.collect { case x: String => x }.toSet)
+      case EqualTo("timespan", v: String) => timespanFilter = intersect(timespanFilter, Set(v))
+      case In("timespan", vs) =>
+        timespanFilter = intersect(timespanFilter, vs.collect { case x: String => x }.toSet)
+      case EqualTo("multiplier", v: Int) => multiplierFilter = intersect(multiplierFilter, Set(v))
+      case In("multiplier", vs) =>
+        multiplierFilter = intersect(multiplierFilter, vs.collect { case x: Int => x }.toSet)
       case EqualTo("adjusted", v: Boolean) => adjustedFilter = Some(v)
       case GreaterThan("t", v: Long) =>
         tFromExcl = Some(tFromExcl.fold(v)(math.max(_, v)))
@@ -215,16 +339,19 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
   override def build(): Scan = new PolygonScan(
     options.get("path"),
     Option(options.get("tickers")).map(_.split(",").map(_.trim).toSet),
-    tickerFilter, adjustedFilter, tFromExcl, tToIncl, limit,
+    tickerFilter, timespanFilter, multiplierFilter, adjustedFilter,
+    tFromExcl, tToIncl, limit,
     Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L),
     pushed)
 }
 
-final case class SeriesPartition(ticker: String, adjusted: Boolean,
-                                 fromPage: Int, toPage: Int) extends InputPartition
+final case class SeriesPartition(key: SeriesKey, fromPage: Int, toPage: Int)
+    extends InputPartition
 
 class PolygonScan(path: String, optTickers: Option[Set[String]],
                   tickerFilter: Option[Set[String]],
+                  timespanFilter: Option[Set[String]],
+                  multiplierFilter: Option[Set[Int]],
                   adjustedFilter: Option[Boolean],
                   tFromExcl: Option[Long], tToIncl: Option[Long],
                   limit: Option[Int], rateLimitMs: Long,
@@ -236,18 +363,19 @@ class PolygonScan(path: String, optTickers: Option[Set[String]],
     s"PolygonScan path=$path PushedFilters=[${pushed.mkString(", ")}] " +
       s"limit=${limit.getOrElse(-1)}"
 
-  private[sources] def series: Seq[(String, Boolean)] = {
+  private[sources] def series: Seq[SeriesKey] = {
     val fetcher = new FilePageFetcher(path)
-    val discovered = fetcher.discoverSeries()
-    discovered
-      .filter { case (t, _) => optTickers.forall(_.contains(t)) }
-      .filter { case (t, _) => tickerFilter.forall(_.contains(t)) }
-      .filter { case (_, a) => adjustedFilter.forall(_ == a) }
+    fetcher.discoverSeries()
+      .filter(k => optTickers.forall(_.contains(k.ticker)))
+      .filter(k => tickerFilter.forall(_.contains(k.ticker)))
+      .filter(k => timespanFilter.forall(_.contains(k.timespan)))
+      .filter(k => multiplierFilter.forall(_.contains(k.multiplier)))
+      .filter(k => adjustedFilter.forall(_ == k.adjusted))
   }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      series.map { case (t, a) => SeriesPartition(t, a, 0, Int.MaxValue) }.toArray
+      series.map(k => SeriesPartition(k, 0, Int.MaxValue)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new PolygonReaderFactory(path, tFromExcl, tToIncl, limit, rateLimitMs)
   }
@@ -271,21 +399,41 @@ class PolygonReaderFactory(path: String, tFromExcl: Option[Long],
   * live progress guard (no-progress page streak aborts the scan instead of
   * spinning — fixing the reference's dead guard at
   * v2022/.../aggregates_etl.py:127,151-155).
+  *
+  * A partition resuming mid-chain (fromPage > 0, i.e. a streaming
+  * micro-batch after the first) seeds the monotonic-dedup watermark from
+  * the tail timestamp of the page just before its range: the protocol's
+  * page-boundary overlap (O-SRC2's date-granularity restart) re-serves rows
+  * the previous micro-batch already emitted, and without the seed those
+  * duplicates would re-enter the stream and double-count downstream
+  * aggregates that don't themselves dedup.
   */
 class PolygonPartitionReader(fetcher: FilePageFetcher, part: SeriesPartition,
                              tFromExcl: Option[Long], tToIncl: Option[Long],
                              limit: Option[Int], rateLimitMs: Long)
     extends PartitionReader[InternalRow] {
 
-  private val tickerUtf = UTF8String.fromString(part.ticker)
+  private val tickerUtf = UTF8String.fromString(part.key.ticker)
+  private val timespanUtf = UTF8String.fromString(part.key.timespan)
   private var cursor: Option[String] =
-    fetcher.cursorAt(part.ticker, part.adjusted, part.fromPage)
+    fetcher.cursorAt(part.key, part.fromPage)
   private var pagesRead = 0
   private var buffer: Iterator[Bar0] = Iterator.empty
-  private var lastT = Long.MinValue
+  private var lastT: Long = boundarySeed()
   private var emitted = 0
   private var noProgressStreak = 0
   private var current: Bar0 = _
+
+  /** Tail timestamp of the page before fromPage (see class doc). */
+  private def boundarySeed(): Long =
+    if (part.fromPage <= 0) Long.MinValue
+    else fetcher.cursorAt(part.key, part.fromPage - 1) match {
+      case Some(prev) =>
+        PolygonSource.rateLimit(rateLimitMs)
+        val rows = fetcher.fetch(prev).results
+        if (rows.isEmpty) Long.MinValue else rows.map(_.t).max
+      case None => Long.MinValue
+    }
 
   @annotation.tailrec
   private def advance(): Boolean = {
@@ -320,7 +468,8 @@ class PolygonPartitionReader(fetcher: FilePageFetcher, part: SeriesPartition,
 
   override def get(): InternalRow = InternalRow(
     tickerUtf, current.t, current.o, current.h, current.l, current.c,
-    current.v, current.vw, current.n, part.adjusted)
+    current.v, current.vw, current.n, part.key.adjusted,
+    timespanUtf, part.key.multiplier)
 
   override def close(): Unit = ()
 }
@@ -336,11 +485,10 @@ final case class PolygonOffset(pages: Map[String, Int]) extends Offset {
       .mkString("{", ",", "}")
 }
 
-class PolygonMicroBatchStream(path: String, series: Seq[(String, Boolean)],
+class PolygonMicroBatchStream(path: String, series: Seq[SeriesKey],
                               tFromExcl: Option[Long], tToIncl: Option[Long],
                               rateLimitMs: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private def key(t: String, a: Boolean) = s"$t|${if (a) "adjusted" else "raw"}"
   private val fetcher = new FilePageFetcher(path)
 
   // Trigger.AvailableNow: pin "latest" to the offsets present when the
@@ -348,15 +496,13 @@ class PolygonMicroBatchStream(path: String, series: Seq[(String, Boolean)],
   private var availableNowCap: Option[PolygonOffset] = None
 
   private def currentLatest(): PolygonOffset =
-    PolygonOffset(series.map { case (t, a) =>
-      key(t, a) -> fetcher.pageCount(t, a)
-    }.toMap)
+    PolygonOffset(series.map(k => k.offsetKey -> fetcher.pageCount(k)).toMap)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentLatest())
 
   override def initialOffset(): Offset =
-    PolygonOffset(series.map { case (t, a) => key(t, a) -> 0 }.toMap)
+    PolygonOffset(series.map(k => k.offsetKey -> 0).toMap)
 
   override def latestOffset(): Offset =
     availableNowCap.getOrElse(currentLatest())
@@ -381,10 +527,10 @@ class PolygonMicroBatchStream(path: String, series: Seq[(String, Boolean)],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PolygonOffset].pages
     val e = end.asInstanceOf[PolygonOffset].pages
-    series.flatMap { case (t, a) =>
-      val from = s.getOrElse(key(t, a), 0)
-      val to = e.getOrElse(key(t, a), 0)
-      if (to > from) Some(SeriesPartition(t, a, from, to)) else None
+    series.flatMap { k =>
+      val from = s.getOrElse(k.offsetKey, 0)
+      val to = e.getOrElse(k.offsetKey, 0)
+      if (to > from) Some(SeriesPartition(k, from, to)) else None
     }.toArray
   }
 
@@ -393,4 +539,150 @@ class PolygonMicroBatchStream(path: String, series: Seq[(String, Boolean)],
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// Dimension endpoints (tickers / splits / dividends)
+// ---------------------------------------------------------------------------
+
+class PolygonDimTable(endpoint: String, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val schema0 = PolygonSource.schemaFor(Some(endpoint)) // validates
+  override def name(): String = s"polygon($endpoint @ ${options.get("path")})"
+  override def schema(): StructType = schema0
+  // dims are full-refresh snapshot tables (reference_endpoints_etl.py:57-62);
+  // streaming them has no incremental meaning → batch only
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new PolygonDimScanBuilder(endpoint, schema0, options)
+}
+
+class PolygonDimScanBuilder(endpoint: String, schema: StructType,
+                            options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private val fieldNames = schema.fieldNames.toSet
+  private var accepted: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  // equality/IN on any endpoint column maps to an API query param (the
+  // reference pushes market=stocks exactly so, old_source_op.py:37-38);
+  // the reader applies them, so they are fully handled here
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, rejected) = filters.partition {
+      case EqualTo(a, _) => fieldNames.contains(a)
+      case In(a, _) => fieldNames.contains(a)
+      case _ => false
+    }
+    accepted = acc
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan = new PolygonDimScan(
+    options.get("path"), endpoint, schema, accepted, limit,
+    Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L))
+}
+
+final case class DimPartition(endpoint: String) extends InputPartition
+
+class PolygonDimScan(path: String, endpoint: String, schema: StructType,
+                     filters: Array[Filter], limit: Option[Int],
+                     rateLimitMs: Long) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"PolygonDimScan endpoint=$endpoint PushedFilters=[${filters.mkString(", ")}]"
+  override def toBatch: Batch = new Batch {
+    // one partition: the cursor chain is sequential by construction (each
+    // page names the next) and the dims are <20 MB (README.md:20)
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(DimPartition(endpoint))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PolygonDimReaderFactory(path, schema, filters, limit, rateLimitMs)
+  }
+}
+
+class PolygonDimReaderFactory(path: String, schema: StructType,
+                              filters: Array[Filter], limit: Option[Int],
+                              rateLimitMs: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PolygonDimReader(new FilePageFetcher(path),
+      p.asInstanceOf[DimPartition].endpoint, schema, filters, limit, rateLimitMs)
+}
+
+/** Cursor-protocol reader for a dimension endpoint: walks the page chain,
+  * projects each JSON record onto the declared schema, and applies the
+  * pushed equality/IN filters (server-side query params upstream).
+  */
+class PolygonDimReader(fetcher: FilePageFetcher, endpoint: String,
+                       schema: StructType, filters: Array[Filter],
+                       limit: Option[Int], rateLimitMs: Long)
+    extends PartitionReader[InternalRow] {
+
+  private var cursor: Option[String] = fetcher.dimFirstCursor(endpoint)
+  private var buffer: Iterator[JsonNode] = Iterator.empty
+  private var emitted = 0
+  private var current: InternalRow = _
+
+  private def fieldValue(node: JsonNode, f: StructField): Any = {
+    val v = node.get(f.name)
+    if (v == null || v.isNull) null
+    else f.dataType match {
+      case StringType => UTF8String.fromString(v.asText())
+      case DoubleType => v.asDouble()
+      case LongType => v.asLong()
+      case IntegerType => v.asInt()
+      case BooleanType => v.asBoolean()
+      case dt => throw new IllegalStateException(s"unsupported dim type $dt")
+    }
+  }
+
+  private def passes(node: JsonNode): Boolean = filters.forall {
+    case EqualTo(a, v) => scalar(node, a) == v
+    case In(a, vs) => vs.contains(scalar(node, a))
+    case _ => true
+  }
+
+  private def scalar(node: JsonNode, field: String): Any = {
+    val v = node.get(field)
+    if (v == null || v.isNull) null
+    else schema(field).dataType match {
+      case StringType => v.asText()
+      case DoubleType => v.asDouble()
+      case LongType => v.asLong()
+      case IntegerType => v.asInt()
+      case BooleanType => v.asBoolean()
+      case _ => null
+    }
+  }
+
+  @annotation.tailrec
+  private def advance(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    if (buffer.hasNext) {
+      val node = buffer.next()
+      if (!passes(node)) advance()
+      else {
+        current = InternalRow.fromSeq(schema.fields.map(fieldValue(node, _)).toSeq)
+        emitted += 1
+        true
+      }
+    } else cursor match {
+      case Some(c) =>
+        PolygonSource.rateLimit(rateLimitMs)
+        val (rows, next) = fetcher.fetchRaw(c)
+        cursor = next
+        buffer = rows.iterator
+        advance()
+      case None => false
+    }
+  }
+
+  override def next(): Boolean = advance()
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

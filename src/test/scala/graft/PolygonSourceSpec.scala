@@ -22,13 +22,26 @@ class PolygonSourceSpec extends AnyFunSuite {
   }
 
   private def writeSeries(root: Path, ticker: String, adjusted: Boolean,
-                          pages: Seq[Seq[Long]]): Unit = {
-    val dir = root.resolve(ticker).resolve(if (adjusted) "adjusted" else "raw")
+                          pages: Seq[Seq[Long]]): Unit =
+    writeSeriesDir(root, ticker, if (adjusted) "adjusted" else "raw", pages)
+
+  private def writeSeriesDir(root: Path, ticker: String, seriesDir: String,
+                             pages: Seq[Seq[Long]]): Unit = {
+    val dir = root.resolve(ticker).resolve(seriesDir)
     Files.createDirectories(dir)
     pages.zipWithIndex.foreach { case (ts, i) =>
       val next = if (i < pages.size - 1) Some(f"page-${i + 1}%04d.json") else None
       Files.writeString(dir.resolve(f"page-$i%04d.json"), page(ts, next))
     }
+  }
+
+  private def writeDimPage(root: Path, endpoint: String, idx: Int,
+                           rows: Seq[String], next: Option[String]): Unit = {
+    val dir = root.resolve("_ref").resolve(endpoint)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(f"page-$idx%04d.json"),
+      s"""{"status":"OK","results":${rows.mkString("[", ",", "]")},""" +
+        s""""next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}""")
   }
 
   private def fixture(): Path = {
@@ -117,6 +130,83 @@ class PolygonSourceSpec extends AnyFunSuite {
     assert(elapsed >= 80, s"3 pages at 40ms spacing finished in ${elapsed}ms")
   }
 
+  test("multi-granularity tree: full series key in schema, legacy dirs = minute--1") {
+    val root = Files.createTempDirectory("polygon-multigran")
+    writeSeriesDir(root, "AAPL", "minute--1--adjusted", Seq(Seq(100L, 200L)))
+    writeSeriesDir(root, "AAPL", "hour--1--adjusted", Seq(Seq(0L)))
+    writeSeriesDir(root, "AAPL", "minute--5--adjusted", Seq(Seq(300L)))
+    writeSeries(root, "MSFT", adjusted = false, Seq(Seq(50L))) // legacy layout
+    val df = spark.read.format("polygon").option("path", root.toString).load()
+    val series = df.select("ticker", "timespan", "multiplier", "adjusted")
+      .distinct().as[(String, String, Int, Boolean)].collect().sorted.toSeq
+    assert(series == Seq(
+      ("AAPL", "hour", 1, true), ("AAPL", "minute", 1, true),
+      ("AAPL", "minute", 5, true), ("MSFT", "minute", 1, false)))
+    assert(df.rdd.getNumPartitions == 4, "one partition per full series key")
+  }
+
+  test("timespan/multiplier pushdown prunes series partitions") {
+    val root = Files.createTempDirectory("polygon-granprune")
+    writeSeriesDir(root, "AAPL", "minute--1--adjusted", Seq(Seq(100L, 200L)))
+    writeSeriesDir(root, "AAPL", "hour--1--adjusted", Seq(Seq(0L)))
+    writeSeriesDir(root, "AAPL", "minute--5--adjusted", Seq(Seq(300L)))
+    val hourOnly = spark.read.format("polygon").option("path", root.toString).load()
+      .filter(col("timespan") === "hour")
+    assert(hourOnly.rdd.getNumPartitions == 1, "timespan must prune to one series")
+    val m5 = spark.read.format("polygon").option("path", root.toString).load()
+      .filter(col("timespan") === "minute" && col("multiplier") === 5)
+    assert(m5.rdd.getNumPartitions == 1, "multiplier must prune within timespan")
+    assert(m5.select("t").as[Long].collect().toSeq == Seq(300L))
+    val plan = m5.queryExecution.executedPlan.toString
+    assert(plan.contains("timespan") && plan.contains("multiplier"),
+      s"granularity pushdown not visible in plan:\n$plan")
+  }
+
+  test("tickers endpoint: cursor-chained dim scan with market pushdown") {
+    val root = Files.createTempDirectory("polygon-dims")
+    def trow(t: String, market: String, active: Boolean) =
+      s"""{"ticker":"$t","name":"Name $t","market":"$market","locale":"us",""" +
+        s""""primary_exchange":"XNAS","type":"CS","active":$active,"currency_name":"usd"}"""
+    writeDimPage(root, "tickers", 0,
+      Seq(trow("AAPL", "stocks", true), trow("X:BTC", "crypto", true)),
+      Some("page-0001.json"))
+    writeDimPage(root, "tickers", 1,
+      Seq(trow("MSFT", "stocks", false)), None)
+    val dims = spark.read.format("polygon").option("path", root.toString)
+      .option("endpoint", "tickers").load()
+    assert(dims.count() == 3, "cursor chain must union both pages")
+    val stocks = dims.filter(col("market") === "stocks")
+    assert(stocks.select("ticker").as[String].collect().sorted.toSeq ==
+      Seq("AAPL", "MSFT"))
+    val plan = stocks.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[") && plan.contains("market"),
+      s"market pushdown (O-F3) not visible:\n$plan")
+    // dim pages must not leak into the bar-series discovery
+    val bars = spark.read.format("polygon").option("path", root.toString).load()
+    assert(bars.count() == 0, "_ref must be excluded from series discovery")
+  }
+
+  test("splits + dividends endpoints expose the reference schemas") {
+    val root = Files.createTempDirectory("polygon-dims2")
+    writeDimPage(root, "splits", 0,
+      Seq("""{"ticker":"AAPL","execution_date":"2024-06-10","split_from":1.0,"split_to":4.0}"""),
+      None)
+    writeDimPage(root, "dividends", 0,
+      Seq("""{"ticker":"AAPL","ex_dividend_date":"2024-02-09","pay_date":"2024-02-15",""" +
+        """"cash_amount":0.24,"frequency":4}"""), None)
+    val splits = spark.read.format("polygon").option("path", root.toString)
+      .option("endpoint", "splits").load()
+    assert(splits.columns.toSeq ==
+      Seq("ticker", "execution_date", "split_from", "split_to"))
+    assert(splits.as[(String, String, Double, Double)].head() ==
+      ("AAPL", "2024-06-10", 1.0, 4.0))
+    val divs = spark.read.format("polygon").option("path", root.toString)
+      .option("endpoint", "dividends").load()
+    assert(divs.columns.toSeq ==
+      Seq("ticker", "ex_dividend_date", "pay_date", "cash_amount", "frequency"))
+    assert(divs.select("cash_amount").as[Double].head() == 0.24)
+  }
+
   test("streaming: micro-batches consume new pages incrementally, exactly-once") {
     val root = Files.createTempDirectory("polygon-stream")
     writeSeries(root, "LIVE", adjusted = true, Seq(Seq(10L, 20L)))
@@ -134,5 +224,29 @@ class PolygonSourceSpec extends AnyFunSuite {
     q.stop()
     assert(spark.table("live_bars").select("t").as[Long].collect().sorted.toSeq
       == Seq(10L, 20L, 30L))
+  }
+
+  test("streaming: page-boundary overlap rows are not re-emitted across micro-batches") {
+    val root = Files.createTempDirectory("polygon-overlap")
+    writeSeries(root, "OVLP", adjusted = true, Seq(Seq(10L, 20L)))
+    val q = spark.readStream.format("polygon").option("path", root.toString).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("overlap_bars").start()
+    q.processAllAvailable()
+    assert(spark.table("overlap_bars").count() == 2)
+    // the upstream protocol re-fetches the boundary: the new page re-serves
+    // t=20 before the new rows (O-SRC2's date-granularity restart). A later
+    // micro-batch starts at this page — without the boundary seed the
+    // duplicate t=20 would re-enter the stream and double-count any
+    // downstream aggregate that doesn't itself dedup (gold OHLC bars).
+    Files.writeString(root.resolve("OVLP/adjusted/page-0000.json"),
+      page(Seq(10L, 20L), Some("page-0001.json")))
+    Files.writeString(root.resolve("OVLP/adjusted/page-0001.json"),
+      page(Seq(20L, 30L, 40L), None))
+    q.processAllAvailable()
+    q.stop()
+    val ts = spark.table("overlap_bars").select("t").as[Long].collect().sorted.toSeq
+    assert(ts == Seq(10L, 20L, 30L, 40L),
+      s"boundary duplicate must be dropped by the reader, got $ts")
   }
 }

@@ -77,4 +77,32 @@ class SinksSpec extends AnyFunSuite {
     graft.app.Backfill.run(spark, pages.toString, wh)
     assert(spark.read.parquet(s"$wh/silver/bars").count() == 3)
   }
+
+  test("Backfill.run: mixed-granularity tree lands keyed by full series identity") {
+    val pages = Files.createTempDirectory("bf-mixed")
+    val wh = Files.createTempDirectory("bf-mixed-wh").toString
+    def write(series: String, body: String): Unit = {
+      val dir = pages.resolve("AAPL").resolve(series)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("page-0000.json"), body)
+    }
+    // same ticker, same t=60000, three granularities — they must NOT
+    // collapse into one row in silver
+    val bar = """{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2}"""
+    write("minute--1--adjusted", s"""{"results":[$bar],"next_url":null}""")
+    write("minute--5--adjusted", s"""{"results":[$bar],"next_url":null}""")
+    write("hour--1--adjusted", s"""{"results":[$bar],"next_url":null}""")
+    graft.app.Backfill.run(spark, pages.toString, wh)
+    val silver = spark.read.parquet(s"$wh/silver/bars")
+    assert(silver.count() == 3, "one silver row per series at the shared t")
+    assert(silver.select("timespan", "multiplier")
+      .as[(String, Int)].collect().sorted.toSeq ==
+      Seq(("hour", 1), ("minute", 1), ("minute", 5)))
+    // gold resamples the FINEST granularity only: coarser series are
+    // already bars and would double-count
+    val gold = spark.read.parquet(s"$wh/gold/bars_5m")
+    assert(gold.count() == 1)
+    assert(gold.head().getAs[Double]("v") == 10.0,
+      "gold must fold only the 1-minute series")
+  }
 }
