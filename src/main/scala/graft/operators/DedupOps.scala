@@ -89,12 +89,13 @@ object DedupOps {
         .orderBy(col("canonical_id"))
     },
 
-    // N-gram Jaccard near-dup, exact, on a deterministic 1/10 sample:
-    // candidate pairs via shared-shingle self-join (complete for jaccard>0),
-    // then exact intersection/union arithmetic. Oracle-backed.
+    // N-gram Jaccard near-dup, exact, over the full corpus: candidate pairs
+    // via shared-shingle self-join (complete for jaccard>0), then exact
+    // intersection/union arithmetic. Oracle-backed and non-vacuous at every
+    // fixture scale (25-250 qualifying pairs).
     QueryDef.sqlBacked(
       "dedup_ngram_jaccard",
-      s"""WITH d2 AS ($duckShingles AND doc_id % 10 = 0),
+      s"""WITH d2 AS ($duckShingles),
          |  sz AS (SELECT doc_id, len(sh) AS n FROM d2),
          |  ex AS (SELECT doc_id, unnest(sh) AS s FROM d2),
          |  pairs AS (
@@ -108,7 +109,7 @@ object DedupOps {
          |JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingleTable(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      val sh = shingleTable(Tables.documents(s, d))
       val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val pairs = ex.as("a").join(ex.as("b"),
@@ -139,11 +140,11 @@ object DedupOps {
       simhash(Tables.documents(s, d), maxHamming = 3)
     },
 
-    // Embedding-cosine near-dup: all pairs above a cosine threshold. This
-    // oracle-exact variant is brute-force with the broadcast side bounded
-    // (the all-pairs op IS the semantics at this size); the 100 TB path is
-    // the same threshold filter applied within ann_lsh/ann_ivf buckets —
-    // bucket first, compare within buckets only.
+    // Embedding-cosine near-dup, EXACT SMALL-SCALE ORACLE TWIN: brute-force
+    // all pairs above a cosine threshold, used to pin the oracle hash and
+    // to measure dedup_embedding_lsh's recall. At 100 TB a user calls the
+    // bucketed variant below; this one is the ground truth it is scored
+    // against.
     QueryDef.sqlBacked(
       "dedup_embedding_cosine",
       """WITH e AS (SELECT vec_id,
@@ -156,6 +157,14 @@ object DedupOps {
         |  AND round(list_cosine_similarity(a.ed, b.ed), 6) >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       SimilarityOps.cosinePairs(Tables.embeddings(s, d), threshold = 0.42)
+    },
+
+    // Embedding near-dup, bucketed — the declared 100 TB entry point:
+    // banded random-hyperplane LSH candidates, exact-cosine verification
+    // (precision 1). Plane signs are engine-generated → rows-only oracle;
+    // recall >= 0.9 vs dedup_embedding_cosine is asserted in SimilaritySpec.
+    QueryDef.rowsOnly("dedup_embedding_lsh") { (s, d) =>
+      SimilarityOps.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
     }
   )
 

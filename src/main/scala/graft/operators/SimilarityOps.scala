@@ -105,6 +105,66 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Bucketed embedding near-dup — the 100 TB path for `cosinePairs`: pairs
+    * are compared only when they share a (band, code) bucket of a banded
+    * random-hyperplane LSH (OR-of-ANDs construction, same shape as
+    * MinHash-LSH banding: `bands` chances, each requiring `rowsPerBand`
+    * matching sign bits). Candidates are then verified with the exact
+    * codegen'd cosine, so precision is 1; recall is tunable via (r, b) —
+    * the defaults give >= 0.97 at threshold ~0.42 on near-uniform 64-d
+    * embeddings (measured in SimilaritySpec against `cosinePairs`).
+    *
+    * Scale shape: signature pass is one scan (288 dot products per vector,
+    * map-only), bucket join shuffles on (band, code) — never all-pairs.
+    * Pruning sharpens as the threshold rises: at cos >= 0.9 a (16, 8)
+    * config prunes ~100x; at 0.42 the geometry only allows ~2-4x.
+    */
+  def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
+                     rowsPerBand: Int = 6, bands: Int = 48,
+                     dims: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planeVecs = Seq.fill(bands * rowsPerBand)(
+      Seq.fill(dims)(rng.nextGaussian()))
+    // the signature pass (288 dots/vector) MUST be materialized before the
+    // self-join: Spark does not CSE across join branches, and without the
+    // persist every candidate row would re-evaluate the whole plane
+    // projection (the same trap DedupOps.shingleTable documents)
+    val coded = withNorm(embeddings)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .withColumn("_planes", typedlit(planeVecs))
+      .withColumn("_bits", expr(
+        "transform(_planes, p -> if(graft_dot(e, p) > 0, 1, 0))"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  aggregate(sequence(0, ${rowsPerBand - 1}), bigint(0), (acc, j) ->
+           |    acc + if(element_at(_bits, b * $rowsPerBand + j + 1) = 1,
+           |             shiftleft(bigint(1), j), bigint(0))))""".stripMargin))
+      .drop("_planes", "_bits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation carries IDs only — the banded self-join and the
+    // pair dedup shuffle 16-byte rows, never the embedding arrays
+    val banded = coded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("band", "code")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    // exact verification: vectors re-attached from the persisted coded
+    // table (Catalyst broadcasts it while small; at corpus scale this is a
+    // shuffle join on vec_id), cosine in codegen
+    val vecs = coded.select(col("vec_id"), col("e"), col("nrm"))
+    cand
+      .join(vecs.as("va"), col("vec_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("vec_b") === col("vb.vec_id"))
+      .withColumn("cos", round(expr("graft_dot(va.e, vb.e)") /
+        sqrt(col("va.nrm") * col("vb.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Brute-force cosine top-k: the exact baseline every ANN variant is
     * measured against. Query side is broadcast; the corpus streams once.
     */

@@ -43,6 +43,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePairsLsh: precision 1 and recall >= 0.9 vs exact near-dup pairs") {
+    // sf0.01: 500 near-uniform 64-d vectors, 34 exact pairs at cos >= 0.42 —
+    // the hard regime for sign-LSH (mid-threshold), which is exactly why the
+    // recall floor is asserted here and not just at easy high thresholds
+    val emb = Tables.embeddings(spark, TestSpark.Sf001)
+    val exact = graft.operators.SimilarityOps
+      .cosinePairs(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val bucketed = graft.operators.SimilarityOps
+      .cosinePairsLsh(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain qualifying pairs")
+    assert(bucketed.subsetOf(exact),
+      s"exact verification must give precision 1; extras: ${bucketed -- exact}")
+    val recall = (exact intersect bucketed).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${bucketed.size}/${exact.size})")
+  }
+
   test("lsh recall vs brute force baseline is measurable and sane") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val exact = SimilarityOps.cosineTopK(emb, col("vec_id") % 100 === 0, k = 3)

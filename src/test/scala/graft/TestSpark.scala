@@ -19,4 +19,5 @@ object TestSpark {
   }
 
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 }
