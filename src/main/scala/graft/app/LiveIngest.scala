@@ -32,7 +32,11 @@ object LiveIngest {
     spark.stop()
   }
 
-  def start(spark: SparkSession, pagesDir: String, warehouse: String)
+  /** @param trigger AvailableNow = the reference's daily catch-up run;
+    *                 ProcessingTime = true live tailing of the page chains
+    */
+  def start(spark: SparkSession, pagesDir: String, warehouse: String,
+            trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val bars = spark.readStream.format("polygon")
       .option("path", pagesDir).load()
@@ -44,7 +48,7 @@ object LiveIngest {
       .format("parquet")
       .option("path", s"$warehouse/silver/bars_live")
       .option("checkpointLocation", s"$warehouse/_checkpoints/bars_live")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 

@@ -225,6 +225,63 @@ object MarketOps {
         .orderBy(col("event_id"))
     },
 
+    // Cash-dividend adjustment end-to-end (Adjust.dividendFactors +
+    // applyFactors): dividends = purchases with ex-date the day after,
+    // cash = value/100; prev close anchored by an as-of join strictly
+    // before the ex-date; bars before an ex-date compound 1 - cash/close.
+    // Oracle: DuckDB ASOF JOIN + product window, same strict-later rule.
+    // Rounded: product-window tie order at equal (date, side) is
+    // unspecified on both engines.
+    QueryDef.sqlBacked(
+      "mkt_adjust_dividends",
+      """WITH bars AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS dt, value
+        |  FROM events),
+        |divs AS (
+        |  SELECT user_id,
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE) + 1 AS ex_date,
+        |         value / 100 AS cash
+        |  FROM events WHERE event_type = 'purchase'),
+        |anchored AS (
+        |  SELECT d.user_id, d.ex_date, d.cash, b.value AS prev_close
+        |  FROM divs d ASOF LEFT JOIN bars b
+        |    ON d.user_id = b.user_id
+        |   AND CAST(d.ex_date AS TIMESTAMP) - INTERVAL 1 MICROSECOND >= b.dt),
+        |factors AS (
+        |  SELECT user_id, ex_date,
+        |    CASE WHEN prev_close IS NULL OR prev_close <= cash THEN 1.0
+        |         ELSE 1.0 - cash / prev_close END AS f
+        |  FROM anchored),
+        |u AS (
+        |  SELECT event_id, user_id, CAST(dt AS DATE) AS d, 0 AS side,
+        |         CAST(NULL AS DOUBLE) AS f
+        |  FROM bars
+        |  UNION ALL
+        |  SELECT NULL, user_id, ex_date, 1, f FROM factors),
+        |c AS (
+        |  SELECT event_id, user_id, side,
+        |    COALESCE(product(f) OVER (PARTITION BY user_id
+        |      ORDER BY d DESC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0) AS adj
+        |  FROM u)
+        |SELECT event_id, user_id, round(adj, 6) AS div_adj
+        |FROM c WHERE side = 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      // user_id doubles as the ticker key; applyFactors only needs the name
+      val bars = ev.select(col("user_id").as("ticker"), col("event_id"),
+        col("ts").as("datetime"), col("value").as("c"))
+      val divs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("ticker"),
+          date_add(to_date(col("ts")), 1).as("ex_dividend_date"),
+          (col("value") / 100).as("cash_amount"))
+      val factors = Adjust.dividendFactors(bars, divs)
+      Adjust.applyFactors(bars, factors, "ex_date", "div_factor", "div_adj")
+        .select(col("event_id"), col("ticker").as("user_id"),
+          round(col("div_adj"), 6).as("div_adj"))
+        .orderBy(col("event_id"))
+    },
+
     // Incremental watermark append (O-F5/O-J2, SURVEY.md §3-E3): existing
     // sink = events before Jan 20; incoming batch overlaps one day back
     // (at-least-once refetch); visible new rows = strictly past the

@@ -129,6 +129,24 @@ object PolygonSource {
         s"unknown polygon endpoint '$other' (expected bars|tickers|splits|dividends)")
   }
 
+  /** Transport selection, carried to executors: a set baseUrl selects the
+    * HTTP fetcher (live protocol against a real or stub server); otherwise
+    * pages are canned files under `path`.
+    */
+  final case class FetcherConf(path: String, baseUrl: Option[String],
+                               maxRetries: Int, backoffMs: Long)
+
+  def fetcherConf(options: CaseInsensitiveStringMap): FetcherConf = FetcherConf(
+    options.get("path"),
+    Option(options.get("baseUrl")),
+    Option(options.get("maxRetries")).map(_.toInt).getOrElse(3),
+    Option(options.get("backoffMs")).map(_.toLong).getOrElse(100L))
+
+  def fetcherFor(conf: FetcherConf): PageFetcher = conf.baseUrl match {
+    case Some(url) => new HttpPageFetcher(url, conf.maxRetries, conf.backoffMs)
+    case None => new FilePageFetcher(conf.path)
+  }
+
   /** Per-JVM token bucket: time of the earliest next allowed request. */
   private val nextAllowed = new AtomicLong(0L)
 
@@ -177,13 +195,102 @@ final case class Page(results: Array[Bar0], nextCursor: Option[String])
 final case class Bar0(t: Long, o: Double, h: Double, l: Double, c: Double,
                       v: Double, vw: Double, n: Long)
 
-/** The pagination protocol (O-SRC1 cursor form): fetch a cursor, get rows +
-  * the next cursor; None terminates. Implementations must tolerate replays
-  * (duplicate rows across page boundaries) — the reader dedups.
+/** The pagination protocol (O-SRC1 cursor form): resolve a series' page
+  * chain to a starting cursor, fetch a cursor, get rows + the next cursor;
+  * None terminates. Implementations must tolerate replays (duplicate rows
+  * across page boundaries) — the reader dedups. Retry/backoff for transient
+  * upstream failures lives INSIDE the fetcher (HttpPageFetcher), so the
+  * reader's protocol loop stays transport-agnostic.
   */
 trait PageFetcher extends Serializable {
-  def firstCursor(key: SeriesKey): Option[String]
+  /** Cursor positioned at page `idx` of a series' chain (0 = first). */
+  def cursorAt(key: SeriesKey, idx: Int): Option[String]
+  def firstCursor(key: SeriesKey): Option[String] = cursorAt(key, 0)
   def fetch(cursor: String): Page
+}
+
+/** Response-shape parsing shared by every transport. */
+private[sources] object PageJson {
+  /** Validate status, return (results nodes, raw next cursor). The
+    * reference hard-exits on non-200 / error statuses
+    * (v2022/etl-containers/reference-data/src/reference_data_etl.py:42-43);
+    * "DELAYED" is a success status on deferred-data tiers.
+    */
+  def parse(node: JsonNode, where: String): (Seq[JsonNode], Option[String]) = {
+    Option(node.get("status")).filterNot(_.isNull).map(_.asText()).foreach { s =>
+      if (s != "OK" && s != "DELAYED")
+        throw new IllegalStateException(s"polygon page status '$s' at $where")
+    }
+    val results = Option(node.get("results"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val next = Option(node.get("next_url"))
+      .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+    (results, next)
+  }
+
+  def bars(results: Seq[JsonNode]): Array[Bar0] =
+    results.map { b =>
+      Bar0(b.get("t").asLong(), b.get("o").asDouble(), b.get("h").asDouble(),
+        b.get("l").asDouble(), b.get("c").asDouble(), b.get("v").asDouble(),
+        b.get("vw").asDouble(), b.get("n").asLong())
+    }.toArray
+}
+
+/** Live HTTP fetcher: the transport the reference actually uses
+  * (polygon-etl-container/src/reference_endpoints_etl.py:28-53 follows
+  * next_url cursors over requests.get;
+  * aggregates_stocks_etl.py:55-57 aborts on non-200). Adds what the
+  * reference lacks: bounded retry with exponential backoff on transient
+  * failures (connection errors, 5xx) and 429 rate-limit handling honoring
+  * Retry-After — per the stated <100 req/s guidance
+  * (v2022/.../reference_data_etl.py:21-22).
+  *
+  * Cursor scheme: absolute URLs. The entry cursor for a series' chain is
+  * {base}/pages/{ticker}/{seriesDir}/{idx}; subsequent cursors come from
+  * each response's next_url (resolved against the current cursor).
+  */
+final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
+                            backoffMs: Long = 100L) extends PageFetcher {
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def cursorAt(key: SeriesKey, idx: Int): Option[String] =
+    Some(s"$baseUrl/pages/${key.ticker}/${key.dirName}/$idx")
+
+  override def fetch(cursor: String): Page = {
+    var attempt = 0
+    while (true) {
+      var code = -1
+      var retryAfter: Option[Long] = None
+      try {
+        val conn = java.net.URI.create(cursor).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(15000)
+        code = conn.getResponseCode
+        if (code == 200) {
+          val node = mapper.readTree(conn.getInputStream)
+          val (results, nextRaw) = PageJson.parse(node, cursor)
+          val next = nextRaw.map(n => java.net.URI.create(cursor).resolve(n).toString)
+          return Page(PageJson.bars(results), next)
+        }
+        retryAfter = Option(conn.getHeaderField("Retry-After"))
+          .flatMap(_.toLongOption).map(_ * 1000L)
+        conn.disconnect()
+      } catch {
+        case _: java.io.IOException => code = -1 // connection-level failure
+      }
+      val retryable = code == -1 || code == 429 || code >= 500
+      if (!retryable)
+        throw new IllegalStateException(s"polygon HTTP $code at $cursor")
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"polygon HTTP $code at $cursor after $maxRetries retries")
+      // 429 honors the server's Retry-After; otherwise exponential backoff
+      Thread.sleep(retryAfter.getOrElse(backoffMs << (attempt - 1)))
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** Canned-file fetcher; cursor = file path. Files sort lexicographically as
@@ -211,38 +318,21 @@ final class FilePageFetcher(root: String) extends PageFetcher {
 
   def pageCount(key: SeriesKey): Int = pages(key).size
 
-  override def firstCursor(key: SeriesKey): Option[String] =
-    pages(key).headOption
-
-  def cursorAt(key: SeriesKey, idx: Int): Option[String] =
+  override def cursorAt(key: SeriesKey, idx: Int): Option[String] =
     pages(key).drop(idx).headOption
 
-  /** Raw page parse shared by the bar and dimension readers. */
+  /** Raw page parse shared by the bar and dimension readers; next_url
+    * resolves relative to the cursor's directory.
+    */
   def fetchRaw(cursor: String): (Seq[JsonNode], Option[String]) = {
-    val node = mapper.readTree(new java.io.File(cursor))
-    // upstream error statuses abort the scan (the reference hard-exits on
-    // non-200, v2022/etl-containers/reference-data/src/reference_data_etl.py:42-43);
-    // "DELAYED" is a success status on deferred-data tiers
-    Option(node.get("status")).filterNot(_.isNull).map(_.asText()).foreach { s =>
-      if (s != "OK" && s != "DELAYED")
-        throw new IllegalStateException(s"polygon page status '$s' at $cursor")
-    }
-    val results = Option(node.get("results"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-    val next = Option(node.get("next_url"))
-      .filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
-      .map(n => new java.io.File(new java.io.File(cursor).getParentFile, n).getPath)
-    (results, next)
+    val (results, nextRaw) = PageJson.parse(mapper.readTree(new java.io.File(cursor)), cursor)
+    (results, nextRaw.map(n =>
+      new java.io.File(new java.io.File(cursor).getParentFile, n).getPath))
   }
 
   override def fetch(cursor: String): Page = {
     val (results, next) = fetchRaw(cursor)
-    val bars = results.map { b =>
-      Bar0(b.get("t").asLong(), b.get("o").asDouble(), b.get("h").asDouble(),
-        b.get("l").asDouble(), b.get("c").asDouble(), b.get("v").asDouble(),
-        b.get("vw").asDouble(), b.get("n").asLong())
-    }.toArray
-    Page(bars, next)
+    Page(PageJson.bars(results), next)
   }
 
   /** All bar series present under root (dirs starting with "_" are reserved:
@@ -337,8 +427,9 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   override def build(): Scan = new PolygonScan(
-    options.get("path"),
+    PolygonSource.fetcherConf(options),
     Option(options.get("tickers")).map(_.split(",").map(_.trim).toSet),
+    Option(options.get("series")).map(_.split(",").map(_.trim).toSeq),
     tickerFilter, timespanFilter, multiplierFilter, adjustedFilter,
     tFromExcl, tToIncl, limit,
     Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L),
@@ -348,7 +439,9 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
 final case class SeriesPartition(key: SeriesKey, fromPage: Int, toPage: Int)
     extends InputPartition
 
-class PolygonScan(path: String, optTickers: Option[Set[String]],
+class PolygonScan(conf: PolygonSource.FetcherConf,
+                  optTickers: Option[Set[String]],
+                  optSeries: Option[Seq[String]],
                   tickerFilter: Option[Set[String]],
                   timespanFilter: Option[Set[String]],
                   multiplierFilter: Option[Set[Int]],
@@ -360,12 +453,25 @@ class PolygonScan(path: String, optTickers: Option[Set[String]],
   override def readSchema(): StructType = PolygonSource.schema
 
   override def description(): String =
-    s"PolygonScan path=$path PushedFilters=[${pushed.mkString(", ")}] " +
+    s"PolygonScan path=${conf.path} PushedFilters=[${pushed.mkString(", ")}] " +
       s"limit=${limit.getOrElse(-1)}"
 
   private[sources] def series: Seq[SeriesKey] = {
-    val fetcher = new FilePageFetcher(path)
-    fetcher.discoverSeries()
+    // file mode discovers series from the page tree; http mode has no
+    // listing, so the series universe is declared via options (the
+    // reference does the same: its ticker universe comes from the tickers
+    // dim, its granularities from config — old_source_op.py:18,215-221)
+    val discovered = conf.baseUrl match {
+      case None => new FilePageFetcher(conf.path).discoverSeries()
+      case Some(_) =>
+        val dirs = optSeries.getOrElse(Seq("minute--1--adjusted"))
+        for {
+          t <- optTickers.getOrElse(Set.empty).toSeq.sorted
+          d <- dirs
+          k <- SeriesKey.fromDir(t, d)
+        } yield k
+    }
+    discovered
       .filter(k => optTickers.forall(_.contains(k.ticker)))
       .filter(k => tickerFilter.forall(_.contains(k.ticker)))
       .filter(k => timespanFilter.forall(_.contains(k.timespan)))
@@ -377,19 +483,20 @@ class PolygonScan(path: String, optTickers: Option[Set[String]],
     override def planInputPartitions(): Array[InputPartition] =
       series.map(k => SeriesPartition(k, 0, Int.MaxValue)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolygonReaderFactory(path, tFromExcl, tToIncl, limit, rateLimitMs)
+      new PolygonReaderFactory(conf, tFromExcl, tToIncl, limit, rateLimitMs)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PolygonMicroBatchStream(path, series, tFromExcl, tToIncl, rateLimitMs)
+    new PolygonMicroBatchStream(conf, series, tFromExcl, tToIncl, rateLimitMs)
 }
 
-class PolygonReaderFactory(path: String, tFromExcl: Option[Long],
+class PolygonReaderFactory(conf: PolygonSource.FetcherConf,
+                           tFromExcl: Option[Long],
                            tToIncl: Option[Long], limit: Option[Int],
                            rateLimitMs: Long) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeriesPartition]
-    new PolygonPartitionReader(new FilePageFetcher(path), sp,
+    new PolygonPartitionReader(PolygonSource.fetcherFor(conf), sp,
       tFromExcl, tToIncl, limit, rateLimitMs)
   }
 }
@@ -408,7 +515,7 @@ class PolygonReaderFactory(path: String, tFromExcl: Option[Long],
   * duplicates would re-enter the stream and double-count downstream
   * aggregates that don't themselves dedup.
   */
-class PolygonPartitionReader(fetcher: FilePageFetcher, part: SeriesPartition,
+class PolygonPartitionReader(fetcher: PageFetcher, part: SeriesPartition,
                              tFromExcl: Option[Long], tToIncl: Option[Long],
                              limit: Option[Int], rateLimitMs: Long)
     extends PartitionReader[InternalRow] {
@@ -485,11 +592,16 @@ final case class PolygonOffset(pages: Map[String, Int]) extends Offset {
       .mkString("{", ",", "}")
 }
 
-class PolygonMicroBatchStream(path: String, series: Seq[SeriesKey],
+class PolygonMicroBatchStream(conf: PolygonSource.FetcherConf,
+                              series: Seq[SeriesKey],
                               tFromExcl: Option[Long], tToIncl: Option[Long],
                               rateLimitMs: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private val fetcher = new FilePageFetcher(path)
+  // streaming offsets are page counts, which require the file layout's
+  // listing; the http transport is batch-only in this build
+  require(conf.baseUrl.isEmpty,
+    "polygon streaming requires the file page layout (no baseUrl)")
+  private val fetcher = new FilePageFetcher(conf.path)
 
   // Trigger.AvailableNow: pin "latest" to the offsets present when the
   // query started, so pages landing mid-run don't extend the run.
@@ -535,7 +647,7 @@ class PolygonMicroBatchStream(path: String, series: Seq[SeriesKey],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PolygonReaderFactory(path, tFromExcl, tToIncl, None, rateLimitMs)
+    new PolygonReaderFactory(conf, tFromExcl, tToIncl, None, rateLimitMs)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

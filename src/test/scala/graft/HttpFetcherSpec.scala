@@ -1,0 +1,130 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the PageFetcher seam with the second (live-protocol) transport: a
+  * loopback HTTP stub serving the canned response shapes with injected
+  * failures — retry-after-5xx, 429 Retry-After honoring, non-retryable 4xx
+  * abort, and rate-limit pacing — driving the SAME partition reader as the
+  * file fetcher (reference semantics: reference_endpoints_etl.py:35-42
+  * non-200 handling, v2022/.../reference_data_etl.py:21-23 rate guidance).
+  */
+class HttpFetcherSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def page(ts: Seq[Long], next: Option[String]): String = {
+    val bars = ts.map(t =>
+      s"""{"t":$t,"o":1.0,"h":2.0,"l":0.5,"c":1.5,"v":100.0,"vw":1.2,"n":3}""")
+      .mkString("[", ",", "]")
+    s"""{"status":"OK","results":$bars,"next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+  }
+
+  /** Stub: pages keyed by path suffix; failures[path] = responses to serve
+    * before the real page (status code, optional Retry-After).
+    */
+  private final class Stub {
+    val hits = new ConcurrentHashMap[String, AtomicInteger]()
+    var pages: Map[String, String] = Map.empty
+    var failures: Map[String, Seq[(Int, Option[Int])]] = Map.empty
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath
+      val n = hits.computeIfAbsent(path, _ => new AtomicInteger()).getAndIncrement()
+      val planned = failures.getOrElse(path, Seq.empty)
+      if (n < planned.size) {
+        val (code, retryAfter) = planned(n)
+        retryAfter.foreach(s => x.getResponseHeaders.add("Retry-After", s.toString))
+        x.sendResponseHeaders(code, -1)
+      } else pages.get(path) match {
+        case Some(body) =>
+          val bytes = body.getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(200, bytes.length)
+          x.getResponseBody.write(bytes)
+        case None => x.sendResponseHeaders(404, -1)
+      }
+      x.close()
+    })
+    server.start()
+    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+    def hitCount(path: String): Int =
+      Option(hits.get(path)).map(_.get()).getOrElse(0)
+  }
+
+  private def readHttp(base: String, tickers: String = "T1") =
+    spark.read.format("polygon")
+      .option("baseUrl", base).option("tickers", tickers)
+      .option("backoffMs", "5")
+      .load()
+
+  test("http batch read: cursor chain, boundary dedup, retry after 500 and 429") {
+    val stub = new Stub
+    try {
+      val p = "/pages/T1/minute--1--adjusted"
+      stub.pages = Map(
+        s"$p/0" -> page(Seq(100L, 200L), Some("1")),
+        s"$p/1" -> page(Seq(200L, 300L), None)) // boundary overlap at 200
+      // page 1: one 500, then a 429 with Retry-After: 0, then success
+      stub.failures = Map(s"$p/1" -> Seq((500, None), (429, Some(0))))
+      val rows = readHttp(stub.base).select("t").as[Long].collect().sorted.toSeq
+      assert(rows == Seq(100L, 200L, 300L),
+        "chain must be followed and the overlap row deduped")
+      assert(stub.hitCount(s"$p/1") == 3,
+        s"expected 2 failures + 1 success on page 1, got ${stub.hitCount(s"$p/1")}")
+    } finally stub.stop()
+  }
+
+  test("http: persistent 5xx aborts the scan after bounded retries") {
+    val stub = new Stub
+    try {
+      val p = "/pages/T2/minute--1--adjusted"
+      stub.pages = Map(s"$p/0" -> page(Seq(1L), None))
+      stub.failures = Map(s"$p/0" -> Seq.fill(10)((503, None)))
+      val e = intercept[org.apache.spark.SparkException] {
+        readHttp(stub.base, tickers = "T2").count()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("after 3 retries"), s"unbounded or unlabeled retry: $msg")
+      assert(stub.hitCount(s"$p/0") == 4, "1 attempt + 3 retries, then abort")
+    } finally stub.stop()
+  }
+
+  test("http: non-retryable 4xx aborts immediately") {
+    val stub = new Stub
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        readHttp(stub.base, tickers = "T3").count() // nothing registered → 404
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("HTTP 404"), s"expected pointed 404 error: $msg")
+      assert(stub.hitCount("/pages/T3/minute--1--adjusted/0") == 1,
+        "4xx must not be retried")
+    } finally stub.stop()
+  }
+
+  test("http: per-JVM rate limit paces page requests") {
+    val stub = new Stub
+    try {
+      val p = "/pages/T4/minute--1--adjusted"
+      stub.pages = Map(
+        s"$p/0" -> page(Seq(10L), Some("1")),
+        s"$p/1" -> page(Seq(20L), Some("2")),
+        s"$p/2" -> page(Seq(30L), None))
+      val t0 = System.currentTimeMillis()
+      val n = spark.read.format("polygon")
+        .option("baseUrl", stub.base).option("tickers", "T4")
+        .option("rateLimitMs", "40").load().count()
+      val elapsed = System.currentTimeMillis() - t0
+      assert(n == 3)
+      assert(elapsed >= 80, s"3 pages at 40ms spacing finished in ${elapsed}ms")
+    } finally stub.stop()
+  }
+}

@@ -59,6 +59,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("ZZZZ").isEmpty, "unknown ticker keeps null dimension (left join)")
   }
 
+  test("LiveIngest live path: ProcessingTime trigger tails pages appearing mid-run") {
+    val pages = java.nio.file.Files.createTempDirectory("li-live-pages")
+    val wh = java.nio.file.Files.createTempDirectory("li-live-wh").toString
+    val dir = pages.resolve("AAPL/adjusted")
+    java.nio.file.Files.createDirectories(dir)
+    def page(ts: Seq[Long], next: Option[String]): String = {
+      val bars = ts.map(t =>
+        s"""{"t":$t,"o":1.0,"h":2.0,"l":0.5,"c":1.5,"v":100.0,"vw":1.2,"n":3}""")
+        .mkString("[", ",", "]")
+      s"""{"status":"OK","results":$bars,"next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+    }
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      page(Seq(60000L), None))
+    val q = graft.app.LiveIngest.start(spark, pages.toString, wh,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    def silverCount(): Long =
+      try spark.read.parquet(s"$wh/silver/bars_live").count()
+      catch { case _: Throwable => 0L }
+    def awaitCount(n: Long, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (silverCount() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(silverCount() == n, s"$what: expected $n rows, got ${silverCount()}")
+    }
+    try {
+      // the query keeps running: first page lands without any manual trigger
+      awaitCount(1, "initial page")
+      // new pages appear MID-RUN (cursor chain extended, boundary overlap at
+      // 60000): the live trigger must pick up only the new rows
+      java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+        page(Seq(60000L), Some("page-0001.json")))
+      java.nio.file.Files.writeString(dir.resolve("page-0001.json"),
+        page(Seq(60000L, 120000L, 180000L), None))
+      awaitCount(3, "mid-run pages")
+      // incremental micro-batches, not one big one: at least two non-empty
+      // batches must have run, and observed event time must have advanced
+      // to the mid-run rows (the 1h dedup delay keeps the watermark itself
+      // at epoch for these 3-minute fixtures — max event time is what
+      // drives it)
+      val progresses = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progresses.length >= 2,
+        s"expected >=2 non-empty micro-batches, got ${progresses.length}")
+      val maxEt = q.recentProgress.flatMap(p =>
+        Option(p.eventTime.get("max"))).maxOption
+      assert(maxEt.exists(_ >= "1970-01-01T00:03:00.000Z"),
+        s"event time did not advance to the mid-run rows: $maxEt")
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$wh/silver/bars_live")
+      .select("t").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(60000L, 120000L, 180000L),
+      "exactly-once visible rows under the live trigger")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
