@@ -120,8 +120,22 @@ object MarketOps {
 
     // True sequential EMA (infinite memory) via sorted-group iteration — the
     // per-key ordered-state pattern that generalizes to any recursive
-    // indicator. Engine-side only → rows-only oracle; EmaSpec pins values.
-    QueryDef.rowsOnly("mkt_ema_exact") { (s, d) =>
+    // indicator. Oracle: DuckDB list_reduce left-folds the same recurrence
+    // in the same order with the same IEEE ops (0.2*x + (1-0.2)*acc, seeded
+    // by the first element) — bit-identical, no rounding needed.
+    QueryDef.sqlBacked(
+      "mkt_ema_exact",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |g AS (SELECT user_id,
+        |    list(value ORDER BY ts, event_id) AS xs,
+        |    list(event_id ORDER BY ts, event_id) AS ids
+        |  FROM e GROUP BY user_id),
+        |u AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, xs FROM g)
+        |SELECT event_id, user_id,
+        |  list_reduce(xs[1:i], (acc, x) -> 0.2 * x + (1 - 0.2) * acc) AS ema
+        |FROM u ORDER BY event_id""".stripMargin) { (s, d) =>
       emaExact(s, Tables.events(s, d), alpha = 0.2)
     },
 

@@ -82,8 +82,39 @@ object SimilarityOps {
 
     // IVF-bucketed ANN — the other scale path: corpus assigned to its
     // nearest centroid once (inverted lists), queries probe only the
-    // nProbe nearest lists.
-    QueryDef.rowsOnly("ann_ivf_topk") { (s, d) =>
+    // nProbe nearest lists. Centroids are data-derived (every 50th vector),
+    // so the whole operator is oracle-expressible; assignment/probe/rank
+    // orderings all use 6-dp-rounded cosines on both sides to keep
+    // tie-breaks engine-independent.
+    QueryDef.sqlBacked(
+      "ann_ivf_topk",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT e.vec_id, e.ed, c.cid
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid) = 1),
+        |probes AS (
+        |  SELECT q.vec_id AS q_id, q.ed AS qe, c.cid
+        |  FROM e q CROSS JOIN c
+        |  WHERE q.vec_id % 100 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(q.ed, c.ce), 6) DESC, c.cid) <= 2),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(p.qe, a.ed), 6) AS cos
+        |  FROM probes p JOIN assigned a USING (cid)
+        |  WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+        |  cos
+        |FROM cand
+        |QUALIFY rank <= 3
+        |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       annIvfTopK(Tables.embeddings(s, d), nProbe = 2, k = 3)
     }
   )
@@ -227,8 +258,10 @@ object SimilarityOps {
     val emb = withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
     val cents = withNorm(embeddings).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    // rounded: assignment/probe tie-breaks must not depend on last-ulp
+    // differences between this dot/sqrt form and an oracle's norm product
     def centCos(qe: String, qn: String) =
-      expr(s"graft_dot($qe, ce)") / sqrt(col(qn) * col("cn"))
+      round(expr(s"graft_dot($qe, ce)") / sqrt(col(qn) * col("cn")), 6)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", centCos("e", "nrm"))

@@ -102,9 +102,32 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
-    // Language ID: stopword-profile voting over whitespace tokens. The scorer
-    // is Spark-side only (profile tables + argmax) → rows-only oracle check.
-    QueryDef.rowsOnly("txt_langid") { (s, d) =>
+    // Language ID: stopword-profile voting over whitespace tokens. Oracle:
+    // the same profiles (generated from LangProfiles, single source of
+    // truth) scored as distinct-stopword hits, argmax with the same
+    // (score, lang)-struct tie-break via ORDER BY sc DESC, l DESC.
+    QueryDef.sqlBacked(
+      "txt_langid", {
+        val structs = LangProfiles.map { case (lang, profile) =>
+          val arr = profile.map(w => s"'$w'").mkString("[", ",", "]")
+          s"struct_pack(sc := len(list_filter($arr, p -> list_contains(w, p))), l := '$lang')"
+        }.mkString(",\n    ")
+        s"""WITH d AS (SELECT doc_id, lang,
+           |    list_filter(string_split_regex(lower(text), '\\s+'),
+           |                x -> len(x) > 0) AS w
+           |  FROM documents),
+           |s AS (SELECT doc_id, lang, unnest([
+           |    $structs
+           |  ]) AS c
+           |  FROM d),
+           |p AS (SELECT doc_id, lang, c.l AS predicted
+           |  FROM s
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id
+           |                             ORDER BY c.sc DESC, c.l DESC) = 1)
+           |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+           |FROM p GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin
+      }) { (s, d) =>
       val docs = Tables.documents(s, d).withColumn("w", words(col("text")))
       val scored = LangProfiles.foldLeft(docs) { case (df, (lang, profile)) =>
         df.withColumn(s"score_$lang",

@@ -95,8 +95,27 @@ object Relational2 {
 
     // Session windows (SURVEY.md §2.10 — "provided free" beyond the
     // reference's tumbling-only semantics): per-user activity sessions with
-    // a 30-minute inactivity gap. No DuckDB equivalent → rows-only.
-    QueryDef.rowsOnly("q21_session_window") { (s, d) =>
+    // a 30-minute inactivity gap. Oracle: gaps-and-islands SQL — a new
+    // session starts when the gap is >= the timeout (Spark merges only
+    // strictly-overlapping [t, t+gap) windows), session end = last ts + gap.
+    QueryDef.sqlBacked(
+      "q21_session_window",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
@@ -109,8 +128,19 @@ object Relational2 {
     },
 
     // Sliding windows (10-minute window, 5-minute slide): each event lands
-    // in two overlapping buckets. Rows-only (no DuckDB twin).
-    QueryDef.rowsOnly("q22_sliding_window") { (s, d) =>
+    // in two overlapping buckets. Oracle: explode the two window starts per
+    // event (time_bucket minus slide offsets — epoch-aligned like Spark's
+    // window()).
+    QueryDef.sqlBacked(
+      "q22_sliding_window",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT user_id,
+        |        time_bucket(INTERVAL 5 MINUTE, ts) - (o * INTERVAL 5 MINUTE)
+        |          AS w_start
+        |      FROM e CROSS JOIN (VALUES (0), (1)) AS t(o))
+        |SELECT user_id, w_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"), window(col("ts"), "10 minutes", "5 minutes"))
         .agg(count(lit(1)).as("n_events"))
