@@ -33,10 +33,14 @@ object DedupOps {
 
   /** The materialized (doc_id, sh: array<string>) table — shared ancestor of
     * every near-dup pipeline. Identical logical plans share one cache entry
-    * across queries in a session.
+    * across queries in a session. Repartitioned by doc_id first: the corpus
+    * arrives as one input split locally (one parquet row group), and the
+    * tokenize+shingle lambdas plus the 64-way partial signature aggregates
+    * would otherwise all run on a single task.
     */
   def shingleTable(documents: DataFrame): DataFrame =
-    withShingles(documents).select(col("doc_id"), col("sh"))
+    withShingles(documents.repartition(col("doc_id")))
+      .select(col("doc_id"), col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   private val duckShingles =

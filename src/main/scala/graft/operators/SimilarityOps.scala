@@ -28,6 +28,17 @@ object SimilarityOps {
       .withColumn("nrm", expr("graft_dot(e, e)"))
   }
 
+  /** The STREAM side of a broadcast compare: repartitioned by vec_id so the
+    * quadratic probe work spreads across the cluster — the fixture is one
+    * parquet row group (one input split), and a broadcast nested-loop or
+    * bucket join against a single-partition stream side runs on ONE task no
+    * matter how many cores exist. One narrow shuffle of the corpus buys
+    * full parallelism on the O(n·m) compare; never applied to the
+    * broadcast side.
+    */
+  private def probeSide(df: DataFrame): DataFrame =
+    withNorm(df).repartition(col("vec_id"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for each query vector (vec_id % 100 = 0).
@@ -124,14 +135,26 @@ object SimilarityOps {
     * comparison), with the codegen'd dot in the condition's hot path.
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm(embeddings).select(col("vec_id").as("vec_a"),
+    val a = probeSide(embeddings).select(col("vec_id").as("vec_a"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = withNorm(embeddings).select(col("vec_id").as("vec_b"),
       col("e").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(expr("graft_dot(ea, eb)") /
-        sqrt(col("na") * col("nb")), 6))
-      .filter(col("cos") >= threshold)
+    // The BNLJ evaluates its condition INTERPRETED per pair, left-to-right
+    // with And short-circuit, and Catalyst PREPENDS any post-join filter it
+    // pushes in — so the whole threshold test lives in the join condition,
+    // ordered cheap-first by hand, and nothing is left to push: (1) the id
+    // test drops half the pairs, (2) a raw-dot superset threshold with no
+    // round() in it (Round allocates a BigDecimal per evaluation — measured
+    // 5-10x slower when it led the pair loop) leaves only near-qualifiers,
+    // (3) the exact rounded test runs on those few. The 1e-6 margin
+    // strictly contains round-to-6dp's max displacement of 5e-7.
+    val rawDot = expr("graft_dot(ea, eb)")
+    val normProd = sqrt(col("na") * col("nb"))
+    a.join(broadcast(b),
+        col("vec_a") < col("vec_b") &&
+        rawDot >= lit(threshold - 1e-6) * normProd &&
+        round(rawDot / normProd, 6) >= threshold)
+      .withColumn("cos", round(rawDot / normProd, 6))
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -201,7 +224,7 @@ object SimilarityOps {
     */
   def cosineTopK(embeddings: DataFrame, isQuery: org.apache.spark.sql.Column,
                  k: Int): DataFrame = {
-    val emb = withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
+    val emb = probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm"))
     val q = withNorm(embeddings).filter(isQuery)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -235,7 +258,7 @@ object SimilarityOps {
       withPlanes.withColumn("code", code)
         .drop((0 until planes).map(i => s"_pl$i"): _*)
     }
-    val coded = addCode(withNorm(embeddings))
+    val coded = addCode(probeSide(embeddings))
     val q = coded.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
               col("nrm").as("qn"), col("code").as("qcode"))
@@ -255,7 +278,7 @@ object SimilarityOps {
     * nProbe nearest inverted lists per query, exact cosine within them.
     */
   def annIvfTopK(embeddings: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val emb = withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
+    val emb = probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm"))
     val cents = withNorm(embeddings).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     // rounded: assignment/probe tie-breaks must not depend on last-ulp
