@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Codegen'd dot product over two array<double> columns — the hot inner loop
   * of every similarity operator. A higher-order `aggregate(zip_with(...))`
@@ -64,6 +64,96 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Banded sign-LSH codes in one codegen'd pass: for a vector `vec` and a
+  * literal hyperplane matrix (bands·rowsPerBand planes × dims), returns
+  * array<long> of length bands where bit j of band b is the sign of
+  * vec · plane[b·rowsPerBand + j].
+  *
+  * One Expression instead of bands·rowsPerBand inlined dot products: a
+  * per-plane expr tree (288 DotProduct nodes with 64-element literal
+  * arrays each) blows generated code past Janino's method limits and falls
+  * back interpreted (~10x slower, measured); a transform() lambda is
+  * interpreted by construction. Here the matrix rides along as ONE codegen
+  * reference object and the generated code is two tight primitive loops.
+  */
+case class SignBandCodes(vec: Expression, planesExpr: Expression,
+                         rpbExpr: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = planesExpr
+  override def third: Expression = rpbExpr
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val planesOk = planesExpr.foldable && (planesExpr.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    val rpbOk = rpbExpr.foldable && rpbExpr.dataType == IntegerType
+    if (vecOk && planesOk && rpbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_band_codes expects (array<double>, foldable array<array<double>>, foldable int)")
+  }
+
+  @transient lazy val planes: Array[Array[Double]] = {
+    val ad = planesExpr.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  @transient lazy val rowsPerBand: Int =
+    rpbExpr.eval(null).asInstanceOf[Int]
+
+  private def compute(x: ArrayData): GenericArrayData = {
+    val codes = new Array[Long](planes.length / rowsPerBand)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(x.numElements(), pl.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * pl(i); i += 1 }
+      if (acc > 0) codes(p / rowsPerBand) |= 1L << (p % rowsPerBand)
+      p += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(v: Any, p: Any, r: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val codes = ctx.freshName("codes")
+      val p = ctx.freshName("p")
+      val pl = ctx.freshName("pl")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $codes = new long[$planesRef.length / $rowsPerBand];
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double[] $pl = $planesRef[$p];
+         |  int $n = java.lang.Math.min($v.numElements(), $pl.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $v.getDouble($i) * $pl[$i];
+         |  }
+         |  if ($acc > 0) $codes[$p / $rowsPerBand] |= 1L << ($p % $rowsPerBand);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override def withNewChildrenInternal(f: Expression, s: Expression,
+                                       t: Expression): Expression =
+    copy(vec = f, planesExpr = s, rpbExpr = t)
+}
+
 object VectorFunctions {
   /** Register `graft_dot(a, b)` once per session; a no-op when already
     * present (createOrReplaceTempFunction would log a replacement WARN per
@@ -72,8 +162,12 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(id))
+    if (!registry.functionExists(id)) {
       registry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      registry.createOrReplaceTempFunction(
+        "graft_band_codes",
+        exprs => SignBandCodes(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    }
   }
 }

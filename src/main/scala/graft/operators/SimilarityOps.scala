@@ -179,22 +179,19 @@ object SimilarityOps {
     val rng = new scala.util.Random(seed)
     val planeVecs = Seq.fill(bands * rowsPerBand)(
       Seq.fill(dims)(rng.nextGaussian()))
-    // the signature pass (288 dots/vector) MUST be materialized before the
+    // The whole 288-dot signature pass is ONE codegen'd expression
+    // (SignBandCodes) carrying the plane matrix as a codegen reference
+    // object — a transform() lambda evaluates interpreted, and 288 inlined
+    // per-plane dot trees blow past Janino's method limits (both measured
+    // ~4-10x slower). The pass MUST also be materialized before the
     // self-join: Spark does not CSE across join branches, and without the
-    // persist every candidate row would re-evaluate the whole plane
-    // projection (the same trap DedupOps.shingleTable documents)
+    // persist every candidate row would re-evaluate the plane projection
+    // (the same trap DedupOps.shingleTable documents).
     val coded = withNorm(embeddings)
       .repartition(col("vec_id"))
-      .select(col("vec_id"), col("e"), col("nrm"))
-      .withColumn("_planes", typedlit(planeVecs))
-      .withColumn("_bits", expr(
-        "transform(_planes, p -> if(graft_dot(e, p) > 0, 1, 0))"))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${bands - 1}), b ->
-           |  aggregate(sequence(0, ${rowsPerBand - 1}), bigint(0), (acc, j) ->
-           |    acc + if(element_at(_bits, b * $rowsPerBand + j + 1) = 1,
-           |             shiftleft(bigint(1), j), bigint(0))))""".stripMargin))
-      .drop("_planes", "_bits")
+      .select(col("vec_id"), col("e"), col("nrm"),
+        call_function("graft_band_codes", col("e"), typedlit(planeVecs),
+          lit(rowsPerBand)).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate generation carries IDs only — the banded self-join and the
     // pair dedup shuffle 16-byte rows, never the embedding arrays

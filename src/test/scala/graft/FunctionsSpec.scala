@@ -48,6 +48,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short == 3.0)
   }
 
+  test("graft_band_codes: codegen and interpreted agree; bits match per-plane dots") {
+    graft.functions.VectorFunctions.register(spark)
+    // 2 bands x 2 planes over 3 dims: plane dots with signs +,-,+,- →
+    // band 0 = bit0 only (1), band 1 = bit0 only (1)
+    val planes = Seq(
+      Seq(1.0, 0.0, 0.0),   // dot > 0 → band0 bit0
+      Seq(-1.0, 0.0, 0.0),  // dot < 0
+      Seq(0.0, 1.0, 0.0),   // dot > 0 → band1 bit0
+      Seq(0.0, -1.0, 0.0))  // dot < 0
+    val df = Seq(Tuple1(Array(2.0, 3.0, 4.0))).toDF("e")
+      .select(call_function("graft_band_codes", col("e"),
+        typedlit(planes), lit(2)).as("codes"))
+    assert(df.as[Seq[Long]].head() == Seq(1L, 1L))
+    // interpreted path (codegen off) matches
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = Seq(Tuple1(Array(2.0, 3.0, 4.0))).toDF("e")
+        .select(call_function("graft_band_codes", col("e"),
+          typedlit(planes), lit(2)).as("codes"))
+        .as[Seq[Long]].head()
+      assert(interp == Seq(1L, 1L))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // parity with independent graft_dot signs on random data
+    val rng = new scala.util.Random(7)
+    val v = Array.fill(8)(rng.nextGaussian())
+    val pl8 = Seq.fill(6)(Seq.fill(8)(rng.nextGaussian()))
+    val row = Seq(Tuple1(v)).toDF("e")
+    val codes = row.select(call_function("graft_band_codes", col("e"),
+      typedlit(pl8), lit(3)).as("c")).as[Seq[Long]].head()
+    val expected = (0 until 2).map { b =>
+      (0 until 3).map { j =>
+        val d = v.zip(pl8(b * 3 + j)).map { case (x, y) => x * y }.sum
+        if (d > 0) 1L << j else 0L
+      }.sum
+    }
+    assert(codes == expected)
+  }
+
   test("OhlcAggregator: order-insensitive and merge-safe across partitionings") {
     import OhlcAggregator._
     val ticks = Seq(
