@@ -39,13 +39,15 @@ object StressProbe {
         (pmod(xxhash64(col("id"), lit(1)), lit(10000L)) / 100.0 + 1.0))
       .drop("id")
 
-    def time(tag: String)(df: org.apache.spark.sql.DataFrame): (String, Double) = {
+    def timeN(tag: String, n: Long)(df: org.apache.spark.sql.DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $tag: $sec%.1f s (${rows / sec / 1e6}%.1f M rows/s)")
+      println(f"[stress] $tag: $sec%.1f s (${n / sec / 1e6}%.2f M rows/s)")
       tag -> sec
     }
+    def time(tag: String)(df: org.apache.spark.sql.DataFrame): (String, Double) =
+      timeN(tag, rows)(df)
 
     val results = Seq(
       time("scan_project")(tape.select(col("user_id"), col("value") * 2)),
@@ -61,10 +63,55 @@ object StressProbe {
       time("keyed_dedup")(tape.dropDuplicates("user_id", "ts")),
       time("topk")(tape.orderBy(col("value").desc).limit(100))
     )
-    val qs = results.map { case (k, v) =>
+
+    // ---- LLM-pipeline family at probe scale: documents with planted exact
+    // duplicates (10% of docs copy a base doc), embeddings with planted
+    // near-duplicates (5% are noisy copies of 1000 bases). Verifies the
+    // bucketed plans stay candidate-bound, not all-pairs, as n grows.
+    val nDocs = math.min(200000L, math.max(20000L, rows / 100)).toInt
+    val dupFrom = nDocs * 9 / 10
+    val docs = spark.range(0, nDocs, 1, 64).select(
+      col("id").as("doc_id"),
+      array_join(expr(
+        s"""transform(sequence(0, 19), i -> substr(
+           |  md5(concat(CASE WHEN id >= $dupFrom THEN id % ${nDocs / 10}
+           |             ELSE id END, '-', i)), 1, 6))""".stripMargin),
+        " ").as("text"))
+
+    val nVec = math.min(100000L, math.max(10000L, rows / 200)).toInt
+    import spark.implicits._
+    val vecs = spark.range(0, nVec, 1, 64).as[Long].map { id =>
+      val isDup = id >= nVec * 95L / 100L
+      val seed = if (isDup) id % 1000 else id
+      val rng = new scala.util.Random(seed * 2654435761L)
+      val v = Array.fill(64)(rng.nextGaussian())
+      if (isDup) {
+        val noise = new scala.util.Random(id)
+        var i = 0
+        while (i < 64) { v(i) += noise.nextGaussian() * 0.05; i += 1 }
+      }
+      (id, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+
+    val llm = Seq(
+      timeN("dedup_exact_docs", nDocs)(docs
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))),
+      timeN("dedup_minhash_lsh_docs", nDocs)(
+        operators.DedupOps.minhashLsh(docs, threshold = 0.5)),
+      // high-threshold near-dup regime: more rows per band = real pruning
+      // (0.5^12 per band on uncorrelated pairs), unlike the mid-threshold
+      // declared-query config
+      timeN("embedding_lsh_neardup", nVec)(
+        operators.SimilarityOps.cosinePairsLsh(vecs, threshold = 0.9,
+          rowsPerBand = 12, bands = 16))
+    )
+
+    val all = results ++ llm
+    val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")
-    println(s"""{"stress_rows":$rows,"keys":$keys,"seconds":$qs}""")
+    println(s"""{"stress_rows":$rows,"keys":$keys,"docs":$nDocs,"vecs":$nVec,"seconds":$qs}""")
     spark.stop()
   }
 }
