@@ -45,6 +45,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected window-based as-of:\n$p")
   }
 
+  test("mkt_source_dim_join: dim broadcast, series pruned to minute partitions, market pushed") {
+    val df = SparkEntry.queries("mkt_source_dim_join")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"tickers dim not broadcast:\n$p")
+    // granularity + adjusted pushdown must reach the polygon scan: the
+    // hour--1 series in the fixture tree must not be scanned
+    assert(p.contains("PushedFilters=[") && p.contains("timespan"),
+      s"series pushdown not visible:\n$p")
+    // market=stocks is handled inside the dim scan (the API's query param),
+    // not re-checked post-scan
+    assert(p.contains("PolygonDimScan") && p.contains("market"),
+      s"dim market pushdown not visible:\n$p")
+  }
+
+  test("dedup_embedding_lsh: candidate generation is a hash join on (band, code), not all-pairs") {
+    val p = SparkEntry.queries("dedup_embedding_lsh")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed near-dup degenerated to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on the band buckets:\n$p")
+  }
+
   test("no query plans a cartesian product (cross joins are broadcast by design)") {
     SparkEntry.allDefs.foreach { q =>
       val p = q.build(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
