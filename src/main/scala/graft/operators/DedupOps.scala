@@ -175,22 +175,22 @@ object DedupOps {
   /** MinHash-LSH candidate generation + exact verification. Returns
     * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold.
     *
-    * Signature: minhash_i(doc) = min over shingles of xxhash64(i, shingle),
-    * computed as 64 codegen'd min-aggregates over the exploded shingle rows
-    * (one shuffle by doc_id, map-side partial mins).
+    * Signature: minhash_i(doc) = min over shingles of xxh64(shingle, seed=i),
+    * folded by the codegen'd MinHashSig expression in one map-only pass over
+    * each document's own shingle array — no explode, no 64-column aggregate
+    * shuffle (the signature stage previously re-partitioned the corpus).
     */
   def minhashLsh(documents: DataFrame, threshold: Double,
                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingleTable(documents)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val mhAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    graft.functions.SketchFunctions.register(documents.sparkSession)
+    val sig = sh.select(col("doc_id"),
+      expr(s"graft_minhash(sh, $numHashes)").as("mh"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"mh$i")): _*).as("sig"))
+        xxhash64(expr(s"slice(mh, ${b * rowsPerBand + 1}, $rowsPerBand)"))
+          .as("sig"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
@@ -205,22 +205,16 @@ object DedupOps {
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming. Banding
     * into (maxHamming + 1) chunks guarantees any qualifying pair shares a
-    * chunk. Bit sums are 64 codegen'd aggregates over exploded shingle
-    * hashes (feature weight ±1 per bit).
+    * chunk. The 64-bit signature is folded by the codegen'd SimHashSig
+    * expression in one map-only pass per document (±1 vote per shingle-hash
+    * bit) — no explode, no 64-column aggregate shuffle.
     */
   def simhash(documents: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 64 / chunks
     val sh = shingleTable(documents)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val bitAggs = (0 until 64).map(j =>
-      sum(expr(s"getbit(h, $j)") * 2 - 1).as(s"b$j"))
-    val sig = ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      .withColumn("sig", (0 until 64)
-        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _))
-      .select(col("doc_id"), col("sig"))
+    graft.functions.SketchFunctions.register(documents.sparkSession)
+    val sig = sh.select(col("doc_id"), expr("graft_simhash(sh)").as("sig"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("sig"), c * chunkBits)

@@ -86,6 +86,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(codes == expected)
   }
 
+  test("graft_minhash/graft_simhash: codegen and interpreted agree; dup shingles collide") {
+    graft.functions.SketchFunctions.register(spark)
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")), // identical shingle set
+      (3L, Seq("x y z", "y z w", "z w v")) // disjoint
+    ).toDF("doc_id", "sh")
+    def sigs(): Seq[(Long, Seq[Long], Long)] = docs
+      .selectExpr("doc_id", "graft_minhash(sh, 64) AS mh", "graft_simhash(sh) AS sh64")
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val codegen = sigs()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try sigs()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(codegen == interp, "codegen and interpreted sketches must agree")
+    val bySig = codegen.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bySig(1L) == bySig(2L), "identical shingle sets must collide exactly")
+    assert(bySig(1L)._1 != bySig(3L)._1, "disjoint sets must not share minhash sigs")
+    assert(bySig(1L)._2 != bySig(3L)._2, "disjoint sets must not share simhash")
+    assert(bySig(1L)._1.length == 64)
+  }
+
   test("OhlcAggregator: order-insensitive and merge-safe across partitionings") {
     import OhlcAggregator._
     val ticks = Seq(
