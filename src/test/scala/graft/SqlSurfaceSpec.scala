@@ -42,6 +42,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("custom expressions are callable from SQL") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT graft_minhash(array('a b c', 'b c d'), 8) AS mh")
+      .head().getSeq[Long](0).length == 8)
+    assert(spark.sql("SELECT graft_simhash(array('a b c')) AS s").count() == 1)
+    assert(spark.sql(
+      "SELECT graft_band_codes(array(1.0D, 0.0D), array(array(1.0D, 0.0D)), 1) AS c")
+      .head().getSeq[Long](0) == Seq(1L))
+  }
+
+  test("polygon source is reachable from pure SQL via CREATE TEMPORARY VIEW") {
+    val root = java.nio.file.Files.createTempDirectory("polygon-sql")
+    val dir = root.resolve("SQLT/minute--1--adjusted")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      """{"status":"OK","results":[
+        |{"t":1000,"o":1.0,"h":2.0,"l":0.5,"c":1.5,"v":10.0,"vw":1.2,"n":2},
+        |{"t":2000,"o":2.0,"h":3.0,"l":1.5,"c":2.5,"v":20.0,"vw":2.2,"n":3}],
+        |"next_url":null}""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW sql_bars
+         |USING polygon OPTIONS (path '${root.toString}')""".stripMargin)
+    val rows = spark.sql(
+      """SELECT ticker, timespan, multiplier, t, c FROM sql_bars
+        |WHERE adjusted ORDER BY t""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq == Seq(("SQLT", "minute", 1, 1000L), ("SQLT", "minute", 1, 2000L)))
+  }
+
   test("catalog surface: views are listed and describable") {
     registerViews()
     val tables = spark.catalog.listTables().collect().map(_.name).toSet
