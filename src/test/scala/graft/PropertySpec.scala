@@ -75,6 +75,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed near-dup has precision 1 vs exact pairs on random embeddings") {
+    val vecGen: Gen[Seq[Array[Float]]] = for {
+      n <- Gen.chooseNum(20, 60)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      // half independent, half noisy copies → both qualifying and
+      // non-qualifying pairs exist
+      val bases = Seq.fill(n)(Array.fill(16)(rng.nextGaussian().toFloat))
+      bases ++ bases.take(n / 2).map(b =>
+        b.map(x => x + rng.nextGaussian().toFloat * 0.1f))
+    }
+    forAll(vecGen, n = 5) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val exact = graft.operators.SimilarityOps.cosinePairs(df, 0.8)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val bucketed = graft.operators.SimilarityOps
+        .cosinePairsLsh(df, 0.8, rowsPerBand = 4, bands = 16, dims = 16)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(bucketed.subsetOf(exact),
+        s"precision must be 1 (exact verify); extras: ${bucketed -- exact}")
+    }
+  }
+
+  test("minhash-verified pairs are a subset of exact jaccard pairs at the same threshold") {
+    val docGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(10, 25)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val bases = (0 until n).map(i =>
+        i.toLong -> Seq.fill(8 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      // append exact copies of a few docs to guarantee qualifying pairs
+      bases ++ bases.take(3).map { case (id, t) => (id + 1000, t) }
+    }
+    forAll(docGen, n = 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      // exact pairs via the complete shared-shingle join at threshold 0.5
+      val ex = graft.operators.DedupOps.minhashLsh(df, threshold = 0.5)
+        .select("doc_a", "doc_b", "jac")
+        .as[(Long, Long, Double)].collect()
+      // every emitted pair must actually satisfy the threshold (exact
+      // verification), and the planted exact copies must be found
+      assert(ex.forall(_._3 >= 0.5), s"unverified pair leaked: ${ex.toSeq}")
+      val found = ex.map(p => (p._1, p._2)).toSet
+      docs.filter(_._1 >= 1000).foreach { case (cid, _) =>
+        assert(found.contains((cid - 1000, cid)),
+          s"planted exact copy ($cid) not found; got $found")
+      }
+    }
+  }
+
   test("watermark filter ∘ append is idempotent under any replay") {
     forAll(Gen.zip(ticksGen, ticksGen)) { case (stored0, incoming0) =>
       val stored = stored0.toDF("ticker", "t", "p").dropDuplicates("ticker", "t")

@@ -78,6 +78,32 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/silver/bars").count() == 3)
   }
 
+  test("batch Backfill and streaming LiveIngest land identical silver rows") {
+    val pages = Files.createTempDirectory("parity-pages")
+    val whB = Files.createTempDirectory("parity-wh-batch").toString
+    val whS = Files.createTempDirectory("parity-wh-stream").toString
+    val dir = pages.resolve("PAR/adjusted")
+    Files.createDirectories(dir)
+    // two pages with a boundary overlap: both paths must drop it exactly once
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2},
+        |{"t":120000,"o":2,"h":3,"l":2,"c":3,"v":20,"vw":2.5,"n":2}],
+        |"next_url":"page-0001.json"}""".stripMargin)
+    Files.writeString(dir.resolve("page-0001.json"),
+      """{"results":[{"t":120000,"o":2,"h":3,"l":2,"c":3,"v":20,"vw":2.5,"n":2},
+        |{"t":180000,"o":3,"h":4,"l":3,"c":4,"v":30,"vw":3.5,"n":2}],
+        |"next_url":null}""".stripMargin)
+    graft.app.Backfill.run(spark, pages.toString, whB)
+    graft.app.LiveIngest.start(spark, pages.toString, whS).awaitTermination()
+    val cols = Seq("ticker", "timespan", "multiplier", "adjusted", "t",
+      "o", "h", "l", "c", "v", "vw", "n").map(col)
+    val batch = spark.read.parquet(s"$whB/silver/bars").select(cols: _*)
+    val stream = spark.read.parquet(s"$whS/silver/bars_live").select(cols: _*)
+    assert(batch.count() == 3)
+    assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty,
+      "batch backfill and streaming ingest must agree row-for-row")
+  }
+
   test("Backfill.run: mixed-granularity tree lands keyed by full series identity") {
     val pages = Files.createTempDirectory("bf-mixed")
     val wh = Files.createTempDirectory("bf-mixed-wh").toString
