@@ -33,27 +33,51 @@ object Watermarks {
           "ticker STRING, adjusted BOOLEAN, max_t BIGINT, updated_at TIMESTAMP")))
   }
 
-  /** New-rows-only filter for an incoming batch: strict t > watermark per
-    * (ticker, adjusted); series without a watermark pass whole.
+  /** Series-identity columns present in a frame: a multi-granularity
+    * pipeline watermarks each (ticker, timespan, multiplier, adjusted)
+    * series independently (a 1-minute watermark must never filter a 1-hour
+    * series of the same ticker); frames carrying only the legacy
+    * (ticker, adjusted) pair keep the legacy key. A warehouse sticks to one
+    * key shape — it is derived from the first advanced batch.
     */
-  def filterNew(incoming: DataFrame, wm: DataFrame): DataFrame =
-    incoming.join(broadcast(wm.select(col("ticker"), col("adjusted"), col("max_t"))),
-        Seq("ticker", "adjusted"), "left")
+  private def keyCols(df: DataFrame): Seq[String] =
+    Seq("ticker", "timespan", "multiplier", "adjusted")
+      .filter(df.columns.contains)
+
+  /** New-rows-only filter for an incoming batch: strict t > watermark per
+    * series; series without a watermark pass whole.
+    */
+  def filterNew(incoming: DataFrame, wm: DataFrame): DataFrame = {
+    val keys = keyCols(wm).filter(incoming.columns.contains)
+    incoming.join(broadcast(wm.select((keys :+ "max_t").map(col): _*)),
+        keys, "left")
       .filter(col("max_t").isNull || col("t") > col("max_t"))
       .drop("max_t")
+  }
 
   /** Advance watermarks with the batch's per-series max t (full-outer merge,
     * monotone: never moves backward).
     */
   def advance(spark: SparkSession, warehouse: String, batch: DataFrame): Unit = {
-    val newWm = batch.groupBy(col("ticker"), col("adjusted"))
+    val hasTable = Sinks.pathExists(spark, path(warehouse)) ||
+      Sinks.pathExists(spark, path(warehouse) + "_bak")
+    val existing = read(spark, warehouse)
+    // key shape is pinned by the existing table; a fresh warehouse takes it
+    // from the first advanced batch
+    val keys = if (hasTable) keyCols(existing) else keyCols(batch)
+    val newWm = batch.groupBy(keys.map(col): _*)
       .agg(max(col("t")).as("batch_max"))
-    val merged = read(spark, warehouse).as("old")
-      .join(newWm.as("new"), Seq("ticker", "adjusted"), "full_outer")
-      .select(col("ticker"), col("adjusted"),
-        greatest(coalesce(col("old.max_t"), lit(Long.MinValue)),
-                 coalesce(col("new.batch_max"), lit(Long.MinValue))).as("max_t"),
-        current_timestamp().as("updated_at"))
+    val merged =
+      if (!hasTable)
+        newWm.select(keys.map(col) ++ Seq(
+          col("batch_max").as("max_t"),
+          current_timestamp().as("updated_at")): _*)
+      else existing.as("old")
+        .join(newWm.as("new"), keys, "full_outer")
+        .select(keys.map(col) ++ Seq(
+          greatest(coalesce(col("old.max_t"), lit(Long.MinValue)),
+                   coalesce(col("new.batch_max"), lit(Long.MinValue))).as("max_t"),
+          current_timestamp().as("updated_at")): _*)
     // tiny dim table: rewrite whole via write-tmp + rename swap. Hadoop
     // FileSystem (not java.io.File) so the same code works on hdfs/s3a, and
     // rename (not read-back + overwrite) so a crash window never leaves the

@@ -39,6 +39,25 @@ class WatermarkSpec extends AnyFunSuite {
     assert(wm2.count() == 3)
   }
 
+  test("multi-granularity series watermark independently per full series key") {
+    val wh = Files.createTempDirectory("wm-gran").toString
+    val b = Seq(
+      ("AAPL", "minute", 1, true, 500L, 1.0),
+      ("AAPL", "hour", 1, true, 100L, 2.0))
+      .toDF("ticker", "timespan", "multiplier", "adjusted", "t", "c")
+    Watermarks.advance(spark, wh, b)
+    val wm = Watermarks.read(spark, wh)
+    assert(wm.count() == 2, "one watermark per series, not per ticker")
+    // the minute watermark (500) must NOT filter the hour series at t=200
+    val incoming = Seq(
+      ("AAPL", "minute", 1, true, 400L, 3.0), // behind minute wm → dropped
+      ("AAPL", "hour", 1, true, 200L, 4.0))   // past hour wm → passes
+      .toDF("ticker", "timespan", "multiplier", "adjusted", "t", "c")
+    val fresh = Watermarks.filterNew(incoming, wm)
+    assert(fresh.select("t").as[Long].collect().toSeq == Seq(200L),
+      "watermarks must be per (ticker, timespan, multiplier, adjusted)")
+  }
+
   test("advance leaves exactly one _watermarks dir: no _tmp/_bak survivors") {
     val wh = Files.createTempDirectory("wm-clean").toString
     val b = Seq(("AAPL", true, 100L)).toDF("ticker", "adjusted", "t")
