@@ -45,10 +45,17 @@ object Watermarks {
       .filter(df.columns.contains)
 
   /** New-rows-only filter for an incoming batch: strict t > watermark per
-    * series; series without a watermark pass whole.
+    * series; series without a watermark pass whole. The incoming frame must
+    * carry the table's full series key — silently narrowing the join to the
+    * shared columns would match one incoming row against several watermark
+    * rows and DUPLICATE it (advance fails loudly on the same mismatch).
     */
   def filterNew(incoming: DataFrame, wm: DataFrame): DataFrame = {
-    val keys = keyCols(wm).filter(incoming.columns.contains)
+    val keys = keyCols(wm)
+    val missing = keys.filterNot(incoming.columns.contains)
+    require(missing.isEmpty,
+      s"incoming batch lacks watermark key column(s) ${missing.mkString(", ")} " +
+        s"(table is keyed by ${keys.mkString(", ")})")
     incoming.join(broadcast(wm.select((keys :+ "max_t").map(col): _*)),
         keys, "left")
       .filter(col("max_t").isNull || col("t") > col("max_t"))
@@ -89,9 +96,15 @@ object Watermarks {
     val bak = new org.apache.hadoop.fs.Path(path(warehouse) + "_bak")
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(main)) fs.rename(main, bak)
+    // a readable copy (main or _bak) must exist until the instant tmp is
+    // promoted: _bak is only displaced when main is present to displace it,
+    // and only deleted after the promotion — so a crash recovering FROM a
+    // stranded _bak (main absent) cannot drop the last readable copy
+    if (fs.exists(main)) {
+      if (fs.exists(bak)) fs.delete(bak, true)
+      fs.rename(main, bak)
+    }
     fs.rename(tmp, main)
-    fs.delete(bak, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
   }
 }

@@ -46,12 +46,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      var h = 0
-      while (h < numHashes) {
-        val hv = SketchExprs.hashShingle(s, h.toLong)
-        if (hv < sig(h)) sig(h) = hv
-        h += 1
+      // null shingles are skipped, matching the null-tolerant xxhash64
+      // aggregate formulation these expressions replaced
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var h = 0
+        while (h < numHashes) {
+          val hv = SketchExprs.hashShingle(s, h.toLong)
+          if (hv < sig(h)) sig(h) = hv
+          h += 1
+        }
       }
       i += 1
     }
@@ -69,6 +73,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if ($v.isNullAt($i)) continue;
          |  UTF8String $s = $v.getUTF8String($i);
          |  for (int $h = 0; $h < $numHashes; $h++) {
          |    long $hv = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -103,11 +108,13 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val h = SketchExprs.hashShingle(arr.getUTF8String(i), 0L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val h = SketchExprs.hashShingle(arr.getUTF8String(i), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -128,6 +135,7 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
       s"""
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if ($v.isNullAt($i)) continue;
          |  UTF8String $s = $v.getUTF8String($i);
          |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
          |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
@@ -157,8 +165,18 @@ object SketchFunctions {
       registry.createOrReplaceTempFunction("graft_simhash",
         exprs => SimHashSig(exprs(0)), "scala_udf")
       registry.createOrReplaceTempFunction("graft_minhash",
-        exprs => MinHashSig(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+        exprs => {
+          // fail at analysis with a pointed message, not a cast error (and
+          // never let NULL collapse to numHashes = 0 silently)
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash(sh, n): n must be an integer literal, got $other")
+          }
+          require(n >= 1 && n <= 1024, s"graft_minhash: n=$n out of [1, 1024]")
+          MinHashSig(exprs(0), n)
+        }, "scala_udf")
     }
   }
 }

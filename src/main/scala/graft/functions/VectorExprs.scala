@@ -95,9 +95,25 @@ case class SignBandCodes(vec: Expression, planesExpr: Expression,
       case _ => false
     })
     val rpbOk = rpbExpr.foldable && rpbExpr.dataType == IntegerType
-    if (vecOk && planesOk && rpbOk) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "graft_band_codes expects (array<double>, foldable array<array<double>>, foldable int)")
+    if (!(vecOk && planesOk && rpbOk))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_band_codes expects (array<double>, foldable array<array<double>>, foldable int)")
+    else {
+      // analysis-time geometry checks: a bad band shape must fail the query
+      // plan, not throw AIOOBE in every task (or silently wrap shifts)
+      val r = rpbExpr.eval(null)
+      val nPlanes = planesExpr.eval(null).asInstanceOf[ArrayData].numElements()
+      r match {
+        case i: Int if i >= 1 && i <= 64 && nPlanes > 0 && nPlanes % i == 0 =>
+          TypeCheckResult.TypeCheckSuccess
+        case i: Int =>
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_band_codes: rowsPerBand=$i must be in [1, 64] and divide " +
+              s"the plane count ($nPlanes)")
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "graft_band_codes: rowsPerBand must be a non-null INT literal")
+      }
+    }
   }
 
   @transient lazy val planes: Array[Array[Double]] = {

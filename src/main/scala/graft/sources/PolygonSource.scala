@@ -147,6 +147,24 @@ object PolygonSource {
     case None => new FilePageFetcher(conf.path)
   }
 
+  /** Per-JVM cache of each streaming partition's final dedup watermark,
+    * keyed by (path, series, end page): when the next micro-batch resumes
+    * at that page boundary, its reader seeds the monotonic dedup from here
+    * instead of re-fetching the previous page just to learn one tail
+    * timestamp (which would double steady-state page fetches AND burn a
+    * rate-limit token). Executor-local: on a multi-executor cluster a
+    * partition landing on a different JVM misses and falls back to the
+    * refetch — a correctness-neutral cache.
+    */
+  private val boundaryCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Long]()
+
+  def recordBoundary(path: String, series: String, endPage: Int, t: Long): Unit =
+    boundaryCache.put((path, series, endPage), t)
+
+  def lookupBoundary(path: String, series: String, fromPage: Int): Option[Long] =
+    Option(boundaryCache.get((path, series, fromPage)))
+
   /** Per-JVM token bucket: time of the earliest next allowed request. */
   private val nextAllowed = new AtomicLong(0L)
 
@@ -336,7 +354,9 @@ final class FilePageFetcher(root: String) extends PageFetcher {
   }
 
   /** All bar series present under root (dirs starting with "_" are reserved:
-    * _ref holds dimension pages).
+    * _ref holds dimension pages). Distinct: a mid-migration tree holding
+    * BOTH a legacy `adjusted` dir and `minute--1--adjusted` maps them to the
+    * same SeriesKey — two partitions for one key would double every row.
     */
   def discoverSeries(): Seq[SeriesKey] = {
     val rootDir = new java.io.File(root)
@@ -345,7 +365,7 @@ final class FilePageFetcher(root: String) extends PageFetcher {
       .flatMap { t =>
         Option(t.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
           .flatMap(v => SeriesKey.fromDir(t.getName, v.getName))
-      }.toSeq.sortBy(_.offsetKey)
+      }.toSeq.distinct.sortBy(_.offsetKey)
   }
 
   /** First cursor of a dimension endpoint's page chain. */
@@ -465,8 +485,15 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
       case None => new FilePageFetcher(conf.path).discoverSeries()
       case Some(_) =>
         val dirs = optSeries.getOrElse(Seq("minute--1--adjusted"))
+        // http has no listing: the ticker universe comes from the option or,
+        // when absent, from a pushed ticker equality/IN — never silently
+        // empty (a filter naming exact series must fetch them, not 0 rows)
+        val universe = optTickers.orElse(tickerFilter).getOrElse(
+          throw new IllegalArgumentException(
+            "polygon http mode needs a 'tickers' option or a pushed " +
+              "ticker equality/IN filter to define the series universe"))
         for {
-          t <- optTickers.getOrElse(Set.empty).toSeq.sorted
+          t <- universe.toSeq.sorted
           d <- dirs
           k <- SeriesKey.fromDir(t, d)
         } yield k
@@ -497,7 +524,7 @@ class PolygonReaderFactory(conf: PolygonSource.FetcherConf,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeriesPartition]
     new PolygonPartitionReader(PolygonSource.fetcherFor(conf), sp,
-      tFromExcl, tToIncl, limit, rateLimitMs)
+      tFromExcl, tToIncl, limit, rateLimitMs, cachePath = conf.path)
   }
 }
 
@@ -517,7 +544,8 @@ class PolygonReaderFactory(conf: PolygonSource.FetcherConf,
   */
 class PolygonPartitionReader(fetcher: PageFetcher, part: SeriesPartition,
                              tFromExcl: Option[Long], tToIncl: Option[Long],
-                             limit: Option[Int], rateLimitMs: Long)
+                             limit: Option[Int], rateLimitMs: Long,
+                             cachePath: String = "")
     extends PartitionReader[InternalRow] {
 
   private val tickerUtf = UTF8String.fromString(part.key.ticker)
@@ -531,16 +559,22 @@ class PolygonPartitionReader(fetcher: PageFetcher, part: SeriesPartition,
   private var noProgressStreak = 0
   private var current: Bar0 = _
 
-  /** Tail timestamp of the page before fromPage (see class doc). */
+  /** Dedup watermark at this partition's starting boundary (see class doc):
+    * the previous micro-batch's final watermark when this JVM saw it (free),
+    * else the tail timestamp of the page just before fromPage (one refetch).
+    */
   private def boundarySeed(): Long =
     if (part.fromPage <= 0) Long.MinValue
-    else fetcher.cursorAt(part.key, part.fromPage - 1) match {
-      case Some(prev) =>
-        PolygonSource.rateLimit(rateLimitMs)
-        val rows = fetcher.fetch(prev).results
-        if (rows.isEmpty) Long.MinValue else rows.map(_.t).max
-      case None => Long.MinValue
-    }
+    else PolygonSource.lookupBoundary(cachePath, part.key.offsetKey, part.fromPage)
+      .getOrElse {
+        fetcher.cursorAt(part.key, part.fromPage - 1) match {
+          case Some(prev) =>
+            PolygonSource.rateLimit(rateLimitMs)
+            val rows = fetcher.fetch(prev).results
+            if (rows.isEmpty) Long.MinValue else rows.map(_.t).max
+          case None => Long.MinValue
+        }
+      }
 
   @annotation.tailrec
   private def advance(): Boolean = {
@@ -578,7 +612,13 @@ class PolygonPartitionReader(fetcher: PageFetcher, part: SeriesPartition,
     current.v, current.vw, current.n, part.key.adjusted,
     timespanUtf, part.key.multiplier)
 
-  override def close(): Unit = ()
+  override def close(): Unit =
+    // bounded (streaming) partitions publish their final watermark for the
+    // next micro-batch's boundarySeed; the max emitted t is always a safe
+    // dedup bound for pages past this range (sorted-asc protocol)
+    if (part.toPage != Int.MaxValue)
+      PolygonSource.recordBoundary(cachePath, part.key.offsetKey,
+        part.fromPage + pagesRead, lastT)
 }
 
 /** Streaming form: offsets are per-series page counts — each trigger reads

@@ -86,6 +86,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(codes == expected)
   }
 
+  test("sketch/band-code expressions reject bad arguments at analysis and tolerate null elements") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
+    // null shingles are skipped, not NPE'd (null-tolerance of the replaced
+    // xxhash64 aggregate formulation)
+    val withNull = spark.sql(
+      "SELECT graft_minhash(array('a b c', CAST(NULL AS STRING)), 8) AS mh, " +
+        "graft_simhash(array('a b c', CAST(NULL AS STRING))) AS sh")
+    val clean = spark.sql(
+      "SELECT graft_minhash(array('a b c'), 8) AS mh, graft_simhash(array('a b c')) AS sh")
+    assert(withNull.collect().toSeq == clean.collect().toSeq)
+    // non-literal / null / wrong-typed numHashes fails with a pointed error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), CAST(NULL AS INT))").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    // band geometry that does not divide fails analysis, not per-task AIOOBE
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_band_codes(array(1.0D), array(array(1.0D), array(2.0D), array(3.0D)), 2)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("divide") || e2.getMessage.contains("DATATYPE"),
+      e2.getMessage)
+  }
+
   test("graft_minhash/graft_simhash: codegen and interpreted agree; dup shingles collide") {
     graft.functions.SketchFunctions.register(spark)
     val docs = Seq(

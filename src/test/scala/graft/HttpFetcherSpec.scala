@@ -110,6 +110,27 @@ class HttpFetcherSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("http: a pushed ticker filter seeds the series universe; none at all fails fast") {
+    val stub = new Stub
+    try {
+      val p = "/pages/T5/minute--1--adjusted"
+      stub.pages = Map(s"$p/0" -> page(Seq(7L), None))
+      // no 'tickers' option — the pushed equality must define the universe
+      val viaFilter = spark.read.format("polygon")
+        .option("baseUrl", stub.base).option("backoffMs", "5").load()
+        .filter(col("ticker") === "T5")
+      assert(viaFilter.select("t").as[Long].collect().toSeq == Seq(7L))
+      // no option and no pushable ticker filter: loud error, not 0 rows
+      val e = intercept[Exception] {
+        spark.read.format("polygon")
+          .option("baseUrl", stub.base).option("backoffMs", "5").load().count()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + msgs(t.getCause)
+      assert(msgs(e).contains("series universe"), s"silent empty scan: ${msgs(e)}")
+    } finally stub.stop()
+  }
+
   test("http: per-JVM rate limit paces page requests") {
     val stub = new Stub
     try {

@@ -162,6 +162,18 @@ class PolygonSourceSpec extends AnyFunSuite {
       s"granularity pushdown not visible in plan:\n$plan")
   }
 
+  test("mid-migration tree: legacy and explicit dirs for the same series read once") {
+    val root = Files.createTempDirectory("polygon-migr")
+    // both dirs map to SeriesKey(MIGR, minute, 1, adjusted=true)
+    writeSeries(root, "MIGR", adjusted = true, Seq(Seq(100L, 200L)))
+    writeSeriesDir(root, "MIGR", "minute--1--adjusted", Seq(Seq(100L, 200L)))
+    val df = spark.read.format("polygon").option("path", root.toString).load()
+    assert(df.rdd.getNumPartitions == 1,
+      "duplicate series keys must collapse to one partition")
+    assert(df.select("t").as[Long].collect().sorted.toSeq == Seq(100L, 200L),
+      "rows must not double")
+  }
+
   test("tickers endpoint: cursor-chained dim scan with market pushdown") {
     val root = Files.createTempDirectory("polygon-dims")
     def trow(t: String, market: String, active: Boolean) =

@@ -58,6 +58,20 @@ class WatermarkSpec extends AnyFunSuite {
       "watermarks must be per (ticker, timespan, multiplier, adjusted)")
   }
 
+  test("filterNew refuses a batch missing part of the table's series key") {
+    val wh = Files.createTempDirectory("wm-strict").toString
+    val full = Seq(("AAPL", "minute", 1, true, 500L))
+      .toDF("ticker", "timespan", "multiplier", "adjusted", "t")
+    Watermarks.advance(spark, wh, full)
+    val wm = Watermarks.read(spark, wh)
+    val legacy = Seq(("AAPL", true, 600L)).toDF("ticker", "adjusted", "t")
+    val e = intercept[IllegalArgumentException] {
+      Watermarks.filterNew(legacy, wm)
+    }
+    assert(e.getMessage.contains("timespan"),
+      s"mismatch must name the missing key columns: ${e.getMessage}")
+  }
+
   test("advance leaves exactly one _watermarks dir: no _tmp/_bak survivors") {
     val wh = Files.createTempDirectory("wm-clean").toString
     val b = Seq(("AAPL", true, 100L)).toDF("ticker", "adjusted", "t")
