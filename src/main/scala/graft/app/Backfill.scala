@@ -35,12 +35,45 @@ object Backfill {
     */
   private val seriesKey = Seq("ticker", "timespan", "multiplier", "adjusted")
 
+  /** The E2 sweep's first phase (polygon-etl-container/src/main.py:31-33):
+    * full refresh of each dimension endpoint present under {pagesDir}/_ref —
+    * current view overwritten, timestamped snapshot appended ("what was
+    * known when", README.md:8). Returns the refreshed tickers dim, if any.
+    */
+  def refreshDims(spark: SparkSession, pagesDir: String,
+                  warehouse: String): Option[org.apache.spark.sql.DataFrame] = {
+    val runTs = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq("tickers", "splits", "dividends").flatMap { ep =>
+      if (!new java.io.File(s"$pagesDir/_ref/$ep").isDirectory) None
+      else {
+        val dim = spark.read.format("polygon")
+          .option("path", pagesDir).option("endpoint", ep).load()
+          .dropDuplicates() // O-A1: the protocol is at-least-once
+        Sinks.writeCurrent(dim, s"$warehouse/dims/$ep")
+        Sinks.writeSnapshot(dim, s"$warehouse/dims/${ep}_history", runTs)
+        if (ep == "tickers") Some(dim) else None
+      }
+    }.headOption
+  }
+
   def run(spark: SparkSession, pagesDir: String, warehouse: String): Unit = {
+    // phase 1: dimension refresh (reference does dims before the bar sweep)
+    val tickersDim = refreshDims(spark, pagesDir, warehouse)
+
     // bronze→silver: at-least-once pages, exactly-once visible rows; a
     // mixed-granularity tree lands as one table keyed+partitioned by the
     // full series identity, so a 1-minute and a 1-hour series of the same
-    // ticker never collide
-    val bars = spark.read.format("polygon").option("path", pagesDir).load()
+    // ticker never collide. When a tickers dim exists, the bar sweep is
+    // restricted to market='stocks' tickers (main.py:34-44's semi-join,
+    // broadcast because dims are <20 MB)
+    val scanned = spark.read.format("polygon").option("path", pagesDir).load()
+    val restricted = tickersDim match {
+      case Some(dim) => scanned.join(
+        broadcast(dim.filter(col("market") === "stocks").select("ticker")),
+        Seq("ticker"), "left_semi")
+      case None => scanned
+    }
+    val bars = restricted
       .dropDuplicates(seriesKey :+ "t")
       .withColumn("datetime", timestamp_millis(col("t")))
     Sinks.idempotentAppend(bars, s"$warehouse/silver/bars",

@@ -78,6 +78,37 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/silver/bars").count() == 3)
   }
 
+  test("Backfill.run: dim refresh first, bar sweep restricted to stock tickers") {
+    val pages = Files.createTempDirectory("bf-dims")
+    val wh = Files.createTempDirectory("bf-dims-wh").toString
+    val bar = """{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2}"""
+    Seq("STK", "CRY").foreach { t =>
+      val dir = pages.resolve(t).resolve("minute--1--adjusted")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("page-0000.json"),
+        s"""{"results":[$bar],"next_url":null}""")
+    }
+    val ref = pages.resolve("_ref/tickers")
+    Files.createDirectories(ref)
+    Files.writeString(ref.resolve("page-0000.json"),
+      """{"status":"OK","results":[
+        |{"ticker":"STK","name":"Stock Co","market":"stocks","locale":"us",
+        | "primary_exchange":"X","type":"CS","active":true,"currency_name":"usd"},
+        |{"ticker":"CRY","name":"Coin","market":"crypto","locale":"us",
+        | "primary_exchange":"X","type":"CS","active":true,"currency_name":"usd"}],
+        |"next_url":null}""".stripMargin.replace("\n ", ""))
+    graft.app.Backfill.run(spark, pages.toString, wh)
+    // dims refreshed: current view + one snapshot partition
+    val cur = spark.read.parquet(s"$wh/dims/tickers")
+    assert(cur.count() == 2)
+    val hist = spark.read.parquet(s"$wh/dims/tickers_history")
+    assert(hist.select("snapshot_ts").distinct().count() == 1)
+    // bar sweep restricted to market='stocks' (main.py:34-44 semantics)
+    val silver = spark.read.parquet(s"$wh/silver/bars")
+    assert(silver.select("ticker").as[String].collect().toSeq == Seq("STK"),
+      "non-stock series must be excluded when the tickers dim exists")
+  }
+
   test("batch Backfill and streaming LiveIngest land identical silver rows") {
     val pages = Files.createTempDirectory("parity-pages")
     val whB = Files.createTempDirectory("parity-wh-batch").toString
