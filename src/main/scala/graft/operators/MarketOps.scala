@@ -169,6 +169,119 @@ object MarketOps {
         .orderBy(col("event_id"))
     },
 
+    // RSI-14 (simple-average form, Indicators.rsi semantics): gains/losses
+    // as DECIMAL window sums (the sliding-frame double summation order
+    // differs between engines), final ratio in doubles, rounded.
+    QueryDef.sqlBacked(
+      "mkt_rsi14",
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |                             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      AS chg
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    CAST(SUM(CAST(CASE WHEN chg > 0 THEN chg ELSE 0 END AS DECIMAL(18,6)))
+        |      OVER win AS DOUBLE) AS gain,
+        |    CAST(SUM(CAST(CASE WHEN chg < 0 THEN -chg ELSE 0 END AS DECIMAL(18,6)))
+        |      OVER win AS DOUBLE) AS loss
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN loss = 0 THEN 100.0
+        |       ELSE round(100.0 - 100.0 / (1.0 + gain / loss), 6) END AS rsi14
+        |FROM w
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = order.rowsBetween(-13, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("chg", col("value") - lag(col("value"), 1).over(order))
+        .withColumn("gain",
+          sum(when(col("chg") > 0, col("chg")).otherwise(lit(0)).cast(DecimalType(18, 6)))
+            .over(w).cast(DoubleType))
+        .withColumn("loss",
+          sum(when(col("chg") < 0, -col("chg")).otherwise(lit(0)).cast(DecimalType(18, 6)))
+            .over(w).cast(DoubleType))
+        .withColumn("rsi14",
+          when(col("loss") === 0, lit(100.0))
+            .otherwise(round(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("gain") / col("loss")), 6)))
+        .select(col("event_id"), col("user_id"), col("rsi14"))
+        .orderBy(col("event_id"))
+    },
+
+    // Bollinger %B over a 20-row window: mean and sample stddev from exact
+    // DECIMAL sums of x and x^2 (sum^2/n form) so both engines fold the
+    // window identically; degenerate windows (n < 2 or zero spread) -> NULL.
+    QueryDef.sqlBacked(
+      "mkt_bollinger20",
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS sxx,
+        |    CAST(COUNT(*) OVER win AS DOUBLE) AS n
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN n < 2 OR sxx - sx * sx / n <= 0 THEN NULL
+        |       ELSE round((value - (sx / n - 2 * sqrt((sxx - sx * sx / n) / (n - 1))))
+        |                  / (4 * sqrt((sxx - sx * sx / n) / (n - 1))), 6) END AS pctb20
+        |FROM w
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sx", sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType))
+        .withColumn("sxx",
+          sum((col("value") * col("value")).cast(DecimalType(28, 8))).over(w).cast(DoubleType))
+        .withColumn("n", count(lit(1)).over(w).cast(DoubleType))
+        .withColumn("var_num", col("sxx") - col("sx") * col("sx") / col("n"))
+        .withColumn("pctb20",
+          when(col("n") < 2 || col("var_num") <= 0, lit(null))
+            .otherwise {
+              val sd = sqrt(col("var_num") / (col("n") - 1))
+              round((col("value") - (col("sx") / col("n") - lit(2) * sd)) /
+                (lit(4) * sd), 6)
+            })
+        .select(col("event_id"), col("user_id"), col("pctb20"))
+        .orderBy(col("event_id"))
+    },
+
+    // MACD line: exact recursive EMA(12) - EMA(26) via the same sorted-group
+    // fold as mkt_ema_exact; the oracle folds both with list_reduce using
+    // the identical alpha arithmetic (2.0/13, 2.0/27) — bit-exact.
+    QueryDef.sqlBacked(
+      "mkt_macd",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |g AS (SELECT user_id,
+        |    list(value ORDER BY ts, event_id) AS xs,
+        |    list(event_id ORDER BY ts, event_id) AS ids
+        |  FROM e GROUP BY user_id),
+        |u AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, xs FROM g)
+        |SELECT event_id, user_id,
+        |  list_reduce(xs[1:i], (acc, x) -> (2.0/13) * x + (1 - 2.0/13) * acc)
+        |  - list_reduce(xs[1:i], (acc, x) -> (2.0/27) * x + (1 - 2.0/27) * acc)
+        |    AS macd
+        |FROM u ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fast = emaExact(s, ev, alpha = 2.0 / 13)
+        .withColumnRenamed("ema", "ema_fast")
+      val slow = emaExact(s, ev, alpha = 2.0 / 27)
+        .select(col("event_id"), col("ema").as("ema_slow"))
+      fast.join(slow, Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          (col("ema_fast") - col("ema_slow")).as("macd"))
+        .orderBy(col("event_id"))
+    },
+
     // Resample ladder: 5-minute bars re-aggregated to 1-hour bars — the
     // granularity ladder of old_source/old_source_op.py:18 (1m..24h), with
     // open/close carried by min_by/max_by on the sub-bar time.
