@@ -28,4 +28,40 @@ class MultimodalSpec extends AnyFunSuite {
     // width/height in the stub's declared ranges
     assert(out.collect().forall(r => r.getInt(3) >= 640 && r.getInt(4) >= 360))
   }
+
+  test("resize plumbing: target dims carried, output bounded, null/empty safe") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", Array.fill(4096)(7.toByte), "s3://x/1"),
+        Row(2L, "image", null, "s3://x/2"),
+        Row(3L, "image", Array.emptyByteArray, "s3://x/3")), 2),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeMedia(media, targetW = 64, targetH = 64)
+    assert(out.schema == Multimodal.resizedSchema)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 64 && byId(1L).getInt(2) == 64)
+    val resized = byId(1L).getAs[Array[Byte]]("content")
+    assert(resized.length == 4, s"64*64/1024 = 4 bytes, got ${resized.length}")
+    assert(byId(2L).getAs[Array[Byte]]("content") == null)
+    assert(byId(3L).getAs[Array[Byte]]("content").isEmpty)
+    // deterministic under repartitioning
+    val again = Multimodal.resizeMedia(media.repartition(3), 64, 64).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("content")).map(_.toSeq)).toMap
+    byId.foreach { case (id, r) =>
+      assert(again(id) == Option(r.getAs[Array[Byte]]("content")).map(_.toSeq))
+    }
+  }
+
+  test("frame sampling: every step-th fixed-size frame, short tail kept") {
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte) // 4 frames of 256
+    val media = Seq((1L, payload)).toDF("media_id", "content")
+    val out = Multimodal.sampleFrames(media, frameBytes = 256, step = 1)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(256L, 256L, 256L, 232L),
+      "tail frame keeps its true length")
+    val sampled = Multimodal.sampleFrames(media, frameBytes = 256, step = 2)
+      .select("frame_idx").as[Long].collect().sorted.toSeq
+    assert(sampled == Seq(0L, 2L), "step must skip frames, not truncate them")
+  }
 }
