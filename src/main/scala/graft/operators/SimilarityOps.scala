@@ -86,8 +86,32 @@ object SimilarityOps {
     },
 
     // LSH-bucketed ANN: queries search only their own random-hyperplane
-    // bucket (rows-only oracle; recall vs brute force in SimilaritySpec).
-    QueryDef.rowsOnly("ann_lsh_topk") { (s, d) =>
+    // bucket. The planes are seed-deterministic, so the oracle embeds the
+    // SAME plane literals (shortest round-trip double repr parses to
+    // identical bits) and recomputes the bucket codes + exact in-bucket
+    // ranking in SQL; recall vs brute force additionally in SimilaritySpec.
+    QueryDef.sqlBacked(
+      "ann_lsh_topk", {
+        val planes = lshPlanes(planes = 8, dims = 64, seed = 42L)
+        val codeExpr = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(ed, $arr) > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |  FROM embeddings),
+           |coded AS (SELECT vec_id, ed, $codeExpr AS code FROM e),
+           |q AS (SELECT vec_id AS q_id, ed AS qe, code AS qcode
+           |      FROM coded WHERE vec_id % 100 = 0)
+           |SELECT q_id, vec_id AS neighbor_id,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY round(list_cosine_similarity(qe, ed), 6) DESC, vec_id)
+           |    AS BIGINT) AS rank,
+           |  round(list_cosine_similarity(qe, ed), 6) AS cos
+           |FROM coded JOIN q ON code = qcode AND vec_id <> q_id
+           |QUALIFY rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      }) { (s, d) =>
       annLshTopK(Tables.embeddings(s, d), planes = 8, k = 3)
     },
 
@@ -241,10 +265,17 @@ object SimilarityOps {
     * Both sides of the candidate join compute the same code, so matching is
     * exact; ranking within a bucket is exact cosine.
     */
+  /** Seed-deterministic uniform hyperplanes — one source of truth for
+    * annLshTopK and its generated oracle SQL.
+    */
+  def lshPlanes(planes: Int, dims: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dims)(rng.nextDouble() * 2 - 1))
+  }
+
   def annLshTopK(embeddings: DataFrame, planes: Int, k: Int,
                  dims: Int = 64, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planeVecs = Seq.fill(planes)(Seq.fill(dims)(rng.nextDouble() * 2 - 1))
+    val planeVecs = lshPlanes(planes, dims, seed)
     def addCode(df: DataFrame): DataFrame = {
       val withPlanes = planeVecs.zipWithIndex.foldLeft(df) {
         case (acc, (p, i)) => acc.withColumn(s"_pl$i", typedlit(p))
