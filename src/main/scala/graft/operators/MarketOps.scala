@@ -213,6 +213,40 @@ object MarketOps {
         .orderBy(col("event_id"))
     },
 
+    // Wilder-smoothed RSI (the classic recursive form): avg gain/loss fold
+    // g_t = (g_{t-1}*(n-1) + gain_t)/n seeded by the first change, via the
+    // same sorted-group iteration as emaExact. Oracle folds the identical
+    // arithmetic with list_reduce over per-prefix change lists — bit-exact,
+    // unrounded. First row per key has no change -> NULL.
+    QueryDef.sqlBacked(
+      "mkt_rsi_wilder",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |o AS (SELECT user_id,
+        |        list(value ORDER BY ts, event_id) AS xs,
+        |        list(event_id ORDER BY ts, event_id) AS ids
+        |      FROM e GROUP BY user_id),
+        |u AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, xs FROM o),
+        |c AS (SELECT user_id, event_id, i,
+        |        list_transform(range(2, i + 1), j ->
+        |          CASE WHEN xs[j] - xs[j-1] > 0 THEN xs[j] - xs[j-1] ELSE 0.0 END)
+        |          AS gains,
+        |        list_transform(range(2, i + 1), j ->
+        |          CASE WHEN xs[j] - xs[j-1] < 0 THEN -(xs[j] - xs[j-1]) ELSE 0.0 END)
+        |          AS losses
+        |      FROM u)
+        |SELECT event_id, user_id,
+        |  CASE WHEN i < 2 THEN NULL
+        |       WHEN list_reduce(losses, (acc, x) -> (acc * 13 + x) / 14) = 0 THEN 100.0
+        |       ELSE 100.0 - 100.0 /
+        |         (1.0 + list_reduce(gains, (acc, x) -> (acc * 13 + x) / 14)
+        |              / list_reduce(losses, (acc, x) -> (acc * 13 + x) / 14))
+        |  END AS rsi_wilder
+        |FROM c ORDER BY event_id""".stripMargin) { (s, d) =>
+      rsiWilder(s, Tables.events(s, d), n = 14)
+    },
+
     // Bollinger %B over a 20-row window: mean and sample stddev from exact
     // DECIMAL sums of x and x^2 (sum^2/n form) so both engines fold the
     // window identically; degenerate windows (n < 2 or zero spread) -> NULL.
@@ -441,6 +475,42 @@ object MarketOps {
         .orderBy(col("event_id"))
     }
   )
+
+  /** Wilder RSI per key: recursive avg gain/loss, each seeded by the first
+    * price change then folded as (acc·(n-1) + x)/n — the same per-key
+    * ordered-state shape as emaExact (one shuffle, streaming iteration).
+    */
+  def rsiWilder(s: SparkSession, events: DataFrame, n: Int): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"event_id") { case (_, rows) =>
+        var prev = Double.NaN
+        var g = Double.NaN
+        var l = Double.NaN
+        rows.map { case (uid, _, eid, x) =>
+          val rsi: Option[Double] =
+            if (prev.isNaN) None
+            else {
+              val change = x - prev
+              val gain = if (change > 0) change else 0.0
+              val loss = if (change < 0) -change else 0.0
+              if (g.isNaN) { g = gain; l = loss }
+              else {
+                g = (g * (n - 1) + gain) / n
+                l = (l * (n - 1) + loss) / n
+              }
+              Some(if (l == 0) 100.0 else 100.0 - 100.0 / (1.0 + g / l))
+            }
+          prev = x
+          (eid, uid, rsi)
+        }
+      }
+      .toDF("event_id", "user_id", "rsi_wilder")
+      .orderBy(col("event_id"))
+  }
 
   /** True recursive EMA per key: ema_0 = x_0; ema_t = α·x_t + (1-α)·ema_{t-1}.
     * flatMapSortedGroups gives each group's rows in (ts, event_id) order with

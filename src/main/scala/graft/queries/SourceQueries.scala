@@ -86,6 +86,36 @@ object SourceQueries {
           max(col("execution_date")).as("last_date"),
           sum(col("split_to")).cast(DoubleType).as("sum_to"))
         .orderBy(col("ticker"))
+    },
+
+    // Dividends endpoint scan — the third reference endpoint
+    // (polygon-etl-container/src/main.py:31), aggregated with exact-only
+    // functions (count, min/max on identically-derived doubles and date
+    // strings; no order-dependent double sums).
+    QueryDef.sqlBacked(
+      "mkt_source_dividends",
+      """SELECT ticker,
+        |  CAST(count(*) AS BIGINT) AS n_divs,
+        |  max(cash_amount) AS max_cash,
+        |  min(ex_dividend_date) AS first_ex,
+        |  max(pay_date) AS last_pay
+        |FROM (SELECT printf('T%04d', user_id) AS ticker,
+        |             value / 100.0 AS cash_amount,
+        |             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ex_dividend_date,
+        |             strftime(CAST(ts AS TIMESTAMP) + INTERVAL 2 DAY, '%Y-%m-%d')
+        |               AS pay_date
+        |      FROM events WHERE event_type = 'purchase')
+        |GROUP BY ticker
+        |ORDER BY ticker""".stripMargin) { (s, d) =>
+      val fix = PolygonFixtures.ensure(s, d)
+      s.read.format("polygon").option("path", fix)
+        .option("endpoint", "dividends").load()
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n_divs"),
+          max(col("cash_amount")).as("max_cash"),
+          min(col("ex_dividend_date")).as("first_ex"),
+          max(col("pay_date")).as("last_pay"))
+        .orderBy(col("ticker"))
     }
   )
 }
