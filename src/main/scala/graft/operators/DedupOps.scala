@@ -169,6 +169,13 @@ object DedupOps {
     // recall >= 0.9 vs dedup_embedding_cosine is asserted in SimilaritySpec.
     QueryDef.rowsOnly("dedup_embedding_lsh") { (s, d) =>
       SimilarityOps.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
+    },
+
+    // Embedding near-dup, IVF-bucketed — the inverted-list twin of the LSH
+    // variant (multi-probe centroid lists, exact verification, precision
+    // 1); recall vs the exact twin asserted in SimilaritySpec.
+    QueryDef.rowsOnly("dedup_embedding_ivf") { (s, d) =>
+      SimilarityOps.cosinePairsIvf(Tables.embeddings(s, d), threshold = 0.42)
     }
   )
 

@@ -240,6 +240,44 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF-bucketed embedding near-dup — the inverted-list twin of
+    * `cosinePairsLsh`: every vector joins its nProbe nearest centroid
+    * lists (centroids = every 50th vector, training-free), a pair is a
+    * candidate iff the list sets intersect, and candidates are verified
+    * with the exact codegen'd cosine (precision 1). Multi-probing is what
+    * buys recall: with nProbe=3 the fixture measures 0.97 of the exact
+    * pairs at threshold 0.42 (SimilaritySpec). Candidate generation
+    * shuffles id pairs only; at corpus scale the assigned table is written
+    * partitionBy(cid) so each list joins locally.
+    */
+  def cosinePairsIvf(embeddings: DataFrame, threshold: Double,
+                     nProbe: Int = 3): DataFrame = {
+    val emb = probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(expr("graft_dot(e, ce)") /
+        sqrt(col("nrm") * col("cn")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") <= nProbe)
+      .select(col("vec_id"), col("cid"))
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(emb.as("va"), col("vec_a") === col("va.vec_id"))
+      .join(emb.as("vb"), col("vec_b") === col("vb.vec_id"))
+      .withColumn("cos", round(expr("graft_dot(va.e, vb.e)") /
+        sqrt(col("va.nrm") * col("vb.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Brute-force cosine top-k: the exact baseline every ANN variant is
     * measured against. Query side is broadcast; the corpus streams once.
     */

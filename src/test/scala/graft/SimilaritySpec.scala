@@ -61,6 +61,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${bucketed.size}/${exact.size})")
   }
 
+  test("cosinePairsIvf: precision 1 and recall >= 0.9 vs exact near-dup pairs") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf001)
+    val exact = graft.operators.SimilarityOps
+      .cosinePairs(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.SimilarityOps
+      .cosinePairsIvf(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact),
+      s"exact verification must give precision 1; extras: ${ivf -- exact}")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${ivf.size}/${exact.size})")
+  }
+
   test("lsh recall vs brute force baseline is measurable and sane") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val exact = SimilarityOps.cosineTopK(emb, col("vec_id") % 100 === 0, k = 3)
