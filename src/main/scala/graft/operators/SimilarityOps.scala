@@ -39,6 +39,24 @@ object SimilarityOps {
   private def probeSide(df: DataFrame): DataFrame =
     withNorm(df).repartition(col("vec_id"))
 
+  /** Deterministic FIXED-k centroid sample for the IVF operators: vectors
+    * ranked by a multiplicative hash of vec_id (a uniform pseudo-random
+    * order both engines compute identically — `vec_id % 1000003` first so
+    * the product can't overflow BIGINT on either side), top k taken.
+    * Fixed k is the 100 TB contract: the assignment broadcast is O(k*dims)
+    * bytes and never grows with the corpus; `limit(k)` plans as
+    * TakeOrderedAndProject, so selection is one distributed pass.
+    * `centroidOrderSql` is the same rule for the DuckDB oracle twin.
+    */
+  private[operators] def centroids(emb: DataFrame, k: Int): DataFrame =
+    emb.orderBy(pmod((col("vec_id") % 1000003L) * 40503L, lit(65536L)),
+        col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+
+  private val centroidOrderSql =
+    "((vec_id % 1000003) * 40503) % 65536, vec_id"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for each query vector (vec_id % 100 = 0).
@@ -117,16 +135,19 @@ object SimilarityOps {
 
     // IVF-bucketed ANN — the other scale path: corpus assigned to its
     // nearest centroid once (inverted lists), queries probe only the
-    // nProbe nearest lists. Centroids are data-derived (every 50th vector),
-    // so the whole operator is oracle-expressible; assignment/probe/rank
-    // orderings all use 6-dp-rounded cosines on both sides to keep
-    // tie-breaks engine-independent.
+    // nProbe nearest lists. Centroids are a FIXED-k deterministic sample
+    // (hash-ordered top 32 — see `centroids`), so the whole operator is
+    // oracle-expressible AND the assignment broadcast stays constant-size
+    // at any corpus scale; assignment/probe/rank orderings all use
+    // 6-dp-rounded cosines on both sides to keep tie-breaks
+    // engine-independent.
     QueryDef.sqlBacked(
       "ann_ivf_topk",
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS cid, ed AS ce FROM e
+        |      ORDER BY $centroidOrderSql LIMIT 32),
         |assigned AS (
         |  SELECT e.vec_id, e.ed, c.cid
         |  FROM e CROSS JOIN c
@@ -211,12 +232,12 @@ object SimilarityOps {
     // self-join: Spark does not CSE across join branches, and without the
     // persist every candidate row would re-evaluate the plane projection
     // (the same trap DedupOps.shingleTable documents).
-    val coded = withNorm(embeddings)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        call_function("graft_band_codes", col("e"), typedlit(planeVecs),
-          lit(rowsPerBand)).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coded = graft.core.GraftCaches.acquire(
+      withNorm(embeddings)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("e"), col("nrm"),
+          call_function("graft_band_codes", col("e"), typedlit(planeVecs),
+            lit(rowsPerBand)).as("codes")))
     // candidate generation carries IDs only — the banded self-join and the
     // pair dedup shuffle 16-byte rows, never the embedding arrays
     val banded = coded.select(col("vec_id"),
@@ -242,20 +263,24 @@ object SimilarityOps {
 
   /** IVF-bucketed embedding near-dup — the inverted-list twin of
     * `cosinePairsLsh`: every vector joins its nProbe nearest centroid
-    * lists (centroids = every 50th vector, training-free), a pair is a
-    * candidate iff the list sets intersect, and candidates are verified
-    * with the exact codegen'd cosine (precision 1). Multi-probing is what
-    * buys recall: with nProbe=3 the fixture measures 0.97 of the exact
-    * pairs at threshold 0.42 (SimilaritySpec). Candidate generation
-    * shuffles id pairs only; at corpus scale the assigned table is written
-    * partitionBy(cid) so each list joins locally.
+    * lists, a pair is a candidate iff the list sets intersect, and
+    * candidates are verified with the exact codegen'd cosine (precision 1).
+    * Multi-probing is what buys recall: with nProbe=3 the fixture measures
+    * >= 0.9 of the exact pairs at threshold 0.42 (SimilaritySpec).
+    * Candidate generation shuffles id pairs only; at corpus scale the
+    * assigned table is written partitionBy(cid) so each list joins locally.
+    *
+    * 100 TB contract: `centroids` is a FIXED-k deterministic sample, so the
+    * broadcast assignment side is O(k * dims) bytes and the assignment pass
+    * O(n * k) compares regardless of corpus size (the round-2 `vec_id % 50`
+    * rule grew the centroid set — and the broadcast — linearly with n).
+    * Tune k toward sqrt(n / targetListSize) for a real corpus.
     */
   def cosinePairsIvf(embeddings: DataFrame, threshold: Double,
-                     nProbe: Int = 3): DataFrame = {
-    val emb = probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+                     nProbe: Int = 4, numCentroids: Int = 16): DataFrame = {
+    val emb = graft.core.GraftCaches.acquire(
+      probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm")))
+    val cents = centroids(emb, numCentroids)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(cents))
@@ -339,14 +364,17 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: deterministic "training-free" centroids (every
-    * 50th vector), one broadcast assignment pass over the corpus, probe the
+  /** IVF (inverted-file) ANN: deterministic "training-free" FIXED-k sampled
+    * centroids (see `centroids` — constant-size broadcast at any corpus
+    * scale), one broadcast assignment pass over the corpus, probe the
     * nProbe nearest inverted lists per query, exact cosine within them.
     */
-  def annIvfTopK(embeddings: DataFrame, nProbe: Int, k: Int): DataFrame = {
+  def annIvfTopK(embeddings: DataFrame, nProbe: Int, k: Int,
+                 numCentroids: Int = 32): DataFrame = {
     val emb = probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm"))
-    val cents = withNorm(embeddings).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val cents = centroids(
+      withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm")),
+      numCentroids)
     // rounded: assignment/probe tie-breaks must not depend on last-ulp
     // differences between this dot/sqrt form and an oracle's norm product
     def centCos(qe: String, qn: String) =

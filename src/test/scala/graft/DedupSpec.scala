@@ -63,4 +63,21 @@ class DedupSpec extends AnyFunSuite {
     assert(jacs.nonEmpty, "no near-dups found in fixture corpus (dups are planted)")
     assert(jacs.forall(_ >= 0.5))
   }
+
+  test("operator persists are graft-owned: releaseAll empties the cache manager") {
+    // clean slate so caches left by sibling suites don't mask the assertion;
+    // the run under test itself never calls clearCache
+    spark.catalog.clearCache()
+    DedupOps.minhashLsh(Tables.documents(spark, TestSpark.Sf0001), threshold = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    graft.operators.SimilarityOps
+      .cosinePairsIvf(Tables.embeddings(spark, TestSpark.Sf0001), threshold = 0.42)
+      .write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "expected graft-owned persists to be registered while queries run")
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graft-owned persists leaked past GraftCaches.releaseAll")
+    assert(graft.core.GraftCaches.registered(spark) == 0)
+  }
 }

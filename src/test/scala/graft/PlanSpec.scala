@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi join on the band buckets:\n$p")
   }
 
+  test("ivf: centroid selection is constant-k TakeOrdered feeding a broadcast") {
+    // the 100 TB contract for IVF: the assignment side must be a fixed-k
+    // sample (TakeOrderedAndProject — never grows with the corpus) and the
+    // assignment join must broadcast it
+    Seq("ann_ivf_topk", "dedup_embedding_ivf").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: centroid selection is not a constant-k TakeOrdered:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$q: centroids not broadcast for assignment:\n$p")
+    }
+  }
+
   test("no query plans a cartesian product (cross joins are broadcast by design)") {
     SparkEntry.allDefs.foreach { q =>
       val p = q.build(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
