@@ -83,9 +83,24 @@ object Backfill {
     // silver→gold: 5-minute resample of the finest granularity (O-A7), via
     // the shared OHLC refold; vw re-derived from the volume-weighted sum.
     // Coarser source granularities are already bars — resampling them into
-    // 5m buckets would double-count, so gold reads minute series only.
-    val silver = spark.read.parquet(s"$warehouse/silver/bars")
-      .filter(col("timespan") === "minute" && col("multiplier") === 1)
+    // 5m buckets would double-count, so gold reads ONE granularity: the
+    // finest actually present in silver (not a hardcoded minute--1, which
+    // would yield a silently empty gold table on e.g. a 5-minute-only tree).
+    // Finest = smallest bar span in seconds; the tiny distinct set is a
+    // driver-side scalar, same as latestSnapshot's max.
+    val silverAll = spark.read.parquet(s"$warehouse/silver/bars")
+    val unitSec = typedLit(Map("second" -> 1L, "minute" -> 60L,
+      "hour" -> 3600L, "day" -> 86400L, "week" -> 604800L,
+      "month" -> 2592000L, "quarter" -> 7776000L, "year" -> 31536000L))
+    val finest = silverAll.select("timespan", "multiplier").distinct()
+      .withColumn("span",
+        coalesce(element_at(unitSec, col("timespan")), lit(Long.MaxValue))
+          * col("multiplier"))
+      .orderBy("span").limit(1).collect()
+    require(finest.nonEmpty, s"no bar series in $warehouse/silver/bars")
+    val (fTs, fMul) = (finest(0).getString(0), finest(0).getInt(1))
+    val silver = silverAll
+      .filter(col("timespan") === fTs && col("multiplier") === fMul)
       .withColumn("vwv", col("vw") * col("v"))
     val bars5m = graft.operators.MarketOps.refoldBars(silver, "5 minutes",
         keys = Seq("ticker", "adjusted"), timeCol = "datetime",

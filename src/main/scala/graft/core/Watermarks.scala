@@ -52,15 +52,26 @@ object Watermarks {
     */
   def filterNew(incoming: DataFrame, wm: DataFrame): DataFrame = {
     val keys = keyCols(wm)
-    val missing = keys.filterNot(incoming.columns.contains)
-    require(missing.isEmpty,
-      s"incoming batch lacks watermark key column(s) ${missing.mkString(", ")} " +
-        s"(table is keyed by ${keys.mkString(", ")})")
+    requireSameKeyShape(keyCols(incoming), keys)
     incoming.join(broadcast(wm.select((keys :+ "max_t").map(col): _*)),
         keys, "left")
       .filter(col("max_t").isNull || col("t") > col("max_t"))
       .drop("max_t")
   }
+
+  /** Key shapes must match EXACTLY in both directions: a full
+    * (ticker,timespan,multiplier,adjusted) batch against a legacy
+    * (ticker,adjusted) table would silently group on the narrow key and
+    * collapse per-granularity watermarks to the max across series — rows of
+    * slower-ingesting granularities would then be dropped as "already seen".
+    * The opposite mismatch (narrow batch, full table) already failed loudly;
+    * this makes both directions loud.
+    */
+  private def requireSameKeyShape(batchKeys: Seq[String], tableKeys: Seq[String]): Unit =
+    require(batchKeys == tableKeys,
+      s"batch series-key columns (${batchKeys.mkString(", ")}) must exactly match " +
+        s"the watermark table's key (${tableKeys.mkString(", ")}); a narrower batch " +
+        "would duplicate rows, a wider one would collapse per-granularity watermarks")
 
   /** Advance watermarks with the batch's per-series max t (full-outer merge,
     * monotone: never moves backward).
@@ -72,6 +83,7 @@ object Watermarks {
     // key shape is pinned by the existing table; a fresh warehouse takes it
     // from the first advanced batch
     val keys = if (hasTable) keyCols(existing) else keyCols(batch)
+    if (hasTable) requireSameKeyShape(keyCols(batch), keys)
     val newWm = batch.groupBy(keys.map(col): _*)
       .agg(max(col("t")).as("batch_max"))
     val merged =
@@ -100,11 +112,22 @@ object Watermarks {
     // promoted: _bak is only displaced when main is present to displace it,
     // and only deleted after the promotion — so a crash recovering FROM a
     // stranded _bak (main absent) cannot drop the last readable copy
+    // Hadoop FileSystem.rename signals failure by RETURNING FALSE (common on
+    // object stores) — every step checks the result and aborts loudly, so a
+    // failed promotion can never reach the _bak cleanup and destroy the last
+    // readable copy (read() would then see an empty table and filterNew would
+    // re-admit already-ingested rows).
     if (fs.exists(main)) {
-      if (fs.exists(bak)) fs.delete(bak, true)
-      fs.rename(main, bak)
+      if (fs.exists(bak) && !fs.delete(bak, true))
+        throw new java.io.IOException(s"watermark swap: failed to clear stale $bak")
+      if (!fs.rename(main, bak))
+        throw new java.io.IOException(s"watermark swap: rename($main, $bak) returned false")
     }
-    fs.rename(tmp, main)
-    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(tmp, main))
+      throw new java.io.IOException(
+        s"watermark swap: rename($tmp, $main) returned false; previous table intact at $bak")
+    // only drop _bak once the promoted main is verifiably in place
+    if (fs.exists(main) && fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"watermark swap: failed to delete $bak after promotion")
   }
 }

@@ -162,8 +162,15 @@ object PolygonSource {
   def recordBoundary(path: String, series: String, endPage: Int, t: Long): Unit =
     boundaryCache.put((path, series, endPage), t)
 
+  /** Consume-once: each recorded boundary serves exactly the one successor
+    * micro-batch that resumes at that page, so a hit removes the entry —
+    * bounding the map at one live entry per in-flight series instead of one
+    * per (series × batch) forever (a long-running streaming executor would
+    * otherwise leak without bound). A re-read after failure misses and falls
+    * back to the boundary-page refetch, which is correctness-neutral.
+    */
   def lookupBoundary(path: String, series: String, fromPage: Int): Option[Long] =
-    Option(boundaryCache.get((path, series, fromPage)))
+    Option(boundaryCache.remove((path, series, fromPage)))
 
   /** Per-JVM token bucket: time of the earliest next allowed request. */
   private val nextAllowed = new AtomicLong(0L)
@@ -279,23 +286,35 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
     while (true) {
       var code = -1
       var retryAfter: Option[Long] = None
+      var conn: java.net.HttpURLConnection = null
       try {
-        val conn = java.net.URI.create(cursor).toURL.openConnection()
+        conn = java.net.URI.create(cursor).toURL.openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(15000)
         code = conn.getResponseCode
         if (code == 200) {
-          val node = mapper.readTree(conn.getInputStream)
+          // fully read + close the body (NOT disconnect): a drained, closed
+          // stream returns the socket to the keep-alive pool for the next
+          // page; leaving it open under repeated fetches exhausts sockets
+          val in = conn.getInputStream
+          val node = try mapper.readTree(in) finally in.close()
+          conn = null // success: keep the pooled connection alive
           val (results, nextRaw) = PageJson.parse(node, cursor)
           val next = nextRaw.map(n => java.net.URI.create(cursor).resolve(n).toString)
           return Page(PageJson.bars(results), next)
         }
         retryAfter = Option(conn.getHeaderField("Retry-After"))
           .flatMap(_.toLongOption).map(_ * 1000L)
-        conn.disconnect()
+        // drain+close the error body so the connection can be reused
+        Option(conn.getErrorStream).foreach { es =>
+          try { while (es.read() != -1) () } catch { case _: java.io.IOException => }
+          es.close()
+        }
       } catch {
         case _: java.io.IOException => code = -1 // connection-level failure
+      } finally {
+        if (conn != null) conn.disconnect()
       }
       val retryable = code == -1 || code == 429 || code >= 500
       if (!retryable)
@@ -304,8 +323,9 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
       if (attempt > maxRetries)
         throw new IllegalStateException(
           s"polygon HTTP $code at $cursor after $maxRetries retries")
-      // 429 honors the server's Retry-After; otherwise exponential backoff
-      Thread.sleep(retryAfter.getOrElse(backoffMs << (attempt - 1)))
+      // 429 honors the server's Retry-After; otherwise exponential backoff,
+      // shift capped so a large maxRetries can't overflow to a negative sleep
+      Thread.sleep(retryAfter.getOrElse(backoffMs << math.min(attempt - 1, 16)))
     }
     throw new IllegalStateException("unreachable")
   }

@@ -261,4 +261,15 @@ class PolygonSourceSpec extends AnyFunSuite {
     assert(ts == Seq(10L, 20L, 30L, 40L),
       s"boundary duplicate must be dropped by the reader, got $ts")
   }
+
+  test("boundary cache is consume-once: a hit removes the entry (no unbounded growth)") {
+    // ADVICE r2: the per-JVM boundary map grew one entry per (series × batch)
+    // forever on a long-running streaming executor. Each entry serves exactly
+    // one successor micro-batch, so lookup consumes it.
+    graft.sources.PolygonSource.recordBoundary("/cache-test", "T|minute|1|adjusted", 3, 42L)
+    assert(graft.sources.PolygonSource.lookupBoundary("/cache-test", "T|minute|1|adjusted", 3)
+      .contains(42L))
+    assert(graft.sources.PolygonSource.lookupBoundary("/cache-test", "T|minute|1|adjusted", 3)
+      .isEmpty, "second lookup must miss: the entry was consumed")
+  }
 }

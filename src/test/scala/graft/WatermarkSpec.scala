@@ -72,6 +72,26 @@ class WatermarkSpec extends AnyFunSuite {
       s"mismatch must name the missing key columns: ${e.getMessage}")
   }
 
+  test("wide batch against a legacy-keyed table fails loudly in both advance and filterNew") {
+    // ADVICE r2: the opposite of the missing-key case — a full
+    // (ticker,timespan,multiplier,adjusted) batch advanced against a legacy
+    // (ticker,adjusted) table used to silently groupBy the narrow key,
+    // collapsing per-granularity watermarks to the cross-series max, after
+    // which filterNew silently DROPPED rows of slower-ingesting granularities.
+    val wh = Files.createTempDirectory("wm-wide").toString
+    val legacy = Seq(("AAPL", true, 500L)).toDF("ticker", "adjusted", "t")
+    Watermarks.advance(spark, wh, legacy)
+    val wm = Watermarks.read(spark, wh)
+    val wide = Seq(("AAPL", "minute", 1, true, 600L), ("AAPL", "hour", 1, true, 100L))
+      .toDF("ticker", "timespan", "multiplier", "adjusted", "t")
+    val eAdv = intercept[IllegalArgumentException] { Watermarks.advance(spark, wh, wide) }
+    assert(eAdv.getMessage.contains("timespan"),
+      s"advance mismatch must name the extra key columns: ${eAdv.getMessage}")
+    val eFil = intercept[IllegalArgumentException] { Watermarks.filterNew(wide, wm) }
+    assert(eFil.getMessage.contains("timespan"),
+      s"filterNew mismatch must name the extra key columns: ${eFil.getMessage}")
+  }
+
   test("advance leaves exactly one _watermarks dir: no _tmp/_bak survivors") {
     val wh = Files.createTempDirectory("wm-clean").toString
     val b = Seq(("AAPL", true, 100L)).toDF("ticker", "adjusted", "t")
