@@ -88,6 +88,41 @@ object SourceQueries {
         .orderBy(col("ticker"))
     },
 
+    // Latest-k-bars-per-series THROUGH the source (O-S1 + O-T1): the
+    // protocol is server-ordered (sort=asc at aggregates_stocks_etl.py:49),
+    // so ORDER BY t DESC LIMIT k pushes into the scan as a TAIL read —
+    // each single-series branch is a fully-pushed TopN (no Sort in its
+    // plan, PlanSpec-locked) whose reader fetches O(k/pageSize) tail pages
+    // instead of the whole chain; on a year-deep series that is 2 fetches
+    // vs ~10^5. The outer ORDER BY re-sorts only the 2k result rows for
+    // deterministic output.
+    QueryDef.sqlBacked(
+      "mkt_source_topk",
+      """WITH b AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+        |         arg_min(value, event_id) AS value,
+        |         arg_min(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1,
+        |                 event_id) AS vol
+        |  FROM events WHERE user_id IN (0, 1)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT printf('T%04d', user_id) AS ticker, t,
+        |         value AS o, value + 1.0 AS h, value - 1.0 AS l, value AS c,
+        |         CAST(vol AS DOUBLE) AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn
+        |  FROM b)
+        |SELECT ticker, t, o, h, l, c, v FROM r WHERE rn <= 5
+        |ORDER BY ticker, t DESC""".stripMargin) { (s, d) =>
+      val fix = PolygonFixtures.ensure(s, d)
+      def latest(tk: String) = s.read.format("polygon").option("path", fix).load()
+        .filter(col("ticker") === tk && col("timespan") === "minute" &&
+          col("multiplier") === 1 && col("adjusted") === true)
+        .orderBy(col("t").desc).limit(5)
+        .select("ticker", "t", "o", "h", "l", "c", "v")
+      latest("T0000").unionAll(latest("T0001"))
+        .orderBy(col("ticker"), col("t").desc)
+    },
+
     // Dividends endpoint scan — the third reference endpoint
     // (polygon-etl-container/src/main.py:31), aggregated with exact-only
     // functions (count, min/max on identically-derived doubles and date

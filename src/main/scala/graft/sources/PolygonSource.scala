@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
@@ -232,6 +232,11 @@ trait PageFetcher extends Serializable {
   def cursorAt(key: SeriesKey, idx: Int): Option[String]
   def firstCursor(key: SeriesKey): Option[String] = cursorAt(key, 0)
   def fetch(cursor: String): Page
+  /** Number of pages in a series' chain, when the transport can list it
+    * (file layout). None for cursor-only transports (http) — a tail scan
+    * (ORDER BY t DESC LIMIT k pushdown) needs this to start from the end.
+    */
+  def chainLength(key: SeriesKey): Option[Int] = None
 }
 
 /** Response-shape parsing shared by every transport. */
@@ -356,6 +361,8 @@ final class FilePageFetcher(root: String) extends PageFetcher {
 
   def pageCount(key: SeriesKey): Int = pages(key).size
 
+  override def chainLength(key: SeriesKey): Option[Int] = Some(pageCount(key))
+
   override def cursorAt(key: SeriesKey, idx: Int): Option[String] =
     pages(key).drop(idx).headOption
 
@@ -404,7 +411,8 @@ class PolygonTable(options: CaseInsensitiveStringMap)
 }
 
 class PolygonScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var tickerFilter: Option[Set[String]] = None
   private var timespanFilter: Option[Set[String]] = None
@@ -413,6 +421,7 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
   private var tFromExcl: Option[Long] = None // strict lower bound (watermark)
   private var tToIncl: Option[Long] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None // (descending, k)
   private var pushed: Array[Filter] = Array.empty
 
   private def intersect[T](cur: Option[Set[T]], vs: Set[T]): Option[Set[T]] =
@@ -466,14 +475,52 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
-  override def build(): Scan = new PolygonScan(
+  /** ORDER BY t [ASC|DESC] LIMIT k pushdown (O-S1/O-T1): the protocol is
+    * server-ordered — every reference fetch carries sort=asc
+    * (polygon-etl-container/src/aggregates_stocks_etl.py:49,
+    * old_source/old_source_op.py:17,59) — so the scan can satisfy a
+    * t-ordered top-k itself. ASC: each partition already emits ascending,
+    * so the first k rows per series ARE its top-k (the existing limit stop).
+    * DESC ("latest k bars"): the reader walks the page chain BACKWARD from
+    * the tail, fetching O(k/pageSize) pages instead of the whole chain —
+    * on a year-deep series that's the difference between 2 page fetches
+    * and ~10^5. DESC needs a listable chain (file layout); the cursor-only
+    * http transport keeps its Sort.
+    *
+    * Fully pushed (Spark drops Sort AND Limit) only when the filters pin
+    * exactly ONE series: a single partition's ordered output is the global
+    * answer. With several series each partition returns its own top-k and
+    * Spark's TakeOrderedAndProject merges — still the 100 TB-correct shape
+    * (k rows per series cross the shuffle, not the chains).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    if (orders.length != 1) return false
+    val o = orders(0)
+    val onT = o.expression() match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames().length == 1 && n.fieldNames()(0).equalsIgnoreCase("t")
+      case _ => false
+    }
+    if (!onT) return false
+    val desc = o.direction() == SortDirection.DESCENDING
+    if (desc && options.get("baseUrl") != null) return false // no backward walk
+    topN = Some((desc, l))
+    if (!desc) limit = Some(limit.fold(l)(math.min(_, l)))
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = buildScan().series.length != 1
+
+  private def buildScan(): PolygonScan = new PolygonScan(
     PolygonSource.fetcherConf(options),
     Option(options.get("tickers")).map(_.split(",").map(_.trim).toSet),
     Option(options.get("series")).map(_.split(",").map(_.trim).toSeq),
     tickerFilter, timespanFilter, multiplierFilter, adjustedFilter,
-    tFromExcl, tToIncl, limit,
+    tFromExcl, tToIncl, limit, topN,
     Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L),
     pushed)
+
+  override def build(): Scan = buildScan()
 }
 
 final case class SeriesPartition(key: SeriesKey, fromPage: Int, toPage: Int)
@@ -487,14 +534,18 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
                   multiplierFilter: Option[Set[Int]],
                   adjustedFilter: Option[Boolean],
                   tFromExcl: Option[Long], tToIncl: Option[Long],
-                  limit: Option[Int], rateLimitMs: Long,
+                  limit: Option[Int], topN: Option[(Boolean, Int)],
+                  rateLimitMs: Long,
                   pushed: Array[Filter]) extends Scan {
 
   override def readSchema(): StructType = PolygonSource.schema
 
   override def description(): String =
     s"PolygonScan path=${conf.path} PushedFilters=[${pushed.mkString(", ")}] " +
-      s"limit=${limit.getOrElse(-1)}"
+      s"limit=${limit.getOrElse(-1)}" +
+      topN.fold("") { case (desc, k) =>
+        s" PushedTopN=[t ${if (desc) "DESC" else "ASC"}, $k]"
+      }
 
   private[sources] def series: Seq[SeriesKey] = {
     // file mode discovers series from the page tree; http mode has no
@@ -530,7 +581,8 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
     override def planInputPartitions(): Array[InputPartition] =
       series.map(k => SeriesPartition(k, 0, Int.MaxValue)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolygonReaderFactory(conf, tFromExcl, tToIncl, limit, rateLimitMs)
+      new PolygonReaderFactory(conf, tFromExcl, tToIncl, limit, rateLimitMs,
+        topNDesc = topN.collect { case (true, k) => k })
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -540,11 +592,17 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
 class PolygonReaderFactory(conf: PolygonSource.FetcherConf,
                            tFromExcl: Option[Long],
                            tToIncl: Option[Long], limit: Option[Int],
-                           rateLimitMs: Long) extends PartitionReaderFactory {
+                           rateLimitMs: Long,
+                           topNDesc: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeriesPartition]
-    new PolygonPartitionReader(PolygonSource.fetcherFor(conf), sp,
-      tFromExcl, tToIncl, limit, rateLimitMs, cachePath = conf.path)
+    topNDesc match {
+      case Some(k) => new PolygonTailReader(PolygonSource.fetcherFor(conf), sp,
+        tFromExcl, tToIncl, k, rateLimitMs)
+      case None => new PolygonPartitionReader(PolygonSource.fetcherFor(conf), sp,
+        tFromExcl, tToIncl, limit, rateLimitMs, cachePath = conf.path)
+    }
   }
 }
 
@@ -639,6 +697,61 @@ class PolygonPartitionReader(fetcher: PageFetcher, part: SeriesPartition,
     if (part.toPage != Int.MaxValue)
       PolygonSource.recordBoundary(cachePath, part.key.offsetKey,
         part.fromPage + pagesRead, lastT)
+}
+
+/** Tail reader for a pushed ORDER BY t DESC LIMIT k: walks the series' page
+  * chain BACKWARD from the last page, collecting in-range rows until k are
+  * on hand, then emits the k largest in descending t — O(k/pageSize + 1)
+  * page fetches instead of the whole chain. The protocol's page-boundary
+  * overlap (each page re-serves its predecessor's last bar) is absorbed by
+  * the strictly-ascending-t invariant: walking backward, any row with
+  * t >= the smallest t already seen is a duplicate.
+  */
+class PolygonTailReader(fetcher: PageFetcher, part: SeriesPartition,
+                        tFromExcl: Option[Long], tToIncl: Option[Long],
+                        k: Int, rateLimitMs: Long)
+    extends PartitionReader[InternalRow] {
+
+  private val tickerUtf = UTF8String.fromString(part.key.ticker)
+  private val timespanUtf = UTF8String.fromString(part.key.timespan)
+  private var current: Bar0 = _
+
+  private val rows: Iterator[Bar0] = {
+    val nPages = fetcher.chainLength(part.key).getOrElse(
+      throw new IllegalStateException(
+        "tail scan needs a listable page chain (file layout)"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Bar0]
+    var seenMin = Long.MaxValue
+    var page = nPages - 1
+    while (page >= 0 && collected.length < k) {
+      fetcher.cursorAt(part.key, page).foreach { c =>
+        PolygonSource.rateLimit(rateLimitMs)
+        // the duplicate threshold is the min t of LATER pages (this page's
+        // own rows ascend, so testing against a running min would drop
+        // everything after its first row); out-of-range rows also drop
+        val threshold = seenMin
+        fetcher.fetch(c).results.foreach { b =>
+          if (b.t < threshold) {
+            if (b.t < seenMin) seenMin = b.t
+            if (tFromExcl.forall(b.t > _) && tToIncl.forall(b.t <= _))
+              collected += b
+          }
+        }
+      }
+      page -= 1
+    }
+    collected.sortBy(-_.t).take(k).iterator
+  }
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = InternalRow(
+    tickerUtf, current.t, current.o, current.h, current.l, current.c,
+    current.v, current.vw, current.n, part.key.adjusted,
+    timespanUtf, part.key.multiplier)
+
+  override def close(): Unit = ()
 }
 
 /** Streaming form: offsets are per-series page counts — each trigger reads

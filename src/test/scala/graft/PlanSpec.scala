@@ -59,6 +59,29 @@ class PlanSpec extends AnyFunSuite {
       s"dim market pushdown not visible:\n$p")
   }
 
+  test("mkt_source_topk: single-series ORDER BY t DESC LIMIT k fully pushes — no Sort above the scan") {
+    import org.apache.spark.sql.functions.col
+    val fix = graft.sources.PolygonFixtures.ensure(spark, TestSpark.Sf0001)
+    val one = spark.read.format("polygon").option("path", fix).load()
+      .filter(col("ticker") === "T0000" && col("timespan") === "minute" &&
+        col("multiplier") === 1 && col("adjusted") === true)
+      .orderBy(col("t").desc).limit(5)
+    val p1 = one.queryExecution.executedPlan.toString
+    assert(p1.contains("PushedTopN=[t DESC, 5]"), s"TopN not pushed:\n$p1")
+    assert(!p1.contains("Sort") && !p1.contains("TakeOrdered"),
+      s"fully-pushed TopN must leave no Sort above the scan:\n$p1")
+    // the declared query: each union branch fully pushed; the only Sort is
+    // the presentation ORDER BY over the 2k result rows
+    val p = plan("mkt_source_topk")
+    assert(p.contains("PushedTopN=[t DESC, 5]"), s"TopN not pushed in declared query:\n$p")
+    // multi-series partial push: Spark keeps the top-k merge, scan still tails
+    val many = spark.read.format("polygon").option("path", fix).load()
+      .filter(col("timespan") === "minute").orderBy(col("t").desc).limit(7)
+    val pMany = many.queryExecution.executedPlan.toString
+    assert(pMany.contains("TakeOrderedAndProject") && pMany.contains("PushedTopN=[t DESC, 7]"),
+      s"partial TopN push must keep the merge and tail the scan:\n$pMany")
+  }
+
   test("dedup_embedding_lsh: candidate generation is a hash join on (band, code), not all-pairs") {
     val p = SparkEntry.queries("dedup_embedding_lsh")(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString

@@ -262,6 +262,25 @@ class PolygonSourceSpec extends AnyFunSuite {
       s"boundary duplicate must be dropped by the reader, got $ts")
   }
 
+  test("tail scan (pushed ORDER BY t DESC LIMIT k) dedups page-boundary overlap") {
+    val root = Files.createTempDirectory("polygon-tail")
+    // pages with the protocol's by-design overlap: page-0001 re-serves t=20
+    Files.createDirectories(root.resolve("TAIL/adjusted"))
+    Files.writeString(root.resolve("TAIL/adjusted/page-0000.json"),
+      page(Seq(10L, 20L), Some("page-0001.json")))
+    Files.writeString(root.resolve("TAIL/adjusted/page-0001.json"),
+      page(Seq(20L, 30L, 40L), None))
+    def scan = spark.read.format("polygon").option("path", root.toString).load()
+      .filter(org.apache.spark.sql.functions.col("ticker") === "TAIL")
+    val top2 = scan.orderBy(org.apache.spark.sql.functions.col("t").desc).limit(2)
+      .select("t").as[Long].collect().toSeq
+    assert(top2 == Seq(40L, 30L), s"tail-2 wrong: $top2")
+    // k spans the overlap row AND the previous page: t=20 must appear once
+    val top4 = scan.orderBy(org.apache.spark.sql.functions.col("t").desc).limit(4)
+      .select("t").as[Long].collect().toSeq
+    assert(top4 == Seq(40L, 30L, 20L, 10L), s"overlap row duplicated or lost: $top4")
+  }
+
   test("boundary cache is consume-once: a hit removes the entry (no unbounded growth)") {
     // ADVICE r2: the per-JVM boundary map grew one entry per (series × batch)
     // forever on a long-running streaming executor. Each entry serves exactly
