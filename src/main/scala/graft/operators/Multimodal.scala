@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: media payloads ride as opaque `binary` columns with
   * typed metadata; decode / feature-extract run per partition in batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * binary column handling, partition-batched extraction shape, output
-  * schema) is real and tested. At scale the binary column is read from
+  * Image payloads decode/resize for REAL via javax.imageio (PNG/BMP/GIF/
+  * JPEG ship in the JDK); payloads no JDK reader recognizes (audio/video —
+  * ffmpeg is not in this container) fall back to the clearly-marked
+  * deterministic `decodeStub`/`resizeStub`, keeping the Spark-side plumbing
+  * (schema, binary column handling, partition-batched extraction shape)
+  * identical on both paths. At scale the binary column is read from
   * parquet/`binaryFile` sources with `spark.sql.files.maxPartitionBytes`
   * sized so a partition of payloads fits executor memory; extraction is a
   * narrow per-partition map (no shuffle).
@@ -33,8 +35,8 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("checksum", LongType)))
 
-  /** STUB decoder: a real deployment would decode image/audio here (e.g.
-    * javax.imageio / ffmpeg behind the same signature). Deterministic fake:
+  /** STUB decoder: the no-codec fallback for payloads the JDK cannot parse
+    * (audio/video — ffmpeg is not in this container). Deterministic fake:
     * dimensions derived from payload length, checksum from bytes.
     */
   def decodeStub(content: Array[Byte]): (Int, Int, Long) = {
@@ -43,6 +45,30 @@ object Multimodal {
     while (i < content.length) { sum = sum * 31 + (content(i) & 0xff); i += 1 }
     (640 + (content.length % 640), 360 + (content.length % 360), sum)
   }
+
+  // avoid per-task tmp-file churn from ImageIO's disk cache on executors
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode via javax.imageio (in the JDK — PNG/BMP/GIF/JPEG/
+    * WBMP, no external codecs): header-only width/height read through the
+    * format's ImageReader, so feature extraction never materializes pixel
+    * buffers. None for payloads no JDK reader recognizes → decodeStub.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int)] =
+    if (content.length < 8) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None } // corrupt header → fallback
 
   /** Partition-batched feature extraction over a media DataFrame — the
     * mapInPandas-shaped stage: iterate rows inside a partition, decode each
@@ -57,17 +83,42 @@ object Multimodal {
           if (content == null) // missing payload → null features, not an NPE
             Row(r.getLong(0), r.getString(1), null, null, null, null)
           else {
-            val (w, h, sum) = decodeStub(content)
+            val (sw, sh, sum) = decodeStub(content)
+            // real dimensions when the JDK can parse the payload; the
+            // deterministic stub dims otherwise (checksum is bytes either way)
+            val (w, h) = decodeImage(content).getOrElse((sw, sh))
             Row(r.getLong(0), r.getString(1), content.length.toLong, w, h, sum)
           }
         }
       }(enc)
   }
 
-  /** STUB resize: a real deployment decodes, scales, re-encodes (javax.
-    * imageio / libvips behind the same signature). Deterministic fake: the
-    * payload is resampled by striding so output size tracks the target
-    * dimensions; null-safe like decodeStub.
+  /** REAL image resize for JDK-decodable payloads: decode, bilinear-scale
+    * on a BufferedImage, re-encode PNG — all in javax.imageio/java.awt
+    * (headless-safe). None when no reader recognizes the payload.
+    */
+  def resizeImage(content: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB resize: the no-codec fallback (the payload is resampled by
+    * striding so output size tracks the target dimensions); null-safe like
+    * decodeStub.
     */
   def resizeStub(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val targetLen = math.max(1, (targetW.toLong * targetH / 1024).toInt)
@@ -99,7 +150,8 @@ object Multimodal {
           val content = r.getAs[Array[Byte]]("content")
           if (content == null) Row(r.getLong(0), targetW, targetH, null)
           else Row(r.getLong(0), targetW, targetH,
-            resizeStub(content, targetW, targetH))
+            resizeImage(content, targetW, targetH)
+              .getOrElse(resizeStub(content, targetW, targetH)))
         }
       }(enc)
   }

@@ -52,6 +52,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real decode: a PNG payload yields its true dimensions, non-image falls back to stub") {
+    val png = pngBytes(123, 45)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", png, "s3://x/1.png"),
+        Row(2L, "audio", "not-an-image".getBytes("UTF-8"), "s3://x/2")), 2),
+      Multimodal.mediaSchema)
+    val byId = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(3) == 123 && byId(1L).getInt(4) == 45,
+      "javax.imageio must read the PNG header's true dimensions")
+    val (sw, sh, _) = Multimodal.decodeStub("not-an-image".getBytes("UTF-8"))
+    assert(byId(2L).getInt(3) == sw && byId(2L).getInt(4) == sh,
+      "undecodable payload must take the labeled stub path")
+  }
+
+  test("real resize: PNG payload re-encodes at target dimensions and stays decodable") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "image", pngBytes(100, 80), "s"))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeMedia(media, targetW = 32, targetH = 16).collect()(0)
+    val resized = out.getAs[Array[Byte]]("content")
+    val dims = Multimodal.decodeImage(resized)
+    assert(dims.contains((32, 16)),
+      s"resized payload must be a real 32x16 image, decoded $dims")
+  }
+
   test("frame sampling: every step-th fixed-size frame, short tail kept") {
     val payload = Array.tabulate(1000)(i => (i % 251).toByte) // 4 frames of 256
     val media = Seq((1L, payload)).toDF("media_id", "content")
