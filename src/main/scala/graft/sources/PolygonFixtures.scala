@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -24,9 +25,18 @@ import org.apache.spark.sql.functions._
   *   splits      = signup events;  dividends = purchase events
   *
   * The tree carries TWO granularities per ticker — minute--1--adjusted (the
-  * per-event bars) and hour--1--adjusted (driver-side 1h refold) — so a
-  * timespan pushdown provably prunes; the hour series content never enters
-  * an oracle-checked query.
+  * per-event bars) and hour--1--adjusted (1h refold) — so a timespan
+  * pushdown provably prunes; the hour series content never enters an
+  * oracle-checked query.
+  *
+  * Generation is EXECUTOR-SIDE (no driver materialization): bar series
+  * write from a foreachPartition after a hash repartition on user_id (each
+  * task holds only its users' events), dimension pages from a
+  * zipWithIndex-paged RDD partitioned by page number — so the build scales
+  * with the cluster instead of the driver's heap. The root must be a
+  * filesystem every executor can reach (java.io.tmpdir in this local[32]
+  * harness; a shared mount on a real cluster). Page bytes are identical to
+  * the former driver-side writer, so oracle hashes are unchanged.
   *
   * The build is cached per scale-factor dir under java.io.tmpdir and keyed
   * by the events row count, so Verify/Bench pay it once.
@@ -48,55 +58,65 @@ object PolygonFixtures {
         new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp)
       return root.toString
 
-    // single bounded driver-side materialization: this writes a fixture
-    // (harness work), it is not a query plan; ~100k rows at sf0.1
-    val evs = events
-      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t"),
-        col("value"),
-        (get_json_object(col("props"), "$.k").cast("long") + 1).as("vol"),
-        col("event_type"))
-      .collect()
-      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getLong(4), r.getString(5)))
-
     deleteRecursively(root)
     Files.createDirectories(root)
+    val rootStr = root.toString
 
-    val byUser = evs.groupBy(_.userId).toSeq.sortBy(_._1)
-    byUser.foreach { case (uid, rows0) =>
-      val ticker = f"T$uid%04d"
-      // first-by-event_id per ms timestamp, then ascending t (sort=asc)
-      val bars = rows0.groupBy(_.t).map { case (_, g) => g.minBy(_.eventId) }
-        .toSeq.sortBy(_.t)
-      writeBarSeries(root.resolve(ticker).resolve("minute--1--adjusted"),
-        bars, pageSize = 50, overlap = true)
-      writeBarSeries(root.resolve(ticker).resolve("hour--1--adjusted"),
-        refoldHour(bars), pageSize = 1000, overlap = false)
+    val ev = events.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("t"), col("value"),
+      (get_json_object(col("props"), "$.k").cast("long") + 1).as("vol"),
+      col("event_type"))
+
+    // bar series: all of a user's events land in one task (hash repartition
+    // on user_id), which writes that user's minute chain + hour refold —
+    // per-user work is bounded and embarrassingly parallel across users
+    ev.repartition(col("user_id")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val evs = it.map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getString(5))).toSeq
+        evs.groupBy(_.userId).foreach { case (uid, rows0) =>
+          val ticker = f"T$uid%04d"
+          // first-by-event_id per ms timestamp, then ascending t (sort=asc)
+          val bars = rows0.groupBy(_.t).map { case (_, g) => g.minBy(_.eventId) }
+            .toSeq.sortBy(_.t)
+          writeBarSeries(Paths.get(rootStr, ticker, "minute--1--adjusted"),
+            bars, pageSize = 50, overlap = true)
+          writeBarSeries(Paths.get(rootStr, ticker, "hour--1--adjusted"),
+            refoldHour(bars), pageSize = 1000, overlap = false)
+        }
     }
 
-    writeDimPages(root.resolve("_ref/tickers"),
-      byUser.map { case (uid, _) =>
-        val ticker = f"T$uid%04d"
-        val market = (uid % 3) match {
-          case 0 => "stocks"; case 1 => "crypto"; case _ => "fx"
-        }
-        s"""{"ticker":"$ticker","name":"Name $ticker","market":"$market",""" +
-          s""""locale":"us","primary_exchange":"X${uid % 4}","type":"CS",""" +
-          s""""active":${uid % 2 == 0},"currency_name":"usd"}"""
-      }, pageSize = 100)
+    writeDimPages(spark, root.resolve("_ref/tickers"),
+      ev.select(col("user_id")).distinct().orderBy(col("user_id"))
+        .rdd.map { r =>
+          val uid = r.getLong(0)
+          val ticker = f"T$uid%04d"
+          val market = (uid % 3) match {
+            case 0 => "stocks"; case 1 => "crypto"; case _ => "fx"
+          }
+          s"""{"ticker":"$ticker","name":"Name $ticker","market":"$market",""" +
+            s""""locale":"us","primary_exchange":"X${uid % 4}","type":"CS",""" +
+            s""""active":${uid % 2 == 0},"currency_name":"usd"}"""
+        }, pageSize = 100)
 
-    writeDimPages(root.resolve("_ref/splits"),
-      evs.filter(_.eventType == "signup").sortBy(_.eventId).map { e =>
-        s"""{"ticker":"T${"%04d".format(e.userId)}","execution_date":"${isoDate(e.t)}",""" +
-          s""""split_from":1.0,"split_to":${2 + e.vol % 3}.0}"""
-      }.toSeq, pageSize = 200)
+    writeDimPages(spark, root.resolve("_ref/splits"),
+      ev.filter(col("event_type") === "signup").orderBy(col("event_id"))
+        .rdd.map { r =>
+          val e = Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getLong(4), r.getString(5))
+          s"""{"ticker":"T${"%04d".format(e.userId)}","execution_date":"${isoDate(e.t)}",""" +
+            s""""split_from":1.0,"split_to":${2 + e.vol % 3}.0}"""
+        }, pageSize = 200)
 
-    writeDimPages(root.resolve("_ref/dividends"),
-      evs.filter(_.eventType == "purchase").sortBy(_.eventId).map { e =>
-        s"""{"ticker":"T${"%04d".format(e.userId)}","ex_dividend_date":"${isoDate(e.t)}",""" +
-          s""""pay_date":"${isoDate(e.t + 86400000L * 2)}",""" +
-          s""""cash_amount":${jsonDouble(e.value / 100.0)},"frequency":4}"""
-      }.toSeq, pageSize = 200)
+    writeDimPages(spark, root.resolve("_ref/dividends"),
+      ev.filter(col("event_type") === "purchase").orderBy(col("event_id"))
+        .rdd.map { r =>
+          val e = Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getLong(4), r.getString(5))
+          s"""{"ticker":"T${"%04d".format(e.userId)}","ex_dividend_date":"${isoDate(e.t)}",""" +
+            s""""pay_date":"${isoDate(e.t + 86400000L * 2)}",""" +
+            s""""cash_amount":${jsonDouble(e.value / 100.0)},"frequency":4}"""
+        }, pageSize = 200)
 
     Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
     root.toString
@@ -130,7 +150,7 @@ object PolygonFixtures {
 
   /** Write a bar series as a cursor-chained page dir; with overlap, each
     * page re-serves the previous page's last bar (the O-SRC2 duplicate-by-
-    * design the reader's monotonic dedup must absorb).
+    * design the reader's monotonic dedup must absorb). Runs on executors.
     */
   private def writeBarSeries(dir: Path, bars: Seq[Ev], pageSize: Int,
                              overlap: Boolean): Unit = {
@@ -151,19 +171,38 @@ object PolygonFixtures {
     }
   }
 
-  private def writeDimPages(dir: Path, rows: Seq[String], pageSize: Int): Unit = {
+  /** Distributed dimension-page writer: global page index via zipWithIndex
+    * over the already-ordered row RDD (no driver collect), pages hashed
+    * across tasks, each task writing only its own page files.
+    */
+  private def writeDimPages(spark: SparkSession, dir: Path,
+                            rows: org.apache.spark.rdd.RDD[String],
+                            pageSize: Int): Unit = {
     Files.createDirectories(dir)
-    val chunks = rows.grouped(pageSize).toSeq match {
-      case Seq() => Seq(Seq.empty[String])
-      case cs => cs
-    }
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val next =
-        if (i < chunks.size - 1) "\"" + f"page-${i + 1}%04d.json" + "\"" else "null"
-      Files.write(dir.resolve(f"page-$i%04d.json"),
-        s"""{"status":"OK","results":${chunk.mkString("[", ",", "]")},"next_url":$next}"""
+    val n = rows.count()
+    val nPages = math.max(1, math.ceil(n / pageSize.toDouble).toInt)
+    val dirStr = dir.toString
+    if (n == 0) {
+      Files.write(dir.resolve("page-0000.json"),
+        """{"status":"OK","results":[],"next_url":null}"""
           .getBytes(StandardCharsets.UTF_8))
+      return
     }
+    rows.zipWithIndex()
+      .map { case (json, i) => ((i / pageSize).toInt, (i, json)) }
+      .partitionBy(new HashPartitioner(math.min(nPages, 32)))
+      .foreachPartition { it =>
+        it.toSeq.groupBy(_._1).foreach { case (page, grp) =>
+          val body = grp.map(_._2).sortBy(_._1).map(_._2)
+            .mkString("[", ",", "]")
+          val next =
+            if (page < nPages - 1) "\"" + f"page-${page + 1}%04d.json" + "\""
+            else "null"
+          Files.write(Paths.get(dirStr, f"page-$page%04d.json"),
+            s"""{"status":"OK","results":$body,"next_url":$next}"""
+              .getBytes(StandardCharsets.UTF_8))
+        }
+      }
   }
 
   private def deleteRecursively(p: Path): Unit = {
