@@ -52,6 +52,35 @@ object LiveIngest {
       .start()
   }
 
+  /** Streaming dimension refresh — the reference refreshes dims daily while
+    * bars stream (polygon-etl-container/src/main.py:31-33 + README.md:7).
+    * The dim source's micro-batch face has snapshot semantics (each batch is
+    * the FULL chain, fired only when it grew), so an AvailableNow run with a
+    * persistent checkpoint is exactly "refresh if anything changed": the
+    * current view is overwritten and a timestamped snapshot appended
+    * ("what was known when", README.md:8). Re-running against an unchanged
+    * chain writes nothing.
+    */
+  def startDimRefresh(spark: SparkSession, pagesDir: String, warehouse: String,
+                      endpoint: String = "tickers")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.format("polygon")
+      .option("path", pagesDir).option("endpoint", endpoint).load()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // O-A1 dedup inside the refresh (the protocol is at-least-once),
+        // then the same two-sink shape as the batch Backfill.refreshDims
+        val dim = batch.dropDuplicates()
+        graft.core.Sinks.writeCurrent(dim, s"$warehouse/dims/$endpoint")
+        graft.core.Sinks.writeSnapshot(dim, s"$warehouse/dims/${endpoint}_history",
+          new java.sql.Timestamp(System.currentTimeMillis()))
+      }
+      .option("checkpointLocation", s"$warehouse/_checkpoints/dim_$endpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Continuous gold: 5-minute OHLC bars aggregated on the live stream
     * itself (same operator as the batch gold, windows emitted once closed
     * past the watermark) appended to a separate gold table.

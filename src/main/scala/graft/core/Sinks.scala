@@ -26,10 +26,15 @@ object Sinks {
       .write.mode(SaveMode.Append).partitionBy("snapshot_ts").parquet(path)
 
   /** Latest snapshot view (partition-pruned: the max-partition filter prunes
-    * at planning, no full history scan).
+    * at planning, no full history scan). Partition-type inference reads
+    * fractional-second snapshot_ts values back as STRING (whole-second ones
+    * as timestamp), and string max is NOT chronological there (Timestamp
+    * .toString trims trailing zeros, so ".9" sorts after ".102") — the cast
+    * normalizes both shapes before the max and the filter.
     */
   def latestSnapshot(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
+      .withColumn("snapshot_ts", col("snapshot_ts").cast("timestamp"))
     val maxTs = df.select(max(col("snapshot_ts"))).collect()(0).getTimestamp(0)
     df.filter(col("snapshot_ts") === lit(maxTs))
   }

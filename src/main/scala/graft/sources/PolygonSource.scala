@@ -398,6 +398,10 @@ final class FilePageFetcher(root: String) extends PageFetcher {
   /** First cursor of a dimension endpoint's page chain. */
   def dimFirstCursor(endpoint: String): Option[String] =
     pagesIn(new java.io.File(s"$root/_ref/$endpoint")).headOption
+
+  /** Page count of a dimension endpoint's chain (the dim stream's offset). */
+  def dimPageCount(endpoint: String): Int =
+    pagesIn(new java.io.File(s"$root/_ref/$endpoint")).size
 }
 
 class PolygonTable(options: CaseInsensitiveStringMap)
@@ -835,10 +839,13 @@ class PolygonDimTable(endpoint: String, options: CaseInsensitiveStringMap)
   private val schema0 = PolygonSource.schemaFor(Some(endpoint)) // validates
   override def name(): String = s"polygon($endpoint @ ${options.get("path")})"
   override def schema(): StructType = schema0
-  // dims are full-refresh snapshot tables (reference_endpoints_etl.py:57-62);
-  // streaming them has no incremental meaning → batch only
+  // dims are full-refresh snapshot tables (reference_endpoints_etl.py:57-62).
+  // The micro-batch face keeps that meaning: each batch re-reads the FULL
+  // chain ("what was known when", README.md:8) and fires only when the
+  // chain grew — the reference's daily dim refresh beside streaming bars
+  // (polygon-etl-container/src/main.py:31-33) as an AvailableNow stream.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PolygonDimScanBuilder(endpoint, schema0, options)
 }
@@ -873,7 +880,8 @@ class PolygonDimScanBuilder(endpoint: String, schema: StructType,
     Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L))
 }
 
-final case class DimPartition(endpoint: String) extends InputPartition
+final case class DimPartition(endpoint: String, maxPages: Int = Int.MaxValue)
+    extends InputPartition
 
 class PolygonDimScan(path: String, endpoint: String, schema: StructType,
                      filters: Array[Filter], limit: Option[Int],
@@ -889,14 +897,74 @@ class PolygonDimScan(path: String, endpoint: String, schema: StructType,
     override def createReaderFactory(): PartitionReaderFactory =
       new PolygonDimReaderFactory(path, schema, filters, limit, rateLimitMs)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PolygonDimMicroBatchStream(path, endpoint, schema, filters, limit,
+      rateLimitMs)
+}
+
+/** Snapshot-refresh stream for a dimension endpoint: the offset is the
+  * chain's page count, and a micro-batch reads pages [0, end) — the WHOLE
+  * known chain, not the delta — because a dim refresh replaces the current
+  * view rather than appending to it (reference_endpoints_etl.py:57-62).
+  * A batch therefore fires only when the chain grew; with
+  * Trigger.AvailableNow and a foreachBatch snapshot sink this is the
+  * reference's daily dim refresh running beside the bar stream.
+  */
+class PolygonDimMicroBatchStream(path: String, endpoint: String,
+                                 schema: StructType, filters: Array[Filter],
+                                 limit: Option[Int], rateLimitMs: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val fetcher = new FilePageFetcher(path)
+  private var availableNowCap: Option[PolygonOffset] = None
+
+  private def currentLatest(): PolygonOffset =
+    PolygonOffset(Map(endpoint -> fetcher.dimPageCount(endpoint)))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentLatest())
+
+  override def initialOffset(): Offset = PolygonOffset(Map(endpoint -> 0))
+
+  override def latestOffset(): Offset =
+    availableNowCap.getOrElse(currentLatest())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    PolygonOffset(m)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PolygonOffset].pages.getOrElse(endpoint, 0)
+    val e = end.asInstanceOf[PolygonOffset].pages.getOrElse(endpoint, 0)
+    // full snapshot up to `e`, and only when the chain grew
+    if (e > s) Array(DimPartition(endpoint, maxPages = e)) else Array.empty
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PolygonDimReaderFactory(path, schema, filters, limit, rateLimitMs)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class PolygonDimReaderFactory(path: String, schema: StructType,
                               filters: Array[Filter], limit: Option[Int],
                               rateLimitMs: Long) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PolygonDimReader(new FilePageFetcher(path),
-      p.asInstanceOf[DimPartition].endpoint, schema, filters, limit, rateLimitMs)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[DimPartition]
+    new PolygonDimReader(new FilePageFetcher(path), dp.endpoint, schema,
+      filters, limit, rateLimitMs, dp.maxPages)
+  }
 }
 
 /** Cursor-protocol reader for a dimension endpoint: walks the page chain,
@@ -905,11 +973,13 @@ class PolygonDimReaderFactory(path: String, schema: StructType,
   */
 class PolygonDimReader(fetcher: FilePageFetcher, endpoint: String,
                        schema: StructType, filters: Array[Filter],
-                       limit: Option[Int], rateLimitMs: Long)
+                       limit: Option[Int], rateLimitMs: Long,
+                       maxPages: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private var cursor: Option[String] = fetcher.dimFirstCursor(endpoint)
   private var buffer: Iterator[JsonNode] = Iterator.empty
+  private var pagesRead = 0
   private var emitted = 0
   private var current: InternalRow = _
 
@@ -957,13 +1027,16 @@ class PolygonDimReader(fetcher: FilePageFetcher, endpoint: String,
         true
       }
     } else cursor match {
-      case Some(c) =>
+      // a streaming snapshot batch is bounded to the pages known at its
+      // offset: pages appended mid-batch belong to the NEXT refresh
+      case Some(c) if pagesRead < maxPages =>
         PolygonSource.rateLimit(rateLimitMs)
         val (rows, next) = fetcher.fetchRaw(c)
+        pagesRead += 1
         cursor = next
         buffer = rows.iterator
         advance()
-      case None => false
+      case _ => false
     }
   }
 

@@ -112,6 +112,54 @@ class StreamingSpec extends AnyFunSuite {
       "exactly-once visible rows under the live trigger")
   }
 
+  test("streaming dim refresh: two AvailableNow runs over a growing chain = two snapshots, current = latest") {
+    val pages = java.nio.file.Files.createTempDirectory("dim-stream-pages")
+    val wh = java.nio.file.Files.createTempDirectory("dim-stream-wh").toString
+    val dir = pages.resolve("_ref/tickers")
+    java.nio.file.Files.createDirectories(dir)
+    def tickerRow(tk: String) =
+      s"""{"ticker":"$tk","name":"Name $tk","market":"stocks","locale":"us",""" +
+        s""""primary_exchange":"X0","type":"CS","active":true,"currency_name":"usd"}"""
+    def dimPage(rows: Seq[String], next: Option[String]) =
+      s"""{"status":"OK","results":${rows.mkString("[", ",", "]")},""" +
+        s""""next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      dimPage(Seq(tickerRow("AAA"), tickerRow("BBB")), None))
+
+    def refresh(): Unit = {
+      val q = graft.app.LiveIngest.startDimRefresh(spark, pages.toString, wh)
+      q.awaitTermination(); ()
+    }
+    refresh()
+    val current1 = spark.read.parquet(s"$wh/dims/tickers")
+      .select("ticker").as[String].collect().sorted.toSeq
+    assert(current1 == Seq("AAA", "BBB"))
+
+    // the chain GROWS between runs (the next day's refresh sees more pages);
+    // the new run must re-read the WHOLE chain (snapshot, not delta)
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      dimPage(Seq(tickerRow("AAA"), tickerRow("BBB")), Some("page-0001.json")))
+    java.nio.file.Files.writeString(dir.resolve("page-0001.json"),
+      dimPage(Seq(tickerRow("CCC")), None))
+    refresh()
+    val current2 = spark.read.parquet(s"$wh/dims/tickers")
+      .select("ticker").as[String].collect().sorted.toSeq
+    assert(current2 == Seq("AAA", "BBB", "CCC"),
+      "second refresh must be the full chain, not the delta")
+    val snapshots = spark.read.parquet(s"$wh/dims/tickers_history")
+      .select("snapshot_ts").distinct().count()
+    assert(snapshots == 2, s"expected 2 timestamped snapshots, got $snapshots")
+    val latest = graft.core.Sinks.latestSnapshot(spark, s"$wh/dims/tickers_history")
+      .select("ticker").as[String].collect().sorted.toSeq
+    assert(latest == current2, "latest snapshot must equal the current view")
+
+    // unchanged chain → no batch fires, nothing rewritten
+    refresh()
+    val snapshots3 = spark.read.parquet(s"$wh/dims/tickers_history")
+      .select("snapshot_ts").distinct().count()
+    assert(snapshots3 == 2, "a refresh over an unchanged chain must write nothing")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
