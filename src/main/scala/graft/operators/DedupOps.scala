@@ -178,8 +178,35 @@ object DedupOps {
 
     // Embedding near-dup, IVF-bucketed — the inverted-list twin of the LSH
     // variant (multi-probe centroid lists, exact verification, precision
-    // 1); recall vs the exact twin asserted in SimilaritySpec.
-    QueryDef.rowsOnly("dedup_embedding_ivf") { (s, d) =>
+    // 1); recall vs the exact twin asserted in SimilaritySpec. Fully
+    // oracle-expressible since the round-3 fixed-k deterministic centroids:
+    // the SQL twin recomputes centroid selection, multi-probe assignment
+    // (same 6-dp tie-breaks), candidate pairing, and exact verification.
+    QueryDef.sqlBacked(
+      "dedup_embedding_ivf",
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, ed AS ce FROM e
+        |      ORDER BY ${SimilarityOps.centroidOrderSql} LIMIT 16),
+        |assigned AS (
+        |  SELECT e.vec_id, c.cid
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.ed, c.ce), 6) DESC, c.cid)
+        |    <= 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |v AS (
+        |  SELECT cand.vec_a, cand.vec_b,
+        |         round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
+        |  FROM cand
+        |  JOIN e ea ON cand.vec_a = ea.vec_id
+        |  JOIN e eb ON cand.vec_b = eb.vec_id)
+        |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       SimilarityOps.cosinePairsIvf(Tables.embeddings(s, d), threshold = 0.42)
     }
   )

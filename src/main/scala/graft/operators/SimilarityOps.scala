@@ -54,7 +54,7 @@ object SimilarityOps {
       .limit(k)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
 
-  private val centroidOrderSql =
+  private[operators] val centroidOrderSql =
     "((vec_id % 1000003) * 40503) % 65536, vec_id"
 
   val defs: Seq[QueryDef] = Seq(
