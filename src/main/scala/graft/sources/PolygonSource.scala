@@ -522,7 +522,8 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
     tickerFilter, timespanFilter, multiplierFilter, adjustedFilter,
     tFromExcl, tToIncl, limit, topN,
     Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L),
-    pushed)
+    pushed,
+    Option(options.get("maxPagesPerTrigger")).map(_.toInt))
 
   override def build(): Scan = buildScan()
 }
@@ -540,7 +541,8 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
                   tFromExcl: Option[Long], tToIncl: Option[Long],
                   limit: Option[Int], topN: Option[(Boolean, Int)],
                   rateLimitMs: Long,
-                  pushed: Array[Filter]) extends Scan {
+                  pushed: Array[Filter],
+                  maxPagesPerTrigger: Option[Int] = None) extends Scan {
 
   override def readSchema(): StructType = PolygonSource.schema
 
@@ -590,7 +592,8 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PolygonMicroBatchStream(conf, series, tFromExcl, tToIncl, rateLimitMs)
+    new PolygonMicroBatchStream(conf, series, tFromExcl, tToIncl, rateLimitMs,
+      maxPagesPerTrigger)
 }
 
 class PolygonReaderFactory(conf: PolygonSource.FetcherConf,
@@ -772,12 +775,15 @@ final case class PolygonOffset(pages: Map[String, Int]) extends Offset {
 class PolygonMicroBatchStream(conf: PolygonSource.FetcherConf,
                               series: Seq[SeriesKey],
                               tFromExcl: Option[Long], tToIncl: Option[Long],
-                              rateLimitMs: Long)
+                              rateLimitMs: Long,
+                              maxPagesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // streaming offsets are page counts, which require the file layout's
   // listing; the http transport is batch-only in this build
   require(conf.baseUrl.isEmpty,
     "polygon streaming requires the file page layout (no baseUrl)")
+  require(maxPagesPerTrigger.forall(_ > 0),
+    "maxPagesPerTrigger must be positive")
   private val fetcher = new FilePageFetcher(conf.path)
 
   // Trigger.AvailableNow: pin "latest" to the offsets present when the
@@ -796,12 +802,26 @@ class PolygonMicroBatchStream(conf: PolygonSource.FetcherConf,
   override def latestOffset(): Offset =
     availableNowCap.getOrElse(currentLatest())
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
-  // rate-based admission control — each trigger takes everything up to the
-  // (possibly pinned) latest offset.
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): with
+  // maxPagesPerTrigger set, each trigger admits at most that many NEW pages
+  // per series past the checkpointed start — a catch-up over a long-idle
+  // chain (the reference's daily run after a weekend) becomes several
+  // bounded micro-batches instead of one giant one, keeping per-batch
+  // executor memory, shuffle size, and commit latency flat no matter how
+  // far behind the checkpoint is. AvailableNow still drains to the pinned
+  // cap: Spark keeps triggering until the admitted offset reaches it.
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[PolygonOffset]
+    maxPagesPerTrigger match {
+      case None => target
+      case Some(cap) =>
+        val s = start.asInstanceOf[PolygonOffset].pages
+        PolygonOffset(target.pages.map { case (k, end) =>
+          k -> math.min(end, s.getOrElse(k, 0) + cap)
+        })
+    }
+  }
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =

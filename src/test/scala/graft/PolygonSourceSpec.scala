@@ -281,6 +281,28 @@ class PolygonSourceSpec extends AnyFunSuite {
     assert(top4 == Seq(40L, 30L, 20L, 10L), s"overlap row duplicated or lost: $top4")
   }
 
+  test("maxPagesPerTrigger: a deep catch-up drains in bounded micro-batches, exactly once") {
+    val root = Files.createTempDirectory("polygon-admission")
+    // 5-page chain, 2 rows per page, no overlap (t strictly ascending)
+    val ts = (1 to 10).map(_ * 1000L)
+    writeSeries(root, "ADM", adjusted = true, ts.grouped(2).toSeq)
+    val q = spark.readStream.format("polygon").option("path", root.toString)
+      .option("maxPagesPerTrigger", "2").load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("adm_bars").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("adm_bars").select("t").as[Long].collect().sorted.toSeq
+    assert(got == ts, s"catch-up must be exactly-once: $got")
+    // the 5-page chain must have drained in ceil(5/2) = 3 admitted batches,
+    // each bounded at 2 pages (4 rows)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"expected >=3 bounded micro-batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 4),
+      s"a micro-batch exceeded the 2-page cap: ${batches.map(_.numInputRows).toSeq}")
+  }
+
   test("boundary cache is consume-once: a hit removes the entry (no unbounded growth)") {
     // ADVICE r2: the per-JVM boundary map grew one entry per (series × batch)
     // forever on a long-running streaming executor. Each entry serves exactly
