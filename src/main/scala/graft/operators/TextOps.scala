@@ -145,6 +145,96 @@ object TextOps {
         .orderBy(col("lang"), col("predicted"))
     },
 
+    // Deterministic train/val/test assignment — the split step of every
+    // training-data pipeline. The bucket is a multiplicative integer hash of
+    // doc_id (Knuth constant, mod 2^32), pure arithmetic so Spark and DuckDB
+    // agree bit-for-bit; 80/10/10. At 100 TB this is a stateless projection
+    // any executor computes locally — no shuffle, no lookup table, and the
+    // assignment is stable under reprocessing (same id → same split). For
+    // adversarial id spaces swap in xxhash64 (engine-specific, so the
+    // portable-arithmetic variant is what the oracle checks).
+    QueryDef.sqlBacked(
+      "txt_sample_split",
+      """SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
+        lit(4294967296L)), lit(100)).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-wide vocabulary top-k — the heavy-hitter pass of vocab/BPE
+    // building. Scale shape: explode is a narrow generator, the count is a
+    // partial-then-final hash aggregate (map-side combine bounds the
+    // shuffle at |vocab| per partition, not |corpus|), and the top-k is
+    // TakeOrderedAndProject — k rows per partition cross to the driver.
+    // Tie-break (n DESC, word ASC) is total, so the oracle is exact.
+    QueryDef.sqlBacked(
+      "txt_vocab_topk",
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0)) AS w
+        |      FROM documents)
+        |GROUP BY w
+        |ORDER BY n DESC, word
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+
+    // Repetition scoring — the Gopher-rule quality signal: fraction of
+    // duplicate tokens and duplicate bigrams per document (high values mark
+    // boilerplate/spam for filtering). Ratios derive from exact integer
+    // counts by identical arithmetic on both sides → bit-exact. Narrow
+    // per-row projection, zero shuffles at any scale.
+    QueryDef.sqlBacked(
+      "txt_repetition",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+        |      AS big
+        |  FROM t WHERE len(w) >= 2)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tok,
+        |  1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS dup_tok_ratio,
+        |  1.0 - len(list_distinct(big)) / CAST(len(big) AS DOUBLE)
+        |    AS dup_bigram_ratio
+        |FROM b
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", words(col("text")))
+        .filter(size(col("w")) >= 2)
+        .withColumn("big", expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct_tok"),
+          (lit(1.0) - size(array_distinct(col("w"))) /
+            size(col("w")).cast("double")).as("dup_tok_ratio"),
+          (lit(1.0) - size(array_distinct(col("big"))) /
+            size(col("big")).cast("double")).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: content hash of whitespace-normalized text.
     // md5 is identical across engines → exact oracle.
     QueryDef.sqlBacked(
