@@ -46,11 +46,10 @@ object Backfill {
     Seq("tickers", "splits", "dividends").flatMap { ep =>
       if (!new java.io.File(s"$pagesDir/_ref/$ep").isDirectory) None
       else {
-        val dim = spark.read.format("polygon")
+        val scan = spark.read.format("polygon")
           .option("path", pagesDir).option("endpoint", ep).load()
-          .dropDuplicates() // O-A1: the protocol is at-least-once
-        Sinks.writeCurrent(dim, s"$warehouse/dims/$ep")
-        Sinks.writeSnapshot(dim, s"$warehouse/dims/${ep}_history", runTs)
+        // shared dedup + current/history sink shape (O-A1 + O-SNK1/O-SNK2)
+        val dim = Sinks.refreshDimSinks(scan, warehouse, ep, runTs)
         if (ep == "tickers") Some(dim) else None
       }
     }.headOption
@@ -92,11 +91,17 @@ object Backfill {
     val unitSec = typedLit(Map("second" -> 1L, "minute" -> 60L,
       "hour" -> 3600L, "day" -> 86400L, "week" -> 604800L,
       "month" -> 2592000L, "quarter" -> 7776000L, "year" -> 31536000L))
+    // multiply BEFORE the unknown-timespan fallback (null propagates through
+    // *), so an unrecognized timespan coalesces to MaxValue and sorts LAST —
+    // coalescing first would overflow MaxValue * multiplier negative and
+    // make the unknown series win; (timespan, multiplier) tie-break keeps
+    // the pick deterministic between equal spans (minute--60 vs hour--1)
     val finest = silverAll.select("timespan", "multiplier").distinct()
       .withColumn("span",
-        coalesce(element_at(unitSec, col("timespan")), lit(Long.MaxValue))
-          * col("multiplier"))
-      .orderBy("span").limit(1).collect()
+        coalesce(element_at(unitSec, col("timespan")) * col("multiplier"),
+          lit(Long.MaxValue)))
+      .orderBy(col("span"), col("timespan"), col("multiplier"))
+      .limit(1).collect()
     require(finest.nonEmpty, s"no bar series in $warehouse/silver/bars")
     val (fTs, fMul) = (finest(0).getString(0), finest(0).getInt(1))
     val silver = silverAll

@@ -69,12 +69,15 @@ object LiveIngest {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        // O-A1 dedup inside the refresh (the protocol is at-least-once),
-        // then the same two-sink shape as the batch Backfill.refreshDims
-        val dim = batch.dropDuplicates()
-        graft.core.Sinks.writeCurrent(dim, s"$warehouse/dims/$endpoint")
-        graft.core.Sinks.writeSnapshot(dim, s"$warehouse/dims/${endpoint}_history",
-          new java.sql.Timestamp(System.currentTimeMillis()))
+        // the shared dedup + current/history sink shape (Sinks
+        // .refreshDimSinks, same as the batch Backfill.refreshDims); the
+        // ledger pins each batchId to one snapshot_ts so an at-least-once
+        // batch replay rewrites its own snapshot partition instead of
+        // appending a duplicate snapshot under a new wall-clock time
+        val ts = graft.core.Sinks.stableBatchTs(batch.sparkSession,
+          s"$warehouse/_checkpoints/dim_$endpoint/_graft_ts_ledger", batchId)
+        graft.core.Sinks.refreshDimSinks(batch, warehouse, endpoint, ts)
+        ()
       }
       .option("checkpointLocation", s"$warehouse/_checkpoints/dim_$endpoint")
       .trigger(Trigger.AvailableNow())

@@ -20,10 +20,53 @@ object Sinks {
   def writeCurrent(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** O-SNK2: append one timestamped snapshot partition. */
+  /** O-SNK2: append one timestamped snapshot partition. Dynamic partition
+    * overwrite (only the snapshot_ts being written is replaced, existing
+    * history untouched) makes a REPLAY of the same runTs idempotent — it
+    * rewrites its own partition instead of appending duplicate rows into it.
+    */
   def writeSnapshot(df: DataFrame, path: String, runTs: java.sql.Timestamp): Unit =
     df.withColumn("snapshot_ts", lit(runTs))
-      .write.mode(SaveMode.Append).partitionBy("snapshot_ts").parquet(path)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshot_ts").parquet(path)
+
+  /** The dimension-refresh sink shape shared by the batch sweep
+    * (Backfill.refreshDims) and the streaming refresh
+    * (LiveIngest.startDimRefresh): dedup the at-least-once pages (O-A1),
+    * overwrite the current view, append the timestamped snapshot.
+    */
+  def refreshDimSinks(dim: DataFrame, warehouse: String, endpoint: String,
+                      runTs: java.sql.Timestamp): DataFrame = {
+    val deduped = dim.dropDuplicates()
+    writeCurrent(deduped, s"$warehouse/dims/$endpoint")
+    writeSnapshot(deduped, s"$warehouse/dims/${endpoint}_history", runTs)
+    deduped
+  }
+
+  /** Stable per-batch refresh timestamp: the first run of a batchId records
+    * wall-clock time in a tiny ledger file; an at-least-once REPLAY of the
+    * same batchId reads it back and re-writes the SAME snapshot_ts
+    * partition (idempotent with writeSnapshot's dynamic overwrite) instead
+    * of polluting history with a duplicate snapshot under a new timestamp.
+    */
+  def stableBatchTs(spark: SparkSession, ledgerDir: String,
+                    batchId: Long): java.sql.Timestamp = {
+    val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/batch-$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val millis = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine().trim.toLong
+      finally in.close()
+      new java.sql.Timestamp(millis)
+    } else {
+      val now = System.currentTimeMillis()
+      val out = fs.create(p, true)
+      try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+      new java.sql.Timestamp(now)
+    }
+  }
 
   /** Latest snapshot view (partition-pruned: the max-partition filter prunes
     * at planning, no full history scan). Partition-type inference reads

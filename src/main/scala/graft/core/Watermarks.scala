@@ -51,6 +51,11 @@ object Watermarks {
     * rows and DUPLICATE it (advance fails loudly on the same mismatch).
     */
   def filterNew(incoming: DataFrame, wm: DataFrame): DataFrame = {
+    // cold start: an EMPTY watermark table (fresh warehouse — read() falls
+    // back to the legacy-schema empty frame) constrains nothing, so every
+    // row passes and no key-shape can mismatch; the shape is pinned by the
+    // first advance()
+    if (wm.isEmpty) return incoming
     val keys = keyCols(wm)
     requireSameKeyShape(keyCols(incoming), keys)
     incoming.join(broadcast(wm.select((keys :+ "max_t").map(col): _*)),

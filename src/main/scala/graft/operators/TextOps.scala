@@ -146,26 +146,33 @@ object TextOps {
     },
 
     // Deterministic train/val/test assignment — the split step of every
-    // training-data pipeline. The bucket is a multiplicative integer hash of
-    // doc_id (Knuth constant, mod 2^32), pure arithmetic so Spark and DuckDB
-    // agree bit-for-bit; 80/10/10. At 100 TB this is a stateless projection
-    // any executor computes locally — no shuffle, no lookup table, and the
-    // assignment is stable under reprocessing (same id → same split). For
-    // adversarial id spaces swap in xxhash64 (engine-specific, so the
-    // portable-arithmetic variant is what the oracle checks).
+    // training-data pipeline. The bucket is a multiplicative integer hash
+    // of doc_id, written as the IDENTICAL sign-preserving expression on
+    // both sides (% is sign-preserving in Spark and DuckDB alike, the
+    // pre-reduction mod 1000003 keeps the product far from BIGINT overflow
+    // — DuckDB errors on overflow where Spark wraps — and the +100 fold
+    // lands negative ids in [0, 100) the same way in both engines);
+    // 80/10/10. At 100 TB this is a stateless projection any executor
+    // computes locally — no shuffle, no lookup table, and the assignment is
+    // stable under reprocessing (same id → same split). For adversarial id
+    // spaces swap in xxhash64 (engine-specific, so the portable-arithmetic
+    // variant is what the oracle checks).
     QueryDef.sqlBacked(
       "txt_sample_split",
       """SELECT doc_id,
-        |  CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
-        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |  CAST(((doc_id % 1000003) * 40503 % 100 + 100) % 100 AS BIGINT)
+        |    AS bucket,
+        |  CASE WHEN ((doc_id % 1000003) * 40503 % 100 + 100) % 100 < 80
+        |         THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 40503 % 100 + 100) % 100 < 90
+        |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
-        lit(4294967296L)), lit(100)).cast("long")
+      val bucket =
+        ((col("doc_id") % 1000003L) * 40503L % 100L + 100L) % 100L
       Tables.documents(s, d)
-        .select(col("doc_id"), bucket.as("bucket"),
+        .select(col("doc_id"), bucket.cast("long").as("bucket"),
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))

@@ -62,10 +62,13 @@ object PolygonFixtures {
     Files.createDirectories(root)
     val rootStr = root.toString
 
+    // one scan + JSON projection shared by the four write jobs below (bar
+    // series, tickers, splits, dividends) instead of four replays
     val ev = events.select(col("event_id"), col("user_id"),
       unix_millis(col("ts")).as("t"), col("value"),
       (get_json_object(col("props"), "$.k").cast("long") + 1).as("vol"),
-      col("event_type"))
+      col("event_type")).persist()
+    try {
 
     // bar series: all of a user's events land in one task (hash repartition
     // on user_id), which writes that user's minute chain + hour refold —
@@ -119,6 +122,7 @@ object PolygonFixtures {
         }, pageSize = 200)
 
     Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+    } finally ev.unpersist()
     root.toString
   }
 

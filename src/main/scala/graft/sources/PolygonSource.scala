@@ -311,11 +311,14 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
         }
         retryAfter = Option(conn.getHeaderField("Retry-After"))
           .flatMap(_.toLongOption).map(_ * 1000L)
-        // drain+close the error body so the connection can be reused
+        // drain+close the error body so the connection can be reused by the
+        // RETRY — and then don't disconnect it (the finally is for
+        // connection-level failures whose socket state is unknown)
         Option(conn.getErrorStream).foreach { es =>
           try { while (es.read() != -1) () } catch { case _: java.io.IOException => }
           es.close()
         }
+        conn = null
       } catch {
         case _: java.io.IOException => code = -1 // connection-level failure
       } finally {
@@ -402,6 +405,23 @@ final class FilePageFetcher(root: String) extends PageFetcher {
   /** Page count of a dimension endpoint's chain (the dim stream's offset). */
   def dimPageCount(endpoint: String): Int =
     pagesIn(new java.io.File(s"$root/_ref/$endpoint")).size
+
+  /** Non-negative content signature of a dim chain — (name, size, mtime) of
+    * every page folded — so the dim stream also notices an IN-PLACE refresh
+    * that keeps the page count (a renamed ticker, a flipped active flag):
+    * offset equality, not just count growth, decides whether a snapshot
+    * batch fires.
+    */
+  def dimChainSignature(endpoint: String): Int = {
+    var h = 17L
+    pagesIn(new java.io.File(s"$root/_ref/$endpoint")).foreach { p =>
+      val f = new java.io.File(p)
+      h = h * 31 + p.hashCode
+      h = h * 31 + f.length()
+      h = h * 31 + f.lastModified()
+    }
+    (h & 0x7fffffff).toInt
+  }
 }
 
 class PolygonTable(options: CaseInsensitiveStringMap)
@@ -472,12 +492,14 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
       case _ =>
     }
     pushed = accepted
+    cachedScan = null
     rejected
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+  override def pushLimit(l: Int): Boolean =
+    { limit = Some(l); cachedScan = null; false }
 
   /** ORDER BY t [ASC|DESC] LIMIT k pushdown (O-S1/O-T1): the protocol is
     * server-ordered — every reference fetch carries sort=asc
@@ -510,20 +532,30 @@ class PolygonScanBuilder(options: CaseInsensitiveStringMap)
     if (desc && options.get("baseUrl") != null) return false // no backward walk
     topN = Some((desc, l))
     if (!desc) limit = Some(limit.fold(l)(math.min(_, l)))
+    cachedScan = null
     true
   }
 
   override def isPartiallyPushed(): Boolean = buildScan().series.length != 1
 
-  private def buildScan(): PolygonScan = new PolygonScan(
-    PolygonSource.fetcherConf(options),
-    Option(options.get("tickers")).map(_.split(",").map(_.trim).toSet),
-    Option(options.get("series")).map(_.split(",").map(_.trim).toSeq),
-    tickerFilter, timespanFilter, multiplierFilter, adjustedFilter,
-    tFromExcl, tToIncl, limit, topN,
-    Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L),
-    pushed,
-    Option(options.get("maxPagesPerTrigger")).map(_.toInt))
+  // one scan instance per builder state: pushdown calls (filters → topN →
+  // build) all mutate before the first buildScan() consumer, and caching
+  // means isPartiallyPushed's series resolution (a page-tree listing in
+  // file mode) is walked once, not re-walked by build()
+  private var cachedScan: PolygonScan = null
+
+  private def buildScan(): PolygonScan = {
+    if (cachedScan == null) cachedScan = new PolygonScan(
+      PolygonSource.fetcherConf(options),
+      Option(options.get("tickers")).map(_.split(",").map(_.trim).toSet),
+      Option(options.get("series")).map(_.split(",").map(_.trim).toSeq),
+      tickerFilter, timespanFilter, multiplierFilter, adjustedFilter,
+      tFromExcl, tToIncl, limit, topN,
+      Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L),
+      pushed,
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt))
+    cachedScan
+  }
 
   override def build(): Scan = buildScan()
 }
@@ -553,7 +585,7 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
         s" PushedTopN=[t ${if (desc) "DESC" else "ASC"}, $k]"
       }
 
-  private[sources] def series: Seq[SeriesKey] = {
+  private[sources] lazy val series: Seq[SeriesKey] = {
     // file mode discovers series from the page tree; http mode has no
     // listing, so the series universe is declared via options (the
     // reference does the same: its ticker universe comes from the tickers
@@ -938,13 +970,18 @@ class PolygonDimMicroBatchStream(path: String, endpoint: String,
   private val fetcher = new FilePageFetcher(path)
   private var availableNowCap: Option[PolygonOffset] = None
 
+  // the offset carries the page count AND a content signature: a refresh
+  // that rewrites pages in place (same count, new content) changes the
+  // signature, so offset inequality still fires the snapshot batch
   private def currentLatest(): PolygonOffset =
-    PolygonOffset(Map(endpoint -> fetcher.dimPageCount(endpoint)))
+    PolygonOffset(Map(endpoint -> fetcher.dimPageCount(endpoint),
+      s"$endpoint!sig" -> fetcher.dimChainSignature(endpoint)))
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentLatest())
 
-  override def initialOffset(): Offset = PolygonOffset(Map(endpoint -> 0))
+  override def initialOffset(): Offset =
+    PolygonOffset(Map(endpoint -> 0, s"$endpoint!sig" -> 0))
 
   override def latestOffset(): Offset =
     availableNowCap.getOrElse(currentLatest())
@@ -964,10 +1001,14 @@ class PolygonDimMicroBatchStream(path: String, endpoint: String,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PolygonOffset].pages.getOrElse(endpoint, 0)
-    val e = end.asInstanceOf[PolygonOffset].pages.getOrElse(endpoint, 0)
-    // full snapshot up to `e`, and only when the chain grew
-    if (e > s) Array(DimPartition(endpoint, maxPages = e)) else Array.empty
+    val s = start.asInstanceOf[PolygonOffset].pages
+    val e = end.asInstanceOf[PolygonOffset].pages
+    val endPages = e.getOrElse(endpoint, 0)
+    // full snapshot up to the end offset's page count, whenever ANYTHING
+    // about the chain changed (count or content signature)
+    if (endPages > 0 && s != e)
+      Array(DimPartition(endpoint, maxPages = endPages))
+    else Array.empty
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

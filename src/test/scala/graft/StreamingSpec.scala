@@ -158,6 +158,19 @@ class StreamingSpec extends AnyFunSuite {
     val snapshots3 = spark.read.parquet(s"$wh/dims/tickers_history")
       .select("snapshot_ts").distinct().count()
     assert(snapshots3 == 2, "a refresh over an unchanged chain must write nothing")
+
+    // IN-PLACE content change (same page count — a renamed universe entry):
+    // the content signature in the offset must still fire a refresh
+    java.nio.file.Files.writeString(dir.resolve("page-0001.json"),
+      dimPage(Seq(tickerRow("DDD")), None))
+    refresh()
+    val current3 = spark.read.parquet(s"$wh/dims/tickers")
+      .select("ticker").as[String].collect().sorted.toSeq
+    assert(current3 == Seq("AAA", "BBB", "DDD"),
+      "an in-place rewrite with unchanged page count must refresh the view")
+    val snapshots4 = spark.read.parquet(s"$wh/dims/tickers_history")
+      .select("snapshot_ts").distinct().count()
+    assert(snapshots4 == 3, s"in-place change must add one snapshot, got $snapshots4")
   }
 
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {

@@ -92,6 +92,21 @@ class WatermarkSpec extends AnyFunSuite {
       s"filterNew mismatch must name the extra key columns: ${eFil.getMessage}")
   }
 
+  test("cold start: full-key batch passes filterNew against a fresh warehouse") {
+    // the empty fallback table carries the legacy schema; it must constrain
+    // nothing (no shape check) or a multi-granularity pipeline could never
+    // bootstrap — the key shape is pinned by the first advance()
+    val wh = Files.createTempDirectory("wm-cold").toString
+    val wm0 = Watermarks.read(spark, wh)
+    val wide = Seq(("AAPL", "minute", 1, true, 600L))
+      .toDF("ticker", "timespan", "multiplier", "adjusted", "t")
+    assert(Watermarks.filterNew(wide, wm0).count() == 1,
+      "fresh warehouse must admit the whole first batch")
+    Watermarks.advance(spark, wh, wide)
+    assert(Watermarks.read(spark, wh).columns.contains("timespan"),
+      "first advance pins the full key shape")
+  }
+
   test("advance leaves exactly one _watermarks dir: no _tmp/_bak survivors") {
     val wh = Files.createTempDirectory("wm-clean").toString
     val b = Seq(("AAPL", true, 100L)).toDF("ticker", "adjusted", "t")
