@@ -247,6 +247,103 @@ object MarketOps {
       rsiWilder(s, Tables.events(s, d), n = 14)
     },
 
+    // Stochastic %K over a 14-row window (close-based form): rolling
+    // min/max are EXACT under any evaluation order (no summation), so the
+    // only float work is one identically-written ratio — bit-stable, with
+    // the flat-window case (max == min) pinned to 50.
+    QueryDef.sqlBacked(
+      "mkt_stochastic14",
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    min(value) OVER win AS mn,
+        |    max(value) OVER win AS mx
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN mx = mn THEN 50.0
+        |       ELSE round(100.0 * (value - mn) / (mx - mn), 6) END AS pctk14
+        |FROM w
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-13, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("mn", min(col("value")).over(w))
+        .withColumn("mx", max(col("value")).over(w))
+        .withColumn("pctk14",
+          when(col("mx") === col("mn"), lit(50.0))
+            .otherwise(round(lit(100.0) * (col("value") - col("mn")) /
+              (col("mx") - col("mn")), 6)))
+        .select(col("event_id"), col("user_id"), col("pctk14"))
+        .orderBy(col("event_id"))
+    },
+
+    // On-balance volume: running sum of sign(price change) * volume. The
+    // volume is integer-valued (json k + 1), so the cumulative sum is an
+    // exact BIGINT — no decimal detour, no rounding; first row (no change)
+    // contributes 0 through the CASE's ELSE on both engines.
+    QueryDef.sqlBacked(
+      "mkt_obv",
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |                             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      AS chg,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS vol
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(CASE WHEN chg > 0 THEN vol
+        |                WHEN chg < 0 THEN -vol
+        |                ELSE 0 END)
+        |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS obv
+        |FROM t
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("vol",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k") + 1)
+        .withColumn("chg", col("value") - lag(col("value"), 1).over(order))
+        .withColumn("obv",
+          sum(when(col("chg") > 0, col("vol"))
+            .when(col("chg") < 0, -col("vol"))
+            .otherwise(lit(0L))).over(cum).cast("long"))
+        .select(col("event_id"), col("user_id"), col("obv"))
+        .orderBy(col("event_id"))
+    },
+
+    // Wilder-smoothed ATR over close-to-close true range |chg|: the same
+    // recursive fold as mkt_rsi_wilder (seeded by the first TR, then
+    // (acc*(n-1) + tr)/n), bit-exact against DuckDB's list_reduce of the
+    // identical arithmetic. First row per key has no change -> NULL.
+    QueryDef.sqlBacked(
+      "mkt_atr_wilder",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |o AS (SELECT user_id,
+        |        list(value ORDER BY ts, event_id) AS xs,
+        |        list(event_id ORDER BY ts, event_id) AS ids
+        |      FROM e GROUP BY user_id),
+        |u AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, xs FROM o),
+        |c AS (SELECT user_id, event_id, i,
+        |        list_transform(range(2, i + 1), j -> abs(xs[j] - xs[j-1])) AS trs
+        |      FROM u)
+        |SELECT event_id, user_id,
+        |  CASE WHEN i < 2 THEN NULL
+        |       ELSE list_reduce(trs, (acc, x) -> (acc * 13 + x) / 14)
+        |  END AS atr_wilder
+        |FROM c ORDER BY event_id""".stripMargin) { (s, d) =>
+      atrWilder(s, Tables.events(s, d), n = 14)
+    },
+
     // Bollinger %B over a 20-row window: mean and sample stddev from exact
     // DECIMAL sums of x and x^2 (sum^2/n form) so both engines fold the
     // window identically; degenerate windows (n < 2 or zero spread) -> NULL.
@@ -517,6 +614,37 @@ object MarketOps {
     * per-key partitioning — the scalable home for any sequential indicator
     * (one shuffle, streaming iteration, no per-row window state).
     */
+  /** Wilder-smoothed average true range over |close-to-close change| — the
+    * same per-key sorted-group fold as rsiWilder (one shuffle per key,
+    * sequential state inside each group: the only correct shape for a
+    * recursive indicator). Seeded by the first TR, then
+    * atr = (atr*(n-1) + tr)/n, matching DuckDB list_reduce bit-for-bit.
+    */
+  def atrWilder(s: SparkSession, events: DataFrame, n: Int): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"event_id") { case (_, rows) =>
+        var prev = Double.NaN
+        var atr = Double.NaN
+        rows.map { case (uid, _, eid, x) =>
+          val out: Option[Double] =
+            if (prev.isNaN) None
+            else {
+              val tr = math.abs(x - prev)
+              atr = if (atr.isNaN) tr else (atr * (n - 1) + tr) / n
+              Some(atr)
+            }
+          prev = x
+          (eid, uid, out)
+        }
+      }
+      .toDF("event_id", "user_id", "atr_wilder")
+      .orderBy(col("event_id"))
+  }
+
   def emaExact(s: SparkSession, events: DataFrame, alpha: Double): DataFrame = {
     import s.implicits._
     events
