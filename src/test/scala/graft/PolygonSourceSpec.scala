@@ -303,6 +303,40 @@ class PolygonSourceSpec extends AnyFunSuite {
       s"a micro-batch exceeded the 2-page cap: ${batches.map(_.numInputRows).toSeq}")
   }
 
+  test("tail scan fetches O(k/pageSize) pages from a deep chain, not the whole chain") {
+    // 1000-page chain through a counting stub fetcher: latest-5 must touch
+    // only the tail — the whole point of pushing ORDER BY t DESC LIMIT k
+    // into the source (2 fetches vs 10^3; at a year-deep real series, 10^5)
+    val key = graft.sources.SeriesKey("DEEP", "minute", 1, adjusted = true)
+    class CountingFetcher extends graft.sources.PageFetcher {
+      var fetches = 0
+      val pageRows = 3
+      val nPages = 1000
+      override def chainLength(k: graft.sources.SeriesKey) = Some(nPages)
+      override def cursorAt(k: graft.sources.SeriesKey, idx: Int) =
+        if (idx >= 0 && idx < nPages) Some(idx.toString) else None
+      override def fetch(cursor: String): graft.sources.Page = {
+        fetches += 1
+        val p = cursor.toInt
+        // ascending rows; each page re-serves its predecessor's last row
+        val base = p.toLong * pageRows
+        val ts = (if (p > 0) Seq(base - 1) else Seq.empty) ++
+          (0 until pageRows).map(base + _)
+        graft.sources.Page(
+          ts.map(t => graft.sources.Bar0(t, 1, 2, 0, 1, 10, 1, 1)).toArray, None)
+      }
+    }
+    val f = new CountingFetcher
+    val reader = new graft.sources.PolygonTailReader(f,
+      graft.sources.SeriesPartition(key, 0, Int.MaxValue),
+      tFromExcl = None, tToIncl = None, k = 5, rateLimitMs = 0)
+    val got = Iterator.continually(reader)
+      .takeWhile(_.next()).map(_.get().getLong(1)).toSeq
+    assert(got == Seq(2999L, 2998L, 2997L, 2996L, 2995L),
+      s"tail-5 of the deep chain wrong: $got")
+    assert(f.fetches <= 2, s"tail scan touched ${f.fetches} pages of 1000")
+  }
+
   test("boundary cache is consume-once: a hit removes the entry (no unbounded growth)") {
     // ADVICE r2: the per-JVM boundary map grew one entry per (series × batch)
     // forever on a long-running streaming executor. Each entry serves exactly
