@@ -574,7 +574,8 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
                   limit: Option[Int], topN: Option[(Boolean, Int)],
                   rateLimitMs: Long,
                   pushed: Array[Filter],
-                  maxPagesPerTrigger: Option[Int] = None) extends Scan {
+                  maxPagesPerTrigger: Option[Int] = None)
+    extends Scan with SupportsReportOrdering {
 
   override def readSchema(): StructType = PolygonSource.schema
 
@@ -613,6 +614,19 @@ class PolygonScan(conf: PolygonSource.FetcherConf,
       .filter(k => timespanFilter.forall(_.contains(k.timespan)))
       .filter(k => multiplierFilter.forall(_.contains(k.multiplier)))
       .filter(k => adjustedFilter.forall(_ == k.adjusted))
+  }
+
+  /** O-S1: the protocol is server-ordered (sort=asc in every reference
+    * fetch URL), so each partition emits ascending t — accurate
+    * per-partition metadata for the planner (a descending TopN scan inverts
+    * it). Sort ELIMINATION is carried by the TopN pushdown above; this
+    * report covers the remaining planner uses of per-partition order.
+    */
+  override def outputOrdering(): Array[V2SortOrder] = {
+    val desc = topN.exists(_._1)
+    Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column("t"),
+      if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING))
   }
 
   override def toBatch: Batch = new Batch {
