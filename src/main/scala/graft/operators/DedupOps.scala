@@ -169,10 +169,41 @@ object DedupOps {
     },
 
     // Embedding near-dup, bucketed — the declared 100 TB entry point:
-    // banded random-hyperplane LSH candidates, exact-cosine verification
-    // (precision 1). Plane signs are engine-generated → rows-only oracle;
-    // recall >= 0.9 vs dedup_embedding_cosine is asserted in SimilaritySpec.
-    QueryDef.rowsOnly("dedup_embedding_lsh") { (s, d) =>
+    // banded hyperplane-LSH candidates, exact-cosine verification
+    // (precision 1); recall >= 0.9 vs dedup_embedding_cosine asserted in
+    // SimilaritySpec. Oracle-exact since the planes moved to exact integer
+    // arithmetic (SimilarityOps.lshPlanesArith): the SQL twin REGENERATES
+    // the identical 288x64 plane matrix from the same formula, refolds the
+    // 48 band codes with the same bit order, and re-verifies candidates —
+    // no plane literals, the whole construction is recomputed end to end.
+    QueryDef.sqlBacked(
+      "dedup_embedding_lsh",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings),
+        |pl AS (SELECT p,
+        |    list_transform(range(64), d ->
+        |      (xor((p * 64 + d) * 2654435761 % 4294967296,
+        |           ((p * 64 + d) * 2654435761 % 4294967296) // 65536)
+        |       % 65536) / 65536.0 * 2 - 1) AS plane
+        |  FROM (SELECT unnest(range(288)) AS p)),
+        |codes AS (
+        |  SELECT e.vec_id, p // 6 AS band,
+        |    CAST(sum(CASE WHEN list_dot_product(e.ed, pl.plane) > 0
+        |                  THEN 1 << CAST(p % 6 AS INT) ELSE 0 END) AS BIGINT)
+        |      AS code
+        |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM codes a JOIN codes b
+        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
+        |      FROM cand
+        |      JOIN e ea ON vec_a = ea.vec_id
+        |      JOIN e eb ON vec_b = eb.vec_id)
+        |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       SimilarityOps.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
     },
 

@@ -218,12 +218,27 @@ object SimilarityOps {
     * Pruning sharpens as the threshold rises: at cos >= 0.9 a (16, 8)
     * config prunes ~100x; at 0.42 the geometry only allows ~2-4x.
     */
+  /** Hyperplane entries from exact integer arithmetic (Knuth multiply mod
+    * 2^32, fold the halves with xor, scale to [-1, 1)) instead of seeded
+    * gaussians: every op is BIGINT-exact and dyadic-rational, so the DuckDB
+    * oracle REGENERATES the identical plane matrix from the same formula —
+    * no 288×64 literal dump — and the xor fold breaks the linear structure
+    * that would make pure-LCG planes shifted slices of one Weyl orbit.
+    * Symmetric-about-zero entries are all sign-LSH needs; the recall floor
+    * vs the exact twin is re-asserted in SimilaritySpec.
+    */
+  def lshPlanesArith(planes: Int, dims: Int): Seq[Seq[Double]] =
+    Seq.tabulate(planes) { p =>
+      Seq.tabulate(dims) { d =>
+        val h = (p.toLong * dims + d) * 2654435761L % 4294967296L
+        ((h ^ (h >> 16)) % 65536L).toDouble / 65536.0 * 2 - 1
+      }
+    }
+
   def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
                      rowsPerBand: Int = 6, bands: Int = 48,
-                     dims: Int = 64, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planeVecs = Seq.fill(bands * rowsPerBand)(
-      Seq.fill(dims)(rng.nextGaussian()))
+                     dims: Int = 64): DataFrame = {
+    val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
     // The whole 288-dot signature pass is ONE codegen'd expression
     // (SignBandCodes) carrying the plane matrix as a codegen reference
     // object — a transform() lambda evaluates interpreted, and 288 inlined
