@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_vocab_topk: partial-then-final aggregate under a TakeOrdered top-k") {
+    val p = plan("txt_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered (k rows per partition), not a global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"word counting must map-side combine (partial + final aggregate):\n$p")
+  }
+
   test("no query plans a cartesian product (cross joins are broadcast by design)") {
     SparkEntry.allDefs.foreach { q =>
       val p = q.build(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
