@@ -134,6 +134,33 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Benchmark decontamination — the eval-overlap gate every training-data
+    // pipeline needs: a train document is flagged when it shares ANY word
+    // 3-gram with the eval set (here doc_id % 100 = 0 stands in for the
+    // benchmark suite). Scale shape: the eval shingle set is tiny next to
+    // the corpus, so it BROADCASTS and the flagging is one map-side hash
+    // join + partial count per train doc — the corpus is scanned once, no
+    // corpus-sized shuffle of shingles.
+    QueryDef.sqlBacked(
+      "dedup_contamination",
+      s"""WITH d2 AS ($duckShingles),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM d2 WHERE doc_id % 100 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM d2 WHERE doc_id % 100 <> 0)
+         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tr JOIN ev ON tr.s = ev.s
+         |GROUP BY tr.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = shingleTable(Tables.documents(s, d))
+      val ev = sh.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+      val tr = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      tr.join(broadcast(ev), Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
     // MinHash + LSH near-dup over the FULL corpus — the scale path.
     // 64 minhashes, 16 bands × 4 rows, bucket self-join on (band, sig),
     // exact-Jaccard verification of candidates only. Hash functions are

@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_contamination: eval shingles broadcast, no corpus-sized shuffle join") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast (it is tiny next to the corpus):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"contamination flagging must not shuffle the corpus shingles:\n$p")
+  }
+
   test("txt_vocab_topk: partial-then-final aggregate under a TakeOrdered top-k") {
     val p = plan("txt_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
