@@ -162,4 +162,22 @@ class SinksSpec extends AnyFunSuite {
     assert(gold.head().getAs[Double]("v") == 10.0,
       "gold must fold only the 1-minute series")
   }
+
+  test("Backfill.run: gold derives the finest granularity present (no minute series)") {
+    // ADVICE r2 regression lock: a tree whose finest series is 5-minute used
+    // to produce a silently EMPTY gold table (gold hardcoded minute--1)
+    val pages = Files.createTempDirectory("bf-5monly")
+    val wh = Files.createTempDirectory("bf-5monly-wh").toString
+    val dir = pages.resolve("AAPL").resolve("minute--5--adjusted")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2},
+        |{"t":360000,"o":2,"h":3,"l":2,"c":3,"v":20,"vw":2.5,"n":4}],
+        |"next_url":null}""".stripMargin.replace("\n", ""))
+    graft.app.Backfill.run(spark, pages.toString, wh)
+    val gold = spark.read.parquet(s"$wh/gold/bars_5m")
+    assert(gold.count() == 2,
+      "a 5-minute-only tree must still produce gold (finest present wins)")
+    assert(gold.select("v").as[Double].collect().sorted.toSeq == Seq(10.0, 20.0))
+  }
 }
