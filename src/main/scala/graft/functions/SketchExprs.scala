@@ -3,32 +3,61 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Whole-signature sketch expressions over a shingle array — one codegen'd
-  * pass per document instead of explode + 64-way aggregate:
+/** Portable-arithmetic string hashing shared by the sketch expressions AND
+  * their DuckDB oracle SQL (the `lshPlanesArith` trick applied to strings):
+  * every value stays inside plain BIGINT arithmetic that any engine
+  * evaluates identically, so MinHash/SimHash signatures — and therefore LSH
+  * buckets and the final near-dup pairs — are oracle-recomputable end to
+  * end. xxhash64 was abandoned here precisely because DuckDB cannot
+  * recompute it.
   *
-  * The explode/agg formulation shuffles one 64-column row per (doc,
-  * partition) through a hash aggregate; these expressions fold the whole
-  * signature in a tight loop over the document's own shingle array, making
-  * the signature stage map-only (zero shuffle) — at 100 TB the difference
-  * between re-partitioning the corpus and streaming it.
+  * Construction (p = 2^31 - 1, the Mersenne prime):
+  * - base(s)   = fold of h -> (h * 31 + codepoint) mod p over the string's
+  *   Unicode code points, seeded with 17. Products are bounded by
+  *   p * 31 + cp < 2^36 — no 64-bit overflow, so `%` in SQL (which errors
+  *   on BIGINT overflow in DuckDB rather than wrapping) is exact.
+  * - mix(b, i) = (a_i * b + b_i) mod p with a_i = ((i+1) * 2654435761) mod p
+  *   (Knuth's multiplicative constant; nonzero for all i < p - 1) and
+  *   b_i = ((i+1) * 40503) mod p — the classic universal-hash family.
+  *   a_i * b < p^2 < 2^62: overflow-free in signed 64-bit.
   *
-  * Hashing uses Spark's own XXH64 primitive over the shingle's UTF-8 bytes
-  * with the hash index as seed, so signatures are deterministic and
-  * engine-portable to any XXH64 implementation.
+  * Code-point iteration matches DuckDB's
+  * `list_transform(string_split(s, ''), ch -> unicode(ch))` for all BMP
+  * text (the corpus tokenizer lowercases and splits on whitespace, so
+  * shingle strings carry no combining sequences in practice).
   */
-object SketchExprs {
+object PortableHash {
+  val P: Long = 2147483647L
 
-  @inline def hashShingle(s: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+  /** Seed-17 fold of (h * 31 + codePoint) mod P over the string. */
+  def base(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 17L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** i-th universal-family hash of a base value; in [0, P). */
+  def mix(b: Long, i: Int): Long = {
+    val a = ((i + 1).toLong * 2654435761L) % P
+    val c = ((i + 1).toLong * 40503L) % P
+    (a * b + c) % P
+  }
 }
 
-/** minhash_i(doc) = min over shingles of xxh64(shingle, seed = i), for
-  * i in [0, numHashes); returns array<long> of length numHashes.
+/** minhash_i(doc) = min over shingles of mix(base(shingle), i), for
+  * i in [0, numHashes); returns array<long> of length numHashes. The base
+  * hash is computed once per shingle; the 64 mixes are two multiplies each.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -46,13 +75,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      // null shingles are skipped, matching the null-tolerant xxhash64
-      // aggregate formulation these expressions replaced
+      // null shingles are skipped, matching the null-tolerant aggregate
+      // formulation these expressions replaced
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val b = PortableHash.base(arr.getUTF8String(i))
         var h = 0
         while (h < numHashes) {
-          val hv = SketchExprs.hashShingle(s, h.toLong)
+          val hv = PortableHash.mix(b, h)
           if (hv < sig(h)) sig(h) = hv
           h += 1
         }
@@ -67,18 +96,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
       val sig = ctx.freshName("sig")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
-      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
       val hv = ctx.freshName("hv")
       s"""
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $v.numElements(); $i++) {
          |  if ($v.isNullAt($i)) continue;
-         |  UTF8String $s = $v.getUTF8String($i);
+         |  long $b = graft.functions.PortableHash.base($v.getUTF8String($i));
          |  for (int $h = 0; $h < $numHashes; $h++) {
-         |    long $hv = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |                       $s.numBytes(), (long) $h);
+         |    long $hv = graft.functions.PortableHash.mix($b, $h);
          |    if ($hv < $sig[$h]) $sig[$h] = $hv;
          |  }
          |}
@@ -90,8 +117,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash: per shingle hash (seed 0), each bit votes ±1; the
-  * signature sets the bits with a positive count.
+/** 64-bit SimHash: bit j of the signature is set when the parity votes
+  * sum(mix(base(shingle), j) mod 2 == 1 ? +1 : -1) over the document's
+  * shingles come out positive. Using the parity of 64 universal-family
+  * hashes (rather than the 64 bits of one hash) keeps every bit an
+  * independent portable-arithmetic value the oracle recomputes exactly.
   */
 case class SimHashSig(child: Expression) extends UnaryExpression {
 
@@ -109,10 +139,11 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = SketchExprs.hashShingle(arr.getUTF8String(i), 0L)
+        val b = PortableHash.base(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          if ((PortableHash.mix(b, j) & 1L) == 1L) counts(j) += 1
+          else counts(j) -= 1
           j += 1
         }
       }
@@ -129,19 +160,19 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
       val counts = ctx.freshName("counts")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
       val sig = ctx.freshName("sig")
       s"""
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $v.numElements(); $i++) {
          |  if ($v.isNullAt($i)) continue;
-         |  UTF8String $s = $v.getUTF8String($i);
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |                     $s.numBytes(), 0L);
+         |  long $b = graft.functions.PortableHash.base($v.getUTF8String($i));
          |  for (int $j = 0; $j < 64; $j++) {
-         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |    if ((graft.functions.PortableHash.mix($b, $j) & 1L) == 1L) {
+         |      $counts[$j]++;
+         |    } else {
+         |      $counts[$j]--;
+         |    }
          |  }
          |}
          |long $sig = 0L;

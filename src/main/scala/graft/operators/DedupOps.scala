@@ -48,6 +48,23 @@ object DedupOps {
         .select(col("doc_id"), col("sh")),
       StorageLevel.MEMORY_AND_DISK)
 
+  /** DuckDB twin of PortableHash.base: seed-17 fold of
+    * (h * 31 + codepoint) mod 2^31-1 over the shingle's code points.
+    * Expects the shingle bound as lambda variable `s`.
+    */
+  private val duckBaseHash =
+    """list_reduce(list_prepend(CAST(17 AS BIGINT),
+      |      list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin
+
+  /** DuckDB twin of PortableHash.mix: i-th universal-family hash of base
+    * value `h` — (a_i * h + b_i) mod 2^31-1 with arithmetically derived
+    * coefficients. `h` and `i` are SQL expressions spliced in.
+    */
+  private def duckMix(h: String, i: String): String =
+    s"(((($i + 1) * 2654435761) % 2147483647) * $h" +
+      s" + ((($i + 1) * 40503) % 2147483647)) % 2147483647"
+
   private val duckShingles =
     """SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(w) - 1),
@@ -98,40 +115,37 @@ object DedupOps {
         .orderBy(col("canonical_id"))
     },
 
-    // N-gram Jaccard near-dup, exact, over the full corpus: candidate pairs
-    // via shared-shingle self-join (complete for jaccard>0), then exact
-    // intersection/union arithmetic. Oracle-backed and non-vacuous at every
-    // fixture scale (25-250 qualifying pairs).
+    // N-gram Jaccard near-dup over the full corpus: candidate pairs via
+    // shared-shingle self-join with a document-frequency cap (default 1% of
+    // the corpus, ceil'd) — the standard guard against the quadratic bucket
+    // a corpus-frequent boilerplate shingle would otherwise create (a
+    // shingle in f docs contributes f² candidate pairs; on a real crawl
+    // "all rights reserved" dwarfs the corpus). Verification is EXACT over
+    // the full uncapped shingle sets, so every reported pair's jaccard is
+    // exact; pairs sharing only capped shingles are the declared (and
+    // oracle-mirrored) recall trade. Non-vacuous at every fixture scale.
     QueryDef.sqlBacked(
       "dedup_ngram_jaccard",
       s"""WITH d2 AS ($duckShingles),
-         |  sz AS (SELECT doc_id, len(sh) AS n FROM d2),
-         |  ex AS (SELECT doc_id, unnest(sh) AS s FROM d2),
-         |  pairs AS (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-         |FROM pairs
-         |JOIN sz sa ON sa.doc_id = doc_a
-         |JOIN sz sb ON sb.doc_id = doc_b
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+         |total AS (SELECT count(*) AS n FROM d2),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM d2),
+         |df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |exc AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s), total
+         |        WHERE df.df <= (total.n + 99) // 100),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, sh, len(sh) AS n FROM d2),
+         |v AS (SELECT doc_a, doc_b,
+         |        len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |        sa.n AS na, sb.n AS nb
+         |      FROM cand
+         |      JOIN sz sa ON sa.doc_id = doc_a
+         |      JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingleTable(Tables.documents(s, d))
-      val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      val pairs = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .withColumn("jac", jaccard(col("inter"), col("sa.n"), col("sb.n")))
-        .filter(col("jac") >= 0.2)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      ngramJaccard(Tables.documents(s, d), threshold = 0.2)
     },
 
     // Benchmark decontamination — the eval-overlap gate every training-data
@@ -163,16 +177,84 @@ object DedupOps {
 
     // MinHash + LSH near-dup over the FULL corpus — the scale path.
     // 64 minhashes, 16 bands × 4 rows, bucket self-join on (band, sig),
-    // exact-Jaccard verification of candidates only. Hash functions are
-    // engine-specific → rows-only oracle; correctness is locked by DedupSpec
-    // (planted dups) and containment in dedup_ngram_jaccard on the sample.
-    QueryDef.rowsOnly("dedup_minhash_lsh") { (s, d) =>
+    // exact-Jaccard verification of candidates only. Oracle-exact since the
+    // signatures moved to portable BIGINT arithmetic (PortableHash): the SQL
+    // twin re-derives the per-shingle base hash from code points, the 64
+    // universal-family minhashes, the 16 band fold codes, the candidate
+    // join, and the exact-Jaccard verification — the whole construction is
+    // recomputed end to end, no signature literals.
+    QueryDef.sqlBacked(
+      "dedup_minhash_lsh",
+      s"""WITH d2 AS ($duckShingles),
+         |hb AS (SELECT doc_id, sh, list_transform(sh, s -> $duckBaseHash) AS hb
+         |       FROM d2),
+         |mh AS (SELECT doc_id,
+         |    list_transform(range(64), i ->
+         |      list_min(list_transform(hb, h -> ${duckMix("h", "i")}))) AS mh
+         |  FROM hb),
+         |banded AS (
+         |  SELECT doc_id, bb.band,
+         |    list_reduce(
+         |      list_prepend(CAST(17 AS BIGINT),
+         |                   list_slice(mh, bb.band * 4 + 1, bb.band * 4 + 4)),
+         |      (a, x) -> (a * 65599 + x) % 2147483647) AS code
+         |  FROM mh CROSS JOIN (SELECT unnest(range(16)) AS band) bb),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.code = y.code AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, sh, len(sh) AS n FROM d2),
+         |v AS (
+         |  SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |         sa.n AS na, sb.n AS nb
+         |  FROM cand
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       minhashLsh(Tables.documents(s, d), threshold = 0.5)
     },
 
-    // SimHash near-dup: 64-bit signature from shingle hashes, banded into 4
-    // 16-bit chunks (guarantees detection at hamming distance ≤ 3).
-    QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+    // SimHash near-dup: 64-bit signature from per-shingle parity votes,
+    // banded into 4 16-bit chunks (guarantees detection at hamming ≤ 3).
+    // Oracle-exact via the same portable arithmetic: the SQL twin recomputes
+    // the 64 vote sums, packs the chunk codes, joins candidates, and counts
+    // exact hamming distance from the recomputed bits.
+    QueryDef.sqlBacked(
+      "dedup_simhash",
+      s"""WITH d2 AS ($duckShingles),
+         |hb AS (SELECT doc_id, list_transform(sh, s -> $duckBaseHash) AS hb
+         |       FROM d2),
+         |ex AS (SELECT doc_id, unnest(hb) AS h FROM hb),
+         |votes AS (
+         |  SELECT doc_id, jj.j,
+         |    sum(CASE WHEN (${duckMix("h", "jj.j")}) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS v
+         |  FROM ex CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+         |  GROUP BY 1, 2),
+         |bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+         |         FROM votes),
+         |chunks AS (
+         |  SELECT doc_id, j // 16 AS ci,
+         |    sum(bit * (1 << CAST(j % 16 AS INT))) AS chunk
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y
+         |    ON x.ci = y.ci AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+         |ham AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hamming
+         |  FROM cand
+         |  JOIN bits ba ON ba.doc_id = doc_a
+         |  JOIN bits bb ON bb.doc_id = doc_b AND bb.j = ba.j
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       simhash(Tables.documents(s, d), maxHamming = 3)
     },
 
@@ -269,13 +351,51 @@ object DedupOps {
     }
   )
 
+  /** Shared-shingle candidate pairs with a document-frequency cap: shingles
+    * appearing in more than ceil(dfCapPct% of docs) documents are excluded
+    * from candidate GENERATION (verification still sees full sets). The df
+    * is computed as a window count over the same hash-partitioning by `s`
+    * the self-join shuffles on, so the cap costs no extra shuffle of the
+    * exploded table. Package-visible for the DedupSpec linearity assertion.
+    */
+  private[graft] def ngramCandidates(sh: DataFrame,
+                                     dfCapPct: Int): DataFrame = {
+    // tiny driver-side scalar (count of the already-persisted shingle
+    // table), same pattern as Sinks' scalar max — NOT a per-row collect
+    val totalDocs = sh.count()
+    val cap = (totalDocs + (100L / dfCapPct) - 1) / (100L / dfCapPct)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exc = ex
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= cap)
+      .drop("df")
+    exc.as("a").join(exc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup with df-capped candidate generation and
+    * full-set verification; returns (doc_a, doc_b, jac) with jac exact.
+    */
+  def ngramJaccard(documents: DataFrame, threshold: Double,
+                   dfCapPct: Int = 1): DataFrame = {
+    val sh = shingleTable(documents)
+    verifyPairs(ngramCandidates(sh, dfCapPct), sh, threshold)
+  }
+
   /** MinHash-LSH candidate generation + exact verification. Returns
     * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold.
     *
-    * Signature: minhash_i(doc) = min over shingles of xxh64(shingle, seed=i),
-    * folded by the codegen'd MinHashSig expression in one map-only pass over
-    * each document's own shingle array — no explode, no 64-column aggregate
-    * shuffle (the signature stage previously re-partitioned the corpus).
+    * Signature: minhash_i(doc) = min over shingles of
+    * PortableHash.mix(base(shingle), i), folded by the codegen'd MinHashSig
+    * expression in one map-only pass over each document's own shingle
+    * array — no explode, no 64-column aggregate shuffle. Band codes fold
+    * the band's rows with the same bounded modular arithmetic, so bucket
+    * assignment is oracle-recomputable (the interpreted `aggregate` HOF
+    * touches only `bands` slices of `rowsPerBand` longs per doc — noise
+    * next to the signature pass).
     */
   def minhashLsh(documents: DataFrame, threshold: Double,
                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
@@ -286,8 +406,8 @@ object DedupOps {
       expr(s"graft_minhash(sh, $numHashes)").as("mh"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(expr(s"slice(mh, ${b * rowsPerBand + 1}, $rowsPerBand)"))
-          .as("sig"))
+        expr(s"aggregate(slice(mh, ${b * rowsPerBand + 1}, $rowsPerBand), " +
+          "17L, (acc, x) -> (acc * 65599L + x) % 2147483647L)").as("sig"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
@@ -303,8 +423,9 @@ object DedupOps {
   /** SimHash near-dup pairs with hamming distance <= maxHamming. Banding
     * into (maxHamming + 1) chunks guarantees any qualifying pair shares a
     * chunk. The 64-bit signature is folded by the codegen'd SimHashSig
-    * expression in one map-only pass per document (±1 vote per shingle-hash
-    * bit) — no explode, no 64-column aggregate shuffle.
+    * expression in one map-only pass per document (±1 vote per bit from the
+    * parity of 64 portable universal-family hashes of each shingle) — no
+    * explode, no 64-column aggregate shuffle, and oracle-recomputable.
     */
   def simhash(documents: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
@@ -328,7 +449,9 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      // cast to long: the oracle's sum-of-differing-bits is BIGINT
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

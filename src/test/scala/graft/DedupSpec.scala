@@ -34,11 +34,33 @@ class DedupSpec extends AnyFunSuite {
   test("simhash: identical docs at hamming 0, near-dup within threshold, unrelated outside") {
     val out = DedupOps.simhash(corpus, maxHamming = 16)
       .select("doc_a", "doc_b", "hamming")
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     val m = out.map(t => (t._1, t._2) -> t._3).toMap
-    assert(m.get((0L, 4L)).contains(0), s"exact dup not at hamming 0: $m")
+    assert(m.get((0L, 4L)).contains(0L), s"exact dup not at hamming 0: $m")
     assert(m.get((0L, 1L)).exists(_ <= 16), s"near-dup missed: $m")
     assert(!m.contains((0L, 2L)) && !m.contains((1L, 2L)), s"unrelated pair matched: $m")
+  }
+
+  test("ngram df-cap keeps a corpus-frequent shingle's bucket linear") {
+    // 122 docs all sharing one boilerplate trigram ("all rights reserved"),
+    // plus one planted twin pair sharing rare shingles. Cap = ceil(1%) = 2:
+    // the df-122 boilerplate shingle is dropped from candidate generation
+    // (it alone would emit C(122,2) = 7381 candidate pairs — the quadratic
+    // bucket), while the df-2 twin shingles survive.
+    val docs = (0 until 120).map(i =>
+      (i.toLong, s"u${i}a u${i}b all rights reserved u${i}c")) ++
+      Seq((200L, "alpha beta gamma delta all rights reserved"),
+          (201L, "alpha beta gamma delta all rights reserved"))
+    val df = docs.toDF("doc_id", "text")
+    val cand = DedupOps.ngramCandidates(DedupOps.shingleTable(df), 1).collect()
+    assert(cand.length == 1 &&
+      cand.head.getLong(0) == 200L && cand.head.getLong(1) == 201L,
+      s"expected only the twin pair, got ${cand.length} candidates")
+    // verification runs over the FULL uncapped sets: the twins' jaccard is
+    // 1.0 (the capped boilerplate shingle still counts in the intersection)
+    val out = DedupOps.ngramJaccard(df, threshold = 0.2).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0, out.mkString(";"))
+    graft.core.GraftCaches.releaseAll(spark)
   }
 
   test("exact dedup is idempotent and keyed by normalized content") {
