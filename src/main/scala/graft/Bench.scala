@@ -13,17 +13,23 @@ import org.apache.spark.sql.SparkSession
   *   - `spark.catalog.clearCache()` in a finally after EVERY query, so a
   *     query that persists intermediates (LSH shingles, candidate pairs)
   *     cannot leak storage memory into its successors' measurements;
-  *   - >=2 measured passes, per-query MIN reported — min-of-k is the
+  *   - >=3 measured passes, per-query MIN reported — min-of-k is the
   *     standard noise-robust point estimate for a deterministic workload on
-  *     a shared box (box contention only ever adds time).
-  * The JSON carries both pass totals in "passes" for transparency; "value"
+  *     a shared box (box contention only ever adds time);
+  *   - query order REVERSES on alternate passes — a multi-minute contention
+  *     window on a shared box spans the same wall-clock slice of every
+  *     pass, which with a fixed order lands on the SAME queries each time
+  *     and survives min-of-k (round-4 artifact: q04 recorded 3.28 s in both
+  *     passes for code that warm-times at 2.05 s). Reversal makes
+  *     consecutive passes disjoint in time for each query.
+  * The JSON carries all pass totals in "passes" for transparency; "value"
   * is the sum of per-query minima.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -39,9 +45,9 @@ object Bench {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
-    def once(): (Seq[(String, Double)], Seq[String]) = {
+    def once(defs: Seq[QueryDef]): (Seq[(String, Double)], Seq[String]) = {
       val failed = Seq.newBuilder[String]
-      val times = SparkEntry.allDefs.map { q =>
+      val times = defs.map { q =>
         val t0 = System.nanoTime()
         try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -53,15 +59,20 @@ object Bench {
       (times, failed.result())
     }
 
-    once() // warmup (not reported)
-    val measured = (1 to passes).map(_ => once())
+    once(SparkEntry.allDefs) // warmup (not reported)
+    val measured = (1 to passes).map { p =>
+      val order = if (p % 2 == 0) SparkEntry.allDefs.reverse
+                  else SparkEntry.allDefs
+      once(order)
+    }
     val failed = measured.flatMap(_._2).distinct
     val passTotals = measured.map(_._1.map(_._2).sum)
-    // per-query min across measured passes (queries run in a fixed order, so
-    // zip by position; names are identical across passes)
-    val names = measured.head._1.map(_._1)
-    val results = names.zipWithIndex.map { case (name, i) =>
-      name -> measured.map(_._1(i)._2).min
+    // per-query min across measured passes (keyed by name: pass order
+    // alternates, so positions differ between passes)
+    val names = SparkEntry.allDefs.map(_.name)
+    val byName = measured.map(_._1.toMap)
+    val results = names.map { name =>
+      name -> byName.flatMap(_.get(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
