@@ -44,7 +44,9 @@ object Backfill {
                   warehouse: String): Option[org.apache.spark.sql.DataFrame] = {
     val runTs = new java.sql.Timestamp(System.currentTimeMillis())
     Seq("tickers", "splits", "dividends").flatMap { ep =>
-      if (!new java.io.File(s"$pagesDir/_ref/$ep").isDirectory) None
+      // Hadoop-FS probe like the rest of the sink layer: a java.io.File
+      // check would silently skip dim refresh on any non-local pagesDir URI
+      if (!Sinks.pathExists(spark, s"$pagesDir/_ref/$ep")) None
       else {
         val scan = spark.read.format("polygon")
           .option("path", pagesDir).option("endpoint", ep).load()
@@ -79,8 +81,15 @@ object Backfill {
       keys = seriesKey :+ "t",
       partitionCols = seriesKey)
 
-    // silver→gold: 5-minute resample of the finest granularity (O-A7), via
-    // the shared OHLC refold; vw re-derived from the volume-weighted sum.
+    // silver→gold: granularity ladder of the finest granularity (O-A7) via
+    // the shared OHLC refold — 5m, then 1h refolded FROM the 5m bars, then
+    // 1d from the 1h (the reference's period ladder,
+    // old_source/old_source_op.py:18). Refolding each rung from the previous
+    // one instead of from silver reads 12×/24× fewer input rows per rung;
+    // OHLC refold is associative on aligned buckets (MarketSpec locks
+    // 1d-from-1h == 1d-from-minute), and vw re-derives exactly because the
+    // volume-weighted sum vwv is carried through every rung and only divided
+    // at the sink.
     // Coarser source granularities are already bars — resampling them into
     // 5m buckets would double-count, so gold reads ONE granularity: the
     // finest actually present in silver (not a hardcoded minute--1, which
@@ -107,11 +116,20 @@ object Backfill {
     val silver = silverAll
       .filter(col("timespan") === fTs && col("multiplier") === fMul)
       .withColumn("vwv", col("vw") * col("v"))
-    val bars5m = graft.operators.MarketOps.refoldBars(silver, "5 minutes",
-        keys = Seq("ticker", "adjusted"), timeCol = "datetime",
-        sumCols = Seq("v", "n", "vwv"))
-      .withColumn("vw", col("vwv") / col("v"))
-      .drop("vwv")
-    Sinks.writeCurrent(bars5m, s"$warehouse/gold/bars_5m")
+    val keys = Seq("ticker", "adjusted")
+    val sums = Seq("v", "n", "vwv")
+    def rung(src: org.apache.spark.sql.DataFrame, timeCol: String,
+             gran: String) =
+      graft.operators.MarketOps.refoldBars(src, gran, keys, timeCol, sums)
+    def sink(bars: org.apache.spark.sql.DataFrame, name: String): Unit =
+      Sinks.writeCurrent(
+        bars.withColumn("vw", col("vwv") / col("v")).drop("vwv"),
+        s"$warehouse/gold/$name")
+    val bars5m = rung(silver, "datetime", "5 minutes")
+    sink(bars5m, "bars_5m")
+    // each rung refolds the PREVIOUS rung's buckets, not silver
+    val bars1h = rung(bars5m, "bucket", "1 hour")
+    sink(bars1h, "bars_1h")
+    sink(rung(bars1h, "bucket", "1 day"), "bars_1d")
   }
 }

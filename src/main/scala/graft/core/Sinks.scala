@@ -82,6 +82,27 @@ object Sinks {
     df.filter(col("snapshot_ts") === lit(maxTs))
   }
 
+  /** Point-in-time snapshot read: the state of the dimension as it was
+    * known at `asOf` — the latest snapshot_ts at or before that instant
+    * (the reference's forensic-replay capability: timestamped snapshot keys,
+    * polygon-etl-container/src/reference_endpoints_etl.py:25-26; "stale"
+    * reads, README.md:8). Same partition-pruned shape as latestSnapshot:
+    * the scalar max runs on partition values only, and the equality filter
+    * prunes every other partition at planning — no history scan at any
+    * history length. Throws if the history starts after `asOf` (asking
+    * "what was known then" when nothing was is a caller bug, not an empty
+    * result).
+    */
+  def snapshotAsOf(spark: SparkSession, path: String,
+                   asOf: java.sql.Timestamp): DataFrame = {
+    val df = spark.read.parquet(path)
+      .withColumn("snapshot_ts", col("snapshot_ts").cast("timestamp"))
+    val ts = df.filter(col("snapshot_ts") <= lit(asOf))
+      .select(max(col("snapshot_ts"))).collect()(0).getTimestamp(0)
+    require(ts != null, s"no snapshot at or before $asOf in $path")
+    df.filter(col("snapshot_ts") === lit(ts))
+  }
+
   /** O-SNK3: JDBC full-replace dimension refresh — the reference's
     * to_sql(if_exists='replace') (v2022/etl-containers/reference-data/src/
     * reference_data_etl.py:60-67). truncate=true keeps the DDL in place on
@@ -111,7 +132,7 @@ object Sinks {
     * java.io.File would silently report false for any non-local URI and
     * disable the idempotence guards.
     */
-  private[core] def pathExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

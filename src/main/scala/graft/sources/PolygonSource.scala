@@ -342,7 +342,11 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
 /** Canned-file fetcher; cursor = file path. Files sort lexicographically as
   * page order (page-0001.json …).
   */
-final class FilePageFetcher(root: String) extends PageFetcher {
+final class FilePageFetcher(rawRoot: String) extends PageFetcher {
+  // the sink/watermark layer is Hadoop-FS-agnostic and callers naturally
+  // pass the same file:-URI pagesDir here; strip the scheme instead of
+  // silently finding no pages under a literal "./file:" relative path
+  private val root = FilePageFetcher.localPath(rawRoot)
   @transient private lazy val mapper = new ObjectMapper()
 
   private def pagesIn(dir: java.io.File): Seq[String] =
@@ -422,6 +426,13 @@ final class FilePageFetcher(root: String) extends PageFetcher {
     }
     (h & 0x7fffffff).toInt
   }
+}
+
+object FilePageFetcher {
+  /** file:-URI → local path (file:/x, file:///x); other strings unchanged. */
+  def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.io.File(java.net.URI.create(p)).getPath
+    else p
 }
 
 class PolygonTable(options: CaseInsensitiveStringMap)
