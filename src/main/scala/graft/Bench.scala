@@ -59,17 +59,21 @@ object Bench {
       (times, failed.result())
     }
 
-    once(SparkEntry.allDefs) // warmup (not reported)
+    // dev-only subset filter (comma-separated names); unset for driver runs
+    val defs = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+      .fold(SparkEntry.allDefs)(sel => SparkEntry.allDefs.filter(d => sel(d.name)))
+
+    once(defs) // warmup (not reported)
     val measured = (1 to passes).map { p =>
-      val order = if (p % 2 == 0) SparkEntry.allDefs.reverse
-                  else SparkEntry.allDefs
+      val order = if (p % 2 == 0) defs.reverse else defs
       once(order)
     }
     val failed = measured.flatMap(_._2).distinct
     val passTotals = measured.map(_._1.map(_._2).sum)
     // per-query min across measured passes (keyed by name: pass order
     // alternates, so positions differ between passes)
-    val names = SparkEntry.allDefs.map(_.name)
+    val names = defs.map(_.name)
     val byName = measured.map(_._1.toMap)
     val results = names.map { name =>
       name -> byName.flatMap(_.get(name)).min

@@ -351,38 +351,83 @@ object DedupOps {
     }
   )
 
+  /** ceil(totalDocs * dfCapPct / 100), exact for every percentage (not just
+    * divisors of 100 — dfCapPct=3 on 1000 docs is 30, not 31).
+    */
+  private[graft] def dfCap(totalDocs: Long, dfCapPct: Int): Long =
+    (totalDocs * dfCapPct + 99L) / 100L
+
+  /** Over-cap shingle blacklist: shingles in more than `cap` documents.
+    * A groupBy count — map-side partial aggregation collapses a
+    * corpus-frequent shingle ("all rights reserved", f ~ 10^8 on a crawl)
+    * to one row per input partition BEFORE any shuffle, so no single task
+    * ever materializes a frequent shingle's occurrence list. The result is
+    * tiny by construction (shingles in > dfCapPct% of a corpus are few),
+    * so callers broadcast it.
+    */
+  private def overCapShingles(ex: DataFrame, cap: Long): DataFrame =
+    ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("s"))
+
   /** Shared-shingle candidate pairs with a document-frequency cap: shingles
     * appearing in more than ceil(dfCapPct% of docs) documents are excluded
-    * from candidate GENERATION (verification still sees full sets). The df
-    * is computed as a window count over the same hash-partitioning by `s`
-    * the self-join shuffles on, so the cap costs no extra shuffle of the
-    * exploded table. Package-visible for the DedupSpec linearity assertion.
+    * from candidate GENERATION via a broadcast anti join against the
+    * blacklist. Returns (doc_a, doc_b, inter_capped) where inter_capped is
+    * the EXACT count of shared under-cap shingles (shingle arrays are
+    * distinct sets, so each shared shingle emits exactly one join row per
+    * pair) — the aggregation replaces a dropDuplicates at the same shuffle
+    * cost and hands verification its intersection size for free.
+    * Package-visible for the DedupSpec linearity assertion.
     */
   private[graft] def ngramCandidates(sh: DataFrame,
                                      dfCapPct: Int): DataFrame = {
     // tiny driver-side scalar (count of the already-persisted shingle
     // table), same pattern as Sinks' scalar max — NOT a per-row collect
     val totalDocs = sh.count()
-    val cap = (totalDocs + (100L / dfCapPct) - 1) / (100L / dfCapPct)
+    val cap = dfCap(totalDocs, dfCapPct)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val exc = ex
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= cap)
-      .drop("df")
+    val exc = ex.join(broadcast(overCapShingles(ex, cap)), Seq("s"), "left_anti")
     exc.as("a").join(exc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_capped"))
   }
 
-  /** Exact n-gram Jaccard near-dup with df-capped candidate generation and
-    * full-set verification; returns (doc_a, doc_b, jac) with jac exact.
+  /** Exact n-gram Jaccard near-dup with df-capped candidate generation;
+    * returns (doc_a, doc_b, jac) with jac exact over the FULL uncapped
+    * shingle sets. Verification never ships or intersects the full arrays:
+    * |A ∩ B| = (shared under-cap shingles — the candidate join's own count)
+    * + |blacklisted slice of A ∩ blacklisted slice of B|, where the
+    * per-doc blacklisted slices are bounded by the (tiny) blacklist. The
+    * candidate pairs therefore join only against narrow per-doc metadata
+    * (set size + blacklisted slice), not the corpus-sized shingle arrays —
+    * at crawl scale that metadata join is a shuffle of thin rows, and
+    * locally it broadcasts.
     */
   def ngramJaccard(documents: DataFrame, threshold: Double,
                    dfCapPct: Int = 1): DataFrame = {
     val sh = shingleTable(documents)
-    verifyPairs(ngramCandidates(sh, dfCapPct), sh, threshold)
+    val totalDocs = sh.count()
+    val cap = dfCap(totalDocs, dfCapPct)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val over = overCapShingles(ex, cap)
+    // each doc's own blacklisted shingles (absent → no over-cap shingles)
+    val blPerDoc = ex.join(broadcast(over), Seq("s"))
+      .groupBy(col("doc_id")).agg(collect_list(col("s")).as("blsh"))
+    val meta = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      .join(blPerDoc, Seq("doc_id"), "left")
+    val cand = ngramCandidates(sh, dfCapPct)
+    val blInter = when(col("ma.blsh").isNull || col("mb.blsh").isNull, lit(0L))
+      .otherwise(size(array_intersect(col("ma.blsh"), col("mb.blsh"))).cast("long"))
+    cand
+      .join(meta.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(meta.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .withColumn("inter", col("inter_capped") + blInter)
+      .withColumn("jac", jaccard(col("inter"), col("ma.n"), col("mb.n")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash-LSH candidate generation + exact verification. Returns

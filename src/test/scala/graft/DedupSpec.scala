@@ -63,6 +63,16 @@ class DedupSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("dfCap is exact ceil for non-divisor percentages") {
+    // the old formula ceil'd via 100/pct integer division — exact only when
+    // pct divides 100 (pct=3 silently became ~3.03%)
+    assert(DedupOps.dfCap(1000L, 3) == 30L)  // old formula gave 31
+    assert(DedupOps.dfCap(1000L, 1) == 10L)
+    assert(DedupOps.dfCap(101L, 1) == 2L)    // ceil(1.01) = 2
+    assert(DedupOps.dfCap(99L, 3) == 3L)     // ceil(2.97) = 3
+    assert(DedupOps.dfCap(100L, 7) == 7L)
+  }
+
   test("exact dedup is idempotent and keyed by normalized content") {
     val messy = Seq(
       (10L, "Hello   World"), (11L, "hello world"), (12L, "different entirely")

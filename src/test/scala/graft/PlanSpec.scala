@@ -104,6 +104,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_ngram_jaccard: df-cap is a broadcast anti-join blacklist, never a window") {
+    // a Window.partitionBy(s) df count would materialize every occurrence
+    // of a frequent shingle in one task — the exact skew the cap exists to
+    // kill. The cap must stay a groupBy-derived blacklist (map-side partial
+    // agg) anti-joined via broadcast.
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("Window"), s"df-cap regressed to a window plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"over-cap blacklist must broadcast into a map-side anti join:\n$p")
+  }
+
   test("dedup_contamination: eval shingles broadcast, no corpus-sized shuffle join") {
     val p = plan("dedup_contamination")
     assert(p.contains("BroadcastHashJoin"),
