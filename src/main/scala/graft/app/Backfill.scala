@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * its drop_duplicates is the keyed dropDuplicates; its CSV landing is
   * partitioned parquet.
   *
-  * Usage: runMain graft.app.Backfill <pagesDir> <warehouseDir>
+  * Usage: runMain graft.app.Backfill <pagesDir> <warehouseDir> [asOfTs]
+  * With asOfTs ("yyyy-mm-dd hh:mm:ss"), runs a forensic REPLAY: the bar
+  * sweep is restricted by the tickers dimension as it was KNOWN at that
+  * instant (Sinks.snapshotAsOf over dims/tickers_history — the reference's
+  * "stale" live-data reads, README.md:8) and dimensions are not refreshed.
   */
 object Backfill {
   def main(args: Array[String]): Unit = {
     val Array(pagesDir, warehouse) = args.take(2)
+    val asOf = args.lift(2).map(java.sql.Timestamp.valueOf)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-backfill")
@@ -26,7 +31,7 @@ object Backfill {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, pagesDir, warehouse)
+    run(spark, pagesDir, warehouse, asOf)
     spark.stop()
   }
 
@@ -57,9 +62,17 @@ object Backfill {
     }.headOption
   }
 
-  def run(spark: SparkSession, pagesDir: String, warehouse: String): Unit = {
-    // phase 1: dimension refresh (reference does dims before the bar sweep)
-    val tickersDim = refreshDims(spark, pagesDir, warehouse)
+  def run(spark: SparkSession, pagesDir: String, warehouse: String,
+          asOf: Option[java.sql.Timestamp] = None): Unit = {
+    // phase 1: dimension refresh (reference does dims before the bar sweep).
+    // A forensic replay (asOf set) instead reads the tickers dim AS IT WAS
+    // KNOWN at that instant and must NOT refresh — overwriting current views
+    // with present-day state would defeat the point of the replay.
+    val tickersDim = asOf match {
+      case Some(ts) => Some(Sinks.snapshotAsOf(
+        spark, s"$warehouse/dims/tickers_history", ts))
+      case None => refreshDims(spark, pagesDir, warehouse)
+    }
 
     // bronze→silver: at-least-once pages, exactly-once visible rows; a
     // mixed-granularity tree lands as one table keyed+partitioned by the

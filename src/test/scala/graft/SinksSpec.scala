@@ -163,6 +163,112 @@ class SinksSpec extends AnyFunSuite {
       "gold must fold only the 1-minute series")
   }
 
+  test("snapshotAsOf: point-in-time reads land on the right snapshot; before-history throws") {
+    val dir = Files.createTempDirectory("snap-asof").toString
+    Seq(("2024-01-01 00:00:00", 1), ("2024-02-01 00:00:00", 2),
+        ("2024-03-01 00:00:00", 3)).foreach { case (t, ver) =>
+      Sinks.writeSnapshot(Seq(("AAPL", ver)).toDF("ticker", "ver"),
+        s"$dir/h", ts(t))
+    }
+    def verAt(t: String): Int =
+      Sinks.snapshotAsOf(spark, s"$dir/h", ts(t)).select("ver").as[Int].head()
+    assert(verAt("2024-01-15 00:00:00") == 1, "strictly between 1 and 2 → snapshot 1")
+    assert(verAt("2024-02-15 00:00:00") == 2, "strictly between 2 and 3 → snapshot 2")
+    assert(verAt("2024-02-01 00:00:00") == 2, "at-or-before is inclusive")
+    assert(verAt("2025-01-01 00:00:00") == 3, "after the last → latest")
+    intercept[IllegalArgumentException] {
+      Sinks.snapshotAsOf(spark, s"$dir/h", ts("2023-12-31 00:00:00")).count()
+    }
+  }
+
+  test("Backfill.run asOf: forensic replay sweeps by the dim as known THEN, without refreshing") {
+    val pages = Files.createTempDirectory("bf-asof")
+    val bar = """{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2}"""
+    Seq("STK", "CRY").foreach { t =>
+      val dir = pages.resolve(t).resolve("minute--1--adjusted")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("page-0000.json"),
+        s"""{"results":[$bar],"next_url":null}""")
+    }
+    // dim history: January knew CRY as crypto; February reclassified it
+    def seedDims(wh: String): Unit = {
+      Sinks.writeSnapshot(Seq(("STK", "stocks"), ("CRY", "crypto"))
+        .toDF("ticker", "market"), s"$wh/dims/tickers_history",
+        ts("2024-01-01 00:00:00"))
+      Sinks.writeSnapshot(Seq(("STK", "stocks"), ("CRY", "stocks"))
+        .toDF("ticker", "market"), s"$wh/dims/tickers_history",
+        ts("2024-02-01 00:00:00"))
+    }
+    val whJan = Files.createTempDirectory("bf-asof-jan").toString
+    seedDims(whJan)
+    graft.app.Backfill.run(spark, pages.toString, whJan,
+      Some(ts("2024-01-15 00:00:00")))
+    assert(spark.read.parquet(s"$whJan/silver/bars")
+      .select("ticker").as[String].collect().toSeq == Seq("STK"),
+      "January's dim knew CRY as crypto — the replay must exclude it")
+    assert(!Sinks.pathExists(spark, s"$whJan/dims/tickers"),
+      "a forensic replay must not refresh/overwrite current dim views")
+    val whFeb = Files.createTempDirectory("bf-asof-feb").toString
+    seedDims(whFeb)
+    graft.app.Backfill.run(spark, pages.toString, whFeb,
+      Some(ts("2024-02-15 00:00:00")))
+    assert(spark.read.parquet(s"$whFeb/silver/bars")
+      .select("ticker").as[String].collect().sorted.toSeq == Seq("CRY", "STK"),
+      "February's dim knew CRY as stocks — the replay must include it")
+  }
+
+  test("Backfill.run: gold ladder 1h/1d rungs are correct at the warehouse level") {
+    val pages = Files.createTempDirectory("bf-ladder")
+    val wh = Files.createTempDirectory("bf-ladder-wh").toString
+    val dir = pages.resolve("LAD/minute--1--adjusted")
+    Files.createDirectories(dir)
+    // minute bars across 2 days; values chosen so every vwv sum is exact in
+    // doubles and hour-0's volume-weighted vw (3.25) differs from the
+    // avg-of-avgs (2.5) a naive rung-2 refold of vw would produce
+    def bar(tMin: Long, o: Int, h: Int, l: Int, c: Int, v: Int, vw: Double,
+            n: Int) =
+      s"""{"t":${tMin * 60000},"o":$o,"h":$h,"l":$l,"c":$c,"v":$v,"vw":$vw,"n":$n}"""
+    val bars = Seq(
+      bar(1, 1, 2, 1, 2, 10, 1.0, 1),    // day1 00:01
+      bar(30, 2, 5, 2, 5, 30, 4.0, 2),   // day1 00:30
+      bar(75, 3, 3, 1, 1, 20, 2.5, 1),   // day1 01:15
+      bar(780, 7, 9, 6, 8, 10, 8.0, 2),  // day1 13:00
+      bar(1570, 5, 6, 4, 5, 10, 5.0, 1), // day2 02:10
+      bar(1600, 5, 7, 5, 7, 10, 6.0, 1)) // day2 02:40
+    Files.writeString(dir.resolve("page-0000.json"),
+      s"""{"results":[${bars.mkString(",")}],"next_url":null}""")
+    graft.app.Backfill.run(spark, pages.toString, wh)
+
+    val cols = Seq("ticker", "adjusted", "bucket",
+      "o", "h", "l", "c", "v", "n", "vw").map(col)
+    val g1h = spark.read.parquet(s"$wh/gold/bars_1h").select(cols: _*)
+    assert(g1h.count() == 4, "expected 4 hourly buckets (d1h0, d1h1, d1h13, d2h2)")
+    val h0 = g1h.filter(col("bucket") === lit(ts("1970-01-01 00:00:00"))).head()
+    assert(h0.getAs[Double]("o") == 1.0 && h0.getAs[Double]("c") == 5.0 &&
+      h0.getAs[Double]("h") == 5.0 && h0.getAs[Double]("l") == 1.0)
+    assert(h0.getAs[Double]("v") == 40.0)
+    assert(h0.getAs[Double]("vw") == 3.25,
+      "vw through the rung must be volume-weighted (vwv carried), not avg-of-avgs")
+
+    val g1d = spark.read.parquet(s"$wh/gold/bars_1d").select(cols: _*)
+    assert(g1d.count() == 2)
+    val d1 = g1d.filter(col("bucket") === lit(ts("1970-01-01 00:00:00"))).head()
+    assert(d1.getAs[Double]("o") == 1.0 && d1.getAs[Double]("c") == 8.0 &&
+      d1.getAs[Double]("h") == 9.0 && d1.getAs[Double]("l") == 1.0 &&
+      d1.getAs[Double]("v") == 70.0 && d1.getAs[Long]("n") == 6L)
+    // ladder associativity END-TO-END on the warehouse: 1d refolded from the
+    // 1h rung must equal a direct 1d refold of silver (vw re-derived exactly
+    // through both rungs because vwv is the carried sum)
+    val silver = spark.read.parquet(s"$wh/silver/bars")
+      .withColumn("vwv", col("vw") * col("v"))
+    val direct = graft.operators.MarketOps.refoldBars(silver, "1 day",
+        Seq("ticker", "adjusted"), "datetime", Seq("v", "n", "vwv"))
+      .withColumn("vw", col("vwv") / col("v")).drop("vwv")
+      .select(cols: _*)
+    assert(g1d.exceptAll(direct).isEmpty && direct.exceptAll(g1d).isEmpty,
+      "1d-from-1h must equal 1d-direct-from-silver")
+  }
+
   test("Backfill.run: gold derives the finest granularity present (no minute series)") {
     // ADVICE r2 regression lock: a tree whose finest series is 5-minute used
     // to produce a silently EMPTY gold table (gold hardcoded minute--1)
