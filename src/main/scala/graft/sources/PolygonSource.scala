@@ -237,6 +237,13 @@ trait PageFetcher extends Serializable {
     * (ORDER BY t DESC LIMIT k pushdown) needs this to start from the end.
     */
   def chainLength(key: SeriesKey): Option[Int] = None
+  /** Whether the page at `cursor` exists RIGHT NOW — the streaming frontier
+    * probe for transports with no listing (chainLength None), where absence
+    * (http 404) is an answer, not an error. Only called on such transports.
+    */
+  def pageExists(cursor: String): Boolean =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not support frontier probing")
 }
 
 /** Response-shape parsing shared by every transport. */
@@ -287,6 +294,24 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
     Some(s"$baseUrl/pages/${key.ticker}/${key.dirName}/$idx")
 
   override def fetch(cursor: String): Page = {
+    // request never returns None with notFoundOk=false (404 throws), so the
+    // .get cannot fail
+    val node = request(cursor, notFoundOk = false).get
+    val (results, nextRaw) = PageJson.parse(node, cursor)
+    val next = nextRaw.map(n => java.net.URI.create(cursor).resolve(n).toString)
+    Page(PageJson.bars(results), next)
+  }
+
+  /** Streaming frontier probe: a 404 means "no such page yet" (false); every
+    * other failure follows fetch's retry/abort discipline. The body of an
+    * existing page is drained (keep-alive) and discarded — a probe's only
+    * payload is existence.
+    */
+  override def pageExists(cursor: String): Boolean =
+    request(cursor, notFoundOk = true).isDefined
+
+  /** GET with bounded retry + backoff; None iff 404 and notFoundOk. */
+  private def request(cursor: String, notFoundOk: Boolean): Option[JsonNode] = {
     var attempt = 0
     while (true) {
       var code = -1
@@ -305,9 +330,7 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
           val in = conn.getInputStream
           val node = try mapper.readTree(in) finally in.close()
           conn = null // success: keep the pooled connection alive
-          val (results, nextRaw) = PageJson.parse(node, cursor)
-          val next = nextRaw.map(n => java.net.URI.create(cursor).resolve(n).toString)
-          return Page(PageJson.bars(results), next)
+          return Some(node)
         }
         retryAfter = Option(conn.getHeaderField("Retry-After"))
           .flatMap(_.toLongOption).map(_ * 1000L)
@@ -324,6 +347,7 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
       } finally {
         if (conn != null) conn.disconnect()
       }
+      if (code == 404 && notFoundOk) return None
       val retryable = code == -1 || code == 429 || code >= 500
       if (!retryable)
         throw new IllegalStateException(s"polygon HTTP $code at $cursor")
@@ -369,6 +393,9 @@ final class FilePageFetcher(rawRoot: String) extends PageFetcher {
   def pageCount(key: SeriesKey): Int = pages(key).size
 
   override def chainLength(key: SeriesKey): Option[Int] = Some(pageCount(key))
+
+  override def pageExists(cursor: String): Boolean =
+    new java.io.File(cursor).isFile
 
   override def cursorAt(key: SeriesKey, idx: Int): Option[String] =
     pages(key).drop(idx).headOption
@@ -665,7 +692,10 @@ class PolygonReaderFactory(conf: PolygonSource.FetcherConf,
       case Some(k) => new PolygonTailReader(PolygonSource.fetcherFor(conf), sp,
         tFromExcl, tToIncl, k, rateLimitMs)
       case None => new PolygonPartitionReader(PolygonSource.fetcherFor(conf), sp,
-        tFromExcl, tToIncl, limit, rateLimitMs, cachePath = conf.path)
+        tFromExcl, tToIncl, limit, rateLimitMs,
+        // boundary-cache namespace: the transport's root (path may be unset
+        // in http mode, baseUrl in file mode — never both)
+        cachePath = conf.baseUrl.getOrElse(conf.path))
     }
   }
 }
@@ -822,6 +852,19 @@ class PolygonTailReader(fetcher: PageFetcher, part: SeriesPartition,
   * the pages that appeared since the last checkpointed offset (the
   * daily-catch-up protocol of SURVEY.md §2.10 with engine-managed offsets
   * instead of sink-scraping).
+  *
+  * Works over BOTH transports. File mode learns the frontier from the
+  * layout listing; the HTTP cursor transport (no listing) discovers it by
+  * PROBING page existence (gallop + binary search from the checkpointed
+  * position — O(log backlog) rate-limited GETs per series per trigger, and
+  * exactly one 404 when a series is idle). Offsets stay page counts rather
+  * than last-emitted t: pages are the protocol's immutable replayable unit
+  * (a [from, to) range re-reads identically on failure), and an accurate
+  * per-series t offset would force the DRIVER to download each boundary
+  * page's data at planning time every trigger. The tail timestamp that
+  * cross-batch dedup needs is instead picked up executor-side
+  * (PolygonPartitionReader.boundarySeed): free on a warm JVM via the
+  * boundary cache, one bounded refetch otherwise — over either transport.
   */
 final case class PolygonOffset(pages: Map[String, Int]) extends Offset {
   override def json(): String =
@@ -835,20 +878,45 @@ class PolygonMicroBatchStream(conf: PolygonSource.FetcherConf,
                               rateLimitMs: Long,
                               maxPagesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  // streaming offsets are page counts, which require the file layout's
-  // listing; the http transport is batch-only in this build
-  require(conf.baseUrl.isEmpty,
-    "polygon streaming requires the file page layout (no baseUrl)")
   require(maxPagesPerTrigger.forall(_ > 0),
     "maxPagesPerTrigger must be positive")
-  private val fetcher = new FilePageFetcher(conf.path)
+  private val fetcher = PolygonSource.fetcherFor(conf)
+
+  /** Exclusive end of a series' chain as known right now, searched from
+    * `from`. Listing transports answer directly; cursor-only transports
+    * gallop forward (1, 2, 4, ... pages) then binary-search the boundary —
+    * each probe rate-limited like a data fetch. `capEnd` bounds the search
+    * so admission control never probes past what it would admit anyway.
+    */
+  private def frontier(k: SeriesKey, from: Int, capEnd: Option[Int]): Int =
+    fetcher.chainLength(k) match {
+      case Some(n) => capEnd.fold(n)(math.min(n, _))
+      case None =>
+        def exists(i: Int): Boolean = capEnd.forall(i < _) && {
+          PolygonSource.rateLimit(rateLimitMs)
+          fetcher.cursorAt(k, i).exists(fetcher.pageExists)
+        }
+        if (!exists(from)) from
+        else {
+          var known = from // invariant: page `known` exists
+          var step = 1
+          while (exists(known + step)) { known += step; step *= 2 }
+          var lo = known // exists
+          var hi = known + step // missing
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            if (exists(mid)) lo = mid else hi = mid
+          }
+          hi
+        }
+    }
 
   // Trigger.AvailableNow: pin "latest" to the offsets present when the
   // query started, so pages landing mid-run don't extend the run.
   private var availableNowCap: Option[PolygonOffset] = None
 
   private def currentLatest(): PolygonOffset =
-    PolygonOffset(series.map(k => k.offsetKey -> fetcher.pageCount(k)).toMap)
+    PolygonOffset(series.map(k => k.offsetKey -> frontier(k, 0, None)).toMap)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentLatest())
@@ -869,15 +937,18 @@ class PolygonMicroBatchStream(conf: PolygonSource.FetcherConf,
   // cap: Spark keeps triggering until the admitted offset reaches it.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val target = latestOffset().asInstanceOf[PolygonOffset]
-    maxPagesPerTrigger match {
-      case None => target
-      case Some(cap) =>
-        val s = start.asInstanceOf[PolygonOffset].pages
-        PolygonOffset(target.pages.map { case (k, end) =>
-          k -> math.min(end, s.getOrElse(k, 0) + cap)
-        })
-    }
+    val s = start.asInstanceOf[PolygonOffset].pages
+    PolygonOffset(series.map { k =>
+      val from = s.getOrElse(k.offsetKey, 0)
+      val capEnd = maxPagesPerTrigger.map(from + _)
+      val end = availableNowCap match {
+        case Some(pinned) => // AvailableNow: drain to the pinned cap only
+          val p = pinned.pages.getOrElse(k.offsetKey, 0)
+          capEnd.fold(p)(math.min(p, _))
+        case None => frontier(k, from, capEnd) // probe FORWARD from start
+      }
+      k.offsetKey -> math.max(end, from)
+    }.toMap)
   }
 
   override def getDefaultReadLimit
@@ -963,6 +1034,10 @@ final case class DimPartition(endpoint: String, maxPages: Int = Int.MaxValue)
 class PolygonDimScan(path: String, endpoint: String, schema: StructType,
                      filters: Array[Filter], limit: Option[Int],
                      rateLimitMs: Long) extends Scan {
+  // dim endpoints read the canned page layout in this build (the bar scan
+  // supports both transports); loud here beats an NPE inside the fetcher
+  require(path != null,
+    s"polygon dim endpoint '$endpoint' requires a 'path' (file page layout)")
   override def readSchema(): StructType = schema
   override def description(): String =
     s"PolygonDimScan endpoint=$endpoint PushedFilters=[${filters.mkString(", ")}]"

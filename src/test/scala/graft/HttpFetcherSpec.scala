@@ -1,11 +1,5 @@
 package graft
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -20,44 +14,10 @@ class HttpFetcherSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def page(ts: Seq[Long], next: Option[String]): String = {
-    val bars = ts.map(t =>
-      s"""{"t":$t,"o":1.0,"h":2.0,"l":0.5,"c":1.5,"v":100.0,"vw":1.2,"n":3}""")
-      .mkString("[", ",", "]")
-    s"""{"status":"OK","results":$bars,"next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
-  }
+  private def page(ts: Seq[Long], next: Option[String]): String =
+    HttpStub.barPage(ts, next)
 
-  /** Stub: pages keyed by path suffix; failures[path] = responses to serve
-    * before the real page (status code, optional Retry-After).
-    */
-  private final class Stub {
-    val hits = new ConcurrentHashMap[String, AtomicInteger]()
-    var pages: Map[String, String] = Map.empty
-    var failures: Map[String, Seq[(Int, Option[Int])]] = Map.empty
-    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (x: HttpExchange) => {
-      val path = x.getRequestURI.getPath
-      val n = hits.computeIfAbsent(path, _ => new AtomicInteger()).getAndIncrement()
-      val planned = failures.getOrElse(path, Seq.empty)
-      if (n < planned.size) {
-        val (code, retryAfter) = planned(n)
-        retryAfter.foreach(s => x.getResponseHeaders.add("Retry-After", s.toString))
-        x.sendResponseHeaders(code, -1)
-      } else pages.get(path) match {
-        case Some(body) =>
-          val bytes = body.getBytes(StandardCharsets.UTF_8)
-          x.sendResponseHeaders(200, bytes.length)
-          x.getResponseBody.write(bytes)
-        case None => x.sendResponseHeaders(404, -1)
-      }
-      x.close()
-    })
-    server.start()
-    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-    def stop(): Unit = server.stop(0)
-    def hitCount(path: String): Int =
-      Option(hits.get(path)).map(_.get()).getOrElse(0)
-  }
+  private type Stub = HttpStub
 
   private def readHttp(base: String, tickers: String = "T1") =
     spark.read.format("polygon")

@@ -173,6 +173,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshots4 == 3, s"in-place change must add one snapshot, got $snapshots4")
   }
 
+  test("http streaming: AvailableNow drains the cursor chain in bounded batches with cross-batch dedup") {
+    val stub = new HttpStub
+    try {
+      val p = "/pages/HS/minute--1--adjusted"
+      stub.pages = Map(
+        s"$p/0" -> HttpStub.barPage(Seq(100L, 200L), Some("1")),
+        s"$p/1" -> HttpStub.barPage(Seq(200L, 300L), None)) // boundary overlap
+      val q = spark.readStream.format("polygon")
+        .option("baseUrl", stub.base).option("tickers", "HS")
+        .option("backoffMs", "5").option("maxPagesPerTrigger", "1")
+        .load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("http_stream_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table("http_stream_out")
+        .select("t").as[Long].collect().sorted.toSeq
+      assert(rows == Seq(100L, 200L, 300L),
+        s"chain must drain exactly-once across micro-batches: $rows")
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "1-page admission cap must yield one micro-batch per page")
+      // frontier discovery is a bounded existence probe, not a re-read:
+      // each beyond-chain page is 404-probed exactly once (pinned cap)
+      assert(stub.hitCount(s"$p/2") == 1 && stub.hitCount(s"$p/3") == 1,
+        "gallop+binary probe must touch each missing page once")
+      assert(stub.hitCount(s"$p/0") <= 2 && stub.hitCount(s"$p/1") <= 2,
+        "a data page is fetched at most once by the probe and once by the read")
+    } finally stub.stop()
+  }
+
+  test("http streaming: ProcessingTime trigger tails pages appearing mid-run; idle probes are one 404") {
+    val stub = new HttpStub
+    try {
+      val p = "/pages/HT/minute--1--adjusted"
+      // next_url may already name a page that does not exist yet (a live
+      // chain's tail): the frontier probe, not the link, decides visibility
+      stub.pages = Map(s"$p/0" -> HttpStub.barPage(Seq(100L), Some("1")))
+      val q = spark.readStream.format("polygon")
+        .option("baseUrl", stub.base).option("tickers", "HT")
+        .option("backoffMs", "5")
+        .load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("http_live_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def outCount(): Long = spark.table("http_live_out").count()
+      def awaitCount(n: Long, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (outCount() < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(outCount() == n, s"$what: expected $n rows, got ${outCount()}")
+      }
+      try {
+        awaitCount(1, "initial page")
+        // the chain grows MID-RUN with the usual boundary overlap: only the
+        // genuinely new rows may enter the stream
+        stub.pages += s"$p/1" -> HttpStub.barPage(Seq(100L, 200L, 300L), None)
+        awaitCount(3, "mid-run page")
+        Thread.sleep(500) // a few idle triggers
+        assert(outCount() == 3, "idle triggers must admit nothing")
+        // idle probing cost: each idle trigger asks once for the next page
+        // (404) and must NOT refetch pages behind the frontier
+        assert(stub.hitCount(s"$p/2") >= 2, "idle triggers must keep probing the frontier")
+        assert(stub.hitCount(s"$p/0") <= 3,
+          s"frontier probing must not re-read drained pages (page0 hit ${stub.hitCount(s"$p/0")} times)")
+      } finally q.stop()
+      val rows = spark.table("http_live_out")
+        .select("t").as[Long].collect().sorted.toSeq
+      assert(rows == Seq(100L, 200L, 300L),
+        s"exactly-once visible rows under the live trigger: $rows")
+    } finally stub.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
