@@ -44,4 +44,89 @@ object StatefulIndicators {
           out.iterator
         })
   }
+
+  final case class WilderRsiState(avgGain: Double, avgLoss: Double,
+                                  prev: Double, lastT: Long)
+  final case class RsiOut(ticker: String, t: Long, price: Double,
+                          rsi: Option[Double])
+
+  /** Live Wilder RSI: per-key state = (avgGain, avgLoss, prev, lastT) —
+    * O(keys) total. The recursion is bit-identical to the batch
+    * MarketOps.rsiWilder (avg gain/loss seeded by the first change, then
+    * folded as (acc·(n-1) + x)/n; RSI None until the second tick);
+    * StatefulSpec locks cross-batch parity against it. Late rows
+    * (t <= lastT) drop, as in emaStream.
+    */
+  def rsiWilderStream(spark: SparkSession, ticks: Dataset[Tick], n: Int)
+      : Dataset[RsiOut] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ticker: String, rows: Iterator[Tick],
+         state: GroupState[WilderRsiState]) => {
+          val sorted = rows.toSeq.sortBy(_.t)
+          var st = state.getOption.getOrElse(
+            WilderRsiState(Double.NaN, Double.NaN, Double.NaN, Long.MinValue))
+          val out = sorted.flatMap { tick =>
+            if (tick.t <= st.lastT) None
+            else {
+              val rsi: Option[Double] =
+                if (st.prev.isNaN) None
+                else {
+                  val change = tick.price - st.prev
+                  val gain = if (change > 0) change else 0.0
+                  val loss = if (change < 0) -change else 0.0
+                  val (g, l) =
+                    if (st.avgGain.isNaN) (gain, loss)
+                    else ((st.avgGain * (n - 1) + gain) / n,
+                          (st.avgLoss * (n - 1) + loss) / n)
+                  st = st.copy(avgGain = g, avgLoss = l)
+                  Some(if (l == 0) 100.0 else 100.0 - 100.0 / (1.0 + g / l))
+                }
+              st = st.copy(prev = tick.price, lastT = tick.t)
+              Some(RsiOut(ticker, tick.t, tick.price, rsi))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  final case class AtrState(atr: Double, prev: Double, lastT: Long)
+  final case class AtrOut(ticker: String, t: Long, price: Double,
+                          atr: Option[Double])
+
+  /** Live Wilder ATR over |close-to-close change|: per-key state =
+    * (atr, prev, lastT); recursion identical to MarketOps.atrWilder (first
+    * TR seeds, then atr = (atr·(n-1) + tr)/n), parity-locked in
+    * StatefulSpec. Late rows drop.
+    */
+  def atrWilderStream(spark: SparkSession, ticks: Dataset[Tick], n: Int)
+      : Dataset[AtrOut] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ticker: String, rows: Iterator[Tick], state: GroupState[AtrState]) => {
+          val sorted = rows.toSeq.sortBy(_.t)
+          var st = state.getOption.getOrElse(
+            AtrState(Double.NaN, Double.NaN, Long.MinValue))
+          val out = sorted.flatMap { tick =>
+            if (tick.t <= st.lastT) None
+            else {
+              val atr: Option[Double] =
+                if (st.prev.isNaN) None
+                else {
+                  val tr = math.abs(tick.price - st.prev)
+                  val a = if (st.atr.isNaN) tr else (st.atr * (n - 1) + tr) / n
+                  st = st.copy(atr = a)
+                  Some(a)
+                }
+              st = st.copy(prev = tick.price, lastT = tick.t)
+              Some(AtrOut(ticker, tick.t, tick.price, atr))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -1,13 +1,64 @@
 package graft
 
 import graft.streaming.StatefulIndicators
-import graft.streaming.StatefulIndicators.{EmaOut, Tick}
+import graft.streaming.StatefulIndicators.{AtrOut, EmaOut, RsiOut, Tick}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 class StatefulSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  /** Replay the sf0.001 events fixture through a streaming indicator in >=3
+    * micro-batches (event-time order, so cross-batch state is exercised) and
+    * return the streamed output keyed by (ticker, t).
+    */
+  private def replayFixture[O <: Product : org.apache.spark.sql.Encoder](
+      name: String, build: org.apache.spark.sql.Dataset[Tick] =>
+        org.apache.spark.sql.Dataset[O]): Map[(String, Long), O] = {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id").cast("string").as("ticker"),
+        unix_millis(col("ts")).as("t"), col("value").as("price"))
+      .as[Tick].collect().sortBy(_.t)
+    val input = MemoryStream[Tick]
+    val q = build(input.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    events.grouped(events.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name).as[O].collect()
+      .map(r => (r.productElement(0).asInstanceOf[String],
+        r.productElement(1).asInstanceOf[Long]) -> r).toMap
+  }
+
+  /** Batch indicator output re-keyed to (user_id as ticker, unix-millis t). */
+  private def batchByKey(df: org.apache.spark.sql.DataFrame, valueCol: String)
+      : Seq[(String, Long, Option[Double])] = {
+    import org.apache.spark.sql.functions._
+    df.join(Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_id"), unix_millis(col("ts")).as("t")), "event_id")
+      .select(col("user_id").cast("string"), col("t"), col(valueCol))
+      .as[(String, Long, Option[Double])].collect().toSeq
+  }
+
+  private def assertParity(streamed: Map[(String, Long), Option[Double]],
+                           batch: Seq[(String, Long, Option[Double])],
+                           what: String): Unit = {
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, t, b) =>
+      val s = streamed.get((k, t))
+      assert(s.nonEmpty, s"$what: stream missing row ($k, $t)")
+      (s.get, b) match {
+        case (None, None) => ()
+        case (Some(sv), Some(bv)) =>
+          assert(math.abs(sv - bv) < 1e-12, s"$what diverged at ($k, $t): stream=$sv batch=$bv")
+        case other => fail(s"$what null-mismatch at ($k, $t): $other")
+      }
+    }
+  }
 
   test("streaming EMA carries state across micro-batches and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
@@ -66,5 +117,44 @@ class StatefulSpec extends AnyFunSuite {
       assert(streamed.get((k, t)).exists(s => math.abs(s - ema) < 1e-12),
         s"stream/batch EMA diverged at ($k, $t)")
     }
+  }
+
+  test("streaming Wilder RSI carries recursive state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val out = StatefulIndicators.rsiWilderStream(spark, input.toDS(), n = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rsi_unit").start()
+    input.addData(Tick("A", 1, 10.0), Tick("A", 2, 20.0)) // batch 1
+    q.processAllAvailable()
+    input.addData(Tick("A", 3, 15.0), Tick("A", 1, 99.0)) // batch 2 + late row
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rsi_unit").as[RsiOut].collect()
+      .map(r => r.t -> r.rsi).toMap
+    assert(rows(1L).isEmpty, "no RSI before the first change")
+    assert(rows(2L).contains(100.0), "all-gain seed must be RSI 100")
+    // batch 2: change = -5 → g = (10*1 + 0)/2 = 5, l = (0*1 + 5)/2 = 2.5
+    // rsi = 100 - 100/(1 + 2) = 66.666... — only correct if (g, l, prev)
+    // survived the micro-batch boundary
+    assert(rows(3L).exists(v => math.abs(v - 100.0 / 1.5) < 1e-12),
+      s"state must cross micro-batches: ${rows(3L)}")
+    assert(rows.size == 3, s"late row leaked: $rows")
+  }
+
+  test("streaming Wilder RSI on replayed fixture equals batch rsiWilder") {
+    val streamed = replayFixture[RsiOut]("rsi_replay",
+      ds => StatefulIndicators.rsiWilderStream(spark, ds, n = 14))
+    val batch = batchByKey(graft.operators.MarketOps.rsiWilder(
+      spark, Tables.events(spark, TestSpark.Sf0001), n = 14), "rsi_wilder")
+    assertParity(streamed.map { case (k, v) => k -> v.rsi }, batch, "RSI")
+  }
+
+  test("streaming Wilder ATR on replayed fixture equals batch atrWilder") {
+    val streamed = replayFixture[AtrOut]("atr_replay",
+      ds => StatefulIndicators.atrWilderStream(spark, ds, n = 14))
+    val batch = batchByKey(graft.operators.MarketOps.atrWilder(
+      spark, Tables.events(spark, TestSpark.Sf0001), n = 14), "atr_wilder")
+    assertParity(streamed.map { case (k, v) => k -> v.atr }, batch, "ATR")
   }
 }
