@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also emits verify_meta.json so the correctness artifact is
+  * self-describing: the scale factor it ran at, which queries are declared
+  * no-oracle BY DESIGN (engine-specific results) as opposed to broken, and a
+  * machine-checked engine-side bound for each of those — the HLL estimate
+  * must sit within its error bound of the exact distinct computed in the
+  * same result, and the seeded random order must reproduce bit-identically
+  * on a rebuild.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [queryName...] — names filter the dump for local
@@ -18,12 +28,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val dumpErrors = scala.collection.mutable.Map.empty[String, String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        dumpErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally graft.core.GraftCaches.releaseAll(spark) // graft-owned persists
     }
@@ -42,6 +54,48 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // engine-side checks for the declared-no-oracle queries (only those
+    // selected and successfully dumped)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    val engineChecks = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def checkable(name: String): Boolean =
+      selected.contains(name) && !dumpErrors.contains(name)
+    if (checkable("q19_approx_distinct")) {
+      // HLL bound: approx_count_distinct's default rsd is 5%; 3 sigma is the
+      // declared hard bound. exact_parts rides in the same result row.
+      val bound = 0.15
+      val maxRel = spark.read.parquet(s"$outDir/q19_approx_distinct")
+        .select(max(abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts")).as("m"))
+        .head().getDouble(0)
+      engineChecks("q19_approx_distinct") =
+        s"""{"check": "hll_within_bound", "max_rel_err": ${num(maxRel)}, """ +
+          s""""bound": ${num(bound)}, "passed": ${maxRel <= bound}}"""
+    }
+    if (checkable("q20_random_order")) {
+      // seeded rand: a rebuild must reproduce the dumped order bit-for-bit
+      // (deterministic for a fixed seed + partitioning)
+      val dumped = spark.read.parquet(s"$outDir/q20_random_order")
+        .collect().toSeq
+      val rebuilt = SparkEntry.queries("q20_random_order")(spark, sfDir)
+        .collect().toSeq
+      graft.core.GraftCaches.releaseAll(spark)
+      engineChecks("q20_random_order") =
+        s"""{"check": "seeded_order_deterministic", "rows": ${dumped.size}, """ +
+          s""""passed": ${dumped == rebuilt && dumped.nonEmpty}}"""
+    }
+    val noOracle = (selected.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    val meta =
+      s"""{"sf_dir": ${q(sfDir)},
+         |"spark_version": ${q(spark.version)},
+         |"queries_selected": ${selected.size},
+         |"oracle_backed": ${selected.keySet.count(SparkEntry.oracleSql.contains)},
+         |"dump_errors": ${dumpErrors.toSeq.sorted.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")},
+         |"no_oracle_by_design": ${noOracle.map(q).mkString("[", ", ", "]")},
+         |"engine_checks": ${engineChecks.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")}}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

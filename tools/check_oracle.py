@@ -71,6 +71,29 @@ def main(sf_dir: str, out_dir: str) -> int:
         if ok:
             print(f"PASS {name} ({len(want)} rows)")
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
+    # self-describing metadata: declared-no-oracle queries carry an
+    # engine-side machine check (HLL bound, seeded-order determinism)
+    try:
+        meta = json.load(open(f"{out_dir}/verify_meta.json"))
+    except FileNotFoundError:
+        meta = None
+    if meta:
+        print(f"meta: sf={meta['sf_dir']} spark={meta['spark_version']} "
+              f"selected={meta['queries_selected']} "
+              f"oracle_backed={meta['oracle_backed']}")
+        if meta.get("dump_errors"):
+            print(f"FAIL dump errors: {meta['dump_errors']}")
+            failures += 1
+        for name in meta.get("no_oracle_by_design", []):
+            chk = meta.get("engine_checks", {}).get(name)
+            if chk is None:
+                print(f"FAIL {name}: no_oracle_by_design but no engine check ran")
+                failures += 1
+            elif not chk.get("passed"):
+                print(f"FAIL {name}: engine check failed: {chk}")
+                failures += 1
+            else:
+                print(f"PASS {name} (engine check: {chk})")
     return 1 if failures else 0
 
 
