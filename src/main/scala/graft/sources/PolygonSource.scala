@@ -244,6 +244,18 @@ trait PageFetcher extends Serializable {
   def pageExists(cursor: String): Boolean =
     throw new UnsupportedOperationException(
       s"${getClass.getName} does not support frontier probing")
+  /** Raw page parse (record nodes + resolved next cursor) for readers whose
+    * records are not bars (dimension endpoints).
+    */
+  def fetchRaw(cursor: String): (Seq[JsonNode], Option[String]) =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not serve raw pages")
+  /** First cursor of a dimension endpoint's page chain
+    * (reference_endpoints_etl.py:28-53 walks exactly this).
+    */
+  def dimFirstCursor(endpoint: String): Option[String] =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not serve dimension endpoints")
 }
 
 /** Response-shape parsing shared by every transport. */
@@ -294,13 +306,23 @@ final class HttpPageFetcher(baseUrl: String, maxRetries: Int = 3,
     Some(s"$baseUrl/pages/${key.ticker}/${key.dirName}/$idx")
 
   override def fetch(cursor: String): Page = {
+    val (results, next) = fetchRaw(cursor)
+    Page(PageJson.bars(results), next)
+  }
+
+  override def fetchRaw(cursor: String): (Seq[JsonNode], Option[String]) = {
     // request never returns None with notFoundOk=false (404 throws), so the
     // .get cannot fail
     val node = request(cursor, notFoundOk = false).get
     val (results, nextRaw) = PageJson.parse(node, cursor)
-    val next = nextRaw.map(n => java.net.URI.create(cursor).resolve(n).toString)
-    Page(PageJson.bars(results), next)
+    (results, nextRaw.map(n => java.net.URI.create(cursor).resolve(n).toString))
   }
+
+  /** Dimension chains live beside the bar chains under the same indexed
+    * layout: {base}/pages/_ref/{endpoint}/{idx}.
+    */
+  override def dimFirstCursor(endpoint: String): Option[String] =
+    Some(s"$baseUrl/pages/_ref/$endpoint/0")
 
   /** Streaming frontier probe: a 404 means "no such page yet" (false); every
     * other failure follows fetch's retry/abort discipline. The body of an
@@ -403,7 +425,7 @@ final class FilePageFetcher(rawRoot: String) extends PageFetcher {
   /** Raw page parse shared by the bar and dimension readers; next_url
     * resolves relative to the cursor's directory.
     */
-  def fetchRaw(cursor: String): (Seq[JsonNode], Option[String]) = {
+  override def fetchRaw(cursor: String): (Seq[JsonNode], Option[String]) = {
     val (results, nextRaw) = PageJson.parse(mapper.readTree(new java.io.File(cursor)), cursor)
     (results, nextRaw.map(n =>
       new java.io.File(new java.io.File(cursor).getParentFile, n).getPath))
@@ -430,7 +452,7 @@ final class FilePageFetcher(rawRoot: String) extends PageFetcher {
   }
 
   /** First cursor of a dimension endpoint's page chain. */
-  def dimFirstCursor(endpoint: String): Option[String] =
+  override def dimFirstCursor(endpoint: String): Option[String] =
     pagesIn(new java.io.File(s"$root/_ref/$endpoint")).headOption
 
   /** Page count of a dimension endpoint's chain (the dim stream's offset). */
@@ -1024,20 +1046,19 @@ class PolygonDimScanBuilder(endpoint: String, schema: StructType,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def build(): Scan = new PolygonDimScan(
-    options.get("path"), endpoint, schema, accepted, limit,
+    PolygonSource.fetcherConf(options), endpoint, schema, accepted, limit,
     Option(options.get("rateLimitMs")).map(_.toLong).getOrElse(0L))
 }
 
 final case class DimPartition(endpoint: String, maxPages: Int = Int.MaxValue)
     extends InputPartition
 
-class PolygonDimScan(path: String, endpoint: String, schema: StructType,
-                     filters: Array[Filter], limit: Option[Int],
-                     rateLimitMs: Long) extends Scan {
-  // dim endpoints read the canned page layout in this build (the bar scan
-  // supports both transports); loud here beats an NPE inside the fetcher
-  require(path != null,
-    s"polygon dim endpoint '$endpoint' requires a 'path' (file page layout)")
+class PolygonDimScan(conf: PolygonSource.FetcherConf, endpoint: String,
+                     schema: StructType, filters: Array[Filter],
+                     limit: Option[Int], rateLimitMs: Long) extends Scan {
+  // either transport serves the batch scan; loud beats an NPE in the fetcher
+  require(conf.path != null || conf.baseUrl.isDefined,
+    s"polygon dim endpoint '$endpoint' needs a 'path' or 'baseUrl'")
   override def readSchema(): StructType = schema
   override def description(): String =
     s"PolygonDimScan endpoint=$endpoint PushedFilters=[${filters.mkString(", ")}]"
@@ -1047,12 +1068,18 @@ class PolygonDimScan(path: String, endpoint: String, schema: StructType,
     override def planInputPartitions(): Array[InputPartition] =
       Array(DimPartition(endpoint))
     override def createReaderFactory(): PartitionReaderFactory =
-      new PolygonDimReaderFactory(path, schema, filters, limit, rateLimitMs)
+      new PolygonDimReaderFactory(conf, schema, filters, limit, rateLimitMs)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PolygonDimMicroBatchStream(path, endpoint, schema, filters, limit,
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // dim STREAMING stays on the file layout: its change detection (page
+    // count + content signature) needs the listing; the http cursor
+    // transport has no cheap "did anything change" answer
+    require(conf.baseUrl.isEmpty && conf.path != null,
+      "polygon dim streaming requires the file page layout (no baseUrl)")
+    new PolygonDimMicroBatchStream(conf, endpoint, schema, filters, limit,
       rateLimitMs)
+  }
 }
 
 /** Snapshot-refresh stream for a dimension endpoint: the offset is the
@@ -1063,11 +1090,12 @@ class PolygonDimScan(path: String, endpoint: String, schema: StructType,
   * Trigger.AvailableNow and a foreachBatch snapshot sink this is the
   * reference's daily dim refresh running beside the bar stream.
   */
-class PolygonDimMicroBatchStream(path: String, endpoint: String,
+class PolygonDimMicroBatchStream(conf: PolygonSource.FetcherConf,
+                                 endpoint: String,
                                  schema: StructType, filters: Array[Filter],
                                  limit: Option[Int], rateLimitMs: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private val fetcher = new FilePageFetcher(path)
+  private val fetcher = new FilePageFetcher(conf.path)
   private var availableNowCap: Option[PolygonOffset] = None
 
   // the offset carries the page count AND a content signature: a refresh
@@ -1112,18 +1140,19 @@ class PolygonDimMicroBatchStream(path: String, endpoint: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PolygonDimReaderFactory(path, schema, filters, limit, rateLimitMs)
+    new PolygonDimReaderFactory(conf, schema, filters, limit, rateLimitMs)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class PolygonDimReaderFactory(path: String, schema: StructType,
+class PolygonDimReaderFactory(conf: PolygonSource.FetcherConf,
+                              schema: StructType,
                               filters: Array[Filter], limit: Option[Int],
                               rateLimitMs: Long) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[DimPartition]
-    new PolygonDimReader(new FilePageFetcher(path), dp.endpoint, schema,
+    new PolygonDimReader(PolygonSource.fetcherFor(conf), dp.endpoint, schema,
       filters, limit, rateLimitMs, dp.maxPages)
   }
 }
@@ -1132,7 +1161,7 @@ class PolygonDimReaderFactory(path: String, schema: StructType,
   * projects each JSON record onto the declared schema, and applies the
   * pushed equality/IN filters (server-side query params upstream).
   */
-class PolygonDimReader(fetcher: FilePageFetcher, endpoint: String,
+class PolygonDimReader(fetcher: PageFetcher, endpoint: String,
                        schema: StructType, filters: Array[Filter],
                        limit: Option[Int], rateLimitMs: Long,
                        maxPages: Int = Int.MaxValue)

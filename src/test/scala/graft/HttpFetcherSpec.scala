@@ -91,6 +91,31 @@ class HttpFetcherSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("http dim endpoint: cursor chain walked with pushed equality filter, retries intact") {
+    val stub = new Stub
+    try {
+      def row(tk: String, market: String) =
+        s"""{"ticker":"$tk","name":"Name $tk","market":"$market","locale":"us",""" +
+          s""""primary_exchange":"X0","type":"CS","active":true,"currency_name":"usd"}"""
+      def dimPage(rows: Seq[String], next: Option[String]) =
+        s"""{"status":"OK","results":${rows.mkString("[", ",", "]")},""" +
+          s""""next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+      val p = "/pages/_ref/tickers"
+      stub.pages = Map(
+        s"$p/0" -> dimPage(Seq(row("AAA", "stocks"), row("BBB", "crypto")), Some("1")),
+        s"$p/1" -> dimPage(Seq(row("CCC", "stocks")), None))
+      stub.failures = Map(s"$p/1" -> Seq((500, None))) // transient, retried
+      val df = spark.read.format("polygon")
+        .option("baseUrl", stub.base).option("endpoint", "tickers")
+        .option("backoffMs", "5").load()
+        .filter(col("market") === "stocks")
+      assert(df.select("ticker").as[String].collect().sorted.toSeq ==
+        Seq("AAA", "CCC"),
+        "dim chain must be walked over http with the market filter applied")
+      assert(stub.hitCount(s"$p/1") == 2, "transient 500 must be retried once")
+    } finally stub.stop()
+  }
+
   test("http: per-JVM rate limit paces page requests") {
     val stub = new Stub
     try {
