@@ -68,12 +68,16 @@ object Sinks {
     }
   }
 
-  /** Latest snapshot view (partition-pruned: the max-partition filter prunes
-    * at planning, no full history scan). Partition-type inference reads
-    * fractional-second snapshot_ts values back as STRING (whole-second ones
-    * as timestamp), and string max is NOT chronological there (Timestamp
-    * .toString trims trailing zeros, so ".9" sorts after ".102") — the cast
-    * normalizes both shapes before the max and the filter.
+  /** Latest snapshot view. The scalar max is a single-column scan over the
+    * history (Spark disables metadata-only aggregates by default) — cheap at
+    * any plausible dimension-history size but not free; the equality filter
+    * it feeds DOES prune every other snapshot partition at planning, so the
+    * data read is one snapshot regardless of history length.
+    * Partition-type inference reads fractional-second snapshot_ts values
+    * back as STRING (whole-second ones as timestamp), and string max is NOT
+    * chronological there (Timestamp.toString trims trailing zeros, so ".9"
+    * sorts after ".102") — the cast normalizes both shapes before the max
+    * and the filter.
     */
   def latestSnapshot(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
@@ -86,10 +90,10 @@ object Sinks {
     * known at `asOf` — the latest snapshot_ts at or before that instant
     * (the reference's forensic-replay capability: timestamped snapshot keys,
     * polygon-etl-container/src/reference_endpoints_etl.py:25-26; "stale"
-    * reads, README.md:8). Same partition-pruned shape as latestSnapshot:
-    * the scalar max runs on partition values only, and the equality filter
-    * prunes every other partition at planning — no history scan at any
-    * history length. Throws if the history starts after `asOf` (asking
+    * reads, README.md:8). Same shape and cost as latestSnapshot: a cheap
+    * single-column scan finds the snapshot_ts, then the equality filter
+    * prunes every other snapshot partition at planning — the data read is
+    * one snapshot. Throws if the history starts after `asOf` (asking
     * "what was known then" when nothing was is a caller bug, not an empty
     * result).
     */
