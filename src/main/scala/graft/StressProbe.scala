@@ -39,14 +39,19 @@ object StressProbe {
         (pmod(xxhash64(col("id"), lit(1)), lit(10000L)) / 100.0 + 1.0))
       .drop("id")
 
-    def timeN(tag: String, n: Long)(df: org.apache.spark.sql.DataFrame): (String, Double) = {
+    // dev-only subset filter (comma-separated probe tags)
+    val onlyTags = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSet)
+    def selected(tag: String): Boolean = onlyTags.forall(_.contains(tag))
+
+    def timeN(tag: String, n: Long)(df: => org.apache.spark.sql.DataFrame): (String, Double) = {
+      if (!selected(tag)) return tag -> 0.0
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[stress] $tag: $sec%.1f s (${n / sec / 1e6}%.2f M rows/s)")
       tag -> sec
     }
-    def time(tag: String)(df: org.apache.spark.sql.DataFrame): (String, Double) =
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): (String, Double) =
       timeN(tag, rows)(df)
 
     val results = Seq(
@@ -99,12 +104,18 @@ object StressProbe {
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))),
       timeN("dedup_minhash_lsh_docs", nDocs)(
         operators.DedupOps.minhashLsh(docs, threshold = 0.5)),
-      // high-threshold near-dup regime: more rows per band = real pruning
-      // (0.5^12 per band on uncorrelated pairs), unlike the mid-threshold
-      // declared-query config
+      // High-threshold near-dup regime. Band geometry MUST scale with n:
+      // rowsPerBand sets the bucket count per band (2^rows); at n=100k,
+      // 12 planes = 4096 buckets = ~24 vecs/bucket = ~1.2M false candidate
+      // pairs PER BAND (the quadratic-bucket failure this probe exists to
+      // catch — measured 67-930 s wall under memory pressure). 18 planes =
+      // 262k buckets = ~19k false pairs per band; recall for cos>=0.9
+      // (p_plane = 1 - acos(0.9)/pi = 0.857) is 1-(1-0.857^18)^48 ~ 0.95,
+      // recovered by MORE bands, whose cost is linear (48 x n banded rows)
+      // rather than quadratic.
       timeN("embedding_lsh_neardup", nVec)(
         operators.SimilarityOps.cosinePairsLsh(vecs, threshold = 0.9,
-          rowsPerBand = 12, bands = 16))
+          rowsPerBand = 18, bands = 48))
     )
 
     val all = results ++ llm

@@ -888,6 +888,31 @@ class PolygonTailReader(fetcher: PageFetcher, part: SeriesPartition,
   * (PolygonPartitionReader.boundarySeed): free on a warm JVM via the
   * boundary cache, one bounded refetch otherwise — over either transport.
   */
+/** Frontier discovery over an existence oracle: the exclusive end of a
+  * monotone chain (page i exists ⇒ pages < i exist) searched from a known
+  * position — gallop forward doubling the step, then binary-search the
+  * boundary. O(log(end - from)) probes; exactly ONE probe when the chain has
+  * not grown (the idle-series fast path).
+  */
+private[graft] object Frontier {
+  def discover(from: Int, capEnd: Option[Int], existsAt: Int => Boolean): Int = {
+    def exists(i: Int): Boolean = capEnd.forall(i < _) && existsAt(i)
+    if (!exists(from)) from
+    else {
+      var known = from // invariant: page `known` exists
+      var step = 1
+      while (exists(known + step)) { known += step; step *= 2 }
+      var lo = known // exists
+      var hi = known + step // missing
+      while (hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        if (exists(mid)) lo = mid else hi = mid
+      }
+      hi
+    }
+  }
+}
+
 final case class PolygonOffset(pages: Map[String, Int]) extends Offset {
   override def json(): String =
     pages.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
@@ -906,31 +931,18 @@ class PolygonMicroBatchStream(conf: PolygonSource.FetcherConf,
 
   /** Exclusive end of a series' chain as known right now, searched from
     * `from`. Listing transports answer directly; cursor-only transports
-    * gallop forward (1, 2, 4, ... pages) then binary-search the boundary —
-    * each probe rate-limited like a data fetch. `capEnd` bounds the search
-    * so admission control never probes past what it would admit anyway.
+    * gallop + binary-search page existence (Frontier.discover) — each probe
+    * rate-limited like a data fetch. `capEnd` bounds the search so
+    * admission control never probes past what it would admit anyway.
     */
   private def frontier(k: SeriesKey, from: Int, capEnd: Option[Int]): Int =
     fetcher.chainLength(k) match {
       case Some(n) => capEnd.fold(n)(math.min(n, _))
       case None =>
-        def exists(i: Int): Boolean = capEnd.forall(i < _) && {
+        Frontier.discover(from, capEnd, i => {
           PolygonSource.rateLimit(rateLimitMs)
           fetcher.cursorAt(k, i).exists(fetcher.pageExists)
-        }
-        if (!exists(from)) from
-        else {
-          var known = from // invariant: page `known` exists
-          var step = 1
-          while (exists(known + step)) { known += step; step *= 2 }
-          var lo = known // exists
-          var hi = known + step // missing
-          while (hi - lo > 1) {
-            val mid = lo + (hi - lo) / 2
-            if (exists(mid)) lo = mid else hi = mid
-          }
-          hi
-        }
+        })
     }
 
   // Trigger.AvailableNow: pin "latest" to the offsets present when the

@@ -149,4 +149,25 @@ class PropertySpec extends AnyFunSuite {
       assert(replay.count() == 0)
     }
   }
+
+  test("frontier discovery finds the exact chain end with O(log) probes and 1 probe when idle") {
+    forAll(Gen.zip(Gen.chooseNum(0, 400), Gen.chooseNum(0, 50)), n = 60) {
+      case (chainLen, fromRaw) =>
+        val from = math.min(fromRaw, chainLen) // checkpoint never past the end
+        var probes = 0
+        val exists = (i: Int) => { probes += 1; i < chainLen }
+        val end = graft.sources.Frontier.discover(from, None, exists)
+        assert(end == chainLen, s"chainLen=$chainLen from=$from got $end")
+        val backlog = chainLen - from
+        val bound = if (backlog == 0) 1 else 2 * (32 - Integer.numberOfLeadingZeros(backlog)) + 2
+        assert(probes <= bound,
+          s"chainLen=$chainLen from=$from: $probes probes > O(log) bound $bound")
+        // admission cap: never probes past it, answer clamps to it
+        probes = 0
+        val cap = from + 3
+        val capped = graft.sources.Frontier.discover(from, Some(cap), exists)
+        assert(capped == math.min(chainLen, cap))
+        assert(probes <= 5)
+    }
+  }
 }
