@@ -52,6 +52,39 @@ object LiveIngest {
       .start()
   }
 
+  /** Live ingest over the HTTP cursor transport — the reference's actual
+    * live protocol (README.md:7; requests.get + next_url cursors,
+    * polygon-etl-container/src/aggregates_stocks_etl.py:44-84) — with the
+    * same dedup and silver sink as the file path. The series universe is
+    * declared (`tickers` × `series` dirs): http has no listing, exactly as
+    * the reference's universe comes from its tickers dim + period config.
+    * ProcessingTime + the source's frontier probing = true live tailing
+    * (one 404 per idle series per trigger); AvailableNow = bounded catch-up.
+    */
+  def startHttp(spark: SparkSession, baseUrl: String, tickers: Seq[String],
+                warehouse: String,
+                trigger: Trigger = Trigger.AvailableNow(),
+                series: Seq[String] = Seq("minute--1--adjusted"),
+                maxPagesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("polygon")
+      .option("baseUrl", baseUrl)
+      .option("tickers", tickers.mkString(","))
+      .option("series", series.mkString(","))
+    maxPagesPerTrigger.foreach(c => reader.option("maxPagesPerTrigger", c))
+    val bars = reader.load()
+      .withColumn("datetime", timestamp_millis(col("t")))
+    LiveBars.dedupStream(bars, "datetime", "1 hour",
+        keys = Seq("ticker", "timespan", "multiplier", "t", "adjusted"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$warehouse/silver/bars_live")
+      .option("checkpointLocation", s"$warehouse/_checkpoints/bars_live")
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming dimension refresh — the reference refreshes dims daily while
     * bars stream (polygon-etl-container/src/main.py:31-33 + README.md:7).
     * The dim source's micro-batch face has snapshot semantics (each batch is
