@@ -75,6 +75,39 @@ object DedupOps {
       |      FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
+  /** CTE chain recomputing the MinHash+LSH construction in DuckDB, ending
+    * in `v(doc_a, doc_b, inter, na, nb)` — verified candidate pairs with
+    * exact intersection sizes. Shared by `dedup_minhash_lsh` (pair listing)
+    * and `dedup_cluster` (connected components over the same pairs) so the
+    * two oracles can never drift apart.
+    */
+  private lazy val duckMinhashCtes =
+    s"""d2 AS ($duckShingles),
+       |hb AS (SELECT doc_id, sh, list_transform(sh, s -> $duckBaseHash) AS hb
+       |       FROM d2),
+       |mh AS (SELECT doc_id,
+       |    list_transform(range(64), i ->
+       |      list_min(list_transform(hb, h -> ${duckMix("h", "i")}))) AS mh
+       |  FROM hb),
+       |banded AS (
+       |  SELECT doc_id, bb.band,
+       |    list_reduce(
+       |      list_prepend(CAST(17 AS BIGINT),
+       |                   list_slice(mh, bb.band * 4 + 1, bb.band * 4 + 4)),
+       |      (a, x) -> (a * 65599 + x) % 2147483647) AS code
+       |  FROM mh CROSS JOIN (SELECT unnest(range(16)) AS band) bb),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.code = y.code AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, sh, len(sh) AS n FROM d2),
+       |v AS (
+       |  SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |         sa.n AS na, sb.n AS nb
+       |  FROM cand
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
+
   /** Exact pairwise Jaccard from intersection count and set sizes. */
   private def jaccard(inter: Column, sa: Column, sb: Column): Column =
     inter.cast("double") / (sa + sb - inter)
@@ -185,36 +218,42 @@ object DedupOps {
     // recomputed end to end, no signature literals.
     QueryDef.sqlBacked(
       "dedup_minhash_lsh",
-      s"""WITH d2 AS ($duckShingles),
-         |hb AS (SELECT doc_id, sh, list_transform(sh, s -> $duckBaseHash) AS hb
-         |       FROM d2),
-         |mh AS (SELECT doc_id,
-         |    list_transform(range(64), i ->
-         |      list_min(list_transform(hb, h -> ${duckMix("h", "i")}))) AS mh
-         |  FROM hb),
-         |banded AS (
-         |  SELECT doc_id, bb.band,
-         |    list_reduce(
-         |      list_prepend(CAST(17 AS BIGINT),
-         |                   list_slice(mh, bb.band * 4 + 1, bb.band * 4 + 4)),
-         |      (a, x) -> (a * 65599 + x) % 2147483647) AS code
-         |  FROM mh CROSS JOIN (SELECT unnest(range(16)) AS band) bb),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.code = y.code AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, sh, len(sh) AS n FROM d2),
-         |v AS (
-         |  SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
-         |         sa.n AS na, sb.n AS nb
-         |  FROM cand
-         |  JOIN sz sa ON sa.doc_id = doc_a
-         |  JOIN sz sb ON sb.doc_id = doc_b)
+      s"""WITH $duckMinhashCtes
          |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
          |FROM v
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       minhashLsh(Tables.documents(s, d), threshold = 0.5)
+    },
+
+    // Dedup CLUSTERING — the stage after pair detection: connected
+    // components over the MinHash-verified near-dup pairs (a~b, b~c → one
+    // cluster {a,b,c}), so a keep-one-survivor policy drops transitive
+    // duplicates, not just pairwise ones. Spark side runs the alternating
+    // large-star/small-star algorithm (Components.scala — O(log² n)
+    // shuffle-bounded rounds, no per-task component materialization); the
+    // oracle recomputes the same pair set (shared CTE chain) and takes its
+    // transitive closure with a recursive CTE — feasible for the oracle
+    // because the sf-fixture graph is small; the closure is NOT the scale
+    // path, the star algorithm is.
+    QueryDef.sqlBacked(
+      "dedup_cluster",
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM v
+         |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+         |lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+         |        FROM reach GROUP BY s)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dedupClusters(Tables.documents(s, d), threshold = 0.5)
     },
 
     // SimHash near-dup: 64-bit signature from per-shingle parity votes,
@@ -463,6 +502,26 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyPairs(cand, sh, threshold)
+  }
+
+  /** Near-dup clusters: MinHash+LSH verified pairs → connected components →
+    * (doc_id, cluster_id, cluster_size), cluster_id = min doc_id of the
+    * component (the canonical survivor under a keep-smallest policy). Docs
+    * with no near-dup pair are absent — implicitly singleton clusters; at
+    * crawl scale that keeps this output proportional to the DUPLICATED
+    * subset, not the corpus. The size join shuffles only (node, component)
+    * id rows — the per-cluster count is a partial-aggregated groupBy on a
+    * set already bounded by the pair graph.
+    */
+  def dedupClusters(documents: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashLsh(documents, threshold)
+    val lab = Components.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")))
+    val sizes = lab.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("component"))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+              col("cluster_size"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming. Banding
