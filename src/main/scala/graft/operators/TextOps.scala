@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -254,6 +254,70 @@ object TextOps {
         .select(col("doc_id"),
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // EXACT grouped quantiles of document length, percentile_cont
+    // semantics. NOT Spark's `percentile` aggregate — that buffers every
+    // value of a group in one reducer, a scale-killer for a popular
+    // language at crawl scale. Instead the distribution is compacted to a
+    // (lang, length) HISTOGRAM first (shuffle bounded by the value domain,
+    // map-side partial counts), and the interpolated quantile is read off
+    // cumulative ranks — see exactQuantiles. The oracle is DuckDB's
+    // quantile_cont, the same linear interpolation.
+    QueryDef.sqlBacked(
+      "txt_quantiles",
+      """WITH qq AS (
+        |  SELECT lang,
+        |    unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS p,
+        |    unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99])) AS q
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, p, round(q, 6) AS q FROM qq
+        |ORDER BY lang, p""".stripMargin) { (s, d) =>
+      exactQuantiles(Tables.documents(s, d), "n_chars", "lang",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }
   )
+
+  /** Exact percentile_cont over a DISCRETE value column, computed from a
+    * compacted histogram instead of per-group value buffers: groupBy
+    * (group, value) count → cumulative ranks over the histogram → the two
+    * rows bracketing each target rank → linear interpolation. Every stage
+    * is shuffle-bounded by the histogram size (distinct values per group),
+    * never the row count; the rank windows run over the compacted
+    * histogram, not the data. The exact-quantile analogue of what
+    * approx_percentile trades away — use it when the domain is discrete
+    * (lengths, counts, token budgets), approx_percentile for continuous.
+    *
+    * percentile_cont: target rank r = 1 + p(n-1) over the sorted values
+    * (1-indexed); result = v[floor(r)] + (r - floor(r)) · (v[ceil(r)] -
+    * v[floor(r)]).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy(groupCol).orderBy("v")
+    val whole = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("end", sum("c").over(byV))
+      .withColumn("start", col("end") - col("c") + 1)
+      .withColumn("n", sum("c").over(whole))
+    val bracket = cum
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("r", lit(1.0) + col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("r")))
+      .withColumn("hi", least(ceil(col("r")), col("n")))
+      .filter(col("lo").between(col("start"), col("end")) ||
+              col("hi").between(col("start"), col("end")))
+    bracket.groupBy(col(groupCol), col("p"))
+      .agg(
+        min(when(col("lo").between(col("start"), col("end")), col("v"))).as("vlo"),
+        min(when(col("hi").between(col("start"), col("end")), col("v"))).as("vhi"),
+        first(col("r")).as("r"))
+      .select(col(groupCol), col("p"),
+        round(col("vlo") + (col("r") - floor(col("r"))) * (col("vhi") - col("vlo")), 6)
+          .as("q"))
+      .orderBy(col(groupCol), col("p"))
+  }
 }

@@ -146,6 +146,72 @@ object Relational2 {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("window.start").as("w_start"), col("n_events"))
         .orderBy(col("user_id"), col("w_start"))
+    },
+
+    // Ordered conversion funnel over the event stream: first view, first
+    // click strictly after it, first purchase strictly after that — the
+    // time-ordered multi-stage pattern (reference's tumbling aggregation
+    // generalized to ordered stages). Each stage is a partial-aggregated
+    // min per user joined back on user_id: three shuffles bounded by USER
+    // count, never event count — at 100 TB the event table is scanned
+    // once per stage with the stage predicate pushed to the scan, and the
+    // per-user firsts are thin (user_id, ts) rows.
+    QueryDef.sqlBacked(
+      "q23_funnel",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |a AS (SELECT user_id, min(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN a USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > a.t_view GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN b USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > b.t_click GROUP BY 1)
+        |SELECT a.user_id, a.t_view, b.t_click, c.t_purchase
+        |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val a = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val b = e.filter(col("event_type") === "click")
+        .join(a, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val c = e.filter(col("event_type") === "purchase")
+        .join(b, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      a.join(b, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+        .orderBy(col("user_id"))
+    },
+
+    // Cohort retention: users grouped by first-activity week, counted
+    // distinct in each subsequent week offset. Activity is compacted to
+    // distinct (user, week) BEFORE the cohort join — the shuffled set is
+    // users × weeks, not raw events; the cohort table is (user, week) thin
+    // rows. date_trunc('week') is Monday-anchored in both engines.
+    QueryDef.sqlBacked(
+      "q24_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w0 AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |       FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM e)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(w AS DATE)) // 7
+        |       AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS users
+        |FROM act JOIN w0 USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val w0 = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_week"))
+      val act = e.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      act.join(w0, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("w"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the histogram-based exact quantiles and the ordered
+  * funnel: the quantile path is cross-checked against Spark's own
+  * `percentile` aggregate (the buffer-everything implementation we avoid at
+  * scale — small data makes it a free ground truth), the funnel against
+  * hand-ordered event sequences.
+  */
+class QuantileFunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exactQuantiles matches Spark's percentile aggregate on skewed groups") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      val g = if (i % 10 == 0) "rare" else "common"
+      (g, (rnd.nextInt(40) + (if (g == "rare") 1000 else 0)).toLong)
+    } ++ Seq(("single", 42L)) // n = 1 group: every quantile is the value
+    val df = rows.toDF("lang", "n_chars")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+    val got = TextOps.exactQuantiles(df, "n_chars", "lang", ps)
+      .as[(String, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+
+    val want = df.groupBy("lang")
+      .agg(expr(s"percentile(n_chars, array(${ps.mkString(",")}))").as("qs"))
+      .select(col("lang"), posexplode(col("qs")).as(Seq("i", "q")))
+      .as[(String, Int, Double)].collect()
+      .map(t => (t._1, ps(t._2)) -> math.rint(t._3 * 1e6) / 1e6).toMap
+
+    assert(got == want, s"got $got\nwant $want")
+    assert(got((("single"), 0.99)) == 42.0)
+  }
+
+  /** The fixture events.parquet stores ts as int64 NANOSECONDS (TESTDATA.md;
+    * Tables.events re-derives the timestamp) — test fixtures must match.
+    */
+  private def writeEventsFixture(df: org.apache.spark.sql.DataFrame,
+                                 dir: String): Unit =
+    df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("funnel honors strict stage ordering, not mere presence") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // user 2: purchase BEFORE the first post-view click — stage 3 null
+      (2L, "view", ts(0)), (2L, "purchase", ts(1)), (2L, "click", ts(2)),
+      // user 3: click only before the first view — stage 2 null
+      (3L, "click", ts(0)), (3L, "view", ts(1)),
+      // user 4: never viewed — absent from the funnel entirely
+      (4L, "click", ts(0)), (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    writeEventsFixture(events, dir)
+    val out = SparkEntry.queries("q23_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1.isDefined && out(1L)._2.isDefined && out(1L)._3.isDefined)
+    assert(out(2L)._2.isDefined && out(2L)._3.isEmpty,
+      "purchase before the qualifying click must not count")
+    assert(out(3L)._2.isEmpty && out(3L)._3.isEmpty,
+      "click before the first view must not count")
+  }
+
+  test("retention cohorts: a late-joining user lands in a later cohort") {
+    val events = Seq(
+      (1L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, "view", java.sql.Timestamp.valueOf("2024-01-08 10:00:00")),
+      (2L, "view", java.sql.Timestamp.valueOf("2024-01-08 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("retention").toString
+    writeEventsFixture(events, dir)
+    val out = SparkEntry.queries("q24_retention")(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val w1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val w2 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    assert(out == Set((w1, 0L, 1L), (w1, 1L, 1L), (w2, 0L, 1L)), s"got $out")
+  }
+}
