@@ -425,7 +425,15 @@ object DedupOps {
     val totalDocs = sh.count()
     val cap = dfCap(totalDocs, dfCapPct)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val exc = ex.join(broadcast(overCapShingles(ex, cap)), Seq("s"), "left_anti")
+    candidatesFrom(ex, overCapShingles(ex, cap))
+  }
+
+  /** Candidate generation given the exploded shingle table and an over-cap
+    * blacklist: anti-join the blacklist out, self-join on the surviving
+    * shingles, count shared shingles per pair.
+    */
+  private def candidatesFrom(ex: DataFrame, over: DataFrame): DataFrame = {
+    val exc = ex.join(broadcast(over), Seq("s"), "left_anti")
     exc.as("a").join(exc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -450,13 +458,17 @@ object DedupOps {
     val totalDocs = sh.count()
     val cap = dfCap(totalDocs, dfCapPct)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val over = overCapShingles(ex, cap)
+    // The blacklist feeds BOTH the candidate anti-join and the per-doc
+    // blacklisted slices, and Spark does not CSE across branches — persist
+    // it (tiny by construction) so the corpus-wide df aggregate runs once.
+    val over = graft.core.GraftCaches.acquire(
+      overCapShingles(ex, cap), StorageLevel.MEMORY_AND_DISK)
     // each doc's own blacklisted shingles (absent → no over-cap shingles)
     val blPerDoc = ex.join(broadcast(over), Seq("s"))
       .groupBy(col("doc_id")).agg(collect_list(col("s")).as("blsh"))
     val meta = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
       .join(blPerDoc, Seq("doc_id"), "left")
-    val cand = ngramCandidates(sh, dfCapPct)
+    val cand = candidatesFrom(ex, over)
     val blInter = when(col("ma.blsh").isNull || col("mb.blsh").isNull, lit(0L))
       .otherwise(size(array_intersect(col("ma.blsh"), col("mb.blsh"))).cast("long"))
     cand
