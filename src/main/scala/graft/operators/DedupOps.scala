@@ -256,6 +256,26 @@ object DedupOps {
       dedupClusters(Tables.documents(s, d), threshold = 0.5)
     },
 
+    // INCREMENTAL dedup — a crawl drop (here: doc_id % 7 = 0 stands in for
+    // the new batch) checked against the persisted corpus signature store:
+    // only pairs touching a new document are derived; old-old pairs are
+    // previous increments' outputs. The oracle recomputes the full pair set
+    // (same shared CTEs) and keeps the pairs with a new side — the
+    // increment path must agree with the full recompute EXACTLY on that
+    // subset (DedupSpec also locks this as a two-batch equivalence
+    // property on constructed corpora).
+    QueryDef.sqlBacked(
+      "dedup_incremental",
+      s"""WITH $duckMinhashCtes
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      minhashLshIncremental(shingleTable(Tables.documents(s, d)),
+        isNew = col("doc_id") % 7 === 0, threshold = 0.5)
+    },
+
     // SimHash near-dup: 64-bit signature from per-shingle parity votes,
     // banded into 4 16-bit chunks (guarantees detection at hamming ≤ 3).
     // Oracle-exact via the same portable arithmetic: the SQL twin recomputes
@@ -495,9 +515,26 @@ object DedupOps {
     */
   def minhashLsh(documents: DataFrame, threshold: Double,
                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sh = shingleTable(documents)
-    graft.functions.SketchFunctions.register(documents.sparkSession)
+    val banded = minhashBandTable(sh, numHashes, bands)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** The LSH signature STORE: (doc_id, band, sig) from a (doc_id, sh)
+    * shingle table — one map-only codegen'd MinHashSig fold per document,
+    * `bands` thin rows out. This is the table a production pipeline
+    * persists per corpus and APPENDS per increment; `minhashLshIncremental`
+    * joins new documents against it without touching old text.
+    */
+  def minhashBandTable(sh: DataFrame, numHashes: Int = 64,
+                       bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    graft.functions.SketchFunctions.register(sh.sparkSession)
     val sig = sh.select(col("doc_id"),
       expr(s"graft_minhash(sh, $numHashes)").as("mh"))
     val bandCols = (0 until bands).map { b =>
@@ -505,13 +542,32 @@ object DedupOps {
         expr(s"aggregate(slice(mh, ${b * rowsPerBand + 1}, $rowsPerBand), " +
           "17L, (acc, x) -> (acc * 65599L + x) % 2147483647L)").as("sig"))
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = banded.as("a").join(banded.as("b"),
+  }
+
+  /** INCREMENTAL near-dup: pairs involving at least one NEW document —
+    * the production shape for a periodic crawl drop. Only the increment's
+    * signatures are computed fresh; the corpus side is the persisted band
+    * store, so the bucket join is increment-sized × bucket hit rate, never
+    * corpus × corpus. Exact verification joins candidates against shingle
+    * sets by doc_id — a semi-join that touches only candidate documents
+    * (at 100 TB: a pruned point-lookup scan of the corpus shingle table,
+    * not a full pass). Old-old pairs are the PREVIOUS increments' outputs
+    * and are deliberately not re-derived.
+    *
+    * `sh` must cover every doc that can appear in a pair (corpus ∪ new);
+    * `isNew` marks increment membership on both `sh` and the store rows.
+    */
+  def minhashLshIncremental(sh: DataFrame, isNew: Column,
+                            threshold: Double): DataFrame = {
+    val store = minhashBandTable(sh)
+    val fresh = store.filter(isNew)
+    val cand = fresh.as("a").join(store.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyPairs(cand, sh, threshold)
   }

@@ -96,6 +96,26 @@ class DedupSpec extends AnyFunSuite {
     assert(jacs.forall(_ >= 0.5))
   }
 
+  test("incremental dedup equals the full recompute restricted to new-side pairs") {
+    // fixture corpus split into "existing corpus" and a "new drop"; the
+    // increment path must produce EXACTLY the full-recompute pairs that
+    // touch a new doc — no misses (store join covers new-old) and no
+    // extras (old-old never re-derived)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val isNew = col("doc_id") % 7 === 0
+    val sh = DedupOps.shingleTable(docs)
+    val full = DedupOps.minhashLsh(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val wantNewSide = full.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    val got = DedupOps.minhashLshIncremental(sh, isNew, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == wantNewSide,
+      s"extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+    assert(got.nonEmpty, "fixture should plant at least one new-side pair")
+    assert((full -- wantNewSide).nonEmpty,
+      "split should leave old-old pairs out of the increment")
+  }
+
   test("operator persists are graft-owned: releaseAll empties the cache manager") {
     // clean slate so caches left by sibling suites don't mask the assertion;
     // the run under test itself never calls clearCache
