@@ -118,7 +118,34 @@ object StressProbe {
           rowsPerBand = 18, bands = 48))
     )
 
-    val all = results ++ llm
+    // ---- connected components at probe scale: a random recursive tree
+    // over nEdges nodes (one giant component, log diameter — the realistic
+    // near-dup cluster regime at volume) PLUS a 50k-node pure path (the
+    // adversarial deep-diameter case the alternating algorithm's O(log² n)
+    // bound exists for). Verifies round count stays logarithmic and no
+    // single task materializes the giant component.
+    val nEdges = math.min(5000000L, math.max(100000L, rows / 4))
+    val chainN = 50000L
+    val treeEdges = spark.range(1, nEdges, 1, 64)
+      .select(col("id").as("u"), pmod(xxhash64(col("id")), col("id")).as("v"))
+    val chainEdges = spark.range(nEdges, nEdges + chainN, 1, 16)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+    val ccProbe = Seq(
+      timeN("connected_components", nEdges + chainN) {
+        val lab = operators.Components
+          .connectedComponents(treeEdges.union(chainEdges))
+        // giant tree component labeled 0, the path labeled by its min
+        lab.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      },
+      // exact quantiles over the full tape: histogram compaction keeps the
+      // shuffle at the value-domain size (~10k distinct), not 20M rows
+      time("exact_quantiles_histogram")(operators.TextOps.exactQuantiles(
+        tape.select(pmod(col("user_id"), lit(8)).cast("string").as("lang"),
+          (col("value") * 100).cast("long").as("n_chars")),
+        "n_chars", "lang", Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
+    )
+
+    val all = results ++ llm ++ ccProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

@@ -74,6 +74,20 @@ object Verify {
         s"""{"check": "hll_within_bound", "max_rel_err": ${num(maxRel)}, """ +
           s""""bound": ${num(bound)}, "passed": ${maxRel <= bound}}"""
     }
+    if (checkable("txt_quantiles_approx")) {
+      // the sketch's answer must sit within the declared relative error of
+      // the exact quantile computed in the same result row (10% covers the
+      // element-vs-interpolated semantic gap at fixture sizes; observed
+      // error is far smaller)
+      val bound = 0.10
+      val maxRel = spark.read.parquet(s"$outDir/txt_quantiles_approx")
+        .select(max(abs(col("q_approx") - col("q_exact")) /
+          greatest(col("q_exact"), lit(1.0))).as("m"))
+        .head().getDouble(0)
+      engineChecks("txt_quantiles_approx") =
+        s"""{"check": "approx_quantile_within_bound", "max_rel_err": ${num(maxRel)}, """ +
+          s""""bound": ${num(bound)}, "passed": ${maxRel <= bound}}"""
+    }
     if (checkable("q20_random_order")) {
       // seeded rand: a rebuild must reproduce the dumped order bit-for-bit
       // (deterministic for a fixed seed + partitioning)

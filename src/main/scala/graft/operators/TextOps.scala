@@ -275,6 +275,29 @@ object TextOps {
         |ORDER BY lang, p""".stripMargin) { (s, d) =>
       exactQuantiles(Tables.documents(s, d), "n_chars", "lang",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    },
+
+    // The CONTINUOUS-domain quantile path: approx_percentile (Greenwald-
+    // Khanna sketch — mergeable partial aggregates, constant memory per
+    // group regardless of row count). No SQL oracle (sketch internals are
+    // engine-specific BY DESIGN); instead the result carries the exact
+    // quantile alongside and Verify machine-checks the declared relative
+    // error bound, the same pattern as q19's HLL check. Sketch accuracy
+    // 1000 → rank error <= n/1000.
+    QueryDef.rowsOnly("txt_quantiles_approx") { (s, d) =>
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val docs = Tables.documents(s, d)
+      val exact = exactQuantiles(docs, "n_chars", "lang", ps)
+        .withColumnRenamed("q", "q_exact")
+      val approx = docs.groupBy("lang")
+        .agg(expr(s"approx_percentile(n_chars, array(${ps.mkString(",")}), 1000)")
+          .as("qs"))
+        .select(col("lang"), posexplode(col("qs")).as(Seq("i", "qa")))
+        .select(col("lang"),
+          element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+          col("qa").cast("double").as("q_approx"))
+      exact.join(approx, Seq("lang", "p"))
+        .orderBy(col("lang"), col("p"))
     }
   )
 
