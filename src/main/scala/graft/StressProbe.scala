@@ -131,10 +131,18 @@ object StressProbe {
     val chainEdges = spark.range(nEdges, nEdges + chainN, 1, 16)
       .select(col("id").as("u"), (col("id") + 1).as("v"))
     val ccProbe = Seq(
-      timeN("connected_components", nEdges + chainN) {
+      // realistic regime: giant log-diameter component (near-dup clusters
+      // at volume) — converges in ~5 rounds
+      timeN("connected_components_tree", nEdges) {
+        val lab = operators.Components.connectedComponents(treeEdges)
+        lab.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      },
+      // adversarial regime: same graph PLUS a 50k-node pure path — the
+      // deep-diameter case that drives the O(log² n) round bound (~17
+      // rounds); wall scales with rounds, volume per round stays flat
+      timeN("connected_components_path", nEdges + chainN) {
         val lab = operators.Components
           .connectedComponents(treeEdges.union(chainEdges))
-        // giant tree component labeled 0, the path labeled by its min
         lab.groupBy(col("component")).agg(count(lit(1)).as("n"))
       },
       // exact quantiles over the full tape: histogram compaction keeps the

@@ -49,16 +49,34 @@ object Components {
       .distinct()
       .localCheckpoint()
 
+    // Per-round convergence probe: one aggregate job (count + hash sum)
+    // against the previous round's scalars. Counts alone cannot detect
+    // progress here — on a FOREST every contraction round preserves
+    // |E| = |V| - #components exactly — and an every-round set-equality
+    // anti-join is a full extra pass. The hash sum changes whenever the
+    // edge set changes (up to a 2^-64-scale collision), so the
+    // DETERMINISTIC anti-join runs only on the round that looks stable:
+    // convergence is still proven by set algebra, the hash only schedules
+    // the proof.
+    def probe(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.agg(count(lit(1)), sum(xxhash64(col("u"), col("v"))
+        .cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var sig = probe(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // Set equality of two distinct canonical edge sets: equal counts plus
-      // one empty anti-join (next ⊆ e ∧ |next| = |e| → next = e). Two small
-      // cluster aggregates per round — no data to the driver beyond scalars.
-      converged = next.count() == e.count() &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      val nextSig = probe(next)
+      // mutual anti-join: SET equality independent of row multiplicities
+      // (the rounds carry multisets; the set-level dynamics are the
+      // paper's, since min-aggregates and per-row emits are dup-blind)
+      converged = nextSig == sig &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+        e.join(next, Seq("u", "v"), "left_anti").isEmpty
       e = next
+      sig = nextSig
       rounds += 1
     }
     require(converged,
@@ -73,7 +91,10 @@ object Components {
   /** Large-star: every node re-points its strictly-LARGER neighbors at the
     * minimum of its closed neighborhood. Operates on the symmetric closure;
     * output is canonical (u > v) and self-loop-free because
-    * m ≤ u < v for every emitted (v, m).
+    * m ≤ u < v for every emitted (v, m). NOT deduplicated: each undirected
+    * edge emits exactly one row (from its smaller endpoint), so the output
+    * is ≤ |E| rows and smallStar's aggregates absorb any (v, m) collisions
+    * — a distinct here would be a pure extra shuffle.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -82,13 +103,19 @@ object Components {
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star: every node links its smaller-or-equal neighborhood (and
     * itself) to that neighborhood's minimum. Input and output both
     * canonical (u > v): emitted neighbor edges are (v, m) with v ≥ m from
     * the same min-group (v ≠ m filtered), plus the (u, m) self link.
+    *
+    * Also not deduplicated: each round emits at most one row per input row
+    * plus one per group, so duplicate rows PERSIST but never MULTIPLY —
+    * the working multiset stays O(|E| + |V|) across all rounds (the entry
+    * distinct bounds input dups; the label projection dedups at the end).
+    * Dropping the per-round distinct removes a full-width shuffle from
+    * every round; the aggregates in both stars are dup-insensitive (min).
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val m = e.groupBy("u").agg(min("v").as("m"))
@@ -96,6 +123,6 @@ object Components {
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
     val self = m.select(col("u"), col("m").as("v"))
-    nbrs.union(self).distinct()
+    nbrs.union(self)
   }
 }
