@@ -41,4 +41,21 @@ object LiveBars {
         timeCol = eventTimeCol)
       .withColumn("vol", col("vol_dec").cast("double"))
       .drop("vol_dec")
+
+  /** Gap-based session windows on a live stream — q21's batch aggregate
+    * incrementalized: per-key session state merges on overlap and is
+    * emitted (append mode) once the watermark passes session end, so state
+    * is bounded by OPEN sessions only. Replaying history through this
+    * equals the batch q21_session_window table (StreamingSpec parity).
+    */
+  def sessionStream(events: DataFrame, eventTimeCol: String, delay: String,
+                    gap: String): DataFrame =
+    events.withWatermark(eventTimeCol, delay)
+      .groupBy(col("user_id"), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
 }

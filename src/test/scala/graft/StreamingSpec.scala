@@ -41,6 +41,30 @@ class StreamingSpec extends AnyFunSuite {
       "streaming replay != batch aggregate")
   }
 
+  test("streaming session windows over a replayed stream equal batch q21") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "value")
+    val q = LiveBars.sessionStream(stream, "ts", "10 minutes", "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_out").start()
+    val (a, b) = rows.sortBy(_._2.getTime).splitAt(rows.size / 2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    input.addData((999L, ts("2025-01-01 00:00:00"), 0.0)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("session_out").filter(col("user_id") =!= 999L)
+    val batch = SparkEntry.queries("q21_session_window")(spark, TestSpark.Sf0001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming session replay != batch q21 aggregate")
+  }
+
   test("stream-static enrichment join: live bars pick up dimension attributes") {
     implicit val sqlCtx = spark.sqlContext
     val tickers = Seq(("AAPL", "Apple Inc", "XNAS"), ("MSFT", "Microsoft", "XNAS"))
