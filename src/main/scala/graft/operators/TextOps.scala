@@ -277,6 +277,52 @@ object TextOps {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     },
 
+    // Per-group top-k (top documents per language by length, total
+    // tie-break). The rank filter compiles to WindowGroupLimit (locked in
+    // PlanSpec): each partition keeps a k-row heap per group BEFORE the
+    // window sort — per-group state is k rows, not the group, so a popular
+    // language cannot create a single-task sort at crawl scale.
+    QueryDef.sqlBacked(
+      "txt_top_docs",
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+    },
+
+    // Quality-weighted deterministic downsampling: keep probability scales
+    // with document length (stand-in for any quality score), decided by a
+    // stateless multiplicative hash of doc_id — the same doc always gets
+    // the same decision, so incremental reprocessing never flips samples
+    // (the property rand() lacks). Pure projection + filter: zero shuffle
+    // at any scale; both engines evaluate identical integer arithmetic.
+    QueryDef.sqlBacked(
+      "txt_weighted_sample",
+      """SELECT doc_id, n_chars,
+        |  round(least(1.0, n_chars / 2000.0), 6) AS keep_w
+        |FROM documents
+        |WHERE ((doc_id % 1000003) * 48271 % 1000000) / 1000000.0
+        |      < least(1.0, n_chars / 2000.0)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val u = ((col("doc_id") % 1000003L) * 48271L % 1000000L) / 1000000.0
+      val w = least(lit(1.0), col("n_chars") / 2000.0)
+      Tables.documents(s, d)
+        .filter(u < w)
+        .select(col("doc_id"), col("n_chars"), round(w, 6).as("keep_w"))
+        .orderBy(col("doc_id"))
+    },
+
     // The CONTINUOUS-domain quantile path: approx_percentile (Greenwald-
     // Khanna sketch — mergeable partial aggregates, constant memory per
     // group regardless of row count). No SQL oracle (sketch internals are

@@ -115,6 +115,15 @@ class PlanSpec extends AnyFunSuite {
       s"over-cap blacklist must broadcast into a map-side anti join:\n$p")
   }
 
+  test("txt_top_docs: per-group rank filter compiles to WindowGroupLimit") {
+    // without the group-limit rewrite every language's documents sort in
+    // full inside one window partition — the per-group state must be the
+    // k-row heap, not the group
+    val p = plan("txt_top_docs")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not compile to WindowGroupLimit:\n$p")
+  }
+
   test("dedup_contamination: eval shingles broadcast, no corpus-sized shuffle join") {
     val p = plan("dedup_contamination")
     assert(p.contains("BroadcastHashJoin"),
