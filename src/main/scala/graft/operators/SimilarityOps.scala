@@ -57,6 +57,129 @@ object SimilarityOps {
   private[operators] val centroidOrderSql =
     "((vec_id % 1000003) * 40503) % 65536, vec_id"
 
+  /** Fixture embedding dimensionality (TESTDATA.md); the oracle twin needs
+    * the constant because DuckDB's range() cannot read the list length of a
+    * sibling column lambda. Spark-side code uses the actual array length.
+    */
+  private val embDim = 64
+
+  /** DuckDB twin of the k-means squared distance: identical IEEE operation
+    * sequence to the Spark aggregate/zip_with form, including the 0-seed
+    * bracketing ((0+t1)+t2)+... — term j = (vi[j]/1e6 - ce[j])².
+    */
+  private val kmeansD2Sql: String = {
+    val term = "(CAST(vi[j+1] AS DOUBLE) / 1000000 - ce[j+1])"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range($embDim), j -> $term * $term)), (acc, x) -> acc + x)"
+  }
+
+  /** Oracle SQL for `ann_kmeans`: the full Lloyd iteration unrolled as a
+    * CTE chain (init -> iters × (assign, update) -> final assign). Every
+    * arithmetic step is either EXACT (BIGINT sums of integerized vectors —
+    * order-independent, so group-by parallelism cannot perturb them) or a
+    * deterministic IEEE double op applied to identical operands in both
+    * engines (casts, divisions, ordered fold), so the oracle is hash-exact,
+    * not approximate.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+              |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
+              |  FROM embeddings),
+              |c0 AS (SELECT CAST(row_number() OVER (ORDER BY $centroidOrderSql)
+              |           AS BIGINT) - 1 AS cid,
+              |         list_transform(vi, x -> CAST(x AS DOUBLE) / 1000000) AS ce
+              |       FROM v ORDER BY $centroidOrderSql LIMIT $k),""".stripMargin
+    for (i <- 1 to iters + 1) {
+      sb ++= s"""
+                |a$i AS (SELECT vec_id, cid, d2 FROM (
+                |  SELECT vec_id, cid, d2,
+                |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                |  FROM (SELECT v.vec_id, c.cid, $kmeansD2Sql AS d2
+                |        FROM v CROSS JOIN c${i - 1} c))
+                |  WHERE rk = 1)""".stripMargin
+      if (i <= iters)
+        sb ++= s""",
+                  |c$i AS (SELECT cid, list(m ORDER BY j) AS ce FROM (
+                  |  SELECT a.cid, jj.j,
+                  |    CAST(sum(v.vi[jj.j + 1]) AS DOUBLE) / count(*) / 1000000 AS m
+                  |  FROM a$i a JOIN v USING (vec_id)
+                  |  CROSS JOIN (SELECT unnest(range($embDim)) AS j) jj
+                  |  GROUP BY a.cid, jj.j)
+                  |  GROUP BY cid),""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vec_id, cid, round(d2, 6) AS d2 FROM a${iters + 1}
+              |ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
+  /** Lloyd's k-means over the embedding corpus — the clustering stage of
+    * corpus curation (topic balancing, cluster-level filtering, diversity
+    * sampling). Returns the final (vec_id, cid, d2) assignment after
+    * `iters` full rounds from the deterministic fixed-k init shared with
+    * the IVF operators.
+    *
+    * Exactness design (what makes this ORACLE-EXACT, not approximately
+    * right): vectors are integerized once (floor(x·1e6) as BIGINT), so the
+    * per-cluster, per-dimension sums in the update step are exact integer
+    * arithmetic — immune to float summation order, the usual source of
+    * k-means nondeterminism on a cluster. Means then divide two
+    * identically-valued operands in double; distances fold in a fixed
+    * dimension order. Every double op has identical operands in both
+    * engines, so results match bit-for-bit.
+    *
+    * Scale shape: centroids are a k×dims DataFrame BROADCAST into the
+    * assignment (never collected to the driver); the update is a partial-
+    * aggregated groupBy over (cid, dim) — k·dims result rows; each round
+    * is one broadcast join + two shuffles bounded by k·dims, and the
+    * corpus is scanned once per round from the persisted integerized
+    * table.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+                   iters: Int = 3): DataFrame = {
+    val v = graft.core.GraftCaches.acquire(
+      embeddings.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
+        .as("vi"))
+        .repartition(col("vec_id")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashOrd = Seq(
+      pmod((col("vec_id") % 1000003L) * 40503L, lit(65536L)), col("vec_id"))
+    val wInit = Window.orderBy(hashOrd: _*)
+    var cents = v.orderBy(hashOrd: _*).limit(k)
+      .withColumn("cid", row_number().over(wInit).cast("long") - 1)
+      .select(col("cid"),
+        expr("transform(vi, x -> CAST(x AS DOUBLE) / 1000000D)").as("ce"))
+
+    val d2Expr = expr(
+      """aggregate(zip_with(vi, ce,
+        |    (a, b) -> (CAST(a AS DOUBLE) / 1000000D - b)
+        |            * (CAST(a AS DOUBLE) / 1000000D - b)),
+        |  0D, (acc, x) -> acc + x)""".stripMargin)
+
+    def assign(cs: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cs))
+        .withColumn("d2", d2Expr)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(v, "vec_id")
+        .select(col("cid"), posexplode(col("vi")).as(Seq("j", "x")))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
+          "t -> CAST(t.sx AS DOUBLE) / t.n / 1000000D)").as("ce"))
+
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    assign(cents)
+      .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-5 for each query vector (vec_id % 100 = 0).
@@ -172,6 +295,18 @@ object SimilarityOps {
         |QUALIFY rank <= 3
         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       annIvfTopK(Tables.embeddings(s, d), nProbe = 2, k = 3)
+    },
+
+    // K-means clustering of the embedding corpus (3 Lloyd rounds, k=8,
+    // deterministic init). See kmeansAssign for the exactness design: the
+    // update step's sums are integer-exact, so both engines walk the SAME
+    // centroid trajectory and the final assignment is hash-exact — a
+    // clustering you can ship for curation decisions with a bitwise
+    // correctness gate, not "roughly similar clusters".
+    QueryDef.sqlBacked(
+      "ann_kmeans",
+      kmeansOracleSql(k = 8, iters = 3)) { (s, d) =>
+      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 3)
     }
   )
 

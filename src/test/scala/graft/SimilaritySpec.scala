@@ -75,6 +75,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${ivf.size}/${exact.size})")
   }
 
+  test("kmeans recovers planted well-separated blobs and assigns to the nearest centroid") {
+    // 3 tight blobs far apart; k=3 must partition them exactly regardless
+    // of which blob each init centroid lands in
+    val rnd = new scala.util.Random(11)
+    val blobs = Seq.tabulate(90) { i =>
+      val b = i % 3
+      val center = Array.tabulate(64)(d => if (d % 3 == b) 10f else 0f)
+      (i.toLong, center.map(c => c + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.SimilarityOps.kmeansAssign(blobs, k = 3, iters = 3)
+      .as[(Long, Long, Double)].collect()
+    val byBlob = out.groupBy(_._1 % 3).map { case (b, rows) =>
+      b -> rows.map(_._2).distinct
+    }
+    assert(byBlob.values.forall(_.size == 1),
+      s"a planted blob split across clusters: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3,
+      s"planted blobs merged into fewer clusters: $byBlob")
+    // within a tight blob, distance to own centroid is small
+    assert(out.forall(_._3 < 10.0), "assignment distance implausibly large")
+  }
+
+  test("kmeans inertia is non-increasing across Lloyd rounds") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    def inertia(iters: Int): Double =
+      graft.operators.SimilarityOps.kmeansAssign(emb, k = 8, iters = iters)
+        .agg(sum("d2")).head().getDouble(0)
+    val i1 = inertia(1); val i2 = inertia(2); val i3 = inertia(3)
+    assert(i2 <= i1 + 1e-9 && i3 <= i2 + 1e-9,
+      s"inertia increased across rounds: $i1 -> $i2 -> $i3")
+  }
+
   test("lsh recall vs brute force baseline is measurable and sane") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val exact = SimilarityOps.cosineTopK(emb, col("vec_id") % 100 === 0, k = 3)
