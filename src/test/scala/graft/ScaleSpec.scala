@@ -61,6 +61,17 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(_.getString(0))
       assert(values.forall(_.matches("[A-Z0-9]{5}")))
       assert(values.distinct.length > 90)
+      // the full graft function surface resolves SQL-first, same
+      // Expressions the operators self-register
+      val row = s2.sql(
+        """SELECT graft_dot(array(1D, 2D), array(3D, 4D)) AS dot,
+          |  graft_minhash(array('a b c'), 4) AS mh,
+          |  graft_simhash(array('a b c')) AS sh,
+          |  graft_band_codes(array(1D, -1D),
+          |    array(array(1D, 0D), array(0D, 1D)), 1) AS bc""".stripMargin).head()
+      assert(row.getDouble(0) == 11.0)
+      assert(row.getSeq[Long](1).size == 4)
+      assert(row.getSeq[Long](3).size == 2)
     } finally {
       // shared-JVM context: don't stop() (it kills the SparkContext); the
       // extension registration is per-session state
