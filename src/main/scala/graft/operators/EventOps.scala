@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a (user, event_type, ts) shaped table —
+  * the ordered-stage and cohort patterns a behavioral pipeline needs
+  * beyond plain windowed aggregation (reference scope: tumbling
+  * aggregates only, polygon-etl-container/src/aggregates_etl.py).
+  *
+  * Scale design: every stage aggregates to per-user firsts BEFORE joining
+  * (shuffles bounded by user count, never event count), and the stage
+  * predicate is pushed into the event scan; cohort activity compacts to
+  * distinct (user, period) before the cohort join.
+  */
+object EventOps {
+
+  /** Ordered conversion funnel: for each user, the first occurrence of
+    * stage 1, the first occurrence of stage 2 STRICTLY AFTER it, and so on
+    * — order matters, mere presence does not. Returns one row per user who
+    * reached stage 1: (userCol, t_<stage1>, t_<stage2>, ...), later stages
+    * null where never reached in order.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id",
+             typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    def stageCol(s: String) = s"t_$s"
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(userCol).agg(min(tsCol).as(stageCol(stages.head)))
+    val full = stages.sliding(2).filter(_.size == 2).foldLeft(first) {
+      case (prev, Seq(prevStage, stage)) =>
+        val next = events.filter(col(typeCol) === stage)
+          .join(prev.select(col(userCol), col(stageCol(prevStage))), userCol)
+          .filter(col(tsCol) > col(stageCol(prevStage)))
+          .groupBy(userCol).agg(min(tsCol).as(stageCol(stage)))
+        prev.join(next, Seq(userCol), "left")
+    }
+    full.select(col(userCol) +: stages.map(s => col(stageCol(s))): _*)
+      .orderBy(col(userCol))
+  }
+
+  /** Cohort retention: users bucketed by the period of their first
+    * activity, counted distinct per later period offset. `period` is any
+    * date_trunc unit ("week", "month"). Returns (cohort_<period>,
+    * <period>_offset, users).
+    */
+  def retention(events: DataFrame, period: String = "week",
+                userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val periodDays = period match {
+      case "week" => 7
+      case "day"  => 1
+      case other => throw new IllegalArgumentException(
+        s"retention: fixed-length periods only (week/day), got $other")
+    }
+    val cohort = events.groupBy(userCol)
+      .agg(date_trunc(period, min(tsCol)).as(s"cohort_$period"))
+    val act = events
+      .select(col(userCol), date_trunc(period, col(tsCol)).as("w"))
+      .distinct()
+    act.join(cohort, userCol)
+      .groupBy(col(s"cohort_$period"),
+        (datediff(col("w"), col(s"cohort_$period")) / periodDays)
+          .cast("long").as(s"${period}_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+      .orderBy(col(s"cohort_$period"), col(s"${period}_offset"))
+  }
+}

@@ -364,7 +364,11 @@ object TextOps {
   def exactQuantiles(df: DataFrame, valueCol: String, groupCol: String,
                      ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+    // null values would sort ahead of every real value in the cumulative
+    // rank and silently shift all quantiles — exclude them, matching
+    // SQL aggregate semantics (percentile_cont ignores NULLs)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
     val byV = Window.partitionBy(groupCol).orderBy("v")
     val whole = Window.partitionBy(groupCol)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.EventOps
 import org.apache.spark.sql.functions._
 
 /** Coverage-closing queries for the remaining SURVEY.md §2 operator rows not
@@ -169,19 +170,8 @@ object Relational2 {
         |SELECT a.user_id, a.t_view, b.t_click, c.t_purchase
         |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
         |ORDER BY user_id""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val a = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val b = e.filter(col("event_type") === "click")
-        .join(a, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val c = e.filter(col("event_type") === "purchase")
-        .join(b, "user_id").filter(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      a.join(b, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
-        .orderBy(col("user_id"))
+      EventOps.funnel(Tables.events(s, d),
+        stages = Seq("view", "click", "purchase"))
     },
 
     // Cohort retention: users grouped by first-activity week, counted
@@ -202,16 +192,7 @@ object Relational2 {
         |FROM act JOIN w0 USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d)
-      val w0 = e.groupBy("user_id")
-        .agg(date_trunc("week", min("ts")).as("cohort_week"))
-      val act = e.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
-        .distinct()
-      act.join(w0, "user_id")
-        .groupBy(col("cohort_week"),
-          (datediff(col("w"), col("cohort_week")) / 7).cast("long").as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("users"))
-        .orderBy(col("cohort_week"), col("week_offset"))
+      EventOps.retention(Tables.events(s, d), period = "week")
     }
   )
 }

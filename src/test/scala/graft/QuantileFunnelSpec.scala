@@ -45,6 +45,29 @@ class QuantileFunnelSpec extends AnyFunSuite {
     df.withColumn("ts", expr("unix_micros(ts) * 1000"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+  test("exactQuantiles ignores null values like percentile_cont") {
+    val df = Seq[(String, java.lang.Long)](("a", 1L), ("a", null), ("a", 3L))
+      .toDF("lang", "n_chars")
+    val got = TextOps.exactQuantiles(df, "n_chars", "lang", Seq(0.5))
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 0.5, 2.0)), s"got $got")
+  }
+
+  test("funnel generalizes to arbitrary stage chains") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(1)), (1L, "c", ts(2)), (1L, "d", ts(3)),
+      (2L, "a", ts(0)), (2L, "c", ts(1)), (2L, "b", ts(2)) // c before b: stage 3+ null
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.EventOps
+      .funnel(events, stages = Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getLong(0) -> (3 to 4).map(i => Option(r.get(i)))).toMap
+    assert(out(1L).forall(_.isDefined), "user 1 completed all four stages")
+    assert(out(2L).forall(_.isEmpty),
+      "user 2's out-of-order c must not satisfy stages 3-4")
+  }
+
   test("funnel honors strict stage ordering, not mere presence") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
