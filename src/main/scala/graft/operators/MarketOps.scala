@@ -570,8 +570,88 @@ object MarketOps {
         .join(existing.select(col("event_id")), Seq("event_id"), "left_anti")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .orderBy(col("event_id"))
+    },
+
+    // Vectorized SMA-crossover BACKTEST — the reference's raison d'être
+    // (README.md:3 "algotrading env": back-data exists to trade on).
+    // Long when the fast SMA exceeds the slow, position taken NEXT bar (no
+    // lookahead: the signal is lagged before it earns), per-bar PnL in
+    // price points, cumulative equity and peak drawdown. EVERYTHING is
+    // integer-cents arithmetic: prices integerize once (floor(p·100)), the
+    // SMA comparison cross-multiplies instead of dividing, and cumsum /
+    // running-max of BIGINT are exact under ANY window implementation —
+    // no float enters the computation, so the oracle is hash-exact and a
+    // 1000-executor run bit-matches this one. One shuffle (by key), then
+    // a single sorted window pass per key.
+    QueryDef.sqlBacked(
+      "mkt_backtest_sma",
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS p,
+        |    row_number() OVER w AS rn,
+        |    sum(CAST(floor(value * 100) AS BIGINT))
+        |      OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sf,
+        |    sum(CAST(floor(value * 100) AS BIGINT))
+        |      OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sig AS (
+        |  SELECT event_id, user_id, p, rn,
+        |    CASE WHEN rn >= 20 AND sf * 20 > ss * 5 THEN 1 ELSE 0 END AS signal,
+        |    row_number() OVER w2 AS _o,
+        |    coalesce(lag(CASE WHEN rn >= 20 AND sf * 20 > ss * 5
+        |                      THEN 1 ELSE 0 END) OVER w2, 0) AS pos,
+        |    coalesce(p - lag(p) OVER w2, 0) AS dp
+        |  FROM t
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
+        |pnl AS (
+        |  SELECT event_id, user_id, rn, pos, pos * dp AS pnl_cents,
+        |    sum(pos * dp) OVER (PARTITION BY user_id ORDER BY rn
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_pnl_cents
+        |  FROM sig),
+        |eq AS (
+        |  SELECT event_id, user_id, pos, pnl_cents, cum_pnl_cents,
+        |    max(cum_pnl_cents) OVER (PARTITION BY user_id ORDER BY rn
+        |                             ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM pnl)
+        |SELECT event_id, user_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(pnl_cents AS BIGINT) AS pnl_cents,
+        |  CAST(cum_pnl_cents AS BIGINT) AS cum_pnl_cents,
+        |  CAST(peak - cum_pnl_cents AS BIGINT) AS drawdown_cents
+        |FROM eq
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      backtestSmaCross(Tables.events(s, d), fast = 5, slow = 20)
     }
   )
+
+  /** SMA-crossover backtest over a (user_id, ts, event_id, value) tape —
+    * see the mkt_backtest_sma QueryDef for the exactness design (integer
+    * cents end to end). `fast`/`slow` are SMA lengths in bars; the
+    * crossover compares sums cross-multiplied so no division (and no
+    * rounding policy) exists anywhere in the pipeline.
+    */
+  def backtestSmaCross(events: DataFrame, fast: Int, slow: Int): DataFrame = {
+    require(fast < slow, s"fast SMA ($fast) must be shorter than slow ($slow)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = events
+      .withColumn("p", floor(col("value") * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sf", sum(col("p")).over(w.rowsBetween(-(fast - 1), Window.currentRow)))
+      .withColumn("ss", sum(col("p")).over(w.rowsBetween(-(slow - 1), Window.currentRow)))
+      .withColumn("signal",
+        when(col("rn") >= slow && col("sf") * slow > col("ss") * fast, 1L)
+          .otherwise(0L))
+      .withColumn("pos", coalesce(lag(col("signal"), 1).over(w), lit(0L)))
+      .withColumn("dp", coalesce(col("p") - lag(col("p"), 1).over(w), lit(0L)))
+      .withColumn("pnl_cents", col("pos") * col("dp"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_pnl_cents", sum(col("pnl_cents")).over(wCum))
+      .withColumn("peak", max(col("cum_pnl_cents")).over(wCum))
+      .select(col("event_id"), col("user_id"), col("pos"), col("pnl_cents"),
+        col("cum_pnl_cents"),
+        (col("peak") - col("cum_pnl_cents")).as("drawdown_cents"))
+      .orderBy(col("event_id"))
+  }
 
   /** Wilder RSI per key: recursive avg gain/loss, each seeded by the first
     * price change then folded as (acc·(n-1) + x)/n — the same per-key

@@ -94,4 +94,44 @@ class MarketSpec extends AnyFunSuite {
       assert(adj(id) == 0.0, s"last event $id has nonzero adjustment ${adj(id)}")
     }
   }
+
+  test("backtest: no lookahead — truncating the future never changes past positions") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val cut = ev.agg(expr("percentile(event_id, 0.8)")).head().getDouble(0).toLong
+    val full = MarketOps.backtestSmaCross(ev, fast = 5, slow = 20)
+      .select("event_id", "pos", "pnl_cents").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val truncated = MarketOps
+      .backtestSmaCross(ev.filter(col("event_id") <= cut), fast = 5, slow = 20)
+      .select("event_id", "pos", "pnl_cents").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(truncated.nonEmpty && truncated.forall { case (id, v) => full(id) == v },
+      "a position or pnl changed when future bars were removed — lookahead!")
+  }
+
+  test("backtest accounting: flat position earns nothing, drawdown tracks the peak") {
+    val out = MarketOps
+      .backtestSmaCross(Tables.events(spark, TestSpark.Sf0001), fast = 5, slow = 20)
+      .select("user_id", "pos", "pnl_cents", "cum_pnl_cents", "drawdown_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 == 0L || r._2 == 1L), "position must be 0/1")
+    assert(out.forall(r => r._2 != 0L || r._3 == 0L), "flat bars must earn 0")
+    assert(out.forall(_._5 >= 0L), "drawdown below zero")
+    // rows are ordered by event_id, so each user's last row carries the
+    // final equity — it must equal the sum of that user's per-bar pnl
+    val byUser = out.groupBy(_._1)
+    assert(byUser.values.forall(rs => rs.map(_._3).sum == rs.last._4),
+      "cumulative pnl must end at the sum of per-bar pnl")
+  }
+
+  test("backtest goes long and profits on a monotonic ramp") {
+    val ramp = Seq.tabulate(60) { i =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 100.0 + i)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = MarketOps.backtestSmaCross(ramp, fast = 5, slow = 20)
+      .select("event_id", "pos", "cum_pnl_cents").as[(Long, Long, Long)].collect()
+    // fast SMA of a rising series leads the slow one: long from bar 21 on
+    assert(out.filter(_._1 >= 21).forall(_._2 == 1L), s"not long on a ramp")
+    assert(out.last._3 > 0, "no profit riding a monotonic ramp")
+  }
 }
