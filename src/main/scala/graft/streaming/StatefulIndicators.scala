@@ -92,6 +92,54 @@ object StatefulIndicators {
         })
   }
 
+  final case class BtState(buf: List[Long], rn: Long, prevSig: Long,
+                           prevP: Long, cum: Long, peak: Long, lastT: Long)
+  final case class BtOut(ticker: String, t: Long, pos: Long, pnlCents: Long,
+                         cumPnlCents: Long, drawdownCents: Long)
+
+  /** LIVE SMA-crossover backtest — the strategy the batch backtest
+    * validated, running on the stream with the SAME integer-cents
+    * arithmetic as MarketOps.backtestSmaCross, so an ordered replay
+    * bit-matches the batch equity curve (StatefulSpec locks this). Per-key
+    * state: the last `slow` integerized prices plus running equity/peak —
+    * O(keys · slow) total, independent of history length. Signal earns
+    * from the NEXT tick (prevSig pays, current signal stored), the same
+    * no-lookahead contract as batch. Late rows (t <= lastT) drop.
+    */
+  def backtestStream(spark: SparkSession, ticks: Dataset[Tick],
+                     fast: Int, slow: Int): Dataset[BtOut] = {
+    import spark.implicits._
+    require(fast < slow, s"fast SMA ($fast) must be shorter than slow ($slow)")
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ticker: String, rows: Iterator[Tick], state: GroupState[BtState]) => {
+          val sorted = rows.toSeq.sortBy(_.t)
+          var st = state.getOption.getOrElse(
+            BtState(Nil, 0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          val out = sorted.flatMap { tick =>
+            if (tick.t <= st.lastT) None
+            else {
+              val p = math.floor(tick.price * 100).toLong
+              val buf = (st.buf :+ p).takeRight(slow)
+              val rn = st.rn + 1
+              val sf = buf.takeRight(fast).sum
+              val ss = buf.sum
+              val signal =
+                if (rn >= slow && sf * slow > ss * fast) 1L else 0L
+              val dp = if (rn == 1) 0L else p - st.prevP
+              val pnl = st.prevSig * dp
+              val cum = st.cum + pnl
+              val peak = math.max(st.peak, cum)
+              val pos = st.prevSig
+              st = BtState(buf, rn, signal, p, cum, peak, tick.t)
+              Some(BtOut(ticker, tick.t, pos, pnl, cum, peak - cum))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   final case class AtrState(atr: Double, prev: Double, lastT: Long)
   final case class AtrOut(ticker: String, t: Long, price: Double,
                           atr: Option[Double])

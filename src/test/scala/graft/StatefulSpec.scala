@@ -157,4 +157,26 @@ class StatefulSpec extends AnyFunSuite {
       spark, Tables.events(spark, TestSpark.Sf0001), n = 14), "atr_wilder")
     assertParity(streamed.map { case (k, v) => k -> v.atr }, batch, "ATR")
   }
+
+  test("streaming backtest on replayed fixture equals the batch equity curve exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = replayFixture[StatefulIndicators.BtOut]("bt_replay",
+      ds => StatefulIndicators.backtestStream(spark, ds, fast = 5, slow = 20))
+    val batch = graft.operators.MarketOps
+      .backtestSmaCross(Tables.events(spark, TestSpark.Sf0001), fast = 5, slow = 20)
+      .join(Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_id"), unix_millis(col("ts")).as("t")), "event_id")
+      .select(col("user_id").cast("string"), col("t"), col("pos"),
+        col("pnl_cents"), col("cum_pnl_cents"), col("drawdown_cents"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, t, pos, pnl, cum, dd) =>
+      val s = streamed.get((k, t))
+      assert(s.nonEmpty, s"stream missing row ($k, $t)")
+      // integers: EXACT equality — same cents arithmetic on both paths
+      assert((s.get.pos, s.get.pnlCents, s.get.cumPnlCents, s.get.drawdownCents)
+        == ((pos, pnl, cum, dd)),
+        s"equity diverged at ($k, $t): stream=${s.get} batch=($pos,$pnl,$cum,$dd)")
+    }
+  }
 }
