@@ -585,44 +585,80 @@ object MarketOps {
     // a single sorted window pass per key.
     QueryDef.sqlBacked(
       "mkt_backtest_sma",
-      """WITH t AS (
-        |  SELECT event_id, user_id,
-        |    CAST(floor(value * 100) AS BIGINT) AS p,
-        |    row_number() OVER w AS rn,
-        |    sum(CAST(floor(value * 100) AS BIGINT))
-        |      OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sf,
-        |    sum(CAST(floor(value * 100) AS BIGINT))
-        |      OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-        |sig AS (
-        |  SELECT event_id, user_id, p, rn,
-        |    CASE WHEN rn >= 20 AND sf * 20 > ss * 5 THEN 1 ELSE 0 END AS signal,
-        |    row_number() OVER w2 AS _o,
-        |    coalesce(lag(CASE WHEN rn >= 20 AND sf * 20 > ss * 5
-        |                      THEN 1 ELSE 0 END) OVER w2, 0) AS pos,
-        |    coalesce(p - lag(p) OVER w2, 0) AS dp
-        |  FROM t
-        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
-        |pnl AS (
-        |  SELECT event_id, user_id, rn, pos, pos * dp AS pnl_cents,
-        |    sum(pos * dp) OVER (PARTITION BY user_id ORDER BY rn
-        |                        ROWS UNBOUNDED PRECEDING) AS cum_pnl_cents
-        |  FROM sig),
-        |eq AS (
-        |  SELECT event_id, user_id, pos, pnl_cents, cum_pnl_cents,
-        |    max(cum_pnl_cents) OVER (PARTITION BY user_id ORDER BY rn
-        |                             ROWS UNBOUNDED PRECEDING) AS peak
-        |  FROM pnl)
-        |SELECT event_id, user_id, CAST(pos AS BIGINT) AS pos,
-        |  CAST(pnl_cents AS BIGINT) AS pnl_cents,
-        |  CAST(cum_pnl_cents AS BIGINT) AS cum_pnl_cents,
-        |  CAST(peak - cum_pnl_cents AS BIGINT) AS drawdown_cents
-        |FROM eq
-        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      s"""WITH $backtestCtes
+         |SELECT event_id, user_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(pnl_cents AS BIGINT) AS pnl_cents,
+         |  CAST(cum_pnl_cents AS BIGINT) AS cum_pnl_cents,
+         |  CAST(peak - cum_pnl_cents AS BIGINT) AS drawdown_cents
+         |FROM eq
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
       backtestSmaCross(Tables.events(s, d), fast = 5, slow = 20)
+    },
+
+    // Per-key backtest report card: total PnL, worst drawdown, exposure,
+    // win/loss bar counts, and entry count — the numbers a strategy
+    // review reads first. Same integer-cents exactness as the per-bar
+    // query (counts and sums of BIGINT only; hit RATE is left to the
+    // consumer so no division enters the contract).
+    QueryDef.sqlBacked(
+      "mkt_backtest_summary",
+      s"""WITH $backtestCtes,
+         |fl AS (SELECT user_id, pos, pnl_cents, cum_pnl_cents, peak,
+         |         coalesce(lag(pos) OVER (PARTITION BY user_id ORDER BY rn), 0)
+         |           AS prev_pos
+         |       FROM eq)
+         |SELECT user_id,
+         |  CAST(sum(pnl_cents) AS BIGINT) AS total_pnl_cents,
+         |  CAST(max(peak - cum_pnl_cents) AS BIGINT) AS max_drawdown_cents,
+         |  CAST(sum(pos) AS BIGINT) AS bars_long,
+         |  CAST(count(*) FILTER (WHERE pos = 1 AND pnl_cents > 0) AS BIGINT)
+         |    AS win_bars,
+         |  CAST(count(*) FILTER (WHERE pos = 1 AND pnl_cents < 0) AS BIGINT)
+         |    AS loss_bars,
+         |  CAST(count(*) FILTER (WHERE pos = 1 AND prev_pos = 0) AS BIGINT)
+         |    AS n_entries
+         |FROM fl
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      backtestSummary(Tables.events(s, d), fast = 5, slow = 20)
     }
   )
+
+  /** Shared DuckDB CTE chain for the backtest oracles, ending in
+    * `eq(event_id, user_id, rn, pos, pnl_cents, cum_pnl_cents, peak)` —
+    * shared between mkt_backtest_sma and mkt_backtest_summary so the two
+    * contracts cannot drift.
+    */
+  // lazy: referenced by the `defs` val above — declaration order must not
+  // matter for object initialization
+  private lazy val backtestCtes =
+    """t AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS p,
+      |    row_number() OVER w AS rn,
+      |    sum(CAST(floor(value * 100) AS BIGINT))
+      |      OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sf,
+      |    sum(CAST(floor(value * 100) AS BIGINT))
+      |      OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |sig AS (
+      |  SELECT event_id, user_id, p, rn,
+      |    coalesce(lag(CASE WHEN rn >= 20 AND sf * 20 > ss * 5
+      |                      THEN 1 ELSE 0 END) OVER w2, 0) AS pos,
+      |    coalesce(p - lag(p) OVER w2, 0) AS dp
+      |  FROM t
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
+      |pnl AS (
+      |  SELECT event_id, user_id, rn, pos, pos * dp AS pnl_cents,
+      |    sum(pos * dp) OVER (PARTITION BY user_id ORDER BY rn
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_pnl_cents
+      |  FROM sig),
+      |eq AS (
+      |  SELECT event_id, user_id, rn, pos, pnl_cents, cum_pnl_cents,
+      |    max(cum_pnl_cents) OVER (PARTITION BY user_id ORDER BY rn
+      |                             ROWS UNBOUNDED PRECEDING) AS peak
+      |  FROM pnl)""".stripMargin
 
   /** SMA-crossover backtest over a (user_id, ts, event_id, value) tape —
     * see the mkt_backtest_sma QueryDef for the exactness design (integer
@@ -630,7 +666,39 @@ object MarketOps {
     * crossover compares sums cross-multiplied so no division (and no
     * rounding policy) exists anywhere in the pipeline.
     */
-  def backtestSmaCross(events: DataFrame, fast: Int, slow: Int): DataFrame = {
+  def backtestSmaCross(events: DataFrame, fast: Int, slow: Int): DataFrame =
+    backtestFrame(events, fast, slow)
+      .select(col("event_id"), col("user_id"), col("pos"), col("pnl_cents"),
+        col("cum_pnl_cents"),
+        (col("peak") - col("cum_pnl_cents")).as("drawdown_cents"))
+      .orderBy(col("event_id"))
+
+  /** Per-key backtest report card — total PnL, worst drawdown, exposure
+    * (bars long), win/loss bar counts, entry count. Integer-exact like the
+    * per-bar output; rates are left to the consumer so no division enters
+    * the contract.
+    */
+  def backtestSummary(events: DataFrame, fast: Int, slow: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    backtestFrame(events, fast, slow)
+      .withColumn("prev_pos", coalesce(lag(col("pos"), 1).over(w), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("pnl_cents")).as("total_pnl_cents"),
+        max(col("peak") - col("cum_pnl_cents")).as("max_drawdown_cents"),
+        sum(col("pos")).as("bars_long"),
+        count(when(col("pos") === 1L && col("pnl_cents") > 0L, 1)).as("win_bars"),
+        count(when(col("pos") === 1L && col("pnl_cents") < 0L, 1)).as("loss_bars"),
+        count(when(col("pos") === 1L && col("prev_pos") === 0L, 1)).as("n_entries"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The full backtest frame (see mkt_backtest_sma for the exactness
+    * design): per event — integerized price, position, per-bar PnL,
+    * cumulative equity, running peak. Shared by the per-bar and summary
+    * surfaces; still carries ts/event_id for downstream windows.
+    */
+  private def backtestFrame(events: DataFrame, fast: Int, slow: Int): DataFrame = {
     require(fast < slow, s"fast SMA ($fast) must be shorter than slow ($slow)")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val t = events
@@ -647,10 +715,6 @@ object MarketOps {
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum_pnl_cents", sum(col("pnl_cents")).over(wCum))
       .withColumn("peak", max(col("cum_pnl_cents")).over(wCum))
-      .select(col("event_id"), col("user_id"), col("pos"), col("pnl_cents"),
-        col("cum_pnl_cents"),
-        (col("peak") - col("cum_pnl_cents")).as("drawdown_cents"))
-      .orderBy(col("event_id"))
   }
 
   /** Wilder RSI per key: recursive avg gain/loss, each seeded by the first
