@@ -115,6 +115,22 @@ class PlanSpec extends AnyFunSuite {
       s"over-cap blacklist must broadcast into a map-side anti join:\n$p")
   }
 
+  test("mkt_backtest_sma: one shuffle by key feeds every window pass") {
+    // the whole backtest is window arithmetic over one (user_id) hash
+    // partitioning; a second hashpartitioning would mean a window lost the
+    // co-partitioning and re-shuffled the tape
+    val p = plan("mkt_backtest_sma")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"backtest re-shuffled between window passes:\n$p")
+  }
+
+  test("q23_funnel: stage predicates reach the parquet scans") {
+    val p = plan("q23_funnel")
+    assert(p.contains("isnotnull(event_type"),
+      s"stage filter not pushed into the event scans:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("txt_top_docs: per-group rank filter compiles to WindowGroupLimit") {
     // without the group-limit rewrite every language's documents sort in
     // full inside one window partition — the per-group state must be the
