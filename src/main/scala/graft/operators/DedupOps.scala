@@ -256,6 +256,35 @@ object DedupOps {
       dedupClusters(Tables.documents(s, d), threshold = 0.5)
     },
 
+    // Dedup APPLIED: the surviving corpus under keep-the-minimum — every
+    // cluster loses all members but its canonical doc; docs outside the
+    // pair graph survive untouched. This is the step a pipeline actually
+    // ships (the cluster listing is diagnostics). Losers join anti against
+    // the corpus by doc_id — a thin-row hash join bounded by the
+    // DUPLICATED subset.
+    QueryDef.sqlBacked(
+      "dedup_survivors",
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM v
+         |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+         |lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+         |        FROM reach GROUP BY s)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN
+         |  (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      dropNearDuplicates(Tables.documents(s, d), threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // INCREMENTAL dedup — a crawl drop (here: doc_id % 7 = 0 stands in for
     // the new batch) checked against the persisted corpus signature store:
     // only pairs touching a new document are derived; old-old pairs are
@@ -581,6 +610,17 @@ object DedupOps {
     * id rows — the per-cluster count is a partial-aggregated groupBy on a
     * set already bounded by the pair graph.
     */
+  /** The corpus with near-duplicates REMOVED (keep-the-minimum policy):
+    * every cluster keeps only its canonical doc; docs outside the pair
+    * graph pass through. The anti-join ships only loser doc_ids.
+    */
+  def dropNearDuplicates(documents: DataFrame, threshold: Double): DataFrame = {
+    val losers = dedupClusters(documents, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   def dedupClusters(documents: DataFrame, threshold: Double): DataFrame = {
     val pairs = minhashLsh(documents, threshold)
     val lab = Components.connectedComponents(

@@ -84,5 +84,9 @@ class ComponentsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((5L, 5L, 3L), (6L, 5L, 3L), (7L, 5L, 3L),
                       (8L, 8L, 2L), (9L, 8L, 2L)), s"got $got")
+    // applying the dedup keeps exactly one canonical doc per cluster
+    val survivors = DedupOps.dropNearDuplicates(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(5L, 8L), s"survivors: $survivors")
   }
 }
