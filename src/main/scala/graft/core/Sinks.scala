@@ -154,4 +154,56 @@ object Sinks {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
   }
+
+  /** Small-file COMPACTION — the maintenance pass every long-running ingest
+    * needs: idempotentAppend lands one file set per batch, so a day of
+    * minute triggers leaves ~1440 file sets per partition and scans start
+    * paying per-file open cost instead of streaming row groups. Rewrites
+    * the table in one distributed pass to `targetFiles` output tasks
+    * (per-partition-value files for a partitioned table), then swaps the
+    * directory in ATOMICALLY: write to `._compact_tmp`, stage the live dir
+    * to `._compact_old`, rename tmp into place, drop the old — a reader
+    * always sees the complete old or the complete new table, never a
+    * partial one. Rename-based, so atomic on local/HDFS; object stores
+    * need a manifest/table format instead (documented non-goal here).
+    * Returns (dataFilesBefore, dataFilesAfter).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+              partitionCols: Seq[String] = Nil): (Long, Long) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+
+    val before = dataFiles(live)
+    val df = spark.read.parquet(path)
+    // group rows into targetFiles tasks; for a partitioned table the
+    // partition columns lead the clustering so each task holds few
+    // partition values (≈ one file per value, not targetFiles × values)
+    val reshaped =
+      if (partitionCols.isEmpty) df.repartition(targetFiles)
+      else df.repartition(targetFiles, partitionCols.map(col): _*)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val writer = reshaped.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
+
+    require(fs.rename(live, old), s"compact: could not stage out $path")
+    if (!fs.rename(tmp, live)) {
+      // roll the live table back before failing — never leave the path empty
+      fs.rename(old, live)
+      throw new IllegalStateException(s"compact: swap failed for $path; rolled back")
+    }
+    fs.delete(old, true)
+    (before, dataFiles(live))
+  }
 }

@@ -41,6 +41,23 @@ object EventOps {
       .orderBy(col(userCol))
   }
 
+  /** Gap-based sessionization (batch): per-user sessions split on `gap`
+    * inactivity, with event count and exact-decimal value sum per session.
+    * The streaming twin is LiveBars.sessionStream — identical aggregate on
+    * a watermarked stream (replay parity in StreamingSpec).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 valueCol: String = "value"): DataFrame =
+    events.groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col(userCol), col("session_start"))
+
   /** Cohort retention: users bucketed by the period of their first
     * activity, counted distinct per later period offset. `period` is any
     * date_trunc unit ("week", "month"). Returns (cohort_<period>,

@@ -117,15 +117,7 @@ object Relational2 {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("sum_value"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
-          col("n_events"), col("sum_value"))
-        .orderBy(col("user_id"), col("session_start"))
+      EventOps.sessionize(Tables.events(s, d), gap = "30 minutes")
     },
 
     // Sliding windows (10-minute window, 5-minute slide): each event lands

@@ -286,4 +286,43 @@ class SinksSpec extends AnyFunSuite {
       "a 5-minute-only tree must still produce gold (finest present wins)")
     assert(gold.select("v").as[Double].collect().sorted.toSeq == Seq(10.0, 20.0))
   }
+
+  test("compact: collapses a fragmented table atomically with identical data") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).cast("string").as("lang"))
+    df.repartition(40).write.parquet(dir) // fragmented: 40 data files
+    val wantRows = df.collect().toSet
+
+    val (before, after) = graft.core.Sinks.compact(spark, dir, targetFiles = 4)
+    assert(before >= 40, s"fixture not fragmented: $before files")
+    assert(after <= 4, s"compaction left $after files")
+    val got = spark.read.parquet(dir).collect().toSet
+    assert(got == wantRows, "compaction changed the data")
+    // no staging leftovers — the swap completed
+    assert(!graft.core.Sinks.pathExists(spark, dir + "._compact_tmp"))
+    assert(!graft.core.Sinks.pathExists(spark, dir + "._compact_old"))
+  }
+
+  test("compact: partitioned table keeps its layout and partition pruning") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    val df = spark.range(0, 300).select(col("id"),
+      (col("id") % 3).cast("string").as("lang"))
+    // 3 appends emulate micro-batches: 3 file sets per partition value
+    (1 to 3).foreach { _ =>
+      df.write.mode("append").partitionBy("lang").parquet(dir)
+    }
+    val (before, after) =
+      graft.core.Sinks.compact(spark, dir, targetFiles = 3, Seq("lang"))
+    assert(after < before, s"no compaction happened: $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 900)
+    // partition dirs survived → pruned reads still work
+    val one = spark.read.parquet(dir).filter(col("lang") === "1")
+    assert(one.count() == 300)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"),
+      "partition pruning lost after compaction")
+  }
 }
