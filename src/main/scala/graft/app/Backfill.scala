@@ -144,5 +144,13 @@ object Backfill {
     val bars1h = rung(bars5m, "bucket", "1 hour")
     sink(bars1h, "bars_1h")
     sink(rung(bars1h, "bucket", "1 day"), "bars_1d")
+
+    // maintenance: repeated incremental backfills leave one file set per
+    // run in silver; compact once fragmentation passes ~4 files per
+    // series partition (cheap count, atomic swap, scan-identical data)
+    val silverPath = s"$warehouse/silver/bars"
+    val nSeries = math.max(1L, silverAll.select(seriesKey.map(col): _*).distinct().count())
+    if (Sinks.dataFileCount(spark, silverPath) > 4 * nSeries)
+      Sinks.compact(spark, silverPath, targetFiles = nSeries.toInt, seriesKey)
   }
 }

@@ -168,6 +168,18 @@ object Sinks {
     * need a manifest/table format instead (documented non-goal here).
     * Returns (dataFilesBefore, dataFilesAfter).
     */
+  /** Recursive count of parquet data files under a table path — the
+    * fragmentation signal maintenance callers gate compaction on.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               partitionCols: Seq[String] = Nil): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
@@ -175,14 +187,7 @@ object Sinks {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(conf)
 
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-
-    val before = dataFiles(live)
+    val before = dataFileCount(spark, path)
     val df = spark.read.parquet(path)
     // group rows into targetFiles tasks; for a partitioned table the
     // partition columns lead the clustering so each task holds few
@@ -204,6 +209,6 @@ object Sinks {
       throw new IllegalStateException(s"compact: swap failed for $path; rolled back")
     }
     fs.delete(old, true)
-    (before, dataFiles(live))
+    (before, dataFileCount(spark, path))
   }
 }

@@ -287,6 +287,29 @@ class SinksSpec extends AnyFunSuite {
     assert(gold.select("v").as[Double].collect().sorted.toSeq == Seq(10.0, 20.0))
   }
 
+  test("Backfill.run: incremental re-runs trigger silver compaction past the fragmentation gate") {
+    val pages = Files.createTempDirectory("bf-frag")
+    val wh = Files.createTempDirectory("bf-frag-wh").toString
+    val dir = pages.resolve("AAPL").resolve("minute--1--adjusted")
+    Files.createDirectories(dir)
+    def page(i: Int, next: Option[String]): String = {
+      val t = 60000L * (i + 1)
+      s"""{"results":[{"t":$t,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2}],""" +
+        s""""next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+    }
+    // six incremental runs, one new chained page each: six file sets in silver
+    (0 until 6).foreach { i =>
+      if (i > 0) Files.writeString(dir.resolve(f"page-${i - 1}%04d.json"),
+        page(i - 1, Some(f"page-$i%04d.json")))
+      Files.writeString(dir.resolve(f"page-$i%04d.json"), page(i, None))
+      graft.app.Backfill.run(spark, pages.toString, wh)
+    }
+    val silver = s"$wh/silver/bars"
+    val files = graft.core.Sinks.dataFileCount(spark, silver)
+    assert(files <= 4, s"fragmentation gate never fired: $files files in silver")
+    assert(spark.read.parquet(silver).count() == 6, "compaction lost rows")
+  }
+
   test("compact: collapses a fragmented table atomically with identical data") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
