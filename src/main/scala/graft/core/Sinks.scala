@@ -147,7 +147,19 @@ object Sinks {
     val fresh =
       if (!pathExists(spark, path)) df
       else {
-        val existing = spark.read.parquet(path).select(keys.map(col): _*)
+        val stored = spark.read.parquet(path)
+        // schema-drift guard: parquet append would happily interleave a
+        // drifted batch (renamed/retyped/new column) and every later read
+        // fails far from the cause — refuse HERE with the actual diff.
+        // Partition columns come back from the read in Spark's inferred
+        // types, so compare on name + the df's own column set.
+        val batchCols = df.columns.toSet
+        val storedCols = stored.columns.toSet
+        require(batchCols == storedCols,
+          s"idempotentAppend: schema drift for $path — batch-only columns: " +
+            s"${(batchCols -- storedCols).toSeq.sorted.mkString(", ")}; " +
+            s"table-only columns: ${(storedCols -- batchCols).toSeq.sorted.mkString(", ")}")
+        val existing = stored.select(keys.map(col): _*)
         df.join(existing, keys, "left_anti")
       }
     val writer = fresh.write.mode(SaveMode.Append)

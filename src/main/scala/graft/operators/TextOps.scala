@@ -79,27 +79,7 @@ object TextOps {
          |FROM t
          |WHERE len(w) > 0
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val stopArr = array(Stopwords.map(lit): _*)
-      Tables.documents(s, d)
-        .withColumn("w", words(col("text")))
-        .filter(size(col("w")) > 0)
-        .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("n_stop",
-          size(filter(col("w"), x => array_contains(stopArr, x))).cast("long"))
-        .withColumn("n_punct",
-          regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).cast("long"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .withColumn("n_word_chars",
-          expr("aggregate(w, bigint(0), (a, x) -> a + length(x))"))
-        .select(col("doc_id"), col("n_tok"),
-          (col("n_stop") / col("n_tok")).as("stop_ratio"),
-          (col("n_word_chars").cast("double") / col("n_tok")).as("mean_word_len"),
-          (col("n_punct") / col("n_chars").cast("double")).as("punct_ratio"),
-          (lit(0.5) * (col("n_stop") / col("n_tok"))
-            + lit(0.3) * least(lit(1.0), col("n_tok") / 50.0)
-            + lit(0.2) * (lit(1.0) - col("n_punct") / col("n_chars").cast("double")))
-            .as("quality_score"))
-        .orderBy(col("doc_id"))
+      qualityProjection(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
     // Language ID: stopword-profile voting over whitespace tokens. Oracle:
@@ -346,6 +326,34 @@ object TextOps {
         .orderBy(col("lang"), col("p"))
     }
   )
+
+  /** Gopher-style quality scoring as a pure projection over (doc_id, text)
+    * — stateless and shuffle-free, so the SAME builder runs on a batch
+    * corpus and on a streaming ingest (StreamingSpec parity); the declared
+    * query adds only an ORDER BY, which a stream cannot carry.
+    */
+  def qualityProjection(docs: DataFrame): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) > 0)
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("w"), x => array_contains(stopArr, x))).cast("long"))
+      .withColumn("n_punct",
+        regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_word_chars",
+        expr("aggregate(w, bigint(0), (a, x) -> a + length(x))"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_stop") / col("n_tok")).as("stop_ratio"),
+        (col("n_word_chars").cast("double") / col("n_tok")).as("mean_word_len"),
+        (col("n_punct") / col("n_chars").cast("double")).as("punct_ratio"),
+        (lit(0.5) * (col("n_stop") / col("n_tok"))
+          + lit(0.3) * least(lit(1.0), col("n_tok") / 50.0)
+          + lit(0.2) * (lit(1.0) - col("n_punct") / col("n_chars").cast("double")))
+          .as("quality_score"))
+  }
 
   /** Exact percentile_cont over a DISCRETE value column, computed from a
     * compacted histogram instead of per-group value buffers: groupBy

@@ -287,6 +287,21 @@ class SinksSpec extends AnyFunSuite {
     assert(gold.select("v").as[Double].collect().sorted.toSeq == Seq(10.0, 20.0))
   }
 
+  test("idempotentAppend refuses a schema-drifted batch with a pointed diff") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("drift").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v")
+      .write.parquet(dir)
+    val drifted = Seq((2L, "b", 9L)).toDF("k", "v", "extra")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Sinks.idempotentAppend(drifted, dir, Seq("k"), Nil)
+    }
+    assert(e.getMessage.contains("schema drift") && e.getMessage.contains("extra"),
+      s"error must name the drifted column: ${e.getMessage}")
+    // the table is untouched — the guard fired before any write
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("Backfill.run: incremental re-runs trigger silver compaction past the fragmentation gate") {
     val pages = Files.createTempDirectory("bf-frag")
     val wh = Files.createTempDirectory("bf-frag-wh").toString

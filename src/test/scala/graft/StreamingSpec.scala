@@ -305,6 +305,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally { stub.stop() }
   }
 
+  test("text-pipeline projections run unchanged on a document stream") {
+    // the LLM-pipeline scoring ops are stateless projections, so the SAME
+    // builder incrementalizes: score a streaming corpus and compare to the
+    // batch query row-for-row — the declarative-parity claim for ingest-time
+    // quality filtering
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "text")
+    val q = graft.operators.TextOps.qualityProjection(streamDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("txt_stream_out").start()
+    val (a, b) = docs.splitAt(docs.size / 2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("txt_stream_out")
+    val batch = graft.operators.TextOps.qualityProjection(
+      Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text"))
+    assert(streamed.count() == 500)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming quality scores diverged from batch")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
