@@ -167,6 +167,28 @@ object Sinks {
       .parquet(path)
   }
 
+  /** HARD DELETE by key — the governance pass a training-data warehouse
+    * needs (takedowns, right-to-be-forgotten, poisoned-document purges):
+    * rewrite the table WITHOUT the keyed rows and swap atomically, so the
+    * data is gone from the files, not merely filtered at read time. The
+    * delete set joins as thin rows (broadcast when small); everything else
+    * streams through one distributed pass. Returns (rowsBefore, rowsAfter).
+    */
+  def deleteByKey(spark: SparkSession, path: String, keys: DataFrame,
+                  keyCols: Seq[String],
+                  partitionCols: Seq[String] = Nil): (Long, Long) = {
+    require(keyCols.nonEmpty, "deleteByKey needs at least one key column")
+    val stored = spark.read.parquet(path)
+    val before = stored.count()
+    val kept = stored.join(
+      broadcast(keys.select(keyCols.map(col): _*).dropDuplicates()),
+      keyCols, "left_anti")
+    val after = kept.count()
+    if (after < before)
+      swapInto(spark, path, kept, partitionCols, targetFiles = None)
+    (before, after)
+  }
+
   /** Small-file COMPACTION — the maintenance pass every long-running ingest
     * needs: idempotentAppend lands one file set per batch, so a day of
     * minute triggers leaves ~1440 file sets per partition and scans start
@@ -195,18 +217,31 @@ object Sinks {
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               partitionCols: Seq[String] = Nil): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(conf)
-
     val before = dataFileCount(spark, path)
-    val df = spark.read.parquet(path)
-    // group rows into targetFiles tasks; for a partitioned table the
-    // partition columns lead the clustering so each task holds few
-    // partition values (≈ one file per value, not targetFiles × values)
-    val reshaped =
-      if (partitionCols.isEmpty) df.repartition(targetFiles)
-      else df.repartition(targetFiles, partitionCols.map(col): _*)
+    swapInto(spark, path, spark.read.parquet(path), partitionCols,
+      targetFiles = Some(targetFiles))
+    (before, dataFileCount(spark, path))
+  }
+
+  /** Rewrite-and-swap shared by compact and deleteByKey: write `df` (read
+    * FROM the live table — staging to a sibling dir makes that safe) to
+    * `._compact_tmp`, stage the live dir to `._compact_old`, rename the
+    * new table into place (rolling the old one back if that fails), drop
+    * the old. A reader always sees the complete old or complete new table.
+    * `targetFiles` reshapes output parallelism; for a partitioned table
+    * the partition columns lead the clustering so each task holds few
+    * partition values (≈ one file per value, not targetFiles × values).
+    */
+  private def swapInto(spark: SparkSession, path: String, df: DataFrame,
+                       partitionCols: Seq[String],
+                       targetFiles: Option[Int]): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reshaped = targetFiles match {
+      case Some(n) if partitionCols.isEmpty => df.repartition(n)
+      case Some(n) => df.repartition(n, partitionCols.map(col): _*)
+      case None => df
+    }
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
@@ -214,13 +249,12 @@ object Sinks {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
 
-    require(fs.rename(live, old), s"compact: could not stage out $path")
+    require(fs.rename(live, old), s"swapInto: could not stage out $path")
     if (!fs.rename(tmp, live)) {
       // roll the live table back before failing — never leave the path empty
       fs.rename(old, live)
-      throw new IllegalStateException(s"compact: swap failed for $path; rolled back")
+      throw new IllegalStateException(s"swapInto: swap failed for $path; rolled back")
     }
     fs.delete(old, true)
-    (before, dataFileCount(spark, path))
   }
 }

@@ -287,6 +287,30 @@ class SinksSpec extends AnyFunSuite {
     assert(gold.select("v").as[Double].collect().sorted.toSeq == Seq(10.0, 20.0))
   }
 
+  test("deleteByKey removes rows from the FILES, not just the reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("del").toString + "/t"
+    spark.range(0, 100).select(col("id").as("doc_id"),
+        (col("id") % 5).cast("string").as("lang"))
+      .write.partitionBy("lang").parquet(dir)
+    val takedown = Seq(7L, 13L, 99L).toDF("doc_id")
+
+    val (before, after) =
+      graft.core.Sinks.deleteByKey(spark, dir, takedown, Seq("doc_id"), Seq("lang"))
+    assert((before, after) == ((100L, 97L)), s"got ($before, $after)")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 97)
+    assert(back.filter(col("doc_id").isin(7L, 13L, 99L)).isEmpty)
+    // gone from the bytes: no parquet file under the table contains the keys
+    val raw = spark.read.parquet(dir + "/lang=2") // 7 % 5 = 2 lives here
+    assert(raw.filter(col("doc_id") === 7L).isEmpty, "row survived in the files")
+    // idempotent: deleting the same keys again rewrites nothing
+    val (b2, a2) =
+      graft.core.Sinks.deleteByKey(spark, dir, takedown, Seq("doc_id"), Seq("lang"))
+    assert((b2, a2) == ((97L, 97L)))
+  }
+
   test("idempotentAppend refuses a schema-drifted batch with a pointed diff") {
     import spark.implicits._
     val dir = Files.createTempDirectory("drift").toString + "/t"
