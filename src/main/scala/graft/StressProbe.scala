@@ -150,7 +150,12 @@ object StressProbe {
       time("exact_quantiles_histogram")(operators.TextOps.exactQuantiles(
         tape.select(pmod(col("user_id"), lit(8)).cast("string").as("lang"),
           (col("value") * 100).cast("long").as("n_chars")),
-        "n_chars", "lang", Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
+        "n_chars", "lang", Seq(0.25, 0.5, 0.75, 0.9, 0.99))),
+      // full-tape backtest: one shuffle by key, then sequential window
+      // passes — the integer-cents pipeline at simulated tick volume
+      time("backtest_sma")(operators.MarketOps.backtestSmaCross(
+        tape.withColumn("event_id", monotonically_increasing_id()),
+        fast = 5, slow = 20))
     )
 
     val all = results ++ llm ++ ccProbe

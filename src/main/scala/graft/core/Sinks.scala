@@ -201,6 +201,13 @@ object Sinks {
     * partial one. Rename-based, so atomic on local/HDFS; object stores
     * need a manifest/table format instead (documented non-goal here).
     * Returns (dataFilesBefore, dataFilesAfter).
+    *
+    * DO NOT point this at a Structured Streaming parquet-SINK table
+    * (LiveIngest's silver/bars_live): the sink's _spark_metadata manifest
+    * pins the exact file set, and a directory swap orphans it — readers of
+    * such tables resolve files through the manifest, not the listing.
+    * Compact batch tables (idempotentAppend landings) only; for streaming
+    * landings, compact downstream after a batch promotion step.
     */
   /** Recursive count of parquet data files under a table path — the
     * fragmentation signal maintenance callers gate compaction on.
