@@ -26,6 +26,8 @@ object EventOps {
              typeCol: String = "event_type",
              tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct (t_<stage> columns collide): $stages")
     def stageCol(s: String) = s"t_$s"
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(userCol).agg(min(tsCol).as(stageCol(stages.head)))

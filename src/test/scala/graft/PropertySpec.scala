@@ -170,4 +170,33 @@ class PropertySpec extends AnyFunSuite {
         assert(probes <= 5)
     }
   }
+
+  test("connected components equal union-find on arbitrary generated graphs") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 40L)
+      b <- Gen.chooseNum(0L, 40L)
+    } yield (a, b))
+    forAll(edgesGen, n = 6) { raw =>
+      val edges = raw.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = graft.operators.Components
+          .connectedComponents(edges.toDF("u", "v"))
+          .as[(Long, Long)].collect().toMap
+        // driver-side union-find ground truth, normalized to min labels
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.groupBy(find).values
+          .flatMap(c => c.map(_ -> c.min)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
 }
