@@ -158,6 +158,31 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // EXACT stratified split: within every language, documents rank by the
+    // same deterministic hash (a reproducible shuffle) and the first 80% /
+    // next 10% / rest split — so per-stratum proportions are EXACT, where
+    // the global hash split (txt_sample_split) only holds them in
+    // expectation and can starve a small language. The rank is a window
+    // over each stratum; at crawl scale strata are languages (bounded
+    // cardinality) and the per-stratum ordering is the price of exact
+    // proportions — use the hash split when expectation suffices.
+    QueryDef.sqlBacked(
+      "txt_stratified_split",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id % 1000003) * 40503 % 65536, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk * 10 <= n * 8 THEN 'train'
+        |       WHEN rk * 10 <= n * 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      stratifiedSplit(Tables.documents(s, d), "lang")
+    },
+
     // Corpus-wide vocabulary top-k — the heavy-hitter pass of vocab/BPE
     // building. Scale shape: explode is a narrow generator, the count is a
     // partial-then-final hash aggregate (map-side combine bounds the
@@ -326,6 +351,26 @@ object TextOps {
         .orderBy(col("lang"), col("p"))
     }
   )
+
+  /** Exact per-stratum 80/10/10 split — see the txt_stratified_split
+    * QueryDef. Integer cross-multiplication (rk·10 ≤ n·8) keeps the
+    * thresholds exact for every stratum size; the hash order is the same
+    * portable multiplicative shuffle the global split uses, so the
+    * assignment is stable under reprocessing.
+    */
+  def stratifiedSplit(docs: DataFrame, stratumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(pmod((col("doc_id") % 1000003L) * 40503L, lit(65536L)), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .select(col("doc_id"), col(stratumCol),
+        when(col("rk") * 10 <= col("n") * 8, "train")
+          .when(col("rk") * 10 <= col("n") * 9, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Gopher-style quality scoring as a pure projection over (doc_id, text)
     * — stateless and shuffle-free, so the SAME builder runs on a batch

@@ -53,6 +53,25 @@ class QuantileFunnelSpec extends AnyFunSuite {
     assert(got == Seq(("a", 0.5, 2.0)), s"got $got")
   }
 
+  test("stratified split holds exact per-stratum proportions, even for tiny strata") {
+    val docs = (0L until 100L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small")) ++
+      Seq((110L, "singleton"))
+    val out = TextOps.stratifiedSplit(docs.toDF("doc_id", "lang"), "lang")
+      .as[(Long, String, String)].collect()
+    def dist(lang: String) = out.filter(_._2 == lang).groupBy(_._3)
+      .view.mapValues(_.length).toMap
+    assert(dist("big") == Map("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(dist("small") == Map("train" -> 8, "val" -> 1, "test" -> 1),
+      s"small stratum drifted: ${dist("small")}")
+    // n = 1: rk*10 = 10 > 8 and > 9 → the lone doc lands in test
+    assert(dist("singleton") == Map("test" -> 1))
+    // reprocessing-stable: a second run reproduces the same assignment
+    val again = TextOps.stratifiedSplit(docs.toDF("doc_id", "lang"), "lang")
+      .as[(Long, String, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("funnel generalizes to arbitrary stage chains") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
