@@ -171,8 +171,10 @@ object Sinks {
     * needs (takedowns, right-to-be-forgotten, poisoned-document purges):
     * rewrite the table WITHOUT the keyed rows and swap atomically, so the
     * data is gone from the files, not merely filtered at read time. The
-    * delete set joins as thin rows (broadcast when small); everything else
-    * streams through one distributed pass. Returns (rowsBefore, rowsAfter).
+    * delete set joins as thin deduplicated key rows — NOT hint-forced to
+    * broadcast: a takedown list can be millions of keys, and AQE already
+    * broadcasts it when it is small; everything else streams through one
+    * distributed pass. Returns (rowsBefore, rowsAfter).
     */
   def deleteByKey(spark: SparkSession, path: String, keys: DataFrame,
                   keyCols: Seq[String],
@@ -181,7 +183,7 @@ object Sinks {
     val stored = spark.read.parquet(path)
     val before = stored.count()
     val kept = stored.join(
-      broadcast(keys.select(keyCols.map(col): _*).dropDuplicates()),
+      keys.select(keyCols.map(col): _*).dropDuplicates(),
       keyCols, "left_anti")
     val after = kept.count()
     if (after < before)
