@@ -92,6 +92,41 @@ object StatefulIndicators {
         })
   }
 
+  final case class MacdState(fast: Double, slow: Double, lastT: Long)
+  final case class MacdOut(ticker: String, t: Long, price: Double, macd: Double)
+
+  /** Live MACD: two exact EMA recursions in one per-key state — the same
+    * per-tick arithmetic as the batch mkt_macd (emaExact at alpha 2/13 and
+    * 2/27), so an ordered replay is BIT-identical to the batch column
+    * (StatefulSpec asserts exact double equality, not tolerance). State is
+    * two doubles per key. Late rows drop.
+    */
+  def macdStream(spark: SparkSession, ticks: Dataset[Tick],
+                 alphaFast: Double = 2.0 / 13,
+                 alphaSlow: Double = 2.0 / 27): Dataset[MacdOut] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ticker: String, rows: Iterator[Tick], state: GroupState[MacdState]) => {
+          val sorted = rows.toSeq.sortBy(_.t)
+          var st = state.getOption.getOrElse(
+            MacdState(Double.NaN, Double.NaN, Long.MinValue))
+          val out = sorted.flatMap { tick =>
+            if (tick.t <= st.lastT) None
+            else {
+              val f = if (st.fast.isNaN) tick.price
+                      else alphaFast * tick.price + (1 - alphaFast) * st.fast
+              val s = if (st.slow.isNaN) tick.price
+                      else alphaSlow * tick.price + (1 - alphaSlow) * st.slow
+              st = MacdState(f, s, tick.t)
+              Some(MacdOut(ticker, tick.t, tick.price, f - s))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   final case class BtState(buf: List[Long], rn: Long, prevSig: Long,
                            prevP: Long, cum: Long, peak: Long, lastT: Long)
   final case class BtOut(ticker: String, t: Long, pos: Long, pnlCents: Long,

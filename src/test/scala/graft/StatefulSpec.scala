@@ -158,6 +158,24 @@ class StatefulSpec extends AnyFunSuite {
     assertParity(streamed.map { case (k, v) => k -> v.atr }, batch, "ATR")
   }
 
+  test("streaming MACD on replayed fixture is BIT-identical to batch mkt_macd") {
+    import org.apache.spark.sql.functions._
+    val streamed = replayFixture[StatefulIndicators.MacdOut]("macd_replay",
+      ds => StatefulIndicators.macdStream(spark, ds))
+    val batch = SparkEntry.queries("mkt_macd")(spark, TestSpark.Sf0001)
+      .join(Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_id"), unix_millis(col("ts")).as("t")), "event_id")
+      .select(col("user_id").cast("string"), col("t"), col("macd"))
+      .as[(String, Long, Double)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, t, b) =>
+      val s = streamed.get((k, t))
+      assert(s.nonEmpty, s"stream missing row ($k, $t)")
+      // identical recursion on identical operands: exact, not tolerance
+      assert(s.get.macd == b, s"macd diverged at ($k, $t): ${s.get.macd} != $b")
+    }
+  }
+
   test("streaming backtest on replayed fixture equals the batch equity curve exactly") {
     import org.apache.spark.sql.functions._
     val streamed = replayFixture[StatefulIndicators.BtOut]("bt_replay",
