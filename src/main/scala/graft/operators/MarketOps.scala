@@ -572,6 +572,52 @@ object MarketOps {
         .orderBy(col("event_id"))
     },
 
+    // Pairwise correlation of hourly price CHANGES across the ticker
+    // universe — the pairs-trading / risk-clustering primitive. Exactness:
+    // prices integerize to cents, per-bucket changes are BIGINT
+    // differences (no division anywhere), and Pearson's terms are exact
+    // integer sums (n, Σx, Σy, Σx², Σy², Σxy all fit long at these
+    // magnitudes) — the final correlation is one deterministic double
+    // expression over identical integers in both engines. Scale shape:
+    // compact to (ticker, bucket, change) first — the self-join is
+    // O(k²·T) in TICKER count, so the screen runs over a WATCHLIST
+    // (user_id < 150 here — a correlation screen against the full cross
+    // of a large universe is a different tool: the ANN operators over
+    // return vectors).
+    QueryDef.sqlBacked(
+      "mkt_pairwise_corr",
+      """WITH b AS (
+        |  SELECT user_id, b, p FROM (
+        |    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b,
+        |      CAST(floor(value * 100) AS BIGINT) AS p,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |    FROM events WHERE user_id < 150) WHERE rk = 1),
+        |r AS (SELECT user_id, b,
+        |        p - lag(p) OVER (PARTITION BY user_id ORDER BY b) AS r
+        |      FROM b),
+        |rr AS (SELECT user_id, b, r FROM r WHERE r IS NOT NULL),
+        |j AS (SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |             x.r AS ra, y.r AS rb
+        |      FROM rr x JOIN rr y ON x.b = y.b AND x.user_id < y.user_id),
+        |s AS (SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+        |        CAST(sum(ra * ra) AS BIGINT) AS saa,
+        |        CAST(sum(rb * rb) AS BIGINT) AS sbb,
+        |        CAST(sum(ra * rb) AS BIGINT) AS sab
+        |      FROM j GROUP BY 1, 2)
+        |SELECT user_a, user_b, n,
+        |  round(CAST(n * sab - sa * sb AS DOUBLE) /
+        |        sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+        |             * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS corr
+        |FROM s
+        |WHERE n >= 20 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+        |ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
+      pairwiseCorrelation(Tables.events(s, d).filter(col("user_id") < 150),
+        minOverlap = 20)
+    },
+
     // Vectorized SMA-crossover BACKTEST — the reference's raison d'être
     // (README.md:3 "algotrading env": back-data exists to trade on).
     // Long when the fast SMA exceeds the slow, position taken NEXT bar (no
@@ -672,6 +718,46 @@ object MarketOps {
         col("cum_pnl_cents"),
         (col("peak") - col("cum_pnl_cents")).as("drawdown_cents"))
       .orderBy(col("event_id"))
+
+  /** Pairwise Pearson correlation of per-bucket price changes — see the
+    * mkt_pairwise_corr QueryDef for the exactness and scale design. One
+    * compaction to (key, bucket, change), one bucket-equi self-join, one
+    * partial-aggregated groupBy of six integer sums per pair.
+    */
+  def pairwiseCorrelation(events: DataFrame, minOverlap: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("b"))
+    val wLast = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val bars = events
+      .withColumn("b", date_trunc("day", col("ts")))
+      .withColumn("p", floor(col("value") * 100).cast("long"))
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("b"), col("p"))
+    val rets = bars
+      .withColumn("r", col("p") - lag(col("p"), 1).over(w))
+      .filter(col("r").isNotNull)
+      .select(col("user_id"), col("b"), col("r"))
+    val j = rets.as("x").join(rets.as("y"),
+        col("x.b") === col("y.b") && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"),
+        col("x.r").as("ra"), col("y.r").as("rb"))
+    val s = j.groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"),
+        sum(col("ra") * col("rb")).as("sab"))
+    val va = s("n") * s("saa") - s("sa") * s("sa")
+    val vb = s("n") * s("sbb") - s("sb") * s("sb")
+    s.filter(s("n") >= minOverlap && va > 0 && vb > 0)
+      .withColumn("corr", round(
+        (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+               (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")), 6))
+      .select(col("user_a"), col("user_b"), col("n"), col("corr"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
 
   /** Per-key backtest report card — total PnL, worst drawdown, exposure
     * (bars long), win/loss bar counts, entry count. Integer-exact like the
