@@ -286,13 +286,16 @@ object DedupOps {
     },
 
     // INCREMENTAL dedup — a crawl drop (here: doc_id % 7 = 0 stands in for
-    // the new batch) checked against the persisted corpus signature store:
-    // only pairs touching a new document are derived; old-old pairs are
-    // previous increments' outputs. The oracle recomputes the full pair set
-    // (same shared CTEs) and keeps the pairs with a new side — the
-    // increment path must agree with the full recompute EXACTLY on that
-    // subset (DedupSpec also locks this as a two-batch equivalence
-    // property on constructed corpora).
+    // the new batch) checked against the corpus SIGNATURE STORE: only the
+    // increment's signatures are computed fresh, only pairs touching a new
+    // document are derived; old-old pairs are previous increments' outputs.
+    // The store is derived in-plan from the old docs here (a declared query
+    // is a pure DataFrame); the Parquet round-trip — appendSignatureStore
+    // across two increments, with a plan assertion that the old corpus'
+    // text files are never scanned — is locked in DedupSpec. The oracle
+    // recomputes the full pair set (same shared CTEs) and keeps the pairs
+    // with a new side — the increment path must agree with the full
+    // recompute EXACTLY on that subset.
     QueryDef.sqlBacked(
       "dedup_incremental",
       s"""WITH $duckMinhashCtes
@@ -301,8 +304,10 @@ object DedupOps {
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
          |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      minhashLshIncremental(shingleTable(Tables.documents(s, d)),
-        isNew = col("doc_id") % 7 === 0, threshold = 0.5)
+      val docs = Tables.documents(s, d)
+      val oldSh = shingleTable(docs.filter(col("doc_id") % 7 =!= 0))
+      minhashLshIncremental(minhashBandTable(oldSh), oldSh,
+        docs.filter(col("doc_id") % 7 === 0), threshold = 0.5)
     },
 
     // SimHash near-dup: 64-bit signature from per-shingle parity votes,
@@ -575,30 +580,59 @@ object DedupOps {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** INCREMENTAL near-dup: pairs involving at least one NEW document —
-    * the production shape for a periodic crawl drop. Only the increment's
-    * signatures are computed fresh; the corpus side is the persisted band
-    * store, so the bucket join is increment-sized × bucket hit rate, never
-    * corpus × corpus. Exact verification joins candidates against shingle
-    * sets by doc_id — a semi-join that touches only candidate documents
-    * (at 100 TB: a pruned point-lookup scan of the corpus shingle table,
-    * not a full pass). Old-old pairs are the PREVIOUS increments' outputs
-    * and are deliberately not re-derived.
-    *
-    * `sh` must cover every doc that can appear in a pair (corpus ∪ new);
-    * `isNew` marks increment membership on both `sh` and the store rows.
+  /** Persist a corpus drop's MinHash signature STORE to the warehouse — the
+    * once-per-document signing pass a production dedup pipeline pays at
+    * ingest so later increments never re-read old text (the reference's
+    * incremental-scan-don't-refetch protocol,
+    * old_source/old_source_op.py:129-176, applied to dedup state). Writes
+    * band rows keyed (doc_id, band) and the exact shingle sets keyed
+    * (doc_id), both via Sinks.idempotentAppend, so a replayed drop is a
+    * no-op. The shingle table is persisted in-memory for the duration so
+    * the two writes share one tokenize+shingle pass.
     */
-  def minhashLshIncremental(sh: DataFrame, isNew: Column,
-                            threshold: Double): DataFrame = {
-    val store = minhashBandTable(sh)
-    val fresh = store.filter(isNew)
+  def appendSignatureStore(newDocs: DataFrame, bandPath: String,
+                           shinglePath: String, numHashes: Int = 64,
+                           bands: Int = 16): Unit = {
+    val sh = shingleTable(newDocs)
+    graft.core.Sinks.idempotentAppend(sh, shinglePath,
+      keys = Seq("doc_id"), partitionCols = Nil)
+    graft.core.Sinks.idempotentAppend(minhashBandTable(sh, numHashes, bands),
+      bandPath, keys = Seq("doc_id", "band"), partitionCols = Nil)
+  }
+
+  /** INCREMENTAL near-dup: pairs involving at least one NEW document — the
+    * production shape for a periodic crawl drop. Signatures are computed
+    * fresh ONLY for `newDocs`; the corpus side arrives as the PERSISTED
+    * signature store — `storedBands` (doc_id, band, sig) and
+    * `storedShingles` (doc_id, sh), written at ingest by
+    * appendSignatureStore — so old documents' text is never re-read, let
+    * alone re-shingled. The bucket join is increment-sized × bucket hit
+    * rate, never corpus × corpus (new-new pairs come from the fresh side
+    * unioned into the store; old-old pairs cannot appear because the left
+    * side is increment-only — they are the PREVIOUS increments' outputs
+    * and are deliberately not re-derived). Exact verification joins
+    * candidates against the stored shingle sets by doc_id — at 100 TB a
+    * pruned point-lookup of the shingle store, not a text pass.
+    */
+  def minhashLshIncremental(storedBands: DataFrame, storedShingles: DataFrame,
+                            newDocs: DataFrame, threshold: Double,
+                            numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val freshSh = shingleTable(newDocs)
+    // persisted: the fresh bands feed both the probe side and the store
+    // union, and Spark does not CSE across join branches
+    val fresh = graft.core.GraftCaches.acquire(
+      minhashBandTable(freshSh, numHashes, bands), StorageLevel.MEMORY_AND_DISK)
+    val store = storedBands.select(col("doc_id"), col("band"), col("sig"))
+      .unionByName(fresh)
     val cand = fresh.as("a").join(store.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
               greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(cand, sh, threshold)
+    val shAll = storedShingles.select(col("doc_id"), col("sh"))
+      .unionByName(freshSh)
+    verifyPairs(cand, shAll, threshold)
   }
 
   /** Near-dup clusters: MinHash+LSH verified pairs → connected components →

@@ -99,21 +99,68 @@ class DedupSpec extends AnyFunSuite {
   test("incremental dedup equals the full recompute restricted to new-side pairs") {
     // fixture corpus split into "existing corpus" and a "new drop"; the
     // increment path must produce EXACTLY the full-recompute pairs that
-    // touch a new doc — no misses (store join covers new-old) and no
-    // extras (old-old never re-derived)
+    // touch a new doc — no misses (store join covers new-old, fresh union
+    // covers new-new) and no extras (old-old never re-derived)
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val isNew = col("doc_id") % 7 === 0
-    val sh = DedupOps.shingleTable(docs)
     val full = DedupOps.minhashLsh(docs, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val wantNewSide = full.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
-    val got = DedupOps.minhashLshIncremental(sh, isNew, threshold = 0.5)
+    val oldSh = DedupOps.shingleTable(docs.filter(!isNew))
+    val got = DedupOps.minhashLshIncremental(
+      DedupOps.minhashBandTable(oldSh), oldSh, docs.filter(isNew),
+      threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == wantNewSide,
       s"extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
     assert(got.nonEmpty, "fixture should plant at least one new-side pair")
     assert((full -- wantNewSide).nonEmpty,
       "split should leave old-old pairs out of the increment")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("incremental dedup: Parquet store across two increments, old text never re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("incstore").toString
+    val bandPath = s"$dir/store_bands"
+    val shPath = s"$dir/store_shingles"
+    val oldDocsPath = s"$dir/corpus_docs"
+    // the base corpus lives in PARQUET so re-reading its text would be
+    // visible as a FileScan of corpus_docs in the increment plan
+    Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+      .write.parquet(oldDocsPath)
+    DedupOps.appendSignatureStore(
+      spark.read.parquet(oldDocsPath), bandPath, shPath)
+    graft.core.GraftCaches.releaseAll(spark)
+
+    // increment 1: the near-dup of stored doc 0 arrives
+    val inc1 = Seq((1L, nearDup)).toDF("doc_id", "text")
+    val got1 = DedupOps.minhashLshIncremental(
+      spark.read.parquet(bandPath), spark.read.parquet(shPath), inc1, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got1 == Set((0L, 1L)), s"increment 1 pairs: $got1")
+    DedupOps.appendSignatureStore(inc1, bandPath, shPath)
+    graft.core.GraftCaches.releaseAll(spark)
+
+    // replaying the same drop is a no-op (idempotentAppend on (doc_id, band))
+    val bandRows = spark.read.parquet(bandPath).count()
+    DedupOps.appendSignatureStore(inc1, bandPath, shPath)
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(spark.read.parquet(bandPath).count() == bandRows,
+      "replayed appendSignatureStore duplicated store rows")
+
+    // increment 2: an exact copy of doc 0 — pairs with BOTH stored docs,
+    // including doc 1 which arrived in a previous increment
+    val inc2 = Seq((4L, base), (3L, "short text")).toDF("doc_id", "text")
+    val pairs2 = DedupOps.minhashLshIncremental(
+      spark.read.parquet(bandPath), spark.read.parquet(shPath), inc2, 0.5)
+    val plan = pairs2.queryExecution.executedPlan.toString
+    assert(!plan.contains("corpus_docs"),
+      "second increment re-reads the old corpus' text files")
+    assert(plan.contains(bandPath) && plan.contains(shPath),
+      s"second increment should scan only the persisted store:\n$plan")
+    val got2 = pairs2.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((0L, 4L), (1L, 4L)), s"increment 2 pairs: $got2")
+    graft.core.GraftCaches.releaseAll(spark)
   }
 
   test("operator persists are graft-owned: releaseAll empties the cache manager") {
