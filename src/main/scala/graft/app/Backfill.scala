@@ -150,7 +150,6 @@ object Backfill {
     // series partition (cheap count, atomic swap, scan-identical data)
     val silverPath = s"$warehouse/silver/bars"
     val nSeries = math.max(1L, silverAll.select(seriesKey.map(col): _*).distinct().count())
-    if (Sinks.dataFileCount(spark, silverPath) > 4 * nSeries)
-      Sinks.compact(spark, silverPath, targetFiles = nSeries.toInt, seriesKey)
+    Sinks.compactIfFragmented(spark, silverPath, targetFiles = nSeries.toInt, seriesKey)
   }
 }

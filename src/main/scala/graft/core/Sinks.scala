@@ -159,6 +159,22 @@ object Sinks {
           s"idempotentAppend: schema drift for $path — batch-only columns: " +
             s"${(batchCols -- storedCols).toSeq.sorted.mkString(", ")}; " +
             s"table-only columns: ${(storedCols -- batchCols).toSeq.sorted.mkString(", ")}")
+        // a RETYPED column (same name, new type) poisons later reads the
+        // same way — compare types too, skipping partition columns, which
+        // the read returns in inferred (not written) types. Compare on
+        // catalogString, not DataType equality: nullability flags
+        // (array containsNull, struct field nullable) legitimately differ
+        // between a written table and a fresh batch and are not drift.
+        val storedTypes = stored.schema
+          .filterNot(f => partitionCols.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap
+        val retyped = df.schema
+          .filterNot(f => partitionCols.contains(f.name))
+          .filter(f => storedTypes.get(f.name).exists(_.catalogString != f.dataType.catalogString))
+        require(retyped.isEmpty,
+          s"idempotentAppend: type drift for $path — " + retyped.map(f =>
+            s"${f.name}: table=${storedTypes(f.name).catalogString} " +
+              s"batch=${f.dataType.catalogString}").mkString(", "))
         val existing = stored.select(keys.map(col): _*)
         df.join(existing, keys, "left_anti")
       }
@@ -180,15 +196,24 @@ object Sinks {
                   keyCols: Seq[String],
                   partitionCols: Seq[String] = Nil): (Long, Long) = {
     require(keyCols.nonEmpty, "deleteByKey needs at least one key column")
-    val stored = spark.read.parquet(path)
+    val stored = readForRewrite(spark, path)
+    val keyRows = keys.select(keyCols.map(col): _*).dropDuplicates()
+    // parquet count(*) rides row-group footers, not a data pass
     val before = stored.count()
-    val kept = stored.join(
-      keys.select(keyCols.map(col): _*).dropDuplicates(),
-      keyCols, "left_anti")
-    val after = kept.count()
-    if (after < before)
+    // early-exit existence probe: a takedown matching nothing must not pay
+    // (or churn) a full-table rewrite — limit(1) stops at the first hit
+    val hasMatch = !stored.join(keyRows, keyCols, "left_semi").limit(1).isEmpty
+    if (!hasMatch) (before, before)
+    else {
+      // the after-count rides the rewrite job itself (df.observe) instead
+      // of a standalone anti-join count — that count was a second full
+      // pass over the table per takedown
+      val obs = org.apache.spark.sql.Observation("graft_delete_kept")
+      val kept = stored.join(keyRows, keyCols, "left_anti")
+        .observe(obs, count(lit(1)).as("kept"))
       swapInto(spark, path, kept, partitionCols, targetFiles = None)
-    (before, after)
+      (before, obs.get("kept").asInstanceOf[Long])
+    }
   }
 
   /** Small-file COMPACTION — the maintenance pass every long-running ingest
@@ -209,7 +234,7 @@ object Sinks {
     * pins the exact file set, and a directory swap orphans it — readers of
     * such tables resolve files through the manifest, not the listing.
     * Compact batch tables (idempotentAppend landings) only; for streaming
-    * landings, compact downstream after a batch promotion step.
+    * landings, `promote` into a batch table first and compact that.
     */
   /** Recursive count of parquet data files under a table path — the
     * fragmentation signal maintenance callers gate compaction on.
@@ -227,25 +252,140 @@ object Sinks {
               partitionCols: Seq[String] = Nil): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val before = dataFileCount(spark, path)
-    swapInto(spark, path, spark.read.parquet(path), partitionCols,
+    swapInto(spark, path, readForRewrite(spark, path), partitionCols,
       targetFiles = Some(targetFiles))
     (before, dataFileCount(spark, path))
+  }
+
+  /** Table read for an in-place rewrite (compact / deleteByKey): partition
+    * directory TEXT must round-trip exactly, so partition-column type
+    * inference is disabled for this read — a string partition value that
+    * merely looks numeric (lang='2', or worse '02') would otherwise come
+    * back as int and be re-serialized on write, silently renaming the
+    * partition directory (lang=02 → lang=2) and retyping the column in the
+    * rewritten table. With inference off, partition values pass through as
+    * the exact strings in the directory names; downstream readers' own
+    * inference is unaffected. The conf flip is scoped to relation
+    * resolution (inference happens eagerly at load).
+    */
+  private def readForRewrite(spark: SparkSession, path: String): DataFrame = {
+    // a previous swap may have crashed mid-rename — restore the parked
+    // table before reading it for this rewrite
+    recoverSwap(spark, path)
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.read.option("basePath", path).parquet(path)
+    finally spark.conf.set(key, old)
+  }
+
+  /** The fragmentation gate maintenance callers share (Backfill's silver
+    * sweep, promoted live tables): compact `path` only once its data-file
+    * count exceeds `factor × targetFiles` — below that the rewrite costs
+    * more than the per-file open overhead it saves. Returns the
+    * (before, after) file counts when a compaction ran.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String, targetFiles: Int,
+                          partitionCols: Seq[String] = Nil,
+                          factor: Int = 4): Option[(Long, Long)] =
+    if (dataFileCount(spark, path) > factor.toLong * targetFiles)
+      Some(compact(spark, path, targetFiles, partitionCols))
+    else None
+
+  /** PROMOTE a Structured Streaming parquet-sink landing into a compactable
+    * batch table — the edge between LiveIngest's per-trigger file sets and
+    * the batch silver tables that compaction and backfill maintain (the
+    * reference's daily cadence, airflow-dags/dag_aggregates_etl.py:377, is
+    * exactly this live→batch promotion rhythm). The landing is read through
+    * its `_spark_metadata` manifest (a parquet read of a streaming-sink
+    * directory resolves files via the manifest, so uncommitted task output
+    * is never promoted), appended with `idempotentAppend` (a replayed
+    * promotion is a no-op on the data), and the promoted window is MARKED
+    * in a sibling ledger holding the sink's last committed manifest batch
+    * id — an unchanged landing short-circuits without scanning either
+    * table. The landing itself is never trimmed: its manifest pins the file
+    * set, so deleting promoted files would orphan the manifest for any
+    * reader of the live table; retention of the landing belongs to the
+    * stream's own lifecycle, not the promoter.
+    *
+    * Returns the sink batch id promoted up to, or None when the landing has
+    * nothing new. The ledger is advisory — losing it (it lives beside the
+    * batch table, so `compact`'s directory swap preserves it) only costs a
+    * rescan; `idempotentAppend`'s key anti-join still guards exactly-once.
+    */
+  def promote(spark: SparkSession, streamingSinkPath: String,
+              batchTablePath: String, keys: Seq[String],
+              partitionCols: Seq[String] = Nil): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new org.apache.hadoop.fs.Path(streamingSinkPath, "_spark_metadata")
+    val fs = meta.getFileSystem(conf)
+    require(fs.exists(meta),
+      s"promote: $streamingSinkPath has no _spark_metadata manifest — not a " +
+        "streaming parquet sink (batch landings append via idempotentAppend directly)")
+    // FileStreamSink names manifest entries by batch id (N or N.compact)
+    val latest = fs.listStatus(meta).toSeq
+      .map(_.getPath.getName.stripSuffix(".compact"))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .maxOption
+    val ledger = new org.apache.hadoop.fs.Path(batchTablePath + "._promoted_upto")
+    val lfs = ledger.getFileSystem(conf)
+    val already =
+      if (!lfs.exists(ledger)) -1L
+      else {
+        val in = lfs.open(ledger)
+        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+          .readLine().trim.toLong
+        finally in.close()
+      }
+    latest.filter(_ > already).map { b =>
+      idempotentAppend(spark.read.parquet(streamingSinkPath),
+        batchTablePath, keys, partitionCols)
+      val out = lfs.create(ledger, true)
+      try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+      b
+    }
   }
 
   /** Rewrite-and-swap shared by compact and deleteByKey: write `df` (read
     * FROM the live table — staging to a sibling dir makes that safe) to
     * `._compact_tmp`, stage the live dir to `._compact_old`, rename the
     * new table into place (rolling the old one back if that fails), drop
-    * the old. A reader always sees the complete old or complete new table.
-    * `targetFiles` reshapes output parallelism; for a partitioned table
-    * the partition columns lead the clustering so each task holds few
-    * partition values (≈ one file per value, not targetFiles × values).
+    * the old. A reader racing a HEALTHY swap sees the complete old or
+    * complete new table. `targetFiles` reshapes output parallelism; for a
+    * partitioned table the partition columns lead the clustering so each
+    * task holds few partition values (≈ one file per value, not
+    * targetFiles × values).
+    *
+    * Crash window: a process dying between rename(live→old) and
+    * rename(tmp→live) leaves the table path ABSENT with the data parked
+    * complete at `._compact_old`. Single-writer maintenance is assumed;
+    * the next swapInto (or an explicit `recoverSwap`) restores the parked
+    * table before doing anything else, and a reader that finds the path
+    * missing should call `recoverSwap` rather than treat the table as
+    * dropped.
     */
+  /** Restore a table whose last rewrite-swap crashed mid-rename (live path
+    * gone, complete data parked at `._compact_old`). Returns true when a
+    * recovery was performed; false when the table is healthy (no-op).
+    */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    if (fs.exists(live) || !fs.exists(old)) false
+    else {
+      require(fs.rename(old, live),
+        s"recoverSwap: could not restore $path from ._compact_old")
+      true
+    }
+  }
+
   private def swapInto(spark: SparkSession, path: String, df: DataFrame,
                        partitionCols: Seq[String],
                        targetFiles: Option[Int]): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, path)
     val reshaped = targetFiles match {
       case Some(n) if partitionCols.isEmpty => df.repartition(n)
       case Some(n) => df.repartition(n, partitionCols.map(col): _*)

@@ -311,6 +311,98 @@ class SinksSpec extends AnyFunSuite {
     assert((b2, a2) == ((97L, 97L)))
   }
 
+  test("deleteByKey: the anti-join runs once, riding the rewrite write") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("del-scan").toString + "/t"
+    spark.range(0, 50).select(col("id").as("doc_id")).write.parquet(dir)
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (b, a) = graft.core.Sinks.deleteByKey(
+        spark, dir, Seq(7L).toDF("doc_id"), Seq("doc_id"))
+      assert((b, a) == ((50L, 49L)))
+      // listener delivery is async — poll until the write's plan arrives
+      val deadline = System.currentTimeMillis() + 30000
+      def anti() = plans.synchronized(plans.filter(_.contains("LeftAnti")))
+      while (anti().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // absorb any straggling execution events
+      val antiPlans = anti()
+      assert(antiPlans.size == 1,
+        s"the anti-join must run exactly once (it used to also run a " +
+          s"standalone count pass), got ${antiPlans.size}")
+      assert(antiPlans.head.contains("WriteFiles"),
+        "the single anti-join execution must be the rewrite write itself")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("rewrite reads preserve partition directory text (no numeric re-typing)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("del-ptype").toString + "/t"
+    // '02' survives partition inference only as TEXT — inferred as int it
+    // would be re-serialized to lang=2, renaming the directory
+    Seq((1L, "02"), (2L, "02"), (3L, "10"), (4L, "10")).toDF("doc_id", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    graft.core.Sinks.deleteByKey(spark, dir, Seq(3L).toDF("doc_id"),
+      Seq("doc_id"), Seq("lang"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).sorted.toSeq
+    assert(dirs == Seq("lang=02", "lang=10"),
+      s"partition directory text must round-trip the rewrite: $dirs")
+    graft.core.Sinks.compact(spark, dir, targetFiles = 1, Seq("lang"))
+    val dirs2 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).sorted.toSeq
+    assert(dirs2 == Seq("lang=02", "lang=10"),
+      s"compaction must not rename partition directories: $dirs2")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("recoverSwap restores a table parked by a crash mid-swap") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("del-crash").toString + "/t"
+    spark.range(0, 10).write.parquet(dir)
+    // simulate the crash window: live renamed away, new table never moved in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._compact_old")))
+    assert(graft.core.Sinks.recoverSwap(spark, dir), "recovery must fire")
+    assert(spark.read.parquet(dir).count() == 10, "parked data restored")
+    assert(!graft.core.Sinks.recoverSwap(spark, dir), "healthy table is a no-op")
+    // the maintenance ops self-recover: a delete right after a crash works
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._compact_old")))
+    import spark.implicits._
+    val (b, a) = graft.core.Sinks.deleteByKey(
+      spark, dir, Seq(3L).toDF("id"), Seq("id"))
+    assert((b, a) == ((10L, 9L)), s"delete after crash recovery: ($b, $a)")
+  }
+
+  test("idempotentAppend refuses a retyped column with a pointed diff") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retype").toString + "/t"
+    Seq((1L, 2.5)).toDF("k", "value").write.parquet(dir)
+    val retyped = Seq((2L, "oops")).toDF("k", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Sinks.idempotentAppend(retyped, dir, Seq("k"), Nil)
+    }
+    assert(e.getMessage.contains("type drift") &&
+      e.getMessage.contains("value") && e.getMessage.contains("double"),
+      s"error must name the retyped column and types: ${e.getMessage}")
+    assert(spark.read.parquet(dir).count() == 1, "guard fired before any write")
+  }
+
   test("idempotentAppend refuses a schema-drifted batch with a pointed diff") {
     import spark.implicits._
     val dir = Files.createTempDirectory("drift").toString + "/t"

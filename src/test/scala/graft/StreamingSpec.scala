@@ -330,6 +330,61 @@ class StreamingSpec extends AnyFunSuite {
       "streaming quality scores diverged from batch")
   }
 
+  test("promote: streaming landing → batch table; replays no-op; compaction gate covers it") {
+    val pages = java.nio.file.Files.createTempDirectory("promote-pages")
+    val wh = java.nio.file.Files.createTempDirectory("promote-wh").toString
+    val dir = pages.resolve("PRM/adjusted")
+    java.nio.file.Files.createDirectories(dir)
+    def page(ts: Seq[Long], next: Option[String]): String = {
+      val bars = ts.map(t =>
+        s"""{"t":$t,"o":1.0,"h":2.0,"l":0.5,"c":1.5,"v":100.0,"vw":1.2,"n":3}""")
+        .mkString("[", ",", "]")
+      s"""{"status":"OK","results":$bars,"next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+    }
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      page(Seq(60000L), None))
+    def ingest(): Unit = { // AvailableNow = one catch-up run over new pages
+      val q = graft.app.LiveIngest.start(spark, pages.toString, wh)
+      q.awaitTermination(); ()
+    }
+    ingest()
+    val landing = s"$wh/silver/bars_live"
+    val batch = s"$wh/silver/bars"
+    val keys = Seq("ticker", "timespan", "multiplier", "t", "adjusted")
+
+    val p1 = graft.core.Sinks.promote(spark, landing, batch, keys, Seq("ticker"))
+    assert(p1.nonEmpty, "first promotion must move the landed window")
+    assert(spark.read.parquet(batch).count() == 1)
+    // unchanged landing: the ledger short-circuits (None), data stable
+    assert(graft.core.Sinks.promote(spark, landing, batch, keys, Seq("ticker")).isEmpty)
+    assert(spark.read.parquet(batch).count() == 1)
+
+    // the cursor chain grows (boundary overlap at 60000), a second catch-up
+    // run lands a new sink micro-batch, and promotion moves only the delta
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      page(Seq(60000L), Some("page-0001.json")))
+    java.nio.file.Files.writeString(dir.resolve("page-0001.json"),
+      page(Seq(60000L, 120000L, 180000L), None))
+    ingest()
+    val p2 = graft.core.Sinks.promote(spark, landing, batch, keys, Seq("ticker"))
+    assert(p2.nonEmpty && p2.get > p1.get,
+      s"second promotion must advance the ledger: $p1 -> $p2")
+    assert(spark.read.parquet(batch).select("t").as[Long].collect().sorted.toSeq
+      == Seq(60000L, 120000L, 180000L), "exactly-once rows after two promotions")
+
+    // the promoted table is a BATCH table: the shared fragmentation gate
+    // may compact it (the landing itself must never be compacted — its
+    // manifest pins the file set)
+    val compacted = graft.core.Sinks.compactIfFragmented(
+      spark, batch, targetFiles = 1, Seq("ticker"), factor = 1)
+    assert(compacted.exists { case (before, after) => after < before },
+      s"two promotions should fragment past 1 file and compact down: $compacted")
+    assert(spark.read.parquet(batch).count() == 3, "compaction must not change rows")
+    // the ledger survives the compaction swap: a replay is still a no-op
+    assert(graft.core.Sinks.promote(spark, landing, batch, keys, Seq("ticker")).isEmpty)
+    assert(spark.read.parquet(batch).count() == 3)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
