@@ -23,31 +23,48 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
 
+  private def checkArity(exprs: Seq[Expression], n: Int, sig: String): Unit =
+    graft.functions.Arity.check(exprs, n, sig)
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("nonce"),
       info(classOf[Nonce], "nonce"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        if (exprs.length > 1)
+          throw new IllegalArgumentException(
+            s"wrong argument count: expected nonce([seed]), got ${exprs.length} arguments")
         Nonce(exprs.headOption.collect {
           case Literal(v: Long, _) => v
           case Literal(v: Int, _) => v.toLong
-        }.getOrElse(42L))))
+        }.getOrElse(42L))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       info(classOf[DotProduct], "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity(exprs, 2, "graft_dot(a, b)")
+        DotProduct(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_band_codes"),
       info(classOf[SignBandCodes], "graft_band_codes"),
-      (exprs: Seq[Expression]) => SignBandCodes(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => {
+        checkArity(exprs, 3, "graft_band_codes(vec, planes, bits)")
+        SignBandCodes(exprs(0), exprs(1), exprs(2))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info(classOf[SimHashSig], "graft_simhash"),
-      (exprs: Seq[Expression]) => SimHashSig(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        checkArity(exprs, 1, "graft_simhash(sh)")
+        SimHashSig(exprs(0))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       info(classOf[MinHashSig], "graft_minhash"),
       (exprs: Seq[Expression]) => {
+        checkArity(exprs, 2, "graft_minhash(sh, n)")
         val n = exprs(1) match {
           case Literal(v: Int, _) => v
           case Literal(v: Long, _) => v.toInt

@@ -194,9 +194,13 @@ object SketchFunctions {
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash")
     if (!registry.functionExists(id)) {
       registry.createOrReplaceTempFunction("graft_simhash",
-        exprs => SimHashSig(exprs(0)), "scala_udf")
+        exprs => {
+          Arity.check(exprs, 1, "graft_simhash(sh)")
+          SimHashSig(exprs(0))
+        }, "scala_udf")
       registry.createOrReplaceTempFunction("graft_minhash",
         exprs => {
+          Arity.check(exprs, 2, "graft_minhash(sh, n)")
           // fail at analysis with a pointed message, not a cast error (and
           // never let NULL collapse to numHashes = 0 silently)
           val n = exprs(1) match {

@@ -180,10 +180,16 @@ object VectorFunctions {
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
     if (!registry.functionExists(id)) {
       registry.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+        "graft_dot", exprs => {
+          Arity.check(exprs, 2, "graft_dot(a, b)")
+          DotProduct(exprs(0), exprs(1))
+        }, "scala_udf")
       registry.createOrReplaceTempFunction(
         "graft_band_codes",
-        exprs => SignBandCodes(exprs(0), exprs(1), exprs(2)), "scala_udf")
+        exprs => {
+          Arity.check(exprs, 3, "graft_band_codes(vec, planes, bits)")
+          SignBandCodes(exprs(0), exprs(1), exprs(2))
+        }, "scala_udf")
     }
   }
 }

@@ -55,6 +55,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getSeq[Long](0) == Seq(1L))
   }
 
+  test("wrong-arity SQL calls fail with the signature, not an index error") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
+    def messageOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    val m = messageOf("SELECT graft_dot(array(1.0D))")
+    assert(m.contains("graft_dot(a, b)"),
+      s"expected the signature in the error, got: $m")
+    assert(messageOf("SELECT graft_minhash(array('a'))")
+      .contains("graft_minhash(sh, n)"))
+    assert(messageOf("SELECT graft_simhash()")
+      .contains("graft_simhash(sh)"))
+    assert(messageOf("SELECT graft_band_codes(array(1.0D))")
+      .contains("graft_band_codes(vec, planes, bits)"))
+  }
+
   test("polygon source is reachable from pure SQL via CREATE TEMPORARY VIEW") {
     val root = java.nio.file.Files.createTempDirectory("polygon-sql")
     val dir = root.resolve("SQLT/minute--1--adjusted")
