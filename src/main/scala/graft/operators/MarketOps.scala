@@ -572,7 +572,7 @@ object MarketOps {
         .orderBy(col("event_id"))
     },
 
-    // Pairwise correlation of hourly price CHANGES across the ticker
+    // Pairwise correlation of daily price CHANGES across the ticker
     // universe — the pairs-trading / risk-clustering primitive. Exactness:
     // prices integerize to cents, per-bucket changes are BIGINT
     // differences (no division anywhere), and Pearson's terms are exact
@@ -616,6 +616,72 @@ object MarketOps {
         |ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
       pairwiseCorrelation(Tables.events(s, d).filter(col("user_id") < 150),
         minOverlap = 20)
+    },
+
+    // FULL-UNIVERSE correlation screen — the ANN escape hatch the
+    // watchlist query above documents: per-ticker centered daily-change
+    // vectors on the shared day grid (cosine == Pearson under full
+    // coverage), bucketed by the SAME hyperplane-LSH as the embedding
+    // dedup, candidates verified with the exact cosine. Oracle-exact via
+    // the established plane-regeneration pattern (dedup_embedding_lsh):
+    // the SQL twin rebuilds the day grid, the centered vectors, the
+    // 288×dims plane matrix from the same integer formula (dims derived
+    // from the data in both engines), the 48 band codes, and the exact
+    // verification — end to end, no literals. Scale shape: candidate
+    // generation shuffles id pairs only; the O(k²) cross of the watchlist
+    // tool never appears.
+    QueryDef.sqlBacked(
+      "mkt_corr_screen",
+      """WITH b AS (
+        |  SELECT user_id, b, p FROM (
+        |    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b,
+        |      CAST(floor(value * 100) AS BIGINT) AS p,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |    FROM events) WHERE rk = 1),
+        |r AS (SELECT user_id, b,
+        |        p - lag(p) OVER (PARTITION BY user_id ORDER BY b) AS r
+        |      FROM b),
+        |rr AS (SELECT user_id, b, r FROM r WHERE r IS NOT NULL),
+        |grid AS (SELECT b, CAST(row_number() OVER (ORDER BY b) AS INT) AS i
+        |         FROM (SELECT DISTINCT b FROM rr)),
+        |dims AS (SELECT count(*) AS d FROM grid),
+        |mu AS (SELECT user_id, CAST(sum(r) AS DOUBLE) / count(*) AS mu
+        |       FROM rr GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM rr),
+        |sp AS (SELECT rr.user_id, g.i, CAST(rr.r AS DOUBLE) - m.mu AS x
+        |       FROM rr JOIN grid g USING (b) JOIN mu m USING (user_id)),
+        |cells AS (SELECT u.user_id, g.i, coalesce(sp.x, 0.0) AS x
+        |          FROM u CROSS JOIN grid g
+        |          LEFT JOIN sp ON sp.user_id = u.user_id AND sp.i = g.i),
+        |vec AS (SELECT user_id, list(x ORDER BY i) AS e
+        |        FROM cells GROUP BY 1 HAVING sum(x * x) > 0),
+        |pl AS (SELECT p, list_transform(range(CAST(d AS INT)), dd ->
+        |        (xor((p * d + dd) * 2654435761 % 4294967296,
+        |             ((p * d + dd) * 2654435761 % 4294967296) // 65536)
+        |         % 65536) / 65536.0 * 2 - 1) AS plane
+        |      FROM (SELECT unnest(range(288)) AS p), dims),
+        |codes AS (
+        |  SELECT vec.user_id, p // 6 AS band,
+        |    CAST(sum(CASE WHEN list_dot_product(vec.e, pl.plane) > 0
+        |                  THEN 1 << CAST(p % 6 AS INT) ELSE 0 END) AS BIGINT)
+        |      AS code
+        |  FROM vec CROSS JOIN pl GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.user_id AS vec_a, b2.user_id AS vec_b
+        |  FROM codes a JOIN codes b2
+        |    ON a.band = b2.band AND a.code = b2.code AND a.user_id < b2.user_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        round(list_cosine_similarity(ea.e, eb.e), 6) AS cos
+        |      FROM cand
+        |      JOIN vec ea ON vec_a = ea.user_id
+        |      JOIN vec eb ON vec_b = eb.user_id)
+        |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val vecs = returnVectors(Tables.events(s, d))
+      val dims = vecs.schema("embedding").metadata.getLong("graft.rv.dims").toInt
+      SimilarityOps.cosinePairsLsh(vecs, threshold = 0.42, dims = dims)
     },
 
     // Vectorized SMA-crossover BACKTEST — the reference's raison d'être
@@ -724,6 +790,57 @@ object MarketOps {
     * compaction to (key, bucket, change), one bucket-equi self-join, one
     * partial-aggregated groupBy of six integer sums per pair.
     */
+  /** Per-ticker daily-change vectors on the shared day grid — the input
+    * that routes a FULL-UNIVERSE correlation screen to the ANN operators
+    * (the escape hatch mkt_pairwise_corr documents: the watchlist
+    * self-join is O(k²·T) by nature, so at universe scale bucket first,
+    * verify candidates exactly). Entries are centered per ticker
+    * (change − mean change over the ticker's PRESENT days) and absent days
+    * hold 0 ("at the mean"), so cosine(a, b) equals Pearson correlation
+    * whenever both tickers cover the grid and approximates it under
+    * partial coverage. Vectors are NOT length-normalized — the ANN
+    * verifier divides by the norms itself. Zero-variance tickers (no
+    * usable signal, and a NaN cosine that DuckDB and Spark order
+    * differently) are dropped in both engines.
+    *
+    * Output: (vec_id = ticker id, embedding: array<double>, length = grid
+    * days). The grid is bounded by the CALENDAR (a decade of dailies is
+    * ~2.5k entries), not row count — the single-partition ranking window
+    * over it is the same constant-size exemption as kmeansAssign's k-row
+    * init; the vector length rides the embedding column's metadata
+    * ("graft.rv.dims") for the ANN caller's plane matrix.
+    */
+  def returnVectors(events: DataFrame): DataFrame = {
+    val wLast = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("b"))
+    val bars = events
+      .withColumn("b", date_trunc("day", col("ts")))
+      .withColumn("p", floor(col("value") * 100).cast("long"))
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("b"), col("p"))
+    val rets = bars
+      .withColumn("r", col("p") - lag(col("p"), 1).over(w))
+      .filter(col("r").isNotNull)
+      .select(col("user_id"), col("b"), col("r"))
+    val grid = rets.select(col("b")).distinct()
+      .withColumn("i", row_number().over(Window.orderBy(col("b"))))
+    // calendar-bounded driver scalar, same pattern as ngramCandidates' cap
+    val dims = grid.count().toInt
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.rv.dims", dims.toLong).build()
+    rets.join(broadcast(grid), Seq("b"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("r")))).as("m"),
+        (sum(col("r")).cast("double") / count(lit(1))).as("mu"))
+      .select(col("user_id").as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> " +
+          "coalesce(cast(element_at(m, i) as double) - mu, 0.0d))")
+          .as("embedding", md))
+      .filter(expr("aggregate(embedding, 0.0d, (acc, x) -> acc + x * x) > 0.0d"))
+  }
+
   def pairwiseCorrelation(events: DataFrame, minOverlap: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("b"))
     val wLast = Window.partitionBy(col("user_id"), col("b"))

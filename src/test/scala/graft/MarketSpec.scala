@@ -134,4 +134,27 @@ class MarketSpec extends AnyFunSuite {
     assert(out.filter(_._1 >= 21).forall(_._2 == 1L), s"not long on a ramp")
     assert(out.last._3 > 0, "no profit riding a monotonic ramp")
   }
+
+  test("ANN correlation screen recalls the exact watchlist screen's top pairs") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    // ground truth: the exact (O(k²)) watchlist tool's strongest pairs
+    val exactTop = MarketOps.pairwiseCorrelation(ev, minOverlap = 10)
+      .orderBy(col("corr").desc, col("user_a"), col("user_b")).limit(5)
+      .select("user_a", "user_b").as[(Long, Long)].collect().toSet
+    assert(exactTop.size == 5, s"fixture should have >=5 correlated pairs")
+    // the screen: centered return vectors → hyperplane-LSH buckets → exact
+    // cosine verify. Cosine sits slightly under Pearson when coverage
+    // differs (0-filled absent days), so the screen runs at a looser
+    // threshold than the corr cut it is recalled against.
+    val vecs = MarketOps.returnVectors(ev)
+    val dims = vecs.schema("embedding").metadata.getLong("graft.rv.dims").toInt
+    assert(dims >= 2, s"day grid should be multi-day, got $dims")
+    val screen = graft.operators.SimilarityOps
+      .cosinePairsLsh(vecs, threshold = 0.25, dims = dims)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val hit = exactTop.count(screen.contains)
+    assert(hit >= 4,
+      s"screen recalled only $hit/5 top exact pairs: exact=$exactTop screen=$screen")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
 }
