@@ -138,12 +138,52 @@ object SimilarityOps {
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
                    iters: Int = 3): DataFrame = {
-    val v = graft.core.GraftCaches.acquire(
+    val v = integerized(embeddings)
+    assignStep(v, trainedFrom(v, k, iters))
+      .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The trained centroids themselves, (cid, ce) after `iters` Lloyd
+    * rounds — the bridge from the clustering stage to IVF: pass the result
+    * to `cosinePairsIvf(trainedCentroids = ...)` to probe data-shaped
+    * inverted lists instead of the fixed-k sampled ones (the sampled init
+    * stays the oracle-exactness device for the declared queries; trained
+    * lists are the production path for list quality at scale).
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+                      iters: Int = 3): DataFrame =
+    trainedFrom(integerized(embeddings), k, iters)
+
+  /** The persisted integerized corpus the k-means passes share (exact
+    * BIGINT update sums — see kmeansAssign's exactness design).
+    */
+  private def integerized(embeddings: DataFrame): DataFrame =
+    graft.core.GraftCaches.acquire(
       embeddings.select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
         .as("vi"))
         .repartition(col("vec_id")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def kmeansD2Expr = expr(
+    """aggregate(zip_with(vi, ce,
+      |    (a, b) -> (CAST(a AS DOUBLE) / 1000000D - b)
+      |            * (CAST(a AS DOUBLE) / 1000000D - b)),
+      |  0D, (acc, x) -> acc + x)""".stripMargin)
+
+  /** One assignment pass: nearest centroid (and its d2) per vector. */
+  private def assignStep(v: DataFrame, cs: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cs))
+      .withColumn("d2", kmeansD2Expr)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+  /** Lloyd iterations from the deterministic fixed-k init; returns the
+    * final (cid, ce) centroid frame (never collected to the driver).
+    */
+  private def trainedFrom(v: DataFrame, k: Int, iters: Int): DataFrame = {
     val hashOrd = Seq(
       pmod((col("vec_id") % 1000003L) * 40503L, lit(65536L)), col("vec_id"))
     val wInit = Window.orderBy(hashOrd: _*)
@@ -151,19 +191,6 @@ object SimilarityOps {
       .withColumn("cid", row_number().over(wInit).cast("long") - 1)
       .select(col("cid"),
         expr("transform(vi, x -> CAST(x AS DOUBLE) / 1000000D)").as("ce"))
-
-    val d2Expr = expr(
-      """aggregate(zip_with(vi, ce,
-        |    (a, b) -> (CAST(a AS DOUBLE) / 1000000D - b)
-        |            * (CAST(a AS DOUBLE) / 1000000D - b)),
-        |  0D, (acc, x) -> acc + x)""".stripMargin)
-
-    def assign(cs: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cs))
-        .withColumn("d2", d2Expr)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
 
     def update(assigned: DataFrame): DataFrame =
       assigned.join(v, "vec_id")
@@ -174,10 +201,8 @@ object SimilarityOps {
         .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
           "t -> CAST(t.sx AS DOUBLE) / t.n / 1000000D)").as("ce"))
 
-    for (_ <- 1 to iters) cents = update(assign(cents))
-    assign(cents)
-      .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
-      .orderBy(col("vec_id"))
+    for (_ <- 1 to iters) cents = update(assignStep(v, cents))
+    cents
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -427,10 +452,17 @@ object SimilarityOps {
     * Tune k toward sqrt(n / targetListSize) for a real corpus.
     */
   def cosinePairsIvf(embeddings: DataFrame, threshold: Double,
-                     nProbe: Int = 4, numCentroids: Int = 16): DataFrame = {
+                     nProbe: Int = 4, numCentroids: Int = 16,
+                     trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val emb = graft.core.GraftCaches.acquire(
       probeSide(embeddings).select(col("vec_id"), col("e"), col("nrm")))
-    val cents = centroids(emb, numCentroids)
+    // trained path: (cid, ce) from kmeansCentroids — data-shaped lists;
+    // default path: the fixed-k deterministic sample (oracle-exact)
+    val cents = trainedCentroids match {
+      case Some(tc) => tc.select(col("cid"), col("ce"))
+        .withColumn("cn", expr("graft_dot(ce, ce)"))
+      case None => centroids(emb, numCentroids)
+    }
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(cents))

@@ -75,6 +75,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${ivf.size}/${exact.size})")
   }
 
+  test("IVF with trained k-means centroids: recall holds or improves at equal probes") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf001)
+    val exact = graft.operators.SimilarityOps
+      .cosinePairs(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      (exact intersect pairs).size.toDouble / exact.size
+    // same k, same probe count — only the list shapes differ
+    val fixed = graft.operators.SimilarityOps
+      .cosinePairsIvf(emb, threshold = 0.42, nProbe = 3, numCentroids = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val trained = graft.operators.SimilarityOps
+      .cosinePairsIvf(emb, threshold = 0.42, nProbe = 3,
+        trainedCentroids = Some(
+          graft.operators.SimilarityOps.kmeansCentroids(emb, k = 8, iters = 3)))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(trained.subsetOf(exact),
+      s"exact verification must keep precision 1; extras: ${trained -- exact}")
+    assert(recallOf(trained) >= recallOf(fixed),
+      s"trained lists must not lose recall: trained=${recallOf(trained)} " +
+        s"fixed=${recallOf(fixed)} (|exact|=${exact.size})")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("kmeans recovers planted well-separated blobs and assigns to the nearest centroid") {
     // 3 tight blobs far apart; k=3 must partition them exactly regardless
     // of which blob each init centroid lands in
