@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming indicators via flatMapGroupsWithState — the custom
@@ -12,37 +12,84 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * MarketOps.emaExact (same recursion, same within-key ordering enforced by
   * sorting each micro-batch group; cross-batch order is event-time
   * monotone when the upstream is the polygon source, which emits ascending).
+  *
+  * State eviction: every operator takes an optional `idleTtl` (e.g.
+  * "30 days"). When set, a key that receives no ticks for that long in
+  * PROCESSING time has its state dropped via ProcessingTimeTimeout — a
+  * delisted ticker stops growing the state store over years of live
+  * operation. Eviction is safe because every state here is reconstructible
+  * from replay; the trade is that a returning key RE-SEEDS its recursion
+  * (first tick after eviction is treated as the key's first tick ever, and
+  * the late-row guard resets with it). Default None keeps the historical
+  * keep-forever behavior for bounded replay tests.
+  *
+  * Deployment note: with a processing-time timeout the engine schedules
+  * batches continuously to check timers (shouldRunAnotherBatch is always
+  * true for this operator), so pair `idleTtl` with an interval trigger
+  * (Trigger.ProcessingTime) — under the default zero-interval trigger the
+  * query busy-loops empty batches, and processAllAvailable never quiesces.
   */
 object StatefulIndicators {
 
   final case class Tick(ticker: String, t: Long, price: Double)
+
+  /** The per-key fold all five indicator streams share: sort the
+    * micro-batch group by event time, drop late rows (t <= lastT — the
+    * reference's in-loop watermark skip, O-F6), thread the state through
+    * `step` (one output per fresh tick), persist the state, and arm the
+    * idle-eviction timer. On a timeout invocation (no rows, TTL lapsed)
+    * the key's state is removed.
+    */
+  private def foldPerKey[S, O](spark: SparkSession, ticks: Dataset[Tick],
+                               idleTtl: Option[String], empty: S,
+                               lastT: S => Long)(
+      step: (String, Tick, S) => (S, O))(
+      implicit se: Encoder[S], oe: Encoder[O]): Dataset[O] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (ticker: String, rows: Iterator[Tick], state: GroupState[S]) => {
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the state; a replay reconstructs it
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a micro-batch a group is unordered → sort by event time
+            val sorted = rows.toSeq.sortBy(_.t)
+            var st = state.getOption.getOrElse(empty)
+            val out = sorted.flatMap { tick =>
+              if (tick.t <= lastT(st)) None
+              else {
+                val (next, o) = step(ticker, tick, st)
+                st = next
+                Some(o)
+              }
+            }
+            state.update(st)
+            // the timer is cleared on every invocation — re-arm it
+            idleTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
   final case class EmaState(ema: Double, lastT: Long)
   final case class EmaOut(ticker: String, t: Long, price: Double, ema: Double)
 
-  def emaStream(spark: SparkSession, ticks: Dataset[Tick], alpha: Double)
-      : Dataset[EmaOut] = {
+  def emaStream(spark: SparkSession, ticks: Dataset[Tick], alpha: Double,
+                idleTtl: Option[String] = None): Dataset[EmaOut] = {
     import spark.implicits._
-    ticks.groupByKey(_.ticker)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (ticker: String, rows: Iterator[Tick], state: GroupState[EmaState]) => {
-          // within a micro-batch a group is unordered → sort by event time;
-          // late rows (t <= state.lastT) are dropped, matching the
-          // reference's in-loop watermark skip (O-F6)
-          val sorted = rows.toSeq.sortBy(_.t)
-          var st = state.getOption.getOrElse(EmaState(Double.NaN, Long.MinValue))
-          val out = sorted.flatMap { tick =>
-            if (tick.t <= st.lastT) None
-            else {
-              val ema =
-                if (st.ema.isNaN) tick.price
-                else alpha * tick.price + (1 - alpha) * st.ema
-              st = EmaState(ema, tick.t)
-              Some(EmaOut(ticker, tick.t, tick.price, ema))
-            }
-          }
-          state.update(st)
-          out.iterator
-        })
+    foldPerKey(spark, ticks, idleTtl,
+      EmaState(Double.NaN, Long.MinValue), (s: EmaState) => s.lastT) {
+      (ticker, tick, st) =>
+        val ema =
+          if (st.ema.isNaN) tick.price
+          else alpha * tick.price + (1 - alpha) * st.ema
+        (EmaState(ema, tick.t), EmaOut(ticker, tick.t, tick.price, ema))
+    }
   }
 
   final case class WilderRsiState(avgGain: Double, avgLoss: Double,
@@ -54,42 +101,31 @@ object StatefulIndicators {
     * O(keys) total. The recursion is bit-identical to the batch
     * MarketOps.rsiWilder (avg gain/loss seeded by the first change, then
     * folded as (acc·(n-1) + x)/n; RSI None until the second tick);
-    * StatefulSpec locks cross-batch parity against it. Late rows
-    * (t <= lastT) drop, as in emaStream.
+    * StatefulSpec locks cross-batch parity against it.
     */
-  def rsiWilderStream(spark: SparkSession, ticks: Dataset[Tick], n: Int)
-      : Dataset[RsiOut] = {
+  def rsiWilderStream(spark: SparkSession, ticks: Dataset[Tick], n: Int,
+                      idleTtl: Option[String] = None): Dataset[RsiOut] = {
     import spark.implicits._
-    ticks.groupByKey(_.ticker)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (ticker: String, rows: Iterator[Tick],
-         state: GroupState[WilderRsiState]) => {
-          val sorted = rows.toSeq.sortBy(_.t)
-          var st = state.getOption.getOrElse(
-            WilderRsiState(Double.NaN, Double.NaN, Double.NaN, Long.MinValue))
-          val out = sorted.flatMap { tick =>
-            if (tick.t <= st.lastT) None
-            else {
-              val rsi: Option[Double] =
-                if (st.prev.isNaN) None
-                else {
-                  val change = tick.price - st.prev
-                  val gain = if (change > 0) change else 0.0
-                  val loss = if (change < 0) -change else 0.0
-                  val (g, l) =
-                    if (st.avgGain.isNaN) (gain, loss)
-                    else ((st.avgGain * (n - 1) + gain) / n,
-                          (st.avgLoss * (n - 1) + loss) / n)
-                  st = st.copy(avgGain = g, avgLoss = l)
-                  Some(if (l == 0) 100.0 else 100.0 - 100.0 / (1.0 + g / l))
-                }
-              st = st.copy(prev = tick.price, lastT = tick.t)
-              Some(RsiOut(ticker, tick.t, tick.price, rsi))
-            }
-          }
-          state.update(st)
-          out.iterator
-        })
+    foldPerKey(spark, ticks, idleTtl,
+      WilderRsiState(Double.NaN, Double.NaN, Double.NaN, Long.MinValue),
+      (s: WilderRsiState) => s.lastT) { (ticker, tick, st0) =>
+      var st = st0
+      val rsi: Option[Double] =
+        if (st.prev.isNaN) None
+        else {
+          val change = tick.price - st.prev
+          val gain = if (change > 0) change else 0.0
+          val loss = if (change < 0) -change else 0.0
+          val (g, l) =
+            if (st.avgGain.isNaN) (gain, loss)
+            else ((st.avgGain * (n - 1) + gain) / n,
+                  (st.avgLoss * (n - 1) + loss) / n)
+          st = st.copy(avgGain = g, avgLoss = l)
+          Some(if (l == 0) 100.0 else 100.0 - 100.0 / (1.0 + g / l))
+        }
+      st = st.copy(prev = tick.price, lastT = tick.t)
+      (st, RsiOut(ticker, tick.t, tick.price, rsi))
+    }
   }
 
   final case class MacdState(fast: Double, slow: Double, lastT: Long)
@@ -99,32 +135,21 @@ object StatefulIndicators {
     * per-tick arithmetic as the batch mkt_macd (emaExact at alpha 2/13 and
     * 2/27), so an ordered replay is BIT-identical to the batch column
     * (StatefulSpec asserts exact double equality, not tolerance). State is
-    * two doubles per key. Late rows drop.
+    * two doubles per key.
     */
   def macdStream(spark: SparkSession, ticks: Dataset[Tick],
-                 alphaFast: Double = 2.0 / 13,
-                 alphaSlow: Double = 2.0 / 27): Dataset[MacdOut] = {
+                 alphaFast: Double = 2.0 / 13, alphaSlow: Double = 2.0 / 27,
+                 idleTtl: Option[String] = None): Dataset[MacdOut] = {
     import spark.implicits._
-    ticks.groupByKey(_.ticker)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (ticker: String, rows: Iterator[Tick], state: GroupState[MacdState]) => {
-          val sorted = rows.toSeq.sortBy(_.t)
-          var st = state.getOption.getOrElse(
-            MacdState(Double.NaN, Double.NaN, Long.MinValue))
-          val out = sorted.flatMap { tick =>
-            if (tick.t <= st.lastT) None
-            else {
-              val f = if (st.fast.isNaN) tick.price
-                      else alphaFast * tick.price + (1 - alphaFast) * st.fast
-              val s = if (st.slow.isNaN) tick.price
-                      else alphaSlow * tick.price + (1 - alphaSlow) * st.slow
-              st = MacdState(f, s, tick.t)
-              Some(MacdOut(ticker, tick.t, tick.price, f - s))
-            }
-          }
-          state.update(st)
-          out.iterator
-        })
+    foldPerKey(spark, ticks, idleTtl,
+      MacdState(Double.NaN, Double.NaN, Long.MinValue),
+      (s: MacdState) => s.lastT) { (ticker, tick, st) =>
+      val f = if (st.fast.isNaN) tick.price
+              else alphaFast * tick.price + (1 - alphaFast) * st.fast
+      val s = if (st.slow.isNaN) tick.price
+              else alphaSlow * tick.price + (1 - alphaSlow) * st.slow
+      (MacdState(f, s, tick.t), MacdOut(ticker, tick.t, tick.price, f - s))
+    }
   }
 
   final case class BtState(buf: List[Long], rn: Long, prevSig: Long,
@@ -139,40 +164,31 @@ object StatefulIndicators {
     * state: the last `slow` integerized prices plus running equity/peak —
     * O(keys · slow) total, independent of history length. Signal earns
     * from the NEXT tick (prevSig pays, current signal stored), the same
-    * no-lookahead contract as batch. Late rows (t <= lastT) drop.
+    * no-lookahead contract as batch.
     */
   def backtestStream(spark: SparkSession, ticks: Dataset[Tick],
-                     fast: Int, slow: Int): Dataset[BtOut] = {
+                     fast: Int, slow: Int,
+                     idleTtl: Option[String] = None): Dataset[BtOut] = {
     import spark.implicits._
     require(fast < slow, s"fast SMA ($fast) must be shorter than slow ($slow)")
-    ticks.groupByKey(_.ticker)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (ticker: String, rows: Iterator[Tick], state: GroupState[BtState]) => {
-          val sorted = rows.toSeq.sortBy(_.t)
-          var st = state.getOption.getOrElse(
-            BtState(Nil, 0L, 0L, 0L, 0L, 0L, Long.MinValue))
-          val out = sorted.flatMap { tick =>
-            if (tick.t <= st.lastT) None
-            else {
-              val p = math.floor(tick.price * 100).toLong
-              val buf = (st.buf :+ p).takeRight(slow)
-              val rn = st.rn + 1
-              val sf = buf.takeRight(fast).sum
-              val ss = buf.sum
-              val signal =
-                if (rn >= slow && sf * slow > ss * fast) 1L else 0L
-              val dp = if (rn == 1) 0L else p - st.prevP
-              val pnl = st.prevSig * dp
-              val cum = st.cum + pnl
-              val peak = math.max(st.peak, cum)
-              val pos = st.prevSig
-              st = BtState(buf, rn, signal, p, cum, peak, tick.t)
-              Some(BtOut(ticker, tick.t, pos, pnl, cum, peak - cum))
-            }
-          }
-          state.update(st)
-          out.iterator
-        })
+    foldPerKey(spark, ticks, idleTtl,
+      BtState(Nil, 0L, 0L, 0L, 0L, 0L, Long.MinValue),
+      (s: BtState) => s.lastT) { (ticker, tick, st) =>
+      val p = math.floor(tick.price * 100).toLong
+      val buf = (st.buf :+ p).takeRight(slow)
+      val rn = st.rn + 1
+      val sf = buf.takeRight(fast).sum
+      val ss = buf.sum
+      val signal =
+        if (rn >= slow && sf * slow > ss * fast) 1L else 0L
+      val dp = if (rn == 1) 0L else p - st.prevP
+      val pnl = st.prevSig * dp
+      val cum = st.cum + pnl
+      val peak = math.max(st.peak, cum)
+      val pos = st.prevSig
+      (BtState(buf, rn, signal, p, cum, peak, tick.t),
+        BtOut(ticker, tick.t, pos, pnl, cum, peak - cum))
+    }
   }
 
   final case class AtrState(atr: Double, prev: Double, lastT: Long)
@@ -182,34 +198,25 @@ object StatefulIndicators {
   /** Live Wilder ATR over |close-to-close change|: per-key state =
     * (atr, prev, lastT); recursion identical to MarketOps.atrWilder (first
     * TR seeds, then atr = (atr·(n-1) + tr)/n), parity-locked in
-    * StatefulSpec. Late rows drop.
+    * StatefulSpec.
     */
-  def atrWilderStream(spark: SparkSession, ticks: Dataset[Tick], n: Int)
-      : Dataset[AtrOut] = {
+  def atrWilderStream(spark: SparkSession, ticks: Dataset[Tick], n: Int,
+                      idleTtl: Option[String] = None): Dataset[AtrOut] = {
     import spark.implicits._
-    ticks.groupByKey(_.ticker)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (ticker: String, rows: Iterator[Tick], state: GroupState[AtrState]) => {
-          val sorted = rows.toSeq.sortBy(_.t)
-          var st = state.getOption.getOrElse(
-            AtrState(Double.NaN, Double.NaN, Long.MinValue))
-          val out = sorted.flatMap { tick =>
-            if (tick.t <= st.lastT) None
-            else {
-              val atr: Option[Double] =
-                if (st.prev.isNaN) None
-                else {
-                  val tr = math.abs(tick.price - st.prev)
-                  val a = if (st.atr.isNaN) tr else (st.atr * (n - 1) + tr) / n
-                  st = st.copy(atr = a)
-                  Some(a)
-                }
-              st = st.copy(prev = tick.price, lastT = tick.t)
-              Some(AtrOut(ticker, tick.t, tick.price, atr))
-            }
-          }
-          state.update(st)
-          out.iterator
-        })
+    foldPerKey(spark, ticks, idleTtl,
+      AtrState(Double.NaN, Double.NaN, Long.MinValue),
+      (s: AtrState) => s.lastT) { (ticker, tick, st0) =>
+      var st = st0
+      val atr: Option[Double] =
+        if (st.prev.isNaN) None
+        else {
+          val tr = math.abs(tick.price - st.prev)
+          val a = if (st.atr.isNaN) tr else (st.atr * (n - 1) + tr) / n
+          st = st.copy(atr = a)
+          Some(a)
+        }
+      st = st.copy(prev = tick.price, lastT = tick.t)
+      (st, AtrOut(ticker, tick.t, tick.price, atr))
+    }
   }
 }

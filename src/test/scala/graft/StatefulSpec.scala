@@ -119,6 +119,58 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("idle keys past the TTL are evicted; live keys and returning keys still work") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val out = StatefulIndicators.emaStream(spark, input.toDS(), alpha = 0.5,
+      idleTtl = Some("1 milliseconds"))
+    // with ProcessingTimeTimeout the engine keeps scheduling batches to
+    // check timers (shouldRunAnotherBatch is always true), so
+    // processAllAvailable never quiesces — poll the sink with a deadline
+    // instead, on an interval trigger as a live deployment would use
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ema_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    def awaitRows(n: Long, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def count() = spark.table("ema_ttl").count()
+      while (count() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(count() == n, s"$what: expected $n output rows, got ${count()}")
+    }
+
+    input.addData(Tick("A", 1, 10.0), Tick("A", 2, 20.0))
+    awaitRows(2, "first batch")
+    Thread.sleep(100) // let A's processing-time TTL lapse
+    input.addData(Tick("B", 1, 5.0)) // a later batch fires A's timeout
+    awaitRows(3, "live key during eviction")
+    // the eviction is observable in the state-store metrics: rows removed,
+    // and the store back down to the live key only
+    val evicted = {
+      val deadline = System.currentTimeMillis() + 30000
+      def removed() = q.recentProgress
+        .flatMap(_.stateOperators.headOption).map(_.numRowsRemoved).sum
+      while (removed() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      removed()
+    }
+    assert(evicted >= 1, "timeout path never removed idle state")
+
+    // A returns after eviction: the recursion RE-SEEDS (ema = price, and the
+    // late-row guard reset with the state) — 22.5 here would mean the state
+    // survived and eviction never happened
+    input.addData(Tick("A", 3, 30.0))
+    awaitRows(4, "returning key")
+    q.stop()
+    val rows = spark.table("ema_ttl").as[EmaOut].collect()
+      .map(r => (r.ticker, r.t) -> r.ema).toMap
+    assert(rows(("A", 2)) == 15.0, "pre-eviction recursion intact")
+    assert(rows(("A", 3)) == 30.0,
+      s"returning key must re-seed, got ${rows(("A", 3))}")
+    assert(rows(("B", 1)) == 5.0, "live key unaffected by the eviction pass")
+  }
+
   test("streaming Wilder RSI carries recursive state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
