@@ -83,8 +83,13 @@ object Components {
       s"connectedComponents did not converge within $maxRounds rounds " +
         "(theoretical bound is O(log^2 n) — raise maxRounds for adversarial graphs)")
 
-    e.select(col("u").as("node"), col("v").as("component"))
-      .union(e.select(col("v").as("node"), col("v").as("component")))
+    // rounds-to-convergence rides the component column's metadata — the
+    // observability hook an operator embedded in a larger plan can expose
+    // without widening its schema (Alias propagates it downstream)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.cc.rounds", rounds.toLong).build()
+    e.select(col("u").as("node"), col("v").as("component", md))
+      .union(e.select(col("v").as("node"), col("v").as("component", md)))
       .distinct()
   }
 

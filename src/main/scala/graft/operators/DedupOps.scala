@@ -655,10 +655,16 @@ object DedupOps {
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  def dedupClusters(documents: DataFrame, threshold: Double): DataFrame = {
+  /** `maxRounds` bounds the component contraction (O(log² n) in theory;
+    * surfaced so a pathological crawl graph can be tuned without a code
+    * change). Rounds-to-convergence ride the cluster_id column's metadata
+    * (key "graft.cc.rounds").
+    */
+  def dedupClusters(documents: DataFrame, threshold: Double,
+                    maxRounds: Int = 50): DataFrame = {
     val pairs = minhashLsh(documents, threshold)
     val lab = Components.connectedComponents(
-      pairs.select(col("doc_a"), col("doc_b")))
+      pairs.select(col("doc_a"), col("doc_b")), maxRounds)
     val sizes = lab.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, Seq("component"))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),

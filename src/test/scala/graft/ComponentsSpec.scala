@@ -66,6 +66,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("maxRounds is tunable and rounds-to-convergence ride the result metadata") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    // a 10-node path cannot converge (round + proof) in a single round
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain.toDF("u", "v"), maxRounds = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+    // tuned up, the same graph converges and reports how many rounds it took
+    val ok = Components.connectedComponents(chain.toDF("u", "v"), maxRounds = 20)
+    val md = ok.schema("component").metadata
+    assert(md.contains("graft.cc.rounds"), "rounds metadata missing")
+    val rounds = md.getLong("graft.cc.rounds")
+    assert(rounds >= 2 && rounds <= 20, s"implausible round count: $rounds")
+    assert(ok.as[(Long, Long)].collect().toMap == (0L to 9L).map(_ -> 0L).toMap)
+    // the tuned knob is reachable through the dedup pipeline too
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    val viaDedup = DedupOps.dedupClusters(docs, threshold = 0.5, maxRounds = 20)
+    assert(viaDedup.schema("cluster_id").metadata.contains("graft.cc.rounds"),
+      "metadata must survive the dedupClusters projection")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("dedupClusters groups transitive near-dups under the min doc_id with sizes") {
     // a~b and b~c near-dups (one-word edits of the same base) must land in
     // ONE cluster of size 3 even if the a~c pair itself were missed
