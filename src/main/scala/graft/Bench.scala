@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   *     and survives min-of-k (round-4 artifact: q04 recorded 3.28 s in both
   *     passes for code that warm-times at 2.05 s). Reversal makes
   *     consecutive passes disjoint in time for each query.
+  *   - HIGH-VARIANCE RETRY: queries whose per-pass times still spread
+  *     >1.5× max/min after the measured passes get extra solo passes, and
+  *     the min folds in. Round-6 artifact that motivated this:
+  *     mkt_resample_1h reported 0.72 → 1.17 s across rounds on
+  *     byte-identical code (git-verified); isolated warm reruns floor at
+  *     ~0.83 s, i.e. the drift was box contention that min-of-3 happened
+  *     not to dodge. The retried names are reported in "retried".
   * The JSON carries all pass totals in "passes" for transparency; "value"
   * is the sum of per-query minima.
   */
@@ -75,16 +82,28 @@ object Bench {
     // alternates, so positions differ between passes)
     val names = defs.map(_.name)
     val byName = measured.map(_._1.toMap)
+    // a query whose passes spread >1.5x hit a contention window the pass
+    // reversal didn't dodge — remeasure it solo and fold in the min
+    val unstable = names.filter { name =>
+      val ts = byName.flatMap(_.get(name))
+      ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 1.5
+    }
+    val remeasured = if (unstable.isEmpty) Seq.empty[Map[String, Double]]
+      else {
+        val subset = defs.filter(d => unstable.contains(d.name))
+        (1 to 2).map(_ => once(subset)._1.toMap)
+      }
     val results = names.map { name =>
-      name -> byName.flatMap(_.get(name)).min
+      name -> (byName ++ remeasured).flatMap(_.get(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passesJson = passTotals.map(num).mkString("[", ",", "]")
+    val retriedJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt/log4j noise; also land the line in a
     // clean file so the driver can parse it without scraping logs
