@@ -17,6 +17,7 @@ object SparkEntry {
       Relational2.defs ++
       SourceQueries.defs ++
       operators.TextOps.defs ++
+      operators.CorpusOps.defs ++
       operators.DedupOps.defs ++
       operators.SimilarityOps.defs ++
       operators.MarketOps.defs ++

@@ -1,0 +1,290 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus EXPORT operators — the last mile of a training-data pipeline,
+  * where a cleaned corpus becomes the thing a trainer actually reads:
+  * mixture resampling to target source proportions, deterministic sharding,
+  * concat-and-chunk sequence packing, and PII scrubbing. The reference
+  * stops at warehouse tables (aggregates-to-S3,
+  * polygon-aggregates-etl/app/main.py); these are the operators that turn
+  * such tables into training input at 100 TB.
+  *
+  * Shared design rules with the rest of the engine: every decision is a
+  * deterministic function of ids (portable multiplicative hashes — stable
+  * under reprocessing, no RNG state to checkpoint), every count is BIGINT
+  * (hash-exact oracles), and every per-stratum/per-shard ordering is a
+  * window over a bounded partition (strata = languages/sources, shards =
+  * a chosen constant), never a global sort.
+  */
+object CorpusOps {
+
+  /** Portable ordering hash (stable reshuffle): doc_id → [0, 65536). The
+    * pre-reduction mod keeps products far from BIGINT overflow (DuckDB
+    * errors where Spark wraps); 69069 is deliberately a DIFFERENT
+    * multiplier from the 40503 split/shard hash so shard assignment and
+    * within-shard order are independent streams.
+    */
+  private def orderHash(id: Column): Column =
+    (id % 1000003L) * 69069L % 65536L
+
+  private def shardHash(id: Column, n: Int): Column =
+    (id % 1000003L) * 40503L % n.toLong
+
+  /** MIXTURE RESAMPLING — hit target corpus proportions per stratum
+    * (language, source, domain): the data-mixing step every LLM pretraining
+    * run tunes. `weights` are integer percents summing to 100. Without
+    * upsampling, the largest feasible corpus honoring the weights is
+    * T = min_s floor(n_s · 100 / pct_s) (the binding stratum caps the
+    * total); each stratum then keeps its first k_s = floor(pct_s · T / 100)
+    * documents under the portable-hash ranking — a reproducible shuffle, so
+    * the sample is stable under reprocessing and EXACT per stratum (the
+    * same rank-threshold design as stratifiedSplit). All arithmetic is
+    * integer.
+    *
+    * Scale: one tiny per-stratum count aggregate (broadcast back), one
+    * rank window per stratum — bounded by stratum cardinality, the same
+    * exemption as stratifiedSplit. Strata missing from `weights` are
+    * dropped (weight zero).
+    */
+  def mixtureResample(docs: DataFrame, stratumCol: String,
+                      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100,
+      s"mixture weights must sum to 100, got ${weights.map(_._2).sum}")
+    require(weights.forall(_._2 > 0), "mixture weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(stratumCol, "pct")
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // the binding stratum: T = min over strata of floor(n*100/pct)
+    val feas = counts.join(broadcast(w), stratumCol)
+      .agg(min(expr("(n * 100L) div pct")).as("t"))
+    val quota = w.crossJoin(broadcast(feas))
+      .select(col(stratumCol), expr("(pct * t) div 100").as("k"))
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(orderHash(col("doc_id")), col("doc_id"))
+    docs.select(col("doc_id"), col(stratumCol))
+      .withColumn("rk", row_number().over(rk))
+      .join(broadcast(quota), stratumCol)
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col(stratumCol))
+  }
+
+  /** DETERMINISTIC SHARD ASSIGNMENT — (doc_id, shard, pos): shard by one
+    * portable hash, position within the shard by an independent one (the
+    * global shuffle a trainer needs, with no RNG to coordinate across a
+    * restart). `exportShards` below materializes it.
+    */
+  def shardAssignment(docs: DataFrame, numShards: Int): DataFrame = {
+    val rk = Window.partitionBy(col("shard"))
+      .orderBy(orderHash(col("doc_id")), col("doc_id"))
+    docs.select(col("doc_id"),
+        shardHash(col("doc_id"), numShards).cast("long").as("shard"))
+      .withColumn("pos", row_number().over(rk).cast("long"))
+  }
+
+  /** Materialize the sharded corpus: one directory per shard
+    * (`shard=N/part-*`), rows inside each shard file in the deterministic
+    * within-shard order. Reruns produce identical shard contents — the
+    * property that lets a resumed training job trust a re-export. Each
+    * shard is written by exactly one task (repartition on the shard
+    * column), so `pos` order survives the write.
+    */
+  def exportShards(docs: DataFrame, path: String, numShards: Int): Unit = {
+    val assigned = shardAssignment(docs, numShards)
+      .join(docs, "doc_id")
+    assigned.repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** CONCAT-AND-CHUNK SEQUENCE PACKING — GPT-style pretraining packs the
+    * tokenized corpus into fixed-size context windows by concatenation:
+    * within a shard, documents concatenate in the deterministic order and
+    * the stream chunks every `budget` tokens, documents straddling window
+    * boundaries. This computes each document's placement — token offset,
+    * first and last window — from a per-shard running-sum window: exact
+    * BIGINT arithmetic, one window pass per shard, shards processed in
+    * parallel (the per-shard cumsum is the price of sequential packing
+    * semantics, which is why real pipelines pack per shard, not globally).
+    * Empty documents (zero tokens) are dropped — they occupy no window.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    numShards: Int): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(orderHash(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tok"),
+        shardHash(col("doc_id"), numShards).cast("long").as("shard"))
+      .filter(col("n_tok") > 0)
+      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("off"),
+        expr(s"off div ${budget}L").as("first_seq"),
+        expr(s"(off + n_tok - 1) div ${budget}L").as("last_seq"))
+  }
+
+  /** PII patterns shared by the operator and its oracle — conservative
+    * expressions valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+    * backreferences, no lookaround. Scrub order matters: emails first
+    * (their local part may contain digits a later pass would chew on),
+    * then phones (the +CC-NNN-NNNN shape would otherwise partially match
+    * the IP pattern's digit runs), then bare IPv4s.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII SCRUBBING — redact emails, phone numbers, and IPv4 addresses with
+    * typed placeholders, reporting per-document match counts (the audit
+    * trail a takedown/compliance pass reads; pair with Sinks.deleteByKey
+    * for documents whose PII density disqualifies them outright). Pure
+    * per-row projection: codegen'd regexp_replace, zero shuffles at any
+    * scale.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_email", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_phone", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
+  /** The declared-query mixture: skewed-language corpus resampled to a
+    * fixed target (en-heavy with equal tails) — non-trivial at every SF
+    * because the fixture languages are genuinely skewed.
+    */
+  val MixWeights: Seq[(String, Int)] = Seq(
+    "en" -> 40, "es" -> 15, "de" -> 15, "fr" -> 15, "zh" -> 15)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Mixture resampling to target language proportions. Exactness: the
+    // feasible total T and per-stratum quotas are pure integer arithmetic
+    // (div = floor division on positives in both engines), and the kept
+    // set is a rank threshold under the portable hash — the same
+    // reproducible-shuffle contract as txt_stratified_split.
+    QueryDef.sqlBacked(
+      "txt_mixture_resample",
+      """WITH w(lang, pct) AS (VALUES
+        |    ('en', 40), ('es', 15), ('de', 15), ('fr', 15), ('zh', 15)),
+        |counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |feas AS (SELECT min(n * 100 // pct) AS t
+        |         FROM counts JOIN w USING (lang)),
+        |quota AS (SELECT lang, pct * t // 100 AS k FROM w CROSS JOIN feas),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY (doc_id % 1000003) * 69069 % 65536, doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN quota USING (lang)
+        |WHERE rk <= k
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      mixtureResample(Tables.documents(s, d), "lang", MixWeights)
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic sharding: the no-RNG global shuffle. 16 shards at
+    // fixture scale; the assignment is a pure projection plus one rank
+    // window per shard.
+    QueryDef.sqlBacked(
+      "txt_shard_export",
+      """SELECT doc_id,
+        |  CAST((doc_id % 1000003) * 40503 % 16 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (doc_id % 1000003) * 40503 % 16
+        |    ORDER BY (doc_id % 1000003) * 69069 % 65536, doc_id) AS BIGINT)
+        |    AS pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      shardAssignment(Tables.documents(s, d), numShards = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing placement at a 512-token budget over 8 shards.
+    // Exactness: per-shard BIGINT cumsum under the deterministic order;
+    // window arithmetic identical on both sides (DuckDB's window SUM
+    // returns HUGEINT — cast before the division).
+    QueryDef.sqlBacked(
+      "txt_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    CAST((doc_id % 1000003) * 40503 % 8 AS BIGINT) AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY (doc_id % 1000003) * 69069 % 65536, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS off
+        |  FROM t WHERE n_tok > 0)
+        |SELECT doc_id, shard, n_tok, off,
+        |  off // 512 AS first_seq,
+        |  (off + n_tok - 1) // 512 AS last_seq
+        |FROM o
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      packSequences(Tables.documents(s, d), budget = 512, numShards = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing. The fixture corpus is synthetic and PII-free, so the
+    // query PLANTS deterministic PII derived from doc_id (one email, one
+    // phone, one IP per document; a second email on every third) before
+    // scrubbing — the redaction paths are exercised non-vacuously at every
+    // SF and the oracle checks counts AND the scrubbed text fingerprint.
+    QueryDef.sqlBacked(
+      "txt_pii_scrub",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END ||
+        |    ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |            '<EMAIL>', 'g'),
+        |          '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+        |    AS scrubbed_md5
+        |FROM planted
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" cc admin"), col("doc_id"), lit("@corp.example.org")))
+            .otherwise(lit("")),
+          lit(" tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+      piiScrub(planted)
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("text")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

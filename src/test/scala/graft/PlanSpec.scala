@@ -156,6 +156,35 @@ class PlanSpec extends AnyFunSuite {
       s"word counting must map-side combine (partial + final aggregate):\n$p")
   }
 
+  test("corpus export: quota broadcast, per-shard windows, scrub stays a projection") {
+    // mixture: the per-stratum quota must arrive by broadcast (it is
+    // bounded by stratum cardinality), and every window must be
+    // stratum-partitioned — a single-partition exchange would serialize
+    // the corpus through one task
+    val mix = plan("txt_mixture_resample")
+    assert(mix.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$mix")
+    // the rank window must carry a stratum partition spec (the scalar
+    // min(T) aggregate's SinglePartition exchange is fine — it reduces
+    // stratum-cardinality rows); an UNpartitioned rank would serialize
+    // the corpus through one task
+    assert(mix.contains("windowspecdefinition(lang"),
+      s"mixture rank window lost its stratum partitioning:\n$mix")
+    // sharding + packing: all windows partition by shard
+    Seq("txt_shard_export", "txt_pack_sequences").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(shard") ||
+        p.contains("windowspecdefinition((("),
+        s"$q: window lost its shard partitioning:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: a single-partition exchange appeared:\n$p")
+    }
+    // PII scrub is a pure per-row projection: no window, no hash shuffle —
+    // the only exchange is the declared ORDER BY's range partitioning
+    val scrub = plan("txt_pii_scrub")
+    assert(!scrub.contains("Window") && !scrub.contains("hashpartitioning"),
+      s"piiScrub must stay a narrow projection:\n$scrub")
+  }
+
   test("no query plans a cartesian product (cross joins are broadcast by design)") {
     SparkEntry.allDefs.foreach { q =>
       val p = q.build(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
