@@ -733,6 +733,48 @@ object MarketOps {
          |GROUP BY user_id
          |ORDER BY user_id""".stripMargin) { (s, d) =>
       backtestSummary(Tables.events(s, d), fast = 5, slow = 20)
+    },
+
+    // PORTFOLIO roll-up of the backtest — the book-level view a desk reads:
+    // mark every key's equity to a shared day grid (last bar per key per
+    // day, forward-filled over days with no bar — a key's equity persists
+    // between its trades; 0 before its first bar), sum across keys, and
+    // take the running-peak drawdown of the aggregate curve. Exactness:
+    // everything downstream of the integer-cents backtest is BIGINT sums
+    // and maxes — no float enters. Scale: the grid is calendar-bounded
+    // (~2.5k days/decade, broadcast), the forward fill is one per-key
+    // window over grid-sized frames, and the final drawdown window runs
+    // over grid-cardinality rows — the same constant-bounded exemption as
+    // the corr screen's day grid.
+    QueryDef.sqlBacked(
+      "mkt_backtest_portfolio",
+      s"""WITH $backtestCtes,
+         |d AS (SELECT e.user_id, e.rn, e.cum_pnl_cents,
+         |        date_trunc('day', CAST(ev.ts AS TIMESTAMP)) AS day
+         |      FROM eq e JOIN events ev USING (event_id)),
+         |l AS (SELECT user_id, day, cum_pnl_cents FROM (
+         |        SELECT user_id, day, cum_pnl_cents,
+         |          row_number() OVER (PARTITION BY user_id, day
+         |            ORDER BY rn DESC) AS rk
+         |        FROM d) WHERE rk = 1),
+         |grid AS (SELECT DISTINCT day FROM d),
+         |u AS (SELECT DISTINCT user_id FROM d),
+         |cells AS (SELECT u.user_id, g.day, l.cum_pnl_cents
+         |          FROM u CROSS JOIN grid g
+         |          LEFT JOIN l ON l.user_id = u.user_id AND l.day = g.day),
+         |ff AS (SELECT user_id, day,
+         |         coalesce(last_value(cum_pnl_cents IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY day
+         |           ROWS UNBOUNDED PRECEDING), 0) AS eqv
+         |       FROM cells),
+         |port AS (SELECT day, CAST(sum(eqv) AS BIGINT) AS equity_cents
+         |         FROM ff GROUP BY 1)
+         |SELECT day, equity_cents,
+         |  CAST(max(equity_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |    - equity_cents AS BIGINT) AS drawdown_cents
+         |FROM port
+         |ORDER BY day""".stripMargin) { (s, d) =>
+      backtestPortfolio(Tables.events(s, d), fast = 5, slow = 20)
     }
   )
 
@@ -894,6 +936,41 @@ object MarketOps {
         count(when(col("pos") === 1L && col("pnl_cents") < 0L, 1)).as("loss_bars"),
         count(when(col("pos") === 1L && col("prev_pos") === 0L, 1)).as("n_entries"))
       .orderBy(col("user_id"))
+  }
+
+  /** Portfolio-level equity and drawdown: per-key equity marked to the
+    * shared day grid (last bar per day, forward-filled, 0 before a key's
+    * first bar), summed across keys, with the running-peak drawdown of the
+    * aggregate. See the mkt_backtest_portfolio QueryDef for the exactness
+    * and scale design.
+    */
+  def backtestPortfolio(events: DataFrame, fast: Int, slow: Int): DataFrame = {
+    val d = backtestFrame(events, fast, slow)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val wLast = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("rn").desc)
+    val lastPerDay = d
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("day"), col("cum_pnl_cents"))
+    val grid = d.select(col("day")).distinct()
+    val users = d.select(col("user_id")).distinct()
+    val cells = users.crossJoin(broadcast(grid))
+      .join(lastPerDay, Seq("user_id", "day"), "left")
+    val wFf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ff = cells.withColumn("eqv",
+      coalesce(last(col("cum_pnl_cents"), ignoreNulls = true).over(wFf),
+        lit(0L)))
+    val port = ff.groupBy(col("day"))
+      .agg(sum(col("eqv")).as("equity_cents"))
+    // grid-cardinality window (calendar-bounded) — the same exemption as
+    // the corr screen's day-grid ranking
+    val wDd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    port.withColumn("drawdown_cents",
+        max(col("equity_cents")).over(wDd) - col("equity_cents"))
+      .orderBy(col("day"))
   }
 
   /** The full backtest frame (see mkt_backtest_sma for the exactness

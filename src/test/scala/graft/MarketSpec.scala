@@ -135,6 +135,44 @@ class MarketSpec extends AnyFunSuite {
     assert(out.last._3 > 0, "no profit riding a monotonic ramp")
   }
 
+  test("portfolio roll-up: forward-filled equity sums across keys, drawdown from the aggregate peak") {
+    // key 1 trades days 1-3, key 2 stops after day 2 — day 3's portfolio
+    // equity must carry key 2's LAST equity forward, not drop it to 0
+    def bars(uid: Long, days: Seq[Int], px: Int => Double) =
+      days.flatMap(dd => (0 until 30).map { i =>
+        (uid * 1000L + dd * 100L + i, uid,
+          java.sql.Timestamp.valueOf(f"2024-01-0$dd%d 10:${i}%02d:00"),
+          px(dd * 30 + i))
+      })
+    val tape = (bars(1L, Seq(1, 2, 3), i => 100.0 + i) ++
+      bars(2L, Seq(1, 2), i => 200.0 + 2 * i))
+      .toDF("event_id", "user_id", "ts", "value")
+    val port = MarketOps.backtestPortfolio(tape, fast = 5, slow = 20)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    assert(port.length == 3, s"one row per grid day: ${port.toSeq}")
+    // cross-check against the per-key frame: each day's portfolio equity
+    // equals the sum over keys of the last cum_pnl at or before that day
+    val frame = MarketOps.backtestSmaCross(tape, fast = 5, slow = 20)
+      .select("event_id", "user_id", "cum_pnl_cents")
+      .as[(Long, Long, Long)].collect()
+    def dayOf(eid: Long) = (eid % 1000L) / 100L
+    def lastAtOrBefore(uid: Long, d: Long): Long = {
+      val rs = frame.filter(r => r._2 == uid && dayOf(r._1) <= d)
+      if (rs.isEmpty) 0L else rs.maxBy(_._1)._3
+    }
+    port.zipWithIndex.foreach { case ((_, eq, dd), i) =>
+      val d = i + 1L
+      val expected = lastAtOrBefore(1L, d) + lastAtOrBefore(2L, d)
+      assert(eq == expected, s"day $d equity $eq != $expected")
+      assert(dd >= 0L, "drawdown below zero")
+    }
+    // the aggregate curve's drawdown is peak-relative
+    val peaks = port.scanLeft(Long.MinValue) { case (p, (_, eq, _)) => math.max(p, eq) }.tail
+    port.zip(peaks).foreach { case ((_, eq, dd), pk) =>
+      assert(dd == pk - eq, s"drawdown $dd != peak $pk - equity $eq")
+    }
+  }
+
   test("ANN correlation screen recalls the exact watchlist screen's top pairs") {
     val ev = Tables.events(spark, TestSpark.Sf0001)
     // ground truth: the exact (O(k²)) watchlist tool's strongest pairs
