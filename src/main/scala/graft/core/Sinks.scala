@@ -107,6 +107,47 @@ object Sinks {
     df.filter(col("snapshot_ts") === lit(ts))
   }
 
+  /** SNAPSHOT DIFF — what changed in a dimension between two points in
+    * time: the audit companion to snapshotAsOf (the reference keeps
+    * timestamped snapshots precisely so "what was known when" questions
+    * have answers; this answers "what changed between then and then" —
+    * tickers listed/delisted, a split record corrected). Each side is a
+    * snapshotAsOf read, so partition pruning reduces the scan to the two
+    * snapshots named; the diff itself is one full-outer join on the key,
+    * shuffle bounded by the two snapshot sizes. Rows present in both with
+    * every shared column equal are dropped; the rest classify as
+    * added / removed / changed, with the changed column names listed.
+    * Columns only one snapshot has (schema evolution between the two) are
+    * ignored by the value compare — the diff reports ROW change within the
+    * shared schema.
+    */
+  def diffSnapshots(spark: SparkSession, path: String,
+                    fromTs: java.sql.Timestamp, toTs: java.sql.Timestamp,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots needs at least one key column")
+    val a = snapshotAsOf(spark, path, fromTs).drop("snapshot_ts")
+      .withColumn("_in_a", lit(1))
+    val b = snapshotAsOf(spark, path, toTs).drop("snapshot_ts")
+      .withColumn("_in_b", lit(1))
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(keys.forall(shared.contains),
+      s"diff keys ${keys.mkString(",")} must exist in both snapshots")
+    val dataCols = (shared -- keys - "_in_a" - "_in_b").toSeq.sorted
+    val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val changed = array_compact(array(dataCols.map(c =>
+      when(!(col(s"a.$c") <=> col(s"b.$c")), lit(c))): _*))
+    a.as("a").join(b.as("b"), cond, "full_outer")
+      .withColumn("status",
+        when(col("a._in_a").isNull, "added")
+          .when(col("b._in_b").isNull, "removed")
+          .when(size(changed) > 0, "changed"))
+      .filter(col("status").isNotNull)
+      .select(keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+        Seq(col("status"),
+          when(col("status") === "changed", changed)
+            .otherwise(array().cast("array<string>")).as("changed_cols")): _*)
+  }
+
   /** O-SNK3: JDBC full-replace dimension refresh — the reference's
     * to_sql(if_exists='replace') (v2022/etl-containers/reference-data/src/
     * reference_data_etl.py:60-67). truncate=true keeps the DDL in place on

@@ -163,6 +163,31 @@ class SinksSpec extends AnyFunSuite {
       "gold must fold only the 1-minute series")
   }
 
+  test("diffSnapshots classifies added/removed/changed and names the changed columns") {
+    val dir = Files.createTempDirectory("snap-diff").toString
+    Sinks.writeSnapshot(
+      Seq(("AAPL", "Apple", 100), ("MSFT", "Microsoft", 200),
+          ("GONE", "Delisted Co", 300)).toDF("ticker", "name", "cap"),
+      s"$dir/h", ts("2024-01-01 00:00:00"))
+    Sinks.writeSnapshot(
+      Seq(("AAPL", "Apple", 100), ("MSFT", "Microsoft Corp", 200),
+          ("NEWCO", "Fresh Listing", 50)).toDF("ticker", "name", "cap"),
+      s"$dir/h", ts("2024-02-01 00:00:00"))
+    val d = Sinks.diffSnapshots(spark, s"$dir/h",
+        ts("2024-01-15 00:00:00"), ts("2024-02-15 00:00:00"), Seq("ticker"))
+      .select("ticker", "status", "changed_cols")
+      .as[(String, String, Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(d == Map(
+      "NEWCO" -> ("added", Seq()),
+      "GONE" -> ("removed", Seq()),
+      "MSFT" -> ("changed", Seq("name"))), s"diff wrong: $d")
+    // identical snapshots diff to nothing
+    assert(Sinks.diffSnapshots(spark, s"$dir/h",
+      ts("2024-02-02 00:00:00"), ts("2024-02-15 00:00:00"),
+      Seq("ticker")).isEmpty)
+  }
+
   test("snapshotAsOf: point-in-time reads land on the right snapshot; before-history throws") {
     val dir = Files.createTempDirectory("snap-asof").toString
     Seq(("2024-01-01 00:00:00", 1), ("2024-02-01 00:00:00", 2),
