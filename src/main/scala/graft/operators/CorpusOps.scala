@@ -159,6 +159,89 @@ object CorpusOps {
           Ipv4Re, "<IP>"))
   }
 
+  /** PORTABLE NATURAL LOG of a positive BIGINT — libm-free, so every
+    * engine computes the bit-identical double from the same integer: split
+    * x = m·2^e with e from the binary-string length (floor(log2), pure
+    * integer) and m = x/2^e ∈ [1,2) (power-of-two division is exact),
+    * then ln(m) by the 6-term atanh series in z = (m−1)/(m+1) — a fixed
+    * IEEE op sequence with decimal-literal coefficients that parse to the
+    * same doubles everywhere. |error| < 1e-7 vs true ln over the full
+    * BIGINT range, and the ERROR IS THE SAME in every engine — it is a
+    * defined function, not an approximation contract (the same move as
+    * PortableHash: portability over library precision). Shared between
+    * the Spark build and the DuckDB oracle as a string template so the
+    * two sides cannot drift; only floor(log2) differs by dialect
+    * (`length(bin(x))` vs `length(printf('%b', x))`).
+    */
+  val Ln2 = "0.6931471805599453"
+
+  /** ln(m) for m ∈ [1,2) via z = (m−1)/(m+1): 2z·(1 + z²/3 + z⁴/5 + …),
+    * Horner form over a z-typed sub-expression string.
+    */
+  def lnPoly(z: String): String =
+    s"2.0 * $z * (1.0 + ($z * $z) * (0.3333333333333333 + ($z * $z) * " +
+      s"(0.2 + ($z * $z) * (0.14285714285714285 + ($z * $z) * " +
+      s"(0.1111111111111111 + ($z * $z) * 0.09090909090909091)))))"
+
+  /** BIGRAM LM CROSS-ENTROPY — the perplexity-style quality filter
+    * (CCNet-shaped: score each document under a language model trained on
+    * the corpus itself; outliers are boilerplate, spam, or wrong-language
+    * text). The model is add-one-smoothed bigram MLE:
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), trained and scored in one
+    * plan. Exactness design: log-probabilities come from the PORTABLE ln
+    * above — computed once per count-table row from exact integers, so
+    * both engines hold bit-identical doubles (a libm ln differs by 1 ulp
+    * between engines, which flips any rounding boundary somewhere in a
+    * million terms — the round-then-sum mitigation is NOT robust; removing
+    * libm from the path is). The per-document sum is an ORDERED fold over
+    * bigrams in position order (the mkt_ema_exact pattern), so the mean is
+    * bit-exact end to end.
+    *
+    * Scale: the bigram/unigram count tables are vocab-bounded partial
+    * aggregates and carry their log terms (the transcendental work is
+    * O(vocab), not O(corpus)); scoring joins the exploded corpus against
+    * them on the bigram key (Zipf-skewed — AQE's skew-join handles the hot
+    * "of the" keys); the per-doc fold is a groupBy over document-sized
+    * arrays. Documents with fewer than two tokens have no bigrams and are
+    * excluded.
+    */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    def withPln(df: DataFrame, xExpr: String, out: String): DataFrame =
+      df.withColumn("_x", expr(xExpr))
+        .withColumn("_e", length(expr("bin(_x)")) - 1)
+        .withColumn("_m", col("_x").cast("double") /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), _e) AS DOUBLE)"))
+        .withColumn("_z", (col("_m") - 1.0) / (col("_m") + 1.0))
+        .withColumn(out, expr(s"_e * $Ln2 + ${lnPoly("_z")}"))
+        .drop("_x", "_e", "_m", "_z")
+    val t = docs.select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = t.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 2), " +
+        "i -> struct(i AS pos, concat_ws(' ', w[i], w[i + 1]) AS b, " +
+        "w[i] AS w1))")).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.b").as("b"),
+        col("u.w1").as("w1"))
+    val v = docs.select(TextOps.words(col("text")).as("w"))
+      .select(explode(col("w")).as("x"))
+      .agg(countDistinct(col("x")).as("vsz"))
+    val cb = withPln(bg.groupBy(col("b")).agg(count(lit(1)).as("c12")),
+      "c12 + 1L", "pnum").select(col("b"), col("pnum"))
+    val cu = withPln(
+      bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .crossJoin(broadcast(v)),
+      "c1 + vsz", "pden").select(col("w1"), col("pden"))
+    val sc = bg.join(cb, "b").join(cu, "w1")
+      .select(col("doc_id"), col("pos"),
+        (col("pnum") - col("pden")).as("lp"))
+    sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, lp))), " +
+          "t -> t.lp), 0.0d, (a, x) -> a + x)").as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("slp") / col("n_bigrams"), 6).as("xent"))
+  }
+
   /** The declared-query mixture: skewed-language corpus resampled to a
     * fixed target (en-heavy with equal tails) — non-trivial at every SF
     * because the fixture languages are genuinely skewed.
@@ -233,6 +316,62 @@ object CorpusOps {
         |FROM o
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       packSequences(Tables.documents(s, d), budget = 512, numShards = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Bigram LM cross-entropy: train-and-score in one plan. The log terms
+    // come from the shared PORTABLE ln template (interpolated below, so the
+    // oracle cannot drift from the Spark build), and the per-doc sum is an
+    // ordered fold over position-sorted terms — bit-exact end to end.
+    // DuckDB's list indexing is 1-based where Spark's is 0-based, so
+    // w[i+1]/w[i+2] there pairs the same tokens as w[i]/w[i+1] here.
+    QueryDef.sqlBacked(
+      "txt_lm_xent",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> len(x) > 0) AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, u.pos AS pos, u.b AS b, u.w1 AS w1
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(len(w) - 1),
+         |            i -> struct_pack(pos := i,
+         |                   b := w[i + 1] || ' ' || w[i + 2],
+         |                   w1 := w[i + 1]))) AS u
+         |        FROM t WHERE len(w) >= 2)),
+         |v AS (SELECT count(DISTINCT x) AS vsz
+         |      FROM (SELECT unnest(w) AS x FROM t)),
+         |cbz AS (
+         |  SELECT b, e, (m - 1.0) / (m + 1.0) AS z FROM (
+         |    SELECT b, e, CAST(x AS DOUBLE) /
+         |             CAST(CAST(1 AS BIGINT) << e AS DOUBLE) AS m
+         |    FROM (SELECT b, c12 + 1 AS x,
+         |            length(printf('%b', c12 + 1)) - 1 AS e
+         |          FROM (SELECT b, count(*) AS c12 FROM bg GROUP BY 1)))),
+         |cbp AS (SELECT b, e * $Ln2 + ${lnPoly("z")} AS pnum FROM cbz),
+         |cuz AS (
+         |  SELECT w1, e, (m - 1.0) / (m + 1.0) AS z FROM (
+         |    SELECT w1, e, CAST(x AS DOUBLE) /
+         |             CAST(CAST(1 AS BIGINT) << e AS DOUBLE) AS m
+         |    FROM (SELECT w1, x, length(printf('%b', x)) - 1 AS e
+         |          FROM (SELECT w1, c1 + (SELECT vsz FROM v) AS x
+         |                FROM (SELECT w1, count(*) AS c1
+         |                      FROM bg GROUP BY 1))))),
+         |cup AS (SELECT w1, e * $Ln2 + ${lnPoly("z")} AS pden FROM cuz),
+         |sc AS (
+         |  SELECT bg.doc_id, bg.pos, cbp.pnum - cup.pden AS lp
+         |  FROM bg JOIN cbp USING (b) JOIN cup USING (w1)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    list(lp ORDER BY pos) AS lps
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  round(-list_reduce(list_prepend(0.0, lps), (a, x) -> a + x)
+         |    / n_bigrams, 6) AS xent
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      bigramCrossEntropy(Tables.documents(s, d))
         .orderBy(col("doc_id"))
     },
 

@@ -104,6 +104,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       spans(600L) == (1L, 1L), s"window spans wrong: $spans")
   }
 
+  test("portable ln tracks math.log within 1e-7 across the integer range") {
+    val xs = Seq(1L, 2L, 3L, 7L, 100L, 12345L, 1000003L, 1234567890L,
+      (1L << 40) + 17L)
+    val out = xs.toDF("x")
+      .withColumn("e", length(expr("bin(x)")) - 1)
+      .withColumn("m", col("x").cast("double") /
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), e) AS DOUBLE)"))
+      .withColumn("z", (col("m") - 1.0) / (col("m") + 1.0))
+      .withColumn("pln",
+        expr(s"e * ${CorpusOps.Ln2} + ${CorpusOps.lnPoly("z")}"))
+      .select("x", "pln").as[(Long, Double)].collect()
+    out.foreach { case (x, pln) =>
+      assert(math.abs(pln - math.log(x.toDouble)) < 1e-7,
+        s"portable ln($x) = $pln drifted from ${math.log(x.toDouble)}")
+    }
+  }
+
+  test("bigramCrossEntropy: rare-token gibberish scores high, formulaic text low") {
+    val formulaic = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val gibberish = Seq((99L, "zxqv wmbk prtl ngfd osje ukyh catb lirw"))
+    val tiny = Seq((100L, "one")) // < 2 tokens: no bigrams, excluded
+    val out = CorpusOps.bigramCrossEntropy(
+      (formulaic ++ gibberish ++ tiny).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(100L), "sub-bigram docs must be excluded")
+    assert(out(0L)._1 == 11L, s"12 tokens → 11 bigrams, got ${out(0L)._1}")
+    val xFormulaic = out(0L)._2
+    val xGibberish = out(99L)._2
+    assert(xGibberish > xFormulaic,
+      s"unique gibberish ($xGibberish) must out-score formulaic text ($xFormulaic)")
+    // every copy of the same text gets the identical score
+    assert((0L until 20L).forall(i => out(i)._2 == xFormulaic))
+  }
+
   test("piiScrub redacts planted emails, phones, and IPs; clean text is untouched") {
     val docs = Seq(
       (0L, "reach me at alice.smith+work@sub.example.co.uk or +1-555-0001 from 192.168.1.77"),
