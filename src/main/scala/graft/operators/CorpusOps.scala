@@ -159,6 +159,36 @@ object CorpusOps {
           Ipv4Re, "<IP>"))
   }
 
+  /** EPOCH-STYLE MIXTURE — the upsampling complement of mixtureResample:
+    * instead of capping the corpus at the binding stratum, each stratum is
+    * repeated `epochs` times per training pass (the Pile/LLaMA-style
+    * mixture recipe: high-value sources run 2-3 epochs while bulk web runs
+    * a fraction of one). Epochs arrive as integer MILLI-epochs (2500 =
+    * 2.5×) so the arithmetic stays exact: every document emits
+    * floor(e/1000) full copies plus one more iff its portable hash lands
+    * under the fractional part — deterministic, reprocessing-stable, and
+    * exact in expectation per stratum with no RNG state. Output carries a
+    * `copy` ordinal so downstream sharding can spread repeats across
+    * shards (hash on (doc_id, copy)). Pure projection + bounded explode:
+    * zero shuffles at any scale. Strata missing from `epochs` are dropped.
+    */
+  def mixtureEpochs(docs: DataFrame, stratumCol: String,
+                    epochs: Seq[(String, Int)]): DataFrame = {
+    require(epochs.forall(_._2 > 0), "milli-epochs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = epochs.toDF(stratumCol, "em")
+    docs.select(col("doc_id"), col(stratumCol))
+      .join(broadcast(w), stratumCol)
+      .withColumn("ncopies",
+        expr("em div 1000") +
+          when((col("doc_id") % 1000003L) * 48271L % 1000L < col("em") % 1000,
+            1L).otherwise(0L))
+      .filter(col("ncopies") > 0)
+      .select(col("doc_id"), col(stratumCol),
+        explode(expr("sequence(0L, ncopies - 1)")).as("copy"))
+  }
+
   /** PORTABLE NATURAL LOG of a positive BIGINT — libm-free, so every
     * engine computes the bit-identical double from the same integer: split
     * x = m·2^e with e from the binary-string length (floor(log2), pure
@@ -273,6 +303,29 @@ object CorpusOps {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       mixtureResample(Tables.documents(s, d), "lang", MixWeights)
         .orderBy(col("doc_id"))
+    },
+
+    // Epoch mixture: zh/de upsample past one epoch, en runs half of one —
+    // the copy ordinal makes the repeat structure part of the contract.
+    QueryDef.sqlBacked(
+      "txt_mixture_epochs",
+      """WITH w(lang, em) AS (VALUES
+        |    ('en', 500), ('es', 1000), ('de', 1750), ('fr', 1000), ('zh', 2250)),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    em // 1000 + CASE WHEN (doc_id % 1000003) * 48271 % 1000
+        |                           < em % 1000
+        |                      THEN 1 ELSE 0 END AS ncopies
+        |  FROM documents JOIN w USING (lang))
+        |SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy
+        |FROM (SELECT doc_id, lang,
+        |        unnest(list_transform(range(ncopies), c -> c)) AS c
+        |      FROM n WHERE ncopies > 0) u
+        |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+      mixtureEpochs(Tables.documents(s, d), "lang",
+        Seq("en" -> 500, "es" -> 1000, "de" -> 1750, "fr" -> 1000,
+          "zh" -> 2250))
+        .orderBy(col("doc_id"), col("copy"))
     },
 
     // Deterministic sharding: the no-RNG global shuffle. 16 shards at

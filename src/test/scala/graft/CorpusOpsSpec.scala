@@ -42,6 +42,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureEpochs: fractional epochs emit floor or ceil copies, hash-deterministically") {
+    val docs = (0L until 1000L).map(i => (i, "a")).toDF("doc_id", "lang")
+    val out = CorpusOps.mixtureEpochs(docs, "lang", Seq("a" -> 2500))
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byDoc.size == 1000, "every doc must appear")
+    // 2.5 epochs: 2 or 3 dense-ordinal copies, extra copy iff hash < 500
+    byDoc.foreach { case (id, copies) =>
+      val expected = 2L + (if ((id % 1000003L) * 48271L % 1000L < 500L) 1L else 0L)
+      assert(copies == (0L until expected),
+        s"doc $id: copies $copies != dense 0..${expected - 1}")
+    }
+    // ~half the docs earn the third copy (exact count is hash-determined)
+    val thirds = byDoc.values.count(_.size == 3)
+    assert(thirds > 400 && thirds < 600, s"fractional share off: $thirds/1000")
+    // sub-epoch strata downsample; zero-epoch strata are rejected
+    val half = CorpusOps.mixtureEpochs(docs, "lang", Seq("a" -> 500))
+    assert(half.count() == thirds,
+      "0.5 epochs must keep exactly the docs whose hash clears the fraction")
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixtureEpochs(docs, "lang", Seq("a" -> 0))
+    }
+  }
+
   test("shardAssignment covers every doc once; positions are dense per shard") {
     val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = CorpusOps.shardAssignment(docs, numShards = 4)
