@@ -158,7 +158,52 @@ object StressProbe {
         fast = 5, slow = 20))
     )
 
-    val all = results ++ llm ++ ccProbe
+    // ---- corpus-export + screen family at probe scale
+    // daily-bar tape for the correlation screen: the 20M-row tick tape
+    // above spans <1 day, so correlation needs its own shape — nCorrKeys
+    // tickers × nDays daily closes (the calendar-bounded grid the operator
+    // is designed around)
+    val nCorrKeys = 2000L
+    val nDays = 500L
+    val corrTape = spark.range(0, nCorrKeys * nDays, 1, 64)
+      .select((col("id") % nCorrKeys).as("user_id"),
+        timestamp_millis(lit(1500000000000L) +
+          expr(s"id div $nCorrKeys") * 86400000L).as("ts"),
+        col("id").as("event_id"),
+        (pmod(xxhash64((col("id") % nCorrKeys) * 7919L +
+          expr(s"id div $nCorrKeys")), lit(1000L)) / 100.0 + 50.0).as("value"))
+    val corpusProbe = Seq(
+      // full-universe screen: 2000 tickers × 500 days — the O(k²) exact
+      // tool would cross 2M pairs; the LSH screen must stay bucket-bound
+      timeN("corr_screen", nCorrKeys * nDays) {
+        val vecs = operators.MarketOps.returnVectors(corrTape)
+        val dims = vecs.schema("embedding").metadata
+          .getLong("graft.rv.dims").toInt
+        operators.SimilarityOps.cosinePairsLsh(vecs, threshold = 0.4,
+          dims = dims)
+      },
+      // bigram LM train+score over the doc corpus: the transcendental work
+      // must stay on the vocab-bounded count tables, the big join on the
+      // Zipf-skewed bigram key
+      timeN("lm_xent_docs", nDocs)(
+        operators.CorpusOps.bigramCrossEntropy(docs)),
+      // export chain: mixture quota → pack placements → shard assignment,
+      // each a bounded-window pass over the docs frame
+      timeN("corpus_export_chain", nDocs) {
+        val langd = docs.withColumn("lang",
+          pmod(col("doc_id"), lit(5)).cast("string"))
+        val kept = operators.CorpusOps.mixtureResample(langd, "lang",
+          Seq("0" -> 40, "1" -> 15, "2" -> 15, "3" -> 15, "4" -> 15))
+        operators.CorpusOps.packSequences(
+          langd.join(kept.select("doc_id"), "doc_id"),
+          budget = 512, numShards = 64)
+      },
+      // PII scrub regex throughput: pure codegen projection
+      timeN("pii_scrub_docs", nDocs)(
+        operators.CorpusOps.piiScrub(docs))
+    )
+
+    val all = results ++ llm ++ ccProbe ++ corpusProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

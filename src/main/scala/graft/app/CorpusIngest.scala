@@ -1,0 +1,117 @@
+package graft.app
+
+import graft.core.Sinks
+import graft.operators.{Components, DedupOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch CORPUS ingest driver — the document-side twin of Backfill: each
+  * run lands one crawl drop into the corpus warehouse under the
+  * incremental-scan-don't-refetch protocol the reference applies to bars
+  * (old_source/old_source_op.py:129-176), here applied to dedup state.
+  * One drop's lifecycle:
+  *
+  *   1. TRIM the drop to genuinely-new doc_ids (anti-join against the
+  *      persisted shingle store) — a replayed drop contributes nothing.
+  *   2. SCORE the increment against the corpus with
+  *      minhashLshIncremental: fresh signatures for the increment ONLY;
+  *      the corpus side is the persisted band/shingle store — old text is
+  *      never re-read.
+  *   3. APPEND the verified pairs to the cumulative pair table
+  *      (idempotent on (doc_a, doc_b)).
+  *   4. APPEND the increment's signatures to the store and the documents
+  *      to the corpus table (both idempotent).
+  *
+  * The warehouse layout:
+  *   corpus/documents      — all landed docs (doc_id keyed)
+  *   corpus/shingles       — (doc_id, sh) exact shingle sets
+  *   corpus/bands          — (doc_id, band, sig) MinHash LSH store
+  *   corpus/pairs          — cumulative verified near-dup pairs
+  *
+  * `survivors` derives the deduplicated corpus VIEW on demand: connected
+  * components over the cumulative pair table (bounded by the duplicated
+  * subset, not the corpus), keep-the-minimum canonical per cluster,
+  * anti-join the losers. It is a read-side derivation, not a stored table
+  * — the pair table is the durable state, so survivors never needs
+  * backfilling after a takedown rewrites documents.
+  *
+  * Usage: runMain graft.app.CorpusIngest <dropParquet> <warehouseDir>
+  */
+object CorpusIngest {
+
+  def main(args: Array[String]): Unit = {
+    val Array(dropPath, warehouse) = args.take(2)
+    val threshold =
+      sys.env.getOrElse("SPARK_GRAFT_DEDUP_THRESHOLD", "0.5").toDouble
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-corpus-ingest")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (nNew, nPairs) = run(spark, spark.read.parquet(dropPath), warehouse,
+      threshold)
+    println(s"[corpus-ingest] landed $nNew new docs, $nPairs new pairs")
+    spark.stop()
+  }
+
+  private def docsPath(wh: String) = s"$wh/corpus/documents"
+  private def shinglePath(wh: String) = s"$wh/corpus/shingles"
+  private def bandPath(wh: String) = s"$wh/corpus/bands"
+  private def pairsPath(wh: String) = s"$wh/corpus/pairs"
+
+  /** Land one drop; returns (new docs landed, new verified pairs). */
+  def run(spark: SparkSession, drop: DataFrame, warehouse: String,
+          threshold: Double = 0.5): (Long, Long) = {
+    val storeExists = Sinks.pathExists(spark, shinglePath(warehouse))
+    val newDocs =
+      if (!storeExists) drop
+      else drop.join(
+        spark.read.parquet(shinglePath(warehouse)).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    // the increment feeds signature computation AND the landing write, and
+    // its defining anti-join READS the same store the signature append
+    // WRITES — Spark's CacheManager recaches path-reading plans on write
+    // (a persist would silently recompute the increment as EMPTY after the
+    // store append), so cut lineage entirely with an eager localCheckpoint:
+    // the increment is drop-bounded
+    val inc = newDocs.localCheckpoint()
+    val nNew = inc.count()
+    if (nNew == 0) return (0L, 0L)
+
+    val pairs =
+      if (!storeExists) DedupOps.minhashLsh(inc, threshold)
+      else DedupOps.minhashLshIncremental(
+        spark.read.parquet(bandPath(warehouse)),
+        spark.read.parquet(shinglePath(warehouse)),
+        inc, threshold)
+    val nPairs = pairs.count()
+    Sinks.idempotentAppend(pairs, pairsPath(warehouse),
+      keys = Seq("doc_a", "doc_b"), partitionCols = Nil)
+    DedupOps.appendSignatureStore(inc, bandPath(warehouse),
+      shinglePath(warehouse))
+    Sinks.idempotentAppend(inc, docsPath(warehouse),
+      keys = Seq("doc_id"), partitionCols = Nil)
+    (nNew, nPairs)
+  }
+
+  /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
+    * cluster over the CUMULATIVE pair table. Cost is bounded by the pair
+    * graph (the duplicated subset), plus one anti-join shipping loser ids.
+    */
+  def survivors(spark: SparkSession, warehouse: String): DataFrame = {
+    val docs = spark.read.parquet(docsPath(warehouse))
+    if (!Sinks.pathExists(spark, pairsPath(warehouse))) docs
+    else {
+      val pairs = spark.read.parquet(pairsPath(warehouse))
+      val lab = Components.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")))
+      val losers = lab.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.app.CorpusIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end corpus warehouse lifecycle: drops land incrementally, dedup
+  * state persists between runs, replays are no-ops, survivors derive from
+  * the cumulative pair table.
+  */
+class CorpusIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire in winter"
+  private val unrelated =
+    "spark executes distributed dataframe plans with catalyst optimizing every stage of the physical query pipeline today"
+
+  test("two drops: cross-drop pairs found incrementally, replay no-ops, survivors keep minima") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-wh").toString
+    val drop1 = Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+    val drop2 = Seq(
+      (30L, base.replace("winter", "summer")), // near-dup of 10
+      (40L, unrelated),                        // exact dup of 20
+      (50L, "completely fresh text about gardens and rivers flowing through quiet mountain valleys at dawn")
+    ).toDF("doc_id", "text")
+
+    val (n1, p1) = CorpusIngest.run(spark, drop1, wh)
+    assert((n1, p1) == (2L, 0L), s"drop1: $n1 docs, $p1 pairs")
+
+    val (n2, p2) = CorpusIngest.run(spark, drop2, wh)
+    assert(n2 == 3L, s"drop2 landed $n2")
+    val pairs = spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 30L)), s"missed cross-drop near-dup: $pairs")
+    assert(pairs.contains((20L, 40L)), s"missed cross-drop exact dup: $pairs")
+    assert(p2 == pairs.size.toLong, "drop2 discovered all cumulative pairs")
+
+    // replay of drop2 is a complete no-op: no new docs, no new pairs, and
+    // the warehouse tables hold their row counts
+    val counts = Seq("documents", "shingles", "bands", "pairs")
+      .map(t => t -> spark.read.parquet(s"$wh/corpus/$t").count()).toMap
+    assert(CorpusIngest.run(spark, drop2, wh) == (0L, 0L))
+    counts.foreach { case (t, n) =>
+      assert(spark.read.parquet(s"$wh/corpus/$t").count() == n,
+        s"replay changed corpus/$t")
+    }
+    assert(counts("documents") == 5)
+
+    // survivors: keep-the-minimum per cluster → 30 and 40 drop out
+    val kept = CorpusIngest.survivors(spark, wh)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 50L), s"survivors wrong: $kept")
+  }
+
+  test("a drop overlapping the corpus only pays for its genuinely-new slice") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-wh2").toString
+    CorpusIngest.run(spark,
+      Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text"), wh)
+    // half this drop is already landed; only doc 3 is new
+    val (n, _) = CorpusIngest.run(spark,
+      Seq((2L, unrelated), (3L, base + " extra tail words here"))
+        .toDF("doc_id", "text"), wh)
+    assert(n == 1L, s"overlap must be trimmed before signing: landed $n")
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 3)
+  }
+}
