@@ -171,6 +171,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mixture quotas: per-stratum counts hit floor(pct*T/100) exactly, T from the binding stratum") {
+    val corpusGen = for {
+      na <- Gen.chooseNum(1, 120)
+      nb <- Gen.chooseNum(1, 120)
+      nc <- Gen.chooseNum(1, 120)
+    } yield (na, nb, nc)
+    forAll(corpusGen, n = 8) { case (na, nb, nc) =>
+      val weights = Seq("a" -> 50, "b" -> 30, "c" -> 20)
+      val docs = ((0 until na).map(i => (i.toLong, "a")) ++
+        (1000 until 1000 + nb).map(i => (i.toLong, "b")) ++
+        (2000 until 2000 + nc).map(i => (i.toLong, "c")))
+        .toDF("doc_id", "lang")
+      val got = graft.operators.CorpusOps
+        .mixtureResample(docs, "lang", weights)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      val t = Seq(na * 100L / 50, nb * 100L / 30, nc * 100L / 20).min
+      val want = weights.map { case (l, p) => l -> p * t / 100 }
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"corpus=($na,$nb,$nc) T=$t")
+    }
+  }
+
+  test("sequence packing tiles each shard's token stream exactly (no gaps, no overlaps)") {
+    val docGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 500L)
+      toks <- Gen.chooseNum(0, 40)
+    } yield (id, Seq.fill(toks)("w").mkString(" ")))
+    forAll(docGen, n = 6) { raw =>
+      val docs = raw.distinctBy(_._1).toDF("doc_id", "text")
+      val placed = graft.operators.CorpusOps
+        .packSequences(docs, budget = 64, numShards = 4)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      placed.groupBy(_._2).foreach { case (shard, rows) =>
+        val sorted = rows.sortBy(_._4)
+        assert(sorted.head._4 == 0L, s"shard $shard starts at offset 0")
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._4 == a._4 + a._3,
+              s"shard $shard: gap/overlap at ${b._1}")
+          case _ =>
+        }
+        sorted.foreach { case (_, _, n, off, first, last) =>
+          assert(first == off / 64 && last == (off + n - 1) / 64)
+        }
+      }
+    }
+  }
+
   test("connected components equal union-find on arbitrary generated graphs") {
     val edgesGen = Gen.nonEmptyListOf(for {
       a <- Gen.chooseNum(0L, 40L)
