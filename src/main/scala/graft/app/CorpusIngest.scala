@@ -98,6 +98,36 @@ object CorpusIngest {
     (nNew, nPairs)
   }
 
+  /** STREAMING drop watcher — the live twin of `run`, mirroring how
+    * LiveIngest pairs with Backfill on the market side: a file-source
+    * stream over the drop directory feeds each micro-batch through the
+    * SAME batch ingest. foreachBatch is at-least-once, and `run` is
+    * idempotent end to end (trim + three keyed idempotentAppends), so a
+    * replayed micro-batch lands nothing twice — the exactly-once upgrade
+    * every sink in this engine uses. Trigger.AvailableNow by default: one
+    * catch-up pass over unseen drop files, checkpointed under the
+    * warehouse.
+    */
+  def startStream(spark: SparkSession, dropDir: String, warehouse: String,
+                  threshold: Double = 0.5,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_checkpoints/corpus")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        run(spark, batch, warehouse, threshold); ()
+      }
+      .start()
+  }
+
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
     * cluster over the CUMULATIVE pair table. Cost is bounded by the pair
     * graph (the duplicated subset), plus one anti-join shipping loser ids.

@@ -54,6 +54,34 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(kept == Set(10L, 20L, 50L), s"survivors wrong: $kept")
   }
 
+  test("streaming drop watcher lands the same warehouse as batch ingest, replay-safe") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-wh3").toString
+    val drops = java.nio.file.Files.createTempDirectory("corpus-drops").toString
+    Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+      .write.parquet(s"$drops/drop1")
+    // file source watches the dir non-recursively; land files flat
+    Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+      .repartition(1).write.mode("overwrite").parquet(drops + "/d1")
+    def sweep(): Unit = {
+      val q = CorpusIngest.startStream(spark, drops + "/d1", wh)
+      q.awaitTermination()
+    }
+    sweep()
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 2)
+    // a second catch-up with nothing new is a no-op (checkpoint skips seen
+    // files; even a replay would be caught by the idempotent run)
+    sweep()
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 2)
+    // new drop file arrives: only the increment lands, cross-drop pair found
+    Seq((30L, base.replace("winter", "summer"))).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(drops + "/d1")
+    sweep()
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 3)
+    assert(spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      .contains((10L, 30L)), "cross-drop near-dup must be found by the stream")
+  }
+
   test("a drop overlapping the corpus only pays for its genuinely-new slice") {
     val wh = java.nio.file.Files.createTempDirectory("corpus-wh2").toString
     CorpusIngest.run(spark,
