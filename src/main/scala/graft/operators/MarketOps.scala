@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -618,6 +618,48 @@ object MarketOps {
         minOverlap = 20)
     },
 
+    // ROLLING pairwise correlation over the watchlist — the time-varying
+    // risk monitor (a pair decorrelating THIS month is the signal; the
+    // static screen only says they correlate on average). Same integer
+    // exactness as mkt_pairwise_corr, window-framed.
+    QueryDef.sqlBacked(
+      "mkt_rolling_corr",
+      """WITH b AS (
+        |  SELECT user_id, b, p FROM (
+        |    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b,
+        |      CAST(floor(value * 100) AS BIGINT) AS p,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |    FROM events WHERE user_id < 150) WHERE rk = 1),
+        |r AS (SELECT user_id, b,
+        |        p - lag(p) OVER (PARTITION BY user_id ORDER BY b) AS r
+        |      FROM b),
+        |rr AS (SELECT user_id, b, r FROM r WHERE r IS NOT NULL),
+        |j AS (SELECT x.user_id AS user_a, y.user_id AS user_b, x.b AS b,
+        |             x.r AS ra, y.r AS rb
+        |      FROM rr x JOIN rr y ON x.b = y.b AND x.user_id < y.user_id),
+        |w AS (SELECT user_a, user_b, b,
+        |        CAST(count(*) OVER win AS BIGINT) AS n,
+        |        CAST(sum(ra) OVER win AS BIGINT) AS sa,
+        |        CAST(sum(rb) OVER win AS BIGINT) AS sb,
+        |        CAST(sum(ra * ra) OVER win AS BIGINT) AS saa,
+        |        CAST(sum(rb * rb) OVER win AS BIGINT) AS sbb,
+        |        CAST(sum(ra * rb) OVER win AS BIGINT) AS sab
+        |      FROM j
+        |      WINDOW win AS (PARTITION BY user_a, user_b ORDER BY b
+        |                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_a, user_b, b AS day,
+        |  round(CAST(n * sab - sa * sb AS DOUBLE) /
+        |        sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+        |             * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS corr
+        |FROM w
+        |WHERE n = 10 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+        |ORDER BY user_a, user_b, day""".stripMargin) { (s, d) =>
+      rollingCorrelation(Tables.events(s, d).filter(col("user_id") < 150),
+        window = 10)
+    },
+
     // FULL-UNIVERSE correlation screen — the ANN escape hatch the
     // watchlist query above documents: per-ticker centered daily-change
     // vectors on the shared day grid (cosine == Pearson under full
@@ -883,24 +925,43 @@ object MarketOps {
       .filter(expr("aggregate(embedding, 0.0d, (acc, x) -> acc + x * x) > 0.0d"))
   }
 
-  def pairwiseCorrelation(events: DataFrame, minOverlap: Int): DataFrame = {
+  /** Daily integer-cents price changes per key — (user_id, b, r): last
+    * price per day, BIGINT difference vs the previous present day. The
+    * shared head of the correlation family (static screen, rolling
+    * window, return vectors).
+    */
+  private def dailyChanges(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("b"))
     val wLast = Window.partitionBy(col("user_id"), col("b"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val bars = events
+    events
       .withColumn("b", date_trunc("day", col("ts")))
       .withColumn("p", floor(col("value") * 100).cast("long"))
       .withColumn("rk", row_number().over(wLast))
       .filter(col("rk") === 1)
       .select(col("user_id"), col("b"), col("p"))
-    val rets = bars
       .withColumn("r", col("p") - lag(col("p"), 1).over(w))
       .filter(col("r").isNotNull)
       .select(col("user_id"), col("b"), col("r"))
-    val j = rets.as("x").join(rets.as("y"),
+  }
+
+  /** Co-observed change pairs — the (user_a, user_b, b, ra, rb) frame both
+    * correlation screens aggregate.
+    */
+  private def changePairs(rets: DataFrame): DataFrame =
+    rets.as("x").join(rets.as("y"),
         col("x.b") === col("y.b") && col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"),
-        col("x.r").as("ra"), col("y.r").as("rb"))
+        col("x.b").as("b"), col("x.r").as("ra"), col("y.r").as("rb"))
+
+  /** The shared Pearson tail: corr from the six exact integer sums. */
+  private def pearson(df: DataFrame): Column =
+    round((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+      sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+           (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")), 6)
+
+  def pairwiseCorrelation(events: DataFrame, minOverlap: Int): DataFrame = {
+    val j = changePairs(dailyChanges(events))
     val s = j.groupBy(col("user_a"), col("user_b"))
       .agg(count(lit(1)).as("n"),
         sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
@@ -910,12 +971,38 @@ object MarketOps {
     val va = s("n") * s("saa") - s("sa") * s("sa")
     val vb = s("n") * s("sbb") - s("sb") * s("sb")
     s.filter(s("n") >= minOverlap && va > 0 && vb > 0)
-      .withColumn("corr", round(
-        (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-          sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
-               (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")), 6))
+      .withColumn("corr", pearson(s))
       .select(col("user_a"), col("user_b"), col("n"), col("corr"))
       .orderBy(col("user_a"), col("user_b"))
+  }
+
+  /** ROLLING pairwise correlation — the time-varying risk monitor: Pearson
+    * over the trailing `window` co-observations per pair, one row per
+    * (pair, day) once the window is full. The six sums are BIGINT window
+    * aggregates over the same co-observed change frame as the static
+    * screen (identical exactness argument: no float until the final
+    * expression), ordered by day — ROWS framing over co-observations, so
+    * a pair that skips a day rolls over its last `window` SHARED days.
+    * Scale: one shuffle by pair, single sorted window pass per pair —
+    * watchlist-bounded like the static screen; full-universe monitoring
+    * routes to the ANN screen per day.
+    */
+  def rollingCorrelation(events: DataFrame, window: Int): DataFrame = {
+    val win = Window.partitionBy(col("user_a"), col("user_b"))
+      .orderBy(col("b")).rowsBetween(-(window - 1), Window.currentRow)
+    val s = changePairs(dailyChanges(events))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("sa", sum(col("ra")).over(win))
+      .withColumn("sb", sum(col("rb")).over(win))
+      .withColumn("saa", sum(col("ra") * col("ra")).over(win))
+      .withColumn("sbb", sum(col("rb") * col("rb")).over(win))
+      .withColumn("sab", sum(col("ra") * col("rb")).over(win))
+    s.filter(col("n") === window &&
+        col("n") * col("saa") - col("sa") * col("sa") > 0 &&
+        col("n") * col("sbb") - col("sb") * col("sb") > 0)
+      .withColumn("corr", pearson(s))
+      .select(col("user_a"), col("user_b"), col("b").as("day"), col("corr"))
+      .orderBy(col("user_a"), col("user_b"), col("day"))
   }
 
   /** Per-key backtest report card — total PnL, worst drawdown, exposure

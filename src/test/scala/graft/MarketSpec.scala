@@ -135,6 +135,35 @@ class MarketSpec extends AnyFunSuite {
     assert(out.last._3 > 0, "no profit riding a monotonic ramp")
   }
 
+  test("rolling correlation flips sign when a pair decorrelates mid-series") {
+    // tickers move in lockstep for 21 days, then mirror for 20: the
+    // trailing-10 correlation reads +1 at the regime's end and -1 after
+    // ten mirrored days — the time-varying signal the static screen hides
+    val changes = Seq.tabulate(41)(i => if (i % 2 == 0) 1L else 3L)
+    def px(flip: Boolean) = changes.zipWithIndex.scanLeft(10000L) {
+      case (p, (c, i)) => p + (if (flip && i > 20) -c else c)
+    }
+    val tape = Seq("A" -> px(false), "B" -> px(true)).zipWithIndex.flatMap {
+      case ((t, ps), ui) => ps.zipWithIndex.map { case (p, d) =>
+        (d * 2L + ui, ui.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00")
+            .toLocalDateTime.plusDays(d).atZone(java.time.ZoneId.of("UTC")),
+          p / 100.0)
+      }
+    }.map { case (eid, uid, zdt, v) =>
+      (eid, uid, java.sql.Timestamp.from(zdt.toInstant), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = MarketOps.rollingCorrelation(tape, window = 10)
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+      .map(r => r._3.toLocalDateTime.getDayOfYear -> r._4).toMap
+    assert(out(20) == 1.0, s"lockstep regime must read +1: ${out.get(20)}")
+    assert(out(41) == -1.0, s"mirrored regime must read -1: ${out.get(41)}")
+    // the static screen over the same tape hides the flip (|corr| < 1)
+    val static = MarketOps.pairwiseCorrelation(tape, minOverlap = 20)
+      .select("corr").as[Double].head()
+    assert(math.abs(static) < 0.9, s"static corr should blur regimes: $static")
+  }
+
   test("portfolio roll-up: forward-filled equity sums across keys, drawdown from the aggregate peak") {
     // key 1 trades days 1-3, key 2 stops after day 2 — day 3's portfolio
     // equity must carry key 2's LAST equity forward, not drop it to 0
