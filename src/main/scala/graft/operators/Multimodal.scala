@@ -172,6 +172,191 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"),
         octet_length(col("frame")).cast("long").as("frame_bytes"))
 
+  // ---------------------------------------------------------------------
+  // Perceptual near-duplicate detection (average-hash / aHash)
+  // ---------------------------------------------------------------------
+
+  /** 64-bit average-hash (aHash) of an image payload: decode via
+    * javax.imageio, area-average per-pixel luminance (r+g+b, no division)
+    * onto an 8×8 cell grid, then set bit i iff cell i's mean luminance is
+    * >= the whole-grid mean. The threshold comparison is done with exact
+    * cross-multiplied Long arithmetic — `cellSum*totalCount >=
+    * totalSum*cellCount` — never floating point, so a uniform brightness
+    * shift of +δ per channel (which adds 3δ to every pixel's luminance)
+    * provably leaves every comparison, hence the hash, bit-identical.
+    * Exact up to ~8192×8192 images (765·w·h·max(cellCount) stays inside
+    * Long). None when no JDK reader recognizes the payload.
+    *
+    * Downscaling to the fixed 8×8 grid makes the hash resolution-invariant:
+    * the same scene rendered at different sizes lands within a few bits.
+    */
+  def averageHash(content: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val i = cy * 8 + x * 8 / w
+            sums(i) += lum
+            counts(i) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var totalSum = 0L
+        var totalCount = 0L
+        var i = 0
+        while (i < 64) { totalSum += sums(i); totalCount += counts(i); i += 1 }
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          // cellMean >= gridMean, exactly: sums/counts >= totalSum/totalCount
+          if (counts(i) > 0 && sums(i) * totalCount >= totalSum * counts(i))
+            hash |= 1L << i
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private val hashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = true)))
+
+  /** Per-image aHash — the same narrow partition-batched shape as
+    * extractFeatures (decode once per payload, no shuffle). Undecodable or
+    * null payloads carry a null phash and drop out of downstream joins.
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(hashSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // positional access: upstream mapPartitions stages (e.g. the
+          // synthetic corpus) emit schema-less GenericRows
+          val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val ph =
+            if (content == null) None
+            else averageHash(content)
+          Row(r.getLong(0), ph.map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-dup pairs at hamming <= maxHamming over the aHash,
+    * simhash-style chunk banding (cf. DedupOps.simhash): split the 64-bit
+    * hash into maxHamming+1 equal chunks — two hashes within maxHamming
+    * bits MUST agree on at least one whole chunk (pigeonhole), so the
+    * bucket self-join on (chunk_idx, chunk_value) has guaranteed recall;
+    * `bit_count(xor)` then verifies candidates exactly.
+    *
+    * Scale shape: decode is a narrow map; the hash table is ONE long per
+    * image, persisted once (Spark does not CSE across self-join branches);
+    * the band table is maxHamming+1 thin rows per image; the candidate
+    * join shuffles only (id, chunk, hash) triples keyed by 16-bit chunk
+    * values. Blank/flat images all hash to the all-ones degenerate value
+    * and would form one quadratic bucket — they are dropped up front
+    * (dropDegenerate), the same df-cap reasoning as the n-gram blacklist.
+    */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3,
+                   dropDegenerate: Boolean = true): DataFrame = {
+    val base = imageHashes(media).filter(col("phash").isNotNull)
+    nearDupFromHashes(
+      if (dropDegenerate) base.filter(col("phash") =!= lit(-1L)) else base,
+      maxHamming)
+  }
+
+  /** The banding + verify stage over an existing (media_id, phash) table —
+    * the entry point when hashes are already persisted in the warehouse
+    * (the production shape: hash once on ingest, band-join per near-dup
+    * sweep, never re-decode).
+    */
+  def nearDupFromHashes(hashTable: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming+1 must divide 64, got $maxHamming")
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val hashes = graft.core.GraftCaches.acquire(hashTable)
+    val banded = hashes.select(
+      col("media_id"), col("phash"),
+      explode(array((0 until chunks).map(lit): _*)).as("ci"))
+      .withColumn("chunk",
+        expr(s"shiftrightunsigned(phash, ci * $bits)").bitwiseAND(lit(mask)))
+    banded.as("a").join(banded.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Synthetic-but-REAL image corpus for the declared phash query: one
+    * 16×16 PNG per document, every pixel a pure function of (seed, x, y).
+    * Documents (10k, 10k+1) share a seed, with the odd member's channels
+    * uniformly +2-shifted — channels stay in [0, 200+2] so the shift never
+    * clips, and by averageHash's exact-arithmetic invariance the pair's
+    * hashes are bit-identical (hamming 0). All other documents get unique
+    * seeds → pseudorandom pixels → hashes far apart. PNG is lossless, so
+    * the planted structure survives the encode→decode round trip.
+    */
+  def syntheticImageCorpus(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val seed = if (d % 10 < 2) d - (d % 10) else d
+          val delta = if (d % 10 == 1) 2 else 0
+          Row(d, renderPng(seed, delta))
+        }
+      }(enc)
+  }
+
+  /** Deterministic 16×16 PNG whose channels derive from a splitmix64-style
+    * mix of (seed, x, y), each bounded to [0, 200] before the uniform
+    * +delta brightness shift (202 < 255 — no channel ever clips).
+    */
+  private[operators] def renderPng(seed: Long, delta: Int): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val m = mix(seed * 0x100000001b3L + (x.toLong << 32) + y)
+        val rr = (((m >>> 0) & 0xff) % 201).toInt + delta
+        val gg = (((m >>> 16) & 0xff) % 201).toInt + delta
+        val bb = (((m >>> 32) & 0xff) % 201).toInt + delta
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Binary-column plumbing with an exact oracle: documents' text encoded
     // as a binary payload; per-kind byte statistics. encode() → BLOB and
@@ -219,6 +404,28 @@ object Multimodal {
           col("text").cast("binary").as("content")),
         frameBytes = 256, step = 4)
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // Perceptual near-dup end-to-end with a planted-ground-truth oracle:
+    // the corpus is generated (REAL 16×16 PNGs, one per document) so that
+    // exactly the (10k, 10k+1) pairs are near-duplicates — the odd member
+    // is a uniform +2 brightness shift, which averageHash's exact integer
+    // thresholding provably maps to the identical 64-bit hash — while all
+    // other documents carry unique pseudorandom pixels whose hashes sit
+    // far apart. The oracle therefore states the construction; hash-
+    // equality proves the REAL path (PNG encode → javax.imageio decode →
+    // area-average → threshold → chunk-band join → bit_count verify)
+    // recovers the planted pairs with perfect recall AND zero false
+    // positives at every fixture scale.
+    QueryDef.sqlBacked(
+      "mm_phash_near_dup",
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 0
+        |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
+      phashNearDup(syntheticImageCorpus(Tables.documents(s, d)), maxHamming = 3)
+        .orderBy(col("media_a"), col("media_b"))
     }
   )
 }

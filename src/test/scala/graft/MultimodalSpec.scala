@@ -101,4 +101,113 @@ class MultimodalSpec extends AnyFunSuite {
       .select("frame_idx").as[Long].collect().sorted.toSeq
     assert(sampled == Seq(0L, 2L), "step must skip frames, not truncate them")
   }
+
+  // -- perceptual hash ------------------------------------------------------
+
+  /** PNG of a resolution-independent smooth pattern: channel values are a
+    * pure function of the NORMALIZED coordinates (x/w, y/h), so renderings
+    * at different sizes depict the same scene.
+    */
+  private def scenePng(w: Int, h: Int, shift: Int = 0, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val u = x.toDouble / w; val v = y.toDouble / h
+        val base = (60 + 120 * math.sin(3 * u + 1) * math.cos(2 * v)).toInt.max(0).min(200)
+        val c = (if (invert) 200 - base else base) + shift
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("averageHash: exact brightness invariance, inversion far apart, undecodable None") {
+    val h0 = Multimodal.averageHash(scenePng(40, 30)).get
+    val hShift = Multimodal.averageHash(scenePng(40, 30, shift = 7)).get
+    assert(h0 == hShift,
+      "uniform brightness shift must leave the hash bit-identical (exact integer thresholding)")
+    val hInv = Multimodal.averageHash(scenePng(40, 30, invert = true)).get
+    assert(hamming(h0, hInv) >= 20,
+      s"inverted scene must sit far away, got hamming ${hamming(h0, hInv)}")
+    assert(Multimodal.averageHash("not an image".getBytes("UTF-8")).isEmpty)
+    // blank image is the degenerate all-ones hash the banding guard drops
+    val blank = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.averageHash(bos.toByteArray).get
+    }
+    assert(blank == -1L, "flat image: every cell mean equals the grid mean")
+  }
+
+  test("averageHash: resolution-invariant within the banding budget") {
+    val small = Multimodal.averageHash(scenePng(16, 16)).get
+    val big = Multimodal.averageHash(scenePng(48, 48)).get
+    assert(hamming(small, big) <= 3,
+      s"same scene at 16x16 vs 48x48 must hash within 3 bits, got ${hamming(small, big)}")
+  }
+
+  test("nearDupFromHashes: pigeonhole recall at the hamming boundary, exact cutoff above it") {
+    val h = 0x5a5a_1234_9abc_def0L
+    val h3 = h ^ (1L << 5) ^ (1L << 20) ^ (1L << 60)  // hamming 3: spread across chunks
+    val h4 = h ^ 0xfL                                  // hamming 4: all flips in ONE chunk,
+                                                       // so 3 chunks still match — banding
+                                                       // candidates it, verify must reject
+    val hashes = Seq((1L, h), (2L, h3), (3L, h4)).toDF("media_id", "phash")
+    val pairs = Multimodal.nearDupFromHashes(hashes, maxHamming = 3)
+      .orderBy("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.contains((1L, 2L, 3L)), s"hamming-3 pair must be recovered, got $pairs")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "hamming-4 pair shares 3 chunks (candidate) but must fail exact verify")
+  }
+
+  test("phashNearDup end-to-end: planted near-dups found, strangers and blanks excluded, deterministic") {
+    def blankPng: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", scenePng(32, 24), "s"),
+        Row(2L, "image", scenePng(32, 24, shift = 5), "s"),      // planted: brightness
+        Row(3L, "image", scenePng(16, 16), "s"),                 // planted: resolution
+        Row(4L, "image", scenePng(32, 24, invert = true), "s"),  // stranger
+        Row(5L, "image", blankPng, "s"),                         // degenerate — dropped
+        Row(6L, "image", blankPng, "s"),                         // (would pair with 5)
+        Row(7L, "audio", "undecodable".getBytes("UTF-8"), "s")), 3),
+      Multimodal.mediaSchema)
+    val pairs = Multimodal.phashNearDup(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"brightness-shifted pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)), s"resolution pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"inverted stranger paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L),
+      "blank images must be dropped by the degenerate-hash guard, not flood the bucket join")
+    val again = Multimodal.phashNearDup(media.repartition(5), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs, "pairs must be partitioning-independent")
+  }
+
+  test("syntheticImageCorpus: planted pairs hash identical, unique seeds far apart") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val hashes = Multimodal.imageHashes(Multimodal.syntheticImageCorpus(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size == 40 && hashes(0L) == hashes(1L) && hashes(10L) == hashes(11L),
+      "the +2-brightness member must hash bit-identical to its base")
+    assert(hashes(20L) == hashes(21L) && hashes(30L) == hashes(31L),
+      "every (10k, 10k+1) pair is planted")
+    // non-planted neighbours must not collide within the banding budget
+    assert(hamming(hashes(2L), hashes(3L)) > 3)
+    assert(hamming(hashes(22L), hashes(23L)) > 3)
+  }
 }
