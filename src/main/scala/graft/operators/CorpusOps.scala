@@ -235,15 +235,21 @@ object CorpusOps {
     * arrays. Documents with fewer than two tokens have no bigrams and are
     * excluded.
     */
+  /** Spark side of the portable ln: append `out` = pln(`xExpr`) (xExpr a
+    * positive-BIGINT expression) via the exact op sequence documented
+    * above. Shared by every operator that exposes a log-derived score to
+    * an oracle (bigram LM, TF-IDF).
+    */
+  def withPln(df: DataFrame, xExpr: String, out: String): DataFrame =
+    df.withColumn("_x", expr(xExpr))
+      .withColumn("_e", length(expr("bin(_x)")) - 1)
+      .withColumn("_m", col("_x").cast("double") /
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), _e) AS DOUBLE)"))
+      .withColumn("_z", (col("_m") - 1.0) / (col("_m") + 1.0))
+      .withColumn(out, expr(s"_e * $Ln2 + ${lnPoly("_z")}"))
+      .drop("_x", "_e", "_m", "_z")
+
   def bigramCrossEntropy(docs: DataFrame): DataFrame = {
-    def withPln(df: DataFrame, xExpr: String, out: String): DataFrame =
-      df.withColumn("_x", expr(xExpr))
-        .withColumn("_e", length(expr("bin(_x)")) - 1)
-        .withColumn("_m", col("_x").cast("double") /
-          expr("CAST(shiftleft(CAST(1 AS BIGINT), _e) AS DOUBLE)"))
-        .withColumn("_z", (col("_m") - 1.0) / (col("_m") + 1.0))
-        .withColumn(out, expr(s"_e * $Ln2 + ${lnPoly("_z")}"))
-        .drop("_x", "_e", "_m", "_z")
     val t = docs.select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
     val bg = t.select(col("doc_id"), explode(expr(

@@ -349,8 +349,86 @@ object TextOps {
           col("qa").cast("double").as("q_approx"))
       exact.join(approx, Seq("lang", "p"))
         .orderBy(col("lang"), col("p"))
+    },
+
+    // TF-IDF top terms per document — the keyword-extraction / salient-term
+    // signal (used for topic labeling, near-dup triage, retrieval pruning).
+    // Exactness: idf = pln(N) − pln(df) from the PORTABLE ln over exact
+    // integers (the txt_lm_xent move — no libm anywhere), so both engines
+    // hold bit-identical doubles; the ranking happens on those unrounded
+    // doubles with a term tie-break, and only the OUTPUT is rounded.
+    // Scale: tf is ONE corpus shuffle on (doc_id, term) with map-side
+    // combine; df and its log are vocab-bounded partial aggregates off tf
+    // (the transcendental work is O(vocab)); scoring joins tf to the df
+    // table on the term key (Zipf-skewed — AQE skew-join); per-doc top-k
+    // compiles to WindowGroupLimit (k-row heap per group, no full sort).
+    QueryDef.sqlBacked(
+      "txt_tfidf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                          x -> len(x) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfz AS (
+         |  SELECT term, e, (m - 1.0) / (m + 1.0) AS z FROM (
+         |    SELECT term, e, CAST(df AS DOUBLE) /
+         |             CAST(CAST(1 AS BIGINT) << e AS DOUBLE) AS m
+         |    FROM (SELECT term, df, length(printf('%b', df)) - 1 AS e
+         |          FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)))),
+         |dfp AS (SELECT term, e * ${CorpusOps.Ln2} + ${CorpusOps.lnPoly("z")} AS lndf
+         |        FROM dfz),
+         |nz AS (
+         |  SELECT e, (m - 1.0) / (m + 1.0) AS z FROM (
+         |    SELECT e, CAST(n AS DOUBLE) /
+         |             CAST(CAST(1 AS BIGINT) << e AS DOUBLE) AS m
+         |    FROM (SELECT n, length(printf('%b', n)) - 1 AS e
+         |          FROM (SELECT count(*) AS n FROM documents)))),
+         |np AS (SELECT e * ${CorpusOps.Ln2} + ${CorpusOps.lnPoly("z")} AS lnn
+         |       FROM nz),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    tf.tf * ((SELECT lnn FROM np) - dfp.lndf) AS score
+         |  FROM tf JOIN dfp USING (term)),
+         |r AS (SELECT doc_id, term, tf, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, term) AS rk
+         |      FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, CAST(tf AS BIGINT) AS tf,
+         |  round(score, 6) AS score
+         |FROM r WHERE rk <= 5
+         |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      tfidfTopTerms(Tables.documents(s, d), k = 5)
+        .orderBy(col("doc_id"), col("rk"))
     }
   )
+
+  /** Per-document top-k terms by TF-IDF — see the txt_tfidf QueryDef for
+    * the exactness and scale contract. N counts ALL documents (empty docs
+    * included) so the idf denominator is corpus-stable.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfp = CorpusOps.withPln(
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "df", "lndf")
+      .select(col("term"), col("lndf"))
+    val np = CorpusOps.withPln(docs.agg(count(lit(1)).as("n")), "n", "lnn")
+      .select(col("lnn"))
+    val sc = tf.join(dfp, "term")
+      .crossJoin(broadcast(np)) // one scalar row: ln(N)
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") * (col("lnn") - col("lndf"))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    sc.select(col("doc_id"), col("term"), col("tf"), col("score"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf").cast("long").as("tf"), round(col("score"), 6).as("score"))
+  }
 
   /** Exact per-stratum 80/10/10 split — see the txt_stratified_split
     * QueryDef. Integer cross-multiplication (rk·10 ≤ n·8) keeps the

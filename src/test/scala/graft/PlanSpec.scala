@@ -140,6 +140,16 @@ class PlanSpec extends AnyFunSuite {
       s"rank<=k did not compile to WindowGroupLimit:\n$p")
   }
 
+  test("txt_tfidf: per-doc top-k is WindowGroupLimit, ln(N) scalar broadcast") {
+    // the per-doc rank must keep a k-row heap, not sort each document's
+    // whole vocabulary; the single-row ln(N) frame must ride a broadcast,
+    // never force a real cartesian
+    val p = plan("txt_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not compile to WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ln(N) scalar must broadcast:\n$p")
+  }
+
   test("dedup_contamination: eval shingles broadcast, no corpus-sized shuffle join") {
     val p = plan("dedup_contamination")
     assert(p.contains("BroadcastHashJoin"),

@@ -129,4 +129,27 @@ class QuantileFunnelSpec extends AnyFunSuite {
     val w2 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
     assert(out == Set((w1, 0L, 1L), (w1, 1L, 1L), (w2, 0L, 1L)), s"got $out")
   }
+
+  test("tfidfTopTerms: ubiquitous terms score exactly zero, salient rare terms rank first") {
+    val docs = Seq(
+      (1L, "the quark the the lattice"),
+      (2L, "the gauge gauge boson"),
+      (3L, "the boson")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(4)))
+      .toMap
+    // "the" appears in every doc: idf = pln(3) − pln(3) = exactly 0 —
+    // tf=3 cannot rescue it, so doc 1's top terms are its unique words
+    assert(Set("quark", "lattice").contains(out((1L, 1L))._1), s"got $out")
+    assert(out.values.filter(_._1 == "the").forall(_._2 == 0.0),
+      "a term in every document must have exactly zero idf")
+    // doc 2: "gauge" (tf=2, df=1) must outrank "boson" (tf=1, df=2)
+    assert(out((2L, 1L))._1 == "gauge", s"got $out")
+    // determinism under repartitioning
+    val again = TextOps.tfidfTopTerms(docs.repartition(3), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(4)))
+      .toMap
+    assert(again == out)
+  }
 }
