@@ -58,4 +58,40 @@ object LiveBars {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
+
+  /** STREAM-STREAM watermarked interval join — the streaming analogue of
+    * the batch as-of enrichment (operators/AsOf.scala): each left row
+    * joins every right row with the same key whose event time falls in
+    * `[leftTime − lookback, leftTime]` (e.g. trades picking up the quotes
+    * in force just before them). Rows arriving in DIFFERENT micro-batches
+    * still join: both sides are buffered in join state until the watermark
+    * proves no matching partner can still arrive.
+    *
+    * Scale contract — why this holds on an unbounded stream: because both
+    * inputs carry watermarks AND the join condition bounds the two event
+    * times against each other, Structured Streaming derives a state
+    * eviction policy for BOTH sides (left rows expire once the right
+    * watermark passes leftTime, right rows once the left watermark passes
+    * rightTime + lookback) — state is O(rate × (lookback + delay)), never
+    * O(stream). Without the range condition the right side would be
+    * unbounded; this operator makes the bound part of the signature.
+    * Inner joins emit on match (no watermark latency on output).
+    *
+    * The same declarative plan on static frames is the exact batch
+    * equivalent — StreamingSpec asserts replay parity.
+    */
+  def intervalJoinStream(left: DataFrame, leftTime: String,
+                         right: DataFrame, rightTime: String,
+                         keys: Seq[String], lookback: String,
+                         delay: String): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equality key")
+    val l = left.withWatermark(leftTime, delay).alias("l")
+    val r = right.withWatermark(rightTime, delay).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val range = col(s"r.$rightTime") <= col(s"l.$leftTime") &&
+      col(s"r.$rightTime") >= col(s"l.$leftTime") - expr(s"INTERVAL $lookback")
+    val rightCols = right.columns.filterNot(keys.contains).map(c => col(s"r.$c"))
+    l.join(r, keyCond && range, "inner")
+      .select(left.columns.map(c => col(s"l.$c")).toSeq ++ rightCols: _*)
+  }
 }

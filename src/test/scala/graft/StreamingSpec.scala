@@ -83,6 +83,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("ZZZZ").isEmpty, "unknown ticker keeps null dimension (left join)")
   }
 
+  test("stream-stream interval join: trades pick up in-window quotes across micro-batches, equals batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val tIn = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val qIn = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val trades = tIn.toDF().toDF("ticker", "trade_ts", "price")
+    val quotes = qIn.toDF().toDF("ticker", "quote_ts", "bid")
+    val joined = LiveBars.intervalJoinStream(
+      trades, "trade_ts", quotes, "quote_ts",
+      keys = Seq("ticker"), lookback = "10 minutes", delay = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+
+    // quotes land FIRST, in their own micro-batch — they must wait in join
+    // state for trades that arrive later
+    qIn.addData(
+      ("AAPL", ts("2024-01-01 10:00:00"), 99.0),  // in window for the 10:05 trade
+      ("AAPL", ts("2024-01-01 09:50:00"), 98.0),  // 15 min before → outside lookback
+      ("MSFT", ts("2024-01-01 10:01:00"), 50.0))  // wrong key
+    q.processAllAvailable()
+    tIn.addData(("AAPL", ts("2024-01-01 10:05:00"), 100.0))
+    q.processAllAvailable()
+    // a second trade in a later batch joins the SAME buffered quote
+    tIn.addData(("AAPL", ts("2024-01-01 10:08:00"), 101.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("ssj_out")
+      .select("ticker", "price", "bid")
+      .as[(String, Double, Double)].collect().sorted.toSeq
+    assert(out == Seq(("AAPL", 100.0, 99.0), ("AAPL", 101.0, 99.0)),
+      s"expected exactly the in-window same-key matches, got $out")
+
+    // batch parity: the identical declarative plan over static frames
+    val bTrades = Seq(("AAPL", ts("2024-01-01 10:05:00"), 100.0),
+      ("AAPL", ts("2024-01-01 10:08:00"), 101.0)).toDF("ticker", "trade_ts", "price")
+    val bQuotes = Seq(("AAPL", ts("2024-01-01 10:00:00"), 99.0),
+      ("AAPL", ts("2024-01-01 09:50:00"), 98.0),
+      ("MSFT", ts("2024-01-01 10:01:00"), 50.0)).toDF("ticker", "quote_ts", "bid")
+    val batch = LiveBars.intervalJoinStream(bTrades, "trade_ts", bQuotes, "quote_ts",
+        Seq("ticker"), "10 minutes", "5 minutes")
+      .select("ticker", "price", "bid")
+      .as[(String, Double, Double)].collect().sorted.toSeq
+    assert(batch == out, s"streamed $out != batch $batch")
+  }
+
   test("LiveIngest live path: ProcessingTime trigger tails pages appearing mid-run") {
     val pages = java.nio.file.Files.createTempDirectory("li-live-pages")
     val wh = java.nio.file.Files.createTempDirectory("li-live-wh").toString
