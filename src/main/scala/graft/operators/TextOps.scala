@@ -399,8 +399,71 @@ object TextOps {
          |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
       tfidfTopTerms(Tables.documents(s, d), k = 5)
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Inverted index — the retrieval-side artifact (term → sorted posting
+    // list + df/cf stats). The df-cap is the at-scale design decision: a
+    // stopword's posting list is the whole corpus (a single giant skewed
+    // array no real engine materializes raw — impact-ordered truncation /
+    // stop-listing is standard IR practice), so terms with df > 4N/5 keep
+    // their exact df/cf stats but a NULL posting string. The cap is exact
+    // integer cross-multiplication (df·capDen <= N·capNum). Postings are
+    // sorted doc_ids joined into a canonical string so the hash compare is
+    // representation-independent. The fixture vocabulary's df fraction
+    // concentrates at ~0.77·N as N grows, so the 4/5 cap trips at the
+    // smaller fixtures (5 terms at sf0.001, 1 at sf0.01) and the cap path
+    // is additionally pinned by a deterministic spec corpus — no single
+    // fraction splits a pack this tight at every SF.
+    QueryDef.sqlBacked(
+      "txt_inverted_index",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                          x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |pd AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  CASE WHEN count(*) * 5 <= (SELECT n FROM n) * 4
+        |       THEN array_to_string(list_sort(list(doc_id)), ',') END AS postings
+        |FROM pd
+        |GROUP BY term
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      invertedIndex(Tables.documents(s, d), capNum = 4, capDen = 5)
+        .orderBy(col("term"))
     }
   )
+
+  /** Term → (df, cf, sorted posting string) — see the txt_inverted_index
+    * QueryDef. Two-pass plan so an over-cap term's corpus-sized doc list
+    * is NEVER collected (the ngram df-cap blacklist move): pass 1 is the
+    * vocab-bounded df/cf aggregate off the persisted (term, doc, tf)
+    * frame; the under-cap term set (vocab-bounded) broadcasts into a semi
+    * join that gates pass 2's collect_list, so per-term aggregate state is
+    * bounded by the cap — a stopword contributes one stats row and zero
+    * posting entries.
+    */
+  def invertedIndex(docs: DataFrame, capNum: Int = 4, capDen: Int = 5): DataFrame = {
+    val perDoc = graft.core.GraftCaches.acquire(docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .crossJoin(broadcast(n))
+    val underCap = stats
+      .filter(col("df") * capDen <= col("n") * capNum).select(col("term"))
+    val postings = perDoc
+      .join(broadcast(underCap), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("plist"))
+    stats.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df").cast("long").as("df"),
+        col("cf").cast("long").as("cf"),
+        expr("array_join(transform(plist, x -> cast(x AS string)), ',')")
+          .as("postings"))
+  }
 
   /** Per-document top-k terms by TF-IDF — see the txt_tfidf QueryDef for
     * the exactness and scale contract. N counts ALL documents (empty docs

@@ -152,4 +152,24 @@ class QuantileFunnelSpec extends AnyFunSuite {
       .toMap
     assert(again == out)
   }
+
+  test("invertedIndex: over-cap terms keep exact stats but no posting list") {
+    // "stop" is in all 5 docs (df*5 > n*4) → stats survive, postings NULL;
+    // "rare" is in two → sorted posting string
+    val docs = Seq(
+      (1L, "stop rare alpha"), (2L, "stop beta"), (3L, "stop rare stop"),
+      (4L, "stop gamma"), (5L, "stop delta")
+    ).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, capNum = 4, capDen = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toMap
+    assert(out("stop") == ((5L, 6L, None)),
+      s"ubiquitous term must keep df/cf but drop postings, got ${out("stop")}")
+    assert(out("rare") == ((2L, 2L, Some("1,3"))), s"got ${out("rare")}")
+    // determinism under repartitioning (collect_list order is sorted away)
+    val again = TextOps.invertedIndex(docs.repartition(4), capNum = 4, capDen = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toMap
+    assert(again == out)
+  }
 }
