@@ -86,4 +86,29 @@ object EventOps {
       .agg(countDistinct(col(userCol)).as("users"))
       .orderBy(col(s"cohort_$period"), col(s"${period}_offset"))
   }
+
+  /** Markov-style transition matrix over per-user event sequences — the
+    * path-analysis companion to funnel(): for every consecutive event pair
+    * (ordered by ts with the event id as deterministic tie-break), count
+    * transitions and distinct users per (from_type, to_type) edge.
+    *
+    * Scale: ONE shuffle by user for the lead() window (per-user sort, no
+    * global sort), then an aggregate bounded by |event types|² rows —
+    * event-count-sized data never shuffles twice.
+    */
+  def transitionMatrix(events: DataFrame,
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -185,6 +185,27 @@ object Relational2 {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       EventOps.retention(Tables.events(s, d), period = "week")
+    },
+
+    // Event-path transition matrix (Markov edges over per-user sequences)
+    // — the clickstream path-analysis op. The (ts, event_id) ordering is
+    // fully deterministic on both sides; ts truncates ns→µs identically
+    // (the q24 move). One user-keyed shuffle, |types|²-bounded aggregate.
+    QueryDef.sqlBacked(
+      "q25_event_paths",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_id
+        |           FROM events),
+        |t AS (SELECT user_id, event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      EventOps.transitionMatrix(Tables.events(s, d))
     }
   )
 }
