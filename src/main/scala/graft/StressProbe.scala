@@ -200,7 +200,24 @@ object StressProbe {
       },
       // PII scrub regex throughput: pure codegen projection
       timeN("pii_scrub_docs", nDocs)(
-        operators.CorpusOps.piiScrub(docs))
+        operators.CorpusOps.piiScrub(docs)),
+      // TF-IDF + inverted index in the OPEN-vocabulary regime (the md5
+      // corpus has ~20·nDocs distinct terms, nothing like the 31-word
+      // fixture): the df/log tables must NOT broadcast — AQE sizes the
+      // term-key joins — and per-doc top-k must stay a WindowGroupLimit
+      timeN("tfidf_topk_docs", nDocs)(
+        operators.TextOps.tfidfTopTerms(docs, k = 5)),
+      timeN("inverted_index_docs", nDocs)(
+        operators.TextOps.invertedIndex(docs)),
+      // perceptual-hash near-dup over REAL generated PNGs (planted pairs):
+      // encode+decode is the narrow map, the band join ships one long per
+      // image — wall should track image count, not pair count
+      timeN("phash_neardup_imgs", math.min(nDocs.toLong, 50000L)) {
+        val imgs = operators.Multimodal.syntheticImageCorpus(
+          spark.range(0, math.min(nDocs.toLong, 50000L), 1, 64)
+            .select(col("id").as("doc_id")))
+        operators.Multimodal.phashNearDup(imgs, maxHamming = 3)
+      }
     )
 
     val all = results ++ llm ++ ccProbe ++ corpusProbe

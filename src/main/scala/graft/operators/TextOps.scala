@@ -438,10 +438,12 @@ object TextOps {
     * QueryDef. Two-pass plan so an over-cap term's corpus-sized doc list
     * is NEVER collected (the ngram df-cap blacklist move): pass 1 is the
     * vocab-bounded df/cf aggregate off the persisted (term, doc, tf)
-    * frame; the under-cap term set (vocab-bounded) broadcasts into a semi
-    * join that gates pass 2's collect_list, so per-term aggregate state is
-    * bounded by the cap — a stopword contributes one stats row and zero
-    * posting entries.
+    * frame; the under-cap term set (vocab-bounded) semi-joins to gate
+    * pass 2's collect_list, so per-term aggregate state is bounded by the
+    * cap — a stopword contributes one stats row and zero posting entries.
+    * The semi join carries no broadcast hint: a small vocabulary broadcasts
+    * under AQE anyway, while a crawl-scale open vocabulary (probe regime:
+    * millions of terms) must shuffle — hint-forcing would OOM the driver.
     */
   def invertedIndex(docs: DataFrame, capNum: Int = 4, capDen: Int = 5): DataFrame = {
     val perDoc = graft.core.GraftCaches.acquire(docs
@@ -455,7 +457,7 @@ object TextOps {
     val underCap = stats
       .filter(col("df") * capDen <= col("n") * capNum).select(col("term"))
     val postings = perDoc
-      .join(broadcast(underCap), Seq("term"), "left_semi")
+      .join(underCap, Seq("term"), "left_semi")
       .groupBy(col("term"))
       .agg(sort_array(collect_list(col("doc_id"))).as("plist"))
     stats.join(postings, Seq("term"), "left")
