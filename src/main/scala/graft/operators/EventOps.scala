@@ -111,4 +111,34 @@ object EventOps {
         countDistinct(col(userCol)).as("n_users"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Trailing-window spike detection: flag events whose integerized value
+    * exceeds `mulNum/mulDen` × the trailing mean of the previous `lookback`
+    * events for the same key (frame EXCLUDES the current row, so a spike
+    * never dilutes its own baseline; `minTrail` warmup rows before any
+    * verdict). The comparison cross-multiplies — p·n·den > s·num — so no
+    * division or float enters and the oracle is hash-exact.
+    *
+    * Scale: ONE shuffle by key, one sorted window pass with a bounded
+    * frame; the filter is a codegen projection downstream. Constant state
+    * per key (the frame), any number of keys.
+    */
+  def spikeDetect(events: DataFrame, lookback: Int = 20, minTrail: Int = 10,
+                  mulNum: Int = 3, mulDen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(mulNum > 0 && mulDen > 0, "spike multiplier must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    events
+      .withColumn("p_cents", floor(col("value") * 100).cast("long"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum_cents", sum(col("p_cents")).over(w))
+      .filter(col("trail_n") >= minTrail &&
+        col("p_cents") * col("trail_n") * mulDen >
+          col("trail_sum_cents") * mulNum)
+      .select(col("event_id"), col("user_id"), col("p_cents"),
+        col("trail_n"), col("trail_sum_cents"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -790,35 +790,86 @@ object MarketOps {
     // the corr screen's day grid.
     QueryDef.sqlBacked(
       "mkt_backtest_portfolio",
-      s"""WITH $backtestCtes,
-         |d AS (SELECT e.user_id, e.rn, e.cum_pnl_cents,
-         |        date_trunc('day', CAST(ev.ts AS TIMESTAMP)) AS day
-         |      FROM eq e JOIN events ev USING (event_id)),
-         |l AS (SELECT user_id, day, cum_pnl_cents FROM (
-         |        SELECT user_id, day, cum_pnl_cents,
-         |          row_number() OVER (PARTITION BY user_id, day
-         |            ORDER BY rn DESC) AS rk
-         |        FROM d) WHERE rk = 1),
-         |grid AS (SELECT DISTINCT day FROM d),
-         |u AS (SELECT DISTINCT user_id FROM d),
-         |cells AS (SELECT u.user_id, g.day, l.cum_pnl_cents
-         |          FROM u CROSS JOIN grid g
-         |          LEFT JOIN l ON l.user_id = u.user_id AND l.day = g.day),
-         |ff AS (SELECT user_id, day,
-         |         coalesce(last_value(cum_pnl_cents IGNORE NULLS) OVER (
-         |           PARTITION BY user_id ORDER BY day
-         |           ROWS UNBOUNDED PRECEDING), 0) AS eqv
-         |       FROM cells),
-         |port AS (SELECT day, CAST(sum(eqv) AS BIGINT) AS equity_cents
-         |         FROM ff GROUP BY 1)
-         |SELECT day, equity_cents,
-         |  CAST(max(equity_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-         |    - equity_cents AS BIGINT) AS drawdown_cents
-         |FROM port
+      s"""WITH $portfolioCtes
+         |SELECT day, equity_cents, drawdown_cents
+         |FROM dd
          |ORDER BY day""".stripMargin) { (s, d) =>
       backtestPortfolio(Tables.events(s, d), fast = 5, slow = 20)
+    },
+
+    // RISK REPORT over the portfolio equity curve — the one-row numbers a
+    // risk desk pins above the chart: peak equity, worst drawdown, days
+    // underwater, and the LONGEST underwater streak (gaps-and-islands over
+    // the day grid: island id = global row_number minus within-underwater
+    // row_number, both deterministic on the unique day key). Shares
+    // `portfolioCtes` with mkt_backtest_portfolio so the two contracts
+    // cannot drift. Exactness: the curve is BIGINT cents end to end, so
+    // every stat is an integer count/max — nothing to round. Scale: all
+    // windows run over the calendar-bounded day grid (the portfolio
+    // query's documented exemption); the final aggregates are single-pass.
+    QueryDef.sqlBacked(
+      "mkt_risk_stats",
+      s"""WITH $portfolioCtes,
+         |m AS (SELECT day, equity_cents, drawdown_cents,
+         |        row_number() OVER (ORDER BY day) AS rn,
+         |        CASE WHEN drawdown_cents > 0 THEN 1 ELSE 0 END AS uw
+         |      FROM dd),
+         |runs AS (SELECT grp, count(*) AS len FROM (
+         |           SELECT rn - row_number() OVER (ORDER BY day) AS grp
+         |           FROM m WHERE uw = 1) i
+         |         GROUP BY grp),
+         |b AS (SELECT count(*) AS n_days,
+         |        arg_max(equity_cents, day) AS final_equity_cents,
+         |        max(equity_cents) AS peak_equity_cents,
+         |        max(drawdown_cents) AS max_drawdown_cents,
+         |        sum(uw) AS n_underwater_days
+         |      FROM m),
+         |r AS (SELECT coalesce(max(len), 0) AS longest_underwater_days
+         |      FROM runs)
+         |SELECT CAST(b.n_days AS BIGINT) AS n_days,
+         |  CAST(b.final_equity_cents AS BIGINT) AS final_equity_cents,
+         |  CAST(b.peak_equity_cents AS BIGINT) AS peak_equity_cents,
+         |  CAST(b.max_drawdown_cents AS BIGINT) AS max_drawdown_cents,
+         |  CAST(b.n_underwater_days AS BIGINT) AS n_underwater_days,
+         |  CAST(r.longest_underwater_days AS BIGINT) AS longest_underwater_days
+         |FROM b CROSS JOIN r""".stripMargin) { (s, d) =>
+      riskStats(Tables.events(s, d), fast = 5, slow = 20)
     }
   )
+
+  /** Portfolio-curve oracle CTEs on top of `backtestCtes`, ending in
+    * `dd(day, equity_cents, drawdown_cents)` — shared between
+    * mkt_backtest_portfolio and mkt_risk_stats so the curve the risk
+    * stats summarize is definitionally the curve the portfolio query
+    * reports.
+    */
+  private lazy val portfolioCtes =
+    s"""$backtestCtes,
+       |d AS (SELECT e.user_id, e.rn, e.cum_pnl_cents,
+       |        date_trunc('day', CAST(ev.ts AS TIMESTAMP)) AS day
+       |      FROM eq e JOIN events ev USING (event_id)),
+       |l AS (SELECT user_id, day, cum_pnl_cents FROM (
+       |        SELECT user_id, day, cum_pnl_cents,
+       |          row_number() OVER (PARTITION BY user_id, day
+       |            ORDER BY rn DESC) AS rk
+       |        FROM d) WHERE rk = 1),
+       |grid AS (SELECT DISTINCT day FROM d),
+       |u AS (SELECT DISTINCT user_id FROM d),
+       |cells AS (SELECT u.user_id, g.day, l.cum_pnl_cents
+       |          FROM u CROSS JOIN grid g
+       |          LEFT JOIN l ON l.user_id = u.user_id AND l.day = g.day),
+       |ff AS (SELECT user_id, day,
+       |         coalesce(last_value(cum_pnl_cents IGNORE NULLS) OVER (
+       |           PARTITION BY user_id ORDER BY day
+       |           ROWS UNBOUNDED PRECEDING), 0) AS eqv
+       |       FROM cells),
+       |port AS (SELECT day, CAST(sum(eqv) AS BIGINT) AS equity_cents
+       |         FROM ff GROUP BY 1),
+       |dd AS (SELECT day, equity_cents,
+       |         CAST(max(equity_cents) OVER (ORDER BY day
+       |           ROWS UNBOUNDED PRECEDING) - equity_cents AS BIGINT)
+       |           AS drawdown_cents
+       |       FROM port)""".stripMargin
 
   /** Shared DuckDB CTE chain for the backtest oracles, ending in
     * `eq(event_id, user_id, rn, pos, pnl_cents, cum_pnl_cents, peak)` —
@@ -1058,6 +1109,31 @@ object MarketOps {
     port.withColumn("drawdown_cents",
         max(col("equity_cents")).over(wDd) - col("equity_cents"))
       .orderBy(col("day"))
+  }
+
+  /** One-row risk report over the portfolio equity curve — see the
+    * mkt_risk_stats QueryDef for the exactness design (BIGINT cents end
+    * to end; the underwater-streak islands are derived from two
+    * row_numbers over the unique day key, so both engines walk identical
+    * integers). All windows are calendar-bounded (the portfolio curve's
+    * day grid); the two single-row aggregates cross-join as scalars.
+    */
+  def riskStats(events: DataFrame, fast: Int, slow: Int): DataFrame = {
+    val wDay = Window.orderBy(col("day"))
+    val m = backtestPortfolio(events, fast, slow)
+      .withColumn("rn", row_number().over(wDay))
+      .withColumn("uw", when(col("drawdown_cents") > 0L, 1L).otherwise(0L))
+    val longest = m.filter(col("uw") === 1L)
+      .withColumn("grp", col("rn") - row_number().over(wDay))
+      .groupBy(col("grp")).agg(count(lit(1)).as("len"))
+      .agg(coalesce(max(col("len")), lit(0L)).as("longest_underwater_days"))
+    m.agg(
+        count(lit(1)).as("n_days"),
+        max_by(col("equity_cents"), col("day")).as("final_equity_cents"),
+        max(col("equity_cents")).as("peak_equity_cents"),
+        max(col("drawdown_cents")).as("max_drawdown_cents"),
+        sum(col("uw")).as("n_underwater_days"))
+      .crossJoin(longest)
   }
 
   /** The full backtest frame (see mkt_backtest_sma for the exactness

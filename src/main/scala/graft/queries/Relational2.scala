@@ -206,6 +206,32 @@ object Relational2 {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       EventOps.transitionMatrix(Tables.events(s, d))
+    },
+
+    // Trailing-window anomaly detection: events whose integer-cents value
+    // exceeds 3× the mean of the previous 20 events for the same key
+    // (current row excluded from its own baseline; 10-row warmup). The
+    // threshold cross-multiplies (p·n > s·3) so the whole contract is
+    // BIGINT — hash-exact under any execution order. One shuffle by key,
+    // one bounded-frame window pass (see EventOps.spikeDetect).
+    QueryDef.sqlBacked(
+      "q26_spike_detect",
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS p_cents,
+        |    count(*) OVER w AS trail_n,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS trail_sum_cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, p_cents,
+        |  CAST(trail_n AS BIGINT) AS trail_n,
+        |  CAST(trail_sum_cents AS BIGINT) AS trail_sum_cents
+        |FROM t
+        |WHERE trail_n >= 10 AND p_cents * trail_n > trail_sum_cents * 3
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      EventOps.spikeDetect(Tables.events(s, d))
     }
   )
 }

@@ -224,4 +224,28 @@ class MarketSpec extends AnyFunSuite {
       s"screen recalled only $hit/5 top exact pairs: exact=$exactTop screen=$screen")
     graft.core.GraftCaches.releaseAll(spark)
   }
+
+  test("risk stats summarize the portfolio curve exactly (streaks via islands)") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val curve = MarketOps.backtestPortfolio(ev, fast = 5, slow = 20)
+      .select("day", "equity_cents", "drawdown_cents")
+      .as[(java.sql.Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(curve.nonEmpty)
+    val stats = MarketOps.riskStats(ev, fast = 5, slow = 20)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (nDays, finalEq, peakEq, maxDd, nUw, longest) = stats
+    assert(nDays == curve.length)
+    assert(finalEq == curve.last._2)
+    assert(peakEq == curve.map(_._2).max)
+    assert(maxDd == curve.map(_._3).max)
+    assert(nUw == curve.count(_._3 > 0L))
+    // longest underwater streak by direct scan over the ordered curve
+    val expectedLongest = curve.map(_._3 > 0L)
+      .foldLeft((0L, 0L)) { case ((best, cur), uw) =>
+        val c = if (uw) cur + 1 else 0L
+        (math.max(best, c), c)
+      }._1
+    assert(longest == expectedLongest,
+      s"streak $longest != scan $expectedLongest")
+  }
 }

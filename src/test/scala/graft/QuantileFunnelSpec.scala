@@ -172,4 +172,31 @@ class QuantileFunnelSpec extends AnyFunSuite {
         Option(r.getString(3)))).toMap
     assert(again == out)
   }
+
+  test("spikeDetect: spike flagged against a baseline that excludes itself") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00")
+    // key 1: flat 1.00 tape with a 10.00 spike at row 25 (warm) and a
+    // 10.00 value at row 5 (inside warmup — must NOT be flagged)
+    val rows = (0 until 30).map { i =>
+      val v = if (i == 25 || i == 5) 10.0 else 1.0
+      (i.toLong, 1L, t(i), v)
+    }
+    val out = graft.operators.EventOps.spikeDetect(
+        rows.toDF("event_id", "user_id", "ts", "value"),
+        lookback = 20, minTrail = 10, mulNum = 3, mulDen = 1)
+      .select("event_id", "trail_n", "trail_sum_cents")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(25L),
+      s"exactly the warm spike flags: ${out.toSeq}")
+    // row 25's trailing window is rows 5..24: one early spike + 19 flat
+    assert(out.head._2 == 20L && out.head._3 == 19 * 100L + 1000L,
+      s"baseline must exclude the flagged row itself: ${out.head}")
+    // the row AFTER the spike sees it in-baseline and must stay quiet —
+    // implied by the flagged set above; determinism under repartitioning
+    val again = graft.operators.EventOps.spikeDetect(
+        rows.toDF("event_id", "user_id", "ts", "value").repartition(4),
+        lookback = 20, minTrail = 10, mulNum = 3, mulDen = 1)
+      .select("event_id").as[Long].collect().toSeq
+    assert(again == Seq(25L))
+  }
 }
