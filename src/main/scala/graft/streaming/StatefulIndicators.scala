@@ -191,6 +191,36 @@ object StatefulIndicators {
     }
   }
 
+  final case class SpikeState(buf: List[Long], lastT: Long)
+  final case class SpikeOut(ticker: String, t: Long, pCents: Long,
+                            trailN: Long, trailSumCents: Long, spike: Boolean)
+
+  /** Live trailing-window spike detector — the streaming twin of
+    * EventOps.spikeDetect with the SAME integer-cents contract (baseline is
+    * the previous `lookback` ticks EXCLUDING the current one; the threshold
+    * cross-multiplies, so an ordered replay's flagged set is bit-identical
+    * to the batch query — StatefulSpec locks this). Per-key state: the last
+    * `lookback` integerized prices — O(keys · lookback) total, independent
+    * of history length.
+    */
+  def spikeStream(spark: SparkSession, ticks: Dataset[Tick],
+                  lookback: Int = 20, minTrail: Int = 10,
+                  mulNum: Long = 3L, mulDen: Long = 1L,
+                  idleTtl: Option[String] = None): Dataset[SpikeOut] = {
+    import spark.implicits._
+    require(mulNum > 0 && mulDen > 0, "spike multiplier must be positive")
+    foldPerKey(spark, ticks, idleTtl,
+      SpikeState(Nil, Long.MinValue), (s: SpikeState) => s.lastT) {
+      (ticker, tick, st) =>
+        val p = math.floor(tick.price * 100).toLong
+        val n = st.buf.length.toLong
+        val sum = st.buf.sum
+        val spike = n >= minTrail && p * n * mulDen > sum * mulNum
+        (SpikeState((st.buf :+ p).takeRight(lookback), tick.t),
+          SpikeOut(ticker, tick.t, p, n, sum, spike))
+    }
+  }
+
   final case class AtrState(atr: Double, prev: Double, lastT: Long)
   final case class AtrOut(ticker: String, t: Long, price: Double,
                           atr: Option[Double])

@@ -249,4 +249,33 @@ class StatefulSpec extends AnyFunSuite {
         s"equity diverged at ($k, $t): stream=${s.get} batch=($pos,$pnl,$cum,$dd)")
     }
   }
+
+  test("streaming spike detector flags exactly the batch query's rows") {
+    import org.apache.spark.sql.functions._
+    val streamed = replayFixture[StatefulIndicators.SpikeOut]("spike_replay",
+      ds => StatefulIndicators.spikeStream(spark, ds,
+        lookback = 20, minTrail = 10, mulNum = 3L, mulDen = 1L))
+    val batch = graft.operators.EventOps
+      .spikeDetect(Tables.events(spark, TestSpark.Sf0001),
+        lookback = 20, minTrail = 10, mulNum = 3, mulDen = 1)
+      .join(Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_id"), unix_millis(col("ts")).as("t")), "event_id")
+      .select(col("user_id").cast("string"), col("t"), col("p_cents"),
+        col("trail_n"), col("trail_sum_cents"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty, "fixture should contain spikes")
+    // every batch-flagged row streams as a spike with identical baseline
+    batch.foreach { case (k, t, p, n, sum) =>
+      val s = streamed.get((k, t))
+      assert(s.nonEmpty, s"stream missing row ($k, $t)")
+      assert(s.get.spike && (s.get.pCents, s.get.trailN, s.get.trailSumCents)
+        == ((p, n, sum)),
+        s"spike diverged at ($k, $t): stream=${s.get} batch=($p,$n,$sum)")
+    }
+    // and the stream flags NOTHING the batch query didn't (exact set parity)
+    val batchKeys = batch.map(r => (r._1, r._2)).toSet
+    val extra = streamed.values.filter(_.spike)
+      .map(o => (o.ticker, o.t)).filterNot(batchKeys)
+    assert(extra.isEmpty, s"stream over-flagged: $extra")
+  }
 }
