@@ -431,6 +431,45 @@ object TextOps {
         |ORDER BY term""".stripMargin) { (s, d) =>
       invertedIndex(Tables.documents(s, d), capNum = 4, capDen = 5)
         .orderBy(col("term"))
+    },
+
+    // Cross-document BOILERPLATE removal (the C4/MassiveText span-dedup
+    // move): tile each document into non-overlapping fixed-length token
+    // chunks, count each chunk's document frequency across the corpus, and
+    // flag chunks that recur in >= minDf documents — navigation chrome,
+    // license footers, templated headers. Per doc: chunk count, flagged
+    // count, and the token count that SURVIVES removal. All-integer
+    // contract (counts only) → hash-exact. Scale: chunk df is one
+    // partial-aggregated shuffle; the blacklist is bounded by
+    // total_chunks / minDf and broadcasts back (the ngram df-cap's
+    // blacklist pattern — never a window, never a corpus-array join).
+    QueryDef.sqlBacked(
+      "txt_boilerplate",
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range((len(w) + 1) // 2),
+        |      i -> array_to_string(list_slice(w, i * 2 + 1, i * 2 + 2), ' ')))
+        |      AS chunk,
+        |    unnest(list_transform(range((len(w) + 1) // 2),
+        |      i -> least(2, len(w) - i * 2))) AS n_tok
+        |  FROM d WHERE len(w) > 0),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+        |bl AS (SELECT chunk FROM df WHERE df >= 25)
+        |SELECT e.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE b.chunk IS NOT NULL) AS BIGINT)
+        |    AS n_flagged_chunks,
+        |  CAST(coalesce(sum(e.n_tok) FILTER (WHERE b.chunk IS NULL), 0)
+        |    AS BIGINT) AS kept_tokens
+        |FROM ex e LEFT JOIN bl b USING (chunk)
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+      boilerplateSpans(Tables.documents(s, d), chunkLen = 2, minDf = 25)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -465,6 +504,40 @@ object TextOps {
         col("cf").cast("long").as("cf"),
         expr("array_join(transform(plist, x -> cast(x AS string)), ',')")
           .as("postings"))
+  }
+
+  /** Cross-document boilerplate spans — see the txt_boilerplate QueryDef
+    * for semantics and the scale argument. The tiling is arithmetic over
+    * the shared `words` tokenization (chunk i covers tokens
+    * [i·chunkLen+1, (i+1)·chunkLen], last chunk short), so Spark and the
+    * oracle cannot disagree on chunk boundaries. The exploded chunk frame
+    * persists for the duration (df pass + flag join share it); the
+    * blacklist broadcast is bounded by total_chunks / minDf.
+    */
+  def boilerplateSpans(docs: DataFrame, chunkLen: Int = 8,
+                       minDf: Long = 25L): DataFrame = {
+    require(chunkLen > 0 && minDf > 1, "chunkLen and minDf must be positive")
+    val nChunks = ((size(col("w")) + lit(chunkLen - 1)) / lit(chunkLen))
+      .cast("int")
+    val ex = graft.core.GraftCaches.acquire(docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("i", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(col("w"), col("i") * chunkLen + 1, lit(chunkLen))).as("chunk"),
+        least(lit(chunkLen), size(col("w")) - col("i") * chunkLen)
+          .cast("long").as("n_tok")))
+    val bl = ex.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("chunk"), lit(1).as("flagged"))
+    ex.join(broadcast(bl), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("flagged")).as("n_flagged_chunks"),
+        coalesce(sum(when(col("flagged").isNull, col("n_tok"))), lit(0L))
+          .as("kept_tokens"))
   }
 
   /** Per-document top-k terms by TF-IDF — see the txt_tfidf QueryDef for

@@ -173,6 +173,33 @@ class QuantileFunnelSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("boilerplateSpans flags recurring chunks, keeps unique content tokens") {
+    // "all rights reserved" tiles as chunks ("all rights", "reserved") at
+    // the TAIL of every doc (even token offset), so both chunks recur in
+    // all 4 docs; the 3-token unique head keeps chunk alignment stable
+    val docs = Seq(
+      (1L, "alpha beta gamma x all rights reserved"),
+      (2L, "delta epsilon zeta y all rights reserved"),
+      (3L, "eta theta iota z all rights reserved"),
+      (4L, "kappa lambda mu w all rights reserved")
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateSpans(docs, chunkLen = 2, minDf = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // 7 tokens → 4 chunks; tail chunks ("all rights", "reserved") recur in
+    // all docs → 2 flagged, 4 unique head tokens survive (2 full chunks)
+    out.foreach { case (id, (nc, fl, kept)) =>
+      assert(nc == 4L, s"doc $id chunks: $nc")
+      assert(fl == 2L, s"doc $id flagged: $fl")
+      assert(kept == 4L, s"doc $id kept: $kept")
+    }
+    // below the df floor nothing flags
+    val loose = TextOps.boilerplateSpans(docs, chunkLen = 2, minDf = 5L)
+      .collect().map(r => r.getLong(2)).sum
+    assert(loose == 0L, "df floor above corpus size must flag nothing")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("spikeDetect: spike flagged against a baseline that excludes itself") {
     def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00")
     // key 1: flat 1.00 tape with a 10.00 spike at row 25 (warm) and a
