@@ -82,8 +82,21 @@ object SimilarityOps {
     * not approximate.
     */
   private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val (ctes, fin) = kmeansCtes(k, iters)
+    s"""WITH $ctes
+       |SELECT vec_id, cid, round(d2, 6) AS d2 FROM $fin
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The unrolled Lloyd CTE chain (init -> iters × (assign, update) ->
+    * final assign) as a reusable fragment: returns (ctes, finalRelation)
+    * where finalRelation holds (vec_id, cid, d2). Shared by `ann_kmeans`
+    * and `ann_semdedup` so the cluster assignment SemDeDup prunes with is
+    * definitionally the assignment the clustering query reports.
+    */
+  private def kmeansCtes(k: Int, iters: Int): (String, String) = {
     val sb = new StringBuilder
-    sb ++= s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+    sb ++= s"""v AS (SELECT vec_id, list_transform(embedding,
               |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
               |  FROM embeddings),
               |c0 AS (SELECT CAST(row_number() OVER (ORDER BY $centroidOrderSql)
@@ -108,10 +121,7 @@ object SimilarityOps {
                   |  GROUP BY a.cid, jj.j)
                   |  GROUP BY cid),""".stripMargin
     }
-    sb ++= s"""
-              |SELECT vec_id, cid, round(d2, 6) AS d2 FROM a${iters + 1}
-              |ORDER BY vec_id""".stripMargin
-    sb.toString
+    (sb.toString, s"a${iters + 1}")
   }
 
   /** Lloyd's k-means over the embedding corpus — the clustering stage of
@@ -332,8 +342,61 @@ object SimilarityOps {
       "ann_kmeans",
       kmeansOracleSql(k = 8, iters = 3)) { (s, d) =>
       kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 3)
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    // prunes pair candidates to TRAINED k-means cluster co-membership,
+    // then verifies with the exact cosine — the curation move for a corpus
+    // where LSH recall is wasted on cross-topic pairs. The oracle shares
+    // `kmeansCtes` with ann_kmeans (same centroid trajectory bit-for-bit)
+    // and the cosine/round contract with the embedding near-dup family.
+    // Scale: the pair search becomes a cid-equi self-join — id rows
+    // shuffle to their cluster, quadratic work is per-list (k grows with
+    // the corpus to bound list sizes; hot clusters split by salting),
+    // never the corpus-wide BNLJ of the brute-force baseline.
+    QueryDef.sqlBacked(
+      "ann_semdedup", {
+        val (ctes, fin) = kmeansCtes(k = 8, iters = 3)
+        s"""WITH $ctes,
+           |e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |  FROM embeddings)
+           |SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
+           |FROM $fin a JOIN $fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |JOIN e ea ON ea.vec_id = a.vec_id
+           |JOIN e eb ON eb.vec_id = b.vec_id
+           |WHERE round(list_cosine_similarity(ea.ed, eb.ed), 6) >= 0.42
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }) { (s, d) =>
+      semDedupPairs(Tables.embeddings(s, d), threshold = 0.42, k = 8, iters = 3)
     }
   )
+
+  /** Within-cluster near-dup pairs over trained k-means clusters — see the
+    * ann_semdedup QueryDef. Reuses kmeansAssign for the assignment (the
+    * oracle-exact trajectory) and the family's raw-dot-first verify (the
+    * cheap unrounded superset test guards the rounded exact one).
+    */
+  def semDedupPairs(embeddings: DataFrame, threshold: Double, k: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val asg = kmeansAssign(embeddings, k, iters)
+      .select(col("vec_id"), col("cid"))
+    val e = withNorm(embeddings).join(asg, "vec_id")
+    val a = e.select(col("cid"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("cid"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val rawDot = expr("graft_dot(ea, eb)")
+    val normProd = sqrt(col("na") * col("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b") &&
+        rawDot >= lit(threshold - 1e-6) * normProd &&
+        round(rawDot / normProd, 6) >= threshold)
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        round(rawDot / normProd, 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** All pairs with cosine >= threshold (embedding near-dup). One side is
     * broadcast; the join is a broadcast nested loop by nature (all-pairs

@@ -131,6 +131,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"inertia increased across rounds: $i1 -> $i2 -> $i3")
   }
 
+  test("semDedup is exactly the cosine pair set restricted to shared clusters") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = SimilarityOps.cosinePairs(emb, threshold = 0.42)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val cid = SimilarityOps.kmeansAssign(emb, k = 8, iters = 3)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val sem = SimilarityOps.semDedupPairs(emb, threshold = 0.42)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(sem.nonEmpty, "fixture should have within-cluster near-dups")
+    // soundness: every reported pair is an exact-threshold pair, co-resident
+    // in the cluster the row names, with the family's cosine value
+    sem.foreach { case (c, a, b, cos) =>
+      assert(exact.get((a, b)).contains(cos), s"pair ($a,$b) cos drifted")
+      assert(cid(a) == c && cid(b) == c, s"pair ($a,$b) not co-resident in $c")
+    }
+    // completeness: every exact pair sharing a trained cluster is reported
+    val expected = exact.keySet.filter { case (a, b) => cid(a) == cid(b) }
+    assert(sem.map(p => (p._2, p._3)).toSet == expected,
+      "semdedup must equal the cluster-restricted exact pair set")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("lsh recall vs brute force baseline is measurable and sane") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val exact = SimilarityOps.cosineTopK(emb, col("vec_id") % 100 === 0, k = 3)
