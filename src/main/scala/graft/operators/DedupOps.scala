@@ -310,6 +310,26 @@ object DedupOps {
         docs.filter(col("doc_id") % 7 === 0), threshold = 0.5)
     },
 
+    // CONTAINMENT near-dup: asymmetric overlap |A∩B|/|A| (and /|B|) over
+    // the same LSH candidate set and exact shingle verify as the Jaccard
+    // family — the quote-inclusion detector: a short document pasted
+    // inside a long one scores containment ~1 while its Jaccard stays low.
+    // Shares duckMinhashCtes, so candidates cannot drift from
+    // dedup_minhash_lsh's. Exactness: both containments divide the same
+    // exact integers (inter/na, inter/nb) — identical IEEE ops, bit-equal.
+    QueryDef.sqlBacked(
+      "dedup_containment",
+      s"""WITH $duckMinhashCtes
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / na AS cont_a,
+         |  CAST(inter AS DOUBLE) / nb AS cont_b
+         |FROM v
+         |WHERE greatest(CAST(inter AS DOUBLE) / na,
+         |               CAST(inter AS DOUBLE) / nb) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      containmentPairs(Tables.documents(s, d), threshold = 0.5)
+    },
+
     // SimHash near-dup: 64-bit signature from per-shingle parity votes,
     // banded into 4 16-bit chunks (guarantees detection at hamming ≤ 3).
     // Oracle-exact via the same portable arithmetic: the SQL twin recomputes
@@ -550,13 +570,46 @@ object DedupOps {
   def minhashLsh(documents: DataFrame, threshold: Double,
                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingleTable(documents)
+    verifyPairs(minhashCandidates(sh, numHashes, bands), sh, threshold)
+  }
+
+  /** LSH candidate (doc_a < doc_b) pairs from the banded signature self-
+    * join — the id-only shuffle shared by the Jaccard and containment
+    * verifiers.
+    */
+  private def minhashCandidates(sh: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
     val banded = minhashBandTable(sh, numHashes, bands)
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(cand, sh, threshold)
+  }
+
+  /** Asymmetric containment over the LSH candidate set — see the
+    * dedup_containment QueryDef. Recall caveat, by design: the banding is
+    * Jaccard-tuned, so a TINY document swallowed by a huge one (containment
+    * 1, Jaccard → 0) rarely shares a band; a containment-first screen at
+    * scale lowers `numHashes / bands` (more, narrower bands) to push band
+    * match probability toward the containment rather than the Jaccard —
+    * the knobs are exposed for exactly that.
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double,
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = shingleTable(documents)
+    minhashCandidates(sh, numHashes, bands)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("cont_a",
+        col("inter").cast("double") / size(col("sa.sh")))
+      .withColumn("cont_b",
+        col("inter").cast("double") / size(col("sb.sh")))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The LSH signature STORE: (doc_id, band, sig) from a (doc_id, sh)

@@ -163,6 +163,27 @@ class DedupSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("containment catches a quote-inclusion pair Jaccard misses") {
+    val quoted = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, quoted + " extra trailing editorial commentary words"),
+      (3L, "completely unrelated filler content about spark physical plans")
+    ).toDF("doc_id", "text")
+    // doc 1's shingles are a strict subset of doc 2's -> containment 1.0
+    val cont = DedupOps.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the planted superset pair: ${cont.toSeq}")
+    assert(cont.head._3 == 1.0 && cont.head._4 < 1.0,
+      s"asymmetry must show: ${cont.head}")
+    // the Jaccard screen at the same bar does NOT surface it
+    val jac = DedupOps.minhashLsh(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(jac.isEmpty, s"jaccard at 0.9 should miss the subset pair: $jac")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("operator persists are graft-owned: releaseAll empties the cache manager") {
     // clean slate so caches left by sibling suites don't mask the assertion;
     // the run under test itself never calls clearCache
