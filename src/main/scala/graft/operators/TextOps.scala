@@ -470,8 +470,68 @@ object TextOps {
         |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
       boilerplateSpans(Tables.documents(s, d), chunkLen = 2, minDf = 25)
         .orderBy(col("doc_id"))
+    },
+
+    // Per-language QUALITY GATE — the curation filter that actually drops
+    // documents: rank every doc by the composite quality score WITHIN its
+    // language and keep those above the bottom quartile. A global cut
+    // would silently gut low-resource languages whose score distribution
+    // sits lower; per-stratum ranking is the standard fix (same reasoning
+    // as txt_stratified_split). The keep test cross-multiplies
+    // (rank·100 > n·25) so no percentile interpolation or division enters;
+    // scores are the bit-identical doubles of txt_quality's contract and
+    // doc_id breaks ties, so both engines walk one deterministic order.
+    // Scale: one shuffle by lang; per-language sorted rank, no global sort
+    // (the final ORDER BY is the declared-output convention).
+    QueryDef.sqlBacked(
+      "txt_quality_gate",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, length(text) AS n_chars,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> len(x) > 0) AS w,
+         |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |    0.5 * (len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))
+         |             / CAST(len(w) AS DOUBLE))
+         |      + 0.3 * least(1.0, len(w) / 50.0)
+         |      + 0.2 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+         |      AS quality_score
+         |  FROM t WHERE len(w) > 0),
+         |r AS (SELECT doc_id, lang, quality_score,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY quality_score, doc_id) AS q_rank,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM q)
+         |SELECT doc_id, lang, CAST(q_rank AS BIGINT) AS q_rank,
+         |  CAST(n_lang AS BIGINT) AS n_lang, quality_score
+         |FROM r WHERE q_rank * 100 > n_lang * 25
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      qualityGate(Tables.documents(s, d), pctNum = 25, pctDen = 100)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Per-language bottom-percentile quality filter — see the
+    * txt_quality_gate QueryDef. Returns survivors with their within-
+    * language rank and stratum size so the caller can audit the cut.
+    */
+  def qualityGate(docs: DataFrame, pctNum: Int = 25,
+                  pctDen: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pctNum >= 0 && pctDen > 0, "cut percentile must be a fraction")
+    val q = qualityProjection(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
+    q.withColumn("q_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wLang))
+      .filter(col("q_rank") * pctDen > col("n_lang") * pctNum)
+      .select(col("doc_id"), col("lang"), col("q_rank"), col("n_lang"),
+        col("quality_score"))
+  }
 
   /** Term → (df, cf, sorted posting string) — see the txt_inverted_index
     * QueryDef. Two-pass plan so an over-cap term's corpus-sized doc list

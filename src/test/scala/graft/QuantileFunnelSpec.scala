@@ -173,6 +173,25 @@ class QuantileFunnelSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("qualityGate drops exactly the bottom quartile per language") {
+    // 8 'en' docs with strictly increasing quality (longer docs score
+    // higher via the length term), plus a singleton 'xx' stratum that a
+    // GLOBAL cut would annihilate but a per-language cut must keep
+    val docs = ((1 to 8).map { i =>
+      (i.toLong, ("the " * i) + "alpha beta", "en")
+    } :+ ((99L, "zz", "xx"))).toDF("doc_id", "text", "lang")
+    val kept = graft.operators.TextOps.qualityGate(docs, 25, 100)
+      .select("doc_id", "lang", "q_rank", "n_lang")
+      .as[(Long, String, Long, Long)].collect()
+    val en = kept.filter(_._2 == "en")
+    // 8 docs, cut rank*100 <= 8*25 → ranks 1..2 dropped, 6 survive
+    assert(en.length == 6, s"en survivors: ${en.toSeq}")
+    assert(en.map(_._1).sorted.toSeq == (3L to 8L),
+      s"lowest-quality docs must go: ${en.toSeq}")
+    assert(kept.exists(r => r._1 == 99L && r._3 == 1L && r._4 == 1L),
+      "a singleton stratum survives its own gate")
+  }
+
   test("boilerplateSpans flags recurring chunks, keeps unique content tokens") {
     // "all rights reserved" tiles as chunks ("all rights", "reserved") at
     // the TAIL of every doc (even token offset), so both chunks recur in
