@@ -509,8 +509,56 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       qualityGate(Tables.documents(s, d), pctNum = 25, pctDen = 100)
         .orderBy(col("doc_id"))
+    },
+
+    // DATACARD — the corpus report a dataset release ships: per
+    // (lang, source) stratum plus ROLLUP margins, document/token/char
+    // volumes and mean quality. Exactness: quality means are sums of
+    // INTEGERIZED scores (floor(q·1e6) as BIGINT — order-independent, the
+    // float-sum trap the memory notes) divided once at the end by
+    // identical operands. Scale: a pure partial-aggregated rollup —
+    // result is bounded by |lang|·|source| strata, one shuffle.
+    QueryDef.sqlBacked(
+      "txt_datacard",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, length(text) AS n_chars,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> len(x) > 0) AS w,
+         |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang, source, len(w) AS n_tok, n_chars,
+         |    CAST(floor((
+         |      0.5 * (len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))
+         |               / CAST(len(w) AS DOUBLE))
+         |        + 0.3 * least(1.0, len(w) / 50.0)
+         |        + 0.2 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+         |      ) * 1000000) AS BIGINT) AS q6
+         |  FROM t WHERE len(w) > 0)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(q6) AS DOUBLE) / count(*) / 1000000 AS mean_quality
+         |FROM q
+         |GROUP BY ROLLUP(lang, source)
+         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+      datacard(Tables.documents(s, d))
     }
   )
+
+  /** Corpus datacard rollup — see the txt_datacard QueryDef. */
+  def datacard(docs: DataFrame): DataFrame =
+    qualityProjection(docs)
+      .select(col("doc_id"), col("n_tok"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars")), "doc_id")
+      .withColumn("q6", floor(col("quality_score") * 1e6).cast("long"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("q6")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_quality"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
   /** Per-language bottom-percentile quality filter — see the
     * txt_quality_gate QueryDef. Returns survivors with their within-
