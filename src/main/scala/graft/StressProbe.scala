@@ -201,6 +201,17 @@ object StressProbe {
       // PII scrub regex throughput: pure codegen projection
       timeN("pii_scrub_docs", nDocs)(
         operators.CorpusOps.piiScrub(docs)),
+      // boilerplate span removal in the open regime: the md5 corpus has
+      // almost no recurring chunks, so the df table is ~chunk-count rows —
+      // the probe asserts the df shuffle and blacklist join survive when
+      // the blacklist optimization removes nothing
+      timeN("boilerplate_docs", nDocs)(
+        operators.TextOps.boilerplateSpans(docs, chunkLen = 4, minDf = 50L)),
+      // spike detection at tick volume: one shuffle by key, bounded-frame
+      // window — wall should track the sort, not the frame width
+      timeN("spike_detect_ticks", rows)(
+        operators.EventOps.spikeDetect(
+          tape.withColumn("event_id", monotonically_increasing_id()))),
       // TF-IDF + inverted index in the OPEN-vocabulary regime (the md5
       // corpus has ~20·nDocs distinct terms, nothing like the 31-word
       // fixture): the df/log tables must NOT broadcast — AQE sizes the

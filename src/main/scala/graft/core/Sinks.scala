@@ -447,4 +447,31 @@ object Sinks {
     }
     fs.delete(old, true)
   }
+
+  /** CO-LOCATED join storage: write `df` hash-bucketed AND sorted by
+    * `keys` into the session catalog as `table`. Two tables written with
+    * the same bucket spec join with ZERO exchange — the shuffle that
+    * dominates a fact-fact join at 100 TB is paid once at write time and
+    * amortized over every later join/aggregate on the key (SinksSpec
+    * asserts the bucketed-bucketed join AND its downstream aggregate plan
+    * with no ShuffleExchange while the unbucketed control shuffles).
+    * Per-bucket sorts may still appear — since SPARK-28595 a bucketed
+    * scan doesn't advertise sortBy order — but those are partition-local;
+    * the network cost is gone. Bucket COUNT is part of the contract: pick
+    * it once per warehouse (tasks ≈ data / bucket target size) —
+    * mismatched counts fall back to a shuffle on one side.
+    *
+    * The reference's per-ticker table layout (v2022/etl-containers/
+    * aggregates/src/aggregates_etl.py:169-177, one JDBC table per symbol)
+    * is this idea done by hand; bucketing is the engine-native form.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    require(keys.nonEmpty && buckets >= 1, "bucket spec must be non-trivial")
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }

@@ -563,6 +563,13 @@ object TextOps {
   /** Per-language bottom-percentile quality filter — see the
     * txt_quality_gate QueryDef. Returns survivors with their within-
     * language rank and stratum size so the caller can audit the cut.
+    *
+    * SCALE CAVEAT — this is the ORACLE form: the per-language rank window
+    * sorts each stratum on one task chain, and a 100 TB corpus has only a
+    * handful of languages — the single-task-window trap. Production runs
+    * `qualityGateByThreshold`, which replaces the rank with a histogram-
+    * compacted order statistic (shuffle bounded by the integerized score
+    * DOMAIN, never the corpus) and brackets this gate's kept set exactly.
     */
   def qualityGate(docs: DataFrame, pctNum: Int = 25,
                   pctDen: Int = 100): DataFrame = {
@@ -579,6 +586,43 @@ object TextOps {
       .filter(col("q_rank") * pctDen > col("n_lang") * pctNum)
       .select(col("doc_id"), col("lang"), col("q_rank"), col("n_lang"),
         col("quality_score"))
+  }
+
+  /** The 100 TB quality gate: the same per-language bottom-percentile cut
+    * computed VALUE-level from a histogram of integerized scores instead
+    * of a per-stratum rank window. Per language, t = the smallest q6 whose
+    * cumulative count crosses the cut (the order statistic the rank form
+    * drops at); docs with q6 > t are kept. No per-stratum sort ever sees
+    * corpus-sized data: the histogram groupBy is bounded by the score
+    * DOMAIN (≤1e6 buckets/language), its cumulative window runs over that
+    * histogram, and the threshold frame (one row per language) broadcasts
+    * into a codegen filter.
+    *
+    * Boundary contract vs the rank form (QuantileFunnelSpec): ties AT the
+    * threshold value have no doc_id tie-break at value level, so
+    * kept(q6 > t) ⊆ kept_rank ⊆ kept(q6 ≥ t) — this operator returns the
+    * strict (conservative) side; pass `keepThresholdValue = true` for the
+    * inclusive side.
+    */
+  def qualityGateByThreshold(docs: DataFrame, pctNum: Int = 25,
+                             pctDen: Int = 100,
+                             keepThresholdValue: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityProjection(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("q6", floor(col("quality_score") * 1e6).cast("long"))
+    val hist = q.groupBy(col("lang"), col("q6")).agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy(col("lang")).orderBy(col("q6"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(byV))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .filter(col("cum") * pctDen > col("n") * pctNum)
+      .groupBy(col("lang")).agg(min(col("q6")).as("t"))
+    q.join(broadcast(thr), Seq("lang"))
+      .filter(if (keepThresholdValue) col("q6") >= col("t")
+              else col("q6") > col("t"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
   }
 
   /** Term → (df, cf, sorted posting string) — see the txt_inverted_index

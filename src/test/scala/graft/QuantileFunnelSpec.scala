@@ -192,6 +192,35 @@ class QuantileFunnelSpec extends AnyFunSuite {
       "a singleton stratum survives its own gate")
   }
 
+  test("threshold quality gate brackets the rank gate exactly at the boundary") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val rankKept = graft.operators.TextOps.qualityGate(docs, 25, 100)
+      .select("doc_id").as[Long].collect().toSet
+    val strict = graft.operators.TextOps
+      .qualityGateByThreshold(docs, 25, 100, keepThresholdValue = false)
+      .select("doc_id").as[Long].collect().toSet
+    val incl = graft.operators.TextOps
+      .qualityGateByThreshold(docs, 25, 100, keepThresholdValue = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict.nonEmpty && rankKept.nonEmpty)
+    assert(strict.subsetOf(rankKept),
+      s"strict threshold kept a doc the rank gate dropped: ${strict -- rankKept}")
+    assert(rankKept.subsetOf(incl),
+      s"rank gate kept a doc the inclusive threshold dropped: ${rankKept -- incl}")
+    // the two threshold policies differ only at the threshold value itself:
+    // within each language every differing doc carries the SAME q6
+    val meta = graft.operators.TextOps.qualityProjection(docs)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1e6).cast("long").as("q6"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._3, r._2)).toMap
+    (incl -- strict).groupBy(d => meta(d)._1).foreach { case (lang, ds) =>
+      assert(ds.map(d => meta(d)._2).size == 1,
+        s"lang $lang boundary docs span multiple q6 values")
+    }
+  }
+
   test("boilerplateSpans flags recurring chunks, keeps unique content tokens") {
     // "all rights reserved" tiles as chunks ("all rights", "reserved") at
     // the TAIL of every doc (even token offset), so both chunks recur in

@@ -504,4 +504,45 @@ class SinksSpec extends AnyFunSuite {
     assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"),
       "partition pruning lost after compaction")
   }
+
+  test("bucketed tables join with zero exchange and zero sort") {
+    // one write task → one file per bucket, so the read-back layout
+    // satisfies BOTH the join's distribution and ordering requirements
+    val a = spark.range(1, 201)
+      .select((col("id") % 40).as("user_id"), col("id").as("event_id"),
+        (col("id") * 2).cast("double").as("value"))
+      .repartition(1)
+    val b = spark.range(1, 201)
+      .select((col("id") % 40).as("user_id"), col("id").as("event_id"),
+        concat(lit("seg"), col("id") % 5).as("segment"))
+      .repartition(1)
+    Sinks.writeBucketed(a, "bk_a", Seq("user_id"), buckets = 8)
+    Sinks.writeBucketed(b, "bk_b", Seq("user_id"), buckets = 8)
+    // the fixture is broadcast-sized, which would hide the point — force
+    // the shuffle-join path a fact-fact join takes at warehouse scale
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldThr = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
+      val j = spark.table("bk_a").join(spark.table("bk_b"), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val plan = j.queryExecution.executedPlan.toString
+      // the win is the absent Exchange: join AND aggregate run on the
+      // bucket layout. (Per-bucket Sorts remain: since SPARK-28595 a
+      // bucketed scan no longer advertises sortBy order — those sorts are
+      // partition-local and spill-free, not the network cost.)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"co-located fact-fact join should sort-merge:\n$plan")
+      assert(j.count() == 40)
+      // contrast: the same join off plain parquet shuffles both sides
+      val dir = Files.createTempDirectory("nobkt").toString
+      a.write.parquet(dir + "/a"); b.write.parquet(dir + "/b")
+      val pj = spark.read.parquet(dir + "/a")
+        .join(spark.read.parquet(dir + "/b"), "user_id")
+      assert(pj.queryExecution.executedPlan.toString.contains("Exchange"),
+        "unbucketed control should shuffle — assertion above is vacuous otherwise")
+    } finally spark.conf.set(thrKey, oldThr)
+  }
 }
