@@ -542,6 +542,33 @@ object TextOps {
          |GROUP BY ROLLUP(lang, source)
          |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
       datacard(Tables.documents(s, d))
+    },
+
+    // HEAVY HITTERS — frequent-word detection WITHOUT a full-vocabulary
+    // shuffle: a per-partition Misra-Gries summary (k-1 counters) emits a
+    // guaranteed SUPERSET of the global heavy hitters — if freq(w) > n/k
+    // corpus-wide then freq_p(w) > n_p/k in at least one partition
+    // (pigeonhole over the partition sums), and k-1 counters never evict
+    // a local item above that bar — then an exact recount of the
+    // candidate set alone (broadcast semi-join, aggregate bounded by
+    // partitions × k) yields EXACT counts: sketch error never reaches the
+    // output, so the oracle is the plain exact GROUP BY ... HAVING.
+    // txt_vocab_topk shuffles every distinct word; on an open crawl
+    // vocabulary that shuffle is the cost this operator deletes — the
+    // corpus is scanned exactly twice, map-only, and the only shuffled
+    // rows are the bounded candidate set (the total token count rides the
+    // candidate pass as one row per partition).
+    QueryDef.sqlBacked(
+      "txt_heavy_hitters",
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                  x -> len(x) > 0)) AS word FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w)
+        |SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM w, tot
+        |GROUP BY word, tot.n_total
+        |HAVING count(*) * 30 > tot.n_total
+        |ORDER BY n DESC, word""".stripMargin) { (s, d) =>
+      heavyHitters(Tables.documents(s, d), k = 30)
     }
   )
 
@@ -813,5 +840,65 @@ object TextOps {
         round(col("vlo") + (col("r") - floor(col("r"))) * (col("vhi") - col("vlo")), 6)
           .as("q"))
       .orderBy(col(groupCol), col("p"))
+  }
+
+  /** Per-partition Misra-Gries candidate pass over an exploded token frame
+    * (single `word` column): each partition keeps at most k-1
+    * decrement-counters and emits its surviving words (np = 0) plus ONE
+    * (null, n_p) row carrying the partition's exact token count — so the
+    * global total rides this pass instead of costing a third corpus scan.
+    * Genuine per-partition imperative state (a bounded counter map with
+    * decrement-all eviction) — the one shape `mapPartitions` exists for;
+    * no DataFrame aggregate holds "at most k-1 groups, evict by global
+    * decrement". Package-visible so the spec can pin the candidate-set
+    * bound and the superset guarantee directly.
+    */
+  private[graft] def heavyHitterScan(toks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("word", StringType, nullable = true),
+      StructField("np", LongType, nullable = false)))
+    val cap = k - 1
+    toks.select(col("word")).mapPartitions { rows =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      while (rows.hasNext) {
+        val w = rows.next().getString(0)
+        np += 1
+        m.get(w) match {
+          case Some(c) => m.update(w, c + 1)
+          case None if m.size < cap => m.update(w, 1L)
+          case None =>
+            // decrement-all, drop zeros: amortized O(1)/token — every unit
+            // removed here was added by exactly one earlier increment
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (kw, c) =>
+              if (c == 1L) dead += kw else m.update(kw, c - 1) }
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator.map(w => Row(w, 0L)) ++ Iterator(Row(null, np))
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  /** Exact heavy hitters — words with count·k > total token count — see
+    * the txt_heavy_hitters QueryDef. The scan output is persisted (bounded
+    * by partitions × k rows) because the candidate filter and the total
+    * aggregate are separate consumers and Spark does not CSE across
+    * branches — without it the corpus-wide candidate pass would run twice.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "heavy-hitter threshold k must be >= 2")
+    val toks = docs.select(explode(words(col("text"))).as("word"))
+    val scan = graft.core.GraftCaches.acquire(heavyHitterScan(toks, k))
+    val cands = scan.filter(col("word").isNotNull).select(col("word")).distinct()
+    val total = scan.groupBy().agg(sum(col("np")).as("n_total"))
+    toks.join(broadcast(cands), Seq("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("n_total"))
+      .select(col("word"), col("n"))
+      .orderBy(col("n").desc, col("word"))
   }
 }

@@ -274,4 +274,47 @@ class QuantileFunnelSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSeq
     assert(again == Seq(25L))
   }
+
+  test("heavyHitters matches the exact full-vocab computation on the fixture") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val got = TextOps.heavyHitters(docs, k = 30)
+      .as[(String, Long)].collect().toSeq
+
+    val toks = docs.select(explode(TextOps.words(col("text"))).as("word"))
+    val total = toks.count()
+    val want = toks.groupBy("word").count()
+      .filter(col("count") * 30 > total)
+      .orderBy(col("count").desc, col("word"))
+      .as[(String, Long)].collect().toSeq
+
+    assert(got.nonEmpty && got == want,
+      s"heavy hitters drifted from exact: got ${got.take(5)} want ${want.take(5)}")
+  }
+
+  test("heavyHitters survives constant Misra-Gries eviction (superset guarantee)") {
+    // One heavy word drowned in a stream of unique one-off tokens: with
+    // k = 10 the 9-counter summary is evicted on nearly every token, the
+    // adversarial regime for the sketch. The guarantee under test: a word
+    // with freq > n/k CANNOT be evicted for good (its counter absorbs more
+    // increments than decrement-alls can remove), so the exact recount
+    // sees it. "mid" sits exactly AT the threshold (count*k == n) and must
+    // be excluded by the strict inequality.
+    val uniques = Seq.tabulate(75)(i => s"u$i")
+    val text = (Seq.fill(15)("hh") ++ Seq.fill(10)("mid") ++ uniques)
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(text).mkString(" ") // n = 100 tokens
+    val docs = Seq((1L, shuffled)).toDF("doc_id", "text").coalesce(1)
+
+    val got = TextOps.heavyHitters(docs, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hh", 15L)), s"got $got")
+
+    // candidate-set bound: at most (k-1) survivors + 1 total row per
+    // partition ever leave the scan
+    val scan = TextOps.heavyHitterScan(
+      docs.select(explode(TextOps.words(col("text"))).as("word")), k = 10)
+      .collect()
+    assert(scan.count(_.get(0) != null) <= 9, s"summary overflow: ${scan.length}")
+    assert(scan.filter(_.get(0) == null).map(_.getLong(1)).sum == 100L)
+  }
 }
