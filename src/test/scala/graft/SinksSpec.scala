@@ -545,4 +545,51 @@ class SinksSpec extends AnyFunSuite {
         "unbucketed control should shuffle — assertion above is vacuous otherwise")
     } finally spark.conf.set(thrKey, oldThr)
   }
+
+  test("z-order layout + file-stats index prune on EITHER column; single-sort control cannot") {
+    import graft.core.Layout
+    val dir = Files.createTempDirectory("zorder").toString
+    val rnd = new scala.util.Random(23)
+    // two independent uniform dims — the worst case for a single-column sort
+    val rows = Seq.tabulate(20000)(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "a", "b").repartition(8)
+
+    Layout.writeZOrdered(df, s"$dir/z", Seq("a", "b"), numFiles = 16)
+    Layout.writeFileStatsIndex(spark, s"$dir/z", s"$dir/zidx", Seq("a", "b"))
+    // control: sorted by a alone — b spans ~[0,1000) inside every file
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(s"$dir/s")
+    Layout.writeFileStatsIndex(spark, s"$dir/s", s"$dir/sidx", Seq("a", "b"))
+
+    // box on BOTH dims: pruned read must equal the full-scan filter exactly
+    val box = Map("a" -> (100: Any, 199: Any), "b" -> (300: Any, 399: Any))
+    val got = Layout.prunedRead(spark, s"$dir/z", s"$dir/zidx", box)
+      .select("id").as[Long].collect().toSet
+    val want = df.filter(col("a").between(100, 199) &&
+      col("b").between(300, 399)).select("id").as[Long].collect().toSet
+    assert(got == want, s"pruned read diverged: ${got.size} vs ${want.size}")
+
+    val (zBoth, zTotal) = Layout.pruneStats(spark, s"$dir/zidx", box)
+    assert(zTotal == 16 && zBoth < zTotal,
+      s"a 10%x10% box should not touch every z file ($zBoth/$zTotal)")
+
+    // box on b ALONE — the dimension the control never sorted by
+    val bBox = Map("b" -> (300: Any, 349: Any))
+    val (zB, _) = Layout.pruneStats(spark, s"$dir/zidx", bBox)
+    val (sB, sTotal) = Layout.pruneStats(spark, s"$dir/sidx", bBox)
+    assert(sB == sTotal, "single-sort control should be unable to prune on b")
+    assert(zB < sB, s"z-order must prune a b-only box ($zB vs $sB/$sTotal)")
+    val gotB = Layout.prunedRead(spark, s"$dir/z", s"$dir/zidx", bBox)
+      .select("id").as[Long].collect().toSet
+    val wantB = df.filter(col("b").between(300, 349))
+      .select("id").as[Long].collect().toSet
+    assert(gotB == wantB)
+
+    // box outside the domain: zero files, empty frame, schema intact
+    val none = Layout.prunedRead(spark, s"$dir/z", s"$dir/zidx",
+      Map("a" -> (5000: Any, 6000: Any)))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "a", "b"))
+  }
 }
