@@ -141,4 +141,39 @@ object EventOps {
         col("trail_n"), col("trail_sum_cents"))
       .orderBy(col("event_id"))
   }
+
+  /** SCD2 temporal materialization of a changelog: per entity, collapse
+    * consecutive identical states and emit versioned validity intervals —
+    * (user_id, state, valid_from, valid_to, version, is_current), with
+    * valid_to = the NEXT change's valid_from (half-open intervals) and
+    * NULL on the current state. The warehouse "slowly changing dimension
+    * type 2" build: a point-in-time lookup is then `t >= valid_from AND
+    * (valid_to IS NULL OR t < valid_to)` — partition-prunable and
+    * as-of-joinable (operators/AsOf.scala) instead of replaying the log.
+    *
+    * The reference keeps only current + snapshot dimension views
+    * (reference_endpoints_etl.py:57-62); snapshots answer "what was known
+    * when" at snapshot cadence, SCD2 answers it at CHANGE grain.
+    *
+    * Exactness: the change filter and both windows order by (ts,
+    * event_id) — a total order on both engines, so version numbering and
+    * interval bounds are deterministic. Scale: one shuffle by entity;
+    * both window passes and the change filter share that partitioning
+    * (no second exchange), and state per key is one row.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changed = events
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changed
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

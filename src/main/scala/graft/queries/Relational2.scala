@@ -232,6 +232,36 @@ object Relational2 {
         |WHERE trail_n >= 10 AND p_cents * trail_n > trail_sum_cents * 3
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       EventOps.spikeDetect(Tables.events(s, d))
+    },
+
+    // SCD2 temporal materialization — the changelog folded into versioned
+    // validity intervals (consecutive identical states collapsed,
+    // valid_to = next change's valid_from, NULL while current). Both
+    // engines order by (ts, event_id) — a total order — so version
+    // numbers and interval bounds are deterministic and the query is
+    // hash-exact. One shuffle by entity; see EventOps.scd2Intervals.
+    QueryDef.sqlBacked(
+      "q27_scd2",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_id
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id) AS prev
+        |      FROM e),
+        |k AS (SELECT user_id, event_type, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS valid_to,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS BIGINT)
+        |          AS version
+        |      FROM k)
+        |SELECT user_id, state, valid_from, valid_to, version,
+        |  valid_to IS NULL AS is_current
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      EventOps.scd2Intervals(Tables.events(s, d))
     }
   )
 }

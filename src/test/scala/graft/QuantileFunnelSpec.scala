@@ -275,6 +275,36 @@ class QuantileFunnelSpec extends AnyFunSuite {
     assert(again == Seq(25L))
   }
 
+  test("scd2Intervals collapses repeat states; intervals tile the timeline") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "signup"),
+      (2L, ts(1), 7L, "signup"),   // repeat state — must collapse into v1
+      (3L, ts(2), 7L, "purchase"),
+      (4L, ts(3), 7L, "signup"),   // state REVISITED — a new version, not v1
+      (5L, ts(0), 8L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.EventOps.scd2Intervals(events)
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long, Boolean)]
+      .collect().toSeq
+
+    val u7 = out.filter(_._1 == 7L)
+    assert(u7.map(r => (r._5, r._2)) == Seq((1L, "signup"), (2L, "purchase"),
+      (3L, "signup")), s"collapse/versioning drifted: $u7")
+    // half-open tiling: each valid_to is the next version's valid_from
+    assert(u7(0)._4.contains(u7(1)._3) && u7(1)._4.contains(u7(2)._3))
+    assert(u7(2)._4.isEmpty && u7(2)._6, "last version must be current")
+    // the collapsed repeat does NOT advance v1's interval start
+    assert(u7(0)._3 == ts(0))
+    val u8 = out.filter(_._1 == 8L)
+    assert(u8.map(r => (r._5, r._6)) == Seq((1L, true)))
+    // point-in-time: day 1.5 falls inside v1's [from, to) — state "signup"
+    val probe = new java.sql.Timestamp(t0.getTime + 129600000L)
+    val at = u7.filter(r => !r._3.after(probe) && r._4.forall(_.after(probe)))
+    assert(at.map(_._2) == Seq("signup"))
+  }
+
   test("heavyHitters matches the exact full-vocab computation on the fixture") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val got = TextOps.heavyHitters(docs, k = 30)
