@@ -569,6 +569,41 @@ object TextOps {
         |HAVING count(*) * 30 > tot.n_total
         |ORDER BY n DESC, word""".stripMargin) { (s, d) =>
       heavyHitters(Tables.documents(s, d), k = 30)
+    },
+
+    // DATA-QUALITY EXPECTATIONS — the validation gate a corpus release
+    // runs before shipping (the Deequ/Great-Expectations stage as one
+    // declarative aggregate): row-count floor, no empty text, key
+    // uniqueness, language domain, cross-column consistency
+    // (n_chars == length(text)). ONE aggregation pass computes every
+    // observation (countDistinct included — exact), then the per-rule
+    // rows are a constant-size in-plan explode; nothing is collected.
+    // All observations are exact BIGINTs → hash-exact oracle.
+    QueryDef.sqlBacked(
+      "txt_dq_report",
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+        |  CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN
+        |                ('en','de','fr','es','zh')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS bad_chars
+        |  FROM documents)
+        |SELECT rule, observed, bound, passed FROM (
+        |  SELECT 'lang_in_domain' AS rule, bad_lang AS observed,
+        |         CAST(0 AS BIGINT) AS bound, bad_lang = 0 AS passed FROM a
+        |  UNION ALL SELECT 'n_chars_matches_text', bad_chars,
+        |         CAST(0 AS BIGINT), bad_chars = 0 FROM a
+        |  UNION ALL SELECT 'no_empty_text', empty_text,
+        |         CAST(0 AS BIGINT), empty_text = 0 FROM a
+        |  UNION ALL SELECT 'row_count_min', n,
+        |         CAST(100 AS BIGINT), n >= 100 FROM a
+        |  UNION ALL SELECT 'unique_doc_id', dup_ids,
+        |         CAST(0 AS BIGINT), dup_ids = 0 FROM a)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      dqReport(Tables.documents(s, d))
     }
   )
 
@@ -840,6 +875,45 @@ object TextOps {
         round(col("vlo") + (col("r") - floor(col("r"))) * (col("vhi") - col("vlo")), 6)
           .as("q"))
       .orderBy(col(groupCol), col("p"))
+  }
+
+  /** Data-quality expectation report — see the txt_dq_report QueryDef.
+    * Returns one (rule, observed, bound, passed) row per expectation,
+    * where `observed` is the exact violation count (or the measured
+    * value for floor rules). A failing gate is `filter(!passed)` — a
+    * pipeline aborts the release when it is non-empty. Scale: one
+    * aggregation pass over the corpus with map-side partials (the
+    * countDistinct expands to a two-phase exact aggregate); the report
+    * itself is a constant-size in-plan explode, never a collect.
+    */
+  def dqReport(docs: DataFrame, minRows: Long = 100L,
+               langDomain: Seq[String] =
+                 Seq("en", "de", "fr", "es", "zh")): DataFrame = {
+    val a = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("empty_text"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"),
+      sum(when(col("lang").isNull || !col("lang").isin(langDomain: _*), 1L)
+        .otherwise(0L)).as("bad_lang"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("bad_chars"))
+    def rule(name: String, observed: Column, bound: Column,
+             passed: Column) =
+      struct(lit(name).as("rule"), observed.cast("long").as("observed"),
+        bound.cast("long").as("bound"), passed.as("passed"))
+    a.select(explode(array(
+        rule("row_count_min", col("n"), lit(minRows), col("n") >= minRows),
+        rule("no_empty_text", col("empty_text"), lit(0L),
+          col("empty_text") === 0),
+        rule("unique_doc_id", col("dup_ids"), lit(0L), col("dup_ids") === 0),
+        rule("lang_in_domain", col("bad_lang"), lit(0L),
+          col("bad_lang") === 0),
+        rule("n_chars_matches_text", col("bad_chars"), lit(0L),
+          col("bad_chars") === 0))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.observed").as("observed"),
+        col("r.bound").as("bound"), col("r.passed").as("passed"))
+      .orderBy(col("rule"))
   }
 
   /** Per-partition Misra-Gries candidate pass over an exploded token frame

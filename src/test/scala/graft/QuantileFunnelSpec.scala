@@ -275,6 +275,30 @@ class QuantileFunnelSpec extends AnyFunSuite {
     assert(again == Seq(25L))
   }
 
+  test("dqReport counts each planted violation exactly; clean data passes all") {
+    val bad = Seq(
+      (1L, "good text here", "en", 14L),
+      (1L, "dup id",         "en", 6L),   // duplicate doc_id
+      (2L, "",               "en", 0L),   // empty text
+      (3L, "wrong count",    "en", 99L),  // n_chars != length(text)
+      (4L, "bad lang",       "xx", 8L))   // outside the domain
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextOps.dqReport(bad, minRows = 3L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(got("row_count_min") == ((5L, true)))
+    assert(got("no_empty_text") == ((1L, false)))
+    assert(got("unique_doc_id") == ((1L, false)))
+    assert(got("lang_in_domain") == ((1L, false)))
+    assert(got("n_chars_matches_text") == ((1L, false)),
+      s"full report: $got")
+
+    val clean = Tables.documents(spark, TestSpark.Sf0001)
+    val rep = TextOps.dqReport(clean)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rep.length == 5 && rep.forall(_._4), s"fixture must be clean: ${rep.toSeq}")
+  }
+
   test("scd2Intervals collapses repeat states; intervals tile the timeline") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
