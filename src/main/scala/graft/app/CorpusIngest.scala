@@ -62,6 +62,7 @@ object CorpusIngest {
   private def shinglePath(wh: String) = s"$wh/corpus/shingles"
   private def bandPath(wh: String) = s"$wh/corpus/bands"
   private def pairsPath(wh: String) = s"$wh/corpus/pairs"
+  private def statsPath(wh: String) = s"$wh/corpus/doc_stats"
 
   /** Land one drop; returns (new docs landed, new verified pairs). */
   def run(spark: SparkSession, drop: DataFrame, warehouse: String,
@@ -95,8 +96,48 @@ object CorpusIngest {
       shinglePath(warehouse))
     Sinks.idempotentAppend(inc, docsPath(warehouse),
       keys = Seq("doc_id"), partitionCols = Nil)
+    Sinks.idempotentAppend(docStats(inc), statsPath(warehouse),
+      keys = Seq("doc_id"), partitionCols = Nil)
     (nNew, nPairs)
   }
+
+  /** Per-document stat partials for the increment — thin rows (ids +
+    * counts, never text), same per-doc derivation as TextOps.datacard so
+    * the warehouse rollup is EXACTLY the full-scan datacard. Drops
+    * without lang/source metadata land NULL strata (the datacard's own
+    * rollup grain for unknowns). Zero-token docs are absent on both
+    * paths (qualityProjection's filter).
+    */
+  private[graft] def docStats(docs: DataFrame): DataFrame = {
+    val withMeta = Seq("lang", "source").foldLeft(docs) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+    }
+    graft.operators.TextOps.qualityProjection(withMeta)
+      .select(col("doc_id"), col("n_tok"), col("quality_score"))
+      .join(withMeta.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars")), "doc_id")
+      .withColumn("q6", floor(col("quality_score") * 1e6).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("n_chars"), col("q6"))
+  }
+
+  /** INCREMENTALLY-MAINTAINED datacard: the same rollup as
+    * `TextOps.datacard` read from the per-doc stats table instead of the
+    * text — corpus-release reporting that never rescans old documents.
+    * The stats table is ~40 bytes/doc (0.1% of a text corpus): at 100 TB
+    * the report aggregates a ~100 GB thin table, and each drop only ever
+    * paid one stats projection at ingest. Idempotent by construction —
+    * the doc_id-keyed append makes a replayed drop a stats no-op too.
+    */
+  def datacard(spark: SparkSession, warehouse: String): DataFrame =
+    spark.read.parquet(statsPath(warehouse))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("q6")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_quality"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
   /** STREAMING drop watcher — the live twin of `run`, mirroring how
     * LiveIngest pairs with Backfill on the market side: a file-source

@@ -93,4 +93,34 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(n == 1L, s"overlap must be trimmed before signing: landed $n")
     assert(spark.read.parquet(s"$wh/corpus/documents").count() == 3)
   }
+
+  test("incremental datacard equals the full-scan datacard, never rescans text") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-wh3").toString
+    val drop1 = Seq(
+      (1L, base, "en", "web"), (2L, unrelated, "en", "books"),
+      (3L, "kurze deutsche worte ohne viel inhalt hier", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val drop2 = Seq(
+      (4L, "mountain rivers flow quietly through the valley at dawn", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    CorpusIngest.run(spark, drop1, wh)
+    CorpusIngest.run(spark, drop2, wh)
+
+    val inc = CorpusIngest.datacard(spark, wh)
+    val full = graft.operators.TextOps.datacard(
+      spark.read.parquet(s"$wh/corpus/documents"))
+    assert(inc.collect().toSeq == full.collect().toSeq,
+      "warehouse rollup must equal the full-scan datacard row-for-row")
+
+    // the report's scan reads the thin stats table only — old text untouched
+    val scans = inc.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("doc_stats")) &&
+      !scans.exists(_.contains("corpus/documents")),
+      s"datacard must read doc_stats, not documents: $scans")
+
+    // replaying a drop is a stats no-op too
+    CorpusIngest.run(spark, drop2, wh)
+    assert(CorpusIngest.datacard(spark, wh).collect().toSeq ==
+      inc.collect().toSeq)
+  }
 }
