@@ -220,6 +220,14 @@ object StressProbe {
         operators.TextOps.tfidfTopTerms(docs, k = 5)),
       timeN("inverted_index_docs", nDocs)(
         operators.TextOps.invertedIndex(docs)),
+      // heavy hitters in the open-vocab regime: the map-only MG scan is
+      // the wall (bounded counter state, no vocab shuffle); one planted
+      // ubiquitous token (~1/21 of all tokens) must be the recount's sole
+      // survivor while the md5 long tail evicts constantly
+      timeN("heavy_hitters_docs", nDocs)(
+        operators.TextOps.heavyHitters(
+          docs.withColumn("text", concat(col("text"), lit(" thecommon"))),
+          k = 30)),
       // perceptual-hash near-dup over REAL generated PNGs (planted pairs):
       // encode+decode is the narrow map, the band join ships one long per
       // image — wall should track image count, not pair count
