@@ -208,4 +208,32 @@ class PlanSpec extends AnyFunSuite {
     val p14 = plan("q14_ohlc_bars")
     assert(!p14.contains("props"), s"q14 reads unneeded props column:\n$p14")
   }
+
+  test("txt_heavy_hitters: recount joins the broadcast candidate set, never the vocab") {
+    val p = plan("txt_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate recount must broadcast the bounded candidate set:\n$p")
+    // the corpus-sized PROBE side (printed first, up to the sibling
+    // BroadcastExchange) must reach the join straight off the scan — no
+    // exchange; shuffles of the BOUNDED candidate/total frames inside the
+    // broadcast build side are fine and expected
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val buildIdx = p.indexOf("BroadcastExchange", joinIdx)
+    assert(joinIdx >= 0 && buildIdx > joinIdx &&
+      !p.substring(joinIdx, buildIdx).contains("Exchange"),
+      s"the corpus token frame is shuffled before the candidate join:\n$p")
+  }
+
+  test("q27_scd2: change filter and both windows share one entity exchange") {
+    val p = plan("q27_scd2")
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"SCD2 must shuffle by entity exactly once, found $exchanges:\n$p")
+  }
+
+  test("txt_dq_report: one aggregation pass, constant-size explode, no join") {
+    val p = plan("txt_dq_report")
+    assert(!p.contains("Join"), s"the DQ report must not join:\n$p")
+    assert(p.contains("Generate"), s"expected the in-plan rule explode:\n$p")
+  }
 }
