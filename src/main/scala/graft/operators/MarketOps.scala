@@ -834,8 +834,57 @@ object MarketOps {
          |  CAST(r.longest_underwater_days AS BIGINT) AS longest_underwater_days
          |FROM b CROSS JOIN r""".stripMargin) { (s, d) =>
       riskStats(Tables.events(s, d), fast = 5, slow = 20)
+    },
+
+    // GAP SCAN — series-completeness audit: per key, consecutive tick
+    // pairs whose spacing exceeds the tolerance, reported as (gap_start,
+    // gap_end, gap_seconds). The QA pass a backfill owner runs to find
+    // the holes the incremental watermark protocol
+    // (old_source/old_source_op.py:129-176) can NEVER see: a watermark
+    // only knows the newest t, not that an exchange outage left a void
+    // mid-history; this scan is how those voids become re-fetch work
+    // orders. Exactness: both engines floor each timestamp to whole
+    // seconds before differencing (Spark cast-to-long, DuckDB date_diff
+    // 'second' — floor(b)−floor(a) on each side), and the lead window's
+    // (ts, event_id) order is total. Scale: one shuffle by key, one
+    // sorted window pass, codegen filter downstream — the same shape as
+    // every indicator.
+    QueryDef.sqlBacked(
+      "mkt_gap_scan",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events),
+        |d AS (SELECT user_id, ts,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS nxt
+        |      FROM e)
+        |SELECT user_id, ts AS gap_start, nxt AS gap_end,
+        |  CAST(date_diff('second', ts, nxt) AS BIGINT) AS gap_seconds
+        |FROM d
+        |WHERE nxt IS NOT NULL AND date_diff('second', ts, nxt) > 86400
+        |ORDER BY user_id, gap_start, gap_end""".stripMargin) { (s, d) =>
+      gapScan(Tables.events(s, d), maxGapSeconds = 86400L)
     }
   )
+
+  /** Series gap scan — see the mkt_gap_scan QueryDef. `maxGapSeconds` is
+    * the spacing tolerance in WHOLE seconds (timestamps are floored to
+    * seconds before differencing, matching the oracle's date_diff).
+    */
+  def gapScan(ticks: DataFrame, maxGapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxGapSeconds > 0, "gap tolerance must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ticks
+      .withColumn("gap_end", lead(col("ts"), 1).over(w))
+      .withColumn("gap_seconds",
+        col("gap_end").cast("long") - col("ts").cast("long"))
+      .filter(col("gap_end").isNotNull &&
+        col("gap_seconds") > maxGapSeconds)
+      .select(col("user_id"), col("ts").as("gap_start"), col("gap_end"),
+        col("gap_seconds"))
+      .orderBy(col("user_id"), col("gap_start"), col("gap_end"))
+  }
 
   /** Portfolio-curve oracle CTEs on top of `backtestCtes`, ending in
     * `dd(day, equity_cents, drawdown_cents)` — shared between
