@@ -249,4 +249,40 @@ object StatefulIndicators {
       (st, AtrOut(ticker, tick.t, tick.price, atr))
     }
   }
+
+  final case class SilenceAlert(ticker: String, lastT: Long)
+
+  /** Streaming SILENCE detector — the alert a live desk wants when a
+    * series STOPS ticking: per key, track the newest event time; when a
+    * key receives nothing for `silence` of processing time, EMIT
+    * (ticker, lastT) and drop the state. Output-ON-timeout is the
+    * streaming-native capability here — the batch gap scan
+    * (operators/MarketOps.gapScan) can only see a void after later data
+    * arrives, while this fires DURING the void, from a timer, with no
+    * input row at all. Single-shot by design: the alert clears the key's
+    * state, so a still-dead key does not re-alert every interval and a
+    * returning key re-seeds (and can alert again on its NEXT silence).
+    * State is one long per live key; the deployment note on `idleTtl`
+    * (interval trigger required) applies here too.
+    */
+  def silenceAlerts(spark: SparkSession, ticks: Dataset[Tick],
+                    silence: String): Dataset[SilenceAlert] = {
+    import spark.implicits._
+    ticks.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        (ticker: String, rows: Iterator[Tick], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(SilenceAlert(ticker, last))
+          } else {
+            val newest = rows.map(_.t).foldLeft(
+              state.getOption.getOrElse(Long.MinValue))(math.max)
+            state.update(newest)
+            state.setTimeoutDuration(silence)
+            Iterator.empty
+          }
+        })
+  }
 }

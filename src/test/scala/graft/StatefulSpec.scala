@@ -278,4 +278,43 @@ class StatefulSpec extends AnyFunSuite {
       .map(o => (o.ticker, o.t)).filterNot(batchKeys)
     assert(extra.isEmpty, s"stream over-flagged: $extra")
   }
+
+  test("silence alert fires from a timer during the void, once, with the last seen t") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val out = StatefulIndicators.silenceAlerts(spark, input.toDS(),
+      silence = "1 milliseconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("silence")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    def alerts() = spark.table("silence")
+      .as[StatefulIndicators.SilenceAlert].collect().toSeq
+    def awaitAlerts(n: Int, what: String): Seq[StatefulIndicators.SilenceAlert] = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (alerts().length < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(alerts().length >= n, s"$what: got ${alerts()}")
+      alerts()
+    }
+
+    input.addData(Tick("A", 5, 10.0), Tick("A", 9, 11.0))
+    // B keeps ticking while A goes silent; A's alert fires on a TIMER —
+    // note no A row is ever added again
+    val keepAlive = new Thread { override def run(): Unit =
+      (1 to 200).foreach { i => input.addData(Tick("B", i, 1.0)); Thread.sleep(25) } }
+    keepAlive.start()
+    val got = awaitAlerts(1, "A's silence")
+    assert(got.exists(a => a.ticker == "A" && a.lastT == 9L),
+      s"alert must carry A's newest event time: $got")
+    // single-shot: a still-dead key does not re-alert every interval
+    Thread.sleep(500)
+    assert(alerts().count(_.ticker == "A") == 1,
+      s"dead key re-alerted: ${alerts()}")
+    keepAlive.join()
+    // B went silent only after its feeder stopped — it may alert now; A
+    // stays at exactly one alert
+    assert(alerts().count(_.ticker == "A") == 1)
+    q.stop()
+  }
 }
