@@ -863,6 +863,42 @@ object MarketOps {
         |WHERE nxt IS NOT NULL AND date_diff('second', ts, nxt) > 86400
         |ORDER BY user_id, gap_start, gap_end""".stripMargin) { (s, d) =>
       gapScan(Tables.events(s, d), maxGapSeconds = 86400L)
+    },
+
+    // PANEL BUILDER — every series aligned onto the common day grid with
+    // forward-fill: the point-in-time matrix cross-sectional analysis
+    // starts from (the portfolio query builds exactly this grid+ffill
+    // internally; here it is the first-class product). Cells before a
+    // key's first observation stay NULL — forward-fill never invents
+    // history. Exactness: the daily close is the arg-max row under the
+    // (ts, event_id) total order and its raw double rides through with
+    // ZERO arithmetic, so both engines emit the identical parquet bits;
+    // the ffill window's (user_id, day) key is unique by construction.
+    // Scale: one shuffle to daily grain (row_number prunes to close),
+    // the calendar-bounded grid broadcasts, one ffill window per key.
+    QueryDef.sqlBacked(
+      "mkt_panel_ffill",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             value
+        |           FROM events),
+        |d AS (SELECT user_id, date_trunc('day', ts) AS day, value,
+        |        row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                           ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM e),
+        |l AS (SELECT user_id, day, value FROM d WHERE rk = 1),
+        |grid AS (SELECT DISTINCT day FROM l),
+        |u AS (SELECT DISTINCT user_id FROM l),
+        |cells AS (SELECT u.user_id, g.day, l.value,
+        |            l.value IS NOT NULL AS is_observed
+        |          FROM u CROSS JOIN grid g
+        |          LEFT JOIN l ON l.user_id = u.user_id AND l.day = g.day)
+        |SELECT user_id, day,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS close,
+        |  is_observed
+        |FROM cells
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      panelFfill(Tables.events(s, d))
     }
   )
 
@@ -884,6 +920,33 @@ object MarketOps {
       .select(col("user_id"), col("ts").as("gap_start"), col("gap_end"),
         col("gap_seconds"))
       .orderBy(col("user_id"), col("gap_start"), col("gap_end"))
+  }
+
+  /** Point-in-time panel — see the mkt_panel_ffill QueryDef. Returns one
+    * row per (key, grid day): the forward-filled daily close and whether
+    * the cell was directly observed. NULL before a key's first
+    * observation (ffill never invents history).
+    */
+  def panelFfill(ticks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ticks
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val grid = daily.select(col("day")).distinct()
+    val users = daily.select(col("user_id")).distinct()
+    val cells = users.crossJoin(broadcast(grid))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("is_observed", col("value").isNotNull)
+    cells
+      .withColumn("close", last(col("value"), ignoreNulls = true).over(Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("day"), col("close"), col("is_observed"))
+      .orderBy(col("user_id"), col("day"))
   }
 
   /** Portfolio-curve oracle CTEs on top of `backtestCtes`, ending in
