@@ -899,6 +899,63 @@ object MarketOps {
         |FROM cells
         |ORDER BY user_id, day""".stripMargin) { (s, d) =>
       panelFfill(Tables.events(s, d))
+    },
+
+    // CUSUM CHANGEPOINT detection — the sequential drift detector (Page
+    // 1954): per key, two one-sided cumulative sums over integer-cent
+    // price deltas, s⁺ = max(0, s⁺ + δ − k) and s⁻ = max(0, s⁻ − δ − k);
+    // crossing h raises an alarm (1 = upward, 2 = downward) and restarts
+    // both sums. Catches sustained small drifts the spike detector's
+    // single-row threshold never sees. Exactness: the recursion is pure
+    // BIGINT max/add; the oracle walks it with a RECURSIVE CTE stepping
+    // every key's i-th tick in lockstep (depth = longest series — the
+    // dedup_cluster closure device). Deliberately NOT a list_reduce
+    // struct fold: DuckDB 1.0 mis-evaluates repeated conditional
+    // subexpressions across struct fields in CHAINED lambda folds
+    // (single-step folds verify correct, chained folds drift — found by
+    // this query's own oracle failing against a Python reference), so
+    // the recursion lives in plain battle-tested SQL. Scale: Spark runs
+    // one shuffle by key and one sorted fold pass, state two longs (the
+    // per-step CTE join is oracle-side only).
+    QueryDef.sqlBacked(
+      "mkt_cusum",
+      """WITH RECURSIVE e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(floor(value * 100) AS BIGINT) AS p
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    list(p ORDER BY ts, event_id) AS xs,
+        |    list(event_id ORDER BY ts, event_id) AS ids
+        |  FROM e GROUP BY user_id),
+        |dl AS (SELECT user_id, ids,
+        |    list_transform(range(2, len(xs) + 1), i -> xs[i] - xs[i-1]) AS ds
+        |  FROM g),
+        |u AS (SELECT user_id, unnest(ids) AS event_id,
+        |             unnest(range(1, len(ids) + 1)) AS i, ds FROM dl),
+        |d2 AS (SELECT user_id, i, event_id, ds[i-1] AS d FROM u),
+        |rec(user_id, i, sp, sn, alarm) AS (
+        |  SELECT user_id, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  FROM d2 WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.i + 1,
+        |    CASE WHEN greatest(0, r.sp + s.d - 1000) > 15000
+        |           OR greatest(0, r.sn - s.d - 1000) > 15000
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE greatest(0, r.sp + s.d - 1000) END,
+        |    CASE WHEN greatest(0, r.sp + s.d - 1000) > 15000
+        |           OR greatest(0, r.sn - s.d - 1000) > 15000
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE greatest(0, r.sn - s.d - 1000) END,
+        |    CASE WHEN greatest(0, r.sp + s.d - 1000) > 15000 THEN 1
+        |         WHEN greatest(0, r.sn - s.d - 1000) > 15000 THEN 2
+        |         ELSE 0 END
+        |  FROM rec r JOIN d2 s ON s.user_id = r.user_id AND s.i = r.i + 1)
+        |SELECT s.event_id, rec.user_id, rec.sp AS s_pos, rec.sn AS s_neg,
+        |       rec.alarm
+        |FROM rec JOIN d2 s ON s.user_id = rec.user_id AND s.i = rec.i
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      cusum(s, Tables.events(s, d), slackCents = 1000L,
+        thresholdCents = 15000L)
     }
   )
 
@@ -1341,6 +1398,43 @@ object MarketOps {
         }
       }
       .toDF("event_id", "user_id", "atr_wilder")
+      .orderBy(col("event_id"))
+  }
+
+  /** CUSUM changepoint trace — see the mkt_cusum QueryDef. Emits the
+    * post-restart (s_pos, s_neg) state and alarm code per tick. The
+    * production shape: the O(n) per-key sorted fold (flatMapSortedGroups),
+    * two longs of state, one shuffle — the oracle's O(n²) prefix refold
+    * exists only to make the recursion SQL-expressible.
+    */
+  def cusum(s: SparkSession, events: DataFrame, slackCents: Long,
+            thresholdCents: Long): DataFrame = {
+    import s.implicits._
+    require(slackCents >= 0 && thresholdCents > 0, "CUSUM needs k >= 0 < h")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("p_cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"event_id") { case (_, rows) =>
+        var prev = Long.MinValue
+        var sp = 0L
+        var sn = 0L
+        rows.map { case (uid, _, eid, p) =>
+          if (prev == Long.MinValue) { prev = p; (eid, uid, 0L, 0L, 0) }
+          else {
+            val d = p - prev
+            prev = p
+            val pp = math.max(0L, sp + d - slackCents)
+            val nn = math.max(0L, sn - d - slackCents)
+            val alarm =
+              if (pp > thresholdCents) 1 else if (nn > thresholdCents) 2 else 0
+            if (alarm != 0) { sp = 0L; sn = 0L } else { sp = pp; sn = nn }
+            (eid, uid, sp, sn, alarm)
+          }
+        }
+      }
+      .toDF("event_id", "user_id", "s_pos", "s_neg", "alarm")
       .orderBy(col("event_id"))
   }
 

@@ -248,4 +248,24 @@ class MarketSpec extends AnyFunSuite {
     assert(longest == expectedLongest,
       s"streak $longest != scan $expectedLongest")
   }
+
+  test("cusum: sustained drift alarms where no single step could; state restarts") {
+    // key A: 10 steady +$5 steps (each delta 500 cents, under any spike
+    // bar) — the cumulative drift crosses h = 3000 at the 8th step:
+    // s+ after m steps = m*(500-100) = 400m > 3000 at m = 8
+    val a = (0 to 10).map(i => (i.toLong, ts(f"2024-01-01 ${i}%02d:00:00"), 1L, 100.0 + 5 * i))
+    // key B: flat — never alarms
+    val b = (0 to 10).map(i => (100L + i, ts(f"2024-01-01 ${i}%02d:00:00"), 2L, 50.0))
+    val df = (a ++ b).toDF("event_id", "ts", "user_id", "value")
+    val out = MarketOps.cusum(spark, df, slackCents = 100L, thresholdCents = 3000L)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+
+    assert(out(8L) == ((0L, 0L, 1)), s"drift alarm: ${out(8L)}")
+    assert((1L to 7L).forall(e => out(e)._3 == 0), "no premature alarm")
+    // restart: the recursion re-accumulates from zero after the alarm
+    assert(out(9L) == ((400L, 0L, 0)) && out(10L) == ((800L, 0L, 0)),
+      s"post-alarm restart drifted: ${out(9L)} ${out(10L)}")
+    assert((100L to 110L).forall(e => out(e)._3 == 0), "flat key alarmed")
+  }
 }
