@@ -250,6 +250,39 @@ object StatefulIndicators {
     }
   }
 
+  final case class CusumState(sp: Long, sn: Long, prev: Long, lastT: Long)
+  final case class CusumOut(ticker: String, t: Long, sPos: Long, sNeg: Long,
+                            alarm: Int)
+
+  /** Live CUSUM changepoint stream — the streaming twin of
+    * `operators/MarketOps.cusum`, same integer-cent recursion (two
+    * one-sided drift sums, alarm + restart), so on an ordered replay the
+    * emitted (sPos, sNeg, alarm) trace EXACTLY equals the batch query
+    * (StatefulSpec). State is four longs per key.
+    */
+  def cusumStream(spark: SparkSession, ticks: Dataset[Tick],
+                  slackCents: Long, thresholdCents: Long,
+                  idleTtl: Option[String] = None): Dataset[CusumOut] = {
+    import spark.implicits._
+    foldPerKey(spark, ticks, idleTtl,
+      CusumState(0L, 0L, Long.MinValue, Long.MinValue),
+      (s: CusumState) => s.lastT) { (ticker, tick, st) =>
+      val p = math.floor(tick.price * 100).toLong
+      if (st.prev == Long.MinValue)
+        (CusumState(0L, 0L, p, tick.t), CusumOut(ticker, tick.t, 0L, 0L, 0))
+      else {
+        val d = p - st.prev
+        val pp = math.max(0L, st.sp + d - slackCents)
+        val nn = math.max(0L, st.sn - d - slackCents)
+        val alarm =
+          if (pp > thresholdCents) 1 else if (nn > thresholdCents) 2 else 0
+        val (nsp, nsn) = if (alarm != 0) (0L, 0L) else (pp, nn)
+        (CusumState(nsp, nsn, p, tick.t),
+          CusumOut(ticker, tick.t, nsp, nsn, alarm))
+      }
+    }
+  }
+
   final case class SilenceAlert(ticker: String, lastT: Long)
 
   /** Streaming SILENCE detector — the alert a live desk wants when a

@@ -279,6 +279,44 @@ class StatefulSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"stream over-flagged: $extra")
   }
 
+  test("streaming CUSUM on replayed fixture equals batch cusum exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id").cast("string").as("ticker"),
+        unix_millis(col("ts")).as("t"), col("value").as("price"))
+      .as[Tick].collect().sortBy(_.t)
+
+    val input = MemoryStream[Tick]
+    val out = StatefulIndicators.cusumStream(spark, input.toDS(),
+      slackCents = 1000L, thresholdCents = 15000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_replay").start()
+    events.grouped(events.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("cusum_replay")
+      .as[StatefulIndicators.CusumOut].collect()
+      .map(r => (r.ticker, r.t) -> ((r.sPos, r.sNeg, r.alarm))).toMap
+    val batch = graft.operators.MarketOps.cusum(spark,
+        Tables.events(spark, TestSpark.Sf0001),
+        slackCents = 1000L, thresholdCents = 15000L)
+      .join(Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_id"), unix_millis(col("ts")).as("t")), "event_id")
+      .select(col("user_id").cast("string"), col("t"), col("s_pos"),
+        col("s_neg"), col("alarm"))
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(batch.nonEmpty)
+    assert(batch.exists(_._5 != 0), "fixture must trigger alarms")
+    batch.foreach { case (k, t, sp, sn, a) =>
+      assert(streamed.get((k, t)).contains((sp, sn, a)),
+        s"stream/batch CUSUM diverged at ($k, $t): " +
+          s"${streamed.get((k, t))} vs ($sp, $sn, $a)")
+    }
+  }
+
   test("silence alert fires from a timer during the void, once, with the last seen t") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
