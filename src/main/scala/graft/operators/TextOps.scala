@@ -282,6 +282,29 @@ object TextOps {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     },
 
+    // WINSORIZATION — outlier clamping at per-group exact percentiles
+    // (the robust-statistics data-cleaning step: cap, don't drop): each
+    // value clamped into its language's [p05, p95]. Composes the
+    // histogram-compacted exactQuantiles (shuffle bounded by the value
+    // domain) with a broadcast threshold join and a codegen clamp —
+    // nothing new shuffles. Exactness: the bounds are the SAME rounded
+    // interpolated quantiles txt_quantiles already proves hash-exact,
+    // and least/greatest on identical doubles is bit-stable.
+    QueryDef.sqlBacked(
+      "txt_winsorize",
+      """WITH q AS (
+        |  SELECT lang, round(quantile_cont(n_chars, 0.05), 6) AS lo,
+        |         round(quantile_cont(n_chars, 0.95), 6) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi)
+        |    AS n_chars_w
+        |FROM documents d JOIN q USING (lang)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      winsorize(Tables.documents(s, d), "n_chars", "lang",
+        pLo = 0.05, pHi = 0.95)
+    },
+
     // Per-group top-k (top documents per language by length, total
     // tie-break). The rank filter compiles to WindowGroupLimit (locked in
     // PlanSpec): each partition keeps a k-row heap per group BEFORE the
@@ -875,6 +898,27 @@ object TextOps {
         round(col("vlo") + (col("r") - floor(col("r"))) * (col("vhi") - col("vlo")), 6)
           .as("q"))
       .orderBy(col(groupCol), col("p"))
+  }
+
+  /** Winsorization — see the txt_winsorize QueryDef. Clamps `valueCol`
+    * into its group's [pLo, pHi] exact percentiles; the thresholds come
+    * from `exactQuantiles` (histogram-compacted, domain-bounded shuffle)
+    * and broadcast back as one row per group.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, "winsorize needs pLo < pHi")
+    val qs = exactQuantiles(df, valueCol, groupCol, Seq(pLo, pHi))
+    val bounds = qs.groupBy(col(groupCol)).agg(
+      min(when(col("p") === pLo, col("q"))).as("lo"),
+      min(when(col("p") === pHi, col("q"))).as("hi"))
+    df.select(col("doc_id"), col(groupCol), col(valueCol))
+      .join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+      .select(col("doc_id"), col(groupCol), col(valueCol),
+        col(s"${valueCol}_w"))
+      .orderBy(col("doc_id"))
   }
 
   /** Data-quality expectation report — see the txt_dq_report QueryDef.
