@@ -262,6 +262,63 @@ object Relational2 {
         |FROM v
         |ORDER BY user_id, version""".stripMargin) { (s, d) =>
       EventOps.scd2Intervals(Tables.events(s, d))
+    },
+
+    // PIVOT — long→wide reshaping: per-user event counts, one column per
+    // event type. The pivot VALUES are declared explicitly (the 100 TB
+    // discipline: no values-discovery pre-job scanning the corpus, and
+    // the output schema is static for downstream plans). Absent cells
+    // coalesce to 0 so both engines agree. One partial-aggregated
+    // shuffle; width is the declared type list, never data-driven.
+    QueryDef.sqlBacked(
+      "q28_pivot",
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +:
+          types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    },
+
+    // UNPIVOT — wide→long melting: lineitem's three measure columns
+    // stacked into (measure, value) rows. Spark's `stack` is a Generate
+    // (zero shuffle, row-local); the oracle is the equivalent UNION ALL.
+    // Values are raw doubles carried with no arithmetic — bit-exact.
+    QueryDef.sqlBacked(
+      "q29_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |         l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3, 'quantity', l_quantity,
+                 |         'extendedprice', l_extendedprice,
+                 |         'discount', l_discount) AS (measure, value)"""
+            .stripMargin))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }
   )
 }
