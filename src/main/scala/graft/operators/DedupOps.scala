@@ -371,6 +371,45 @@ object DedupOps {
       simhash(Tables.documents(s, d), maxHamming = 3)
     },
 
+    // FUZZY KEY MATCHING — entity-resolution's core join: word pairs at
+    // edit distance 1 over the corpus vocabulary, found by
+    // DELETION-NEIGHBORHOOD blocking (SymSpell): two strings within one
+    // edit share a single-deletion variant (substitution → both delete
+    // that position; ins/del → the longer's deletion is the shorter
+    // itself), so blocking on {word} ∪ {1-deletions} finds every
+    // qualifying pair with a bucket join — never the O(V²) levenshtein
+    // cross join. Exact-distance verification keeps precision 1. The
+    // fixture's 31-word vocabulary has no natural typo pairs, so the
+    // query plants a deterministic second-char-deleted variant per long
+    // word (the PII-planting device) — both engines derive the same set.
+    QueryDef.sqlBacked(
+      "dedup_fuzzy_typos",
+      """WITH w0 AS (SELECT DISTINCT
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |pl AS (SELECT substr(w, 1, 1) || substr(w, 3) AS w FROM w0
+        |       WHERE len(w) >= 5),
+        |vocab AS (SELECT DISTINCT w FROM
+        |          (SELECT w FROM w0 UNION ALL SELECT w FROM pl)),
+        |keyed AS (SELECT w, unnest(list_distinct(list_prepend(w,
+        |            list_transform(range(1, len(w) + 1),
+        |              i -> substr(w, 1, i - 1) || substr(w, i + 1))))) AS k
+        |          FROM vocab),
+        |cand AS (SELECT DISTINCT a.w AS word_a, b.w AS word_b
+        |         FROM keyed a JOIN keyed b ON a.k = b.k AND a.w < b.w)
+        |SELECT word_a, word_b,
+        |       CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(word_a, word_b) = 1
+        |ORDER BY word_a, word_b""".stripMargin) { (s, d) =>
+      val w0 = Tables.documents(s, d)
+        .select(explode(TextOps.words(col("text"))).as("w")).distinct()
+      val planted = w0.filter(length(col("w")) >= 5)
+        .select(concat(substring(col("w"), 1, 1),
+          expr("substr(w, 3)")).as("w"))
+      fuzzyPairs(w0.unionByName(planted).distinct(), maxDist = 1)
+    },
+
     // Embedding-cosine near-dup, EXACT SMALL-SCALE ORACLE TWIN: brute-force
     // all pairs above a cosine threshold, used to pin the oracle hash and
     // to measure dedup_embedding_lsh's recall. At 100 TB a user calls the
@@ -697,6 +736,31 @@ object DedupOps {
     * id rows — the per-cluster count is a partial-aggregated groupBy on a
     * set already bounded by the pair graph.
     */
+  /** Fuzzy key pairs at edit distance <= maxDist (currently distance 1 —
+    * the deletion-neighborhood guarantee covers one edit; larger radii
+    * need multi-deletion keys) over a single-column `w` vocabulary frame.
+    * Blocking keys are the word plus every single-deletion variant, so
+    * the candidate join is bucket-bounded (a word has len(w)+1 keys, and
+    * a key's bucket holds only strings within one edit of each other's
+    * shapes) — never the O(V²) cross join. Exact levenshtein verifies
+    * candidates; precision 1, recall 1 at distance 1 by the SymSpell
+    * argument in the QueryDef.
+    */
+  def fuzzyPairs(vocab: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist == 1, "deletion-neighborhood blocking covers distance 1")
+    val keyed = vocab.select(col("w"), explode(
+      expr("""array_union(array(w), transform(sequence(1, length(w)),
+             |  i -> concat(substr(w, 1, i - 1), substr(w, i + 1))))"""
+        .stripMargin)).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("word_a"), col("b.w").as("word_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("word_a"), col("word_b"))
+  }
+
   /** The corpus with near-duplicates REMOVED (keep-the-minimum policy):
     * every cluster keeps only its canonical doc; docs outside the pair
     * graph pass through. The anti-join ships only loser doc_ids.
