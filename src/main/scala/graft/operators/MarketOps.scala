@@ -618,6 +618,45 @@ object MarketOps {
         minOverlap = 20)
     },
 
+    // MARKET BETA per ticker — the single-factor exposure every risk
+    // model starts from: m_day = the watchlist's summed daily change (an
+    // inclusive equal-weight index — the stock is part of its own
+    // market, as in any cap-weighted benchmark), beta_i = cov(r_i, m) /
+    // var(m) over the ticker's change days. Same derivation head (b/r/rr
+    // CTEs) and exactness contract as the correlation family: the five
+    // moments are exact BIGINT sums, the combination is one
+    // identical-op-order double formula rounded at the end.
+    QueryDef.sqlBacked(
+      "mkt_beta",
+      """WITH b AS (
+        |  SELECT user_id, b, p FROM (
+        |    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b,
+        |      CAST(floor(value * 100) AS BIGINT) AS p,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |    FROM events WHERE user_id < 150) WHERE rk = 1),
+        |r AS (SELECT user_id, b,
+        |        p - lag(p) OVER (PARTITION BY user_id ORDER BY b) AS r
+        |      FROM b),
+        |rr AS (SELECT user_id, b, r FROM r WHERE r IS NOT NULL),
+        |m AS (SELECT b, CAST(sum(r) AS BIGINT) AS m FROM rr GROUP BY b),
+        |j AS (SELECT rr.user_id, rr.r, m.m FROM rr JOIN m USING (b)),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(r) AS BIGINT) AS sr, CAST(sum(m) AS BIGINT) AS sm,
+        |        CAST(sum(r * m) AS BIGINT) AS srm,
+        |        CAST(sum(m * m) AS BIGINT) AS smm
+        |      FROM j GROUP BY 1)
+        |SELECT user_id, n,
+        |  round(CAST(n * srm - sr * sm AS DOUBLE) /
+        |        CAST(n * smm - sm * sm AS DOUBLE), 6) AS beta
+        |FROM s
+        |WHERE n >= 20 AND n * smm - sm * sm > 0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      marketBeta(Tables.events(s, d).filter(col("user_id") < 150),
+        minOverlap = 20)
+    },
+
     // ROLLING pairwise correlation over the watchlist — the time-varying
     // risk monitor (a pair decorrelating THIS month is the signal; the
     // static screen only says they correlate on average). Same integer
@@ -899,6 +938,35 @@ object MarketOps {
         |FROM cells
         |ORDER BY user_id, day""".stripMargin) { (s, d) =>
       panelFfill(Tables.events(s, d))
+    },
+
+    // TWAP — time-weighted average price, the execution-quality benchmark
+    // (the time-axis twin of mkt_vwap20's volume weighting): each tick's
+    // price is weighted by the WHOLE seconds it was in force (to the next
+    // tick; the final tick has no holding interval and is excluded —
+    // both engines drop the NULL lead). Exactness: integer-cent price ×
+    // integer-second holding time accumulate as exact BIGINTs, one
+    // double division at the end — identical operands, bit-equal. Scale:
+    // one shuffle by key for the lead window, then a partial-aggregated
+    // groupBy — the indicator shape.
+    QueryDef.sqlBacked(
+      "mkt_twap",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             CAST(floor(value * 100) AS BIGINT) AS p
+        |           FROM events),
+        |d AS (SELECT user_id, p,
+        |        date_diff('second', ts,
+        |          lead(ts) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id)) AS dt
+        |      FROM e)
+        |SELECT user_id,
+        |  CAST(sum(p * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) / 100
+        |    AS twap,
+        |  CAST(sum(dt) AS BIGINT) AS total_seconds
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      twap(Tables.events(s, d))
     },
 
     // CUSUM CHANGEPOINT detection — the sequential drift detector (Page
@@ -1399,6 +1467,45 @@ object MarketOps {
       }
       .toDF("event_id", "user_id", "atr_wilder")
       .orderBy(col("event_id"))
+  }
+
+  /** Per-ticker market beta — see the mkt_beta QueryDef. The market
+    * frame is calendar-bounded (one row per day) so it broadcasts; the
+    * moment sums run with map-side partials.
+    */
+  def marketBeta(events: DataFrame, minOverlap: Int): DataFrame = {
+    val rets = dailyChanges(events)
+    val market = rets.groupBy(col("b")).agg(sum(col("r")).as("m"))
+    rets.join(broadcast(market), Seq("b"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(col("m")).as("sm"), sum(col("r") * col("m")).as("srm"),
+        sum(col("m") * col("m")).as("smm"))
+      .filter(col("n") >= minOverlap &&
+        (col("n") * col("smm") - col("sm") * col("sm")) > 0)
+      .select(col("user_id"), col("n"),
+        round((col("n") * col("srm") - col("sr") * col("sm")).cast("double") /
+          (col("n") * col("smm") - col("sm") * col("sm")).cast("double"), 6)
+          .as("beta"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Time-weighted average price per key — see the mkt_twap QueryDef. */
+  def twap(ticks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ticks
+      .withColumn("p", floor(col("value") * 100).cast("long"))
+      .withColumn("dt",
+        lead(col("ts"), 1).over(w).cast("long") - col("ts").cast("long"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("p") * col("dt")).cast("double") /
+          sum(col("dt")).cast("double") / 100).as("twap"),
+        sum(col("dt")).as("total_seconds"))
+      .orderBy(col("user_id"))
   }
 
   /** CUSUM changepoint trace — see the mkt_cusum QueryDef. Emits the
