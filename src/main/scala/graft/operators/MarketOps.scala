@@ -657,6 +657,45 @@ object MarketOps {
         minOverlap = 20)
     },
 
+    // TREND — per-ticker OLS line over the daily close series (y =
+    // cents, x = 1..n day rank): slope is the momentum factor, intercept
+    // anchors the line. Same exactness contract as beta/corr: four
+    // BIGINT moments (Σx, Σy, Σxy, Σx² — x is the dense rank so Σx, Σx²
+    // are exact by construction), slope/intercept derived in one
+    // identical-op-order double computation, rounded at the end.
+    QueryDef.sqlBacked(
+      "mkt_trend",
+      """WITH b AS (
+        |  SELECT user_id, b, p FROM (
+        |    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS b,
+        |      CAST(floor(value * 100) AS BIGINT) AS p,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+        |    FROM events WHERE user_id < 150) WHERE rk = 1),
+        |x AS (SELECT user_id, p,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY b)
+        |             AS BIGINT) AS x
+        |      FROM b),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(p) AS BIGINT) AS sy,
+        |        CAST(sum(x * p) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM x GROUP BY 1)
+        |SELECT user_id, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+        |  round((CAST(sy AS DOUBLE) -
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) AS intercept_cents
+        |FROM s
+        |WHERE n >= 20
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      trendLine(Tables.events(s, d).filter(col("user_id") < 150),
+        minDays = 20)
+    },
+
     // ROLLING pairwise correlation over the watchlist — the time-varying
     // risk monitor (a pair decorrelating THIS month is the signal; the
     // static screen only says they correlate on average). Same integer
@@ -1467,6 +1506,34 @@ object MarketOps {
       }
       .toDF("event_id", "user_id", "atr_wilder")
       .orderBy(col("event_id"))
+  }
+
+  /** Per-ticker OLS trend over daily closes — see the mkt_trend
+    * QueryDef. Note the intercept reuses the slope's exact double
+    * expression verbatim so both engines run the identical IEEE ops.
+    */
+  def trendLine(events: DataFrame, minDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLast = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events
+      .withColumn("b", date_trunc("day", col("ts")))
+      .withColumn("p", floor(col("value") * 100).cast("long"))
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .withColumn("x", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("b"))).cast("long"))
+    val s = daily.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("p")).as("sy"),
+      sum(col("x") * col("p")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    s.filter(col("n") >= minDays)
+      .select(col("user_id"), col("n"),
+        round(slope, 6).as("slope_cents_per_day"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double"), 6).as("intercept_cents"))
+      .orderBy(col("user_id"))
   }
 
   /** Per-ticker market beta — see the mkt_beta QueryDef. The market

@@ -305,6 +305,36 @@ object TextOps {
         pLo = 0.05, pHi = 0.95)
     },
 
+    // QUALITY DECILES — curriculum bucketing: each doc's within-language
+    // quality decile (1 = worst, 10 = best), the label a staged training
+    // run orders its data by. ntile is SQL-standard on both engines
+    // (earlier buckets take the extra rows) and the (q6, doc_id) order
+    // is total, so the assignment is deterministic and hash-exact.
+    // One shuffle by language; the rank never leaves its stratum.
+    QueryDef.sqlBacked(
+      "txt_deciles",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> len(x) > 0) AS w,
+         |    len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |    CAST(floor((
+         |      0.5 * (len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))
+         |               / CAST(len(w) AS DOUBLE))
+         |        + 0.3 * least(1.0, len(w) / 50.0)
+         |        + 0.2 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+         |      ) * 1000000) AS BIGINT) AS q6
+         |  FROM t WHERE len(w) > 0)
+         |SELECT doc_id, lang, q6,
+         |  ntile(10) OVER (PARTITION BY lang ORDER BY q6, doc_id) AS decile
+         |FROM q
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      qualityDeciles(Tables.documents(s, d))
+    },
+
     // Per-group top-k (top documents per language by length, total
     // tie-break). The rank filter compiles to WindowGroupLimit (locked in
     // PlanSpec): each partition keeps a k-row heap per group BEFORE the
@@ -898,6 +928,19 @@ object TextOps {
         round(col("vlo") + (col("r") - floor(col("r"))) * (col("vhi") - col("vlo")), 6)
           .as("q"))
       .orderBy(col(groupCol), col("p"))
+  }
+
+  /** Within-language quality deciles — see the txt_deciles QueryDef. */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qualityProjection(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("q6", floor(col("quality_score") * 1e6).cast("long"))
+      .withColumn("decile", ntile(10).over(Window.partitionBy(col("lang"))
+        .orderBy(col("q6"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("q6"), col("decile"))
+      .orderBy(col("doc_id"))
   }
 
   /** Winsorization — see the txt_winsorize QueryDef. Clamps `valueCol`
