@@ -8,10 +8,9 @@ import java.nio.file.{Files, Paths}
   * Also emits verify_meta.json so the correctness artifact is
   * self-describing: the scale factor it ran at, which queries are declared
   * no-oracle BY DESIGN (engine-specific results) as opposed to broken, and a
-  * machine-checked engine-side bound for each of those — the HLL estimate
-  * must sit within its error bound of the exact distinct computed in the
-  * same result, and the seeded random order must reproduce bit-identically
-  * on a rebuild.
+  * machine-checked engine-side bound for each of those — e.g. the HLL
+  * estimate must sit within its error bound of the exact distinct computed
+  * in the same result.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -87,18 +86,6 @@ object Verify {
       engineChecks("txt_quantiles_approx") =
         s"""{"check": "approx_quantile_within_bound", "max_rel_err": ${num(maxRel)}, """ +
           s""""bound": ${num(bound)}, "passed": ${maxRel <= bound}}"""
-    }
-    if (checkable("q20_random_order")) {
-      // seeded rand: a rebuild must reproduce the dumped order bit-for-bit
-      // (deterministic for a fixed seed + partitioning)
-      val dumped = spark.read.parquet(s"$outDir/q20_random_order")
-        .collect().toSeq
-      val rebuilt = SparkEntry.queries("q20_random_order")(spark, sfDir)
-        .collect().toSeq
-      graft.core.GraftCaches.releaseAll(spark)
-      engineChecks("q20_random_order") =
-        s"""{"check": "seeded_order_deterministic", "rows": ${dumped.size}, """ +
-          s""""passed": ${dumped == rebuilt && dumped.nonEmpty}}"""
     }
     val noOracle = (selected.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     val meta =

@@ -85,12 +85,27 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     },
 
-    // O-S3: seeded random work-order shuffle (main.py:36) — deterministic
-    // within Spark for a fixed seed+partitioning, engine-specific → rows-only.
-    QueryDef.rowsOnly("q20_random_order") { (s, d) =>
+    // O-S3: seeded random work-order shuffle (main.py:36). The semantic the
+    // reference needs is "a deterministic shuffle of work order for a fixed
+    // seed" — a keyed portable hash satisfies it EXACTLY, and unlike
+    // rand(seed) (engine-specific stream) both engines can recompute the
+    // permutation, so this is hash-exact instead of rows-only. Same
+    // multiplicative-hash family as CorpusOps.orderHash: pre-reduce mod
+    // 1000003 keeps the product far from BIGINT overflow in DuckDB; the
+    // 1009 line-number mix keeps lines of one order apart in the shuffle.
+    QueryDef.sqlBacked(
+      "q20_random_order",
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY (l_orderkey * 1009 + l_linenumber) % 1000003 * 69069 % 65536,
+        |  l_orderkey, l_linenumber
+        |LIMIT 50""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"))
-        .orderBy(rand(42), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(
+          (col("l_orderkey") * 1009L + col("l_linenumber")) % 1000003L
+            * 69069L % 65536L,
+          col("l_orderkey"), col("l_linenumber"))
         .limit(50)
     },
 
