@@ -27,18 +27,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and truncate to a
-    * microsecond TimestampType — the same truncation DuckDB applies on
-    * CAST(ts AS TIMESTAMP), so oracle comparisons line up. Integer `div`
-    * (not `/`): ns-since-epoch ≈ 1.7e18 exceeds a double's 2^53 mantissa.
+  /** `events.ts` has shipped in two physical parquet encodings across fixture
+    * generations: timestamp[ns] (which Spark 4 rejects by default —
+    * PARQUET_TYPE_ILLEGAL — so we read it as a nanos long via
+    * `nanosAsLong` and truncate to micros) and plain timestamp[us] (which
+    * Spark reads directly, as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    * footer's isAdjustedToUTC flag). Branch on the *read* schema so both
+    * load to an identical microsecond TimestampType column; session timezone
+    * is pinned to UTC at every entry point, so the NTZ→LTZ cast is
+    * value-identity. DuckDB's oracle-side CAST(ts AS TIMESTAMP) applies the
+    * same micro truncation, so comparisons line up for either encoding.
+    * Integer `div` (not `/`) on the ns path: ns-since-epoch ≈ 1.7e18 exceeds
+    * a double's 2^53 mantissa.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = s.read.parquet(s"$d/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // legacy timestamp[ns] fixture read as nanos-long
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // timestamp[us], isAdjustedToUTC=false
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already TimestampType micros
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
