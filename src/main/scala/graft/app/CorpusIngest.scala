@@ -64,10 +64,23 @@ object CorpusIngest {
   private def pairsPath(wh: String) = s"$wh/corpus/pairs"
   private def statsPath(wh: String) = s"$wh/corpus/doc_stats"
 
-  /** Land one drop; returns (new docs landed, new verified pairs). */
+  /** Land one drop; returns (new docs landed, new verified pairs).
+    *
+    * `compactTargetFiles` sizes the signature-store maintenance pass: after
+    * the appends, `corpus/bands` and `corpus/shingles` are compacted down to
+    * that many files once fragmentation exceeds Sinks' shared 4× gate — a
+    * thousand-drop corpus otherwise pays a thousand file-opens per store
+    * read in every later increment. Defaults to the cluster parallelism.
+    */
   def run(spark: SparkSession, drop: DataFrame, warehouse: String,
-          threshold: Double = 0.5): (Long, Long) = {
+          threshold: Double = 0.5,
+          compactTargetFiles: Option[Int] = None): (Long, Long) = {
     val storeExists = Sinks.pathExists(spark, shinglePath(warehouse))
+    // refuse to mix dedup thresholds in one pair table BEFORE any work: a
+    // pair row carries no threshold, so appends under a different cut-off
+    // would silently corrupt the cumulative table's semantics (the same
+    // refuse-at-the-write philosophy as idempotentAppend's schema guard)
+    checkThreshold(spark, warehouse, threshold)
     val newDocs =
       if (!storeExists) drop
       else drop.join(
@@ -92,13 +105,95 @@ object CorpusIngest {
     val nPairs = pairs.count()
     Sinks.idempotentAppend(pairs, pairsPath(warehouse),
       keys = Seq("doc_a", "doc_b"), partitionCols = Nil)
+    stampThreshold(spark, warehouse, threshold)
     DedupOps.appendSignatureStore(inc, bandPath(warehouse),
       shinglePath(warehouse))
     Sinks.idempotentAppend(inc, docsPath(warehouse),
       keys = Seq("doc_id"), partitionCols = Nil)
     Sinks.idempotentAppend(docStats(inc), statsPath(warehouse),
       keys = Seq("doc_id"), partitionCols = Nil)
+    // maintenance: every drop appends one file set to the signature store,
+    // and the NEXT increment re-reads the whole store — the same
+    // fragmentation rhythm Backfill.run gates on for silver. Atomic swap,
+    // scan-identical data, so pairs already derived are unaffected.
+    val target = compactTargetFiles.getOrElse(
+      spark.sparkContext.defaultParallelism)
+    Sinks.compactIfFragmented(spark, bandPath(warehouse), target)
+    Sinks.compactIfFragmented(spark, shinglePath(warehouse), target)
     (nNew, nPairs)
+  }
+
+  /** GOVERNANCE DELETE cascade — the corpus-warehouse form of
+    * Sinks.deleteByKey's "gone from the FILES" contract. Deleting only from
+    * `corpus/documents` is not a takedown: the doc's shingle set and MinHash
+    * bands still sit in the signature store (recoverable content
+    * fingerprints, and they make the ingest trim anti-join silently swallow
+    * a legitimate re-submission of the same doc_id), and its pair rows keep
+    * pulling it into dedup clusters. One call rewrites all five tables
+    * without the keyed rows: documents / shingles / bands / doc_stats on
+    * doc_id, pairs on doc_a OR doc_b (two keyed passes — each is
+    * existence-probed, so a side with no hits costs one semi-join probe,
+    * not a rewrite). After the cascade a re-ingested doc_id lands as new
+    * and re-derives its pairs, because the trim reads the same shingle
+    * store the cascade purged. Returns per-table (rowsBefore, rowsAfter)
+    * for the audit trail a governance pass needs.
+    */
+  def delete(spark: SparkSession, warehouse: String,
+             docIds: Seq[Long]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val keys = docIds.toDF("doc_id")
+    val byDocId = Seq(
+      "documents" -> docsPath(warehouse),
+      "shingles" -> shinglePath(warehouse),
+      "bands" -> bandPath(warehouse),
+      "doc_stats" -> statsPath(warehouse))
+    val purged = byDocId.flatMap { case (name, p) =>
+      if (!Sinks.pathExists(spark, p)) None
+      else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("doc_id")))
+    }.toMap
+    if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
+    else {
+      val (before, _) = Sinks.deleteByKey(spark, pairsPath(warehouse),
+        keys.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      val (_, after) = Sinks.deleteByKey(spark, pairsPath(warehouse),
+        keys.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      purged + ("pairs" -> (before, after))
+    }
+  }
+
+  /** The pair table's threshold provenance ledger: a sibling file (so
+    * compaction's directory swap preserves it, same placement as
+    * Sinks.promote's ledger) recording the SPARK_GRAFT_DEDUP_THRESHOLD the
+    * table was built under.
+    */
+  private def thresholdLedger(wh: String) =
+    new org.apache.hadoop.fs.Path(pairsPath(wh) + "._threshold")
+
+  private def checkThreshold(spark: SparkSession, wh: String,
+                             threshold: Double): Unit = {
+    val p = thresholdLedger(wh)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stamped = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine().trim.toDouble
+      finally in.close()
+      require(stamped == threshold,
+        s"corpus/pairs was built at dedup threshold $stamped; refusing to " +
+          s"append pairs derived at $threshold — mixed-threshold pair " +
+          "tables have no single semantics (rebuild the warehouse or match " +
+          "the stamped threshold)")
+    }
+  }
+
+  private def stampThreshold(spark: SparkSession, wh: String,
+                             threshold: Double): Unit = {
+    val p = thresholdLedger(wh)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(threshold.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Per-document stat partials for the increment — thin rows (ids +
@@ -167,6 +262,54 @@ object CorpusIngest {
         run(spark, batch, warehouse, threshold); ()
       }
       .start()
+  }
+
+  /** STREAMED-LANDING ingest, the promote-based twin of `startStream`:
+    * instead of running the batch ingest inside foreachBatch, the stream
+    * lands documents in a plain streaming PARQUET SINK (exactly-once via
+    * its _spark_metadata manifest, like LiveIngest's silver landing) and a
+    * periodic maintenance call promotes the landing into the corpus
+    * warehouse. This is the shape for a corpus fed by an always-on
+    * firehose: the landing write is append-only and never blocks on dedup
+    * work; the promote → ingest step runs on the batch cadence, reads the
+    * landing through the manifest (uncommitted task output is invisible),
+    * and is idempotent end to end. Returns the running landing query.
+    */
+  def startLanding(spark: SparkSession, dropDir: String, landingPath: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dropDir)
+      .writeStream.format("parquet")
+      .option("path", landingPath)
+      .option("checkpointLocation", s"$landingPath/../_checkpoints/landing")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Promote the streamed landing into the warehouse's staged-drop table
+    * and ingest whatever is genuinely new — the batch half of the
+    * startLanding rhythm. `Sinks.promote`'s manifest ledger short-circuits
+    * an unchanged landing without scanning, and `run`'s shingle-store trim
+    * guarantees each promoted doc enters the dedup path exactly once, so
+    * calling this on any cadence (or replaying it) lands each streamed doc
+    * once: the resulting pair table is bit-identical to ingesting the same
+    * drops all-batch. Returns (new docs landed, new verified pairs).
+    */
+  def promoteAndIngest(spark: SparkSession, landingPath: String,
+                       warehouse: String,
+                       threshold: Double = 0.5): (Long, Long) = {
+    val staged = s"$warehouse/corpus/staged_drops"
+    Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id")) match {
+      case None => (0L, 0L)
+      case Some(_) =>
+        run(spark, spark.read.parquet(staged), warehouse, threshold)
+    }
   }
 
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup

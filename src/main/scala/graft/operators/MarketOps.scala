@@ -1221,6 +1221,68 @@ object MarketOps {
     * init; the vector length rides the embedding column's metadata
     * ("graft.rv.dims") for the ANN caller's plane matrix.
     */
+  /** TWO-PHASE global rank over a column with UNIQUE values: range-partition
+    * on the key (order-preserving across partition ids), rank locally within
+    * each partition, then add each partition's start offset (the count of
+    * rows in earlier partitions — a partitions-sized driver list, same
+    * driver-edge-scalar convention as returnVectors' dims). Replaces the
+    * single-partition `Window.orderBy(key)` pattern: identical 1-based dense
+    * ranks, but the sort runs on every core instead of serializing the
+    * whole frame through one task. The input is eagerly localCheckpoint'd
+    * so the offset collect and the final plan share one computation of the
+    * (calendar-bounded) upstream frame.
+    */
+  private def globalRank(df0: DataFrame, keyCol: String,
+                         out: String): DataFrame = {
+    val parts = df0.repartitionByRange(col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, c)) => (pid + 1, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = df0.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_pid", "_off")
+    parts
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col(keyCol))))
+      .join(broadcast(offDf), "_pid")
+      // int like row_number's output, so downstream arithmetic is unchanged
+      .withColumn(out, (col("_off") + col("_lrk")).cast("int"))
+      .drop("_pid", "_lrk", "_off")
+  }
+
+  /** TWO-PHASE running max over rows keyed by a UNIQUE ordering column: the
+    * same shape as globalRank, but the per-partition carry is the MAX of
+    * every earlier partition (exclusive prefix max) instead of a row count.
+    * out(row) = max(local running max, prefix max) — identical to
+    * `max(val).over(Window.orderBy(key).rowsBetween(unboundedPreceding,
+    * currentRow))` without the single-partition exchange.
+    */
+  private def runningMax(df0: DataFrame, keyCol: String, valCol: String,
+                         out: String): DataFrame = {
+    val parts = df0.repartitionByRange(col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val pmax = parts.groupBy(col("_pid")).agg(max(col(valCol)).as("_m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = pmax.scanLeft((0, Option.empty[Long])) {
+      case ((_, acc), (pid, m)) =>
+        (pid + 1, Some(acc.fold(m)(math.max(_, m))))
+    }.init.zip(pmax).map { case ((_, pref), (pid, _)) => (pid, pref) }
+    val prefDf = df0.sparkSession.createDataFrame(
+        prefix.toSeq.map { case (pid, p) => (pid, p.getOrElse(Long.MinValue)) })
+      .toDF("_pid", "_pref")
+    parts
+      .withColumn("_run", max(col(valCol)).over(
+        Window.partitionBy(col("_pid")).orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(prefDf), "_pid")
+      .withColumn(out, greatest(col("_run"), col("_pref")))
+      .drop("_pid", "_run", "_pref")
+  }
+
   def returnVectors(events: DataFrame): DataFrame = {
     val wLast = Window.partitionBy(col("user_id"), col("b"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -1235,8 +1297,7 @@ object MarketOps {
       .withColumn("r", col("p") - lag(col("p"), 1).over(w))
       .filter(col("r").isNotNull)
       .select(col("user_id"), col("b"), col("r"))
-    val grid = rets.select(col("b")).distinct()
-      .withColumn("i", row_number().over(Window.orderBy(col("b"))))
+    val grid = globalRank(rets.select(col("b")).distinct(), "b", "i")
     // calendar-bounded driver scalar, same pattern as ngramCandidates' cap
     val dims = grid.count().toInt
     val md = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1378,12 +1439,12 @@ object MarketOps {
         lit(0L)))
     val port = ff.groupBy(col("day"))
       .agg(sum(col("eqv")).as("equity_cents"))
-    // grid-cardinality window (calendar-bounded) — the same exemption as
-    // the corr screen's day-grid ranking
-    val wDd = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    port.withColumn("drawdown_cents",
-        max(col("equity_cents")).over(wDd) - col("equity_cents"))
+    // running peak via the two-phase prefix max — the day grid is
+    // calendar-bounded, but there is no reason to serialize even that
+    // through a single-partition window
+    runningMax(port, "day", "equity_cents", "_peak")
+      .withColumn("drawdown_cents", col("_peak") - col("equity_cents"))
+      .drop("_peak")
       .orderBy(col("day"))
   }
 
@@ -1395,12 +1456,10 @@ object MarketOps {
     * day grid); the two single-row aggregates cross-join as scalars.
     */
   def riskStats(events: DataFrame, fast: Int, slow: Int): DataFrame = {
-    val wDay = Window.orderBy(col("day"))
-    val m = backtestPortfolio(events, fast, slow)
-      .withColumn("rn", row_number().over(wDay))
+    val m = globalRank(backtestPortfolio(events, fast, slow), "day", "rn")
       .withColumn("uw", when(col("drawdown_cents") > 0L, 1L).otherwise(0L))
-    val longest = m.filter(col("uw") === 1L)
-      .withColumn("grp", col("rn") - row_number().over(wDay))
+    val longest = globalRank(m.filter(col("uw") === 1L), "day", "_uwrk")
+      .withColumn("grp", col("rn") - col("_uwrk"))
       .groupBy(col("grp")).agg(count(lit(1)).as("len"))
       .agg(coalesce(max(col("len")), lit(0L)).as("longest_underwater_days"))
     m.agg(

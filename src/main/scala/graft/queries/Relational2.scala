@@ -90,21 +90,27 @@ object Relational2 {
     // seed" — a keyed portable hash satisfies it EXACTLY, and unlike
     // rand(seed) (engine-specific stream) both engines can recompute the
     // permutation, so this is hash-exact instead of rows-only. Same
-    // multiplicative-hash family as CorpusOps.orderHash: pre-reduce mod
-    // 1000003 keeps the product far from BIGINT overflow in DuckDB; the
-    // 1009 line-number mix keeps lines of one order apart in the shuffle.
+    // multiplicative-hash family as CorpusOps.orderHash. The mod-1000003
+    // reduction sits between the two multiplies, so it only bounds the
+    // * 69069 step (the l_orderkey * 1009 product itself is safe: BIGINT
+    // overflow would need orderkeys > ~9e15, and Spark wraps where DuckDB
+    // throws — keep that in mind if the key domain ever grows). Final
+    // modulus is 65521 (prime, not 2^16): with a power-of-two modulus the
+    // odd multiplier would make the sort key depend only on the key's low
+    // 16 bits; the prime keeps the full mixed key in play. The 1009
+    // line-number mix keeps lines of one order apart in the shuffle.
     QueryDef.sqlBacked(
       "q20_random_order",
       """SELECT l_orderkey, l_linenumber
         |FROM lineitem
-        |ORDER BY (l_orderkey * 1009 + l_linenumber) % 1000003 * 69069 % 65536,
+        |ORDER BY (l_orderkey * 1009 + l_linenumber) % 1000003 * 69069 % 65521,
         |  l_orderkey, l_linenumber
         |LIMIT 50""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(
           (col("l_orderkey") * 1009L + col("l_linenumber")) % 1000003L
-            * 69069L % 65536L,
+            * 69069L % 65521L,
           col("l_orderkey"), col("l_linenumber"))
         .limit(50)
     },

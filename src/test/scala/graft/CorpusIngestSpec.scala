@@ -94,6 +94,89 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/corpus/documents").count() == 3)
   }
 
+  test("governance delete cascades through all corpus tables and re-ingest re-lands") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whdel").toString
+    CorpusIngest.run(spark,
+      Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text"), wh)
+    CorpusIngest.run(spark,
+      Seq((30L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    assert(spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      == Set((10L, 30L)))
+
+    val audit = CorpusIngest.delete(spark, wh, Seq(30L))
+    // rows referencing 30 are gone from the FILES of every table
+    for (t <- Seq("documents", "shingles", "bands", "doc_stats")) {
+      val left = spark.read.parquet(s"$wh/corpus/$t")
+        .filter(col("doc_id") === 30L).count()
+      assert(left == 0, s"delete left $left rows in corpus/$t")
+      assert(audit(t)._1 > audit(t)._2, s"audit for $t should record the purge")
+    }
+    assert(spark.read.parquet(s"$wh/corpus/pairs")
+      .filter(col("doc_a") === 30L || col("doc_b") === 30L).count() == 0,
+      "pair rows referencing a deleted doc must be purged")
+    // survivors no longer see the deleted doc's cluster
+    assert(CorpusIngest.survivors(spark, wh)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 20L))
+
+    // a re-submitted deleted doc_id is NOT swallowed by the trim anti-join:
+    // it lands as new and re-derives its near-dup pairs
+    val (n, p) = CorpusIngest.run(spark,
+      Seq((30L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    assert((n, p) == (1L, 1L), s"re-ingest after delete landed ($n, $p)")
+    assert(spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      == Set((10L, 30L)), "re-ingest must re-derive the purged pair")
+  }
+
+  test("signature store compacts once drops fragment it; pairs unchanged") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcmp").toString
+    // 6 single-doc drops at targetFiles=1 → file counts pass the 4x gate
+    val texts = Seq(
+      base, unrelated, base.replace("winter", "summer"),
+      "gardens and rivers flowing through quiet mountain valleys at dawn today",
+      "distributed systems retry with idempotent writes to stay exactly once",
+      "a completely different sentence about compilers and register allocation")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      CorpusIngest.run(spark,
+        Seq((i.toLong * 10 + 1, t)).toDF("doc_id", "text"), wh,
+        compactTargetFiles = Some(1))
+    }
+    for (t <- Seq("bands", "shingles")) {
+      val files = graft.core.Sinks.dataFileCount(spark, s"$wh/corpus/$t")
+      assert(files <= 4, s"corpus/$t still fragmented: $files files")
+    }
+    val pairsBefore = spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the compacted store serves the next increment identically
+    val (n, _) = CorpusIngest.run(spark,
+      Seq((100L, base + " with a small tail")).toDF("doc_id", "text"), wh,
+      compactTargetFiles = Some(1))
+    assert(n == 1L)
+    val pairsAfter = spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairsBefore.subsetOf(pairsAfter),
+      "compaction must not lose previously derived pairs")
+    assert(pairsAfter.exists(_._2 == 100L),
+      "increment against the compacted store must still find near-dups")
+  }
+
+  test("pair table refuses appends under a different dedup threshold") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whthr").toString
+    CorpusIngest.run(spark,
+      Seq((1L, base)).toDF("doc_id", "text"), wh, threshold = 0.5)
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.run(spark,
+        Seq((2L, unrelated)).toDF("doc_id", "text"), wh, threshold = 0.7)
+    }
+    assert(e.getMessage.contains("0.5") && e.getMessage.contains("0.7"),
+      s"error must name both thresholds: ${e.getMessage}")
+    // matching threshold still lands
+    val (n, _) = CorpusIngest.run(spark,
+      Seq((2L, unrelated)).toDF("doc_id", "text"), wh, threshold = 0.5)
+    assert(n == 1L)
+  }
+
   test("incremental datacard equals the full-scan datacard, never rescans text") {
     val wh = java.nio.file.Files.createTempDirectory("corpus-wh3").toString
     val drop1 = Seq(

@@ -154,6 +154,56 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("semDedup mega-cluster cap: LSH path matches brute force, plan is bucketed") {
+    // collapsed-embedding-space fixture: 100 identical vectors (one k-means
+    // cluster holds 83% of the corpus — identical points tie on d2 to every
+    // centroid and the (d2, cid) tie-break sends them all to one cid) plus
+    // 20 spread vectors. The within-cluster all-pairs join would be
+    // quadratic in the 100; the cap must route that cluster through the
+    // banded sign-LSH instead.
+    val mega = Array.tabulate(64)(j => (math.sin(j + 1).toFloat))
+    def spread(i: Int): Array[Float] =
+      Array.tabulate(64) { j =>
+        val h = ((i.toLong * 64 + j) * 2654435761L % 4294967296L)
+        (((h ^ (h >> 16)) % 65536L).toFloat / 65536f * 2 - 1)
+      }
+    val emb = (
+      (0 until 100).map(i => (i.toLong, mega)) ++
+      (100 until 120).map(i => (i.toLong, spread(i)))
+    ).toDF("vec_id", "embedding")
+
+    val uncapped = SimilarityOps.semDedupPairs(emb, threshold = 0.42)
+    val capped = SimilarityOps.semDedupPairs(emb, threshold = 0.42,
+      maxClusterSize = 50)
+
+    // the planted collapse really happened: one cluster holds >= 80%
+    val maxCluster = SimilarityOps.kmeansAssign(emb, k = 8, iters = 3)
+      .groupBy("cid").count().agg(max("count")).as[Long].head()
+    assert(maxCluster >= 96, s"mega cluster only $maxCluster/120")
+
+    val exactPairs = uncapped.select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    val cappedPairs = capped.select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exactPairs.size >= 100 * 99 / 2, "mega cluster must pair fully")
+    assert(cappedPairs.subsetOf(exactPairs),
+      s"capped path must keep precision 1; extras: ${cappedPairs -- exactPairs}")
+    val recall = (exactPairs intersect cappedPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"capped recall $recall < 0.9")
+
+    // the oversized cluster actually took the bucketed path: the LSH band
+    // signature expression appears in the capped plan and not the uncapped
+    // analyzed plans print the resolved expression (SignBandCodes), not the
+    // registered function name
+    val cappedPlan = capped.queryExecution.analyzed.toString.toLowerCase
+    val uncappedPlan = uncapped.queryExecution.analyzed.toString.toLowerCase
+    assert(cappedPlan.contains("signbandcodes"),
+      "capped plan must contain the sign-LSH banding stage")
+    assert(!uncappedPlan.contains("signbandcodes"),
+      "uncapped plan must stay the exact all-pairs path")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("lsh recall vs brute force baseline is measurable and sane") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val exact = SimilarityOps.cosineTopK(emb, col("vec_id") % 100 === 0, k = 3)

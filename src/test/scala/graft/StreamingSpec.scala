@@ -430,6 +430,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(batch).count() == 3)
   }
 
+  test("streamed corpus landing promotes into the warehouse; pairs match the all-batch run") {
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire in winter"
+    val unrelated =
+      "spark executes distributed dataframe plans with catalyst optimizing every stage of the physical query pipeline today"
+    val drop1 = Seq((10L, base), (20L, unrelated))
+    val drop2 = Seq((30L, base.replace("winter", "summer")), (40L, unrelated))
+
+    // all-batch reference warehouse
+    val whBatch = java.nio.file.Files.createTempDirectory("corp-batch").toString
+    graft.app.CorpusIngest.run(spark, drop1.toDF("doc_id", "text"), whBatch)
+    graft.app.CorpusIngest.run(spark, drop2.toDF("doc_id", "text"), whBatch)
+
+    // streamed: drop files → parquet-sink landing → promote → batch ingest
+    val root = java.nio.file.Files.createTempDirectory("corp-stream").toString
+    val dropDir = s"$root/drops"
+    val landing = s"$root/landing"
+    val wh = s"$root/wh"
+    def land(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(dropDir)
+      val q = graft.app.CorpusIngest.startLanding(spark, dropDir, landing)
+      q.awaitTermination()
+    }
+    land(drop1)
+    val (n1, p1) = graft.app.CorpusIngest.promoteAndIngest(spark, landing, wh)
+    assert((n1, p1) == (2L, 0L), s"first promotion landed ($n1, $p1)")
+    // unchanged landing: ledger short-circuit, nothing re-enters dedup
+    assert(graft.app.CorpusIngest.promoteAndIngest(spark, landing, wh) == (0L, 0L))
+    land(drop2)
+    val (n2, _) = graft.app.CorpusIngest.promoteAndIngest(spark, landing, wh)
+    assert(n2 == 2L, s"second promotion landed $n2")
+    // a replayed maintenance call after everything is promoted is a no-op
+    assert(graft.app.CorpusIngest.promoteAndIngest(spark, landing, wh) == (0L, 0L))
+
+    // the streamed warehouse is bit-identical to the all-batch one where it
+    // matters: the cumulative pair table and the surviving corpus view
+    def pairs(w: String) = spark.read.parquet(s"$w/corpus/pairs")
+      .select("doc_a", "doc_b", "jac").collect().toSet
+    assert(pairs(wh) == pairs(whBatch),
+      s"streamed pairs ${pairs(wh)} != batch pairs ${pairs(whBatch)}")
+    def docs(w: String) = graft.app.CorpusIngest.survivors(spark, w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs(wh) == docs(whBatch), "survivor sets must match")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
