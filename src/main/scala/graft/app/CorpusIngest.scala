@@ -131,9 +131,8 @@ object CorpusIngest {
     * a legitimate re-submission of the same doc_id), and its pair rows keep
     * pulling it into dedup clusters. One call rewrites all five tables
     * without the keyed rows: documents / shingles / bands / doc_stats on
-    * doc_id, pairs on doc_a OR doc_b (two keyed passes — each is
-    * existence-probed, so a side with no hits costs one semi-join probe,
-    * not a rewrite). After the cascade a re-ingested doc_id lands as new
+    * doc_id, pairs on doc_a OR doc_b (chained anti-joins in ONE rewrite —
+    * Sinks.deleteByAnyKey). After the cascade a re-ingested doc_id lands as new
     * and re-derives its pairs, because the trim reads the same shingle
     * store the cascade purged. Returns per-table (rowsBefore, rowsAfter)
     * for the audit trail a governance pass needs.
@@ -152,13 +151,8 @@ object CorpusIngest {
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("doc_id")))
     }.toMap
     if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
-    else {
-      val (before, _) = Sinks.deleteByKey(spark, pairsPath(warehouse),
-        keys.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      val (_, after) = Sinks.deleteByKey(spark, pairsPath(warehouse),
-        keys.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-      purged + ("pairs" -> (before, after))
-    }
+    else purged + ("pairs" -> Sinks.deleteByAnyKey(spark,
+      pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
   }
 
   /** The pair table's threshold provenance ledger: a sibling file (so

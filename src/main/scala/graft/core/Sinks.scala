@@ -257,6 +257,41 @@ object Sinks {
     }
   }
 
+  /** Hard delete of rows where ANY of `targetCols` matches a key — the
+    * edge-table form of deleteByKey (a pair/link table references an entity
+    * from several columns; a takedown must drop the row if either side
+    * matches). Chained anti-joins — each one hash-joinable, unlike an OR
+    * join condition, which would force a nested loop — feed ONE rewrite and
+    * one atomic swap, so the table is scanned and rewritten once however
+    * many columns reference the entity. Same existence probe and observed
+    * after-count as deleteByKey. Returns (rowsBefore, rowsAfter).
+    */
+  def deleteByAnyKey(spark: SparkSession, path: String, keys: DataFrame,
+                     keyCol: String, targetCols: Seq[String],
+                     partitionCols: Seq[String] = Nil): (Long, Long) = {
+    require(targetCols.nonEmpty, "deleteByAnyKey needs at least one target column")
+    val stored = readForRewrite(spark, path)
+    val keyRows = keys.select(col(keyCol)).dropDuplicates()
+    val before = stored.count()
+    val hasMatch = targetCols.exists { c =>
+      !stored.join(keyRows.withColumnRenamed(keyCol, c), Seq(c), "left_semi")
+        .limit(1).isEmpty
+    }
+    if (!hasMatch) (before, before)
+    else {
+      val obs = org.apache.spark.sql.Observation("graft_delete_any_kept")
+      // each USING anti-join rotates its key column to the front — restore
+      // the stored column order so the rewrite doesn't permute the schema
+      val kept = targetCols.foldLeft(stored) { (d, c) =>
+          d.join(keyRows.withColumnRenamed(keyCol, c), Seq(c), "left_anti")
+        }
+        .select(stored.columns.map(col): _*)
+        .observe(obs, count(lit(1)).as("kept"))
+      swapInto(spark, path, kept, partitionCols, targetFiles = None)
+      (before, obs.get("kept").asInstanceOf[Long])
+    }
+  }
+
   /** Small-file COMPACTION — the maintenance pass every long-running ingest
     * needs: idempotentAppend lands one file set per batch, so a day of
     * minute triggers leaves ~1440 file sets per partition and scans start

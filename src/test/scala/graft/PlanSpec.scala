@@ -124,6 +124,31 @@ class PlanSpec extends AnyFunSuite {
       s"backtest re-shuffled between window passes:\n$p")
   }
 
+  test("day-grid operators plan no single-partition windows") {
+    // the correlation/backtest family ranks and prefix-maxes over the shared
+    // day grid with two-phase helpers; a bare Window.orderBy would serialize
+    // the grid through one task at any scale
+    var windowsSeen = 0
+    for (q <- Seq("mkt_corr_screen", "mkt_backtest_portfolio", "mkt_risk_stats")) {
+      // AdaptiveSparkPlanExec is a leaf — unwrap it or collect() sees nothing
+      val exec = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+        .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val wins = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      windowsSeen += wins.size
+      val serial = wins.filter(_.partitionSpec.isEmpty)
+      assert(serial.isEmpty,
+        s"$q still plans ${serial.size} unpartitioned window(s):\n${serial.headOption}")
+    }
+    assert(windowsSeen > 0,
+      "traversal is vacuous — expected partitioned windows in the backtest family")
+  }
+
   test("q23_funnel: stage predicates reach the parquet scans") {
     val p = plan("q23_funnel")
     assert(p.contains("isnotnull(event_type"),

@@ -336,6 +336,29 @@ class SinksSpec extends AnyFunSuite {
     assert((b2, a2) == ((97L, 97L)))
   }
 
+  test("deleteByAnyKey purges rows matching either edge column in one rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("delany").toString + "/pairs"
+    Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b").write.parquet(dir)
+
+    // key 2 appears as doc_a in one row and doc_b in another — both must go
+    val (b, a) = graft.core.Sinks.deleteByAnyKey(
+      spark, dir, Seq(2L).toDF("doc_id"), "doc_id", Seq("doc_a", "doc_b"))
+    assert((b, a) == ((4L, 2L)), s"got ($b, $a)")
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+      == Set((4L, 5L), (6L, 7L)))
+
+    // no-match takedown: existence probe short-circuits, no rewrite churn
+    val filesBefore = graft.core.Sinks.dataFileCount(spark, dir)
+    val (b2, a2) = graft.core.Sinks.deleteByAnyKey(
+      spark, dir, Seq(42L).toDF("doc_id"), "doc_id", Seq("doc_a", "doc_b"))
+    assert((b2, a2) == ((2L, 2L)))
+    assert(graft.core.Sinks.dataFileCount(spark, dir) == filesBefore,
+      "a miss must not rewrite the table")
+  }
+
   test("deleteByKey: the anti-join runs once, riding the rewrite write") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
