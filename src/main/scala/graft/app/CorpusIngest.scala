@@ -296,13 +296,20 @@ object CorpusIngest {
     * drops all-batch. Returns (new docs landed, new verified pairs).
     */
   def promoteAndIngest(spark: SparkSession, landingPath: String,
-                       warehouse: String,
-                       threshold: Double = 0.5): (Long, Long) = {
+                       warehouse: String, threshold: Double = 0.5,
+                       compactTargetFiles: Option[Int] = None): (Long, Long) = {
     val staged = s"$warehouse/corpus/staged_drops"
     Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id")) match {
       case None => (0L, 0L)
       case Some(_) =>
-        run(spark, spark.read.parquet(staged), warehouse, threshold)
+        val res = run(spark, spark.read.parquet(staged), warehouse, threshold,
+          compactTargetFiles)
+        // the staged mirror fragments one file set per promotion like the
+        // signature store; same gate, and promote's sibling ledger survives
+        // the swap (it sits beside the table dir, not inside it)
+        Sinks.compactIfFragmented(spark, staged,
+          compactTargetFiles.getOrElse(spark.sparkContext.defaultParallelism))
+        res
     }
   }
 
