@@ -100,4 +100,56 @@ class TablesFormatSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.count() > 0)
   }
+
+  test("every fixture table loads with its expected logical schema") {
+    // the round-10 lesson, widened to the whole fixture set: the driver can
+    // regenerate /root/testdata with different PHYSICAL parquet encodings at
+    // any time. The engine's contract is the LOGICAL schema after loading
+    // through graft.Tables — names in order, and types up to the
+    // timestamp/timestamp_ntz pair (both load fine everywhere the loaders
+    // don't normalize; events is pinned to timestamp by Tables.events).
+    // A regeneration that flips a logical type fails HERE with the column
+    // named, instead of as 40 downstream AnalysisExceptions.
+    val tsLike = Set("timestamp", "timestamp_ntz")
+    val expected: Map[String, Seq[(String, Set[String])]] = Map(
+      "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+      "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+        "n_regionkey" -> Set("int")),
+      "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+        "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set("string")),
+      "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+        "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+      "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+        "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+      "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> tsLike, "o_orderpriority" -> Set("string")),
+      "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+        "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> tsLike),
+      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> Set("timestamp"),
+        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"),
+        "n_chars" -> Set("bigint")),
+      "embeddings" -> Seq("vec_id" -> Set("bigint"),
+        "embedding" -> Set("array<float>"), "label" -> Set("int")))
+    for (sf <- Seq(TestSpark.Sf0001, TestSpark.Sf001); name <- Tables.names) {
+      val schema = Tables.table(spark, sf, name).schema
+      val got = schema.map(f => f.name -> f.dataType.catalogString)
+      val want = expected(name)
+      assert(got.map(_._1) == want.map(_._1),
+        s"$name@$sf column drift: got ${got.map(_._1)}, want ${want.map(_._1)}")
+      got.zip(want).foreach { case ((col, typ), (_, allowed)) =>
+        assert(allowed.contains(typ),
+          s"$name.$col@$sf type drift: got $typ, allowed $allowed")
+      }
+    }
+  }
 }
