@@ -1232,8 +1232,8 @@ object MarketOps {
     * so the offset collect and the final plan share one computation of the
     * (calendar-bounded) upstream frame.
     */
-  private def globalRank(df0: DataFrame, keyCol: String,
-                         out: String): DataFrame = {
+  private[graft] def globalRank(df0: DataFrame, keyCol: String,
+                                out: String): DataFrame = {
     val parts = df0.repartitionByRange(col(keyCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
@@ -1260,8 +1260,8 @@ object MarketOps {
     * `max(val).over(Window.orderBy(key).rowsBetween(unboundedPreceding,
     * currentRow))` without the single-partition exchange.
     */
-  private def runningMax(df0: DataFrame, keyCol: String, valCol: String,
-                         out: String): DataFrame = {
+  private[graft] def runningMax(df0: DataFrame, keyCol: String, valCol: String,
+                                out: String): DataFrame = {
     val parts = df0.repartitionByRange(col(keyCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()

@@ -29,6 +29,31 @@ class PropertySpec extends AnyFunSuite {
 
   private val ticksGen = Gen.nonEmptyListOf(tickGen)
 
+  test("two-phase globalRank/runningMax equal their single-partition window twins") {
+    // the helpers replace Window.orderBy (serial) in the day-grid operators;
+    // lock them to the naive definition over random unique keys, including
+    // single-row and fewer-rows-than-partitions shapes
+    val keysGen = Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L))
+    forAll(keysGen, n = 8) { raw =>
+      val rows = raw.distinct.map(k => (k, k * 31 % 997)) // unique keys, values
+      val df = rows.toDF("k", "v")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      val expectRank = df.withColumn("r", row_number().over(w))
+        .select("k", "r").as[(Long, Int)].collect().toMap
+      val gotRank = graft.operators.MarketOps.globalRank(df, "k", "r")
+        .select("k", "r").as[(Long, Int)].collect().toMap
+      assert(gotRank == expectRank, s"rank diverged on ${rows.take(5)}...")
+
+      val expectMax = df.withColumn("m", max(col("v")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .select("k", "m").as[(Long, Long)].collect().toMap
+      val gotMax = graft.operators.MarketOps.runningMax(df, "k", "v", "m")
+        .select("k", "m").as[(Long, Long)].collect().toMap
+      assert(gotMax == expectMax, s"running max diverged on ${rows.take(5)}...")
+    }
+  }
+
   test("dedup is idempotent and keeps exactly one row per key") {
     forAll(ticksGen) { ticks =>
       val df = ticks.toDF("ticker", "t", "p")
