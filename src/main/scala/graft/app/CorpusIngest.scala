@@ -63,6 +63,8 @@ object CorpusIngest {
   private def bandPath(wh: String) = s"$wh/corpus/bands"
   private def pairsPath(wh: String) = s"$wh/corpus/pairs"
   private def statsPath(wh: String) = s"$wh/corpus/doc_stats"
+  private def stagedPath(wh: String) = s"$wh/corpus/staged_drops"
+  private def tombPath(wh: String) = s"$wh/corpus/tombstones"
 
   /** Land one drop; returns (new docs landed, new verified pairs).
     *
@@ -103,9 +105,13 @@ object CorpusIngest {
         spark.read.parquet(shinglePath(warehouse)),
         inc, threshold)
     val nPairs = pairs.count()
+    // stamp BEFORE the pairs land: a crash between an unstamped append and
+    // the stamp would let a later run at a different threshold slip past
+    // checkThreshold and mix semantics — the stamp-first order fails closed
+    // (worst case: a stamped threshold guarding a not-yet-written table)
+    stampThreshold(spark, warehouse, threshold)
     Sinks.idempotentAppend(pairs, pairsPath(warehouse),
       keys = Seq("doc_a", "doc_b"), partitionCols = Nil)
-    stampThreshold(spark, warehouse, threshold)
     DedupOps.appendSignatureStore(inc, bandPath(warehouse),
       shinglePath(warehouse))
     Sinks.idempotentAppend(inc, docsPath(warehouse),
@@ -129,13 +135,27 @@ object CorpusIngest {
     * bands still sit in the signature store (recoverable content
     * fingerprints, and they make the ingest trim anti-join silently swallow
     * a legitimate re-submission of the same doc_id), and its pair rows keep
-    * pulling it into dedup clusters. One call rewrites all five tables
-    * without the keyed rows: documents / shingles / bands / doc_stats on
+    * pulling it into dedup clusters. One call rewrites every warehouse
+    * table without the keyed rows: documents / shingles / bands /
+    * doc_stats / staged_drops (the stream path's full-text mirror) on
     * doc_id, pairs on doc_a OR doc_b (chained anti-joins in ONE rewrite —
-    * Sinks.deleteByAnyKey). After the cascade a re-ingested doc_id lands as new
-    * and re-derives its pairs, because the trim reads the same shingle
-    * store the cascade purged. Returns per-table (rowsBefore, rowsAfter)
-    * for the audit trail a governance pass needs.
+    * Sinks.deleteByAnyKey). After the cascade a BATCH re-ingest of the
+    * doc_id lands as new and re-derives its pairs, because the trim reads
+    * the same shingle store the cascade purged.
+    *
+    * The STREAMING landing sits upstream of the warehouse's governance
+    * boundary (its `_spark_metadata` manifest pins the file set, so it is
+    * never rewritten — retention belongs to the stream's own lifecycle,
+    * like the source crawl files). Because a later promotion would
+    * otherwise re-stage the deleted doc from that landing and silently
+    * undo the takedown, the delete also records the ids in
+    * `corpus/tombstones`; `promoteAndIngest` purges tombstoned rows the
+    * promote re-staged before anything reaches the dedup path. A
+    * legitimate STREAMED re-submission of a deleted doc_id therefore needs
+    * its tombstone lifted (Sinks.deleteByKey on `corpus/tombstones`) once
+    * the old landing has aged out — the batch path needs nothing.
+    * Returns per-table (rowsBefore, rowsAfter) for the audit trail a
+    * governance pass needs.
     */
   def delete(spark: SparkSession, warehouse: String,
              docIds: Seq[Long]): Map[String, (Long, Long)] = {
@@ -145,11 +165,17 @@ object CorpusIngest {
       "documents" -> docsPath(warehouse),
       "shingles" -> shinglePath(warehouse),
       "bands" -> bandPath(warehouse),
-      "doc_stats" -> statsPath(warehouse))
+      "doc_stats" -> statsPath(warehouse),
+      "staged_drops" -> stagedPath(warehouse))
     val purged = byDocId.flatMap { case (name, p) =>
       if (!Sinks.pathExists(spark, p)) None
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("doc_id")))
     }.toMap
+    // tombstone AFTER the staged purge: promoteAndIngest consults these to
+    // keep a later promotion from resurrecting the doc out of the landing
+    if (Sinks.pathExists(spark, stagedPath(warehouse)))
+      Sinks.idempotentAppend(keys, tombPath(warehouse),
+        keys = Seq("doc_id"), partitionCols = Nil)
     if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
     else purged + ("pairs" -> Sinks.deleteByAnyKey(spark,
       pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
@@ -169,9 +195,13 @@ object CorpusIngest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
       val in = fs.open(p)
-      val stamped = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine().trim.toDouble
+      val line = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine()
       finally in.close()
+      require(line != null && line.trim.nonEmpty,
+        s"corpus/pairs threshold ledger $p exists but is empty/corrupt — " +
+          "delete it to restamp on the next run")
+      val stamped = line.trim.toDouble
       require(stamped == threshold,
         s"corpus/pairs was built at dedup threshold $stamped; refusing to " +
           s"append pairs derived at $threshold — mixed-threshold pair " +
@@ -281,7 +311,10 @@ object CorpusIngest {
     spark.readStream.schema(schema).parquet(dropDir)
       .writeStream.format("parquet")
       .option("path", landingPath)
-      .option("checkpointLocation", s"$landingPath/../_checkpoints/landing")
+      // a SIBLING with a suffix, not "../_checkpoints": two landings under
+      // one parent must not share offsets, and a literal ".." segment is
+      // not normalized on object-store FileSystems
+      .option("checkpointLocation", s"${landingPath}_checkpoint")
       .trigger(trigger)
       .start()
   }
@@ -294,23 +327,64 @@ object CorpusIngest {
     * calling this on any cadence (or replaying it) lands each streamed doc
     * once: the resulting pair table is bit-identical to ingesting the same
     * drops all-batch. Returns (new docs landed, new verified pairs).
+    *
+    * Crash safety: promote advances its own ledger BEFORE `run` ingests,
+    * so this keeps a second sibling ledger (`._ingested_upto`) written only
+    * after a successful ingest — a call that died between the two leaves
+    * ingested < promoted, and the next call re-runs the ingest (idempotent:
+    * the trim anti-join lands nothing twice) instead of short-circuiting
+    * the staged docs into limbo. Tombstoned doc_ids that a promotion
+    * re-staged out of the landing (see `delete`) are purged from staged
+    * before anything reaches the dedup path.
     */
   def promoteAndIngest(spark: SparkSession, landingPath: String,
                        warehouse: String, threshold: Double = 0.5,
                        compactTargetFiles: Option[Int] = None): (Long, Long) = {
-    val staged = s"$warehouse/corpus/staged_drops"
-    Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id")) match {
-      case None => (0L, 0L)
-      case Some(_) =>
-        val res = run(spark, spark.read.parquet(staged), warehouse, threshold,
-          compactTargetFiles)
-        // the staged mirror fragments one file set per promotion like the
-        // signature store; same gate, and promote's sibling ledger survives
-        // the swap (it sits beside the table dir, not inside it)
-        Sinks.compactIfFragmented(spark, staged,
-          compactTargetFiles.getOrElse(spark.sparkContext.defaultParallelism))
-        res
+    val staged = stagedPath(warehouse)
+    Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id"))
+    if (!Sinks.pathExists(spark, staged)) return (0L, 0L)
+    val promotedUpto = readLongLedger(spark, staged + "._promoted_upto")
+    val ingLedger = staged + "._ingested_upto"
+    if (promotedUpto <= readLongLedger(spark, ingLedger)) return (0L, 0L)
+    // governance: a promotion may have re-staged deleted docs from the
+    // landing (which is never rewritten) — purge them before ingest; the
+    // delete is existence-probed, so a clean staged table costs one probe
+    if (Sinks.pathExists(spark, tombPath(warehouse)))
+      Sinks.deleteByKey(spark, staged,
+        spark.read.parquet(tombPath(warehouse)), Seq("doc_id"))
+    val res = run(spark, spark.read.parquet(staged), warehouse, threshold,
+      compactTargetFiles)
+    writeLongLedger(spark, ingLedger, promotedUpto)
+    // the staged mirror fragments one file set per promotion like the
+    // signature store; same gate, and both sibling ledgers survive the
+    // swap (they sit beside the table dir, not inside it)
+    Sinks.compactIfFragmented(spark, staged,
+      compactTargetFiles.getOrElse(spark.sparkContext.defaultParallelism))
+    res
+  }
+
+  /** Single-long sibling-ledger read (the `Sinks.promote` format); -1 when
+    * absent or unreadable (unreadable = re-do the guarded work, never skip).
+    */
+  private def readLongLedger(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val line = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine()
+      finally in.close()
+      if (line == null || line.trim.isEmpty) -1L else line.trim.toLong
     }
+  }
+
+  private def writeLongLedger(spark: SparkSession, path: String,
+                              value: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup

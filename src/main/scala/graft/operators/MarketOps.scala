@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import scala.jdk.CollectionConverters._
 
 /** Market-data operators re-expressing the reference's domain semantics over
   * the `events` fixture (user_id ≈ ticker, value ≈ price, signup events ≈
@@ -1228,15 +1229,18 @@ object MarketOps {
     * driver-edge-scalar convention as returnVectors' dims). Replaces the
     * single-partition `Window.orderBy(key)` pattern: identical 1-based dense
     * ranks, but the sort runs on every core instead of serializing the
-    * whole frame through one task. The input is eagerly localCheckpoint'd
-    * so the offset collect and the final plan share one computation of the
-    * (calendar-bounded) upstream frame.
+    * whole frame through one task. The partitioned input is persisted via
+    * GraftCaches (released by Verify/Bench with every other operator-level
+    * persist — a localCheckpoint would leak blocks invisible to
+    * clearCache) so the offset collect and the final plan share one
+    * computation of the (calendar-bounded) upstream frame.
     */
   private[graft] def globalRank(df0: DataFrame, keyCol: String,
                                 out: String): DataFrame = {
-    val parts = df0.repartitionByRange(col(keyCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+    val parts = graft.core.GraftCaches.acquire(
+      df0.repartitionByRange(col(keyCol))
+        .withColumn("_pid", spark_partition_id()),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) {
@@ -1258,22 +1262,40 @@ object MarketOps {
     * every earlier partition (exclusive prefix max) instead of a row count.
     * out(row) = max(local running max, prefix max) — identical to
     * `max(val).over(Window.orderBy(key).rowsBetween(unboundedPreceding,
-    * currentRow))` without the single-partition exchange.
+    * currentRow))` without the single-partition exchange. `valCol` must be
+    * a non-null BIGINT column (the integer-cents convention of every
+    * caller) — enforced at plan build, not discovered as a task cast error.
     */
   private[graft] def runningMax(df0: DataFrame, keyCol: String, valCol: String,
                                 out: String): DataFrame = {
-    val parts = df0.repartitionByRange(col(keyCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+    require(df0.schema(valCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"runningMax expects a BIGINT $valCol, got " +
+        df0.schema(valCol).dataType.catalogString)
+    val parts = graft.core.GraftCaches.acquire(
+      df0.repartitionByRange(col(keyCol))
+        .withColumn("_pid", spark_partition_id()),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pmax = parts.groupBy(col("_pid")).agg(max(col(valCol)).as("_m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val prefix = pmax.scanLeft((0, Option.empty[Long])) {
       case ((_, acc), (pid, m)) =>
         (pid + 1, Some(acc.fold(m)(math.max(_, m))))
     }.init.zip(pmax).map { case ((_, pref), (pid, _)) => (pid, pref) }
+    // nullable prefix (first range partition has no predecessor) — NULL
+    // rides through greatest(), which ignores null operands, instead of a
+    // Long.MinValue sentinel colliding with a legitimate value
+    val prefSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_pref",
+        org.apache.spark.sql.types.LongType, nullable = true)))
     val prefDf = df0.sparkSession.createDataFrame(
-        prefix.toSeq.map { case (pid, p) => (pid, p.getOrElse(Long.MinValue)) })
-      .toDF("_pid", "_pref")
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        prefix.map { case (pid, p) =>
+          org.apache.spark.sql.Row(pid, p.map(Long.box).orNull)
+        }.toSeq.asJava),
+      prefSchema)
     parts
       .withColumn("_run", max(col(valCol)).over(
         Window.partitionBy(col("_pid")).orderBy(col(keyCol))

@@ -422,16 +422,23 @@ object SimilarityOps {
       .select(col("cid"), col("vec_a"), col("vec_b"),
         round(rawDot / normProd, 6).as("cos"))
 
-    // driver-edge existence probe (one job over the k-row size table): when
-    // no cluster is oversized — every declared-query run — the plan is the
-    // exact path alone, with no idle LSH stages appended
+    // driver-edge existence probe on the k-row size aggregate (one pass
+    // over the cached assignment): when no cluster is oversized — every
+    // declared-query run — the plan is the exact path alone, with no idle
+    // LSH stages appended
     val all =
-      if (big.isEmpty) exact
+      if (sizes.filter(col("_csz") > maxClusterSize).isEmpty) exact
       else {
         val bigA = big.toDF("vec_a", "cid_a")
         val bigB = big.toDF("vec_b", "cid_b")
+        // the banding planes must span the REAL embedding width — the
+        // default 64 would silently sign-hash only a 64-dim prefix of a
+        // wider production embedding and collapse recall on exactly the
+        // degenerate-corpus path this cap exists for
+        val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
         val lsh = cosinePairsLsh(
-            embeddings.join(big.select(col("vec_id")), "vec_id"), threshold)
+            embeddings.join(big.select(col("vec_id")), "vec_id"), threshold,
+            dims = dims)
           .join(bigA, "vec_a").join(bigB, "vec_b")
           .filter(col("cid_a") === col("cid_b"))
           .select(col("cid_a").as("cid"), col("vec_a"), col("vec_b"), col("cos"))

@@ -52,6 +52,7 @@ class PropertySpec extends AnyFunSuite {
         .select("k", "m").as[(Long, Long)].collect().toMap
       assert(gotMax == expectMax, s"running max diverged on ${rows.take(5)}...")
     }
+    graft.core.GraftCaches.releaseAll(spark)
   }
 
   test("dedup is idempotent and keeps exactly one row per key") {

@@ -474,6 +474,21 @@ class StreamingSpec extends AnyFunSuite {
     def docs(w: String) = graft.app.CorpusIngest.survivors(spark, w)
       .select("doc_id").as[Long].collect().toSet
     assert(docs(wh) == docs(whBatch), "survivor sets must match")
+
+    // governance across the stream path: a takedown must purge the staged
+    // full-text mirror AND survive later promotions — the landing still
+    // holds doc 30, so without the tombstone the next promote would quietly
+    // re-stage and re-ingest it
+    graft.app.CorpusIngest.delete(spark, wh, Seq(30L))
+    assert(spark.read.parquet(s"$wh/corpus/staged_drops")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 30L).count() == 0,
+      "staged mirror must be purged by the cascade")
+    land(Seq((50L, "a brand new sentence about alpine lakes and late summer light")))
+    graft.app.CorpusIngest.promoteAndIngest(spark, landing, wh)
+    val after = spark.read.parquet(s"$wh/corpus/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!after.contains(30L), "takedown must survive later promotions")
+    assert(after.contains(50L), "new streamed docs still land after a takedown")
   }
 
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
