@@ -147,9 +147,55 @@ object Backfill {
 
     // maintenance: repeated incremental backfills leave one file set per
     // run in silver; compact once fragmentation passes ~4 files per
-    // series partition (cheap count, atomic swap, scan-identical data)
+    // series partition (cheap count, atomic swap, scan-identical data).
+    // The rewrite range-clusters each partition's rows by t so every
+    // compacted file covers a contiguous time slice of its series — an
+    // incremental append is naturally time-local (each run lands the
+    // [watermark, now) slice) and a hash-clustered compaction would smear
+    // the full history across every file, which is exactly what makes the
+    // per-file stats index below useless.
     val silverPath = s"$warehouse/silver/bars"
     val nSeries = math.max(1L, silverAll.select(seriesKey.map(col): _*).distinct().count())
-    Sinks.compactIfFragmented(spark, silverPath, targetFiles = nSeries.toInt, seriesKey)
+    Sinks.compactIfFragmented(spark, silverPath, targetFiles = nSeries.toInt,
+      seriesKey, clusterCols = Seq("t"))
+
+    // data-skipping index for (ticker, time-box) reads — core/Layout's
+    // min/max-per-file table over the silver layout: ticker rides the
+    // partition DIRECTORY (constant per file, so its per-file min==max is a
+    // perfect equality pruner) and t is file-local by construction (append
+    // slices / clustered compaction), the degenerate-but-optimal form of
+    // the (ticker, day) Z-box — interleaving ticker into a Morton curve
+    // would WEAKEN its pruning from directory-exact to curve-approximate.
+    // Rewritten after every run (appends and compaction both move files);
+    // costs one columnar scan of two columns. readBarsBox is the consumer.
+    graft.core.Layout.writeFileStatsIndex(spark, silverPath,
+      barsIndexPath(warehouse), Seq("ticker", "t"))
+  }
+
+  private def barsIndexPath(warehouse: String) = s"$warehouse/silver/bars_index"
+
+  /** BOX READ over silver: all bars of `ticker` with t in [tFrom, tTo],
+    * reading ONLY the files whose (ticker, t) min/max box intersects the
+    * request (Layout.prunedRead over the index Backfill.run maintains) —
+    * at warehouse scale a point-ish read touches a handful of files
+    * instead of the ticker's full history, and row-identically equals the
+    * full-scan filter because the exact predicate is re-applied after the
+    * file-list decision. Falls back to the plain filtered scan when the
+    * index is absent or stale (file set drifted — e.g. a run died between
+    * the silver write and the index rewrite): a data-skipping index may
+    * only ever cost performance, never rows.
+    */
+  def readBarsBox(spark: SparkSession, warehouse: String, ticker: String,
+                  tFrom: Long, tTo: Long): org.apache.spark.sql.DataFrame = {
+    val silverPath = s"$warehouse/silver/bars"
+    val exact = col("ticker") === ticker && col("t").between(tFrom, tTo)
+    val idx = barsIndexPath(warehouse)
+    val fresh = Sinks.pathExists(spark, idx) && {
+      val indexed = spark.read.parquet(idx).count()
+      indexed == Sinks.dataFileCount(spark, silverPath)
+    }
+    if (!fresh) spark.read.parquet(silverPath).filter(exact)
+    else graft.core.Layout.prunedRead(spark, silverPath, idx,
+      Map("ticker" -> (ticker, ticker), "t" -> (tFrom, tTo)))
   }
 }

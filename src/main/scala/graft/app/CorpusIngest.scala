@@ -66,6 +66,16 @@ object CorpusIngest {
   private def stagedPath(wh: String) = s"$wh/corpus/staged_drops"
   private def tombPath(wh: String) = s"$wh/corpus/tombstones"
 
+  /** The signature store reads through its bucketed catalog registration
+    * when it has one — that scan is what lets the incremental band/verify
+    * joins keep the corpus side exchange-free. Legacy (pre-bucketing)
+    * warehouses fall back to the plain parquet read and keep working, just
+    * without the elision.
+    */
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    if (Sinks.isBucketedStore(spark, path)) Sinks.readBucketedPath(spark, path)
+    else spark.read.parquet(path)
+
   /** Land one drop; returns (new docs landed, new verified pairs).
     *
     * `compactTargetFiles` sizes the signature-store maintenance pass: after
@@ -73,20 +83,37 @@ object CorpusIngest {
     * that many files once fragmentation exceeds Sinks' shared 4× gate — a
     * thousand-drop corpus otherwise pays a thousand file-opens per store
     * read in every later increment. Defaults to the cluster parallelism.
+    * (For the bucketed store the target is its bucket count — one file per
+    * bucket is the ideal shape; compactTargetFiles then only sizes the
+    * staged-mirror maintenance.)
+    *
+    * `storeBuckets` fixes the signature store's bucket layout at warehouse
+    * creation (Sinks' spec ledger carries it ever after): bands bucket on
+    * the band-join key (band, sig), shingles on the verify key (doc_id),
+    * so each drop's candidate and verify joins plan NO exchange on the
+    * corpus-sized store side — the per-increment cost is increment-sized
+    * however large the corpus grows. At warehouse scale pick
+    * data / ~256 MB; the default suits test-sized corpora.
     */
   def run(spark: SparkSession, drop: DataFrame, warehouse: String,
           threshold: Double = 0.5,
-          compactTargetFiles: Option[Int] = None): (Long, Long) = {
+          compactTargetFiles: Option[Int] = None,
+          storeBuckets: Int = 8): (Long, Long) = {
     val storeExists = Sinks.pathExists(spark, shinglePath(warehouse))
     // refuse to mix dedup thresholds in one pair table BEFORE any work: a
     // pair row carries no threshold, so appends under a different cut-off
     // would silently corrupt the cumulative table's semantics (the same
     // refuse-at-the-write philosophy as idempotentAppend's schema guard)
     checkThreshold(spark, warehouse, threshold)
+    // exact duplicate rows WITHIN one drop (an at-least-once crawl re-emits
+    // a doc) would each pass the store trim and land twice — collapse them
+    // first; conflicting texts under one doc_id remain a caller bug (the
+    // doc model is id-immutable)
+    val dropOnce = drop.dropDuplicates()
     val newDocs =
-      if (!storeExists) drop
-      else drop.join(
-        spark.read.parquet(shinglePath(warehouse)).select("doc_id"),
+      if (!storeExists) dropOnce
+      else dropOnce.join(
+        readStore(spark, shinglePath(warehouse)).select("doc_id"),
         Seq("doc_id"), "left_anti")
     // the increment feeds signature computation AND the landing write, and
     // its defining anti-join READS the same store the signature append
@@ -101,8 +128,8 @@ object CorpusIngest {
     val pairs =
       if (!storeExists) DedupOps.minhashLsh(inc, threshold)
       else DedupOps.minhashLshIncremental(
-        spark.read.parquet(bandPath(warehouse)),
-        spark.read.parquet(shinglePath(warehouse)),
+        readStore(spark, bandPath(warehouse)),
+        readStore(spark, shinglePath(warehouse)),
         inc, threshold)
     val nPairs = pairs.count()
     // stamp BEFORE the pairs land: a crash between an unstamped append and
@@ -112,8 +139,15 @@ object CorpusIngest {
     stampThreshold(spark, warehouse, threshold)
     Sinks.idempotentAppend(pairs, pairsPath(warehouse),
       keys = Seq("doc_a", "doc_b"), partitionCols = Nil)
-    DedupOps.appendSignatureStore(inc, bandPath(warehouse),
-      shinglePath(warehouse))
+    // new warehouses get the bucketed store; a legacy plain store (exists,
+    // no spec ledger) keeps its layout — appending bucketed files into a
+    // plain directory would be silently meaningless
+    if (!storeExists || Sinks.isBucketedStore(spark, bandPath(warehouse)))
+      DedupOps.appendSignatureStoreBucketed(inc, bandPath(warehouse),
+        shinglePath(warehouse), buckets = storeBuckets)
+    else
+      DedupOps.appendSignatureStore(inc, bandPath(warehouse),
+        shinglePath(warehouse))
     Sinks.idempotentAppend(inc, docsPath(warehouse),
       keys = Seq("doc_id"), partitionCols = Nil)
     Sinks.idempotentAppend(docStats(inc), statsPath(warehouse),
@@ -121,11 +155,15 @@ object CorpusIngest {
     // maintenance: every drop appends one file set to the signature store,
     // and the NEXT increment re-reads the whole store — the same
     // fragmentation rhythm Backfill.run gates on for silver. Atomic swap,
-    // scan-identical data, so pairs already derived are unaffected.
+    // scan-identical data, so pairs already derived are unaffected. The
+    // bucketed store compacts through the bucketed writer (its target is
+    // the bucket count); the legacy store through the plain one.
     val target = compactTargetFiles.getOrElse(
       spark.sparkContext.defaultParallelism)
-    Sinks.compactIfFragmented(spark, bandPath(warehouse), target)
-    Sinks.compactIfFragmented(spark, shinglePath(warehouse), target)
+    Seq(bandPath(warehouse), shinglePath(warehouse)).foreach { p =>
+      if (Sinks.isBucketedStore(spark, p)) Sinks.compactBucketedIfFragmented(spark, p)
+      else Sinks.compactIfFragmented(spark, p, target)
+    }
     (nNew, nPairs)
   }
 
@@ -152,8 +190,8 @@ object CorpusIngest {
     * `corpus/tombstones`; `promoteAndIngest` purges tombstoned rows the
     * promote re-staged before anything reaches the dedup path. A
     * legitimate STREAMED re-submission of a deleted doc_id therefore needs
-    * its tombstone lifted (Sinks.deleteByKey on `corpus/tombstones`) once
-    * the old landing has aged out — the batch path needs nothing.
+    * its tombstone lifted first — `reinstate` below — once the old landing
+    * has aged out; the batch path needs nothing.
     * Returns per-table (rowsBefore, rowsAfter) for the audit trail a
     * governance pass needs.
     */
@@ -169,16 +207,52 @@ object CorpusIngest {
       "staged_drops" -> stagedPath(warehouse))
     val purged = byDocId.flatMap { case (name, p) =>
       if (!Sinks.pathExists(spark, p)) None
+      // the signature store must be rewritten through the bucketed writer —
+      // a plain swap would strip the bucket-id file naming the catalog
+      // still promises, and later band joins would read a wrong layout
+      else if (Sinks.isBucketedStore(spark, p))
+        Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("doc_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("doc_id")))
     }.toMap
-    // tombstone AFTER the staged purge: promoteAndIngest consults these to
-    // keep a later promotion from resurrecting the doc out of the landing
-    if (Sinks.pathExists(spark, stagedPath(warehouse)))
-      Sinks.idempotentAppend(keys, tombPath(warehouse),
-        keys = Seq("doc_id"), partitionCols = Nil)
+    // tombstone UNCONDITIONALLY: gating this on the staged table existing
+    // left a hole — a takedown issued while a streaming landing was active
+    // but before its first promotion recorded nothing, and that first
+    // promotion then re-staged and re-ingested the deleted doc. The batch
+    // path never consults tombstones, so pure-batch re-submission
+    // semantics are unchanged; the only cost of a spurious tombstone is a
+    // row in a thin table.
+    Sinks.idempotentAppend(keys, tombPath(warehouse),
+      keys = Seq("doc_id"), partitionCols = Nil)
     if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
     else purged + ("pairs" -> Sinks.deleteByAnyKey(spark,
       pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
+  }
+
+  /** TOMBSTONE LIFT — the reversal half of the governance contract: a
+    * takedown that turns out to be wrong (counter-notice, mistaken id) is
+    * reversed by clearing the doc's tombstone rows, after which the SAME
+    * doc_id re-lands through either path: batch `run` never consulted
+    * tombstones, and the next streamed arrival survives
+    * `promoteAndIngest`'s purge because the tombstone is gone. Without
+    * this API a reversal required hand surgery on warehouse internals
+    * (deleting rows out of `corpus/tombstones` directly). Lifting an id
+    * that was never deleted — or lifting before any tombstone table exists
+    * — is a no-op, so governance tooling can issue reinstates
+    * unconditionally. Returns the number of tombstones actually lifted.
+    *
+    * NOTE the deliberate asymmetry with `delete`: reinstate touches ONLY
+    * the tombstone table. It does not resurrect content — the doc's rows
+    * are already purged from every table, and its content re-enters only
+    * by being re-submitted (the doc must still be in the upstream landing
+    * or a future drop). "Undo the block", not "undelete the data".
+    */
+  def reinstate(spark: SparkSession, warehouse: String,
+                docIds: Seq[Long]): Long = {
+    if (!Sinks.pathExists(spark, tombPath(warehouse))) return 0L
+    import spark.implicits._
+    val (before, after) = Sinks.deleteByKey(spark, tombPath(warehouse),
+      docIds.toDF("doc_id"), Seq("doc_id"))
+    before - after
   }
 
   /** The pair table's threshold provenance ledger: a sibling file (so
@@ -341,6 +415,12 @@ object CorpusIngest {
                        warehouse: String, threshold: Double = 0.5,
                        compactTargetFiles: Option[Int] = None): (Long, Long) = {
     val staged = stagedPath(warehouse)
+    // a maintenance cadence can legitimately fire before the landing's
+    // stream has committed its first trigger (no _spark_metadata yet) —
+    // that is "nothing to promote", not an error; Sinks.promote's require
+    // would otherwise crash the cadence
+    if (!Sinks.pathExists(spark, s"$landingPath/_spark_metadata"))
+      return (0L, 0L)
     Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id"))
     if (!Sinks.pathExists(spark, staged)) return (0L, 0L)
     val promotedUpto = readLongLedger(spark, staged + "._promoted_upto")

@@ -324,12 +324,22 @@ object Sinks {
     n
   }
 
+  /** `clusterCols`: optional within-partition RANGE clustering for the
+    * rewrite — output tasks are range-partitioned and sorted on
+    * (partitionCols ++ clusterCols) instead of hash-clustered on the
+    * partition columns alone, so each rewritten file covers a contiguous
+    * clusterCols interval within its partition value. That is what makes a
+    * per-file min/max index (core/Layout) actually prune: a hash-clustered
+    * compaction smears e.g. the full time range across every file of a
+    * series and the index keeps everything.
+    */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
-              partitionCols: Seq[String] = Nil): (Long, Long) = {
+              partitionCols: Seq[String] = Nil,
+              clusterCols: Seq[String] = Nil): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val before = dataFileCount(spark, path)
     swapInto(spark, path, readForRewrite(spark, path), partitionCols,
-      targetFiles = Some(targetFiles))
+      targetFiles = Some(targetFiles), clusterCols = clusterCols)
     (before, dataFileCount(spark, path))
   }
 
@@ -363,9 +373,10 @@ object Sinks {
     */
   def compactIfFragmented(spark: SparkSession, path: String, targetFiles: Int,
                           partitionCols: Seq[String] = Nil,
-                          factor: Int = 4): Option[(Long, Long)] =
+                          factor: Int = 4,
+                          clusterCols: Seq[String] = Nil): Option[(Long, Long)] =
     if (dataFileCount(spark, path) > factor.toLong * targetFiles)
-      Some(compact(spark, path, targetFiles, partitionCols))
+      Some(compact(spark, path, targetFiles, partitionCols, clusterCols))
     else None
 
   /** PROMOTE a Structured Streaming parquet-sink landing into a compactable
@@ -414,7 +425,12 @@ object Sinks {
         finally in.close()
       }
     latest.filter(_ > already).map { b =>
-      idempotentAppend(spark.read.parquet(streamingSinkPath),
+      // the landing is at-least-once UPSTREAM too: the same record can sit
+      // in two committed files (a source replay), and idempotentAppend's
+      // anti-join only guards against the TABLE, not within the batch —
+      // collapse exact duplicate rows here (the reference's page-dedup
+      // contract, README.md:20) so a replayed record can't land twice
+      idempotentAppend(spark.read.parquet(streamingSinkPath).dropDuplicates(),
         batchTablePath, keys, partitionCols)
       val out = lfs.create(ledger, true)
       try out.write(b.toString.getBytes("UTF-8")) finally out.close()
@@ -458,11 +474,15 @@ object Sinks {
 
   private def swapInto(spark: SparkSession, path: String, df: DataFrame,
                        partitionCols: Seq[String],
-                       targetFiles: Option[Int]): Unit = {
+                       targetFiles: Option[Int],
+                       clusterCols: Seq[String] = Nil): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(spark, path)
     val reshaped = targetFiles match {
+      case Some(n) if clusterCols.nonEmpty =>
+        val ordering = (partitionCols ++ clusterCols).map(col)
+        df.repartitionByRange(n, ordering: _*).sortWithinPartitions(ordering: _*)
       case Some(n) if partitionCols.isEmpty => df.repartition(n)
       case Some(n) => df.repartition(n, partitionCols.map(col): _*)
       case None => df
@@ -508,5 +528,228 @@ object Sinks {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
+
+  // ------------------- path-anchored bucketed stores -------------------
+  //
+  // writeBucketed is catalog-named; an incrementally-maintained warehouse
+  // store (CorpusIngest's corpus/bands, corpus/shingles) is PATH-named and
+  // must survive sessions that have never seen the table. These helpers
+  // anchor a bucketed table at a filesystem path: the bucket spec lives in
+  // a sibling ledger (`._bucketspec`) so any session can re-register the
+  // external catalog entry and get the bucketed scan back — the spec is
+  // part of the TABLE's contract, not the session's. Appends, keyed
+  // deletes, and compaction all rewrite through the bucketed writer so the
+  // bucket-id file naming (what the scan's exchange elision keys off) is
+  // never silently lost to a plain parquet rewrite.
+
+  /** Catalog name for the bucketed table anchored at `path` — derived from
+    * the path URI, so every session resolves the same warehouse store to
+    * the same table name without coordination.
+    */
+  def bucketedTableName(path: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(path).toUri.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(uri.getBytes("UTF-8"))
+    "graft_bkt_" + md.map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def bucketSpecLedger(path: String) =
+    new org.apache.hadoop.fs.Path(path + "._bucketspec")
+
+  /** (bucketKeys, numBuckets) when `path` is a bucketed store — i.e. its
+    * spec ledger exists. A plain-parquet table returns None, which is how
+    * callers keep legacy (pre-bucketing) warehouses readable.
+    */
+  def bucketSpecOf(spark: SparkSession, path: String): Option[(Seq[String], Int)] = {
+    val p = bucketSpecLedger(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine()
+      finally in.close()
+      require(line != null && line.contains("|"),
+        s"bucketed store $path has a corrupt ._bucketspec ledger — " +
+          "restore or remove it (removing demotes the store to plain parquet)")
+      val Array(n, keys) = line.trim.split('|')
+      Some((keys.split(',').toSeq, n.toInt))
+    }
+  }
+
+  def isBucketedStore(spark: SparkSession, path: String): Boolean =
+    bucketSpecOf(spark, path).isDefined
+
+  private def writeBucketSpec(spark: SparkSession, path: String,
+                              keys: Seq[String], buckets: Int): Unit = {
+    val p = bucketSpecLedger(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$buckets|${keys.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Register (or re-register, in a fresh session) the external bucketed
+    * table for `path` and return its catalog name. The schema is read from
+    * the parquet footers; the bucket spec from the ledger — both belong to
+    * the store, so registration needs nothing session-held.
+    */
+  private def ensureBucketedRegistered(spark: SparkSession, path: String): String = {
+    val name = bucketedTableName(path)
+    // a stale catalog entry over a deleted directory (temp-dir reuse)
+    // must not shadow a re-created store
+    if (spark.catalog.tableExists(name) && !pathExists(spark, path))
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    if (!spark.catalog.tableExists(name)) {
+      val (keys, buckets) = bucketSpecOf(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not a bucketed store (no ._bucketspec ledger)"))
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE `$name` ($schemaDdl) USING PARQUET
+           |CLUSTERED BY (${keys.mkString(", ")})
+           |SORTED BY (${keys.mkString(", ")})
+           |INTO $buckets BUCKETS
+           |LOCATION '${new org.apache.hadoop.fs.Path(path).toUri}'""".stripMargin)
+    }
+    name
+  }
+
+  /** The bucketed scan of a path-anchored store. Reads MUST come through
+    * here (not spark.read.parquet) wherever the bucketing is the point —
+    * a plain parquet read of the same directory is correct but advertises
+    * no partitioning, so the join it feeds re-shuffles the store side.
+    */
+  def readBucketedPath(spark: SparkSession, path: String): DataFrame =
+    spark.table(ensureBucketedRegistered(spark, path))
+
+  /** Idempotent keyed append into a path-anchored bucketed store — the
+    * bucketed twin of idempotentAppend. First call creates the store and
+    * stamps the spec ledger; later calls append under the LEDGER's spec
+    * (the physical layout is fixed at creation — a drifted `bucketKeys` /
+    * `buckets` argument is ignored in favor of the contract on disk).
+    * Each append is repartitioned to the bucket layout first: repartition's
+    * hash is the bucket hash, so every task holds exactly one bucket and an
+    * append lands at most one file per non-empty bucket instead of
+    * tasks × buckets small files.
+    */
+  def bucketedIdempotentAppend(df: DataFrame, path: String, keys: Seq[String],
+                               bucketKeys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    require(bucketKeys.nonEmpty && buckets >= 1, "bucket spec must be non-trivial")
+    if (!pathExists(spark, path)) {
+      val name = bucketedTableName(path)
+      if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      df.repartition(buckets, bucketKeys.map(col): _*)
+        .write.format("parquet")
+        .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+        .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+        .option("path", path)
+        .saveAsTable(name)
+      writeBucketSpec(spark, path, bucketKeys, buckets)
+    } else {
+      val (specKeys, specBuckets) = bucketSpecOf(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucketedIdempotentAppend: $path exists but is not a bucketed " +
+            "store — append plain tables with idempotentAppend"))
+      val name = ensureBucketedRegistered(spark, path)
+      val stored = spark.table(name)
+      // same refuse-at-the-write drift guards as idempotentAppend
+      val batchCols = df.columns.toSet
+      val storedCols = stored.columns.toSet
+      require(batchCols == storedCols,
+        s"bucketedIdempotentAppend: schema drift for $path — batch-only: " +
+          s"${(batchCols -- storedCols).toSeq.sorted.mkString(", ")}; " +
+          s"table-only: ${(storedCols -- batchCols).toSeq.sorted.mkString(", ")}")
+      val storedTypes = stored.schema.map(f => f.name -> f.dataType).toMap
+      val retyped = df.schema.filter(f =>
+        storedTypes.get(f.name).exists(_.catalogString != f.dataType.catalogString))
+      require(retyped.isEmpty,
+        s"bucketedIdempotentAppend: type drift for $path — " + retyped.map(f =>
+          s"${f.name}: table=${storedTypes(f.name).catalogString} " +
+            s"batch=${f.dataType.catalogString}").mkString(", "))
+      val fresh = df.join(stored.select(keys.map(col): _*), keys, "left_anti")
+      fresh.repartition(specBuckets, specKeys.map(col): _*)
+        .write.mode(SaveMode.Append).format("parquet")
+        .bucketBy(specBuckets, specKeys.head, specKeys.tail: _*)
+        .sortBy(specKeys.head, specKeys.tail: _*)
+        .saveAsTable(name)
+    }
+  }
+
+  /** deleteByKey for a bucketed store: same existence probe, anti-join and
+    * observed after-count, but the rewrite goes through the bucketed writer
+    * and the directory swap — a plain swapInto here would strip the
+    * bucket-id file naming while the catalog still promised bucketing,
+    * and later joins would silently read wrong bucket layouts.
+    */
+  def deleteBucketedByKey(spark: SparkSession, path: String, keys: DataFrame,
+                          keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "deleteBucketedByKey needs at least one key column")
+    val stored = readBucketedPath(spark, path)
+    val keyRows = keys.select(keyCols.map(col): _*).dropDuplicates()
+    val before = stored.count()
+    val hasMatch = !stored.join(keyRows, keyCols, "left_semi").limit(1).isEmpty
+    if (!hasMatch) (before, before)
+    else {
+      val obs = org.apache.spark.sql.Observation("graft_bkt_delete_kept")
+      val kept = stored.join(keyRows, keyCols, "left_anti")
+        .observe(obs, count(lit(1)).as("kept"))
+      bucketedSwapInto(spark, path, kept)
+      (before, obs.get("kept").asInstanceOf[Long])
+    }
+  }
+
+  /** compactIfFragmented for a bucketed store. The compaction target is the
+    * bucket count itself (one file per bucket is the store's ideal shape);
+    * the gate fires once appends have fragmented past `factor ×` that.
+    */
+  def compactBucketedIfFragmented(spark: SparkSession, path: String,
+                                  factor: Int = 4): Option[(Long, Long)] =
+    bucketSpecOf(spark, path).flatMap { case (_, buckets) =>
+      val before = dataFileCount(spark, path)
+      if (before <= factor.toLong * buckets) None
+      else {
+        bucketedSwapInto(spark, path, readBucketedPath(spark, path))
+        Some((before, dataFileCount(spark, path)))
+      }
+    }
+
+  /** The bucketed rewrite-and-swap: write `df` through the bucketed writer
+    * to a sibling tmp table (repartitioned to the bucket layout → one file
+    * per bucket), drop the tmp CATALOG entry (external — files stay), then
+    * the same stage-out/rename/rollback dance as swapInto. Bucket ids live
+    * in the FILE NAMES, so the directory rename preserves the layout; the
+    * live catalog entry only holds path + spec, both unchanged.
+    */
+  private def bucketedSwapInto(spark: SparkSession, path: String,
+                               df: DataFrame): Unit = {
+    val (keys, buckets) = bucketSpecOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a bucketed store"))
+    val name = ensureBucketedRegistered(spark, path)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val tmpName = name + "_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+    df.repartition(buckets, keys.map(col): _*)
+      .write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", tmp.toString)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE `$tmpName`")
+    require(fs.rename(live, old), s"bucketedSwapInto: could not stage out $path")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live)
+      throw new IllegalStateException(
+        s"bucketedSwapInto: swap failed for $path; rolled back")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshTable(name)
   }
 }

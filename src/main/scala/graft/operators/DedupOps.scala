@@ -692,6 +692,29 @@ object DedupOps {
       bandPath, keys = Seq("doc_id", "band"), partitionCols = Nil)
   }
 
+  /** appendSignatureStore with the store laid out as path-anchored BUCKETED
+    * tables — bands on the band-join key (band, sig), shingles on the
+    * verify key (doc_id). This is what makes `minhashLshIncremental`'s
+    * store sides exchange-free: each drop pays one increment-sized shuffle
+    * per join instead of re-shuffling the corpus-sized store (the
+    * per-symbol-table layout of the reference, v2022/etl-containers/
+    * aggregates/src/aggregates_etl.py:169-177, engine-native). The bucket
+    * count is fixed at store creation (Sinks' spec ledger); `buckets` only
+    * matters on the first drop.
+    */
+  def appendSignatureStoreBucketed(newDocs: DataFrame, bandPath: String,
+                                   shinglePath: String, buckets: Int,
+                                   numHashes: Int = 64,
+                                   bands: Int = 16): Unit = {
+    val sh = shingleTable(newDocs)
+    graft.core.Sinks.bucketedIdempotentAppend(sh, shinglePath,
+      keys = Seq("doc_id"), bucketKeys = Seq("doc_id"), buckets = buckets)
+    graft.core.Sinks.bucketedIdempotentAppend(
+      minhashBandTable(sh, numHashes, bands), bandPath,
+      keys = Seq("doc_id", "band"), bucketKeys = Seq("band", "sig"),
+      buckets = buckets)
+  }
+
   /** INCREMENTAL near-dup: pairs involving at least one NEW document — the
     * production shape for a periodic crawl drop. Signatures are computed
     * fresh ONLY for `newDocs`; the corpus side arrives as the PERSISTED
@@ -710,21 +733,65 @@ object DedupOps {
                             newDocs: DataFrame, threshold: Double,
                             numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val freshSh = shingleTable(newDocs)
-    // persisted: the fresh bands feed both the probe side and the store
-    // union, and Spark does not CSE across join branches
+    // persisted: the fresh bands feed both the new-old probe and the
+    // new-new self-join, and Spark does not CSE across join branches
     val fresh = graft.core.GraftCaches.acquire(
       minhashBandTable(freshSh, numHashes, bands), StorageLevel.MEMORY_AND_DISK)
-    val store = storedBands.select(col("doc_id"), col("band"), col("sig"))
-      .unionByName(fresh)
-    val cand = fresh.as("a").join(store.as("b"),
+    // pairs touching a new doc split EXACTLY into new-old ∪ new-new, so the
+    // corpus-sized store is probed DIRECTLY — no union sits above its scan.
+    // That structural choice is the scale contract: when the store is a
+    // bucketed table on (band, sig) (Sinks.bucketedIdempotentAppend — the
+    // CorpusIngest layout), the store side of this join satisfies the
+    // join's distribution straight off the scan and plans NO exchange;
+    // only the increment shuffles. A union store ∪ fresh (the previous
+    // shape) erased the scan's partitioning and re-shuffled the corpus
+    // side on every drop.
+    val newOld = fresh.as("a").join(
+        storedBands.select(col("doc_id"), col("band"), col("sig")).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
               greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val shAll = storedShingles.select(col("doc_id"), col("sh"))
-      .unionByName(freshSh)
-    verifyPairs(cand, shAll, threshold)
+    val newNew = fresh.as("a").join(fresh.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = newOld.unionByName(newNew).dropDuplicates("doc_a", "doc_b")
+    verifyPairsSplit(cand, storedShingles.select(col("doc_id"), col("sh")),
+      freshSh, threshold)
+  }
+
+  /** Exact-Jaccard verification for the incremental path: each pair side's
+    * shingle set resolves from the persisted store OR the increment — the
+    * two sources are disjoint (the caller lands only trimmed, genuinely-new
+    * doc_ids; a doc_id in both would already corrupt the store's key
+    * contract), so two LEFT joins + coalesce replace the store ∪ fresh
+    * union. Like the band probe above, this keeps the corpus-sized shingle
+    * store the probed side of plain equi-joins: bucketed on doc_id it plans
+    * no exchange, and only candidate-pair rows (increment-bounded) move.
+    * The isNotNull filter restores inner-join semantics for docs with no
+    * shingle row (sub-3-word docs never reach candidates anyway — they have
+    * no bands either). Arithmetic is identical to verifyPairs, so the two
+    * verify paths can never drift.
+    */
+  private def verifyPairsSplit(cand: DataFrame, storedSh: DataFrame,
+                               freshSh: DataFrame, threshold: Double): DataFrame = {
+    def resolve(df: DataFrame, pairCol: String, out: String): DataFrame =
+      df.join(storedSh.select(col("doc_id").as(pairCol),
+          col("sh").as(s"${out}_store")), Seq(pairCol), "left")
+        .join(freshSh.select(col("doc_id").as(pairCol),
+          col("sh").as(s"${out}_fresh")), Seq(pairCol), "left")
+        .withColumn(out, coalesce(col(s"${out}_store"), col(s"${out}_fresh")))
+        .drop(s"${out}_store", s"${out}_fresh")
+    resolve(resolve(cand, "doc_a", "sh_a"), "doc_b", "sh_b")
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jac", jaccard(col("inter"),
+        size(col("sh_a")).cast("long"), size(col("sh_b")).cast("long")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Near-dup clusters: MinHash+LSH verified pairs → connected components →

@@ -131,7 +131,9 @@ class CorpusIngestSpec extends AnyFunSuite {
 
   test("signature store compacts once drops fragment it; pairs unchanged") {
     val wh = java.nio.file.Files.createTempDirectory("corpus-whcmp").toString
-    // 6 single-doc drops at targetFiles=1 → file counts pass the 4x gate
+    // 6 single-doc drops at storeBuckets=1 → file counts pass the 4×buckets
+    // gate of the bucketed compaction (and the staged/legacy gate stays at
+    // compactTargetFiles for the thin tables)
     val texts = Seq(
       base, unrelated, base.replace("winter", "summer"),
       "gardens and rivers flowing through quiet mountain valleys at dawn today",
@@ -140,18 +142,21 @@ class CorpusIngestSpec extends AnyFunSuite {
     texts.zipWithIndex.foreach { case (t, i) =>
       CorpusIngest.run(spark,
         Seq((i.toLong * 10 + 1, t)).toDF("doc_id", "text"), wh,
-        compactTargetFiles = Some(1))
+        compactTargetFiles = Some(1), storeBuckets = 1)
     }
     for (t <- Seq("bands", "shingles")) {
       val files = graft.core.Sinks.dataFileCount(spark, s"$wh/corpus/$t")
       assert(files <= 4, s"corpus/$t still fragmented: $files files")
+      // compaction must preserve the bucketed layout, not demote to plain
+      assert(graft.core.Sinks.isBucketedStore(spark, s"$wh/corpus/$t"),
+        s"corpus/$t lost its bucket spec across compaction")
     }
     val pairsBefore = spark.read.parquet(s"$wh/corpus/pairs")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     // the compacted store serves the next increment identically
     val (n, _) = CorpusIngest.run(spark,
       Seq((100L, base + " with a small tail")).toDF("doc_id", "text"), wh,
-      compactTargetFiles = Some(1))
+      compactTargetFiles = Some(1), storeBuckets = 1)
     assert(n == 1L)
     val pairsAfter = spark.read.parquet(s"$wh/corpus/pairs")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -159,6 +164,150 @@ class CorpusIngestSpec extends AnyFunSuite {
       "compaction must not lose previously derived pairs")
     assert(pairsAfter.exists(_._2 == 100L),
       "increment against the compacted store must still find near-dups")
+  }
+
+  test("bucketed signature store: incremental joins plan zero exchange on the store side") {
+    import graft.core.Sinks
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whbkt").toString
+    // a corpus of 40 docs seeds the store; buckets=4 keeps the layout real
+    val seed = (1 to 40).map(i =>
+      (i.toLong, s"seed document number $i about topic ${i % 5} with enough " +
+        s"distinct words to shingle reliably across the corpus variant ${i % 3}"))
+      .toDF("doc_id", "text")
+    CorpusIngest.run(spark, seed, wh, storeBuckets = 4)
+    val bandP = s"$wh/corpus/bands"; val shP = s"$wh/corpus/shingles"
+    assert(Sinks.isBucketedStore(spark, bandP) && Sinks.isBucketedStore(spark, shP),
+      "run() must create the store bucketed")
+
+    val inc = Seq(
+      (1000L, base), (1001L, base.replace("winter", "summer")),
+      (1002L, "seed document number 7 about topic 2 with enough distinct " +
+        "words to shingle reliably across the corpus variant 1"))
+      .toDF("doc_id", "text")
+
+    // emulate the at-scale regime: the increment is too big to broadcast
+    // (threshold off) and AQE off so the static plan is inspectable
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // an exchange whose child subtree reads ONLY the store is a store-side
+      // re-shuffle — the cost cliff bucketing exists to remove. (Exchanges
+      // ABOVE the join legitimately contain the store scan among their
+      // leaves; the forall keeps those out of scope.)
+      def storeShuffles(df: org.apache.spark.sql.DataFrame, token: String) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike
+            if e.child.collectLeaves().nonEmpty &&
+               e.child.collectLeaves().forall(_.toString.contains(token)) => e
+        }
+      val pairs = DedupOps.minhashLshIncremental(
+        Sinks.readBucketedPath(spark, bandP),
+        Sinks.readBucketedPath(spark, shP), inc, threshold = 0.5)
+      for (t <- Seq("corpus/bands", "corpus/shingles"))
+        assert(storeShuffles(pairs, t).isEmpty,
+          s"store side of the incremental join re-shuffles $t:\n" +
+            pairs.queryExecution.executedPlan)
+      // ... and the result is the same one the unbucketed path computes
+      val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1000L, 1001L)), s"missed new-new pair: $got")
+      assert(got.exists(_._1 == 7L), s"missed new-old pair: $got")
+
+      // unbucketed control: same store content as plain parquet — the same
+      // query MUST shuffle the store side, or the assertion above is vacuous
+      val plainDir = java.nio.file.Files.createTempDirectory("plainstore").toString
+      spark.read.parquet(bandP).write.parquet(s"$plainDir/corpus/bands")
+      spark.read.parquet(shP).write.parquet(s"$plainDir/corpus/shingles")
+      val ctrl = DedupOps.minhashLshIncremental(
+        spark.read.parquet(s"$plainDir/corpus/bands"),
+        spark.read.parquet(s"$plainDir/corpus/shingles"), inc, threshold = 0.5)
+      assert(storeShuffles(ctrl, "corpus/bands").nonEmpty,
+        "plain-parquet control should shuffle the band store")
+      assert(ctrl.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == got,
+        "bucketed and plain stores must derive identical pairs")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("legacy plain-parquet store keeps working and is not silently rebucketed") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whleg").toString
+    // hand-build a pre-bucketing warehouse: plain store, no spec ledger
+    val old = Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+    graft.operators.DedupOps.appendSignatureStore(
+      old, s"$wh/corpus/bands", s"$wh/corpus/shingles")
+    Sinks.idempotentAppend(old, s"$wh/corpus/documents",
+      keys = Seq("doc_id"), partitionCols = Nil)
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(!Sinks.isBucketedStore(spark, s"$wh/corpus/bands"))
+
+    val (n, p) = CorpusIngest.run(spark,
+      Seq((30L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    assert((n, p) == (1L, 1L), s"legacy warehouse ingest landed ($n, $p)")
+    assert(!Sinks.isBucketedStore(spark, s"$wh/corpus/bands"),
+      "a legacy store must stay plain — mixed layouts corrupt the scan")
+    assert(spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == Set((10L, 30L)))
+  }
+
+  test("reinstate lifts tombstones: takedown → reinstate → re-promotion lands the doc again") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whre").toString
+    val drops = java.nio.file.Files.createTempDirectory("corpus-redrops").toString
+    val landing = s"$wh/landing"
+    Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(drops)
+    CorpusIngest.startLanding(spark, drops, landing).awaitTermination()
+    CorpusIngest.promoteAndIngest(spark, landing, wh)
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 2)
+
+    CorpusIngest.delete(spark, wh, Seq(20L))
+    // the landing still holds doc 20; promotion must NOT resurrect it
+    CorpusIngest.promoteAndIngest(spark, landing, wh)
+    assert(spark.read.parquet(s"$wh/corpus/documents")
+      .filter(col("doc_id") === 20L).count() == 0,
+      "takedown undone by promotion before reinstate")
+
+    // reinstate of a never-deleted id is a no-op
+    assert(CorpusIngest.reinstate(spark, wh, Seq(999L)) == 0L)
+    // the real reinstate lifts exactly one tombstone...
+    assert(CorpusIngest.reinstate(spark, wh, Seq(20L)) == 1L)
+    // ...and is idempotent
+    assert(CorpusIngest.reinstate(spark, wh, Seq(20L)) == 0L)
+
+    // the doc re-submitted through the STREAM path now re-lands and its
+    // state (docs + stats) rebuilds; the old landing's copy suffices here
+    // because the tombstone, not the trim, was what blocked it
+    Seq((20L, unrelated)).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(drops)
+    CorpusIngest.startLanding(spark, drops, landing).awaitTermination()
+    CorpusIngest.promoteAndIngest(spark, landing, wh)
+    assert(spark.read.parquet(s"$wh/corpus/documents")
+      .filter(col("doc_id") === 20L).count() == 1,
+      "reinstated doc must re-land via the stream path")
+  }
+
+  test("takedown issued before the FIRST promotion still tombstones; early promote no-ops") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whpre").toString
+    val drops = java.nio.file.Files.createTempDirectory("corpus-predrops").toString
+    val landing = s"$wh/landing"
+    // maintenance cadence firing before the landing ever committed must
+    // no-op, not crash (the landing dir may not even exist yet)
+    assert(CorpusIngest.promoteAndIngest(spark, landing, wh) == (0L, 0L))
+
+    Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(drops)
+    CorpusIngest.startLanding(spark, drops, landing).awaitTermination()
+    // the landing has committed but NOTHING was promoted yet (no staged
+    // table) — the takedown must still record its tombstone or the first
+    // promotion silently undoes it
+    CorpusIngest.delete(spark, wh, Seq(20L))
+    CorpusIngest.promoteAndIngest(spark, landing, wh)
+    assert(spark.read.parquet(s"$wh/corpus/documents")
+      .select("doc_id").as[Long].collect().toSet == Set(10L),
+      "pre-promotion takedown was resurrected by the first promotion")
   }
 
   test("pair table refuses appends under a different dedup threshold") {

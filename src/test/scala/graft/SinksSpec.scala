@@ -489,6 +489,99 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(silver).count() == 6, "compaction lost rows")
   }
 
+  test("silver box read prunes to a strict file subset, row-identical to the full-scan filter") {
+    val pages = Files.createTempDirectory("bf-box")
+    val wh = Files.createTempDirectory("bf-box-wh").toString
+    // two tickers × five incremental runs, each landing a disjoint later
+    // time slice — the natural time-locality of watermarked appends
+    def page(day: Int, next: Option[String]): String = {
+      val bars = (0 until 4).map { j =>
+        val t = day * 86400000L + j * 60000L
+        s"""{"t":$t,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2}"""
+      }.mkString(",")
+      s"""{"results":[$bars],""" +
+        s""""next_url":${next.map("\"" + _ + "\"").getOrElse("null")}}"""
+    }
+    for (day <- 0 until 5) {
+      for (tick <- Seq("AAA", "BBB")) {
+        val dir = pages.resolve(tick).resolve("minute--1--adjusted")
+        Files.createDirectories(dir)
+        if (day > 0) Files.writeString(dir.resolve(f"page-${day - 1}%04d.json"),
+          page(day - 1, Some(f"page-$day%04d.json")))
+        Files.writeString(dir.resolve(f"page-$day%04d.json"), page(day, None))
+      }
+      graft.app.Backfill.run(spark, pages.toString, wh)
+    }
+    val silver = s"$wh/silver/bars"
+    val total = graft.core.Sinks.dataFileCount(spark, silver)
+    // the index tracks the live file set exactly (rewritten each run)
+    assert(spark.read.parquet(s"$wh/silver/bars_index").count() == total,
+      "stats index out of sync with the silver file set")
+
+    // one ticker, days 1..2 — the box must read a strict subset of files
+    val (kept, idxTotal) = graft.core.Layout.pruneStats(spark,
+      s"$wh/silver/bars_index",
+      Map("ticker" -> ("AAA", "AAA"), "t" -> (86400000L, 2 * 86400000L + 86399999L)))
+    assert(idxTotal == total)
+    assert(kept < total && kept > 0,
+      s"box read prunes nothing: kept $kept of $total files")
+
+    val box = graft.app.Backfill.readBarsBox(spark, wh, "AAA",
+      86400000L, 2 * 86400000L + 86399999L)
+    val want = spark.read.parquet(silver)
+      .filter(col("ticker") === "AAA" &&
+        col("t").between(86400000L, 2 * 86400000L + 86399999L))
+    assert(box.collect().toSet == want.collect().toSet,
+      "pruned box read must equal the full-scan filter row-for-row")
+    assert(box.count() == 8, s"expected 2 days × 4 bars, got ${box.count()}")
+
+    // stale-index safety: a file set drift (simulated by deleting the
+    // index) must fall back to the full scan, never drop rows
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/silver/bars_index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wh/silver/bars_index"), true)
+    assert(graft.app.Backfill.readBarsBox(spark, wh, "AAA",
+      86400000L, 2 * 86400000L + 86399999L).collect().toSet ==
+      want.collect().toSet, "index-less fallback must still be exact")
+  }
+
+  test("clustered compaction keeps per-file time locality; hash compaction control smears it") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("compactc").toString + "/t"
+    // one series, 12 appended slices of 100 ts each (the incremental rhythm)
+    (0 until 12).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select(lit("AAA").as("ticker"), col("id").as("t"), (col("id") * 2).as("p"))
+        .coalesce(1).write.mode("append").partitionBy("ticker").parquet(dir)
+    }
+    graft.core.Sinks.compact(spark, dir, targetFiles = 4,
+      partitionCols = Seq("ticker"), clusterCols = Seq("t"))
+    val idx = java.nio.file.Files.createTempDirectory("compactc-idx").toString + "/i"
+    graft.core.Layout.writeFileStatsIndex(spark, dir, idx, Seq("t"))
+    // each surviving file must cover a contiguous, non-overlapping t slice:
+    // sorted by min, every file's min exceeds the previous file's max
+    val boxes = spark.read.parquet(idx)
+      .select(col("t__min").cast("long"), col("t__max").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(boxes.length >= 2, s"expected several files, got ${boxes.length}")
+    boxes.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 > a._2, s"clustered files overlap in t: $a vs $b")
+    }
+    // a mid-range box keeps a strict subset of files
+    val (kept, total) = graft.core.Layout.pruneStats(spark, idx,
+      Map("t" -> (500L, 700L)))
+    assert(kept < total, s"clustered compaction prunes nothing: $kept/$total")
+    // control: the hash-clustered compaction leaves every file spanning
+    // ~everything — the box keeps all files, which is why clusterCols exist
+    graft.core.Sinks.compact(spark, dir, targetFiles = 4,
+      partitionCols = Seq("ticker"))
+    graft.core.Layout.writeFileStatsIndex(spark, dir, idx, Seq("t"))
+    val (keptH, totalH) = graft.core.Layout.pruneStats(spark, idx,
+      Map("t" -> (500L, 700L)))
+    assert(keptH == totalH,
+      s"hash control unexpectedly pruned ($keptH/$totalH) — assertion above is weak")
+  }
+
   test("compact: collapses a fragmented table atomically with identical data") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
