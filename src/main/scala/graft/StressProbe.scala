@@ -155,7 +155,19 @@ object StressProbe {
       // passes — the integer-cents pipeline at simulated tick volume
       time("backtest_sma")(operators.MarketOps.backtestSmaCross(
         tape.withColumn("event_id", monotonically_increasing_id()),
-        fast = 5, slow = 20))
+        fast = 5, slow = 20)),
+      // two-phase prefix helpers on a WIDE unique-key frame (1M rows —
+      // far past any calendar grid): rank + running sum in ONE range
+      // shuffle + ONE partitions-sized stats collect; wall must track the
+      // range sort, never a single-partition window
+      timeN("prefix_rank_runsum", 1000000L) {
+        val frame = spark.range(0, 1000000L, 1, 64)
+          .select(col("id").as("k"),
+            pmod(xxhash64(col("id")), lit(1000L)).as("v"))
+        operators.MarketOps.prefixStats(frame, "k",
+          Seq(operators.MarketOps.RankCarry("r"),
+            operators.MarketOps.SumCarry("v", "s")))
+      }
     )
 
     // ---- corpus-export + screen family at probe scale

@@ -1236,26 +1236,8 @@ object MarketOps {
     * computation of the (calendar-bounded) upstream frame.
     */
   private[graft] def globalRank(df0: DataFrame, keyCol: String,
-                                out: String): DataFrame = {
-    val parts = graft.core.GraftCaches.acquire(
-      df0.repartitionByRange(col(keyCol))
-        .withColumn("_pid", spark_partition_id()),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) {
-      case ((_, acc), (pid, c)) => (pid + 1, acc + c)
-    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = df0.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("_pid", "_off")
-    parts
-      .withColumn("_lrk", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(col(keyCol))))
-      .join(broadcast(offDf), "_pid")
-      // int like row_number's output, so downstream arithmetic is unchanged
-      .withColumn(out, (col("_off") + col("_lrk")).cast("int"))
-      .drop("_pid", "_lrk", "_off")
-  }
+                                out: String): DataFrame =
+    prefixStats(df0, keyCol, Seq(RankCarry(out)))
 
   /** TWO-PHASE running max over rows keyed by a UNIQUE ordering column: the
     * same shape as globalRank, but the per-partition carry is the MAX of
@@ -1263,46 +1245,125 @@ object MarketOps {
     * out(row) = max(local running max, prefix max) — identical to
     * `max(val).over(Window.orderBy(key).rowsBetween(unboundedPreceding,
     * currentRow))` without the single-partition exchange. `valCol` must be
-    * a non-null BIGINT column (the integer-cents convention of every
-    * caller) — enforced at plan build, not discovered as a task cast error.
+    * a BIGINT column with NO null values (the integer-cents convention of
+    * every caller) — the type is enforced at plan build, the null freedom
+    * inside the same stats pass the carry rides (a null would otherwise
+    * poison the partition max and surface as a driver NPE far from the
+    * cause).
     */
   private[graft] def runningMax(df0: DataFrame, keyCol: String, valCol: String,
-                                out: String): DataFrame = {
-    require(df0.schema(valCol).dataType ==
-        org.apache.spark.sql.types.LongType,
-      s"runningMax expects a BIGINT $valCol, got " +
-        df0.schema(valCol).dataType.catalogString)
+                                out: String): DataFrame =
+    prefixStats(df0, keyCol, Seq(MaxCarry(valCol, out)))
+
+  /** A per-partition carry for `prefixStats`: what flows from earlier range
+    * partitions into each row's output column.
+    */
+  private[graft] sealed trait Carry { def out: String }
+  /** 1-based global rank by the key (carry = count of earlier rows). */
+  private[graft] case class RankCarry(out: String) extends Carry
+  /** Running max of a BIGINT column (carry = max over earlier partitions). */
+  private[graft] case class MaxCarry(valCol: String, out: String) extends Carry
+  /** Running sum of a BIGINT column (carry = sum over earlier partitions). */
+  private[graft] case class SumCarry(valCol: String, out: String) extends Carry
+
+  /** TWO-PHASE prefix aggregation over rows keyed by a UNIQUE ordering
+    * column — the generalization behind globalRank/runningMax: range-
+    * partition on the key (order-preserving across partition ids), compute
+    * every requested running aggregate locally per partition, and add each
+    * partition's carry-in from the earlier partitions. ALL carries ride ONE
+    * stats job (a single partitions-sized aggregate collect: row counts,
+    * value maxes/sums, and a null census per value column in one pass) and
+    * ONE window pass over a shared (partitionBy _pid, orderBy key) spec —
+    * a query needing a rank AND a running sum pays one exchange and one
+    * driver action, not one per aggregate. Value columns must be BIGINT
+    * (the integer-cents convention) and null-free; both are enforced here —
+    * the type at plan build, the nulls inside the same stats pass — so the
+    * contract fails fast with a pointed message instead of a task cast
+    * error or a driver NPE. The partitioned input is persisted via
+    * GraftCaches (released by Verify/Bench with every other operator-level
+    * persist) so the stats collect and the final plan share one computation
+    * of the (calendar-bounded) upstream frame.
+    */
+  private[graft] def prefixStats(df0: DataFrame, keyCol: String,
+                                 carries: Seq[Carry]): DataFrame = {
+    require(carries.nonEmpty, "prefixStats needs at least one carry")
+    val valCols = carries.collect {
+      case MaxCarry(v, _) => v
+      case SumCarry(v, _) => v
+    }.distinct
+    valCols.foreach { v =>
+      require(df0.schema(v).dataType ==
+          org.apache.spark.sql.types.LongType,
+        s"prefixStats expects a BIGINT $v, got " +
+          df0.schema(v).dataType.catalogString)
+    }
     val parts = graft.core.GraftCaches.acquire(
       df0.repartitionByRange(col(keyCol))
         .withColumn("_pid", spark_partition_id()),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pmax = parts.groupBy(col("_pid")).agg(max(col(valCol)).as("_m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val prefix = pmax.scanLeft((0, Option.empty[Long])) {
-      case ((_, acc), (pid, m)) =>
-        (pid + 1, Some(acc.fold(m)(math.max(_, m))))
-    }.init.zip(pmax).map { case ((_, pref), (pid, _)) => (pid, pref) }
-    // nullable prefix (first range partition has no predecessor) — NULL
-    // rides through greatest(), which ignores null operands, instead of a
-    // Long.MinValue sentinel colliding with a legitimate value
-    val prefSchema = org.apache.spark.sql.types.StructType(Seq(
+    // one aggregate pass per drop of the frame: count for rank offsets,
+    // max/sum per value column, and the null census enforcing the contract
+    val aggCols: Seq[Column] = count(lit(1)).as("_c") +: valCols.flatMap(v =>
+      Seq(max(col(v)).as(s"_max_$v"), sum(col(v)).as(s"_sum_$v"),
+        count(when(col(v).isNull, 1)).as(s"_nulls_$v")))
+    val stats = parts.groupBy(col("_pid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getInt(0) -> r).sortBy(_._1)
+    valCols.foreach { v =>
+      val nulls = stats.map(_._2.getAs[Long](s"_nulls_$v")).sum
+      require(nulls == 0,
+        s"prefixStats: $v carries $nulls null value(s) — running max/sum " +
+          "over nulls has no defined carry; fill or filter them upstream")
+    }
+    // exclusive prefix per present partition id (range partitions can be
+    // empty on tiny frames; offsets accumulate over the PRESENT ones).
+    // Prefix maxes are nullable (the first partition has no predecessor) —
+    // NULL rides through greatest(), which ignores null operands, instead
+    // of a Long.MinValue sentinel colliding with a legitimate value.
+    case class Pref(off: Long, maxes: Map[String, Option[Long]],
+                    sums: Map[String, Long])
+    val zero = Pref(0L, valCols.map(_ -> Option.empty[Long]).toMap,
+      valCols.map(_ -> 0L).toMap)
+    val prefixes = stats.scanLeft(zero) { case (acc, (_, r)) =>
+      Pref(acc.off + r.getAs[Long]("_c"),
+        valCols.map { v =>
+          val m = r.getAs[Long](s"_max_$v")
+          v -> Some(acc.maxes(v).fold(m)(math.max(_, m)))
+        }.toMap,
+        valCols.map(v => v -> (acc.sums(v) + r.getAs[Long](s"_sum_$v"))).toMap)
+    }.init
+    val prefSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("_pid",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("_pref",
-        org.apache.spark.sql.types.LongType, nullable = true)))
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      org.apache.spark.sql.types.StructField("_off",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      valCols.flatMap(v => Seq(
+        org.apache.spark.sql.types.StructField(s"_pmax_$v",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(s"_psum_$v",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val prefDf = df0.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
-        prefix.map { case (pid, p) =>
-          org.apache.spark.sql.Row(pid, p.map(Long.box).orNull)
+        stats.map(_._1).zip(prefixes).map { case (pid, p) =>
+          org.apache.spark.sql.Row.fromSeq(
+            pid +: p.off +: valCols.flatMap(v =>
+              Seq(p.maxes(v).map(Long.box).orNull, Long.box(p.sums(v)))))
         }.toSeq.asJava),
       prefSchema)
+    val w = Window.partitionBy(col("_pid")).orderBy(col(keyCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = carries.map {
+      // int like row_number's output, so downstream arithmetic is unchanged
+      case RankCarry(out) =>
+        (col("_off") + row_number().over(w)).cast("int").as(out)
+      case MaxCarry(v, out) =>
+        greatest(max(col(v)).over(wRun), col(s"_pmax_$v")).as(out)
+      case SumCarry(v, out) =>
+        (col(s"_psum_$v") + sum(col(v)).over(wRun)).as(out)
+    }
     parts
-      .withColumn("_run", max(col(valCol)).over(
-        Window.partitionBy(col("_pid")).orderBy(col(keyCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(prefDf), "_pid")
-      .withColumn(out, greatest(col("_run"), col("_pref")))
-      .drop("_pid", "_run", "_pref")
+      .select(df0.columns.map(col) ++ outCols: _*)
   }
 
   def returnVectors(events: DataFrame): DataFrame = {
@@ -1441,7 +1502,13 @@ object MarketOps {
     * aggregate. See the mkt_backtest_portfolio QueryDef for the exactness
     * and scale design.
     */
-  def backtestPortfolio(events: DataFrame, fast: Int, slow: Int): DataFrame = {
+  def backtestPortfolio(events: DataFrame, fast: Int, slow: Int): DataFrame =
+    // the presentation sort is for the standalone query surface; riskStats
+    // immediately re-range-partitions, so it consumes the unordered body
+    backtestPortfolioUnordered(events, fast, slow).orderBy(col("day"))
+
+  private def backtestPortfolioUnordered(events: DataFrame, fast: Int,
+                                         slow: Int): DataFrame = {
     val d = backtestFrame(events, fast, slow)
       .withColumn("day", date_trunc("day", col("ts")))
     val wLast = Window.partitionBy(col("user_id"), col("day"))
@@ -1467,7 +1534,6 @@ object MarketOps {
     runningMax(port, "day", "equity_cents", "_peak")
       .withColumn("drawdown_cents", col("_peak") - col("equity_cents"))
       .drop("_peak")
-      .orderBy(col("day"))
   }
 
   /** One-row risk report over the portfolio equity curve — see the
@@ -1478,10 +1544,18 @@ object MarketOps {
     * day grid); the two single-row aggregates cross-join as scalars.
     */
   def riskStats(events: DataFrame, fast: Int, slow: Int): DataFrame = {
-    val m = globalRank(backtestPortfolio(events, fast, slow), "day", "rn")
-      .withColumn("uw", when(col("drawdown_cents") > 0L, 1L).otherwise(0L))
-    val longest = globalRank(m.filter(col("uw") === 1L), "day", "_uwrk")
-      .withColumn("grp", col("rn") - col("_uwrk"))
+    // ONE two-phase pass carries both prefix aggregates: the global day
+    // rank AND the running count of underwater days — the rank of an
+    // underwater day among underwater days (the old second globalRank over
+    // the filtered subset) IS that running sum evaluated at an uw row, so
+    // the streak-island key rn - cuw needs no second exchange, no second
+    // stats job, and no second cached frame
+    val m = prefixStats(
+      backtestPortfolioUnordered(events, fast, slow)
+        .withColumn("uw", when(col("drawdown_cents") > 0L, 1L).otherwise(0L)),
+      "day", Seq(RankCarry("rn"), SumCarry("uw", "cuw")))
+    val longest = m.filter(col("uw") === 1L)
+      .withColumn("grp", col("rn") - col("cuw"))
       .groupBy(col("grp")).agg(count(lit(1)).as("len"))
       .agg(coalesce(max(col("len")), lit(0L)).as("longest_underwater_days"))
     m.agg(

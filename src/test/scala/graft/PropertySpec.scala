@@ -51,7 +51,32 @@ class PropertySpec extends AnyFunSuite {
       val gotMax = graft.operators.MarketOps.runningMax(df, "k", "v", "m")
         .select("k", "m").as[(Long, Long)].collect().toMap
       assert(gotMax == expectMax, s"running max diverged on ${rows.take(5)}...")
+
+      // the combined form (one stats pass carrying rank AND running sum —
+      // riskStats' shape) must equal both window twins at once
+      val expectSum = df.withColumn("s", sum(col("v")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .select("k", "s").as[(Long, Long)].collect().toMap
+      val both = graft.operators.MarketOps.prefixStats(df, "k", Seq(
+          graft.operators.MarketOps.RankCarry("r"),
+          graft.operators.MarketOps.SumCarry("v", "s")))
+        .select("k", "r", "s").as[(Long, Int, Long)].collect()
+      assert(both.map(t => t._1 -> t._2).toMap == expectRank,
+        "combined carry diverged from the rank twin")
+      assert(both.map(t => t._1 -> t._3).toMap == expectSum,
+        "combined carry diverged from the running-sum twin")
     }
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("prefixStats fails fast on null carry values with a pointed message") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.MarketOps.runningMax(df, "k", "v", "m").collect()
+    }
+    assert(e.getMessage.contains("null"), s"unpointed failure: ${e.getMessage}")
     graft.core.GraftCaches.releaseAll(spark)
   }
 
