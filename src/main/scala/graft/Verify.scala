@@ -62,22 +62,26 @@ object Verify {
     def checkable(name: String): Boolean =
       selected.contains(name) && !dumpErrors.contains(name)
     if (checkable("q19_approx_distinct")) {
-      // HLL bound: approx_count_distinct's default rsd is 5%; 3 sigma is the
-      // declared hard bound. exact_parts rides in the same result row.
+      // KMV bound: the k=256 k-minimum-values estimator's stderr is
+      // ~1/sqrt(k-2) ≈ 6.3%; ~2.5 sigma is the declared hard bound.
+      // exact_parts rides in the same result row. (The query is ALSO
+      // oracle-backed — this check guards the estimator's ACCURACY, which
+      // a hash-exact replay alone cannot.)
       val bound = 0.15
       val maxRel = spark.read.parquet(s"$outDir/q19_approx_distinct")
         .select(max(abs(col("approx_parts") - col("exact_parts"))
           .cast("double") / col("exact_parts")).as("m"))
         .head().getDouble(0)
       engineChecks("q19_approx_distinct") =
-        s"""{"check": "hll_within_bound", "max_rel_err": ${num(maxRel)}, """ +
+        s"""{"check": "kmv_within_bound", "max_rel_err": ${num(maxRel)}, """ +
           s""""bound": ${num(bound)}, "passed": ${maxRel <= bound}}"""
     }
     if (checkable("txt_quantiles_approx")) {
-      // the sketch's answer must sit within the declared relative error of
-      // the exact quantile computed in the same result row (10% covers the
-      // element-vs-interpolated semantic gap at fixture sizes; observed
-      // error is far smaller)
+      // the geometric-histogram sketch's answer must sit within the
+      // declared relative error of the exact quantile computed in the same
+      // result row; the construction guarantees ≤1/(2M)≈1.6% per value, so
+      // 10% is a loose hard ceiling. (Also oracle-backed — this check
+      // guards ACCURACY, the replay guards determinism.)
       val bound = 0.10
       val maxRel = spark.read.parquet(s"$outDir/txt_quantiles_approx")
         .select(max(abs(col("q_approx") - col("q_exact")) /

@@ -317,6 +317,64 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful stream restarts from checkpoint under a DIFFERENT shuffle partition count") {
+    // the classic production restart hazard: ops bumps
+    // spark.sql.shuffle.partitions and restarts the job from its
+    // checkpoint. Spark pins the STATE layout to the partition count
+    // recorded in the offset log at first start (OffsetSeqMetadata), so the
+    // stateful operator keeps its original state partitioning under the new
+    // session conf — the contract this test locks is end-to-end: the
+    // restarted query accepts the checkpoint (no guarded failure) and the
+    // full streamed output stays exactly the batch indicator. A parquet
+    // sink (manifest-committed, recovery-capable) stands in for silver —
+    // the memory sink refuses checkpoint recovery in append mode.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("rescale-out")
+      .toString + "/ema"
+    val ckpt = outDir + "_checkpoint"
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id").cast("string").as("ticker"),
+        unix_millis(col("ts")).as("t"), col("value").as("price"))
+      .as[Tick].collect().sortBy(_.t)
+    val input = MemoryStream[Tick]
+    def start() = StatefulIndicators.emaStream(spark, input.toDS(), alpha = 0.2)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    val half = events.length / 2
+    val q1 = start()
+    input.addData(events.take(half)); q1.processAllAvailable(); q1.stop()
+    val rowsPhase1 = spark.read.parquet(outDir).count()
+    assert(rowsPhase1 > 0 && rowsPhase1 < events.length.toLong)
+
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, (old.toInt * 2).toString)
+    try {
+      val q2 = start()
+      input.addData(events.drop(half)); q2.processAllAvailable(); q2.stop()
+    } finally spark.conf.set(key, old)
+
+    val streamed = spark.read.parquet(outDir).as[EmaOut].collect()
+      .map(r => (r.ticker, r.t) -> r.ema).toMap
+    assert(streamed.size > rowsPhase1.toInt,
+      "restarted query produced nothing — the rescale silently stalled")
+    val batch = graft.operators.MarketOps.emaExact(
+        spark, Tables.events(spark, TestSpark.Sf0001), alpha = 0.2)
+      .join(Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_id"), unix_millis(col("ts")).as("t")), "event_id")
+      .select(col("user_id").cast("string"), col("t"), col("ema"))
+      .as[(String, Long, Double)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, t, ema) =>
+      assert(streamed.get((k, t)).exists(s => math.abs(s - ema) < 1e-12),
+        s"stream/batch EMA diverged after rescale restart at ($k, $t)")
+    }
+    assert(streamed.size == batch.length,
+      s"row-count drift after rescale: stream=${streamed.size} batch=${batch.length}")
+  }
+
   test("silence alert fires from a timer during the void, once, with the last seen t") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
