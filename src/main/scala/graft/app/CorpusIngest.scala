@@ -76,6 +76,19 @@ object CorpusIngest {
     if (Sinks.isBucketedStore(spark, path)) Sinks.readBucketedPath(spark, path)
     else spark.read.parquet(path)
 
+  /** doc_id-keyed idempotent append into a cumulative warehouse table:
+    * bucketed on doc_id for new warehouses (and ones already bucketed), so
+    * the per-drop existence anti-join never re-shuffles the table side;
+    * legacy plain tables keep their layout and the plain append.
+    */
+  private def appendKeyedStore(spark: SparkSession, df: DataFrame,
+                               path: String, buckets: Int): Unit =
+    if (Sinks.isBucketedStore(spark, path) || !Sinks.pathExists(spark, path))
+      Sinks.bucketedIdempotentAppend(df, path, keys = Seq("doc_id"),
+        bucketKeys = Seq("doc_id"), buckets = buckets)
+    else Sinks.idempotentAppend(df, path, keys = Seq("doc_id"),
+      partitionCols = Nil)
+
   /** Land one drop; returns (new docs landed, new verified pairs).
     *
     * `compactTargetFiles` sizes the signature-store maintenance pass: after
@@ -106,15 +119,20 @@ object CorpusIngest {
     // refuse-at-the-write philosophy as idempotentAppend's schema guard)
     checkThreshold(spark, warehouse, threshold)
     // exact duplicate rows WITHIN one drop (an at-least-once crawl re-emits
-    // a doc) would each pass the store trim and land twice — collapse them
-    // first; conflicting texts under one doc_id remain a caller bug (the
-    // doc model is id-immutable)
-    val dropOnce = drop.dropDuplicates()
+    // a doc) would each pass the store trim and land twice — collapse them;
+    // conflicting texts under one doc_id remain a caller bug (the doc model
+    // is id-immutable). The dedup runs AFTER the trim: dropDuplicates
+    // shuffles its input, and pre-trim that input is the caller's frame at
+    // full size (promoteAndIngest passes the CUMULATIVE staged table) —
+    // post-trim it is increment-sized, and the trim anti-join itself stays
+    // a co-located zero/one-exchange join when drop and store share the
+    // doc_id bucket layout.
     val newDocs =
-      if (!storeExists) dropOnce
-      else dropOnce.join(
-        readStore(spark, shinglePath(warehouse)).select("doc_id"),
-        Seq("doc_id"), "left_anti")
+      (if (!storeExists) drop
+       else drop.join(
+         readStore(spark, shinglePath(warehouse)).select("doc_id"),
+         Seq("doc_id"), "left_anti"))
+        .dropDuplicates()
     // the increment feeds signature computation AND the landing write, and
     // its defining anti-join READS the same store the signature append
     // WRITES — Spark's CacheManager recaches path-reading plans on write
@@ -148,10 +166,12 @@ object CorpusIngest {
     else
       DedupOps.appendSignatureStore(inc, bandPath(warehouse),
         shinglePath(warehouse))
-    Sinks.idempotentAppend(inc, docsPath(warehouse),
-      keys = Seq("doc_id"), partitionCols = Nil)
-    Sinks.idempotentAppend(docStats(inc), statsPath(warehouse),
-      keys = Seq("doc_id"), partitionCols = Nil)
+    // documents and doc_stats are cumulative doc_id-keyed tables too, and
+    // their idempotent appends anti-join the FULL table per drop — the
+    // same per-increment store shuffle the band join had. Bucketed on
+    // doc_id, the table side of each append's anti-join plans no exchange.
+    appendKeyedStore(spark, inc, docsPath(warehouse), storeBuckets)
+    appendKeyedStore(spark, docStats(inc), statsPath(warehouse), storeBuckets)
     // maintenance: every drop appends one file set to the signature store,
     // and the NEXT increment re-reads the whole store — the same
     // fragmentation rhythm Backfill.run gates on for silver. Atomic swap,
@@ -413,7 +433,8 @@ object CorpusIngest {
     */
   def promoteAndIngest(spark: SparkSession, landingPath: String,
                        warehouse: String, threshold: Double = 0.5,
-                       compactTargetFiles: Option[Int] = None): (Long, Long) = {
+                       compactTargetFiles: Option[Int] = None,
+                       storeBuckets: Int = 8): (Long, Long) = {
     val staged = stagedPath(warehouse)
     // a maintenance cadence can legitimately fire before the landing's
     // stream has committed its first trigger (no _spark_metadata yet) —
@@ -421,7 +442,16 @@ object CorpusIngest {
     // would otherwise crash the cadence
     if (!Sinks.pathExists(spark, s"$landingPath/_spark_metadata"))
       return (0L, 0L)
-    Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id"))
+    // the staged mirror is cumulative and doc_id-keyed like documents:
+    // bucketed, each promotion's existence anti-join AND the ingest trim
+    // below are co-located on the bucket layout instead of re-shuffling
+    // the mirror; a legacy plain mirror keeps its layout
+    val stagedSpec =
+      if (Sinks.isBucketedStore(spark, staged) || !Sinks.pathExists(spark, staged))
+        Some(Seq("doc_id") -> storeBuckets)
+      else None
+    Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id"),
+      bucketSpec = stagedSpec)
     if (!Sinks.pathExists(spark, staged)) return (0L, 0L)
     val promotedUpto = readLongLedger(spark, staged + "._promoted_upto")
     val ingLedger = staged + "._ingested_upto"
@@ -429,16 +459,21 @@ object CorpusIngest {
     // governance: a promotion may have re-staged deleted docs from the
     // landing (which is never rewritten) — purge them before ingest; the
     // delete is existence-probed, so a clean staged table costs one probe
-    if (Sinks.pathExists(spark, tombPath(warehouse)))
-      Sinks.deleteByKey(spark, staged,
-        spark.read.parquet(tombPath(warehouse)), Seq("doc_id"))
-    val res = run(spark, spark.read.parquet(staged), warehouse, threshold,
-      compactTargetFiles)
+    if (Sinks.pathExists(spark, tombPath(warehouse))) {
+      val tombs = spark.read.parquet(tombPath(warehouse))
+      if (Sinks.isBucketedStore(spark, staged))
+        Sinks.deleteBucketedByKey(spark, staged, tombs, Seq("doc_id"))
+      else Sinks.deleteByKey(spark, staged, tombs, Seq("doc_id"))
+    }
+    val res = run(spark, readStore(spark, staged), warehouse, threshold,
+      compactTargetFiles, storeBuckets)
     writeLongLedger(spark, ingLedger, promotedUpto)
     // the staged mirror fragments one file set per promotion like the
     // signature store; same gate, and both sibling ledgers survive the
     // swap (they sit beside the table dir, not inside it)
-    Sinks.compactIfFragmented(spark, staged,
+    if (Sinks.isBucketedStore(spark, staged))
+      Sinks.compactBucketedIfFragmented(spark, staged)
+    else Sinks.compactIfFragmented(spark, staged,
       compactTargetFiles.getOrElse(spark.sparkContext.defaultParallelism))
     res
   }

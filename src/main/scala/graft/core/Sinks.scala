@@ -400,9 +400,19 @@ object Sinks {
     * batch table, so `compact`'s directory swap preserves it) only costs a
     * rescan; `idempotentAppend`'s key anti-join still guards exactly-once.
     */
+  /** `bucketSpec` (bucketKeys, numBuckets): when set, the batch table is a
+    * path-anchored BUCKETED store (bucketedIdempotentAppend) instead of a
+    * plain parquet table — the right layout for a cumulative keyed target
+    * whose every promotion anti-joins the full table (the table side of
+    * that join then plans no exchange). Mutually exclusive with
+    * partitionCols (a bucketed store is unpartitioned by design here).
+    */
   def promote(spark: SparkSession, streamingSinkPath: String,
               batchTablePath: String, keys: Seq[String],
-              partitionCols: Seq[String] = Nil): Option[Long] = {
+              partitionCols: Seq[String] = Nil,
+              bucketSpec: Option[(Seq[String], Int)] = None): Option[Long] = {
+    require(partitionCols.isEmpty || bucketSpec.isEmpty,
+      "promote: partitionCols and bucketSpec are mutually exclusive")
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = new org.apache.hadoop.fs.Path(streamingSinkPath, "_spark_metadata")
     val fs = meta.getFileSystem(conf)
@@ -426,12 +436,16 @@ object Sinks {
       }
     latest.filter(_ > already).map { b =>
       // the landing is at-least-once UPSTREAM too: the same record can sit
-      // in two committed files (a source replay), and idempotentAppend's
+      // in two committed files (a source replay), and the keyed append's
       // anti-join only guards against the TABLE, not within the batch —
       // collapse exact duplicate rows here (the reference's page-dedup
       // contract, README.md:20) so a replayed record can't land twice
-      idempotentAppend(spark.read.parquet(streamingSinkPath).dropDuplicates(),
-        batchTablePath, keys, partitionCols)
+      val batch = spark.read.parquet(streamingSinkPath).dropDuplicates()
+      bucketSpec match {
+        case Some((bk, n)) =>
+          bucketedIdempotentAppend(batch, batchTablePath, keys, bk, n)
+        case None => idempotentAppend(batch, batchTablePath, keys, partitionCols)
+      }
       val out = lfs.create(ledger, true)
       try out.write(b.toString.getBytes("UTF-8")) finally out.close()
       b

@@ -232,6 +232,55 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("cumulative tables bucket on doc_id; trim is co-located; catalog loss self-heals") {
+    import graft.core.Sinks
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcum").toString
+    val seed = (1 to 20).map(i =>
+      (i.toLong, s"cumulative store document $i speaking plainly about topic ${i % 4} " +
+        s"with words enough to shingle and score"))
+      .toDF("doc_id", "text")
+    CorpusIngest.run(spark, seed, wh, storeBuckets = 4)
+    // every cumulative doc_id-keyed table carries the bucket contract
+    for (t <- Seq("documents", "doc_stats", "shingles", "bands"))
+      assert(Sinks.isBucketedStore(spark, s"$wh/corpus/$t"),
+        s"corpus/$t should be a bucketed store")
+
+    // the ingest trim (drop vs shingle store on doc_id) is fully
+    // co-located when both sides share the bucket layout — zero exchange
+    // anywhere in the anti-join, even with broadcast off
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val trim = Sinks.readBucketedPath(spark, s"$wh/corpus/documents")
+        .join(Sinks.readBucketedPath(spark, s"$wh/corpus/shingles")
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      val shuffles = trim.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"co-located trim still shuffles:\n${trim.queryExecution.executedPlan}")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+
+    // a FRESH session knows nothing of this warehouse's catalog entries —
+    // simulate by dropping them; the next drop re-registers every store
+    // from its spec ledger and appends under the ORIGINAL bucket count
+    for (t <- Seq("documents", "doc_stats", "shingles", "bands"))
+      spark.sql(
+        s"DROP TABLE IF EXISTS `${Sinks.bucketedTableName(s"$wh/corpus/$t")}`")
+    val (n, _) = CorpusIngest.run(spark,
+      Seq((100L, "a genuinely new document about rivers and compilers meeting at dusk"))
+        .toDF("doc_id", "text"), wh)
+    assert(n == 1L, "re-registered warehouse must ingest normally")
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 21)
+    assert(Sinks.bucketSpecOf(spark, s"$wh/corpus/documents")
+      .contains((Seq("doc_id"), 4)),
+      "append must keep the creation-time bucket count, not the default")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("legacy plain-parquet store keeps working and is not silently rebucketed") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whleg").toString
