@@ -155,7 +155,15 @@ object CorpusIngest {
     // checkThreshold and mix semantics — the stamp-first order fails closed
     // (worst case: a stamped threshold guarding a not-yet-written table)
     stampThreshold(spark, warehouse, threshold)
-    Sinks.idempotentAppend(pairs, pairsPath(warehouse),
+    // the cumulative pair table is keyed-append too (bounded by the
+    // duplicated subset, not the corpus, but that is still warehouse-sized
+    // at crawl scale) — same bucket treatment, keyed (doc_a, doc_b)
+    if (Sinks.isBucketedStore(spark, pairsPath(warehouse)) ||
+        !Sinks.pathExists(spark, pairsPath(warehouse)))
+      Sinks.bucketedIdempotentAppend(pairs, pairsPath(warehouse),
+        keys = Seq("doc_a", "doc_b"), bucketKeys = Seq("doc_a", "doc_b"),
+        buckets = storeBuckets)
+    else Sinks.idempotentAppend(pairs, pairsPath(warehouse),
       keys = Seq("doc_a", "doc_b"), partitionCols = Nil)
     // new warehouses get the bucketed store; a legacy plain store (exists,
     // no spec ledger) keeps its layout — appending bucketed files into a
@@ -244,6 +252,9 @@ object CorpusIngest {
     Sinks.idempotentAppend(keys, tombPath(warehouse),
       keys = Seq("doc_id"), partitionCols = Nil)
     if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
+    else if (Sinks.isBucketedStore(spark, pairsPath(warehouse)))
+      purged + ("pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+        pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
     else purged + ("pairs" -> Sinks.deleteByAnyKey(spark,
       pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
   }
@@ -343,7 +354,7 @@ object CorpusIngest {
     * the doc_id-keyed append makes a replayed drop a stats no-op too.
     */
   def datacard(spark: SparkSession, warehouse: String): DataFrame =
-    spark.read.parquet(statsPath(warehouse))
+    readStore(spark, statsPath(warehouse))
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
@@ -507,10 +518,13 @@ object CorpusIngest {
     * graph (the duplicated subset), plus one anti-join shipping loser ids.
     */
   def survivors(spark: SparkSession, warehouse: String): DataFrame = {
-    val docs = spark.read.parquet(docsPath(warehouse))
+    val docs = readStore(spark, docsPath(warehouse))
     if (!Sinks.pathExists(spark, pairsPath(warehouse))) docs
     else {
-      val pairs = spark.read.parquet(pairsPath(warehouse))
+      // readStore, not a plain read: a bucketed pair store purged to empty
+      // by a takedown legitimately holds no data files, and only the
+      // catalog/ledger read path knows its schema then
+      val pairs = readStore(spark, pairsPath(warehouse))
       val lab = Components.connectedComponents(
         pairs.select(col("doc_a"), col("doc_b")))
       val losers = lab.filter(col("node") =!= col("component"))

@@ -575,7 +575,18 @@ object Sinks {
     * spec ledger exists. A plain-parquet table returns None, which is how
     * callers keep legacy (pre-bucketing) warehouses readable.
     */
-  def bucketSpecOf(spark: SparkSession, path: String): Option[(Seq[String], Int)] = {
+  def bucketSpecOf(spark: SparkSession, path: String): Option[(Seq[String], Int)] =
+    readBucketLedger(spark, path).map { case (keys, n, _) => (keys, n) }
+
+  /** Full ledger line: (bucketKeys, numBuckets, schema DDL). The SCHEMA
+    * rides the ledger so registration in a fresh session never depends on
+    * parquet-footer inference — a bucketed store legitimately holds ZERO
+    * data files after a purge-to-empty rewrite (bucketed writers create
+    * files lazily), and an inference-based re-registration would fail on
+    * exactly that state.
+    */
+  private def readBucketLedger(spark: SparkSession,
+                               path: String): Option[(Seq[String], Int, String)] = {
     val p = bucketSpecLedger(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -587,8 +598,10 @@ object Sinks {
       require(line != null && line.contains("|"),
         s"bucketed store $path has a corrupt ._bucketspec ledger — " +
           "restore or remove it (removing demotes the store to plain parquet)")
-      val Array(n, keys) = line.trim.split('|')
-      Some((keys.split(',').toSeq, n.toInt))
+      // split at most 3 fields: the schema DDL may itself contain pipes
+      val parts = line.trim.split("\\|", 3)
+      Some((parts(1).split(',').toSeq, parts(0).toInt,
+        if (parts.length >= 3) parts(2) else ""))
     }
   }
 
@@ -596,11 +609,14 @@ object Sinks {
     bucketSpecOf(spark, path).isDefined
 
   private def writeBucketSpec(spark: SparkSession, path: String,
-                              keys: Seq[String], buckets: Int): Unit = {
+                              keys: Seq[String], buckets: Int,
+                              schemaDdl: String): Unit = {
+    require(!schemaDdl.contains("\n"),
+      "bucket spec ledger is single-line; schema DDL must not contain newlines")
     val p = bucketSpecLedger(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$buckets|${keys.mkString(",")}".getBytes("UTF-8"))
+    try out.write(s"$buckets|${keys.mkString(",")}|$schemaDdl".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -616,10 +632,14 @@ object Sinks {
     if (spark.catalog.tableExists(name) && !pathExists(spark, path))
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
     if (!spark.catalog.tableExists(name)) {
-      val (keys, buckets) = bucketSpecOf(spark, path).getOrElse(
+      val (keys, buckets, ledgerDdl) = readBucketLedger(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"$path is not a bucketed store (no ._bucketspec ledger)"))
-      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      // ledger schema first (works on a legitimately file-less store);
+      // footer inference only for a v1 ledger written before schemas rode it
+      val schemaDdl =
+        if (ledgerDdl.nonEmpty) ledgerDdl
+        else spark.read.parquet(path).schema.toDDL
       spark.sql(
         s"""CREATE TABLE `$name` ($schemaDdl) USING PARQUET
            |CLUSTERED BY (${keys.mkString(", ")})
@@ -661,7 +681,7 @@ object Sinks {
         .sortBy(bucketKeys.head, bucketKeys.tail: _*)
         .option("path", path)
         .saveAsTable(name)
-      writeBucketSpec(spark, path, bucketKeys, buckets)
+      writeBucketSpec(spark, path, bucketKeys, buckets, df.schema.toDDL)
     } else {
       val (specKeys, specBuckets) = bucketSpecOf(spark, path).getOrElse(
         throw new IllegalArgumentException(
@@ -709,6 +729,36 @@ object Sinks {
     else {
       val obs = org.apache.spark.sql.Observation("graft_bkt_delete_kept")
       val kept = stored.join(keyRows, keyCols, "left_anti")
+        .observe(obs, count(lit(1)).as("kept"))
+      bucketedSwapInto(spark, path, kept)
+      (before, obs.get("kept").asInstanceOf[Long])
+    }
+  }
+
+  /** deleteByAnyKey for a bucketed store: chained anti-joins over the
+    * target columns feeding ONE bucket-preserving rewrite — the edge-table
+    * takedown (pairs referencing a doc from either side) without losing
+    * the bucket layout the table's append anti-join depends on.
+    */
+  def deleteBucketedByAnyKey(spark: SparkSession, path: String,
+                             keys: DataFrame, keyCol: String,
+                             targetCols: Seq[String]): (Long, Long) = {
+    require(targetCols.nonEmpty,
+      "deleteBucketedByAnyKey needs at least one target column")
+    val stored = readBucketedPath(spark, path)
+    val keyRows = keys.select(col(keyCol)).dropDuplicates()
+    val before = stored.count()
+    val hasMatch = targetCols.exists { c =>
+      !stored.join(keyRows.withColumnRenamed(keyCol, c), Seq(c), "left_semi")
+        .limit(1).isEmpty
+    }
+    if (!hasMatch) (before, before)
+    else {
+      val obs = org.apache.spark.sql.Observation("graft_bkt_delete_any_kept")
+      val kept = targetCols.foldLeft(stored) { (d, c) =>
+          d.join(keyRows.withColumnRenamed(keyCol, c), Seq(c), "left_anti")
+        }
+        .select(stored.columns.map(col): _*)
         .observe(obs, count(lit(1)).as("kept"))
       bucketedSwapInto(spark, path, kept)
       (before, obs.get("kept").asInstanceOf[Long])

@@ -112,9 +112,15 @@ class CorpusIngestSpec extends AnyFunSuite {
       assert(left == 0, s"delete left $left rows in corpus/$t")
       assert(audit(t)._1 > audit(t)._2, s"audit for $t should record the purge")
     }
-    assert(spark.read.parquet(s"$wh/corpus/pairs")
+    // the purge emptied the pair store entirely — a bucketed store holds
+    // ZERO data files then (bucketed writers create files lazily), so the
+    // catalog/ledger read path is the one that knows the schema; the
+    // file-level claim is checked directly on the file count
+    assert(graft.core.Sinks.readBucketedPath(spark, s"$wh/corpus/pairs")
       .filter(col("doc_a") === 30L || col("doc_b") === 30L).count() == 0,
       "pair rows referencing a deleted doc must be purged")
+    assert(graft.core.Sinks.dataFileCount(spark, s"$wh/corpus/pairs") == 0,
+      "purge-to-empty must leave no data files behind")
     // survivors no longer see the deleted doc's cluster
     assert(CorpusIngest.survivors(spark, wh)
       .select("doc_id").as[Long].collect().toSet == Set(10L, 20L))
