@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance semantics of the reference (SURVEY.md §1.2), columnar:
@@ -182,13 +182,50 @@ object Sinks {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Build a static partition-pruning predicate restricting `stored` to
+    * the partition values present in `batch`: the existence anti-join's
+    * store side then READS only the partitions the batch can possibly
+    * collide with (PartitionFilters at the scan), instead of scanning the
+    * whole cumulative table per append — the difference between
+    * increment-sized and warehouse-sized I/O for a daily backfill into a
+    * years-deep silver. The distinct partition tuples are a driver-side
+    * list (bounded by the batch's own partition spread, the same class as
+    * the planner's partition listing); above `cap` distinct tuples the
+    * pruning is skipped — the batch touches most of the table anyway and a
+    * megabyte-scale IN-list would bloat the plan.
+    */
+  private[graft] def partitionPrunePredicate(batch: DataFrame,
+                                             stored: DataFrame,
+                                             partitionCols: Seq[String],
+                                             cap: Int = 1000): Option[Column] = {
+    if (partitionCols.isEmpty) return None
+    val tuples = batch.select(partitionCols.map(col): _*)
+      .dropDuplicates().limit(cap + 1).collect()
+    if (tuples.isEmpty || tuples.length > cap) None
+    else Some(tuples.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        // compare in the STORED column's type (partition-type inference can
+        // read a written string back as int): the literal is cast exactly
+        // once, the same coercion the keyed anti-join itself would apply —
+        // a type-mismatched batch value prunes to the same partitions the
+        // join could match, so pruning can never create a duplicate the
+        // unpruned join would have caught
+        if (v == null) col(c).isNull
+        else col(c) === lit(v).cast(stored.schema(c).dataType)
+      }.reduce(_ && _)
+    }.reduce(_ || _))
+  }
+
   def idempotentAppend(df: DataFrame, path: String, keys: Seq[String],
                        partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     val fresh =
       if (!pathExists(spark, path)) df
       else {
-        val stored = spark.read.parquet(path)
+        val storedAll = spark.read.parquet(path)
+        val stored = partitionPrunePredicate(df, storedAll, partitionCols)
+          .map(storedAll.filter).getOrElse(storedAll)
         // schema-drift guard: parquet append would happily interleave a
         // drifted batch (renamed/retyped/new column) and every later read
         // fails far from the cause — refuse HERE with the actual diff.

@@ -582,6 +582,44 @@ class SinksSpec extends AnyFunSuite {
       s"hash control unexpectedly pruned ($keptH/$totalH) — assertion above is weak")
   }
 
+  test("idempotentAppend prunes its existence scan to the batch's partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("appendpr").toString + "/t"
+    val base = spark.range(0, 300).select(col("id"),
+      (col("id") % 3).cast("string").as("lang"))
+    graft.core.Sinks.idempotentAppend(base, dir, keys = Seq("id"),
+      partitionCols = Seq("lang"))
+    // the predicate the existence scan is filtered by: only the batch's
+    // partition values, null-safe, and None above the cap (full scan)
+    val batch = Seq((300L, "1"), (301L, "1"), (302L, null.asInstanceOf[String]))
+      .toDF("id", "lang")
+    val storedDf = spark.read.parquet(dir)
+    val pred = graft.core.Sinks
+      .partitionPrunePredicate(batch, storedDf, Seq("lang")).get
+    val kept = storedDf.filter(pred)
+    // lang=1 has 100 rows; lang=null none — 0/2 partitions pruned would be 300
+    assert(kept.count() == 100, "predicate must keep only the batch's partitions")
+    assert(kept.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "predicate must reach the scan as a partition filter")
+    assert(graft.core.Sinks
+      .partitionPrunePredicate(batch, storedDf, Seq("lang"), cap = 1)
+      .isEmpty, "above the cap the pruning must be skipped, not truncated")
+    assert(graft.core.Sinks
+      .partitionPrunePredicate(batch, storedDf, Nil).isEmpty)
+
+    // end-to-end: the pruned existence join still dedupes exactly — replay
+    // a batch overlapping lang=1 plus new keys in lang=1 and the null
+    // partition; counts land once each
+    graft.core.Sinks.idempotentAppend(
+      Seq((1L, "1"), (300L, "1"), (302L, null.asInstanceOf[String]))
+        .toDF("id", "lang"),
+      dir, keys = Seq("id"), partitionCols = Seq("lang"))
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 302, s"expected 300 base + 2 new, got ${all.count()}")
+    assert(all.filter(col("id") === 1L).count() == 1, "replayed key landed twice")
+    assert(all.filter(col("id") === 300L).count() == 1)
+  }
+
   test("compact: collapses a fragmented table atomically with identical data") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
