@@ -60,7 +60,13 @@ object Bench {
         catch { case e: Throwable =>
           failed += q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        } finally spark.catalog.clearCache() // drop operator-level persists
+        } finally {
+          // drop operator-level persists AND their registry entries —
+          // clearCache alone unpersists but leaves GraftCaches' queue
+          // growing by a few references per query across 400+ executions
+          graft.core.GraftCaches.releaseAll(spark)
+          spark.catalog.clearCache()
+        }
         q.name -> (System.nanoTime() - t0) / 1e9
       }
       (times, failed.result())

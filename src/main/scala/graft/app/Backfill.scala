@@ -166,9 +166,11 @@ object Backfill {
     // slices / clustered compaction), the degenerate-but-optimal form of
     // the (ticker, day) Z-box — interleaving ticker into a Morton curve
     // would WEAKEN its pruning from directory-exact to curve-approximate.
-    // Rewritten after every run (appends and compaction both move files);
-    // costs one columnar scan of two columns. readBarsBox is the consumer.
-    graft.core.Layout.writeFileStatsIndex(spark, silverPath,
+    // Maintained INCREMENTALLY after every run: only files not yet
+    // indexed are scanned (an append run pays a columnar scan of the
+    // appended slice; a compaction run replaced every file, so the update
+    // degenerates to the full rebuild). readBarsBox is the consumer.
+    graft.core.Layout.updateFileStatsIndex(spark, silverPath,
       barsIndexPath(warehouse), Seq("ticker", "t"))
   }
 

@@ -104,6 +104,70 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(indexPath)
   }
 
+  /** INCREMENTAL maintenance of the per-file min/max index: compute stats
+    * only for data files not yet indexed, drop rows whose file vanished
+    * (compaction / governance rewrites replace the file set), and carry
+    * every surviving row forward untouched. The full rebuild above scans
+    * the whole table per maintenance run — at warehouse scale that
+    * re-reads 100 TB to index a [watermark, now) append slice; this
+    * update scans ONLY the new files, so index upkeep costs O(increment),
+    * and a full rewrite (every file replaced) degenerates to exactly the
+    * rebuild. The file-set diff is a driver-side metadata decision (one
+    * recursive listing + one index read, one row per file — the same
+    * class as the planner's own partition listing); file identity is the
+    * URI path component, so the Hadoop listing ("file:/…") and the
+    * scan's `_metadata.file_path` ("file:///…") rendering of one file
+    * agree. An index built over a DIFFERENT column set is rebuilt from
+    * scratch (schema drift has no incremental meaning). The rewrite goes
+    * through the crash-recoverable swap (the new index derives from the
+    * live one, so an in-place overwrite would read its own output).
+    */
+  def updateFileStatsIndex(spark: SparkSession, tablePath: String,
+                           indexPath: String, cols: Seq[String]): Unit = {
+    val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.recoverSwap(spark, indexPath)
+    val expectedCols = ("file" +: cols.flatMap(c =>
+      Seq(s"${c}__min", s"${c}__max"))).toSet
+    if (!fs.exists(idxPath) ||
+        spark.read.parquet(indexPath).columns.toSet != expectedCols) {
+      writeFileStatsIndex(spark, tablePath, indexPath, cols)
+      return
+    }
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    // current data file set, as the filesystem lists it (same .parquet
+    // rule as Sinks.dataFileCount — readers gate index freshness on it)
+    val listed = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(tablePath), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    val currentKeys = listed.map(norm).toSet
+    val old = spark.read.parquet(indexPath)
+    val oldFiles = old.select(col("file")).collect().map(_.getString(0))
+    val oldKeys = oldFiles.map(norm).toSet
+    val keepOrig = oldFiles.filter(f => currentKeys.contains(norm(f)))
+    val newPaths = listed.filterNot(f => oldKeys.contains(norm(f)))
+    if (newPaths.isEmpty && keepOrig.length == oldFiles.length) return // in sync
+    import spark.implicits._
+    val kept = old.join(keepOrig.toSeq.toDF("file"), Seq("file"), "left_semi")
+    val refreshed =
+      if (newPaths.isEmpty) kept
+      else {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+        kept.unionByName(
+          spark.read.option("basePath", tablePath).parquet(newPaths: _*)
+            .groupBy(col("_metadata.file_path").as("file"))
+            .agg(aggs.head, aggs.tail: _*))
+      }
+    Sinks.swapInto(spark, indexPath, refreshed, Nil, targetFiles = Some(1))
+  }
+
   /** Read `tablePath` pruned by the file-stats index: keep files whose
     * [min, max] box INTERSECTS every requested [lo, hi] range, read only
     * those, and re-apply the exact range predicate — so the result equals

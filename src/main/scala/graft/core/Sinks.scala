@@ -148,6 +148,52 @@ object Sinks {
             .otherwise(array().cast("array<string>")).as("changed_cols")): _*)
   }
 
+  /** SNAPSHOT RETENTION — expire old history partitions. The snapshot
+    * history grows by one `snapshot_ts=` partition per refresh forever
+    * (the reference's timestamped snapshot keys accumulate the same way,
+    * polygon-etl-container/src/reference_endpoints_etl.py:25-26); at a
+    * daily cadence over years that is unbounded storage AND an
+    * ever-longer partition listing on every as-of read. Expiry is a
+    * PARTITION-level delete — each snapshot is one directory, so dropping
+    * it is a metadata operation, no data rewrite, no read of surviving
+    * snapshots.
+    *
+    * A snapshot expires iff it is NOT among the newest `keepLast` AND
+    * (when `olderThan` is given) its ts is strictly before that instant —
+    * so `keepLast = 1, olderThan = Some(ts)` is pure age-based retention,
+    * and `keepLast = n` alone is pure count-based. The newest snapshot
+    * never expires (a dimension with no current state is a bug, not a
+    * policy). After expiry, `snapshotAsOf` for an instant older than the
+    * oldest retained snapshot THROWS — expired means gone, the forensic
+    * window is explicitly the retained range. A crash mid-expiry leaves a
+    * legal table (each partition delete is independent and retention is
+    * monotone — a re-run completes the sweep). Returns
+    * (snapshotsBefore, snapshotsAfter).
+    */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int,
+                      olderThan: Option[java.sql.Timestamp] = None): (Int, Int) = {
+    require(keepLast >= 1, s"must keep at least one snapshot, got $keepLast")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition VALUES come from the directory names (metadata, no file
+    // reads). Names are Hive-escaped ("%3A" for ':'); URLDecoder undoes
+    // %XX — with literal '+' pre-masked, since URL decoding would turn it
+    // into a space while path escaping never does.
+    val prefix = "snapshot_ts="
+    def tsOf(p: org.apache.hadoop.fs.Path): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.net.URLDecoder.decode(
+        p.getName.substring(prefix.length).replace("+", "%2B"), "UTF-8"))
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath).sortBy(tsOf(_).getTime) // oldest first
+    val beyondKeep = parts.dropRight(keepLast)
+    val expired = beyondKeep.filter(p =>
+      olderThan.forall(o => tsOf(p).before(o)))
+    expired.foreach(p => require(fs.delete(p, true),
+      s"expireSnapshots: could not delete $p"))
+    (parts.length, parts.length - expired.length)
+  }
+
   /** O-SNK3: JDBC full-replace dimension refresh — the reference's
     * to_sql(if_exists='replace') (v2022/etl-containers/reference-data/src/
     * reference_data_etl.py:60-67). truncate=true keeps the DDL in place on
@@ -523,7 +569,7 @@ object Sinks {
     }
   }
 
-  private def swapInto(spark: SparkSession, path: String, df: DataFrame,
+  private[core] def swapInto(spark: SparkSession, path: String, df: DataFrame,
                        partitionCols: Seq[String],
                        targetFiles: Option[Int],
                        clusterCols: Seq[String] = Nil): Unit = {

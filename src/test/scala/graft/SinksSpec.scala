@@ -582,6 +582,108 @@ class SinksSpec extends AnyFunSuite {
       s"hash control unexpectedly pruned ($keptH/$totalH) — assertion above is weak")
   }
 
+  test("snapshot expiry drops old partitions, keeps the retained as-of window exact") {
+    val dir = Files.createTempDirectory("expire").toString + "/history"
+    // five snapshots, one with fractional seconds (exercises the escaped
+    // directory-name decode — ':' is Hive-escaped, '.123' must round-trip)
+    val stamps = Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+      "2024-01-03 00:00:00.123", "2024-01-04 00:00:00", "2024-01-05 00:00:00")
+      .map(ts)
+    stamps.zipWithIndex.foreach { case (t, i) =>
+      Sinks.writeSnapshot(Seq(("AAPL", i)).toDF("ticker", "v"), dir, t)
+    }
+    // count-based: keep the newest two
+    assert(Sinks.expireSnapshots(spark, dir, keepLast = 2) == (5, 2))
+    val left = spark.read.parquet(dir)
+      .select(col("snapshot_ts").cast("timestamp")).distinct()
+      .collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+    assert(left.toSeq == stamps.takeRight(2), s"retained wrong set: ${left.toSeq}")
+    // the retained window still answers as-of exactly...
+    assert(Sinks.snapshotAsOf(spark, dir, stamps(4)).select("v")
+      .as[Int].head() == 4)
+    assert(Sinks.snapshotAsOf(spark, dir, stamps(3)).select("v")
+      .as[Int].head() == 3)
+    // ...and an instant before the oldest retained snapshot throws
+    intercept[IllegalArgumentException] {
+      Sinks.snapshotAsOf(spark, dir, stamps(2))
+    }
+    // age-based: keepLast=1 + olderThan expires strictly-older only;
+    // a second identical sweep is a no-op
+    val dir2 = Files.createTempDirectory("expire2").toString + "/history"
+    stamps.foreach(t =>
+      Sinks.writeSnapshot(Seq(("MSFT", 1)).toDF("ticker", "v"), dir2, t))
+    assert(Sinks.expireSnapshots(spark, dir2, keepLast = 1,
+      olderThan = Some(stamps(2))) == (5, 3))
+    assert(Sinks.expireSnapshots(spark, dir2, keepLast = 1,
+      olderThan = Some(stamps(2))) == (3, 3))
+    // the newest snapshot never expires, whatever the cutoff
+    assert(Sinks.expireSnapshots(spark, dir2, keepLast = 1,
+      olderThan = Some(ts("2030-01-01 00:00:00")))._2 == 1)
+    assert(Sinks.latestSnapshot(spark, dir2).select("ticker")
+      .as[String].head() == "MSFT")
+  }
+
+  test("incremental stats-index update scans only new files and tracks the live file set") {
+    val dir = Files.createTempDirectory("incidx").toString + "/t"
+    val idx = Files.createTempDirectory("incidx-i").toString + "/i"
+    // three appended slices, one file each — the incremental-append rhythm
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("t"), (col("id") * 2).as("p"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    // bootstrap: no index yet → full build
+    graft.core.Layout.updateFileStatsIndex(spark, dir, idx, Seq("t"))
+    assert(spark.read.parquet(idx).count() == Sinks.dataFileCount(spark, dir))
+
+    // POISON the indexed rows: shift min/max far out of the data's domain
+    // while keeping the file paths. Any rescan of an already-indexed file
+    // would repair its row, so surviving poison proves the update read
+    // only the new file.
+    val poisoned = spark.read.parquet(idx)
+      .withColumn("t__min", col("t__min") + 1000000L)
+      .withColumn("t__max", col("t__max") + 1000000L)
+    val rows = poisoned.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), poisoned.schema)
+      .coalesce(1).write.mode("overwrite").parquet(idx)
+
+    // append a fourth slice, update incrementally
+    spark.range(300L, 400L)
+      .select(col("id").as("t"), (col("id") * 2).as("p"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    graft.core.Layout.updateFileStatsIndex(spark, dir, idx, Seq("t"))
+    val after = spark.read.parquet(idx).collect()
+    assert(after.length == 4, s"expected 4 indexed files, got ${after.length}")
+    assert(after.count(_.getAs[Long]("t__min") >= 1000000L) == 3,
+      "old files were rescanned — the update is not incremental")
+    val fresh = after.filter(_.getAs[Long]("t__min") < 1000000L)
+    assert(fresh.length == 1 && fresh.head.getAs[Long]("t__min") == 300L &&
+      fresh.head.getAs[Long]("t__max") == 399L,
+      "the new file's stats must be derived for real")
+
+    // an in-sync update is a no-op (and in particular never rescans)
+    graft.core.Layout.updateFileStatsIndex(spark, dir, idx, Seq("t"))
+    assert(spark.read.parquet(idx).filter(col("t__min") >= 1000000L).count() == 3)
+
+    // a compaction replaces EVERY file: vanished files' (poisoned) rows
+    // drop and everything re-derives — the update equals a fresh rebuild
+    Sinks.compact(spark, dir, targetFiles = 2, clusterCols = Seq("t"))
+    graft.core.Layout.updateFileStatsIndex(spark, dir, idx, Seq("t"))
+    val rebuilt = spark.read.parquet(idx)
+    assert(rebuilt.count() == Sinks.dataFileCount(spark, dir))
+    assert(rebuilt.filter(col("t__min") >= 1000000L).count() == 0,
+      "poison must vanish with its files")
+    val bounds = rebuilt.agg(min("t__min"), max("t__max")).head()
+    assert(bounds.getLong(0) == 0L && bounds.getLong(1) == 399L)
+
+    // column-set drift has no incremental meaning → rebuilt from scratch
+    graft.core.Layout.updateFileStatsIndex(spark, dir, idx, Seq("p"))
+    assert(spark.read.parquet(idx).columns.sorted.toSeq ==
+      Seq("file", "p__max", "p__min"))
+    val pb = spark.read.parquet(idx).agg(min("p__min"), max("p__max")).head()
+    assert(pb.getLong(0) == 0L && pb.getLong(1) == 798L)
+  }
+
   test("idempotentAppend prunes its existence scan to the batch's partitions") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("appendpr").toString + "/t"
