@@ -58,4 +58,41 @@ object GraftCaches {
     val q = registry.get(spark)
     if (q == null) 0 else q.size()
   }
+
+  /** Run `body` and, on exit, release ONLY the graft-owned frames acquired
+    * during it — the release discipline for a long-running server that
+    * embeds individual operators: wrap each request in `withScope` and the
+    * request's intermediates are unpersisted when the request finishes,
+    * while caches the application (or an enclosing scope) created earlier
+    * stay live. `releaseAll` remains the right call at session teardown;
+    * this is the per-unit-of-work variant, so neither "release everything
+    * after every request" (throws away a shared warm cache) nor "never
+    * release" (the round-2 leak) is forced on the embedder.
+    *
+    * The body MUST run its consuming actions inside the scope — the exit
+    * release would otherwise unpersist intermediates before the lazy plan
+    * executes and force the self-join branches to recompute. Scoping is
+    * per-SESSION, not per-thread: frames another thread acquires on the
+    * same session while `body` runs are treated as part of this scope.
+    * Release on exit happens even when `body` throws.
+    */
+  def withScope[T](spark: SparkSession)(body: => T): T = {
+    val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+    val q0 = registry.get(spark)
+    if (q0 != null) q0.forEach(df => before.put(df, java.lang.Boolean.TRUE))
+    try body
+    finally {
+      val q = registry.get(spark)
+      if (q != null) {
+        val it = q.iterator()
+        while (it.hasNext) {
+          val df = it.next()
+          if (!before.containsKey(df)) {
+            df.unpersist(blocking = false)
+            it.remove()
+          }
+        }
+      }
+    }
+  }
 }

@@ -848,4 +848,42 @@ class SinksSpec extends AnyFunSuite {
     assert(none.count() == 0 &&
       none.columns.toSeq == Seq("id", "a", "b"))
   }
+
+  test("GraftCaches.withScope releases only the scope's acquisitions") {
+    import graft.core.GraftCaches
+    import org.apache.spark.storage.StorageLevel
+    GraftCaches.releaseAll(spark) // clean slate from earlier suites
+    val outer = GraftCaches.acquire(
+      spark.range(100).toDF("id").withColumn("v", col("id") * 2))
+    assert(outer.count() == 100)
+    val beforeScope = GraftCaches.registered(spark)
+
+    var inner: org.apache.spark.sql.DataFrame = null
+    val result = GraftCaches.withScope(spark) {
+      inner = GraftCaches.acquire(
+        spark.range(50).toDF("id").withColumn("w", col("id") + 1))
+      inner.count() // consuming action INSIDE the scope, per the contract
+    }
+    assert(result == 50)
+    // inner released and deregistered; outer untouched and still cached
+    assert(GraftCaches.registered(spark) == beforeScope)
+    assert(inner.storageLevel == StorageLevel.NONE,
+      "scope exit must unpersist the frames it acquired")
+    assert(outer.storageLevel != StorageLevel.NONE,
+      "scope exit must not touch pre-existing caches")
+
+    // a throwing body still releases its acquisitions
+    val thrown = intercept[RuntimeException] {
+      GraftCaches.withScope(spark) {
+        GraftCaches.acquire(spark.range(10).toDF("id")).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(thrown.getMessage == "boom")
+    assert(GraftCaches.registered(spark) == beforeScope)
+
+    GraftCaches.releaseAll(spark)
+    assert(GraftCaches.registered(spark) == 0)
+    assert(outer.storageLevel == StorageLevel.NONE)
+  }
 }
