@@ -115,12 +115,17 @@ object Bench {
         "(0.72 was an idle-box best case) - box baseline, not plan. " +
         "High-variance queries get solo remeasure passes (see retried). " +
         "Two-phase prefix helpers (globalRank/runningMax/prefixStats) carry " +
-        "a FIXED per-call cost - one range exchange + a partitions-sized " +
-        "stats job, ~0.2-0.3s at sf0.1 on a <=25k-row day grid - that " +
-        "amortizes to noise at warehouse scale; r12 folded riskStats' two " +
-        "helper rounds into one (1.81->1.3s), backtest_portfolio keeps its " +
-        "single round (~1.17s vs 0.82s serial-window r9) as the price of " +
-        "not serializing the grid through one task.\""
+        "a FIXED per-call cost - one range exchange + an eager " +
+        "partitions-sized stats collect whose job runs the upstream chain " +
+        "into the cache - that amortizes to noise at warehouse scale. " +
+        "Solo-decomposed on the r12 box: mkt_backtest_portfolio warm-floors " +
+        "at ~1.1-2.2s (0.9-1.8s stats-collect build incl. the one backtest-" +
+        "chain execution + 0.3-0.7s exec-from-cache) and mkt_risk_stats at " +
+        "~2.0-2.6s (its second, cache-fed collect adds ~0.4s); the same " +
+        "code re-measured across sessions drifts +-50% with the box, so " +
+        "cross-round per-query ratios under ~1.5x are box noise, not plan. " +
+        "The r9 serial-window versions were ~0.8-1.1s: the delta is the " +
+        "price of not serializing the day grid through one task.\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""
