@@ -22,6 +22,22 @@ object TextOps {
   /** BPE-ish token regex: runs of alphanumerics OR single non-space symbols. */
   val TokenRe = "[a-z0-9]+|[^a-z0-9\\s]"
 
+  /** Geometric-grid snap for the approx-quantile sketch, over a BIGINT
+    * column named by `c`: octave e = floor(log2 v), the [2^e, 2^(e+1))
+    * octave split into 32 equal buckets, value replaced by the bucket
+    * MIDPOINT carried ×64 so every intermediate stays integer (u/64 is
+    * the snapped value; |u − 64·v| ≤ 2^e, i.e. relative error ≤ 1/64 —
+    * PropertySpec proves the bound exhaustively over random longs).
+    * Non-positive values pass through exactly (×64). Shared by
+    * txt_quantiles_approx and its test so the formula cannot drift.
+    * Requires a sibling `e` column = length(bin(c)) − 1.
+    */
+  private[graft] def geoSnapSql(c: String): String =
+    s"""CASE WHEN $c <= 0 THEN $c * 64
+       |  ELSE shiftleft(1L, e) * (64 +
+       |    2 * ((($c - shiftleft(1L, e)) * 32)
+       |         div shiftleft(1L, e)) + 1) END""".stripMargin
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "it")
 
@@ -428,11 +444,7 @@ object TextOps {
         .withColumnRenamed("q", "q_exact")
       val g = docs.filter(col("n_chars").isNotNull)
         .withColumn("e", (length(bin(col("n_chars"))) - 1).cast("int"))
-        .withColumn("u", expr(
-          """CASE WHEN n_chars <= 0 THEN n_chars * 64
-            |  ELSE shiftleft(1L, e) * (64 +
-            |    2 * (((n_chars - shiftleft(1L, e)) * 32)
-            |         div shiftleft(1L, e)) + 1) END""".stripMargin))
+        .withColumn("u", expr(geoSnapSql("n_chars")))
       val approx = exactQuantiles(g, "u", "lang", ps)
         .select(col("lang"), col("p"), (col("q") / 64).as("q_approx"))
       exact.join(approx, Seq("lang", "p"))

@@ -165,6 +165,15 @@ class PlanSpec extends AnyFunSuite {
       s"rank<=k did not compile to WindowGroupLimit:\n$p")
   }
 
+  test("q19: KMV rn<=k filter compiles to WindowGroupLimit") {
+    // the k-minimum-values sketch keeps the k smallest hashes per group —
+    // the rank filter must compile to the k-row heap, not a full sort of
+    // every group's distinct hash set
+    val p = plan("q19_approx_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=k did not compile to WindowGroupLimit:\n$p")
+  }
+
   test("txt_tfidf: per-doc top-k is WindowGroupLimit, ln(N) scalar broadcast") {
     // the per-doc rank must keep a k-row heap, not sort each document's
     // whole vocabulary; the single-row ln(N) frame must ride a broadcast,

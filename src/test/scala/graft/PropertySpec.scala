@@ -382,4 +382,61 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("geometric snap holds its 1/64 relative-error bound on arbitrary longs") {
+    // the txt_quantiles_approx sketch replaces each value with its octave-
+    // bucket midpoint (carried x64); the claimed bound |u - 64v| <= 2^e is
+    // a hard arithmetic property, not a statistical one — lock it over
+    // random positive/zero/negative longs through the SHARED expression
+    val vGen = Gen.oneOf(
+      Gen.chooseNum(1L, 1000L),
+      Gen.chooseNum(1L, Long.MaxValue >> 8),
+      Gen.chooseNum(-1000L, 0L))
+    forAll(Gen.nonEmptyListOf(vGen), n = 6) { vs =>
+      val rows = vs.toDF("n_chars")
+        .withColumn("e", (length(bin(col("n_chars"))) - 1).cast("int"))
+        .withColumn("u", expr(graft.operators.TextOps.geoSnapSql("n_chars")))
+        .select("n_chars", "u").as[(Long, Long)].collect()
+      rows.foreach { case (v, u) =>
+        if (v <= 0) assert(u == v * 64, s"non-positive $v must pass exactly")
+        else {
+          val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+          assert(math.abs(u - 64L * v) <= (1L << e),
+            s"v=$v e=$e u=$u: |u-64v|=${math.abs(u - 64L * v)} > 2^e")
+          // midpoints are monotone in the bucket index: u stays in octave
+          assert(u / 64 >= (1L << e) && u / 64 <= (2L << e), s"v=$v u=$u")
+        }
+      }
+    }
+  }
+
+  test("KMV estimate: exact under k, deterministic, and near the true count") {
+    // q19's k-minimum-values estimator over the portable hash family,
+    // replayed on generated key sets: below k distinct hashes the rule IS
+    // the exact count; above, the estimate (k-1)*M // h_k must land near
+    // the true cardinality (k=256 -> ~6% stderr; the fixed hash makes this
+    // a deterministic check, not a flaky statistical one)
+    val k = 256
+    val M = 2147483647L
+    def est(keys: Seq[Long]): Long = {
+      val hs = keys.map(x => x * 1009 % 1000003 * 69069 % M).distinct.sorted
+      if (hs.size < k) hs.size.toLong else (k - 1L) * M / hs(k - 1)
+    }
+    // under k: every cardinality up to k-1 reports exactly (hash collisions
+    // aside — the generator range makes them essentially impossible)
+    val smallGen = Gen.chooseNum(1, k - 1)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 200000L)))
+    forAll(smallGen, n = 6) { keys =>
+      val distinct = keys.map(x => x * 1009 % 1000003 * 69069 % M).distinct.size
+      assert(est(keys) == distinct.toLong)
+      assert(est(keys ++ keys) == est(keys), "duplicates must not move KMV")
+    }
+    // over k: spot the relative error at deterministic cardinalities
+    Seq(2000, 20000, 100000).foreach { n =>
+      val keys = (1L to n.toLong).map(_ * 7919L)
+      val e = est(keys)
+      assert(math.abs(e - n).toDouble / n < 0.35,
+        s"KMV at n=$n estimated $e (err ${math.abs(e - n).toDouble / n})")
+    }
+  }
 }
