@@ -153,9 +153,20 @@ object StressProbe {
              |  md5(concat(CASE WHEN id % 2 = 0 THEN id % ${nDocs / 10}
              |             ELSE id END, '-', i)), 1, 6))""".stripMargin),
           " ").as("text"))
-      val build = timeEffect("signature_store_build", dupFrom)(
-        operators.DedupOps.appendSignatureStoreBucketed(
-          corpusSide, bandP, shingleP, buckets = 32))
+      // the drop probes read the store this build writes: when ONLY a drop
+      // tag is selected (SPARK_GRAFT_STRESS_ONLY), the build still has to
+      // run — untimed, unreported — or the drop probe dies on a missing
+      // store; when the build tag is selected it is timed as usual
+      val dropSelected = Seq("incremental_drop_unbucketed",
+        "incremental_drop_bucketed").exists(selected)
+      val build =
+        if (!selected("signature_store_build") && dropSelected) {
+          operators.DedupOps.appendSignatureStoreBucketed(
+            corpusSide, bandP, shingleP, buckets = 32)
+          "signature_store_build" -> 0.0
+        } else timeEffect("signature_store_build", dupFrom)(
+          operators.DedupOps.appendSignatureStoreBucketed(
+            corpusSide, bandP, shingleP, buckets = 32))
       // at 100 TB NEITHER side of the store join fits a broadcast; at probe
       // scale the ~1% drop does, which would hide the store shuffle behind
       // a BroadcastHashJoin in BOTH variants. Emulate the at-scale regime

@@ -76,18 +76,20 @@ object CorpusIngest {
     if (Sinks.isBucketedStore(spark, path)) Sinks.readBucketedPath(spark, path)
     else spark.read.parquet(path)
 
-  /** doc_id-keyed idempotent append into a cumulative warehouse table:
-    * bucketed on doc_id for new warehouses (and ones already bucketed), so
-    * the per-drop existence anti-join never re-shuffles the table side;
-    * legacy plain tables keep their layout and the plain append.
+  /** Keyed idempotent append into a cumulative warehouse table: bucketed
+    * on the key for new warehouses (and ones already bucketed), so the
+    * per-drop existence anti-join never re-shuffles the table side; legacy
+    * plain tables keep their layout and the plain append. EVERY cumulative
+    * append in this file dispatches through here — the
+    * bucketed-if-ledger-or-fresh-else-legacy rule must not fork per site.
     */
   private def appendKeyedStore(spark: SparkSession, df: DataFrame,
-                               path: String, buckets: Int): Unit =
+                               path: String, buckets: Int,
+                               keys: Seq[String] = Seq("doc_id")): Unit =
     if (Sinks.isBucketedStore(spark, path) || !Sinks.pathExists(spark, path))
-      Sinks.bucketedIdempotentAppend(df, path, keys = Seq("doc_id"),
-        bucketKeys = Seq("doc_id"), buckets = buckets)
-    else Sinks.idempotentAppend(df, path, keys = Seq("doc_id"),
-      partitionCols = Nil)
+      Sinks.bucketedIdempotentAppend(df, path, keys = keys,
+        bucketKeys = keys, buckets = buckets)
+    else Sinks.idempotentAppend(df, path, keys = keys, partitionCols = Nil)
 
   /** Land one drop; returns (new docs landed, new verified pairs).
     *
@@ -158,22 +160,23 @@ object CorpusIngest {
     // the cumulative pair table is keyed-append too (bounded by the
     // duplicated subset, not the corpus, but that is still warehouse-sized
     // at crawl scale) — same bucket treatment, keyed (doc_a, doc_b)
-    if (Sinks.isBucketedStore(spark, pairsPath(warehouse)) ||
-        !Sinks.pathExists(spark, pairsPath(warehouse)))
-      Sinks.bucketedIdempotentAppend(pairs, pairsPath(warehouse),
-        keys = Seq("doc_a", "doc_b"), bucketKeys = Seq("doc_a", "doc_b"),
-        buckets = storeBuckets)
-    else Sinks.idempotentAppend(pairs, pairsPath(warehouse),
-      keys = Seq("doc_a", "doc_b"), partitionCols = Nil)
+    appendKeyedStore(spark, pairs, pairsPath(warehouse), storeBuckets,
+      keys = Seq("doc_a", "doc_b"))
     // new warehouses get the bucketed store; a legacy plain store (exists,
     // no spec ledger) keeps its layout — appending bucketed files into a
-    // plain directory would be silently meaningless
-    if (!storeExists || Sinks.isBucketedStore(spark, bandPath(warehouse)))
-      DedupOps.appendSignatureStoreBucketed(inc, bandPath(warehouse),
-        shinglePath(warehouse), buckets = storeBuckets)
-    else
+    // plain directory would be silently meaningless. The gate inspects
+    // BOTH store tables, not a sibling proxy: a crash between the
+    // signature append's two table writes must re-enter the same branch
+    // on retry (an absent table counts as bucketed-ready; only a present
+    // PLAIN table forces the legacy path)
+    def plainStore(p: String) =
+      Sinks.pathExists(spark, p) && !Sinks.isBucketedStore(spark, p)
+    if (plainStore(bandPath(warehouse)) || plainStore(shinglePath(warehouse)))
       DedupOps.appendSignatureStore(inc, bandPath(warehouse),
         shinglePath(warehouse))
+    else
+      DedupOps.appendSignatureStoreBucketed(inc, bandPath(warehouse),
+        shinglePath(warehouse), buckets = storeBuckets)
     // documents and doc_stats are cumulative doc_id-keyed tables too, and
     // their idempotent appends anti-join the FULL table per drop — the
     // same per-increment store shuffle the band join had. Bucketed on

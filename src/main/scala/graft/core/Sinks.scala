@@ -266,45 +266,63 @@ object Sinks {
   def idempotentAppend(df: DataFrame, path: String, keys: Seq[String],
                        partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val fresh =
-      if (!pathExists(spark, path)) df
-      else {
-        val storedAll = spark.read.parquet(path)
-        val stored = partitionPrunePredicate(df, storedAll, partitionCols)
+    def write(fresh: DataFrame): Unit = {
+      val writer = fresh.write.mode(SaveMode.Append)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(path)
+    }
+    if (!pathExists(spark, path)) return write(df)
+    val storedAll = spark.read.parquet(path)
+    // schema-drift guard BEFORE anything touches the stored schema by
+    // name: parquet append would happily interleave a drifted batch
+    // (renamed/retyped/new column) and every later read fails far from
+    // the cause — refuse HERE with the actual diff, not with whatever
+    // field-lookup error a downstream step hits first. Partition columns
+    // come back from the read in Spark's inferred types, so compare on
+    // name + the df's own column set.
+    val batchCols = df.columns.toSet
+    val storedCols = storedAll.columns.toSet
+    require(batchCols == storedCols,
+      s"idempotentAppend: schema drift for $path — batch-only columns: " +
+        s"${(batchCols -- storedCols).toSeq.sorted.mkString(", ")}; " +
+        s"table-only columns: ${(storedCols -- batchCols).toSeq.sorted.mkString(", ")}")
+    // a RETYPED column (same name, new type) poisons later reads the
+    // same way — compare types too, skipping partition columns, which
+    // the read returns in inferred (not written) types. Compare on
+    // catalogString, not DataType equality: nullability flags
+    // (array containsNull, struct field nullable) legitimately differ
+    // between a written table and a fresh batch and are not drift.
+    val storedTypes = storedAll.schema
+      .filterNot(f => partitionCols.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    val retyped = df.schema
+      .filterNot(f => partitionCols.contains(f.name))
+      .filter(f => storedTypes.get(f.name).exists(_.catalogString != f.dataType.catalogString))
+    require(retyped.isEmpty,
+      s"idempotentAppend: type drift for $path — " + retyped.map(f =>
+        s"${f.name}: table=${storedTypes(f.name).catalogString} " +
+          s"batch=${f.dataType.catalogString}").mkString(", "))
+    // partition-prune the existence scan ONLY when every partition column
+    // is part of the key: then a key determines its partition and a
+    // replayed key can only collide inside the pruned slice. When the
+    // partition column is NOT in the key (keys=[id], partitioned by a
+    // derived lang), a redelivered key arriving with a DIFFERENT partition
+    // value would hide from a pruned scan and land twice — the keyed
+    // contract outranks the I/O saving, so that shape scans the table.
+    if (partitionCols.nonEmpty && partitionCols.forall(keys.contains)) {
+      // the prune's distinct-tuple collect is a second pass over the
+      // batch's upstream; persist the (increment-sized) batch so the
+      // collect materializes it once and the anti-join + write read the
+      // cache instead of re-running a possibly expensive upstream chain
+      GraftCaches.withScope(spark) {
+        val batch = GraftCaches.acquire(df)
+        val stored = partitionPrunePredicate(batch, storedAll, partitionCols)
           .map(storedAll.filter).getOrElse(storedAll)
-        // schema-drift guard: parquet append would happily interleave a
-        // drifted batch (renamed/retyped/new column) and every later read
-        // fails far from the cause — refuse HERE with the actual diff.
-        // Partition columns come back from the read in Spark's inferred
-        // types, so compare on name + the df's own column set.
-        val batchCols = df.columns.toSet
-        val storedCols = stored.columns.toSet
-        require(batchCols == storedCols,
-          s"idempotentAppend: schema drift for $path — batch-only columns: " +
-            s"${(batchCols -- storedCols).toSeq.sorted.mkString(", ")}; " +
-            s"table-only columns: ${(storedCols -- batchCols).toSeq.sorted.mkString(", ")}")
-        // a RETYPED column (same name, new type) poisons later reads the
-        // same way — compare types too, skipping partition columns, which
-        // the read returns in inferred (not written) types. Compare on
-        // catalogString, not DataType equality: nullability flags
-        // (array containsNull, struct field nullable) legitimately differ
-        // between a written table and a fresh batch and are not drift.
-        val storedTypes = stored.schema
-          .filterNot(f => partitionCols.contains(f.name))
-          .map(f => f.name -> f.dataType).toMap
-        val retyped = df.schema
-          .filterNot(f => partitionCols.contains(f.name))
-          .filter(f => storedTypes.get(f.name).exists(_.catalogString != f.dataType.catalogString))
-        require(retyped.isEmpty,
-          s"idempotentAppend: type drift for $path — " + retyped.map(f =>
-            s"${f.name}: table=${storedTypes(f.name).catalogString} " +
-              s"batch=${f.dataType.catalogString}").mkString(", "))
-        val existing = stored.select(keys.map(col): _*)
-        df.join(existing, keys, "left_anti")
+        write(batch.join(stored.select(keys.map(col): _*), keys, "left_anti"))
       }
-    val writer = fresh.write.mode(SaveMode.Append)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(path)
+    } else {
+      write(df.join(storedAll.select(keys.map(col): _*), keys, "left_anti"))
+    }
   }
 
   /** HARD DELETE by key — the governance pass a training-data warehouse
@@ -467,9 +485,10 @@ object Sinks {
     * the batch silver tables that compaction and backfill maintain (the
     * reference's daily cadence, airflow-dags/dag_aggregates_etl.py:377, is
     * exactly this live→batch promotion rhythm). The landing is read through
-    * its `_spark_metadata` manifest (a parquet read of a streaming-sink
-    * directory resolves files via the manifest, so uncommitted task output
-    * is never promoted), appended with `idempotentAppend` (a replayed
+    * its `_spark_metadata` manifest — the promoted read is the manifest
+    * DIFF (already, latest]: committed files only (uncommitted task output
+    * is invisible to the manifest) and increment-sized however deep the
+    * landing has grown — appended with `idempotentAppend` (a replayed
     * promotion is a no-op on the data), and the promoted window is MARKED
     * in a sibling ledger holding the sink's last committed manifest batch
     * id — an unchanged landing short-circuits without scanning either
@@ -518,21 +537,80 @@ object Sinks {
         finally in.close()
       }
     latest.filter(_ > already).map { b =>
-      // the landing is at-least-once UPSTREAM too: the same record can sit
-      // in two committed files (a source replay), and the keyed append's
-      // anti-join only guards against the TABLE, not within the batch —
-      // collapse exact duplicate rows here (the reference's page-dedup
-      // contract, README.md:20) so a replayed record can't land twice
-      val batch = spark.read.parquet(streamingSinkPath).dropDuplicates()
-      bucketSpec match {
-        case Some((bk, n)) =>
-          bucketedIdempotentAppend(batch, batchTablePath, keys, bk, n)
-        case None => idempotentAppend(batch, batchTablePath, keys, partitionCols)
+      // read ONLY the manifest window (already, b]: a parquet read of the
+      // sink DIRECTORY resolves the full cumulative file set and an
+      // always-on landing grows forever, so promoting that way re-scans
+      // (and re-dedups) every old batch on every cadence — the same
+      // warehouse-sized-per-increment cost class the bucketed stores
+      // exist to kill. The manifest diff is a driver-side metadata
+      // decision (bounded by file count); committed-only visibility is
+      // preserved because the promoted set is exactly the manifest's.
+      val newFiles =
+        (manifestFiles(fs, meta, b) -- manifestFiles(fs, meta, already)).toSeq
+      if (newFiles.nonEmpty) {
+        // the landing is at-least-once UPSTREAM too: the same record can
+        // sit in two committed files (a source replay), and the keyed
+        // append's anti-join only guards against the TABLE, not within
+        // the batch — collapse exact duplicate rows here (the reference's
+        // page-dedup contract, README.md:20) so a replayed record can't
+        // land twice. Within-INCREMENT suffices: a replayed row whose key
+        // landed in an earlier promotion is dropped by the anti-join.
+        val batch = spark.read.parquet(newFiles: _*).dropDuplicates()
+        bucketSpec match {
+          case Some((bk, n)) =>
+            bucketedIdempotentAppend(batch, batchTablePath, keys, bk, n)
+          case None =>
+            idempotentAppend(batch, batchTablePath, keys, partitionCols)
+        }
       }
       val out = lfs.create(ledger, true)
       try out.write(b.toString.getBytes("UTF-8")) finally out.close()
       b
     }
+  }
+
+  /** The committed data-file set of a FileStreamSink manifest up to and
+    * including batch id `upTo` (empty for upTo < 0): the latest `.compact`
+    * entry at or below `upTo` carries the full history to its id, later
+    * plain entries add their batch's files — the same resolution rule as
+    * Spark's CompactibleFileStreamLog, applied read-only from the driver.
+    * Entry lines are v1 JSON SinkFileStatus rows; only `add` actions (the
+    * sink never emits deletes) with a `path` are taken.
+    */
+  private[graft] def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                   meta: org.apache.hadoop.fs.Path,
+                                   upTo: Long): Set[String] = {
+    if (upTo < 0) return Set.empty
+    val entries = fs.listStatus(meta).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val name = p.getName
+        val isCompact = name.endsWith(".compact")
+        val idStr = name.stripSuffix(".compact")
+        if (idStr.forall(_.isDigit)) Some((idStr.toLong, isCompact, p))
+        else None
+      }
+      .filter(_._1 <= upTo)
+    val lastCompact = entries.filter(_._2).map(_._1).maxOption.getOrElse(-1L)
+    val relevant = entries.filter { case (id, isCompact, _) =>
+      (isCompact && id == lastCompact) || (!isCompact && id > lastCompact)
+    }
+    relevant.flatMap { case (_, _, p) =>
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.startsWith("{")).flatMap { line =>
+        val j = org.json4s.jackson.JsonMethods.parse(line)
+        val action = j \ "action" match {
+          case org.json4s.JString(a) => a
+          case _ => "add"
+        }
+        j \ "path" match {
+          case org.json4s.JString(path) if action == "add" => Some(path)
+          case _ => None
+        }
+      }
+    }.toSet
   }
 
   /** Rewrite-and-swap shared by compact and deleteByKey: write `df` (read

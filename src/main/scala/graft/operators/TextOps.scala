@@ -27,10 +27,15 @@ object TextOps {
     * octave split into 32 equal buckets, value replaced by the bucket
     * MIDPOINT carried ×64 so every intermediate stays integer (u/64 is
     * the snapped value; |u − 64·v| ≤ 2^e, i.e. relative error ≤ 1/64 —
-    * PropertySpec proves the bound exhaustively over random longs).
-    * Non-positive values pass through exactly (×64). Shared by
-    * txt_quantiles_approx and its test so the formula cannot drift.
-    * Requires a sibling `e` column = length(bin(c)) − 1.
+    * PropertySpec proves the bound over random longs up to 2^55).
+    * PRECONDITION: v < 2^57 — the ×64 midpoint carry reaches 127·2^e and
+    * wraps BIGINT above that (Spark wraps silently, DuckDB throws, so the
+    * cross-engine replay would diverge too). Character/token counts sit
+    * ten orders of magnitude below the cap; a caller sketching an
+    * unbounded-domain column must range-check first. Non-positive values
+    * pass through exactly (×64). Shared by txt_quantiles_approx and its
+    * test so the formula cannot drift. Requires a sibling `e` column =
+    * length(bin(c)) − 1.
     */
   private[graft] def geoSnapSql(c: String): String =
     s"""CASE WHEN $c <= 0 THEN $c * 64

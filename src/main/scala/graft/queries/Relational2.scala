@@ -75,23 +75,34 @@ object Relational2 {
     },
 
     // O-A9: approximate distinct via a DETERMINISTIC KMV (k-minimum-values)
-    // sketch over the portable q20 hash family — the same estimator family
-    // as HLL's cousin in DataSketches, chosen over approx_count_distinct
-    // because its every intermediate is integer arithmetic BOTH engines
-    // can replay: estimate = (k-1)·M / h_k where h_k is the k-th smallest
-    // DISTINCT hash (k=256 → ~6% stderr; observed ≤2.5% at every fixture
-    // SF). That upgrades this query from rows-only+engine-bound to
-    // hash-exact, with the accuracy STILL machine-checked in verify_meta
-    // (exact_parts rides in the same row). Scale shape: one distinct
-    // shuffle on (group, hash), then the rn<=k filter compiles to
-    // WindowGroupLimit (k-row heap per group, no full sort); groups under
-    // k distinct values fall back to their exact count, the standard KMV
-    // small-cardinality rule. Integer division is `div`/`//` (truncating;
-    // operands non-negative, so the engines agree), never a double round.
+    // sketch over a portable multiplicative hash — the same estimator
+    // family as HLL's cousin in DataSketches, chosen over
+    // approx_count_distinct because its every intermediate is integer
+    // arithmetic BOTH engines can replay: estimate = (k-1)·M / h_k where
+    // h_k is the k-th smallest DISTINCT hash (k=256 → ~6% stderr;
+    // observed ≤2.5% at every fixture SF). That upgrades this query from
+    // rows-only+engine-bound to hash-exact, with the accuracy STILL
+    // machine-checked in verify_meta (exact_parts rides in the same row).
+    // Unlike q20's permutation, BOTH mods here are the Mersenne prime
+    // M = 2^31−1: the hash DOMAIN is the estimator's resolution, and an
+    // intermediate mod-1000003 would cap it at 1e6 distinct hashes —
+    // biasing the estimate low by ~n/2e6, i.e. blowing the 15% bound
+    // around a million distinct values. With the 2^31 domain the residual
+    // collision bias is ~n/2^32 (<1% until n ≈ 4·10⁷; a wider domain
+    // needs 128-bit intermediates neither engine's BIGINT `%`-chain can
+    // express portably — documented cap, not an accident). Overflow-safe:
+    // partkey·1009 < 2^63 for partkey ≤ 9.1e15, and (2^31)·69069 < 2^48.
+    // Scale shape: one distinct shuffle on (group, hash), then the rn<=k
+    // filter compiles to WindowGroupLimit (k-row heap per group, no full
+    // sort; PlanSpec-locked); groups under k distinct values fall back to
+    // their exact count, the standard KMV small-cardinality rule. Integer
+    // division is `div`/`//` (truncating; operands non-negative, so the
+    // engines agree), never a double round. h_k > 0 always: hashes are
+    // DISTINCT and non-negative, so the 256th smallest is ≥ 255.
     QueryDef.sqlBacked(
       "q19_approx_distinct",
       """WITH h AS (SELECT DISTINCT l_returnflag,
-        |    (l_partkey * 1009) % 1000003 * 69069 % 2147483647 AS h
+        |    (l_partkey * 1009) % 2147483647 * 69069 % 2147483647 AS h
         |  FROM lineitem),
         |r AS (SELECT l_returnflag, h,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
@@ -110,7 +121,7 @@ object Relational2 {
       val k = 256
       val li = Tables.lineitem(s, d)
       val h = li.select(col("l_returnflag"),
-          (col("l_partkey") * 1009 % 1000003 * 69069 % 2147483647L).as("h"))
+          (col("l_partkey") * 1009 % 2147483647L * 69069 % 2147483647L).as("h"))
         .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag")).orderBy(col("h"))

@@ -418,8 +418,9 @@ class PropertySpec extends AnyFunSuite {
     // a deterministic check, not a flaky statistical one)
     val k = 256
     val M = 2147483647L
+    def hash(x: Long): Long = x * 1009 % M * 69069 % M
     def est(keys: Seq[Long]): Long = {
-      val hs = keys.map(x => x * 1009 % 1000003 * 69069 % M).distinct.sorted
+      val hs = keys.map(hash).distinct.sorted
       if (hs.size < k) hs.size.toLong else (k - 1L) * M / hs(k - 1)
     }
     // under k: every cardinality up to k-1 reports exactly (hash collisions
@@ -427,12 +428,14 @@ class PropertySpec extends AnyFunSuite {
     val smallGen = Gen.chooseNum(1, k - 1)
       .flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 200000L)))
     forAll(smallGen, n = 6) { keys =>
-      val distinct = keys.map(x => x * 1009 % 1000003 * 69069 % M).distinct.size
+      val distinct = keys.map(hash).distinct.size
       assert(est(keys) == distinct.toLong)
       assert(est(keys ++ keys) == est(keys), "duplicates must not move KMV")
     }
-    // over k: spot the relative error at deterministic cardinalities
-    Seq(2000, 20000, 100000).foreach { n =>
+    // over k: spot the relative error at deterministic cardinalities,
+    // including one past the old mod-1000003 domain cap that biased the
+    // estimate low (the 2^31 domain keeps 1M distinct within KMV stderr)
+    Seq(2000, 20000, 100000, 1000000).foreach { n =>
       val keys = (1L to n.toLong).map(_ * 7919L)
       val e = est(keys)
       assert(math.abs(e - n).toDouble / n < 0.35,

@@ -709,8 +709,8 @@ class SinksSpec extends AnyFunSuite {
     assert(graft.core.Sinks
       .partitionPrunePredicate(batch, storedDf, Nil).isEmpty)
 
-    // end-to-end: the pruned existence join still dedupes exactly — replay
-    // a batch overlapping lang=1 plus new keys in lang=1 and the null
+    // end-to-end: the existence join still dedupes exactly — replay a
+    // batch overlapping lang=1 plus new keys in lang=1 and the null
     // partition; counts land once each
     graft.core.Sinks.idempotentAppend(
       Seq((1L, "1"), (300L, "1"), (302L, null.asInstanceOf[String]))
@@ -720,6 +720,30 @@ class SinksSpec extends AnyFunSuite {
     assert(all.count() == 302, s"expected 300 base + 2 new, got ${all.count()}")
     assert(all.filter(col("id") === 1L).count() == 1, "replayed key landed twice")
     assert(all.filter(col("id") === 300L).count() == 1)
+
+    // keys=[id] partitioned by a DERIVED lang is exactly the shape where
+    // pruning must NOT apply: a redelivered key arriving with a different
+    // partition value (upstream re-classified it between attempts) would
+    // hide from a pruned scan and land twice. The keyed contract wins.
+    graft.core.Sinks.idempotentAppend(
+      Seq((1L, "2")).toDF("id", "lang"), // key 1 lives in lang=1
+      dir, keys = Seq("id"), partitionCols = Seq("lang"))
+    assert(spark.read.parquet(dir).filter(col("id") === 1L).count() == 1,
+      "a replayed key with a drifted partition value must not duplicate")
+
+    // the prunable shape — partition columns ⊆ keys, so a key determines
+    // its partition: replay is still exactly-once with the pruned scan
+    val dir2 = java.nio.file.Files.createTempDirectory("appendpr2").toString + "/t"
+    val base2 = spark.range(0, 300).select(col("id"),
+      (col("id") % 3).cast("string").as("lang"))
+    graft.core.Sinks.idempotentAppend(base2, dir2,
+      keys = Seq("lang", "id"), partitionCols = Seq("lang"))
+    graft.core.Sinks.idempotentAppend(
+      Seq((1L, "1"), (300L, "0")).toDF("id", "lang"), dir2,
+      keys = Seq("lang", "id"), partitionCols = Seq("lang"))
+    val all2 = spark.read.parquet(dir2)
+    assert(all2.count() == 301, s"expected 300 base + 1 new, got ${all2.count()}")
+    assert(all2.filter(col("id") === 1L).count() == 1)
   }
 
   test("compact: collapses a fragmented table atomically with identical data") {
@@ -847,6 +871,39 @@ class SinksSpec extends AnyFunSuite {
       Map("a" -> (5000: Any, 6000: Any)))
     assert(none.count() == 0 &&
       none.columns.toSeq == Seq("id", "a", "b"))
+  }
+
+  test("manifestFiles resolves a compacted sink log like Spark's own reader") {
+    // promote()'s increment read diffs manifest windows, so its resolution
+    // rule (latest .compact at-or-below upTo carries the full history, later
+    // plain entries add their batch) must match FileStreamSink exactly —
+    // fabricate a log with a compaction and check every window
+    val dir = Files.createTempDirectory("manifest").toString
+    val meta = new org.apache.hadoop.fs.Path(dir, "_spark_metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(meta)
+    def entry(name: String, paths: Seq[String]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(meta, name), true)
+      val body = ("v1" +: paths.map(p =>
+        s"""{"path":"$p","size":10,"isDir":false,"modificationTime":1,""" +
+          s""""blockReplication":1,"blockSize":1,"action":"add"}""")).mkString("\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    entry("0", Seq("f0"))
+    entry("1", Seq("f1a", "f1b"))
+    // batch 2 compacted: carries the full history up to id 2
+    entry("2.compact", Seq("f0", "f1a", "f1b", "f2"))
+    entry("3", Seq("f3"))
+    import graft.core.Sinks.manifestFiles
+    assert(manifestFiles(fs, meta, -1L).isEmpty)
+    assert(manifestFiles(fs, meta, 0L) == Set("f0"))
+    assert(manifestFiles(fs, meta, 1L) == Set("f0", "f1a", "f1b"))
+    assert(manifestFiles(fs, meta, 2L) == Set("f0", "f1a", "f1b", "f2"),
+      "the compact entry must supersede the plain entries it covers")
+    assert(manifestFiles(fs, meta, 3L) == Set("f0", "f1a", "f1b", "f2", "f3"))
+    // the promote window diff: only batch 3's files are new after 2
+    assert(manifestFiles(fs, meta, 3L) -- manifestFiles(fs, meta, 2L)
+      == Set("f3"))
   }
 
   test("GraftCaches.withScope releases only the scope's acquisitions") {
