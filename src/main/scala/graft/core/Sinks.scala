@@ -528,14 +528,7 @@ object Sinks {
       .maxOption
     val ledger = new org.apache.hadoop.fs.Path(batchTablePath + "._promoted_upto")
     val lfs = ledger.getFileSystem(conf)
-    val already =
-      if (!lfs.exists(ledger)) -1L
-      else {
-        val in = lfs.open(ledger)
-        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-          .readLine().trim.toLong
-        finally in.close()
-      }
+    val already = readLedgerLong(lfs, ledger)
     latest.filter(_ > already).map { b =>
       // read ONLY the manifest window (already, b]: a parquet read of the
       // sink DIRECTORY resolves the full cumulative file set and an
@@ -567,6 +560,55 @@ object Sinks {
       try out.write(b.toString.getBytes("UTF-8")) finally out.close()
       b
     }
+  }
+
+  /** Single-long sibling ledger, -1 when absent (promote's format). */
+  private def readLedgerLong(fs: org.apache.hadoop.fs.FileSystem,
+                             ledger: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(ledger)) -1L
+    else {
+      val in = fs.open(ledger)
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+        .readLine().trim.toLong
+      finally in.close()
+    }
+
+  /** RETENTION for a promoted streaming landing — the missing end of the
+    * promote() lifecycle: an always-on landing is append-only and grows
+    * without bound (the stream can never trim its own sink, and promote
+    * deliberately leaves the file set alone), so once the batch table is
+    * the system of record the promoted window is dead weight. This
+    * deletes the DATA files of every batch at or below the promote
+    * ledger's id — a driver-side metadata decision (the same manifest
+    * resolution promote reads), touching nothing the next promotion can
+    * see: promote only ever reads the manifest window ABOVE the ledger,
+    * and the running stream never re-reads its own committed output.
+    *
+    * The trade, stated loudly: after expiry the landing directory no
+    * longer serves as a TABLE (its manifest references deleted files, so
+    * a directory read fails) — readers belong on the batch table, which
+    * holds every promoted row keyed and deduplicated. Keep the landing
+    * unexpired where it doubles as a replay/forensics source. Returns
+    * (files in the promoted window, files actually deleted) — the two
+    * differ only when a previous expiry already removed some (replayed
+    * expiry is a no-op, same contract as every maintenance op here).
+    */
+  def expirePromotedLanding(spark: SparkSession, streamingSinkPath: String,
+                            batchTablePath: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new org.apache.hadoop.fs.Path(streamingSinkPath, "_spark_metadata")
+    val fs = meta.getFileSystem(conf)
+    if (!fs.exists(meta)) return (0, 0)
+    val ledger = new org.apache.hadoop.fs.Path(batchTablePath + "._promoted_upto")
+    val already = readLedgerLong(ledger.getFileSystem(conf), ledger)
+    if (already < 0) return (0, 0)
+    val promoted = manifestFiles(fs, meta, already).toSeq.sorted
+    var deleted = 0
+    promoted.foreach { uri =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      if (fs.exists(p) && fs.delete(p, false)) deleted += 1
+    }
+    (promoted.size, deleted)
   }
 
   /** The committed data-file set of a FileStreamSink manifest up to and

@@ -428,6 +428,29 @@ class StreamingSpec extends AnyFunSuite {
     // the ledger survives the compaction swap: a replay is still a no-op
     assert(graft.core.Sinks.promote(spark, landing, batch, keys, Seq("ticker")).isEmpty)
     assert(spark.read.parquet(batch).count() == 3)
+
+    // retention: with the batch table the system of record, the promoted
+    // window's landing files are dead weight — expire them; the stream
+    // and future promotions are unaffected (promote reads only the
+    // manifest window above its ledger)
+    val (win, del) = graft.core.Sinks.expirePromotedLanding(spark, landing, batch)
+    assert(win > 0 && del == win,
+      s"expected the full promoted window deleted, got $del of $win")
+    assert(graft.core.Sinks.expirePromotedLanding(spark, landing, batch)
+      == ((win, 0)), "replayed expiry must be a metadata no-op")
+    // the landing keeps working as a SINK after expiry: the chain grows,
+    // a catch-up run lands the delta, and promotion moves exactly it
+    java.nio.file.Files.writeString(dir.resolve("page-0001.json"),
+      page(Seq(60000L, 120000L, 180000L), Some("page-0002.json")))
+    java.nio.file.Files.writeString(dir.resolve("page-0002.json"),
+      page(Seq(180000L, 240000L), None))
+    ingest()
+    val p3 = graft.core.Sinks.promote(spark, landing, batch, keys, Seq("ticker"))
+    assert(p3.nonEmpty && p3.get > p2.get,
+      s"post-expiry promotion must advance the ledger: $p2 -> $p3")
+    assert(spark.read.parquet(batch).select("t").as[Long].collect().sorted.toSeq
+      == Seq(60000L, 120000L, 180000L, 240000L),
+      "post-expiry promotion must land exactly the new delta")
   }
 
   test("streamed corpus landing promotes into the warehouse; pairs match the all-batch run") {
