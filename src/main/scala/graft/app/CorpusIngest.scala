@@ -289,17 +289,113 @@ object CorpusIngest {
     before - after
   }
 
-  /** The pair table's threshold provenance ledger: a sibling file (so
-    * compaction's directory swap preserves it, same placement as
-    * Sinks.promote's ledger) recording the SPARK_GRAFT_DEDUP_THRESHOLD the
-    * table was built under.
-    */
-  private def thresholdLedger(wh: String) =
-    new org.apache.hadoop.fs.Path(pairsPath(wh) + "._threshold")
+  private def embVecsPath(wh: String) = s"$wh/corpus/emb_vecs"
+  private def embBandsPath(wh: String) = s"$wh/corpus/emb_bands"
+  private def embPairsPath(wh: String) = s"$wh/corpus/emb_pairs"
 
-  private def checkThreshold(spark: SparkSession, wh: String,
-                             threshold: Double): Unit = {
-    val p = thresholdLedger(wh)
+  /** Land one EMBEDDING drop — the semantic-modality twin of `run`: trim
+    * the drop against the vector store (replayed drops are no-ops), derive
+    * near-dup pairs for the increment only, append the cumulative pair
+    * table and the sign-LSH signature store, compact when fragmented.
+    * Returns (new vectors landed, new verified pairs).
+    *
+    * The drop frame is (vec_id, embedding: array<float>) — id-immutable
+    * like the document model (two drops disagreeing on a vec_id's vector is
+    * a caller bug; exact duplicate rows within one drop collapse). The
+    * embedding tables are a SEPARATE id space and threshold regime from the
+    * text corpus: cosine ≥ threshold has no relation to a Jaccard cut, so
+    * `corpus/emb_pairs` stamps its own provenance ledger and a mismatched
+    * threshold is refused before any work, exactly like `run`.
+    *
+    * Scale shape per drop, mirroring the text path's contract: signatures
+    * are computed fresh only for the increment
+    * (SimilarityOps.cosinePairsLshIncremental); the store sides of the
+    * candidate and verify joins are bucketed on (band, code) / vec_id and
+    * plan no exchange; old vectors are never re-projected. The embedding
+    * store is always bucketed — the table family is new, so there is no
+    * legacy-plain-layout fallback to honor.
+    */
+  def ingestEmbeddings(spark: SparkSession, drop: DataFrame, warehouse: String,
+                       threshold: Double = 0.42,
+                       storeBuckets: Int = 8): (Long, Long) = {
+    val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
+    checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
+      threshold)
+    val newVecs =
+      (if (!storeExists) drop
+       else drop.join(
+         readStore(spark, embVecsPath(warehouse)).select("vec_id"),
+         Seq("vec_id"), "left_anti"))
+        .dropDuplicates("vec_id")
+    // same lineage cut as run(): the increment feeds pair derivation AND
+    // the store append, and its defining anti-join reads the store the
+    // append writes — localCheckpoint keeps the increment drop-bounded
+    val inc = newVecs.localCheckpoint()
+    val nNew = inc.count()
+    if (nNew == 0) return (0L, 0L)
+    val pairs =
+      if (!storeExists)
+        graft.operators.SimilarityOps.cosinePairsLsh(inc, threshold)
+      else graft.operators.SimilarityOps.cosinePairsLshIncremental(
+        readStore(spark, embBandsPath(warehouse)),
+        readStore(spark, embVecsPath(warehouse)),
+        inc, threshold)
+    val nPairs = pairs.count()
+    // stamp-first, same crash ordering argument as run()
+    stampThresholdAt(spark, embPairsPath(warehouse), threshold)
+    appendKeyedStore(spark, pairs, embPairsPath(warehouse), storeBuckets,
+      keys = Seq("vec_a", "vec_b"))
+    graft.operators.SimilarityOps.appendEmbSignatureStoreBucketed(inc,
+      embBandsPath(warehouse), embVecsPath(warehouse), buckets = storeBuckets)
+    Seq(embBandsPath(warehouse), embVecsPath(warehouse)).foreach(p =>
+      Sinks.compactBucketedIfFragmented(spark, p))
+    (nNew, nPairs)
+  }
+
+  /** GOVERNANCE DELETE for the embedding modality — `delete`'s cascade over
+    * the embedding tables, kept as a SEPARATE entry point because vec_id
+    * and doc_id are independent id spaces (a warehouse that keys both from
+    * one id calls both). Purges emb_vecs / emb_bands on vec_id (the vector
+    * itself and its recoverable sign fingerprint) and emb_pairs on vec_a OR
+    * vec_b, each through the bucketed writer so the store layout survives.
+    * Embeddings do not ride the streaming landing, so there is no tombstone
+    * interplay: a re-submitted vec_id lands as new on the next drop, like
+    * the batch text path. Returns per-table (rowsBefore, rowsAfter).
+    */
+  def deleteEmbeddings(spark: SparkSession, warehouse: String,
+                       vecIds: Seq[Long]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val keys = vecIds.toDF("vec_id")
+    val byVecId = Seq(
+      "emb_vecs" -> embVecsPath(warehouse),
+      "emb_bands" -> embBandsPath(warehouse))
+    val purged = byVecId.flatMap { case (name, p) =>
+      if (!Sinks.pathExists(spark, p)) None
+      else if (Sinks.isBucketedStore(spark, p))
+        Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("vec_id")))
+      else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("vec_id")))
+    }.toMap
+    if (!Sinks.pathExists(spark, embPairsPath(warehouse))) purged
+    else if (Sinks.isBucketedStore(spark, embPairsPath(warehouse)))
+      purged + ("emb_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+        embPairsPath(warehouse), keys, "vec_id", Seq("vec_a", "vec_b")))
+    else purged + ("emb_pairs" -> Sinks.deleteByAnyKey(spark,
+      embPairsPath(warehouse), keys, "vec_id", Seq("vec_a", "vec_b")))
+  }
+
+  /** A pair table's threshold provenance ledger: a sibling file (so
+    * compaction's directory swap preserves it, same placement as
+    * Sinks.promote's ledger) recording the dedup threshold the table was
+    * built under. One ledger per pair table — the text pairs and the
+    * embedding pairs carry independent semantics (Jaccard vs cosine), so
+    * each table stamps its own.
+    */
+  private def thresholdLedgerAt(pairsP: String) =
+    new org.apache.hadoop.fs.Path(pairsP + "._threshold")
+
+  private def checkThresholdAt(spark: SparkSession, pairsP: String,
+                               label: String, threshold: Double): Unit = {
+    val p = thresholdLedgerAt(pairsP)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
       val in = fs.open(p)
@@ -307,26 +403,34 @@ object CorpusIngest {
         new java.io.InputStreamReader(in)).readLine()
       finally in.close()
       require(line != null && line.trim.nonEmpty,
-        s"corpus/pairs threshold ledger $p exists but is empty/corrupt — " +
+        s"$label threshold ledger $p exists but is empty/corrupt — " +
           "delete it to restamp on the next run")
       val stamped = line.trim.toDouble
       require(stamped == threshold,
-        s"corpus/pairs was built at dedup threshold $stamped; refusing to " +
+        s"$label was built at dedup threshold $stamped; refusing to " +
           s"append pairs derived at $threshold — mixed-threshold pair " +
           "tables have no single semantics (rebuild the warehouse or match " +
           "the stamped threshold)")
     }
   }
 
-  private def stampThreshold(spark: SparkSession, wh: String,
-                             threshold: Double): Unit = {
-    val p = thresholdLedger(wh)
+  private def stampThresholdAt(spark: SparkSession, pairsP: String,
+                               threshold: Double): Unit = {
+    val p = thresholdLedgerAt(pairsP)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
       val out = fs.create(p, true)
       try out.write(threshold.toString.getBytes("UTF-8")) finally out.close()
     }
   }
+
+  private def checkThreshold(spark: SparkSession, wh: String,
+                             threshold: Double): Unit =
+    checkThresholdAt(spark, pairsPath(wh), "corpus/pairs", threshold)
+
+  private def stampThreshold(spark: SparkSession, wh: String,
+                             threshold: Double): Unit =
+    stampThresholdAt(spark, pairsPath(wh), threshold)
 
   /** Per-document stat partials for the increment — thin rows (ids +
     * counts, never text), same per-doc derivation as TextOps.datacard so

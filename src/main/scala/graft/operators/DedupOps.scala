@@ -500,6 +500,55 @@ object DedupOps {
         |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       SimilarityOps.cosinePairsIvf(Tables.embeddings(s, d), threshold = 0.42)
+    },
+
+    // INCREMENTAL embedding dedup — an embedding drop (vec_id % 7 = 0
+    // stands in for the new batch) checked against the persisted sign-LSH
+    // SIGNATURE STORE: codes are computed fresh only for the increment,
+    // only pairs touching a new vector are derived; old-old pairs are
+    // previous increments' outputs. The store is derived in-plan from the
+    // old vectors here (a declared query is a pure DataFrame); the
+    // bucketed-Parquet round-trip with its zero-store-side-exchange plan is
+    // locked in SimilaritySpec. The oracle recomputes the FULL LSH pair set
+    // (same plane-regenerating CTEs as dedup_embedding_lsh) and keeps the
+    // pairs with a new side — the increment path must agree with the full
+    // recompute EXACTLY on that subset.
+    QueryDef.sqlBacked(
+      "dedup_embedding_incremental",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings),
+        |pl AS (SELECT p,
+        |    list_transform(range(64), d ->
+        |      (xor((p * 64 + d) * 2654435761 % 4294967296,
+        |           ((p * 64 + d) * 2654435761 % 4294967296) // 65536)
+        |       % 65536) / 65536.0 * 2 - 1) AS plane
+        |  FROM (SELECT unnest(range(288)) AS p)),
+        |codes AS (
+        |  SELECT e.vec_id, p // 6 AS band,
+        |    CAST(sum(CASE WHEN list_dot_product(e.ed, pl.plane) > 0
+        |                  THEN 1 << CAST(p % 6 AS INT) ELSE 0 END) AS BIGINT)
+        |      AS code
+        |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM codes a JOIN codes b
+        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
+        |      FROM cand
+        |      JOIN e ea ON vec_a = ea.vec_id
+        |      JOIN e eb ON vec_b = eb.vec_id)
+        |SELECT vec_a, vec_b, cos FROM v
+        |WHERE cos >= 0.42 AND (vec_a % 7 = 0 OR vec_b % 7 = 0)
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val isNew = col("vec_id") % 7 === 0
+      val old = emb.filter(!isNew)
+      SimilarityOps.cosinePairsLshIncremental(
+        SimilarityOps.embBandTable(old),
+        SimilarityOps.embVecTable(old),
+        emb.filter(isNew), threshold = 0.42)
     }
   )
 

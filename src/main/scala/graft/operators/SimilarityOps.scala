@@ -548,6 +548,131 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The sign-LSH signature STORE schema: (vec_id, band, code) from an
+    * embeddings frame — one codegen'd SignBandCodes pass per vector,
+    * `bands` thin rows out. The embedding-side twin of
+    * `DedupOps.minhashBandTable`: this is what a production pipeline
+    * persists per corpus and APPENDS per drop so `cosinePairsLshIncremental`
+    * probes old vectors' codes without ever re-projecting them.
+    */
+  def embBandTable(embeddings: DataFrame, rowsPerBand: Int = 6,
+                   bands: Int = 48, dims: Int = 64): DataFrame = {
+    val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
+    withNorm(embeddings)
+      .select(col("vec_id"),
+        call_function("graft_band_codes", col("e"), typedlit(planeVecs),
+          lit(rowsPerBand)).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("band", "code")))
+  }
+
+  /** The VECTOR store schema: (vec_id, e, nrm) — the double-cast vector and
+    * its squared norm, the verify side of the incremental path. Persisted
+    * once per drop so candidate verification is a point-lookup, never a
+    * re-cast of the raw embeddings table.
+    */
+  def embVecTable(embeddings: DataFrame): DataFrame =
+    withNorm(embeddings).select(col("vec_id"), col("e"), col("nrm"))
+
+  /** Persist a drop's embedding signature store to the warehouse as
+    * path-anchored BUCKETED tables — band codes on the band-join key
+    * (band, code), double-cast vectors + norms on the verify key (vec_id).
+    * The embedding twin of `DedupOps.appendSignatureStoreBucketed`, with
+    * the same scale contract: each later increment's candidate join probes
+    * the corpus-sized store exchange-free, and verification is a pruned
+    * point-lookup of the vector store, never a re-read of the raw
+    * embeddings. Both writes share one projection pass (the coded frame is
+    * persisted for the duration); replayed drops are data no-ops via the
+    * bucketed idempotent append. `buckets` only matters on the first drop
+    * (the on-disk spec ledger wins thereafter).
+    */
+  def appendEmbSignatureStoreBucketed(newEmb: DataFrame, bandPath: String,
+                                      vecPath: String, buckets: Int,
+                                      rowsPerBand: Int = 6, bands: Int = 48,
+                                      dims: Int = 64): Unit = {
+    val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
+    val coded = graft.core.GraftCaches.acquire(
+      withNorm(newEmb).select(col("vec_id"), col("e"), col("nrm"),
+        call_function("graft_band_codes", col("e"), typedlit(planeVecs),
+          lit(rowsPerBand)).as("codes")))
+    graft.core.Sinks.bucketedIdempotentAppend(
+      coded.select(col("vec_id"), col("e"), col("nrm")), vecPath,
+      keys = Seq("vec_id"), bucketKeys = Seq("vec_id"), buckets = buckets)
+    graft.core.Sinks.bucketedIdempotentAppend(
+      coded.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("band", "code"))), bandPath,
+      keys = Seq("vec_id", "band"), bucketKeys = Seq("band", "code"),
+      buckets = buckets)
+  }
+
+  /** INCREMENTAL embedding near-dup: pairs involving at least one NEW
+    * vector — the production shape for a periodic embedding drop, and the
+    * exact structural twin of `DedupOps.minhashLshIncremental` on the
+    * embedding side. Sign-LSH codes are computed fresh ONLY for `newEmb`;
+    * the corpus side arrives as the PERSISTED store — `storedBands`
+    * (vec_id, band, code) and `storedVecs` (vec_id, e, nrm), written at
+    * ingest by `appendEmbSignatureStoreBucketed` — so old vectors are never
+    * re-projected through the plane matrix. Pairs touching a new vector
+    * split EXACTLY into new-old ∪ new-new, so the corpus-sized store is
+    * probed DIRECTLY: bucketed on (band, code) its side plans NO exchange
+    * and only the increment shuffles (a union store ∪ fresh would erase the
+    * scan's partitioning and re-shuffle the corpus per drop — the shape
+    * this API exists to avoid). Old-old pairs are previous increments'
+    * outputs and are deliberately not re-derived. Exact cosine verification
+    * resolves each side's vector from the store OR the increment via
+    * coalesced left joins (the two sources are disjoint by the store's key
+    * contract) with arithmetic identical to `cosinePairsLsh`, so the two
+    * paths can never drift.
+    */
+  def cosinePairsLshIncremental(storedBands: DataFrame, storedVecs: DataFrame,
+                                newEmb: DataFrame, threshold: Double,
+                                rowsPerBand: Int = 6, bands: Int = 48,
+                                dims: Int = 64): DataFrame = {
+    val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
+    // persisted: the fresh codes feed the new-old probe AND the new-new
+    // self-join, and Spark does not CSE across join branches
+    val fresh = graft.core.GraftCaches.acquire(
+      withNorm(newEmb)
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("e"), col("nrm"),
+          call_function("graft_band_codes", col("e"), typedlit(planeVecs),
+            lit(rowsPerBand)).as("codes")))
+    val freshBands = fresh.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("band", "code")))
+    val newOld = freshBands.as("a").join(
+        storedBands.select(col("vec_id"), col("band"), col("code")).as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+              greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+    val newNew = freshBands.as("a").join(freshBands.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = newOld.unionByName(newNew).dropDuplicates("vec_a", "vec_b")
+    // resolve each pair side's vector from the persisted store or the
+    // increment — disjoint sources, so two left joins + coalesce keep the
+    // corpus-sized vector store the probed side of plain equi-joins
+    // (bucketed on vec_id it plans no exchange; only candidate rows move)
+    val freshVecs = fresh.select(col("vec_id"), col("e"), col("nrm"))
+    def resolve(df: DataFrame, pairCol: String, out: String): DataFrame =
+      df.join(storedVecs.select(col("vec_id").as(pairCol),
+          col("e").as(s"${out}_es"), col("nrm").as(s"${out}_ns")),
+          Seq(pairCol), "left")
+        .join(freshVecs.select(col("vec_id").as(pairCol),
+          col("e").as(s"${out}_ef"), col("nrm").as(s"${out}_nf")),
+          Seq(pairCol), "left")
+        .withColumn(s"${out}_e", coalesce(col(s"${out}_es"), col(s"${out}_ef")))
+        .withColumn(s"${out}_n", coalesce(col(s"${out}_ns"), col(s"${out}_nf")))
+        .drop(s"${out}_es", s"${out}_ef", s"${out}_ns", s"${out}_nf")
+    resolve(resolve(cand, "vec_a", "va"), "vec_b", "vb")
+      .filter(col("va_e").isNotNull && col("vb_e").isNotNull)
+      .withColumn("cos", round(expr("graft_dot(va_e, vb_e)") /
+        sqrt(col("va_n") * col("vb_n")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** IVF-bucketed embedding near-dup — the inverted-list twin of
     * `cosinePairsLsh`: every vector joins its nProbe nearest centroid
     * lists, a pair is a candidate iff the list sets intersect, and

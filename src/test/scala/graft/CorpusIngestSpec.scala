@@ -410,4 +410,67 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(CorpusIngest.datacard(spark, wh).collect().toSeq ==
       inc.collect().toSeq)
   }
+
+  test("embedding drops: incremental pairs, replay no-op, threshold guard, delete cascade") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whemb").toString
+    def vec(major: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(major) = 1f; a((major + 1) % 8) = eps; a
+    }
+    // ingestEmbeddings runs the library-default 64-wide plane geometry, so
+    // the synthetic 8-d vectors are zero-padded to 64 dims — the test
+    // exercises the exact production configuration
+    def pad(a: Array[Float]): Array[Float] = a ++ Array.fill(56)(0f)
+    val drop1 = Seq((1L, pad(vec(0, 0f))), (2L, pad(vec(3, 0f))))
+      .toDF("vec_id", "embedding")
+    val (n1, p1) = CorpusIngest.ingestEmbeddings(spark, drop1, wh)
+    assert((n1, p1) == (2L, 0L), s"drop1: $n1 vecs, $p1 pairs")
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/emb_vecs") &&
+      Sinks.isBucketedStore(spark, s"$wh/corpus/emb_bands"),
+      "embedding store must be created bucketed")
+
+    // drop 2: a near-dup of vec 1 and an exact re-send of vec 2 (trimmed)
+    val drop2 = Seq((3L, pad(vec(0, 0.01f))), (2L, pad(vec(3, 0f))))
+      .toDF("vec_id", "embedding")
+    val (n2, p2) = CorpusIngest.ingestEmbeddings(spark, drop2, wh)
+    assert(n2 == 1L, s"drop2 landed $n2 (vec 2 must trim)")
+    assert(p2 == 1L, s"drop2 pairs: $p2")
+    val pairs = spark.read.parquet(s"$wh/corpus/emb_pairs")
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), s"cumulative emb pairs: $pairs")
+
+    // replay of drop 2 is a complete no-op
+    val (n3, p3) = CorpusIngest.ingestEmbeddings(spark, drop2, wh)
+    assert((n3, p3) == (0L, 0L), s"replay: $n3/$p3")
+
+    // a different threshold is refused before any work
+    val err = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestEmbeddings(spark,
+        Seq((9L, pad(vec(5, 0f)))).toDF("vec_id", "embedding"), wh,
+        threshold = 0.9)
+    }
+    assert(err.getMessage.contains("emb_pairs"), err.getMessage)
+
+    // governance: deleting vec 1 purges its vector, bands, and pair rows
+    val audit = CorpusIngest.deleteEmbeddings(spark, wh, Seq(1L))
+    assert(audit.keySet == Set("emb_vecs", "emb_bands", "emb_pairs"), s"$audit")
+    // post-delete reads go through the bucketed registration: the pair
+    // table is now EMPTY, and an empty bucketed store has no parquet files
+    // for a plain directory read to infer a schema from
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/emb_vecs")
+      .filter(col("vec_id") === 1L).isEmpty)
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/emb_pairs").isEmpty,
+      "pair rows naming the deleted vector must be gone")
+    // ... and the store layout survives the rewrite
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/emb_vecs"),
+      "delete must preserve the bucketed layout")
+    // a re-submission of the deleted id lands as new and re-derives pairs
+    val (n4, p4) = CorpusIngest.ingestEmbeddings(spark,
+      Seq((1L, pad(vec(0, 0f)))).toDF("vec_id", "embedding"), wh)
+    assert((n4, p4) == (1L, 1L), s"re-submission: $n4/$p4")
+    assert(spark.read.parquet(s"$wh/corpus/emb_pairs")
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 3L)), "re-derived pair set")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
 }

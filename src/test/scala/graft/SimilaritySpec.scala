@@ -214,4 +214,98 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.0, s"zero recall: exact=$exact approx=$approx")
   }
+
+  test("incremental embedding dedup equals the full recompute restricted to new-side pairs") {
+    // fixture split into "existing corpus" and a "new drop"; the increment
+    // path must produce EXACTLY the full-LSH pairs touching a new vector —
+    // no misses (store probe covers new-old, fresh self-join covers
+    // new-new) and no extras (old-old never re-derived)
+    val emb = Tables.embeddings(spark, TestSpark.Sf001)
+    val isNew = col("vec_id") % 7 === 0
+    val full = SimilarityOps.cosinePairsLsh(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val wantNewSide = full.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    val got = SimilarityOps.cosinePairsLshIncremental(
+      SimilarityOps.embBandTable(emb.filter(!isNew)),
+      SimilarityOps.embVecTable(emb.filter(!isNew)),
+      emb.filter(isNew), threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == wantNewSide,
+      s"extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+    assert(got.nonEmpty, "fixture should yield at least one new-side pair")
+    assert((full -- wantNewSide).nonEmpty,
+      "split should leave old-old pairs out of the increment")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("embedding signature store: bucketed round-trip, zero store-side exchange") {
+    import graft.core.Sinks
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val dir = java.nio.file.Files.createTempDirectory("embstore").toString
+    val bandP = s"$dir/emb_bands"; val vecP = s"$dir/emb_vecs"
+    // base corpus: two distinct directions plus noise-mates (8-d, small
+    // plane family keeps the unit test fast; the formula is the same)
+    def vec(major: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(major) = 1f; a((major + 1) % 8) = eps; a
+    }
+    val base = Seq(
+      (10L, vec(0, 0.0f)), (11L, vec(3, 0.0f)), (12L, vec(5, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val bp = (4, 8, 8) // (rowsPerBand, bands, dims)
+    SimilarityOps.appendEmbSignatureStoreBucketed(base, bandP, vecP,
+      buckets = 2, rowsPerBand = bp._1, bands = bp._2, dims = bp._3)
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(Sinks.isBucketedStore(spark, bandP) && Sinks.isBucketedStore(spark, vecP))
+
+    // replayed drop is a data no-op on both tables
+    val bandRows = spark.read.parquet(bandP).count()
+    val vecRows = spark.read.parquet(vecP).count()
+    SimilarityOps.appendEmbSignatureStoreBucketed(base, bandP, vecP,
+      buckets = 2, rowsPerBand = bp._1, bands = bp._2, dims = bp._3)
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(spark.read.parquet(bandP).count() == bandRows &&
+      spark.read.parquet(vecP).count() == vecRows,
+      "replayed append duplicated store rows")
+
+    // increment 1: a near-dup of stored vec 10 arrives — new-old pair
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val inc1 = Seq((20L, vec(0, 0.01f)), (21L, vec(6, 0.0f))).toDF("vec_id", "embedding")
+      val pairs1 = SimilarityOps.cosinePairsLshIncremental(
+        Sinks.readBucketedPath(spark, bandP),
+        Sinks.readBucketedPath(spark, vecP), inc1, threshold = 0.9,
+        rowsPerBand = bp._1, bands = bp._2, dims = bp._3)
+      // an exchange whose child subtree reads ONLY the store is a
+      // store-side re-shuffle — the cost cliff bucketing removes
+      def storeShuffles(df: org.apache.spark.sql.DataFrame, token: String) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike
+            if e.child.collectLeaves().nonEmpty &&
+               e.child.collectLeaves().forall(_.toString.contains(token)) => e
+        }
+      for (t <- Seq("emb_bands", "emb_vecs"))
+        assert(storeShuffles(pairs1, t).isEmpty,
+          s"store side of the incremental join re-shuffles $t:\n" +
+            pairs1.queryExecution.executedPlan)
+      val got1 = pairs1.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got1 == Set((10L, 20L)), s"increment 1 pairs: $got1")
+
+      // store the increment; increment 2 pairs with vectors from BOTH the
+      // base corpus and the previous increment
+      SimilarityOps.appendEmbSignatureStoreBucketed(inc1, bandP, vecP,
+        buckets = 2, rowsPerBand = bp._1, bands = bp._2, dims = bp._3)
+      graft.core.GraftCaches.releaseAll(spark)
+      val inc2 = Seq((30L, vec(0, 0.0f))).toDF("vec_id", "embedding")
+      val got2 = SimilarityOps.cosinePairsLshIncremental(
+        Sinks.readBucketedPath(spark, bandP),
+        Sinks.readBucketedPath(spark, vecP), inc2, threshold = 0.9,
+        rowsPerBand = bp._1, bands = bp._2, dims = bp._3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got2 == Set((10L, 30L), (20L, 30L)), s"increment 2 pairs: $got2")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.core.GraftCaches.releaseAll(spark)
+  }
 }
