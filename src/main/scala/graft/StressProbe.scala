@@ -192,6 +192,61 @@ object StressProbe {
       build +: drops
     }
 
+    // ---- incremental EMBEDDING dedup against the persisted bucketed
+    // sign-LSH store (CorpusIngest.ingestEmbeddings' production shape):
+    // same bucketed-vs-plain comparison as the text-store probe above —
+    // the wall delta is the per-drop store exchange the (band, code) /
+    // vec_id bucket layout removes. Geometry matches the
+    // embedding_lsh_neardup probe (18 planes/band: bucket count must scale
+    // with n or the band join goes quadratic).
+    val embStoreProbe = {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-stress-embstore").toString
+      val bandP = s"$storeDir/emb_bands"
+      val vecP = s"$storeDir/emb_vecs"
+      val corpusVecs = vecs.filter(col("vec_id") < nVec * 95L / 100L)
+      val dropN = math.max(500L, nVec / 100L)
+      // drop: even ids are noisy copies of corpus bases, odd ids novel —
+      // same generator as `vecs` so store and drop share one distribution
+      val dropVecs = spark.range(nVec, nVec + dropN, 1, 16).as[Long].map { id =>
+        val isDup = id % 2 == 0
+        val seed = if (isDup) id % 1000 else id
+        val rng = new scala.util.Random(seed * 2654435761L)
+        val v = Array.fill(64)(rng.nextGaussian())
+        if (isDup) {
+          val noise = new scala.util.Random(id)
+          var i = 0
+          while (i < 64) { v(i) += noise.nextGaussian() * 0.05; i += 1 }
+        }
+        (id, v.map(_.toFloat))
+      }.toDF("vec_id", "embedding")
+      val dropSelected = Seq("emb_drop_unbucketed",
+        "emb_drop_bucketed").exists(selected)
+      def buildStore(): Unit =
+        operators.SimilarityOps.appendEmbSignatureStoreBucketed(
+          corpusVecs, bandP, vecP, buckets = 32, rowsPerBand = 18, bands = 48)
+      val build =
+        if (!selected("emb_store_build") && dropSelected) {
+          buildStore(); "emb_store_build" -> 0.0
+        } else timeEffect("emb_store_build", nVec * 95L / 100L)(buildStore())
+      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val drops = try Seq(
+        core.GraftCaches.withScope(spark)(
+          timeN("emb_drop_unbucketed", dropN)(
+            operators.SimilarityOps.cosinePairsLshIncremental(
+              spark.read.parquet(bandP), spark.read.parquet(vecP),
+              dropVecs, threshold = 0.9, rowsPerBand = 18, bands = 48))),
+        core.GraftCaches.withScope(spark)(
+          timeN("emb_drop_bucketed", dropN)(
+            operators.SimilarityOps.cosinePairsLshIncremental(
+              core.Sinks.readBucketedPath(spark, bandP),
+              core.Sinks.readBucketedPath(spark, vecP),
+              dropVecs, threshold = 0.9, rowsPerBand = 18, bands = 48)))
+      ) finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      build +: drops
+    }
+
     // ---- connected components at probe scale: a random recursive tree
     // over nEdges nodes (one giant component, log diameter — the realistic
     // near-dup cluster regime at volume) PLUS a 50k-node pure path (the
@@ -325,7 +380,8 @@ object StressProbe {
       }
     )
 
-    val all = results ++ llm ++ storeProbe ++ ccProbe ++ corpusProbe
+    val all =
+      results ++ llm ++ storeProbe ++ embStoreProbe ++ ccProbe ++ corpusProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

@@ -120,31 +120,49 @@ object CorpusIngest {
     // would silently corrupt the cumulative table's semantics (the same
     // refuse-at-the-write philosophy as idempotentAppend's schema guard)
     checkThreshold(spark, warehouse, threshold)
-    // exact duplicate rows WITHIN one drop (an at-least-once crawl re-emits
-    // a doc) would each pass the store trim and land twice — collapse them;
-    // conflicting texts under one doc_id remain a caller bug (the doc model
-    // is id-immutable). The dedup runs AFTER the trim: dropDuplicates
-    // shuffles its input, and pre-trim that input is the caller's frame at
-    // full size (promoteAndIngest passes the CUMULATIVE staged table) —
-    // post-trim it is increment-sized, and the trim anti-join itself stays
-    // a co-located zero/one-exchange join when drop and store share the
-    // doc_id bucket layout.
-    val newDocs =
-      (if (!storeExists) drop
-       else drop.join(
-         readStore(spark, shinglePath(warehouse)).select("doc_id"),
-         Seq("doc_id"), "left_anti"))
-        .dropDuplicates()
-    // the increment feeds signature computation AND the landing write, and
-    // its defining anti-join READS the same store the signature append
-    // WRITES — Spark's CacheManager recaches path-reading plans on write
-    // (a persist would silently recompute the increment as EMPTY after the
-    // store append), so cut lineage entirely with an eager localCheckpoint:
-    // the increment is drop-bounded
-    val inc = newDocs.localCheckpoint()
-    val nNew = inc.count()
-    if (nNew == 0) return (0L, 0L)
+    // scope the dedup operators' internal persists (shingle/band frames) to
+    // this drop: every consuming action happens inside run, so a
+    // long-running ingest service doesn't accumulate one MEMORY_AND_DISK
+    // frame set per drop (the release discipline GraftCaches.withScope
+    // exists for — callers' own caches are untouched)
+    graft.core.GraftCaches.withScope(spark) {
+      // exact duplicate rows WITHIN one drop (an at-least-once crawl
+      // re-emits a doc) would each pass the store trim and land twice —
+      // collapse them; conflicting texts under one doc_id remain a caller
+      // bug (the doc model is id-immutable). The dedup runs AFTER the trim:
+      // dropDuplicates shuffles its input, and pre-trim that input is the
+      // caller's frame at full size (promoteAndIngest passes the CUMULATIVE
+      // staged table) — post-trim it is increment-sized, and the trim
+      // anti-join itself stays a co-located zero/one-exchange join when
+      // drop and store share the doc_id bucket layout.
+      val newDocs =
+        (if (!storeExists) drop
+         else drop.join(
+           readStore(spark, shinglePath(warehouse)).select("doc_id"),
+           Seq("doc_id"), "left_anti"))
+          .dropDuplicates()
+      // the increment feeds signature computation AND the landing write,
+      // and its defining anti-join READS the same store the signature
+      // append WRITES — Spark's CacheManager recaches path-reading plans on
+      // write (a persist would silently recompute the increment as EMPTY
+      // after the store append), so cut lineage entirely with an eager
+      // localCheckpoint: the increment is drop-bounded
+      val inc = newDocs.localCheckpoint()
+      val nNew = inc.count()
+      if (nNew == 0) (0L, 0L)
+      else landIncrement(spark, inc, nNew, warehouse, threshold,
+        compactTargetFiles, storeBuckets, storeExists)
+    }
+  }
 
+  /** The post-trim half of `run`: derive the increment's pairs, append
+    * every cumulative table, compact the signature store when fragmented.
+    */
+  private def landIncrement(spark: SparkSession, inc: DataFrame, nNew: Long,
+                            warehouse: String, threshold: Double,
+                            compactTargetFiles: Option[Int],
+                            storeBuckets: Int,
+                            storeExists: Boolean): (Long, Long) = {
     val pairs =
       if (!storeExists) DedupOps.minhashLsh(inc, threshold)
       else DedupOps.minhashLshIncremental(
@@ -321,35 +339,41 @@ object CorpusIngest {
     val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
       threshold)
-    val newVecs =
-      (if (!storeExists) drop
-       else drop.join(
-         readStore(spark, embVecsPath(warehouse)).select("vec_id"),
-         Seq("vec_id"), "left_anti"))
-        .dropDuplicates("vec_id")
-    // same lineage cut as run(): the increment feeds pair derivation AND
-    // the store append, and its defining anti-join reads the store the
-    // append writes — localCheckpoint keeps the increment drop-bounded
-    val inc = newVecs.localCheckpoint()
-    val nNew = inc.count()
-    if (nNew == 0) return (0L, 0L)
-    val pairs =
-      if (!storeExists)
-        graft.operators.SimilarityOps.cosinePairsLsh(inc, threshold)
-      else graft.operators.SimilarityOps.cosinePairsLshIncremental(
-        readStore(spark, embBandsPath(warehouse)),
-        readStore(spark, embVecsPath(warehouse)),
-        inc, threshold)
-    val nPairs = pairs.count()
-    // stamp-first, same crash ordering argument as run()
-    stampThresholdAt(spark, embPairsPath(warehouse), threshold)
-    appendKeyedStore(spark, pairs, embPairsPath(warehouse), storeBuckets,
-      keys = Seq("vec_a", "vec_b"))
-    graft.operators.SimilarityOps.appendEmbSignatureStoreBucketed(inc,
-      embBandsPath(warehouse), embVecsPath(warehouse), buckets = storeBuckets)
-    Seq(embBandsPath(warehouse), embVecsPath(warehouse)).foreach(p =>
-      Sinks.compactBucketedIfFragmented(spark, p))
-    (nNew, nPairs)
+    // drop-scoped operator persists, same release discipline as run()
+    graft.core.GraftCaches.withScope(spark) {
+      val newVecs =
+        (if (!storeExists) drop
+         else drop.join(
+           readStore(spark, embVecsPath(warehouse)).select("vec_id"),
+           Seq("vec_id"), "left_anti"))
+          .dropDuplicates("vec_id")
+      // same lineage cut as run(): the increment feeds pair derivation AND
+      // the store append, and its defining anti-join reads the store the
+      // append writes — localCheckpoint keeps the increment drop-bounded
+      val inc = newVecs.localCheckpoint()
+      val nNew = inc.count()
+      if (nNew == 0) (0L, 0L)
+      else {
+        val pairs =
+          if (!storeExists)
+            graft.operators.SimilarityOps.cosinePairsLsh(inc, threshold)
+          else graft.operators.SimilarityOps.cosinePairsLshIncremental(
+            readStore(spark, embBandsPath(warehouse)),
+            readStore(spark, embVecsPath(warehouse)),
+            inc, threshold)
+        val nPairs = pairs.count()
+        // stamp-first, same crash ordering argument as run()
+        stampThresholdAt(spark, embPairsPath(warehouse), threshold)
+        appendKeyedStore(spark, pairs, embPairsPath(warehouse), storeBuckets,
+          keys = Seq("vec_a", "vec_b"))
+        graft.operators.SimilarityOps.appendEmbSignatureStoreBucketed(inc,
+          embBandsPath(warehouse), embVecsPath(warehouse),
+          buckets = storeBuckets)
+        Seq(embBandsPath(warehouse), embVecsPath(warehouse)).foreach(p =>
+          Sinks.compactBucketedIfFragmented(spark, p))
+        (nNew, nPairs)
+      }
+    }
   }
 
   /** GOVERNANCE DELETE for the embedding modality — `delete`'s cascade over

@@ -411,6 +411,22 @@ class CorpusIngestSpec extends AnyFunSuite {
       inc.collect().toSeq)
   }
 
+  test("ingest drivers release their operator caches on exit") {
+    // a long-running ingest service calls run()/ingestEmbeddings() per
+    // drop; each call persists operator intermediates (shingle/band/code
+    // frames) internally and must not leak them past its own scope
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whscope").toString
+    val before = graft.core.GraftCaches.registered(spark)
+    CorpusIngest.run(spark,
+      Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text"), wh)
+    assert(graft.core.GraftCaches.registered(spark) == before,
+      "run() leaked graft-owned caches")
+    CorpusIngest.ingestEmbeddings(spark,
+      Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding"), wh)
+    assert(graft.core.GraftCaches.registered(spark) == before,
+      "ingestEmbeddings() leaked graft-owned caches")
+  }
+
   test("embedding drops: incremental pairs, replay no-op, threshold guard, delete cascade") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whemb").toString
