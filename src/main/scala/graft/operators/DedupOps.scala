@@ -439,30 +439,7 @@ object DedupOps {
     // no plane literals, the whole construction is recomputed end to end.
     QueryDef.sqlBacked(
       "dedup_embedding_lsh",
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
-        |  FROM embeddings),
-        |pl AS (SELECT p,
-        |    list_transform(range(64), d ->
-        |      (xor((p * 64 + d) * 2654435761 % 4294967296,
-        |           ((p * 64 + d) * 2654435761 % 4294967296) // 65536)
-        |       % 65536) / 65536.0 * 2 - 1) AS plane
-        |  FROM (SELECT unnest(range(288)) AS p)),
-        |codes AS (
-        |  SELECT e.vec_id, p // 6 AS band,
-        |    CAST(sum(CASE WHEN list_dot_product(e.ed, pl.plane) > 0
-        |                  THEN 1 << CAST(p % 6 AS INT) ELSE 0 END) AS BIGINT)
-        |      AS code
-        |  FROM e CROSS JOIN pl GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM codes a JOIN codes b
-        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
-        |v AS (SELECT vec_a, vec_b,
-        |        round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
-        |      FROM cand
-        |      JOIN e ea ON vec_a = ea.vec_id
-        |      JOIN e eb ON vec_b = eb.vec_id)
+      s"""WITH $duckEmbLshCtes
         |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       SimilarityOps.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.42)
@@ -515,30 +492,7 @@ object DedupOps {
     // recompute EXACTLY on that subset.
     QueryDef.sqlBacked(
       "dedup_embedding_incremental",
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
-        |  FROM embeddings),
-        |pl AS (SELECT p,
-        |    list_transform(range(64), d ->
-        |      (xor((p * 64 + d) * 2654435761 % 4294967296,
-        |           ((p * 64 + d) * 2654435761 % 4294967296) // 65536)
-        |       % 65536) / 65536.0 * 2 - 1) AS plane
-        |  FROM (SELECT unnest(range(288)) AS p)),
-        |codes AS (
-        |  SELECT e.vec_id, p // 6 AS band,
-        |    CAST(sum(CASE WHEN list_dot_product(e.ed, pl.plane) > 0
-        |                  THEN 1 << CAST(p % 6 AS INT) ELSE 0 END) AS BIGINT)
-        |      AS code
-        |  FROM e CROSS JOIN pl GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM codes a JOIN codes b
-        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
-        |v AS (SELECT vec_a, vec_b,
-        |        round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
-        |      FROM cand
-        |      JOIN e ea ON vec_a = ea.vec_id
-        |      JOIN e eb ON vec_b = eb.vec_id)
+      s"""WITH $duckEmbLshCtes
         |SELECT vec_a, vec_b, cos FROM v
         |WHERE cos >= 0.42 AND (vec_a % 7 = 0 OR vec_b % 7 = 0)
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
@@ -549,8 +503,71 @@ object DedupOps {
         SimilarityOps.embBandTable(old),
         SimilarityOps.embVecTable(old),
         emb.filter(isNew), threshold = 0.42)
+    },
+
+    // Embedding dedup APPLIED — the semantic modality's `dedup_survivors`:
+    // cosine-LSH verified pairs → connected components → keep-the-minimum
+    // canonical per cluster; vectors outside the pair graph survive
+    // untouched. The oracle reuses the SAME LSH CTE chain (candidates and
+    // verification cannot drift from dedup_embedding_lsh's) and closes the
+    // pair graph with the recursive-CTE reachability used by
+    // dedup_survivors — the Spark side is large-star/small-star over the
+    // identical pair set, so the loser sets must agree exactly.
+    QueryDef.sqlBacked(
+      "dedup_embedding_survivors",
+      s"""WITH RECURSIVE $duckEmbLshCtes,
+        |p AS (SELECT vec_a, vec_b FROM v WHERE cos >= 0.42),
+        |edges AS (SELECT vec_a AS s, vec_b AS t FROM p
+        |          UNION SELECT vec_b, vec_a FROM p),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+        |lab AS (SELECT s AS vec_id, least(s, min(t)) AS cluster_id
+        |        FROM reach GROUP BY s)
+        |SELECT em.vec_id FROM embeddings em
+        |WHERE em.vec_id NOT IN
+        |  (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)
+        |ORDER BY em.vec_id""".stripMargin) { (s, d) =>
+      SimilarityOps.dropNearDuplicateVectors(
+        Tables.embeddings(s, d), threshold = 0.42)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }
   )
+
+  /** Shared DuckDB CTE chain for the sign-LSH embedding family: regenerate
+    * the 288×64 plane matrix from the exact integer formula
+    * (SimilarityOps.lshPlanesArith), fold the 48 six-bit band codes with
+    * the same bit order, join banded candidates, verify with rounded exact
+    * cosine. `v` is (vec_a, vec_b, cos) UNTHRESHOLDED — each query applies
+    * its own cut — so the three queries built on it can never drift in
+    * candidate generation or verification arithmetic.
+    */
+  private lazy val duckEmbLshCtes: String =
+    """e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      |  FROM embeddings),
+      |pl AS (SELECT p,
+      |    list_transform(range(64), d ->
+      |      (xor((p * 64 + d) * 2654435761 % 4294967296,
+      |           ((p * 64 + d) * 2654435761 % 4294967296) // 65536)
+      |       % 65536) / 65536.0 * 2 - 1) AS plane
+      |  FROM (SELECT unnest(range(288)) AS p)),
+      |codes AS (
+      |  SELECT e.vec_id, p // 6 AS band,
+      |    CAST(sum(CASE WHEN list_dot_product(e.ed, pl.plane) > 0
+      |                  THEN 1 << CAST(p % 6 AS INT) ELSE 0 END) AS BIGINT)
+      |      AS code
+      |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM codes a JOIN codes b
+      |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+      |v AS (SELECT vec_a, vec_b,
+      |        round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
+      |      FROM cand
+      |      JOIN e ea ON vec_a = ea.vec_id
+      |      JOIN e eb ON vec_b = eb.vec_id)""".stripMargin
 
   /** ceil(totalDocs * dfCapPct / 100), exact for every percentage (not just
     * divisors of 100 — dfCapPct=3 on 1000 docs is 30, not 31).
@@ -795,7 +812,14 @@ object DedupOps {
     // only the increment shuffles. A union store ∪ fresh (the previous
     // shape) erased the scan's partitioning and re-shuffled the corpus
     // side on every drop.
-    val newOld = fresh.as("a").join(
+    // SHUFFLE_HASH with the increment as build side: the bucketed store
+    // satisfies the join's distribution off the scan (no exchange), and
+    // the hash join streams it UNSORTED — a plain join would pick
+    // sort-merge and re-sort the corpus-sized store every drop, which the
+    // embedding twin's StressProbe measured costing more than the exchange
+    // bucketing removed. The build side is the increment, bounded by
+    // admission control.
+    val newOld = fresh.hint("shuffle_hash").as("a").join(
         storedBands.select(col("doc_id"), col("band"), col("sig")).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") =!= col("b.doc_id"))
@@ -825,9 +849,14 @@ object DedupOps {
     */
   private def verifyPairsSplit(cand: DataFrame, storedSh: DataFrame,
                                freshSh: DataFrame, threshold: Double): DataFrame = {
+    // candidates build the hash table (increment-bounded) and the shingle
+    // store streams unsorted — same SHUFFLE_HASH reasoning as the band
+    // probe: never sort the corpus-sized store per drop
     def resolve(df: DataFrame, pairCol: String, out: String): DataFrame =
-      df.join(storedSh.select(col("doc_id").as(pairCol),
+      df.hint("shuffle_hash")
+        .join(storedSh.select(col("doc_id").as(pairCol),
           col("sh").as(s"${out}_store")), Seq(pairCol), "left")
+        .hint("shuffle_hash")
         .join(freshSh.select(col("doc_id").as(pairCol),
           col("sh").as(s"${out}_fresh")), Seq(pairCol), "left")
         .withColumn(out, coalesce(col(s"${out}_store"), col(s"${out}_fresh")))

@@ -638,7 +638,14 @@ object SimilarityOps {
             lit(rowsPerBand)).as("codes")))
     val freshBands = fresh.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("band", "code")))
-    val newOld = freshBands.as("a").join(
+    // SHUFFLE_HASH with the increment as build side: the bucketed store
+    // already satisfies the join's distribution off the scan, but a plain
+    // join would then pick sort-merge and pay a full SORT of the
+    // corpus-sized store per drop — the hash join streams the store
+    // unsorted and hashes only the increment (bounded by admission
+    // control). Measured at the StressProbe scale: the SMJ sort cost more
+    // than the exchange it replaced; the hint removes both.
+    val newOld = freshBands.hint("shuffle_hash").as("a").join(
         storedBands.select(col("vec_id"), col("band"), col("code")).as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -654,10 +661,16 @@ object SimilarityOps {
     // corpus-sized vector store the probed side of plain equi-joins
     // (bucketed on vec_id it plans no exchange; only candidate rows move)
     val freshVecs = fresh.select(col("vec_id"), col("e"), col("nrm"))
+    // same hash-probe shape for verification: candidates are
+    // increment-bounded, so they build the hash table and the vector store
+    // streams unsorted (an SMJ here would sort the store's 64-double
+    // arrays once per resolve side)
     def resolve(df: DataFrame, pairCol: String, out: String): DataFrame =
-      df.join(storedVecs.select(col("vec_id").as(pairCol),
+      df.hint("shuffle_hash")
+        .join(storedVecs.select(col("vec_id").as(pairCol),
           col("e").as(s"${out}_es"), col("nrm").as(s"${out}_ns")),
           Seq(pairCol), "left")
+        .hint("shuffle_hash")
         .join(freshVecs.select(col("vec_id").as(pairCol),
           col("e").as(s"${out}_ef"), col("nrm").as(s"${out}_nf")),
           Seq(pairCol), "left")
@@ -671,6 +684,41 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding near-dup clusters — the semantic twin of
+    * `DedupOps.dedupClusters`: verified cosine pairs → connected components
+    * → (vec_id, cluster_id, cluster_size), cluster_id = min vec_id of the
+    * component. Vectors outside the pair graph are absent (implicit
+    * singletons), so the output is proportional to the DUPLICATED subset.
+    * Same alternating large-star/small-star contraction, O(log² n)
+    * shuffle-bounded rounds.
+    */
+  def embDedupClusters(embeddings: DataFrame, threshold: Double,
+                       maxRounds: Int = 50): DataFrame = {
+    val pairs = cosinePairsLsh(embeddings, threshold)
+    val lab = Components.connectedComponents(
+      pairs.select(col("vec_a"), col("vec_b")), maxRounds)
+    val sizes = lab.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("component"))
+      .select(col("node").as("vec_id"), col("component").as("cluster_id"),
+              col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The embedding corpus with near-duplicates REMOVED (keep-the-minimum
+    * policy) — `DedupOps.dropNearDuplicates` for the semantic modality:
+    * every cosine-LSH cluster keeps only its canonical (minimum-id) vector;
+    * vectors outside the pair graph pass through. The anti-join ships only
+    * loser vec_ids — thin rows bounded by the duplicated subset, never the
+    * embedding arrays.
+    */
+  def dropNearDuplicateVectors(embeddings: DataFrame,
+                               threshold: Double): DataFrame = {
+    val losers = embDedupClusters(embeddings, threshold)
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id"))
+    embeddings.join(losers, Seq("vec_id"), "left_anti")
   }
 
   /** IVF-bucketed embedding near-dup — the inverted-list twin of

@@ -217,6 +217,19 @@ class CorpusIngestSpec extends AnyFunSuite {
         assert(storeShuffles(pairs, t).isEmpty,
           s"store side of the incremental join re-shuffles $t:\n" +
             pairs.queryExecution.executedPlan)
+      // ... and the exchange-free store scan is never SORTED either: the
+      // store joins hint SHUFFLE_HASH (increment builds, store streams) —
+      // a sort-merge join would re-sort the corpus-sized store per drop
+      def storeSorts(df: org.apache.spark.sql.DataFrame, token: String) =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec
+            if s.child.collectLeaves().nonEmpty &&
+               s.child.collectLeaves().forall(_.toString.contains(token)) => s
+        }
+      for (t <- Seq("corpus/bands", "corpus/shingles"))
+        assert(storeSorts(pairs, t).isEmpty,
+          s"store side of the incremental join re-sorts $t:\n" +
+            pairs.queryExecution.executedPlan)
       // ... and the result is the same one the unbucketed path computes
       val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       assert(got.contains((1000L, 1001L)), s"missed new-new pair: $got")

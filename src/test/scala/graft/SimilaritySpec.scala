@@ -215,6 +215,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0, s"zero recall: exact=$exact approx=$approx")
   }
 
+  test("embedding survivors drop exactly the non-minimum ids of each pair-graph component") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf001)
+    val pairs = SimilarityOps.cosinePairsLsh(emb, threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain qualifying pairs")
+    // driver-side union-find ground truth over the same pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val losers = members.groupBy(find).values
+      .flatMap(c => c.sorted.drop(1).map(identity)).toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val got = SimilarityOps.dropNearDuplicateVectors(emb, threshold = 0.42)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == all -- losers,
+      s"extra=${got -- (all -- losers)} missing=${(all -- losers) -- got}")
+    assert(losers.nonEmpty, "fixture should drop at least one near-dup vector")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("incremental embedding dedup equals the full recompute restricted to new-side pairs") {
     // fixture split into "existing corpus" and a "new drop"; the increment
     // path must produce EXACTLY the full-LSH pairs touching a new vector —
@@ -289,6 +316,18 @@ class SimilaritySpec extends AnyFunSuite {
       for (t <- Seq("emb_bands", "emb_vecs"))
         assert(storeShuffles(pairs1, t).isEmpty,
           s"store side of the incremental join re-shuffles $t:\n" +
+            pairs1.queryExecution.executedPlan)
+      // the exchange-free store scan is never SORTED either (SHUFFLE_HASH
+      // hints keep the corpus-sized store off the sort-merge path)
+      def storeSorts(df: org.apache.spark.sql.DataFrame, token: String) =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec
+            if s.child.collectLeaves().nonEmpty &&
+               s.child.collectLeaves().forall(_.toString.contains(token)) => s
+        }
+      for (t <- Seq("emb_bands", "emb_vecs"))
+        assert(storeSorts(pairs1, t).isEmpty,
+          s"store side of the incremental join re-sorts $t:\n" +
             pairs1.queryExecution.executedPlan)
       val got1 = pairs1.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
       assert(got1 == Set((10L, 20L)), s"increment 1 pairs: $got1")
