@@ -644,6 +644,25 @@ object CorpusIngest {
     try out.write(value.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The deduplicated EMBEDDING view — `survivors` for the semantic
+    * modality: keep-the-minimum canonical per cosine near-dup cluster over
+    * the cumulative `corpus/emb_pairs` table. Same cost shape: components
+    * bounded by the pair graph, one anti-join shipping loser vec_ids (the
+    * embedding arrays never ride the component computation).
+    */
+  def embSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
+    val vecs = readStore(spark, embVecsPath(warehouse))
+    if (!Sinks.pathExists(spark, embPairsPath(warehouse))) vecs
+    else {
+      val pairs = readStore(spark, embPairsPath(warehouse))
+      val lab = Components.connectedComponents(
+        pairs.select(col("vec_a"), col("vec_b")))
+      val losers = lab.filter(col("node") =!= col("component"))
+        .select(col("node").as("vec_id"))
+      vecs.join(losers, Seq("vec_id"), "left_anti")
+    }
+  }
+
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
     * cluster over the CUMULATIVE pair table. Cost is bounded by the pair
     * graph (the duplicated subset), plus one anti-join shipping loser ids.

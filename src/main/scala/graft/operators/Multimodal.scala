@@ -276,28 +276,100 @@ object Multimodal {
       maxHamming)
   }
 
+  /** Chunk-band rows for a (media_id, phash) table: maxHamming+1 rows per
+    * image, (media_id, ci, chunk, phash) — the phash rides along so the
+    * band join verifies candidates inline with bit_count, no second join.
+    */
+  private def bandChunks(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming+1 must divide 64, got $maxHamming")
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    hashes.select(
+      col("media_id"), col("phash"),
+      explode(array((0 until chunks).map(lit): _*)).as("ci"))
+      .withColumn("chunk",
+        expr(s"shiftrightunsigned(phash, ci * $bits)").bitwiseAND(lit(mask)))
+  }
+
   /** The banding + verify stage over an existing (media_id, phash) table —
     * the entry point when hashes are already persisted in the warehouse
     * (the production shape: hash once on ingest, band-join per near-dup
     * sweep, never re-decode).
     */
   def nearDupFromHashes(hashTable: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
-      s"maxHamming+1 must divide 64, got $maxHamming")
-    val chunks = maxHamming + 1
-    val bits = 64 / chunks
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val hashes = graft.core.GraftCaches.acquire(hashTable)
-    val banded = hashes.select(
-      col("media_id"), col("phash"),
-      explode(array((0 until chunks).map(lit): _*)).as("ci"))
-      .withColumn("chunk",
-        expr(s"shiftrightunsigned(phash, ci * $bits)").bitwiseAND(lit(mask)))
+    val banded = bandChunks(graft.core.GraftCaches.acquire(hashTable),
+      maxHamming)
     banded.as("a").join(banded.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The banded pHash SIGNATURE STORE schema: decode + hash a media drop
+    * once, band the 64-bit hash into maxHamming+1 chunk rows
+    * (media_id, ci, chunk, phash). This is what a production pipeline
+    * persists per corpus and appends per drop — the image twin of
+    * `DedupOps.minhashBandTable` — so later increments band-join old
+    * images without ever re-decoding them. Null-hash rows (undecodable
+    * payloads) and the degenerate all-ones hash (blank/flat images — one
+    * quadratic bucket) are excluded at the store boundary.
+    */
+  def phashBandTable(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandChunks(
+      imageHashes(media)
+        .filter(col("phash").isNotNull && col("phash") =!= lit(-1L)),
+      maxHamming)
+
+  /** Persist a media drop's banded pHash store as a path-anchored BUCKETED
+    * table on the band-join key (ci, chunk), keyed (media_id, ci) so a
+    * replayed drop is a data no-op — the image modality's
+    * `appendSignatureStoreBucketed`. `buckets` only matters on the first
+    * drop (the on-disk spec ledger wins thereafter).
+    */
+  def appendPhashStoreBucketed(newMedia: DataFrame, bandPath: String,
+                               buckets: Int, maxHamming: Int = 3): Unit =
+    graft.core.Sinks.bucketedIdempotentAppend(
+      phashBandTable(newMedia, maxHamming), bandPath,
+      keys = Seq("media_id", "ci"), bucketKeys = Seq("ci", "chunk"),
+      buckets = buckets)
+
+  /** INCREMENTAL perceptual near-dup: pairs involving at least one NEW
+    * image — the drop-shape twin of `minhashLshIncremental` /
+    * `cosinePairsLshIncremental` for the image modality. Hashes are
+    * decoded fresh ONLY for `newMedia`; the corpus side arrives as the
+    * PERSISTED banded store, so old images are never re-decoded (or even
+    * re-banded — the store rows carry the chunk AND the full hash, so
+    * candidate verification is inline bit_count, no second store join).
+    * Pairs split exactly into new-old ∪ new-new; the store side, bucketed
+    * on (ci, chunk), plans no exchange, and the SHUFFLE_HASH hint (the
+    * increment builds, the store streams) keeps it unsorted too. Old-old
+    * pairs are previous increments' outputs and are not re-derived.
+    */
+  def phashNearDupIncremental(storedBands: DataFrame, newMedia: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    // persisted: the fresh bands feed both the new-old probe and the
+    // new-new self-join, and Spark does not CSE across join branches
+    val fresh = graft.core.GraftCaches.acquire(
+      phashBandTable(newMedia, maxHamming))
+    val store = storedBands.select(
+      col("media_id"), col("ci"), col("chunk"), col("phash"))
+    val newOld = fresh.hint("shuffle_hash").as("a").join(store.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+    val newNew = fresh.as("a").join(fresh.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+    newOld.unionByName(newNew)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -425,6 +497,31 @@ object Multimodal {
         |WHERE a.doc_id % 10 = 0
         |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
       phashNearDup(syntheticImageCorpus(Tables.documents(s, d)), maxHamming = 3)
+        .orderBy(col("media_a"), col("media_b"))
+    },
+
+    // INCREMENTAL image near-dup — a media drop (doc_id % 7 = 0 stands in
+    // for the new batch) checked against the persisted banded pHash store:
+    // hashes decoded fresh only for the increment, only pairs touching a
+    // new image derived. The oracle states the planted construction
+    // restricted to pairs with a new side (gcd(7, 10) = 1, so both the
+    // even and odd member of a planted pair land in the drop for some k —
+    // both probe directions are exercised at every fixture scale). The
+    // bucketed-store round trip with its zero-exchange/zero-sort plan is
+    // locked in MultimodalSpec.
+    QueryDef.sqlBacked(
+      "mm_phash_incremental",
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 0
+        |  AND (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+        |ORDER BY media_a, media_b""".stripMargin) { (s, d) =>
+      val imgs = syntheticImageCorpus(Tables.documents(s, d))
+      val isNew = col("media_id") % 7 === 0
+      phashNearDupIncremental(
+        phashBandTable(imgs.filter(!isNew)),
+        imgs.filter(isNew), maxHamming = 3)
         .orderBy(col("media_a"), col("media_b"))
     }
   )

@@ -500,6 +500,11 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/corpus/emb_pairs")
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet ==
       Set((1L, 3L)), "re-derived pair set")
+    // the deduplicated embedding view keeps the cluster minimum (vec 1)
+    // and the unpaired vec 2; loser vec 3 is dropped
+    assert(CorpusIngest.embSurvivors(spark, wh)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
+      "embSurvivors must keep the per-cluster minimum + singletons")
     graft.core.GraftCaches.releaseAll(spark)
   }
 }

@@ -210,4 +210,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(hashes(2L), hashes(3L)) > 3)
     assert(hamming(hashes(22L), hashes(23L)) > 3)
   }
+
+  test("incremental phash equals the full recompute restricted to new-side pairs") {
+    val imgs = Multimodal.syntheticImageCorpus((0L until 150L).toDF("doc_id"))
+    val isNew = col("media_id") % 7 === 0
+    val full = Multimodal.phashNearDup(imgs, maxHamming = 3)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val wantNewSide = full.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    val got = Multimodal.phashNearDupIncremental(
+      Multimodal.phashBandTable(imgs.filter(!isNew)),
+      imgs.filter(isNew), maxHamming = 3)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(got == wantNewSide,
+      s"extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+    // (0,1) probes store-from-drop, (20,21) drop-from-store: both directions
+    assert(got.contains((0L, 1L)) && got.contains((20L, 21L)), s"$got")
+    assert((full -- wantNewSide).nonEmpty,
+      "split should leave old-old pairs out of the increment")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("phash store: bucketed round-trip, replay no-op, zero store-side exchange/sort") {
+    import graft.core.Sinks
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val dir = java.nio.file.Files.createTempDirectory("phashstore").toString
+    val bandP = s"$dir/phash_bands"
+    val base = Multimodal.syntheticImageCorpus((0L until 60L).toDF("doc_id"))
+    Multimodal.appendPhashStoreBucketed(
+      base.filter(col("media_id") % 7 =!= 0), bandP, buckets = 2)
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(Sinks.isBucketedStore(spark, bandP))
+    val rows = spark.read.parquet(bandP).count()
+    Multimodal.appendPhashStoreBucketed(
+      base.filter(col("media_id") % 7 =!= 0), bandP, buckets = 2)
+    graft.core.GraftCaches.releaseAll(spark)
+    assert(spark.read.parquet(bandP).count() == rows,
+      "replayed append duplicated store rows")
+
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pairs = Multimodal.phashNearDupIncremental(
+        Sinks.readBucketedPath(spark, bandP),
+        base.filter(col("media_id") % 7 === 0), maxHamming = 3)
+      def storeNodes(pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, org.apache.spark.sql.execution.SparkPlan]) =
+        pairs.queryExecution.executedPlan.collect(pf).filter { n =>
+          val leaves = n.children.flatMap(_.collectLeaves())
+          leaves.nonEmpty && leaves.forall(_.toString.contains("phash_bands"))
+        }
+      assert(storeNodes { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side re-shuffles:\n${pairs.queryExecution.executedPlan}")
+      assert(storeNodes {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"store side re-sorts:\n${pairs.queryExecution.executedPlan}")
+      val got = pairs.select("media_a", "media_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((0L, 1L)) && got.contains((20L, 21L)), s"$got")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.core.GraftCaches.releaseAll(spark)
+  }
 }
