@@ -235,6 +235,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental embedding dedup equals full-restricted under random corpora and splits") {
+    val caseGen: Gen[(Seq[Array[Float]], Long)] = for {
+      n <- Gen.chooseNum(20, 50)
+      seed <- Gen.chooseNum(0, 1000)
+      m <- Gen.chooseNum(2L, 5L) // split modulus — varies store/drop ratio
+    } yield {
+      val rng = new scala.util.Random(seed)
+      val bases = Seq.fill(n)(Array.fill(16)(rng.nextGaussian().toFloat))
+      (bases ++ bases.take(n / 2).map(b =>
+        b.map(x => x + rng.nextGaussian().toFloat * 0.1f)), m)
+    }
+    forAll(caseGen, n = 5) { case (vecs, m) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val isNew = col("vec_id") % m === 0
+      def pairsOf(d: org.apache.spark.sql.DataFrame) = d
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val full = pairsOf(graft.operators.SimilarityOps
+        .cosinePairsLsh(df, 0.8, rowsPerBand = 4, bands = 16, dims = 16))
+      val wantNewSide = full.filter(p => p._1 % m == 0 || p._2 % m == 0)
+      val got = pairsOf(graft.operators.SimilarityOps.cosinePairsLshIncremental(
+        graft.operators.SimilarityOps.embBandTable(df.filter(!isNew),
+          rowsPerBand = 4, bands = 16, dims = 16),
+        graft.operators.SimilarityOps.embVecTable(df.filter(!isNew)),
+        df.filter(isNew), threshold = 0.8,
+        rowsPerBand = 4, bands = 16, dims = 16))
+      assert(got == wantNewSide,
+        s"m=$m extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+      graft.core.GraftCaches.releaseAll(spark)
+    }
+  }
+
+  test("incremental minhash dedup equals full-restricted under random corpora and splits") {
+    val caseGen: Gen[(Seq[(Long, String)], Long)] = for {
+      n <- Gen.chooseNum(10, 25)
+      seed <- Gen.chooseNum(0, 1000)
+      m <- Gen.chooseNum(2L, 5L)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val bases = (0 until n).map(i =>
+        i.toLong -> Seq.fill(8 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      (bases ++ bases.take(3).map { case (id, t) => (id + 1000, t) }, m)
+    }
+    forAll(caseGen, n = 5) { case (docs, m) =>
+      val df = docs.toDF("doc_id", "text")
+      val isNew = col("doc_id") % m === 0
+      def pairsOf(d: org.apache.spark.sql.DataFrame) = d
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val full = pairsOf(graft.operators.DedupOps.minhashLsh(df, 0.5))
+      val wantNewSide = full.filter(p => p._1 % m == 0 || p._2 % m == 0)
+      val oldSh = graft.operators.DedupOps.shingleTable(df.filter(!isNew))
+      val got = pairsOf(graft.operators.DedupOps.minhashLshIncremental(
+        graft.operators.DedupOps.minhashBandTable(oldSh), oldSh,
+        df.filter(isNew), threshold = 0.5))
+      assert(got == wantNewSide,
+        s"m=$m extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+      graft.core.GraftCaches.releaseAll(spark)
+    }
+  }
+
   test("minhash-verified pairs are a subset of exact jaccard pairs at the same threshold") {
     val docGen: Gen[Seq[(Long, String)]] = for {
       n <- Gen.chooseNum(10, 25)
