@@ -180,13 +180,26 @@ object CorpusIngest {
     // at crawl scale) — same bucket treatment, keyed (doc_a, doc_b)
     appendKeyedStore(spark, pairs, pairsPath(warehouse), storeBuckets,
       keys = Seq("doc_a", "doc_b"))
-    // new warehouses get the bucketed store; a legacy plain store (exists,
-    // no spec ledger) keeps its layout — appending bucketed files into a
-    // plain directory would be silently meaningless. The gate inspects
-    // BOTH store tables, not a sibling proxy: a crash between the
-    // signature append's two table writes must re-enter the same branch
-    // on retry (an absent table counts as bucketed-ready; only a present
-    // PLAIN table forces the legacy path)
+    // documents and doc_stats are cumulative doc_id-keyed tables too, and
+    // their idempotent appends anti-join the FULL table per drop — the
+    // same per-increment store shuffle the band join had. Bucketed on
+    // doc_id, the table side of each append's anti-join plans no exchange.
+    appendKeyedStore(spark, inc, docsPath(warehouse), storeBuckets)
+    appendKeyedStore(spark, docStats(inc), statsPath(warehouse), storeBuckets)
+    // the signature store goes LAST, and within it the shingle table last
+    // of all: the shingle table is the ingest trim's existence key, so its
+    // append is the drop's COMMIT POINT. A crash anywhere earlier leaves
+    // the doc's shingle row absent — the retry re-admits the doc through
+    // the trim and every keyed append above no-ops the rows that already
+    // landed. Writing the trim key any earlier would strand a
+    // half-ingested doc forever (trim skips it; its remaining rows never
+    // arrive). New warehouses get the bucketed store; a legacy plain
+    // store (exists, no spec ledger) keeps its layout — appending
+    // bucketed files into a plain directory would be silently
+    // meaningless. The gate inspects BOTH store tables, not a sibling
+    // proxy: a crash between the signature append's two table writes must
+    // re-enter the same branch on retry (an absent table counts as
+    // bucketed-ready; only a present PLAIN table forces the legacy path)
     def plainStore(p: String) =
       Sinks.pathExists(spark, p) && !Sinks.isBucketedStore(spark, p)
     if (plainStore(bandPath(warehouse)) || plainStore(shinglePath(warehouse)))
@@ -195,12 +208,6 @@ object CorpusIngest {
     else
       DedupOps.appendSignatureStoreBucketed(inc, bandPath(warehouse),
         shinglePath(warehouse), buckets = storeBuckets)
-    // documents and doc_stats are cumulative doc_id-keyed tables too, and
-    // their idempotent appends anti-join the FULL table per drop — the
-    // same per-increment store shuffle the band join had. Bucketed on
-    // doc_id, the table side of each append's anti-join plans no exchange.
-    appendKeyedStore(spark, inc, docsPath(warehouse), storeBuckets)
-    appendKeyedStore(spark, docStats(inc), statsPath(warehouse), storeBuckets)
     // maintenance: every drop appends one file set to the signature store,
     // and the NEXT increment re-reads the whole store — the same
     // fragmentation rhythm Backfill.run gates on for silver. Atomic swap,

@@ -747,15 +747,24 @@ object DedupOps {
     * (doc_id), both via Sinks.idempotentAppend, so a replayed drop is a
     * no-op. The shingle table is persisted in-memory for the duration so
     * the two writes share one tokenize+shingle pass.
+    *
+    * WRITE ORDER IS A CRASH CONTRACT: the shingle table is the ingest
+    * trim's existence key (CorpusIngest.run anti-joins drops against it),
+    * so it must be the LAST table written — the commit point. Bands-first
+    * means a crash between the two writes leaves a doc the retry still
+    * re-lands (its shingle row is absent, so the trim re-admits it and
+    * every per-table keyed append no-ops the rows that already landed).
+    * Shingles-first would leave the doc permanently half-ingested: the
+    * trim skips it forever while its band rows never arrive.
     */
   def appendSignatureStore(newDocs: DataFrame, bandPath: String,
                            shinglePath: String, numHashes: Int = 64,
                            bands: Int = 16): Unit = {
     val sh = shingleTable(newDocs)
-    graft.core.Sinks.idempotentAppend(sh, shinglePath,
-      keys = Seq("doc_id"), partitionCols = Nil)
     graft.core.Sinks.idempotentAppend(minhashBandTable(sh, numHashes, bands),
       bandPath, keys = Seq("doc_id", "band"), partitionCols = Nil)
+    graft.core.Sinks.idempotentAppend(sh, shinglePath,
+      keys = Seq("doc_id"), partitionCols = Nil)
   }
 
   /** appendSignatureStore with the store laid out as path-anchored BUCKETED
@@ -773,12 +782,14 @@ object DedupOps {
                                    numHashes: Int = 64,
                                    bands: Int = 16): Unit = {
     val sh = shingleTable(newDocs)
-    graft.core.Sinks.bucketedIdempotentAppend(sh, shinglePath,
-      keys = Seq("doc_id"), bucketKeys = Seq("doc_id"), buckets = buckets)
+    // bands first, shingles LAST — the shingle table is the ingest trim's
+    // commit point (see appendSignatureStore's crash contract)
     graft.core.Sinks.bucketedIdempotentAppend(
       minhashBandTable(sh, numHashes, bands), bandPath,
       keys = Seq("doc_id", "band"), bucketKeys = Seq("band", "sig"),
       buckets = buckets)
+    graft.core.Sinks.bucketedIdempotentAppend(sh, shinglePath,
+      keys = Seq("doc_id"), bucketKeys = Seq("doc_id"), buckets = buckets)
   }
 
   /** INCREMENTAL near-dup: pairs involving at least one NEW document — the

@@ -584,6 +584,14 @@ object SimilarityOps {
     * persisted for the duration); replayed drops are data no-ops via the
     * bucketed idempotent append. `buckets` only matters on the first drop
     * (the on-disk spec ledger wins thereafter).
+    *
+    * WRITE ORDER IS A CRASH CONTRACT (the embedding twin of
+    * `DedupOps.appendSignatureStore`'s): the vector store is the ingest
+    * trim's existence key (`CorpusIngest.ingestEmbeddings` anti-joins
+    * drops against it), so it is written LAST — the commit point. A crash
+    * between the two writes leaves the vec's row absent from the vector
+    * store, the retry re-admits it, and the band append no-ops the rows
+    * already landed; vecs-first would strand a half-ingested vector.
     */
   def appendEmbSignatureStoreBucketed(newEmb: DataFrame, bandPath: String,
                                       vecPath: String, buckets: Int,
@@ -595,13 +603,13 @@ object SimilarityOps {
         call_function("graft_band_codes", col("e"), typedlit(planeVecs),
           lit(rowsPerBand)).as("codes")))
     graft.core.Sinks.bucketedIdempotentAppend(
-      coded.select(col("vec_id"), col("e"), col("nrm")), vecPath,
-      keys = Seq("vec_id"), bucketKeys = Seq("vec_id"), buckets = buckets)
-    graft.core.Sinks.bucketedIdempotentAppend(
       coded.select(col("vec_id"),
         posexplode(col("codes")).as(Seq("band", "code"))), bandPath,
       keys = Seq("vec_id", "band"), bucketKeys = Seq("band", "code"),
       buckets = buckets)
+    graft.core.Sinks.bucketedIdempotentAppend(
+      coded.select(col("vec_id"), col("e"), col("nrm")), vecPath,
+      keys = Seq("vec_id"), bucketKeys = Seq("vec_id"), buckets = buckets)
   }
 
   /** INCREMENTAL embedding near-dup: pairs involving at least one NEW

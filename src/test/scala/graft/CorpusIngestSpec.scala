@@ -424,6 +424,52 @@ class CorpusIngestSpec extends AnyFunSuite {
       inc.collect().toSeq)
   }
 
+  test("crash recovery: a doc missing its commit-point row re-lands fully on retry") {
+    import graft.core.Sinks
+    // the shingle table is the trim's existence key and the LAST table the
+    // ingest writes — simulate a crash after the earlier appends (pairs,
+    // documents, doc_stats, bands landed) but before the commit point by
+    // deleting one doc's shingle row, then retry the identical drop
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcrash").toString
+    val drop = Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text")
+    CorpusIngest.run(spark, drop, wh)
+    Sinks.deleteBucketedByKey(spark, s"$wh/corpus/shingles",
+      Seq(20L).toDF("doc_id"), Seq("doc_id"))
+
+    val (n, _) = CorpusIngest.run(spark, drop, wh)
+    assert(n == 1L, s"retry must re-admit exactly the uncommitted doc, got $n")
+    // every table holds exactly one copy of doc 20's rows again
+    def rows(t: String, key: String = "doc_id") =
+      spark.read.parquet(s"$wh/corpus/$t").filter(col(key) === 20L).count()
+    assert(rows("shingles") == 1L, "commit-point row restored")
+    assert(rows("documents") == 1L, "keyed append must not duplicate documents")
+    assert(rows("doc_stats") == 1L, "keyed append must not duplicate stats")
+    assert(rows("bands") == 16L, s"band rows duplicated or lost: ${rows("bands")}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("crash recovery: a vector missing its commit-point row re-lands fully on retry") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcrashe").toString
+    def vec(major: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a
+    }
+    val drop = Seq((1L, vec(0)), (2L, vec(3))).toDF("vec_id", "embedding")
+    CorpusIngest.ingestEmbeddings(spark, drop, wh)
+    // the vector store is the embedding trim's commit point (written last)
+    Sinks.deleteBucketedByKey(spark, s"$wh/corpus/emb_vecs",
+      Seq(2L).toDF("vec_id"), Seq("vec_id"))
+
+    val (n, _) = CorpusIngest.ingestEmbeddings(spark, drop, wh)
+    assert(n == 1L, s"retry must re-admit exactly the uncommitted vec, got $n")
+    def rows(t: String) =
+      spark.read.parquet(s"$wh/corpus/$t").filter(col("vec_id") === 2L).count()
+    assert(rows("emb_vecs") == 1L, "commit-point row restored")
+    assert(rows("emb_bands") == 48L,
+      s"band rows duplicated or lost: ${rows("emb_bands")}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("ingest drivers release their operator caches on exit") {
     // a long-running ingest service calls run()/ingestEmbeddings() per
     // drop; each call persists operator intermediates (shingle/band/code
