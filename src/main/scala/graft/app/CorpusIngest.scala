@@ -317,6 +317,8 @@ object CorpusIngest {
   private def embVecsPath(wh: String) = s"$wh/corpus/emb_vecs"
   private def embBandsPath(wh: String) = s"$wh/corpus/emb_bands"
   private def embPairsPath(wh: String) = s"$wh/corpus/emb_pairs"
+  private def semAsgPath(wh: String) = s"$wh/corpus/sem_asg"
+  private def semPairsPath(wh: String) = s"$wh/corpus/sem_pairs"
 
   /** Land one EMBEDDING drop — the semantic-modality twin of `run`: trim
     * the drop against the vector store (replayed drops are no-ops), derive
@@ -339,13 +341,31 @@ object CorpusIngest {
     * plan no exchange; old vectors are never re-projected. The embedding
     * store is always bucketed — the table family is new, so there is no
     * legacy-plain-layout fallback to honor.
+    *
+    * `trainedCentroids` opts the drop into SEMDEDUP maintenance: the
+    * increment is assigned once against the supplied FROZEN centroids
+    * (kmeansCentroids output, retrained on the warehouse's own cadence),
+    * within-cluster pairs at `semThreshold` are derived against the
+    * persisted `corpus/sem_asg` assignment store, and both the pair table
+    * (`corpus/sem_pairs`, its own threshold ledger) and the assignment
+    * store are appended — so cluster-level curation state stays current
+    * per drop without ever re-assigning old vectors. After a retrain,
+    * rebuild `corpus/sem_asg`/`corpus/sem_pairs` from scratch and resume
+    * drops with the new centroids.
     */
   def ingestEmbeddings(spark: SparkSession, drop: DataFrame, warehouse: String,
                        threshold: Double = 0.42,
-                       storeBuckets: Int = 8): (Long, Long) = {
+                       storeBuckets: Int = 8,
+                       trainedCentroids: Option[DataFrame] = None,
+                       semThreshold: Double = 0.9): (Long, Long) = {
     val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
       threshold)
+    // the SemDeDup pair table has its own threshold regime (a semantic cut
+    // is far tighter than the LSH near-dup one) — refused before any work
+    if (trainedCentroids.isDefined)
+      checkThresholdAt(spark, semPairsPath(warehouse), "corpus/sem_pairs",
+        semThreshold)
     // drop-scoped operator persists, same release discipline as run()
     graft.core.GraftCaches.withScope(spark) {
       val newVecs =
@@ -373,10 +393,35 @@ object CorpusIngest {
         stampThresholdAt(spark, embPairsPath(warehouse), threshold)
         appendKeyedStore(spark, pairs, embPairsPath(warehouse), storeBuckets,
           keys = Seq("vec_a", "vec_b"))
+        // SemDeDup maintenance rides the same drop when the caller supplies
+        // FROZEN trained centroids (the retrain-cadence contract — see
+        // SimilarityOps.semAssignTable): assign the increment once, derive
+        // within-cluster pairs against the persisted assignment store,
+        // append pairs + assignments. All of it lands BEFORE the vec-store
+        // commit point below, so a crash anywhere here re-admits the vecs
+        // on retry and these keyed appends no-op what already landed.
+        trainedCentroids.foreach { cents =>
+          val storedAsg =
+            if (Sinks.pathExists(spark, semAsgPath(warehouse)))
+              readStore(spark, semAsgPath(warehouse))
+            // first drop: an empty store with the right schema — the
+            // incremental path then derives new-new pairs only
+            else graft.operators.SimilarityOps.semAssignTable(
+              inc.limit(0), cents)
+          val semPairs = graft.operators.SimilarityOps
+            .semDedupPairsIncremental(cents, storedAsg, inc, semThreshold)
+          stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
+          appendKeyedStore(spark, semPairs, semPairsPath(warehouse),
+            storeBuckets, keys = Seq("vec_a", "vec_b"))
+          graft.operators.SimilarityOps.appendSemAssignStoreBucketed(
+            inc, cents, semAsgPath(warehouse), buckets = storeBuckets)
+        }
         graft.operators.SimilarityOps.appendEmbSignatureStoreBucketed(inc,
           embBandsPath(warehouse), embVecsPath(warehouse),
           buckets = storeBuckets)
-        Seq(embBandsPath(warehouse), embVecsPath(warehouse)).foreach(p =>
+        (Seq(embBandsPath(warehouse), embVecsPath(warehouse)) ++
+          (if (trainedCentroids.isDefined) Seq(semAsgPath(warehouse))
+           else Nil)).foreach(p =>
           Sinks.compactBucketedIfFragmented(spark, p))
         (nNew, nPairs)
       }
@@ -386,9 +431,10 @@ object CorpusIngest {
   /** GOVERNANCE DELETE for the embedding modality — `delete`'s cascade over
     * the embedding tables, kept as a SEPARATE entry point because vec_id
     * and doc_id are independent id spaces (a warehouse that keys both from
-    * one id calls both). Purges emb_vecs / emb_bands on vec_id (the vector
-    * itself and its recoverable sign fingerprint) and emb_pairs on vec_a OR
-    * vec_b, each through the bucketed writer so the store layout survives.
+    * one id calls both). Purges emb_vecs / emb_bands / sem_asg on vec_id
+    * (the vector itself, its recoverable sign fingerprint, and its cluster
+    * assignment) and emb_pairs / sem_pairs on vec_a OR vec_b, each through
+    * the bucketed writer so the store layout survives.
     * Embeddings do not ride the streaming landing, so there is no tombstone
     * interplay: a re-submitted vec_id lands as new on the next drop, like
     * the batch text path. Returns per-table (rowsBefore, rowsAfter).
@@ -399,19 +445,25 @@ object CorpusIngest {
     val keys = vecIds.toDF("vec_id")
     val byVecId = Seq(
       "emb_vecs" -> embVecsPath(warehouse),
-      "emb_bands" -> embBandsPath(warehouse))
+      "emb_bands" -> embBandsPath(warehouse),
+      "sem_asg" -> semAsgPath(warehouse))
     val purged = byVecId.flatMap { case (name, p) =>
       if (!Sinks.pathExists(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("vec_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("vec_id")))
     }.toMap
-    if (!Sinks.pathExists(spark, embPairsPath(warehouse))) purged
-    else if (Sinks.isBucketedStore(spark, embPairsPath(warehouse)))
-      purged + ("emb_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
-        embPairsPath(warehouse), keys, "vec_id", Seq("vec_a", "vec_b")))
-    else purged + ("emb_pairs" -> Sinks.deleteByAnyKey(spark,
-      embPairsPath(warehouse), keys, "vec_id", Seq("vec_a", "vec_b")))
+    val pairTables = Seq(
+      "emb_pairs" -> embPairsPath(warehouse),
+      "sem_pairs" -> semPairsPath(warehouse))
+    purged ++ pairTables.flatMap { case (name, p) =>
+      if (!Sinks.pathExists(spark, p)) None
+      else if (Sinks.isBucketedStore(spark, p))
+        Some(name -> Sinks.deleteBucketedByAnyKey(spark, p, keys, "vec_id",
+          Seq("vec_a", "vec_b")))
+      else Some(name -> Sinks.deleteByAnyKey(spark, p, keys, "vec_id",
+        Seq("vec_a", "vec_b")))
+    }
   }
 
   /** A pair table's threshold provenance ledger: a sibling file (so

@@ -94,11 +94,12 @@ object SimilarityOps {
     * and `ann_semdedup` so the cluster assignment SemDeDup prunes with is
     * definitionally the assignment the clustering query reports.
     */
-  private def kmeansCtes(k: Int, iters: Int): (String, String) = {
+  private def kmeansCtes(k: Int, iters: Int,
+                         where: String = ""): (String, String) = {
     val sb = new StringBuilder
     sb ++= s"""v AS (SELECT vec_id, list_transform(embedding,
               |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
-              |  FROM embeddings),
+              |  FROM embeddings$where),
               |c0 AS (SELECT CAST(row_number() OVER (ORDER BY $centroidOrderSql)
               |           AS BIGINT) - 1 AS cid,
               |         list_transform(vi, x -> CAST(x AS DOUBLE) / 1000000) AS ce
@@ -370,6 +371,54 @@ object SimilarityOps {
            |ORDER BY vec_a, vec_b""".stripMargin
       }) { (s, d) =>
       semDedupPairs(Tables.embeddings(s, d), threshold = 0.42, k = 8, iters = 3)
+    },
+
+    // INCREMENTAL SemDeDup — an embedding drop (vec_id % 7 = 0) checked
+    // against the persisted cluster-assignment store under FROZEN
+    // centroids trained on the existing corpus (vec_id % 7 <> 0): the
+    // production retrain-cadence shape, where drops are assigned to the
+    // current centroids and only pairs touching a new vector are derived.
+    // The oracle re-trains the Lloyd chain over the OLD subset only (the
+    // same kmeansCtes fragment, WHERE-filtered — bit-identical trajectory),
+    // assigns ALL vectors to those frozen centroids with the chain's exact
+    // (d2, cid) tie-break, and keeps same-cluster verified pairs with a
+    // new side — the increment path must agree exactly on that subset.
+    QueryDef.sqlBacked(
+      "ann_semdedup_incremental", {
+        val (ctes, _) = kmeansCtes(k = 8, iters = 3,
+          where = " WHERE vec_id % 7 <> 0")
+        s"""WITH $ctes,
+           |vall AS (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
+           |  FROM embeddings),
+           |af AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           |  FROM (SELECT vall.vec_id, c.cid, $kmeansD2Sql AS d2
+           |        FROM vall CROSS JOIN c3 c))
+           |  WHERE rk = 1),
+           |e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |  FROM embeddings)
+           |SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(list_cosine_similarity(ea.ed, eb.ed), 6) AS cos
+           |FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |JOIN e ea ON ea.vec_id = a.vec_id
+           |JOIN e eb ON eb.vec_id = b.vec_id
+           |WHERE round(list_cosine_similarity(ea.ed, eb.ed), 6) >= 0.42
+           |  AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val isNew = col("vec_id") % 7 === 0
+      val old = emb.filter(!isNew)
+      // persisted: the tiny (k × dims) centroid frame has the full Lloyd
+      // lineage behind it and feeds both the store build and the fresh
+      // assignment — without the cache the chain would run twice
+      val cents = graft.core.GraftCaches.acquire(
+        kmeansCentroids(old, k = 8, iters = 3))
+      semDedupPairsIncremental(cents, semAssignTable(old, cents),
+        emb.filter(isNew), threshold = 0.42)
     }
   )
 
@@ -445,6 +494,91 @@ object SimilarityOps {
         exact.unionByName(lsh)
       }
     all.orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The SemDeDup ASSIGNMENT table: every vector of `embeddings` assigned
+    * to its nearest FROZEN centroid, carrying the verify payload —
+    * (cid, vec_id, e, nrm). This is what a production pipeline persists per
+    * drop (`appendSemAssignStoreBucketed`) so `semDedupPairsIncremental`
+    * probes old vectors by cluster without re-assigning them. Centroids
+    * come from `kmeansCentroids` trained on the existing corpus and stay
+    * frozen between retrains — the standard production cadence: assignment
+    * drift across drops is bounded by retraining, not per-drop re-runs.
+    * Tie-breaks match the Lloyd chain exactly (min (d2, cid)), so an
+    * assignment computed at ingest equals the one a batch re-run would
+    * produce from the same centroids.
+    */
+  def semAssignTable(embeddings: DataFrame,
+                     trainedCents: DataFrame): DataFrame = {
+    val asg = assignStep(integerized(embeddings), trainedCents)
+      .select(col("vec_id"), col("cid"))
+    withNorm(embeddings)
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .join(asg, "vec_id")
+      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+  }
+
+  /** Persist a drop's SemDeDup assignments as a path-anchored BUCKETED
+    * table on the pair-join key (cid), keyed vec_id (replayed drops are
+    * data no-ops). One table carries assignment AND verify payload, so the
+    * incremental pair search needs no second store join.
+    */
+  def appendSemAssignStoreBucketed(newEmb: DataFrame,
+                                   trainedCents: DataFrame, path: String,
+                                   buckets: Int): Unit =
+    graft.core.Sinks.bucketedIdempotentAppend(
+      semAssignTable(newEmb, trainedCents), path,
+      keys = Seq("vec_id"), bucketKeys = Seq("cid"), buckets = buckets)
+
+  /** INCREMENTAL SemDeDup: within-cluster near-dup pairs involving at
+    * least one NEW vector, under FROZEN trained centroids — the drop shape
+    * of `semDedupPairs`. The drop is assigned once against the broadcast
+    * centroids; the corpus side arrives as the PERSISTED assignment store,
+    * so old vectors are never re-assigned (let alone re-trained). Pairs
+    * split exactly into new-old ∪ new-new on cluster co-membership; the
+    * store side, bucketed on cid, plans no exchange, and the SHUFFLE_HASH
+    * hint (increment builds, store streams) keeps it unsorted.
+    * Verification is the family's raw-dot-first exact rounded cosine, so
+    * the increment path and a frozen-centroid batch recompute cannot
+    * drift.
+    *
+    * Cost bound: increment × largest cluster — the quadratic-mega-cluster
+    * guard is the BATCH operator's device (`semDedupPairs.maxClusterSize`);
+    * per-drop work here is bounded by admission-controlled drop size, and
+    * cluster balance is restored at retrain cadence (retrain → rebuild the
+    * assignment store → resume drops against the new centroids).
+    */
+  def semDedupPairsIncremental(trainedCents: DataFrame, storedAsg: DataFrame,
+                               newEmb: DataFrame,
+                               threshold: Double): DataFrame = {
+    // persisted: the fresh assignment feeds the new-old probe AND the
+    // new-new self-join, and Spark does not CSE across join branches
+    val fresh = graft.core.GraftCaches.acquire(
+      semAssignTable(newEmb, trainedCents).repartition(col("vec_id")))
+    val rawDot = expr("graft_dot(ea, eb)")
+    val normProd = sqrt(col("na") * col("nb"))
+    def verified(cand: DataFrame): DataFrame = cand
+      .filter(rawDot >= lit(threshold - 1e-6) * normProd &&
+        round(rawDot / normProd, 6) >= threshold)
+      .select(col("cid"),
+        least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        round(rawDot / normProd, 6).as("cos"))
+    val a = fresh.select(col("cid"), col("vec_id").as("ida"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val store = storedAsg.select(col("cid"), col("vec_id").as("idb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val newOld = verified(
+      a.hint("shuffle_hash").join(store, Seq("cid"))
+        .filter(col("ida") =!= col("idb")))
+    val bFresh = fresh.select(col("cid"), col("vec_id").as("idb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val newNew = verified(
+      a.join(bFresh, Seq("cid")).filter(col("ida") < col("idb")))
+    // disjoint by construction: a pair has exactly one (cid_a, cid_b)
+    // assignment each, and store/fresh ids never overlap (the store's key
+    // contract) — no dedup pass needed
+    newOld.unionByName(newNew).orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup). One side is

@@ -424,6 +424,56 @@ class CorpusIngestSpec extends AnyFunSuite {
       inc.collect().toSeq)
   }
 
+  test("embedding drops with trained centroids maintain the semdedup store incrementally") {
+    import graft.core.Sinks
+    import graft.operators.SimilarityOps
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whsem").toString
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    val drop1 = Seq((1L, vec(0)), (2L, vec(30))).toDF("vec_id", "embedding")
+    // frozen centroids trained on the seed corpus — the retrain-cadence
+    // contract: the same frame is passed to every later drop
+    val cents = graft.core.GraftCaches.acquire(
+      SimilarityOps.kmeansCentroids(drop1, k = 2, iters = 1))
+    CorpusIngest.ingestEmbeddings(spark, drop1, wh,
+      trainedCentroids = Some(cents))
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/sem_asg"),
+      "semdedup assignment store must be created bucketed")
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/sem_asg").count() == 2L)
+
+    // drop 2: a near-identical twin of vec 1 — the sem pair derives
+    // against the persisted assignments, old vectors untouched
+    val drop2 = Seq((3L, vec(0, 0.01f))).toDF("vec_id", "embedding")
+    CorpusIngest.ingestEmbeddings(spark, drop2, wh,
+      trainedCentroids = Some(cents))
+    val semPairs = spark.read.parquet(s"$wh/corpus/sem_pairs")
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(semPairs == Set((1L, 3L)), s"sem pairs: $semPairs")
+
+    // replay is a no-op; a drifted sem threshold is refused before work
+    val asgRows = spark.read.parquet(s"$wh/corpus/sem_asg").count()
+    CorpusIngest.ingestEmbeddings(spark, drop2, wh,
+      trainedCentroids = Some(cents))
+    assert(spark.read.parquet(s"$wh/corpus/sem_asg").count() == asgRows)
+    val err = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestEmbeddings(spark,
+        Seq((9L, vec(7))).toDF("vec_id", "embedding"), wh,
+        trainedCentroids = Some(cents), semThreshold = 0.5)
+    }
+    assert(err.getMessage.contains("sem_pairs"), err.getMessage)
+
+    // governance cascades through the semantic tables too
+    val audit = CorpusIngest.deleteEmbeddings(spark, wh, Seq(1L))
+    assert(audit.keySet.contains("sem_asg") && audit.keySet.contains("sem_pairs"),
+      s"$audit")
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/sem_asg")
+      .filter(col("vec_id") === 1L).isEmpty)
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/sem_pairs").isEmpty,
+      "sem pair rows naming the deleted vector must be gone")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("crash recovery: a doc missing its commit-point row re-lands fully on retry") {
     import graft.core.Sinks
     // the shingle table is the trim's existence key and the LAST table the

@@ -242,6 +242,78 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("incremental semdedup equals the frozen-centroid recompute restricted to new-side pairs") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf001)
+    val isNew = col("vec_id") % 7 === 0
+    val old = emb.filter(!isNew)
+    val cents = graft.core.GraftCaches.acquire(
+      SimilarityOps.kmeansCentroids(old, k = 8, iters = 3))
+    // batch characterization under the SAME frozen centroids: assign all,
+    // pair within shared clusters, exact rounded cosine
+    val all = SimilarityOps.semAssignTable(emb, cents)
+    val aF = all.select(col("cid"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val bF = all.select(col("cid"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val full = aF.join(bF, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr("graft_dot(ea, eb)") /
+        sqrt(col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val wantNewSide = full.filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    val got = SimilarityOps.semDedupPairsIncremental(cents,
+      SimilarityOps.semAssignTable(old, cents), emb.filter(isNew),
+      threshold = 0.42)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == wantNewSide,
+      s"extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+    assert(got.nonEmpty, "fixture should yield at least one new-side pair")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("semdedup assignment store: bucketed round-trip, zero store-side exchange/sort") {
+    import graft.core.Sinks
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val dir = java.nio.file.Files.createTempDirectory("semasg").toString
+    val asgP = s"$dir/sem_asg"
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(8)(0f); a(major) = 1f; a((major + 1) % 8) = eps; a
+    }
+    val base = Seq((10L, vec(0)), (11L, vec(3)), (12L, vec(5, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.core.GraftCaches.acquire(
+      SimilarityOps.kmeansCentroids(base, k = 2, iters = 1))
+    SimilarityOps.appendSemAssignStoreBucketed(base, cents, asgP, buckets = 2)
+    assert(Sinks.isBucketedStore(spark, asgP))
+    val rows = spark.read.parquet(asgP).count()
+    SimilarityOps.appendSemAssignStoreBucketed(base, cents, asgP, buckets = 2)
+    assert(spark.read.parquet(asgP).count() == rows,
+      "replayed append duplicated store rows")
+
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val drop = Seq((20L, vec(0))).toDF("vec_id", "embedding")
+      val pairs = SimilarityOps.semDedupPairsIncremental(cents,
+        Sinks.readBucketedPath(spark, asgP), drop, threshold = 0.9)
+      def storeNodes(pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, org.apache.spark.sql.execution.SparkPlan]) =
+        pairs.queryExecution.executedPlan.collect(pf).filter { n =>
+          val leaves = n.children.flatMap(_.collectLeaves())
+          leaves.nonEmpty && leaves.forall(_.toString.contains("sem_asg"))
+        }
+      assert(storeNodes { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side re-shuffles:\n${pairs.queryExecution.executedPlan}")
+      assert(storeNodes {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"store side re-sorts:\n${pairs.queryExecution.executedPlan}")
+      val got = pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 20L)), s"incremental sem pairs: $got")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("incremental embedding dedup equals the full recompute restricted to new-side pairs") {
     // fixture split into "existing corpus" and a "new drop"; the increment
     // path must produce EXACTLY the full-LSH pairs touching a new vector —
