@@ -709,17 +709,83 @@ object CorpusIngest {
     * bounded by the pair graph, one anti-join shipping loser vec_ids (the
     * embedding arrays never ride the component computation).
     */
-  def embSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
+  def embSurvivors(spark: SparkSession, warehouse: String): DataFrame =
+    survivorsOverPairs(spark, warehouse, embPairsPath(warehouse))
+
+  /** The SemDeDup-applied view: keep-the-minimum per semantic cluster
+    * component over the cumulative `corpus/sem_pairs` table — the corpus a
+    * SemDeDup-curated training run actually reads.
+    */
+  def semSurvivors(spark: SparkSession, warehouse: String): DataFrame =
+    survivorsOverPairs(spark, warehouse, semPairsPath(warehouse))
+
+  private def survivorsOverPairs(spark: SparkSession, warehouse: String,
+                                 pairsP: String): DataFrame = {
     val vecs = readStore(spark, embVecsPath(warehouse))
-    if (!Sinks.pathExists(spark, embPairsPath(warehouse))) vecs
+    if (!Sinks.pathExists(spark, pairsP)) vecs
     else {
-      val pairs = readStore(spark, embPairsPath(warehouse))
+      val pairs = readStore(spark, pairsP)
       val lab = Components.connectedComponents(
         pairs.select(col("vec_a"), col("vec_b")))
       val losers = lab.filter(col("node") =!= col("component"))
         .select(col("node").as("vec_id"))
       vecs.join(losers, Seq("vec_id"), "left_anti")
     }
+  }
+
+  /** RETRAIN the SemDeDup state — the other half of the frozen-centroid
+    * cadence `ingestEmbeddings(trainedCentroids = ...)` rides on: train
+    * fresh centroids on the CURRENT vector store, rebuild the assignment
+    * and pair tables from scratch under them, and return the new centroid
+    * frame (eagerly checkpointed — safe to hold across sessions of drops).
+    * Without this API the documented "rebuild from scratch and resume"
+    * step was warehouse hand surgery. The old sem tables and their sibling
+    * ledgers are dropped first, so the retrain may change `semThreshold` —
+    * the fresh pair table stamps the new provenance. Cost: one Lloyd run
+    * over the vector store + one within-cluster pair pass — the batch
+    * SemDeDup price, paid once per retrain, not per drop.
+    */
+  def retrainSemStore(spark: SparkSession, warehouse: String, k: Int = 8,
+                      iters: Int = 3, semThreshold: Double = 0.9,
+                      storeBuckets: Int = 8): DataFrame = {
+    require(Sinks.pathExists(spark, embVecsPath(warehouse)),
+      s"retrainSemStore: no vector store at ${embVecsPath(warehouse)} — " +
+        "ingest embeddings first")
+    dropStore(spark, semAsgPath(warehouse))
+    dropStore(spark, semPairsPath(warehouse))
+    graft.core.GraftCaches.withScope(spark) {
+      val vecs = readStore(spark, embVecsPath(warehouse))
+      // eager + lineage-free: the returned frame must survive this scope's
+      // cache release and later store rewrites
+      val cents = graft.operators.SimilarityOps
+        .kmeansCentroidsFromVecs(vecs, k, iters).localCheckpoint()
+      val asg = graft.core.GraftCaches.acquire(
+        graft.operators.SimilarityOps.semAssignTableFromVecs(vecs, cents))
+      stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
+      appendKeyedStore(spark,
+        graft.operators.SimilarityOps.semPairsFromAssignments(asg, semThreshold),
+        semPairsPath(warehouse), storeBuckets, keys = Seq("vec_a", "vec_b"))
+      Sinks.bucketedIdempotentAppend(asg, semAsgPath(warehouse),
+        keys = Seq("vec_id"), bucketKeys = Seq("cid"), buckets = storeBuckets)
+      cents
+    }
+  }
+
+  /** Drop a warehouse table AND its sibling ledgers (bucket spec,
+    * threshold provenance) plus any catalog registration — the rebuild
+    * primitive retrain uses. A directory-only delete would leave a
+    * bucket-spec ledger pointing at nothing and a stale threshold stamp
+    * guarding an empty table.
+    */
+  private def dropStore(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Seq("._bucketspec", "._threshold").foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(path + s), false))
+    val name = Sinks.bucketedTableName(path)
+    if (spark.catalog.tableExists(name))
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
   }
 
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup

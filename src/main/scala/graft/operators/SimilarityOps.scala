@@ -518,6 +518,58 @@ object SimilarityOps {
       .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
   }
 
+  /** `integerized` for the (vec_id, e, nrm) VECTOR-STORE form: `e` is the
+    * double cast of the original float embedding, so floor(e·1e6) equals
+    * the raw-table integerization bit-for-bit — a retrain over the
+    * persisted store walks the same Lloyd trajectory a retrain over the
+    * raw embeddings would.
+    */
+  private def integerizedFromVecs(vecs: DataFrame): DataFrame =
+    graft.core.GraftCaches.acquire(
+      vecs.select(col("vec_id"),
+        expr("transform(e, x -> CAST(floor(x * 1000000D) AS BIGINT))")
+          .as("vi"))
+        .repartition(col("vec_id")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** `kmeansCentroids` over the persisted vector store — the retrain
+    * entry point: train from (vec_id, e, nrm) without re-reading the raw
+    * embeddings table.
+    */
+  def kmeansCentroidsFromVecs(vecs: DataFrame, k: Int = 8,
+                              iters: Int = 3): DataFrame =
+    trainedFrom(integerizedFromVecs(vecs), k, iters)
+
+  /** `semAssignTable` over the persisted vector store (same frozen-centroid
+    * assignment, no raw-table read).
+    */
+  def semAssignTableFromVecs(vecs: DataFrame,
+                             trainedCents: DataFrame): DataFrame = {
+    val asg = assignStep(integerizedFromVecs(vecs), trainedCents)
+      .select(col("vec_id"), col("cid"))
+    vecs.select(col("vec_id"), col("e"), col("nrm")).join(asg, "vec_id")
+      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+  }
+
+  /** Within-cluster verified pairs from a FULL assignment table — the
+    * batch pair derivation a retrain uses to rebuild the pair table from
+    * the fresh assignments (cid-equi self-join, the family's raw-dot-first
+    * exact rounded verify).
+    */
+  def semPairsFromAssignments(asg: DataFrame, threshold: Double): DataFrame = {
+    val a = asg.select(col("cid"), col("vec_id").as("ida"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = asg.select(col("cid"), col("vec_id").as("idb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val rawDot = expr("graft_dot(ea, eb)")
+    val normProd = sqrt(col("na") * col("nb"))
+    a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+      .filter(rawDot >= lit(threshold - 1e-6) * normProd &&
+        round(rawDot / normProd, 6) >= threshold)
+      .select(col("cid"), col("ida").as("vec_a"), col("idb").as("vec_b"),
+        round(rawDot / normProd, 6).as("cos"))
+  }
+
   /** Persist a drop's SemDeDup assignments as a path-anchored BUCKETED
     * table on the pair-join key (cid), keyed vec_id (replayed drops are
     * data no-ops). One table carries assignment AND verify payload, so the

@@ -471,6 +471,27 @@ class CorpusIngestSpec extends AnyFunSuite {
       .filter(col("vec_id") === 1L).isEmpty)
     assert(Sinks.readBucketedPath(spark, s"$wh/corpus/sem_pairs").isEmpty,
       "sem pair rows naming the deleted vector must be gone")
+
+    // RETRAIN: fresh centroids on the current vector store, tables rebuilt
+    // from scratch; the retrain may change the threshold regime (the old
+    // ledger goes with the old table)
+    CorpusIngest.retrainSemStore(spark, wh, k = 2, iters = 1)
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/sem_asg")
+      .select("vec_id").as[Long].collect().toSet == Set(2L, 3L),
+      "retrain must rebuild assignments from the surviving vector store")
+    val cents3 = CorpusIngest.retrainSemStore(spark, wh, k = 2, iters = 1,
+      semThreshold = 0.8)
+    // a new drop under the new centroids pairs with the surviving twin
+    CorpusIngest.ingestEmbeddings(spark,
+      Seq((5L, vec(0, 0.02f))).toDF("vec_id", "embedding"), wh,
+      trainedCentroids = Some(cents3), semThreshold = 0.8)
+    val semPairs2 = spark.read.parquet(s"$wh/corpus/sem_pairs")
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(semPairs2 == Set((3L, 5L)), s"post-retrain sem pairs: $semPairs2")
+    // the SemDeDup-applied view: 5 loses to its cluster minimum 3
+    assert(CorpusIngest.semSurvivors(spark, wh)
+      .select("vec_id").as[Long].collect().toSet == Set(2L, 3L),
+      "semSurvivors must keep the per-cluster minimum + singletons")
     graft.core.GraftCaches.releaseAll(spark)
   }
 
