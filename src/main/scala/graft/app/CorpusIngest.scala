@@ -766,7 +766,8 @@ object CorpusIngest {
         graft.operators.SimilarityOps.semPairsFromAssignments(asg, semThreshold),
         semPairsPath(warehouse), storeBuckets, keys = Seq("vec_a", "vec_b"))
       Sinks.bucketedIdempotentAppend(asg, semAsgPath(warehouse),
-        keys = Seq("vec_id"), bucketKeys = Seq("cid"), buckets = storeBuckets)
+        keys = Seq("cid", "vec_id"), bucketKeys = Seq("cid"),
+        buckets = storeBuckets)
       cents
     }
   }

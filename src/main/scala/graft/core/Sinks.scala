@@ -906,12 +906,27 @@ object Sinks {
         s"bucketedIdempotentAppend: type drift for $path — " + retyped.map(f =>
           s"${f.name}: table=${storedTypes(f.name).catalogString} " +
             s"batch=${f.dataType.catalogString}").mkString(", "))
-      val fresh = df.join(stored.select(keys.map(col): _*), keys, "left_anti")
-      fresh.repartition(specBuckets, specKeys.map(col): _*)
-        .write.mode(SaveMode.Append).format("parquet")
-        .bucketBy(specBuckets, specKeys.head, specKeys.tail: _*)
-        .sortBy(specKeys.head, specKeys.tail: _*)
-        .saveAsTable(name)
+      // subset co-partitioning for the existence check: when `keys`
+      // contains the bucket keys, the bucketed scan already satisfies the
+      // anti-join's clustering on that subset — but since Spark 3.3
+      // co-partitioning demands ALL join keys by default (a skew
+      // precaution), which re-shuffles the corpus-sized store every
+      // append. Relax the requirement for exactly this join: the
+      // increment side shuffles to the store's layout and the store
+      // streams off its buckets. Correctness is unaffected — equal full
+      // keys imply equal bucket-subset keys, so matching rows are
+      // co-located either way. Scoped and restored in finally.
+      val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+      val oldCo = spark.conf.get(coKey)
+      try {
+        if (specKeys.forall(keys.contains)) spark.conf.set(coKey, "false")
+        val fresh = df.join(stored.select(keys.map(col): _*), keys, "left_anti")
+        fresh.repartition(specBuckets, specKeys.map(col): _*)
+          .write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(specBuckets, specKeys.head, specKeys.tail: _*)
+          .sortBy(specKeys.head, specKeys.tail: _*)
+          .saveAsTable(name)
+      } finally spark.conf.set(coKey, oldCo)
     }
   }
 

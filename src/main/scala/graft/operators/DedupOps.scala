@@ -783,10 +783,17 @@ object DedupOps {
                                    bands: Int = 16): Unit = {
     val sh = shingleTable(newDocs)
     // bands first, shingles LAST — the shingle table is the ingest trim's
-    // commit point (see appendSignatureStore's crash contract)
+    // commit point (see appendSignatureStore's crash contract).
+    // The band append's idempotence keys carry the BUCKET keys too: sig is
+    // a deterministic function of (doc_id, band), so matching on
+    // (band, sig, doc_id) is equivalent to (doc_id, band) — and because
+    // the key set now contains the bucket keys as a subset, the bucketed
+    // scan satisfies the existence anti-join's distribution and the
+    // corpus-sized store side plans NO exchange per append (keys (doc_id,
+    // band) alone re-shuffled the whole store every drop).
     graft.core.Sinks.bucketedIdempotentAppend(
       minhashBandTable(sh, numHashes, bands), bandPath,
-      keys = Seq("doc_id", "band"), bucketKeys = Seq("band", "sig"),
+      keys = Seq("band", "sig", "doc_id"), bucketKeys = Seq("band", "sig"),
       buckets = buckets)
     graft.core.Sinks.bucketedIdempotentAppend(sh, shinglePath,
       keys = Seq("doc_id"), bucketKeys = Seq("doc_id"), buckets = buckets)

@@ -333,9 +333,14 @@ object Multimodal {
     */
   def appendPhashStoreBucketed(newMedia: DataFrame, bandPath: String,
                                buckets: Int, maxHamming: Int = 3): Unit =
+    // idempotence keys include the bucket keys: chunk is a deterministic
+    // function of (media_id, ci), so (ci, chunk, media_id) is equivalent
+    // to (media_id, ci) — and the bucketed scan then satisfies the
+    // existence anti-join's distribution, no store-side exchange per
+    // append (the DedupOps.appendSignatureStoreBucketed equivalence)
     graft.core.Sinks.bucketedIdempotentAppend(
       phashBandTable(newMedia, maxHamming), bandPath,
-      keys = Seq("media_id", "ci"), bucketKeys = Seq("ci", "chunk"),
+      keys = Seq("ci", "chunk", "media_id"), bucketKeys = Seq("ci", "chunk"),
       buckets = buckets)
 
   /** INCREMENTAL perceptual near-dup: pairs involving at least one NEW

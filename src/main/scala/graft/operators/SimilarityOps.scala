@@ -578,9 +578,15 @@ object SimilarityOps {
   def appendSemAssignStoreBucketed(newEmb: DataFrame,
                                    trainedCents: DataFrame, path: String,
                                    buckets: Int): Unit =
+    // idempotence keys include the bucket key: within one table's lifetime
+    // the centroids are FROZEN (a retrain rebuilds the table from
+    // scratch), so cid is a deterministic function of vec_id and matching
+    // on (cid, vec_id) is equivalent to vec_id alone — which lets the
+    // cid-bucketed scan satisfy the existence anti-join's distribution
+    // with no store-side exchange per append
     graft.core.Sinks.bucketedIdempotentAppend(
       semAssignTable(newEmb, trainedCents), path,
-      keys = Seq("vec_id"), bucketKeys = Seq("cid"), buckets = buckets)
+      keys = Seq("cid", "vec_id"), bucketKeys = Seq("cid"), buckets = buckets)
 
   /** INCREMENTAL SemDeDup: within-cluster near-dup pairs involving at
     * least one NEW vector, under FROZEN trained centroids — the drop shape
@@ -788,10 +794,16 @@ object SimilarityOps {
       withNorm(newEmb).select(col("vec_id"), col("e"), col("nrm"),
         call_function("graft_band_codes", col("e"), typedlit(planeVecs),
           lit(rowsPerBand)).as("codes")))
+    // idempotence keys include the bucket keys: code is a deterministic
+    // function of (vec_id, band), so (band, code, vec_id) matches exactly
+    // the (vec_id, band) rows — and the bucketed scan then satisfies the
+    // existence anti-join's distribution, no store-side exchange per
+    // append (the same equivalence DedupOps.appendSignatureStoreBucketed
+    // documents)
     graft.core.Sinks.bucketedIdempotentAppend(
       coded.select(col("vec_id"),
         posexplode(col("codes")).as(Seq("band", "code"))), bandPath,
-      keys = Seq("vec_id", "band"), bucketKeys = Seq("band", "code"),
+      keys = Seq("band", "code", "vec_id"), bucketKeys = Seq("band", "code"),
       buckets = buckets)
     graft.core.Sinks.bucketedIdempotentAppend(
       coded.select(col("vec_id"), col("e"), col("nrm")), vecPath,

@@ -826,6 +826,61 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set(thrKey, oldThr)
   }
 
+  test("prefix-keyed existence anti-join leaves the bucketed store unshuffled") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the idempotent-append existence check is an anti-join on the append
+    // keys; when the key set CONTAINS the bucket keys (as a subset), the
+    // bucketed scan satisfies the join's clustering and the corpus-sized
+    // store side plans no exchange — the equivalence the signature-store
+    // appends exploit (sig/code/chunk are deterministic per (id, band), so
+    // widening the keys changes no semantics)
+    val dir = Files.createTempDirectory("prefixanti").toString
+    val store = spark.range(0, 2000)
+      .select((col("id") % 16).as("band"), (col("id") % 97).as("sig"),
+        col("id").as("doc_id"))
+    Sinks.bucketedIdempotentAppend(store, s"$dir/bands",
+      keys = Seq("band", "sig", "doc_id"), bucketKeys = Seq("band", "sig"),
+      buckets = 4)
+    val inc = spark.range(2000, 2100)
+      .select((col("id") % 16).as("band"), (col("id") % 97).as("sig"),
+        col("id").as("doc_id"))
+    // the subset-co-partition relaxation mirrors what
+    // bucketedIdempotentAppend sets internally around its existence check
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val olds = Seq(thrKey, aqeKey, coKey).map(k => k -> spark.conf.get(k))
+    spark.conf.set(thrKey, "-1"); spark.conf.set(aqeKey, "false")
+    spark.conf.set(coKey, "false")
+    try {
+      def storeShuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike
+            if e.child.collectLeaves().nonEmpty &&
+               e.child.collectLeaves().forall(_.toString.contains("bands")) => e
+        }
+      val stored = Sinks.readBucketedPath(spark, s"$dir/bands")
+      // the shape bucketedIdempotentAppend builds with prefix-containing keys
+      val prefixAnti = inc.join(
+        stored.select("band", "sig", "doc_id"),
+        Seq("band", "sig", "doc_id"), "left_anti")
+      assert(storeShuffles(prefixAnti).isEmpty,
+        s"prefix-keyed anti-join re-shuffles the store:\n" +
+          prefixAnti.queryExecution.executedPlan)
+      // control: keys NOT containing the bucket keys force a store shuffle
+      val plainAnti = inc.join(
+        stored.select("doc_id", "band"), Seq("doc_id", "band"), "left_anti")
+      assert(storeShuffles(plainAnti).nonEmpty,
+        "non-prefix control should shuffle — assertion above is vacuous otherwise")
+      // and the widened keys keep exact idempotence: replay appends nothing
+      val before = spark.read.parquet(s"$dir/bands").count()
+      Sinks.bucketedIdempotentAppend(store, s"$dir/bands",
+        keys = Seq("band", "sig", "doc_id"), bucketKeys = Seq("band", "sig"),
+        buckets = 4)
+      assert(spark.read.parquet(s"$dir/bands").count() == before)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("z-order layout + file-stats index prune on EITHER column; single-sort control cannot") {
     import graft.core.Layout
     val dir = Files.createTempDirectory("zorder").toString
