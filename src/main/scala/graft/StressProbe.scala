@@ -189,7 +189,14 @@ object StressProbe {
               core.Sinks.readBucketedPath(spark, shingleP),
               dropDocs, threshold = 0.5)))
       ) finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
-      build +: drops
+      // the drop's own APPEND into the store (runs LAST so the pair probes
+      // above see the unmodified corpus): since the idempotence keys carry
+      // the bucket keys, the existence anti-join leaves the corpus-sized
+      // store unshuffled — this probe times the whole signing+append pass
+      val append = timeEffect("signature_store_append_drop", dropN)(
+        operators.DedupOps.appendSignatureStoreBucketed(
+          dropDocs, bandP, shingleP, buckets = 32))
+      (build +: drops) :+ append
     }
 
     // ---- incremental EMBEDDING dedup against the persisted bucketed
@@ -244,7 +251,10 @@ object StressProbe {
               core.Sinks.readBucketedPath(spark, vecP),
               dropVecs, threshold = 0.9, rowsPerBand = 18, bands = 48)))
       ) finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
-      build +: drops
+      val append = timeEffect("emb_store_append_drop", dropN)(
+        operators.SimilarityOps.appendEmbSignatureStoreBucketed(
+          dropVecs, bandP, vecP, buckets = 32, rowsPerBand = 18, bands = 48))
+      (build +: drops) :+ append
     }
 
     // ---- connected components at probe scale: a random recursive tree
