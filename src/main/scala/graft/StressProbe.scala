@@ -158,15 +158,18 @@ object StressProbe {
       // run — untimed, unreported — or the drop probe dies on a missing
       // store; when the build tag is selected it is timed as usual
       val dropSelected = Seq("incremental_drop_unbucketed",
-        "incremental_drop_bucketed").exists(selected)
+        "incremental_drop_bucketed", "signature_store_append_drop")
+        .exists(selected)
       val build =
         if (!selected("signature_store_build") && dropSelected) {
-          operators.DedupOps.appendSignatureStoreBucketed(
-            corpusSide, bandP, shingleP, buckets = 32)
+          core.GraftCaches.withScope(spark)(
+            operators.DedupOps.appendSignatureStoreBucketed(
+              corpusSide, bandP, shingleP, buckets = 32))
           "signature_store_build" -> 0.0
-        } else timeEffect("signature_store_build", dupFrom)(
-          operators.DedupOps.appendSignatureStoreBucketed(
-            corpusSide, bandP, shingleP, buckets = 32))
+        } else core.GraftCaches.withScope(spark)(
+          timeEffect("signature_store_build", dupFrom)(
+            operators.DedupOps.appendSignatureStoreBucketed(
+              corpusSide, bandP, shingleP, buckets = 32)))
       // at 100 TB NEITHER side of the store join fits a broadcast; at probe
       // scale the ~1% drop does, which would hide the store shuffle behind
       // a BroadcastHashJoin in BOTH variants. Emulate the at-scale regime
@@ -193,9 +196,10 @@ object StressProbe {
       // above see the unmodified corpus): since the idempotence keys carry
       // the bucket keys, the existence anti-join leaves the corpus-sized
       // store unshuffled — this probe times the whole signing+append pass
-      val append = timeEffect("signature_store_append_drop", dropN)(
-        operators.DedupOps.appendSignatureStoreBucketed(
-          dropDocs, bandP, shingleP, buckets = 32))
+      val append = core.GraftCaches.withScope(spark)(
+        timeEffect("signature_store_append_drop", dropN)(
+          operators.DedupOps.appendSignatureStoreBucketed(
+            dropDocs, bandP, shingleP, buckets = 32)))
       (build +: drops) :+ append
     }
 
@@ -228,10 +232,10 @@ object StressProbe {
         (id, v.map(_.toFloat))
       }.toDF("vec_id", "embedding")
       val dropSelected = Seq("emb_drop_unbucketed",
-        "emb_drop_bucketed").exists(selected)
-      def buildStore(): Unit =
+        "emb_drop_bucketed", "emb_store_append_drop").exists(selected)
+      def buildStore(): Unit = core.GraftCaches.withScope(spark)(
         operators.SimilarityOps.appendEmbSignatureStoreBucketed(
-          corpusVecs, bandP, vecP, buckets = 32, rowsPerBand = 18, bands = 48)
+          corpusVecs, bandP, vecP, buckets = 32, rowsPerBand = 18, bands = 48))
       val build =
         if (!selected("emb_store_build") && dropSelected) {
           buildStore(); "emb_store_build" -> 0.0
@@ -251,9 +255,11 @@ object StressProbe {
               core.Sinks.readBucketedPath(spark, vecP),
               dropVecs, threshold = 0.9, rowsPerBand = 18, bands = 48)))
       ) finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
-      val append = timeEffect("emb_store_append_drop", dropN)(
-        operators.SimilarityOps.appendEmbSignatureStoreBucketed(
-          dropVecs, bandP, vecP, buckets = 32, rowsPerBand = 18, bands = 48))
+      val append = core.GraftCaches.withScope(spark)(
+        timeEffect("emb_store_append_drop", dropN)(
+          operators.SimilarityOps.appendEmbSignatureStoreBucketed(
+            dropVecs, bandP, vecP, buckets = 32, rowsPerBand = 18,
+            bands = 48)))
       (build +: drops) :+ append
     }
 

@@ -361,11 +361,27 @@ object CorpusIngest {
     val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
       threshold)
-    // the SemDeDup pair table has its own threshold regime (a semantic cut
-    // is far tighter than the LSH near-dup one) — refused before any work
-    if (trainedCentroids.isDefined)
+    // SemDeDup COVERAGE is refused-before-work like every other contract
+    // here: a partial assignment store silently misses semantic pairs
+    // forever, so the two ways to create one are both errors. (1) Enabling
+    // sem maintenance on a warehouse that already holds vectors the store
+    // never assigned — run retrainSemStore first to cover them. (2) A
+    // sem-maintained warehouse receiving a drop WITHOUT centroids — that
+    // drop's vectors would never enter sem_asg.
+    val semAsgExists = Sinks.pathExists(spark, semAsgPath(warehouse))
+    if (trainedCentroids.isDefined) {
+      require(semAsgExists || !storeExists,
+        s"ingestEmbeddings: ${semAsgPath(warehouse)} is missing but the " +
+          "vector store already has vectors the assignment store would " +
+          "never cover — run retrainSemStore(warehouse) to build sem_asg " +
+          "over the existing corpus before sem-maintained drops")
       checkThresholdAt(spark, semPairsPath(warehouse), "corpus/sem_pairs",
         semThreshold)
+    } else require(!semAsgExists,
+      s"ingestEmbeddings: ${semAsgPath(warehouse)} exists — this warehouse " +
+        "is sem-maintained, and a drop ingested without trainedCentroids " +
+        "would leave its vectors out of the assignment store forever " +
+        "(pass the centroids, or drop the sem store to stop maintaining it)")
     // drop-scoped operator persists, same release discipline as run()
     graft.core.GraftCaches.withScope(spark) {
       val newVecs =
@@ -408,13 +424,19 @@ object CorpusIngest {
             // incremental path then derives new-new pairs only
             else graft.operators.SimilarityOps.semAssignTable(
               inc.limit(0), cents)
+          // ONE broadcast-assign pass per drop: the persisted frame feeds
+          // the pair derivation (both join branches) AND the store append
+          val freshAsg = graft.core.GraftCaches.acquire(
+            graft.operators.SimilarityOps.semAssignTable(inc, cents)
+              .repartition(col("vec_id")))
           val semPairs = graft.operators.SimilarityOps
-            .semDedupPairsIncremental(cents, storedAsg, inc, semThreshold)
+            .semPairsIncrementalFromAssign(storedAsg, freshAsg, semThreshold)
           stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
           appendKeyedStore(spark, semPairs, semPairsPath(warehouse),
             storeBuckets, keys = Seq("vec_a", "vec_b"))
-          graft.operators.SimilarityOps.appendSemAssignStoreBucketed(
-            inc, cents, semAsgPath(warehouse), buckets = storeBuckets)
+          Sinks.bucketedIdempotentAppend(freshAsg, semAsgPath(warehouse),
+            keys = Seq("cid", "vec_id"), bucketKeys = Seq("cid"),
+            buckets = storeBuckets)
         }
         graft.operators.SimilarityOps.appendEmbSignatureStoreBucketed(inc,
           embBandsPath(warehouse), embVecsPath(warehouse),
@@ -755,12 +777,13 @@ object CorpusIngest {
     dropStore(spark, semPairsPath(warehouse))
     graft.core.GraftCaches.withScope(spark) {
       val vecs = readStore(spark, embVecsPath(warehouse))
-      // eager + lineage-free: the returned frame must survive this scope's
-      // cache release and later store rewrites
-      val cents = graft.operators.SimilarityOps
-        .kmeansCentroidsFromVecs(vecs, k, iters).localCheckpoint()
-      val asg = graft.core.GraftCaches.acquire(
-        graft.operators.SimilarityOps.semAssignTableFromVecs(vecs, cents))
+      // one shared integerized pass for train + assign; centroids eager +
+      // lineage-free — the returned frame must survive this scope's cache
+      // release and later store rewrites
+      val (cents0, asg0) = graft.operators.SimilarityOps
+        .semRetrainFromVecs(vecs, k, iters)
+      val cents = cents0.localCheckpoint()
+      val asg = graft.core.GraftCaches.acquire(asg0)
       stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
       appendKeyedStore(spark,
         graft.operators.SimilarityOps.semPairsFromAssignments(asg, semThreshold),

@@ -915,7 +915,12 @@ object Sinks {
       // increment side shuffles to the store's layout and the store
       // streams off its buckets. Correctness is unaffected — equal full
       // keys imply equal bucket-subset keys, so matching rows are
-      // co-located either way. Scoped and restored in finally.
+      // co-located either way. Scoped and restored in finally. CAVEAT:
+      // session confs are global — a concurrent query planned inside this
+      // window also sees the relaxation (performance-shaped, never a
+      // correctness change), and two overlapping appends on one session
+      // could restore the flipped value; the warehouse write paths here
+      // are single-writer by contract.
       val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
       val oldCo = spark.conf.get(coKey)
       try {

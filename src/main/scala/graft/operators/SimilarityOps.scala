@@ -551,6 +551,23 @@ object SimilarityOps {
       .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
   }
 
+  /** Train AND assign off ONE integerized pass over the vector store — the
+    * retrain entry point. Composing `kmeansCentroidsFromVecs` with
+    * `semAssignTableFromVecs` would scan and cache the integerized store
+    * twice (each builds its own persisted copy); here the Lloyd rounds and
+    * the final assignment share a single frame. Returns (centroids,
+    * assignment table).
+    */
+  def semRetrainFromVecs(vecs: DataFrame, k: Int = 8,
+                         iters: Int = 3): (DataFrame, DataFrame) = {
+    val v = integerizedFromVecs(vecs)
+    val cents = trainedFrom(v, k, iters)
+    val asg = assignStep(v, cents).select(col("vec_id"), col("cid"))
+    (cents,
+      vecs.select(col("vec_id"), col("e"), col("nrm")).join(asg, "vec_id")
+        .select(col("cid"), col("vec_id"), col("e"), col("nrm")))
+  }
+
   /** Within-cluster verified pairs from a FULL assignment table — the
     * batch pair derivation a retrain uses to rebuild the pair table from
     * the fresh assignments (cid-equi self-join, the family's raw-dot-first
@@ -608,11 +625,24 @@ object SimilarityOps {
     */
   def semDedupPairsIncremental(trainedCents: DataFrame, storedAsg: DataFrame,
                                newEmb: DataFrame,
-                               threshold: Double): DataFrame = {
+                               threshold: Double): DataFrame =
     // persisted: the fresh assignment feeds the new-old probe AND the
     // new-new self-join, and Spark does not CSE across join branches
-    val fresh = graft.core.GraftCaches.acquire(
-      semAssignTable(newEmb, trainedCents).repartition(col("vec_id")))
+    semPairsIncrementalFromAssign(storedAsg,
+      graft.core.GraftCaches.acquire(
+        semAssignTable(newEmb, trainedCents).repartition(col("vec_id"))),
+      threshold)
+
+  /** The pair derivation half of `semDedupPairsIncremental`, taking the
+    * increment's assignment frame directly — the entry point for a caller
+    * (CorpusIngest.ingestEmbeddings) that also persists the assignment and
+    * must not pay the broadcast-assign pass twice. `freshAsg` must be
+    * materialized (persisted/checkpointed) by the caller: it feeds two
+    * join branches.
+    */
+  def semPairsIncrementalFromAssign(storedAsg: DataFrame,
+                                    freshAsg: DataFrame,
+                                    threshold: Double): DataFrame = {
     val rawDot = expr("graft_dot(ea, eb)")
     val normProd = sqrt(col("na") * col("nb"))
     def verified(cand: DataFrame): DataFrame = cand
@@ -622,21 +652,23 @@ object SimilarityOps {
         least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"),
         round(rawDot / normProd, 6).as("cos"))
-    val a = fresh.select(col("cid"), col("vec_id").as("ida"),
+    val a = freshAsg.select(col("cid"), col("vec_id").as("ida"),
       col("e").as("ea"), col("nrm").as("na"))
     val store = storedAsg.select(col("cid"), col("vec_id").as("idb"),
       col("e").as("eb"), col("nrm").as("nb"))
     val newOld = verified(
       a.hint("shuffle_hash").join(store, Seq("cid"))
         .filter(col("ida") =!= col("idb")))
-    val bFresh = fresh.select(col("cid"), col("vec_id").as("idb"),
+    val bFresh = freshAsg.select(col("cid"), col("vec_id").as("idb"),
       col("e").as("eb"), col("nrm").as("nb"))
     val newNew = verified(
       a.join(bFresh, Seq("cid")).filter(col("ida") < col("idb")))
-    // disjoint by construction: a pair has exactly one (cid_a, cid_b)
-    // assignment each, and store/fresh ids never overlap (the store's key
-    // contract) — no dedup pass needed
-    newOld.unionByName(newNew).orderBy(col("vec_a"), col("vec_b"))
+    // the dedup matters in exactly one window: a crash-retry where the
+    // previous attempt's sem rows landed but the vec-store commit point
+    // did not — the retry's increment then OVERLAPS the stored
+    // assignments, and a new-new pair would also surface as new-old
+    newOld.unionByName(newNew).dropDuplicates("vec_a", "vec_b")
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup). One side is

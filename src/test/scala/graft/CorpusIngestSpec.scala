@@ -463,6 +463,26 @@ class CorpusIngestSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("sem_pairs"), err.getMessage)
 
+    // COVERAGE guards, both directions: a sem-maintained warehouse refuses
+    // a centroid-less drop (its vectors would never enter sem_asg), and
+    // enabling sem on a warehouse with uncovered vectors demands a retrain
+    val errNoCents = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestEmbeddings(spark,
+        Seq((8L, vec(6))).toDF("vec_id", "embedding"), wh)
+    }
+    assert(errNoCents.getMessage.contains("sem-maintained"),
+      errNoCents.getMessage)
+    val wh2 = java.nio.file.Files.createTempDirectory("corpus-whsem2").toString
+    CorpusIngest.ingestEmbeddings(spark,
+      Seq((1L, vec(0))).toDF("vec_id", "embedding"), wh2)
+    val errUncovered = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestEmbeddings(spark,
+        Seq((2L, vec(3))).toDF("vec_id", "embedding"), wh2,
+        trainedCentroids = Some(cents))
+    }
+    assert(errUncovered.getMessage.contains("retrainSemStore"),
+      errUncovered.getMessage)
+
     // governance cascades through the semantic tables too
     val audit = CorpusIngest.deleteEmbeddings(spark, wh, Seq(1L))
     assert(audit.keySet.contains("sem_asg") && audit.keySet.contains("sem_pairs"),
