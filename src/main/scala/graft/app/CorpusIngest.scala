@@ -755,6 +755,123 @@ object CorpusIngest {
     }
   }
 
+  private def mediaHashPath(wh: String) = s"$wh/corpus/media_hashes"
+  private def mediaBandsPath(wh: String) = s"$wh/corpus/media_bands"
+  private def mediaPairsPath(wh: String) = s"$wh/corpus/media_pairs"
+
+  /** Land one MEDIA drop — the image-modality twin of `run` /
+    * `ingestEmbeddings`: trim the drop against the hash store (replayed
+    * drops are no-ops), decode + hash the increment ONCE, derive
+    * perceptual near-dup pairs against the persisted banded store, append
+    * pairs + bands + hashes. Returns (new media landed, new pairs).
+    *
+    * The drop frame is (media_id, content: binary), id-immutable like the
+    * other modalities. The HASH table (media_id, phash) is the trim's
+    * existence key and the drop's COMMIT POINT (written last) — and it
+    * records EVERY id, including undecodable payloads (null phash) and
+    * degenerate blank-image hashes, so a broken image is decoded once and
+    * then permanently trimmed instead of re-attempted every drop; only
+    * clean hashes enter the banded store. `maxHamming` is pair-table
+    * provenance (a pair row carries its hamming but the CUT defines the
+    * table's semantics) — stamped and enforced like the dedup thresholds.
+    */
+  def ingestMedia(spark: SparkSession, drop: DataFrame, warehouse: String,
+                  maxHamming: Int = 3,
+                  storeBuckets: Int = 8): (Long, Long) = {
+    val storeExists = Sinks.pathExists(spark, mediaHashPath(warehouse))
+    checkThresholdAt(spark, mediaPairsPath(warehouse), "corpus/media_pairs",
+      maxHamming.toDouble)
+    graft.core.GraftCaches.withScope(spark) {
+      val newMedia =
+        (if (!storeExists) drop
+         else drop.join(
+           readStore(spark, mediaHashPath(warehouse)).select("media_id"),
+           Seq("media_id"), "left_anti"))
+          .dropDuplicates("media_id")
+      val inc = newMedia.localCheckpoint()
+      val nNew = inc.count()
+      if (nNew == 0) (0L, 0L)
+      else {
+        // ONE decode pass: the hash frame feeds banding, pairing, and the
+        // commit-point append
+        val hashes = graft.core.GraftCaches.acquire(
+          graft.operators.Multimodal.imageHashes(inc)
+            .repartition(col("media_id")))
+        val freshBands = graft.core.GraftCaches.acquire(
+          graft.operators.Multimodal.phashBandTableFromHashes(hashes,
+            maxHamming))
+        val pairs =
+          if (!storeExists) graft.operators.Multimodal.nearDupFromHashes(
+            hashes.filter(col("phash").isNotNull && col("phash") =!= -1L),
+            maxHamming)
+          else graft.operators.Multimodal.phashIncrementalFromBands(
+            readStore(spark, mediaBandsPath(warehouse)), freshBands,
+            maxHamming)
+        val nPairs = pairs.count()
+        stampThresholdAt(spark, mediaPairsPath(warehouse), maxHamming.toDouble)
+        appendKeyedStore(spark, pairs, mediaPairsPath(warehouse), storeBuckets,
+          keys = Seq("media_a", "media_b"))
+        // bands before the hash commit point; same prefix-keyed
+        // exchange-free existence check as appendPhashStoreBucketed
+        Sinks.bucketedIdempotentAppend(freshBands, mediaBandsPath(warehouse),
+          keys = Seq("ci", "chunk", "media_id"),
+          bucketKeys = Seq("ci", "chunk"), buckets = storeBuckets)
+        Sinks.bucketedIdempotentAppend(hashes, mediaHashPath(warehouse),
+          keys = Seq("media_id"), bucketKeys = Seq("media_id"),
+          buckets = storeBuckets)
+        Seq(mediaBandsPath(warehouse), mediaHashPath(warehouse)).foreach(p =>
+          Sinks.compactBucketedIfFragmented(spark, p))
+        (nNew, nPairs)
+      }
+    }
+  }
+
+  /** GOVERNANCE DELETE for the media modality: purges media_hashes /
+    * media_bands on media_id (the recoverable perceptual fingerprint) and
+    * media_pairs on either side, through the bucketed writer. The raw
+    * media bytes live upstream of this warehouse; this removes every
+    * derived fingerprint so a re-submission re-lands as new.
+    */
+  def deleteMedia(spark: SparkSession, warehouse: String,
+                  mediaIds: Seq[Long]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val keys = mediaIds.toDF("media_id")
+    val byId = Seq(
+      "media_hashes" -> mediaHashPath(warehouse),
+      "media_bands" -> mediaBandsPath(warehouse))
+    val purged = byId.flatMap { case (name, p) =>
+      if (!Sinks.pathExists(spark, p)) None
+      else if (Sinks.isBucketedStore(spark, p))
+        Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("media_id")))
+      else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("media_id")))
+    }.toMap
+    if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
+    else if (Sinks.isBucketedStore(spark, mediaPairsPath(warehouse)))
+      purged + ("media_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+        mediaPairsPath(warehouse), keys, "media_id",
+        Seq("media_a", "media_b")))
+    else purged + ("media_pairs" -> Sinks.deleteByAnyKey(spark,
+      mediaPairsPath(warehouse), keys, "media_id",
+      Seq("media_a", "media_b")))
+  }
+
+  /** The deduplicated MEDIA view: surviving (media_id, phash) rows under
+    * keep-the-minimum per perceptual near-dup cluster over the cumulative
+    * pair table — the id list a pipeline keeps (raw bytes live upstream).
+    */
+  def mediaSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
+    val hashes = readStore(spark, mediaHashPath(warehouse))
+    if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) hashes
+    else {
+      val pairs = readStore(spark, mediaPairsPath(warehouse))
+      val lab = Components.connectedComponents(
+        pairs.select(col("media_a"), col("media_b")))
+      val losers = lab.filter(col("node") =!= col("component"))
+        .select(col("node").as("media_id"))
+      hashes.join(losers, Seq("media_id"), "left_anti")
+    }
+  }
+
   /** RETRAIN the SemDeDup state — the other half of the frozen-centroid
     * cadence `ingestEmbeddings(trainedCentroids = ...)` rides on: train
     * fresh centroids on the CURRENT vector store, rebuild the assignment

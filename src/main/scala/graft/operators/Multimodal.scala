@@ -320,9 +320,16 @@ object Multimodal {
     * quadratic bucket) are excluded at the store boundary.
     */
   def phashBandTable(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashBandTableFromHashes(imageHashes(media), maxHamming)
+
+  /** `phashBandTable` from an already-computed (media_id, phash) frame —
+    * the entry point for a caller (CorpusIngest.ingestMedia) that pays the
+    * decode once and feeds both the band store and the hash commit table.
+    */
+  def phashBandTableFromHashes(hashes: DataFrame,
+                               maxHamming: Int = 3): DataFrame =
     bandChunks(
-      imageHashes(media)
-        .filter(col("phash").isNotNull && col("phash") =!= lit(-1L)),
+      hashes.filter(col("phash").isNotNull && col("phash") =!= lit(-1L)),
       maxHamming)
 
   /** Persist a media drop's banded pHash store as a path-anchored BUCKETED
@@ -356,11 +363,20 @@ object Multimodal {
     * pairs are previous increments' outputs and are not re-derived.
     */
   def phashNearDupIncremental(storedBands: DataFrame, newMedia: DataFrame,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3): DataFrame =
     // persisted: the fresh bands feed both the new-old probe and the
     // new-new self-join, and Spark does not CSE across join branches
-    val fresh = graft.core.GraftCaches.acquire(
-      phashBandTable(newMedia, maxHamming))
+    phashIncrementalFromBands(storedBands,
+      graft.core.GraftCaches.acquire(phashBandTable(newMedia, maxHamming)),
+      maxHamming)
+
+  /** The pair derivation half of `phashNearDupIncremental`, taking the
+    * increment's banded frame directly — for a caller that already decoded
+    * the drop once (CorpusIngest.ingestMedia). `freshBands` must be
+    * materialized by the caller: it feeds two join branches.
+    */
+  def phashIncrementalFromBands(storedBands: DataFrame, fresh: DataFrame,
+                                maxHamming: Int = 3): DataFrame = {
     val store = storedBands.select(
       col("media_id"), col("ci"), col("chunk"), col("phash"))
     val newOld = fresh.hint("shuffle_hash").as("a").join(store.as("b"),

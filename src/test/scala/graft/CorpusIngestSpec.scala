@@ -515,6 +515,62 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("media drops: incremental phash pairs, broken payloads trimmed once, governance cascade") {
+    import graft.core.Sinks
+    import graft.operators.Multimodal
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whmedia").toString
+    // synthetic corpus plants (10k, 10k+1) near-dup pairs; ids 0,1,2 and a
+    // null-content payload (undecodable) form drop 1
+    def imgs(ids: Seq[Long]) =
+      Multimodal.syntheticImageCorpus(ids.toDF("doc_id"))
+    val broken = Seq((99L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val drop1 = imgs(Seq(0L, 1L, 2L)).unionByName(broken)
+    val (n1, p1) = CorpusIngest.ingestMedia(spark, drop1, wh)
+    assert(n1 == 4L, s"drop1 landed $n1")
+    assert(p1 == 1L, s"drop1 pairs: $p1 (planted (0,1))")
+    // the broken payload committed with a NULL hash: trimmed on replay,
+    // never re-decoded, and absent from the banded store
+    assert(spark.read.parquet(s"$wh/corpus/media_hashes")
+      .filter(col("media_id") === 99L && col("phash").isNull).count() == 1L)
+    assert(spark.read.parquet(s"$wh/corpus/media_bands")
+      .filter(col("media_id") === 99L).isEmpty)
+
+    // drop 2: the twin of stored image 10 arrives later (11), plus a
+    // replayed id — cross-drop pair found incrementally, replay trimmed
+    val drop2 = imgs(Seq(10L, 2L)).unionByName(broken)
+    val (n2, _) = CorpusIngest.ingestMedia(spark, drop2, wh)
+    assert(n2 == 1L, s"drop2 landed $n2 (2 and 99 must trim)")
+    val (n3, p3) = CorpusIngest.ingestMedia(spark, imgs(Seq(11L)), wh)
+    assert((n3, p3) == (1L, 1L), s"drop3: $n3/$p3")
+    val pairs = spark.read.parquet(s"$wh/corpus/media_pairs")
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (10L, 11L)), s"cumulative: $pairs")
+
+    // a different hamming cut is refused before any work
+    val err = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestMedia(spark, imgs(Seq(20L)), wh, maxHamming = 1)
+    }
+    assert(err.getMessage.contains("media_pairs"), err.getMessage)
+
+    // survivors keep cluster minima + singletons (the broken row rides
+    // along — its null hash pairs with nothing)
+    assert(CorpusIngest.mediaSurvivors(spark, wh)
+      .select("media_id").as[Long].collect().toSet == Set(0L, 2L, 10L, 99L),
+      "mediaSurvivors must drop the non-minimum twins")
+
+    // governance: deleting image 10 purges hash, bands, and pair rows;
+    // a re-submission re-lands as new and re-derives its pair
+    val audit = CorpusIngest.deleteMedia(spark, wh, Seq(10L))
+    assert(audit.keySet == Set("media_hashes", "media_bands", "media_pairs"),
+      s"$audit")
+    assert(Sinks.readBucketedPath(spark, s"$wh/corpus/media_hashes")
+      .filter(col("media_id") === 10L).isEmpty)
+    val (n4, p4) = CorpusIngest.ingestMedia(spark, imgs(Seq(10L)), wh)
+    assert((n4, p4) == (1L, 1L), s"re-submission: $n4/$p4")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("crash recovery: a doc missing its commit-point row re-lands fully on retry") {
     import graft.core.Sinks
     // the shingle table is the trim's existence key and the LAST table the
