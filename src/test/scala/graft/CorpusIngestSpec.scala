@@ -617,6 +617,25 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("crash recovery: media missing its commit-point row re-lands fully on retry") {
+    import graft.core.Sinks
+    import graft.operators.Multimodal
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcrashm").toString
+    val drop = Multimodal.syntheticImageCorpus(Seq(0L, 2L).toDF("doc_id"))
+    CorpusIngest.ingestMedia(spark, drop, wh)
+    // simulate a crash after pairs/bands landed but before the hash commit
+    Sinks.deleteBucketedByKey(spark, s"$wh/corpus/media_hashes",
+      Seq(2L).toDF("media_id"), Seq("media_id"))
+    val (n, _) = CorpusIngest.ingestMedia(spark, drop, wh)
+    assert(n == 1L, s"retry must re-admit exactly the uncommitted image, got $n")
+    def rows(t: String) =
+      spark.read.parquet(s"$wh/corpus/$t").filter(col("media_id") === 2L).count()
+    assert(rows("media_hashes") == 1L, "commit-point row restored")
+    assert(rows("media_bands") == 4L,
+      s"band rows duplicated or lost: ${rows("media_bands")}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("ingest drivers release their operator caches on exit") {
     // a long-running ingest service calls run()/ingestEmbeddings() per
     // drop; each call persists operator intermediates (shingle/band/code
