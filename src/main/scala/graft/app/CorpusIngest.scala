@@ -113,7 +113,12 @@ object CorpusIngest {
   def run(spark: SparkSession, drop: DataFrame, warehouse: String,
           threshold: Double = 0.5,
           compactTargetFiles: Option[Int] = None,
-          storeBuckets: Int = 8): (Long, Long) = {
+          storeBuckets: Int = 8): (Long, Long) =
+      // every mutating entry point holds the warehouse write lease: a
+      // second concurrent drop would pass the trim against a store missing
+      // this drop's increment and silently lose cross-drop pairs — the
+      // lease turns that silent gap into a fail-fast (WarehouseLease doc)
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, shinglePath(warehouse))
     // refuse to mix dedup thresholds in one pair table BEFORE any work: a
     // pair row carries no threshold, so appends under a different cut-off
@@ -146,8 +151,10 @@ object CorpusIngest {
       // append WRITES — Spark's CacheManager recaches path-reading plans on
       // write (a persist would silently recompute the increment as EMPTY
       // after the store append), so cut lineage entirely with an eager
-      // localCheckpoint: the increment is drop-bounded
-      val inc = newDocs.localCheckpoint()
+      // checkpoint (reliable when spark.graft.checkpointDir is configured
+      // — an executor loss mid-drop then re-reads the increment instead of
+      // failing the ingest): the increment is drop-bounded
+      val inc = graft.core.Checkpoints.cut(newDocs)
       val nNew = inc.count()
       if (nNew == 0) (0L, 0L)
       else landIncrement(spark, inc, nNew, warehouse, threshold,
@@ -252,7 +259,8 @@ object CorpusIngest {
     * governance pass needs.
     */
   def delete(spark: SparkSession, warehouse: String,
-             docIds: Seq[Long]): Map[String, (Long, Long)] = {
+             docIds: Seq[Long]): Map[String, (Long, Long)] =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     import spark.implicits._
     val keys = docIds.toDF("doc_id")
     val byDocId = Seq(
@@ -306,12 +314,15 @@ object CorpusIngest {
     * or a future drop). "Undo the block", not "undelete the data".
     */
   def reinstate(spark: SparkSession, warehouse: String,
-                docIds: Seq[Long]): Long = {
-    if (!Sinks.pathExists(spark, tombPath(warehouse))) return 0L
-    import spark.implicits._
-    val (before, after) = Sinks.deleteByKey(spark, tombPath(warehouse),
-      docIds.toDF("doc_id"), Seq("doc_id"))
-    before - after
+                docIds: Seq[Long]): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    if (!Sinks.pathExists(spark, tombPath(warehouse))) 0L
+    else {
+      import spark.implicits._
+      val (before, after) = Sinks.deleteByKey(spark, tombPath(warehouse),
+        docIds.toDF("doc_id"), Seq("doc_id"))
+      before - after
+    }
   }
 
   private def embVecsPath(wh: String) = s"$wh/corpus/emb_vecs"
@@ -319,6 +330,7 @@ object CorpusIngest {
   private def embPairsPath(wh: String) = s"$wh/corpus/emb_pairs"
   private def semAsgPath(wh: String) = s"$wh/corpus/sem_asg"
   private def semPairsPath(wh: String) = s"$wh/corpus/sem_pairs"
+  private def semCentsPath(wh: String) = s"$wh/corpus/sem_cents"
 
   /** Land one EMBEDDING drop — the semantic-modality twin of `run`: trim
     * the drop against the vector store (replayed drops are no-ops), derive
@@ -357,7 +369,8 @@ object CorpusIngest {
                        threshold: Double = 0.42,
                        storeBuckets: Int = 8,
                        trainedCentroids: Option[DataFrame] = None,
-                       semThreshold: Double = 0.9): (Long, Long) = {
+                       semThreshold: Double = 0.9): (Long, Long) =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
       threshold)
@@ -392,8 +405,9 @@ object CorpusIngest {
           .dropDuplicates("vec_id")
       // same lineage cut as run(): the increment feeds pair derivation AND
       // the store append, and its defining anti-join reads the store the
-      // append writes — localCheckpoint keeps the increment drop-bounded
-      val inc = newVecs.localCheckpoint()
+      // append writes — the eager cut keeps the increment drop-bounded
+      // (reliable under spark.graft.checkpointDir, executor-local otherwise)
+      val inc = graft.core.Checkpoints.cut(newVecs)
       val nNew = inc.count()
       if (nNew == 0) (0L, 0L)
       else {
@@ -429,8 +443,20 @@ object CorpusIngest {
           val freshAsg = graft.core.GraftCaches.acquire(
             graft.operators.SimilarityOps.semAssignTable(inc, cents)
               .repartition(col("vec_id")))
+          // the commit guard (vec-store semi-join on the verified pairs)
+          // keeps orphan sem_asg rows from a crashed-and-abandoned drop
+          // out of the pair table — see semPairsIncrementalFromAssign
+          // with no commit table yet (first drop, including its
+          // crash-retry where sem_asg landed but emb_vecs did not) the
+          // legitimate commit set is EMPTY: any stored assignment row is
+          // either an orphan or re-admitted in this very increment (whose
+          // pairs re-derive as new-new)
           val semPairs = graft.operators.SimilarityOps
-            .semPairsIncrementalFromAssign(storedAsg, freshAsg, semThreshold)
+            .semPairsIncrementalFromAssign(storedAsg, freshAsg, semThreshold,
+              commitIds = Some(
+                if (storeExists)
+                  readStore(spark, embVecsPath(warehouse)).select("vec_id")
+                else inc.select("vec_id").limit(0)))
           stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
           appendKeyedStore(spark, semPairs, semPairsPath(warehouse),
             storeBuckets, keys = Seq("vec_a", "vec_b"))
@@ -462,7 +488,8 @@ object CorpusIngest {
     * the batch text path. Returns per-table (rowsBefore, rowsAfter).
     */
   def deleteEmbeddings(spark: SparkSession, warehouse: String,
-                       vecIds: Seq[Long]): Map[String, (Long, Long)] = {
+                       vecIds: Seq[Long]): Map[String, (Long, Long)] =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     import spark.implicits._
     val keys = vecIds.toDF("vec_id")
     val byVecId = Seq(
@@ -657,7 +684,19 @@ object CorpusIngest {
   def promoteAndIngest(spark: SparkSession, landingPath: String,
                        warehouse: String, threshold: Double = 0.5,
                        compactTargetFiles: Option[Int] = None,
-                       storeBuckets: Int = 8): (Long, Long) = {
+                       storeBuckets: Int = 8): (Long, Long) =
+    // lease taken HERE (not only in the nested run) so the promote, the
+    // tombstone purge, and the ingest are one exclusive unit; the nested
+    // run() re-enters the same JVM lease at depth 2
+    graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+      promoteAndIngestHeld(spark, landingPath, warehouse, threshold,
+        compactTargetFiles, storeBuckets)
+    }
+
+  private def promoteAndIngestHeld(spark: SparkSession, landingPath: String,
+                                   warehouse: String, threshold: Double,
+                                   compactTargetFiles: Option[Int],
+                                   storeBuckets: Int): (Long, Long) = {
     val staged = stagedPath(warehouse)
     // a maintenance cadence can legitimately fire before the landing's
     // stream has committed its first trigger (no _spark_metadata yet) —
@@ -777,7 +816,8 @@ object CorpusIngest {
     */
   def ingestMedia(spark: SparkSession, drop: DataFrame, warehouse: String,
                   maxHamming: Int = 3,
-                  storeBuckets: Int = 8): (Long, Long) = {
+                  storeBuckets: Int = 8): (Long, Long) =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, mediaHashPath(warehouse))
     checkThresholdAt(spark, mediaPairsPath(warehouse), "corpus/media_pairs",
       maxHamming.toDouble)
@@ -788,7 +828,7 @@ object CorpusIngest {
            readStore(spark, mediaHashPath(warehouse)).select("media_id"),
            Seq("media_id"), "left_anti"))
           .dropDuplicates("media_id")
-      val inc = newMedia.localCheckpoint()
+      val inc = graft.core.Checkpoints.cut(newMedia)
       val nNew = inc.count()
       if (nNew == 0) (0L, 0L)
       else {
@@ -806,7 +846,12 @@ object CorpusIngest {
             maxHamming)
           else graft.operators.Multimodal.phashIncrementalFromBands(
             readStore(spark, mediaBandsPath(warehouse)), freshBands,
-            maxHamming)
+            maxHamming,
+            // commit guard: only store rows whose id reached the hash
+            // commit table may pair — orphan band rows from a crashed,
+            // never-retried drop emit no ghosts
+            commitIds =
+              Some(readStore(spark, mediaHashPath(warehouse)).select("media_id")))
         val nPairs = pairs.count()
         stampThresholdAt(spark, mediaPairsPath(warehouse), maxHamming.toDouble)
         appendKeyedStore(spark, pairs, mediaPairsPath(warehouse), storeBuckets,
@@ -833,7 +878,8 @@ object CorpusIngest {
     * derived fingerprint so a re-submission re-lands as new.
     */
   def deleteMedia(spark: SparkSession, warehouse: String,
-                  mediaIds: Seq[Long]): Map[String, (Long, Long)] = {
+                  mediaIds: Seq[Long]): Map[String, (Long, Long)] =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     import spark.implicits._
     val keys = mediaIds.toDF("media_id")
     val byId = Seq(
@@ -858,9 +904,16 @@ object CorpusIngest {
   /** The deduplicated MEDIA view: surviving (media_id, phash) rows under
     * keep-the-minimum per perceptual near-dup cluster over the cumulative
     * pair table — the id list a pipeline keeps (raw bytes live upstream).
+    *
+    * Only TRAINABLE media survive: the hash store deliberately records
+    * undecodable payloads (null phash) and blank-image sentinels (-1) so a
+    * broken image is decoded once and trimmed forever, but those rows are
+    * ingest bookkeeping, not corpus members — a training-data view must
+    * not ship media the pipeline itself could not decode.
     */
   def mediaSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
     val hashes = readStore(spark, mediaHashPath(warehouse))
+      .filter(col("phash").isNotNull && col("phash") =!= lit(-1L))
     if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) hashes
     else {
       val pairs = readStore(spark, mediaPairsPath(warehouse))
@@ -876,17 +929,24 @@ object CorpusIngest {
     * cadence `ingestEmbeddings(trainedCentroids = ...)` rides on: train
     * fresh centroids on the CURRENT vector store, rebuild the assignment
     * and pair tables from scratch under them, and return the new centroid
-    * frame (eagerly checkpointed — safe to hold across sessions of drops).
-    * Without this API the documented "rebuild from scratch and resume"
-    * step was warehouse hand surgery. The old sem tables and their sibling
-    * ledgers are dropped first, so the retrain may change `semThreshold` —
-    * the fresh pair table stamps the new provenance. Cost: one Lloyd run
-    * over the vector store + one within-cluster pair pass — the batch
-    * SemDeDup price, paid once per retrain, not per drop.
+    * frame. The centroids are WAREHOUSE STATE, persisted to
+    * `corpus/sem_cents` (a tiny k-row parquet sibling of sem_asg) — the
+    * returned frame is the parquet scan of that table, so it survives
+    * session teardown and executor loss alike; any later session reloads
+    * it with `semCentroids`. (The previous localCheckpoint return held the
+    * centroid blocks on executors — "safe to hold across drops" only until
+    * the first executor loss.) Without this API the documented "rebuild
+    * from scratch and resume" step was warehouse hand surgery. The old sem
+    * tables and their sibling ledgers are dropped first, so the retrain may
+    * change `semThreshold` — the fresh pair table stamps the new
+    * provenance. Cost: one Lloyd run over the vector store + one
+    * within-cluster pair pass — the batch SemDeDup price, paid once per
+    * retrain, not per drop.
     */
   def retrainSemStore(spark: SparkSession, warehouse: String, k: Int = 8,
                       iters: Int = 3, semThreshold: Double = 0.9,
-                      storeBuckets: Int = 8): DataFrame = {
+                      storeBuckets: Int = 8): DataFrame =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     require(Sinks.pathExists(spark, embVecsPath(warehouse)),
       s"retrainSemStore: no vector store at ${embVecsPath(warehouse)} — " +
         "ingest embeddings first")
@@ -899,7 +959,14 @@ object CorpusIngest {
       // release and later store rewrites
       val (cents0, asg0) = graft.operators.SimilarityOps
         .semRetrainFromVecs(vecs, k, iters)
-      val cents = cents0.localCheckpoint()
+      // persist the k×dims centroid frame to the warehouse FIRST and hand
+      // back the scan of it: parquet round-trips doubles bit-exactly, so
+      // the assignment store below and every later frozen-centroid drop
+      // read the identical values, and the frame outlives this session's
+      // executors (a localCheckpoint here was executor-held state — one
+      // spot reclaim mid-cadence and the centroids were unrecoverable)
+      Sinks.writeCurrent(cents0, semCentsPath(warehouse))
+      val cents = spark.read.parquet(semCentsPath(warehouse))
       val asg = graft.core.GraftCaches.acquire(asg0)
       stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
       appendKeyedStore(spark,
@@ -911,6 +978,18 @@ object CorpusIngest {
       cents
     }
   }
+
+  /** The persisted frozen-centroid frame of a sem-maintained warehouse —
+    * the value to feed `ingestEmbeddings(trainedCentroids = ...)` between
+    * retrains. Durable warehouse state written by `retrainSemStore`, so a
+    * fresh session (or a driver restarted after executor loss) reloads the
+    * exact centroids the assignment store was built under instead of
+    * holding a frame across sessions. None before the first retrain.
+    */
+  def semCentroids(spark: SparkSession, warehouse: String): Option[DataFrame] =
+    if (Sinks.pathExists(spark, semCentsPath(warehouse)))
+      Some(spark.read.parquet(semCentsPath(warehouse)))
+    else None
 
   /** Drop a warehouse table AND its sibling ledgers (bucket spec,
     * threshold provenance) plus any catalog registration — the rebuild

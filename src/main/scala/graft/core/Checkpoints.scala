@@ -1,0 +1,90 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage-cut policy for the iterative and ingest paths.
+  *
+  * Components' contraction rounds and CorpusIngest's per-drop increments
+  * must cut lineage eagerly (round plans double per iteration; the
+  * increment's defining anti-join reads the very store its append then
+  * writes). `localCheckpoint()` does that with executor-held blocks —
+  * fast, but NOT durable: on a real cluster an executor loss mid-job
+  * (spot reclaim, OOM kill, dynamic deallocation) makes the cut frame
+  * unrecoverable and fails the whole multi-hour drop or component job.
+  * The reference survives worker loss by construction (immutable bronze +
+  * re-run, v2022/etl-containers/aggregates/src/aggregates_etl.py:119-125);
+  * a long-running ingest driver needs the same property.
+  *
+  * `cut` is the one switch: by default it localCheckpoints (the right
+  * trade for tests and short interactive jobs — no filesystem round
+  * trip); when the session carries `spark.graft.checkpointDir`, every cut
+  * becomes a RELIABLE `checkpoint()` into that directory, so a lost
+  * executor re-reads the cut from durable storage instead of killing the
+  * job. Correctness is identical either way — both cuts are eager and
+  * both truncate lineage; only the failure domain changes.
+  *
+  * The directory is job-scratch, not a table: Spark writes
+  * `<dir>/<uuid>/rdd-*` files and does not garbage-collect them for a
+  * live session (intermediate rounds accumulate until the job ends) —
+  * point it at scratch space and delete it after the run, like a shuffle
+  * dir. `withCheckpointDir` scopes the switch to one call tree and
+  * restores the previous setting on exit.
+  */
+object Checkpoints {
+
+  /** Session conf key: set (non-empty) to switch every `cut` in the
+    * session from executor-local to reliable checkpointing.
+    */
+  val DirKey = "spark.graft.checkpointDir"
+
+  /** The configured durable checkpoint dir, if any. */
+  def configured(spark: SparkSession): Option[String] =
+    spark.conf.getOption(DirKey).filter(_.trim.nonEmpty)
+
+  // SparkContext.setCheckpointDir creates a fresh UUID subdirectory per
+  // call — remember the base we last set per context so repeated cuts
+  // reuse one subdirectory instead of littering one per cut
+  private val lastBase = new ConcurrentHashMap[SparkContext, String]()
+
+  /** Cut `df`'s lineage EAGERLY (the frame is computed now, and the
+    * returned frame's plan is a scan of the materialized result).
+    * Durable when the session configures `DirKey`; executor-local
+    * otherwise.
+    */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    configured(spark) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (lastBase.get(sc) != dir) {
+          // serialize the set against other cut() callers on this context
+          lastBase.synchronized {
+            if (lastBase.get(sc) != dir) {
+              sc.setCheckpointDir(dir)
+              lastBase.put(sc, dir)
+            }
+          }
+        }
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** Run `body` with reliable checkpointing into `dir`, restoring the
+    * previous session setting (or unsetting) on exit — the scoping shape
+    * for a driver that wants durability for one ingest call tree without
+    * flipping the whole session.
+    */
+  def withCheckpointDir[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val old = spark.conf.getOption(DirKey)
+    spark.conf.set(DirKey, dir)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(DirKey, v)
+      case None => spark.conf.unset(DirKey)
+    }
+  }
+}

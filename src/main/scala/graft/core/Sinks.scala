@@ -871,6 +871,16 @@ object Sinks {
     * append lands at most one file per non-empty bucket instead of
     * tasks × buckets small files.
     */
+  /** JVM-wide guard for the co-partition conf flip in
+    * bucketedIdempotentAppend: the flip is session-global, so two
+    * overlapping appends could otherwise interleave set/restore and leave
+    * the relaxed value stranded on the session. Serializing the whole
+    * anti-join+write window is acceptable — warehouse store writes are
+    * single-writer by contract (enforced cross-process by WarehouseLease;
+    * this lock closes the same hole within one JVM).
+    */
+  private val coPartitionFlipLock = new Object
+
   def bucketedIdempotentAppend(df: DataFrame, path: String, keys: Seq[String],
                                bucketKeys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
@@ -915,23 +925,27 @@ object Sinks {
       // increment side shuffles to the store's layout and the store
       // streams off its buckets. Correctness is unaffected — equal full
       // keys imply equal bucket-subset keys, so matching rows are
-      // co-located either way. Scoped and restored in finally. CAVEAT:
-      // session confs are global — a concurrent query planned inside this
-      // window also sees the relaxation (performance-shaped, never a
-      // correctness change), and two overlapping appends on one session
-      // could restore the flipped value; the warehouse write paths here
-      // are single-writer by contract.
-      val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      val oldCo = spark.conf.get(coKey)
-      try {
-        if (specKeys.forall(keys.contains)) spark.conf.set(coKey, "false")
-        val fresh = df.join(stored.select(keys.map(col): _*), keys, "left_anti")
-        fresh.repartition(specBuckets, specKeys.map(col): _*)
-          .write.mode(SaveMode.Append).format("parquet")
-          .bucketBy(specBuckets, specKeys.head, specKeys.tail: _*)
-          .sortBy(specKeys.head, specKeys.tail: _*)
-          .saveAsTable(name)
-      } finally spark.conf.set(coKey, oldCo)
+      // co-located either way. Scoped and restored in finally, under a
+      // JVM-wide lock: two overlapping appends (any sessions in this JVM)
+      // can no longer interleave set/restore and strand the flipped value.
+      // A concurrent UNRELATED query planned inside the window still sees
+      // the relaxation (performance-shaped, never a correctness change);
+      // cross-PROCESS writers are serialized by the warehouse lease
+      // (core.WarehouseLease), which is what enforces the single-writer
+      // store contract.
+      coPartitionFlipLock.synchronized {
+        val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+        val oldCo = spark.conf.get(coKey)
+        try {
+          if (specKeys.forall(keys.contains)) spark.conf.set(coKey, "false")
+          val fresh = df.join(stored.select(keys.map(col): _*), keys, "left_anti")
+          fresh.repartition(specBuckets, specKeys.map(col): _*)
+            .write.mode(SaveMode.Append).format("parquet")
+            .bucketBy(specBuckets, specKeys.head, specKeys.tail: _*)
+            .sortBy(specKeys.head, specKeys.tail: _*)
+            .saveAsTable(name)
+        } finally spark.conf.set(coKey, oldCo)
+      }
     }
   }
 

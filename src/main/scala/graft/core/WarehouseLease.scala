@@ -1,0 +1,194 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Single-WRITER enforcement for a corpus warehouse.
+  *
+  * Every store in the warehouse is maintained under a single-writer
+  * contract (Sinks.bucketedIdempotentAppend's conf flip, the commit-point
+  * write orders, the rewrite swaps) — but until now the contract was only
+  * asserted in comments. The failure it guards is silent: two concurrent
+  * drops both pass the trim, each computes pairs against a store missing
+  * the other's increment, and the cross-drop pair set is incomplete
+  * forever (every append stays idempotent, so nothing crashes or even
+  * warns). This ledger makes the contract REAL: a sibling lease file under
+  * the warehouse root, created atomically (create-fails-if-exists), held
+  * for the duration of a mutating call.
+  *
+  * Semantics:
+  *   - acquire: exclusive-create `<warehouse>/._graft_writer_lease`
+  *     holding `owner|expiryMillis`. If the file exists: the SAME owner
+  *     re-acquires (refreshing expiry) — that is the crashed-holder retry
+  *     re-entering cleanly, since a crash cannot release; a DIFFERENT
+  *     owner fails fast with LeaseHeldException unless the lease has
+  *     EXPIRED, in which case it is reclaimed (delete + re-create; losing
+  *     the re-create race fails fast too).
+  *   - release: delete the file iff still owned.
+  *   - `withWriteLease` adds JVM-level re-entrancy (depth-counted per
+  *     warehouse), so nested entry points — promoteAndIngest → run,
+  *     forget → delete* — acquire once.
+  *
+  * The TTL bounds how long a crashed writer blocks the warehouse; size it
+  * above the longest expected drop (a live holder that outruns its TTL is
+  * exposed to reclaim — re-entry through `withWriteLease` refreshes the
+  * expiry at each nested entry, but a single very long call should pass a
+  * bigger ttl). Reclaim uses delete-then-create, not an atomic swap: two
+  * reclaimers racing resolve to one winner because exactly one exclusive
+  * create succeeds; a reader racing the window sees either lease state,
+  * never a torn file (single-block write).
+  *
+  * This is advisory locking with cooperative writers — the right tool for
+  * one pipeline's own drivers (all CorpusIngest entry points check it).
+  * It does not stop a rogue process writing the directory directly, any
+  * more than any lock file does.
+  */
+object WarehouseLease {
+
+  final class LeaseHeldException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Default writer identity: stable for this JVM's lifetime, unique
+    * across JVMs — a crashed-and-restarted driver gets a NEW owner and
+    * waits out (or outlives) its predecessor's TTL, while a retry inside
+    * one surviving JVM re-enters its own lease.
+    */
+  val jvmOwner: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName + "#" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  val defaultTtlMs: Long = 15L * 60L * 1000L
+
+  private def leasePath(warehouse: String) =
+    new Path(warehouse, "._graft_writer_lease")
+
+  // JVM-level re-entrancy: canonical lease URI -> (owner, depth)
+  private val held = new ConcurrentHashMap[String, (String, Int)]()
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read (owner, expiryMillis) from the lease file; None when absent or
+    * unreadable (unreadable = treat as contended, never as free).
+    */
+  private def readLease(spark: SparkSession,
+                        warehouse: String): Option[(String, Long)] = {
+    val p = leasePath(warehouse)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+          .readLine()
+        finally in.close()
+      val i = if (line == null) -1 else line.lastIndexOf('|')
+      if (i < 0) Some(("<corrupt>", Long.MaxValue))
+      else Some((line.substring(0, i), line.substring(i + 1).trim.toLong))
+    }
+  }
+
+  private def writeExclusive(spark: SparkSession, warehouse: String,
+                             owner: String, ttlMs: Long): Boolean = {
+    val p = leasePath(warehouse)
+    val fs = fsOf(spark, p)
+    try {
+      // overwrite = false: atomic create-fails-if-exists on local/HDFS —
+      // the arbitration primitive
+      val out = fs.create(p, false)
+      try out.write(s"$owner|${System.currentTimeMillis() + ttlMs}"
+        .getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  private def writeRefresh(spark: SparkSession, warehouse: String,
+                           owner: String, ttlMs: Long): Unit = {
+    val p = leasePath(warehouse)
+    val fs = fsOf(spark, p)
+    val out = fs.create(p, true)
+    try out.write(s"$owner|${System.currentTimeMillis() + ttlMs}"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Take the warehouse write lease (filesystem level — see object doc).
+    * Throws LeaseHeldException when another live owner holds it.
+    */
+  def acquire(spark: SparkSession, warehouse: String,
+              owner: String = jvmOwner,
+              ttlMs: Long = defaultTtlMs): Unit = {
+    if (writeExclusive(spark, warehouse, owner, ttlMs)) return
+    readLease(spark, warehouse) match {
+      case None =>
+        // holder released between our create and read — one retry
+        if (!writeExclusive(spark, warehouse, owner, ttlMs))
+          throw new LeaseHeldException(
+            s"warehouse $warehouse: lost the lease race on re-acquire")
+      case Some((o, _)) if o == owner =>
+        // our own lease (crashed-call retry, or TTL refresh): take it back
+        writeRefresh(spark, warehouse, owner, ttlMs)
+      case Some((o, exp)) if exp < System.currentTimeMillis() =>
+        // stale: the holder died without releasing — reclaim. Exactly one
+        // of racing reclaimers wins the exclusive re-create.
+        val p = leasePath(warehouse)
+        fsOf(spark, p).delete(p, false)
+        if (!writeExclusive(spark, warehouse, owner, ttlMs))
+          throw new LeaseHeldException(
+            s"warehouse $warehouse: lease of expired owner $o was " +
+              "reclaimed by a concurrent writer first")
+      case Some((o, exp)) =>
+        throw new LeaseHeldException(
+          s"warehouse $warehouse is being written by $o (lease expires " +
+            s"${new java.sql.Timestamp(exp)}); concurrent drops would " +
+            "silently lose cross-drop pairs — serialize your writers")
+    }
+  }
+
+  /** Release iff still owned (a reclaimed-then-released stale lease must
+    * not delete the new holder's file).
+    */
+  def release(spark: SparkSession, warehouse: String,
+              owner: String = jvmOwner): Unit =
+    readLease(spark, warehouse) match {
+      case Some((o, _)) if o == owner =>
+        val p = leasePath(warehouse)
+        fsOf(spark, p).delete(p, false)
+      case _ => ()
+    }
+
+  /** Hold the write lease around `body`, re-entrant within this JVM per
+    * (owner, warehouse): nested entry points acquire once, and only the
+    * outermost exit releases. Every mutating CorpusIngest entry point
+    * wraps itself in this.
+    */
+  def withWriteLease[T](spark: SparkSession, warehouse: String,
+                        owner: String = jvmOwner,
+                        ttlMs: Long = defaultTtlMs)(body: => T): T = {
+    val key = leasePath(warehouse).toString
+    val depth = held.compute(key, (_, cur) => cur match {
+      case null => (owner, 1)
+      case (o, d) if o == owner => (o, d + 1)
+      case (o, _) => throw new LeaseHeldException(
+        s"warehouse $warehouse is being written by $o in this JVM")
+    })._2
+    if (depth == 1) {
+      try acquire(spark, warehouse, owner, ttlMs)
+      catch {
+        case e: Throwable => held.remove(key); throw e
+      }
+    }
+    try body
+    finally {
+      val left = held.compute(key, (_, cur) => cur match {
+        case (o, 1) if o == owner => null
+        case (o, d) if o == owner => (o, d - 1)
+        case other => other
+      })
+      if (left == null) release(spark, warehouse, owner)
+    }
+  }
+}

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   * ones, so emitted degree never exceeds input degree.
   *
   * The round loop is driver-side CONTROL FLOW only (same pattern as
-  * GraphX/GraphFrames): edge data stays on the cluster; each round
-  * localCheckpoints the edge set to truncate lineage that would otherwise
-  * double per iteration.
+  * GraphX/GraphFrames): edge data stays on the cluster; each round cuts
+  * the edge set's lineage (graft.core.Checkpoints.cut) — lineage would
+  * otherwise double per iteration. With `spark.graft.checkpointDir` set
+  * the cuts are RELIABLE checkpoints, so an executor loss mid-contraction
+  * re-reads the last round from durable storage instead of failing the
+  * job; unset, they are executor-local (the test/interactive default).
   */
 object Components {
 
@@ -41,13 +44,12 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val Seq(cu, cv) = edges.columns.toSeq.take(2).map(col)
-    var e = edges
+    var e = graft.core.Checkpoints.cut(edges
       .select(cu.cast("long").as("u"), cv.cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(greatest(col("u"), col("v")).as("u"),
               least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // Per-round convergence probe: one aggregate job (count + hash sum)
     // against the previous round's scalars. Counts alone cannot detect
@@ -67,7 +69,7 @@ object Components {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = graft.core.Checkpoints.cut(smallStar(largeStar(e)))
       val nextSig = probe(next)
       // mutual anti-join: SET equality independent of row multiplicities
       // (the rounds carry multisets; the set-level dynamics are the

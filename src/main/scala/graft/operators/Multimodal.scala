@@ -363,35 +363,62 @@ object Multimodal {
     * pairs are previous increments' outputs and are not re-derived.
     */
   def phashNearDupIncremental(storedBands: DataFrame, newMedia: DataFrame,
-                              maxHamming: Int = 3): DataFrame =
+                              maxHamming: Int = 3,
+                              commitIds: Option[DataFrame] = None): DataFrame =
     // persisted: the fresh bands feed both the new-old probe and the
     // new-new self-join, and Spark does not CSE across join branches
     phashIncrementalFromBands(storedBands,
       graft.core.GraftCaches.acquire(phashBandTable(newMedia, maxHamming)),
-      maxHamming)
+      maxHamming, commitIds)
 
   /** The pair derivation half of `phashNearDupIncremental`, taking the
     * increment's banded frame directly — for a caller that already decoded
     * the drop once (CorpusIngest.ingestMedia). `freshBands` must be
     * materialized by the caller: it feeds two join branches.
+    *
+    * `commitIds`: the media ids present in the COMMIT-POINT hash table
+    * (one id column). The band store verifies inline from its own phash
+    * payload, so — unlike the text/embedding paths, whose verify resolve
+    * naturally nulls out ids missing from the commit table — orphan band
+    * rows left by a crashed-and-never-retried drop would emit GHOST pairs
+    * referencing media absent from media_hashes, and a ghost
+    * component-minimum could mark a real image as a loser in
+    * mediaSurvivors. The guard semi-joins the new-old pairs (already
+    * hamming-filtered, increment-bounded) against the commit ids — the
+    * commit table streams off its media_id buckets exchange-free; the
+    * store-sized band scan is never re-keyed. Pass None only when no
+    * commit table exists yet.
     */
   def phashIncrementalFromBands(storedBands: DataFrame, fresh: DataFrame,
-                                maxHamming: Int = 3): DataFrame = {
+                                maxHamming: Int = 3,
+                                commitIds: Option[DataFrame] = None): DataFrame = {
     val store = storedBands.select(
       col("media_id"), col("ci"), col("chunk"), col("phash"))
-    val newOld = fresh.hint("shuffle_hash").as("a").join(store.as("b"),
+    val newOldRaw = fresh.hint("shuffle_hash").as("a").join(store.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") =!= col("b.media_id"))
       .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
         greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
-        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"),
+        col("b.media_id").as("_store_id"))
+      .filter(col("hamming") <= maxHamming)
+    // INNER join, not semi: the commit table is unique on its id (it is
+    // the keyed commit point), so inner ≡ semi here — and inner admits a
+    // build-LEFT shuffle_hash, letting the pair-bounded side build the
+    // hash table while the commit table streams off its id buckets
+    // (a left_semi can only build right, which would hash the corpus)
+    val newOld = commitIds.fold(newOldRaw) { ids =>
+      newOldRaw.hint("shuffle_hash").join(
+        ids.select(col(ids.columns.head).as("_store_id")),
+        Seq("_store_id"))
+    }.drop("_store_id")
     val newNew = fresh.as("a").join(fresh.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
-    newOld.unionByName(newNew)
       .filter(col("hamming") <= maxHamming)
+    newOld.unionByName(newNew)
       .distinct()
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,13 +195,21 @@ object SimilarityOps {
     * final (cid, ce) centroid frame (never collected to the driver).
     */
   private def trainedFrom(v: DataFrame, k: Int, iters: Int): DataFrame = {
-    val hashOrd = Seq(
-      pmod((col("vec_id") % 1000003L) * 40503L, lit(65536L)), col("vec_id"))
-    val wInit = Window.orderBy(hashOrd: _*)
-    var cents = v.orderBy(hashOrd: _*).limit(k)
-      .withColumn("cid", row_number().over(wInit).cast("long") - 1)
-      .select(col("cid"),
-        expr("transform(vi, x -> CAST(x AS DOUBLE) / 1000000D)").as("ce"))
+    val hk = pmod((col("vec_id") % 1000003L) * 40503L, lit(65536L))
+    // k-row global TopK (orderBy.limit plans TakeOrderedAndProject), then
+    // rank WITHOUT a window: the unpartitioned row_number this used to run
+    // was the one single-partition window frame in main — harmless on a
+    // k-row input, but its per-job "WindowExec: No Partition Defined"
+    // warning spam would mask any future genuinely unbounded window in the
+    // logs. sort_array over one collected-struct row reproduces the
+    // (hash, vec_id) rank order bit-for-bit (vec_id is unique, so the
+    // struct prefix is a total order and the trailing vi never compares).
+    var cents = v.orderBy(hk, col("vec_id")).limit(k)
+      .select(struct(hk.as("hk"), col("vec_id"), col("vi")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("ks"))
+      .select(posexplode(col("ks")).as(Seq("cid", "kk")))
+      .select(col("cid").cast("long").as("cid"),
+        expr("transform(kk.vi, x -> CAST(x AS DOUBLE) / 1000000D)").as("ce"))
 
     def update(assigned: DataFrame): DataFrame =
       assigned.join(v, "vec_id")
@@ -625,13 +633,14 @@ object SimilarityOps {
     */
   def semDedupPairsIncremental(trainedCents: DataFrame, storedAsg: DataFrame,
                                newEmb: DataFrame,
-                               threshold: Double): DataFrame =
+                               threshold: Double,
+                               commitIds: Option[DataFrame] = None): DataFrame =
     // persisted: the fresh assignment feeds the new-old probe AND the
     // new-new self-join, and Spark does not CSE across join branches
     semPairsIncrementalFromAssign(storedAsg,
       graft.core.GraftCaches.acquire(
         semAssignTable(newEmb, trainedCents).repartition(col("vec_id"))),
-      threshold)
+      threshold, commitIds)
 
   /** The pair derivation half of `semDedupPairsIncremental`, taking the
     * increment's assignment frame directly — the entry point for a caller
@@ -639,26 +648,51 @@ object SimilarityOps {
     * must not pay the broadcast-assign pass twice. `freshAsg` must be
     * materialized (persisted/checkpointed) by the caller: it feeds two
     * join branches.
+    *
+    * `commitIds`: the vec ids present in the COMMIT-POINT vector store
+    * (one id column). The assignment store carries its verify payload
+    * inline, so — unlike `cosinePairsLshIncremental`, whose vector-store
+    * resolve naturally nulls out uncommitted ids — orphan sem_asg rows
+    * left by a crashed-and-never-retried drop would emit GHOST pairs
+    * referencing vectors absent from emb_vecs, and a ghost
+    * component-minimum could mark a real vector as a loser in
+    * semSurvivors. The guard semi-joins the VERIFIED new-old pairs
+    * (pair-bounded, far below candidate volume) against the commit ids —
+    * the vec store streams off its vec_id buckets exchange-free; the
+    * cid-bucketed assignment scan is never re-keyed. Pass None only when
+    * no commit table exists yet.
     */
   def semPairsIncrementalFromAssign(storedAsg: DataFrame,
                                     freshAsg: DataFrame,
-                                    threshold: Double): DataFrame = {
+                                    threshold: Double,
+                                    commitIds: Option[DataFrame] = None): DataFrame = {
     val rawDot = expr("graft_dot(ea, eb)")
     val normProd = sqrt(col("na") * col("nb"))
-    def verified(cand: DataFrame): DataFrame = cand
+    def verified(cand: DataFrame, extra: Column*): DataFrame = cand
       .filter(rawDot >= lit(threshold - 1e-6) * normProd &&
         round(rawDot / normProd, 6) >= threshold)
-      .select(col("cid"),
+      .select(Seq(col("cid"),
         least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"),
-        round(rawDot / normProd, 6).as("cos"))
+        round(rawDot / normProd, 6).as("cos")) ++ extra: _*)
     val a = freshAsg.select(col("cid"), col("vec_id").as("ida"),
       col("e").as("ea"), col("nrm").as("na"))
     val store = storedAsg.select(col("cid"), col("vec_id").as("idb"),
       col("e").as("eb"), col("nrm").as("nb"))
-    val newOld = verified(
+    val newOldV = verified(
       a.hint("shuffle_hash").join(store, Seq("cid"))
-        .filter(col("ida") =!= col("idb")))
+        .filter(col("ida") =!= col("idb")),
+      col("idb").as("_store_id"))
+    // INNER join, not semi: the commit table is unique on vec_id (it is
+    // the keyed commit point), so inner ≡ semi — and inner admits a
+    // build-LEFT shuffle_hash, letting the pair-bounded side build the
+    // hash table while the vec store streams off its buckets (a left_semi
+    // can only build right, which would hash the corpus-sized store)
+    val newOld = commitIds.fold(newOldV) { ids =>
+      newOldV.hint("shuffle_hash").join(
+        ids.select(col(ids.columns.head).as("_store_id")),
+        Seq("_store_id"))
+    }.drop("_store_id")
     val bFresh = freshAsg.select(col("cid"), col("vec_id").as("idb"),
       col("e").as("eb"), col("nrm").as("nb"))
     val newNew = verified(

@@ -553,11 +553,13 @@ class CorpusIngestSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("media_pairs"), err.getMessage)
 
-    // survivors keep cluster minima + singletons (the broken row rides
-    // along — its null hash pairs with nothing)
+    // survivors keep TRAINABLE cluster minima + singletons: the broken
+    // row's null-hash entry is ingest bookkeeping (decoded once, trimmed
+    // forever), not a survivor — a training view must not ship media the
+    // pipeline itself could not decode
     assert(CorpusIngest.mediaSurvivors(spark, wh)
-      .select("media_id").as[Long].collect().toSet == Set(0L, 2L, 10L, 99L),
-      "mediaSurvivors must drop the non-minimum twins")
+      .select("media_id").as[Long].collect().toSet == Set(0L, 2L, 10L),
+      "mediaSurvivors must drop the non-minimum twins AND undecodable rows")
 
     // governance: deleting image 10 purges hash, bands, and pair rows;
     // a re-submission re-lands as new and re-derives its pair
@@ -717,6 +719,60 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(CorpusIngest.embSurvivors(spark, wh)
       .select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
       "embSurvivors must keep the per-cluster minimum + singletons")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("ghost guard: orphan store rows from an abandoned crashed drop emit no pairs") {
+    import graft.core.Sinks
+    import graft.operators.{Multimodal, SimilarityOps}
+    // MEDIA: drop 1 commits; then a crashed drop lands BAND rows for image
+    // 50 but dies before the hash commit point and is never retried. Image
+    // 51 (50's planted twin) arriving later must NOT pair with the ghost —
+    // a ghost pair could crown 50 as component minimum and evict the real
+    // image 51 from mediaSurvivors even though 50 was never committed.
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whghost").toString
+    def imgs(ids: Seq[Long]) =
+      Multimodal.syntheticImageCorpus(ids.toDF("doc_id"))
+    CorpusIngest.ingestMedia(spark, imgs(Seq(0L, 1L, 2L)), wh)
+    // simulate the crash window: bands landed, hash commit point did not
+    Sinks.bucketedIdempotentAppend(
+      Multimodal.phashBandTable(imgs(Seq(50L))), s"$wh/corpus/media_bands",
+      keys = Seq("ci", "chunk", "media_id"), bucketKeys = Seq("ci", "chunk"),
+      buckets = 8)
+    val (_, pM) = CorpusIngest.ingestMedia(spark, imgs(Seq(51L)), wh)
+    assert(pM == 0L, s"ghost pair derived against uncommitted bands: $pM")
+    assert(spark.read.parquet(s"$wh/corpus/media_pairs")
+      .filter(col("media_a") === 50L || col("media_b") === 50L).isEmpty,
+      "no pair may reference the uncommitted media id")
+    // the abandoned drop's RETRY still heals: the trim re-admits 50 (no
+    // hash row yet), the band append no-ops, and the twin pair derives now
+    val (nR, pR) = CorpusIngest.ingestMedia(spark, imgs(Seq(50L)), wh)
+    assert((nR, pR) == (1L, 1L), s"retry must re-land and pair: $nR/$pR")
+
+    // SEM: the same window on the embedding side — sem_asg rows landed for
+    // an uncommitted vector 7; its near-twin 8 must not sem-pair with the
+    // ghost, but still pairs with the COMMITTED near-twin 1
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    val seed = Seq((1L, vec(0)), (2L, vec(30))).toDF("vec_id", "embedding")
+    val cents = graft.core.GraftCaches.acquire(
+      SimilarityOps.kmeansCentroids(seed, k = 2, iters = 1))
+    CorpusIngest.ingestEmbeddings(spark, seed, wh,
+      trainedCentroids = Some(cents))
+    Sinks.bucketedIdempotentAppend(
+      SimilarityOps.semAssignTable(
+        Seq((7L, vec(0, 0.01f))).toDF("vec_id", "embedding"), cents),
+      s"$wh/corpus/sem_asg",
+      keys = Seq("cid", "vec_id"), bucketKeys = Seq("cid"), buckets = 8)
+    CorpusIngest.ingestEmbeddings(spark,
+      Seq((8L, vec(0, 0.02f))).toDF("vec_id", "embedding"), wh,
+      trainedCentroids = Some(cents))
+    val semPairs = spark.read.parquet(s"$wh/corpus/sem_pairs")
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(!semPairs.exists(p => p._1 == 7L || p._2 == 7L),
+      s"no sem pair may reference the uncommitted vector: $semPairs")
+    assert(semPairs.contains((1L, 8L)), s"committed pair missing: $semPairs")
     graft.core.GraftCaches.releaseAll(spark)
   }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import graft.app.CorpusIngest
+import graft.core.{Checkpoints, WarehouseLease}
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cluster-survival properties: reliable lineage cuts (an executor loss
+  * must not kill a multi-hour drop) and the warehouse write lease (a
+  * second concurrent writer must fail fast instead of silently losing
+  * cross-drop pairs).
+  */
+class DurabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  import scala.jdk.CollectionConverters._
+
+  private def rddCheckpointFiles(dir: String): Seq[java.nio.file.Path] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Nil
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      finally s.close()
+    }
+  }
+
+  test("checkpoint mode: connectedComponents cuts to durable files, results identical") {
+    // two components spanning several contraction rounds
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("u", "v")
+    val baseline = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (got, leaves) = Checkpoints.withCheckpointDir(spark, dir) {
+      val cc = Components.connectedComponents(edges)
+      (cc.as[(Long, Long)].collect().toMap,
+        cc.queryExecution.optimizedPlan.collectLeaves())
+    }
+    assert(got == baseline, "checkpoint mode must not change results")
+    // lineage is truncated: the result plan bottoms out on materialized
+    // RDD scans, not on the original edge relation
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"leaves: ${leaves.map(_.getClass.getSimpleName)}")
+    // ...and the cuts are RELIABLE: files on disk under the configured dir,
+    // which is what survives an executor loss (localCheckpoint blocks die
+    // with their executor)
+    assert(rddCheckpointFiles(dir).nonEmpty,
+      s"no rdd checkpoint files under $dir")
+    // the switch is scoped: outside the block cuts are executor-local again
+    assert(Checkpoints.configured(spark).isEmpty,
+      "withCheckpointDir must restore the unset state")
+  }
+
+  test("checkpoint mode: a full ingest drop runs durable and stays hash-identical") {
+    val whA = java.nio.file.Files.createTempDirectory("ckpt-whA").toString
+    val whB = java.nio.file.Files.createTempDirectory("ckpt-whB").toString
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire in winter"
+    val drop1 = Seq((10L, base), (20L, "an unrelated second text about rivers and quiet mountain valleys at dawn"))
+      .toDF("doc_id", "text")
+    val drop2 = Seq((30L, base.replace("winter", "summer"))).toDF("doc_id", "text")
+
+    CorpusIngest.run(spark, drop1, whA)
+    CorpusIngest.run(spark, drop2, whA)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    Checkpoints.withCheckpointDir(spark, dir) {
+      CorpusIngest.run(spark, drop1, whB)
+      CorpusIngest.run(spark, drop2, whB)
+    }
+    def pairs(wh: String) = spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs(whB) == pairs(whA),
+      "durable-checkpoint ingest must produce the identical pair table")
+    assert(rddCheckpointFiles(dir).nonEmpty,
+      "ingest increments must have checkpointed durably")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("write lease: a second writer fails fast, a stale lease is reclaimed, a crashed holder's retry re-enters") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-wh").toString
+    val drop = Seq((1L, "some text about a fox and a dog crossing the river at dawn"))
+      .toDF("doc_id", "text")
+
+    // foreign live holder -> every mutating entry point fails fast
+    WarehouseLease.acquire(spark, wh, owner = "other-driver", ttlMs = 60000L)
+    intercept[WarehouseLease.LeaseHeldException] {
+      CorpusIngest.run(spark, drop, wh)
+    }
+    intercept[WarehouseLease.LeaseHeldException] {
+      CorpusIngest.delete(spark, wh, Seq(1L))
+    }
+    // the crashed holder's OWN retry re-enters cleanly (same owner id:
+    // a crash cannot release, so re-acquire refreshes instead of failing)
+    WarehouseLease.acquire(spark, wh, owner = "other-driver", ttlMs = 60000L)
+    WarehouseLease.release(spark, wh, owner = "other-driver")
+
+    // stale lease (expired ttl, holder gone) is reclaimed transparently
+    WarehouseLease.acquire(spark, wh, owner = "dead-driver", ttlMs = -1000L)
+    val (n, _) = CorpusIngest.run(spark, drop, wh)
+    assert(n == 1L, "expired foreign lease must be reclaimed, not block")
+
+    // ...and the reclaiming run released on exit: a fresh acquire works
+    WarehouseLease.acquire(spark, wh, owner = "third", ttlMs = 1000L)
+    WarehouseLease.release(spark, wh, owner = "third")
+
+    // releasing under the WRONG owner must not delete the holder's lease
+    WarehouseLease.acquire(spark, wh, owner = "fourth", ttlMs = 60000L)
+    WarehouseLease.release(spark, wh, owner = "not-fourth")
+    intercept[WarehouseLease.LeaseHeldException] {
+      WarehouseLease.acquire(spark, wh, owner = "fifth", ttlMs = 1000L)
+    }
+    WarehouseLease.release(spark, wh, owner = "fourth")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("write lease: JVM re-entrancy lets nested entry points share one lease") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-wh2").toString
+    val drop = Seq((1L, "short text about gardens and rivers flowing through quiet valleys"))
+      .toDF("doc_id", "text")
+    // outer scope holds; the nested run() re-enters at depth 2 instead of
+    // deadlocking or failing — the promoteAndIngest -> run shape
+    WarehouseLease.withWriteLease(spark, wh) {
+      val (n, _) = CorpusIngest.run(spark, drop, wh)
+      assert(n == 1L)
+      // still held by us after the nested call returned (its exit must
+      // not release the outer scope's lease)
+      intercept[WarehouseLease.LeaseHeldException] {
+        WarehouseLease.acquire(spark, wh, owner = "someone-else",
+          ttlMs = 1000L)
+      }
+    }
+    // outermost exit released: a different owner can now acquire
+    WarehouseLease.acquire(spark, wh, owner = "someone-else", ttlMs = 1000L)
+    WarehouseLease.release(spark, wh, owner = "someone-else")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+}
