@@ -65,6 +65,7 @@ object CorpusIngest {
   private def statsPath(wh: String) = s"$wh/corpus/doc_stats"
   private def stagedPath(wh: String) = s"$wh/corpus/staged_drops"
   private def tombPath(wh: String) = s"$wh/corpus/tombstones"
+  private def cappedPath(wh: String) = s"$wh/corpus/capped_buckets"
 
   /** The signature store reads through its bucketed catalog registration
     * when it has one — that scan is what lets the incremental band/verify
@@ -109,11 +110,20 @@ object CorpusIngest {
     * corpus-sized store side — the per-increment cost is increment-sized
     * however large the corpus grows. At warehouse scale pick
     * data / ~256 MB; the default suits test-sized corpora.
+    *
+    * `maxBucketCandidates` (off by default): per-(band, sig) hot-bucket
+    * cap for the incremental probe — buckets holding more store members
+    * than the cap are skipped and recorded in `corpus/capped_buckets`
+    * (the documented recall trade; see DedupOps.overflowingBuckets). Set
+    * it in production: the exchange-free store join opts out of AQE skew
+    * splitting, so an uncapped boilerplate flood serializes every later
+    * drop on one task.
     */
   def run(spark: SparkSession, drop: DataFrame, warehouse: String,
           threshold: Double = 0.5,
           compactTargetFiles: Option[Int] = None,
-          storeBuckets: Int = 8): (Long, Long) =
+          storeBuckets: Int = 8,
+          maxBucketCandidates: Option[Int] = None): (Long, Long) =
       // every mutating entry point holds the warehouse write lease: a
       // second concurrent drop would pass the trim against a store missing
       // this drop's increment and silently lose cross-drop pairs — the
@@ -158,7 +168,7 @@ object CorpusIngest {
       val nNew = inc.count()
       if (nNew == 0) (0L, 0L)
       else landIncrement(spark, inc, nNew, warehouse, threshold,
-        compactTargetFiles, storeBuckets, storeExists)
+        compactTargetFiles, storeBuckets, storeExists, maxBucketCandidates)
     }
   }
 
@@ -169,13 +179,37 @@ object CorpusIngest {
                             warehouse: String, threshold: Double,
                             compactTargetFiles: Option[Int],
                             storeBuckets: Int,
-                            storeExists: Boolean): (Long, Long) = {
+                            storeExists: Boolean,
+                            maxBucketCandidates: Option[Int]): (Long, Long) = {
+    // geometry fail-closed BEFORE any candidate derives: the incremental
+    // probe signs the increment with the library geometry, and a store
+    // built under different numHashes/bands would yield garbage candidates
+    // (and, worse, corrupting appends) — the band store's params ledger
+    // refuses the whole drop up front. Stamp-first on the first drop, same
+    // crash ordering as the threshold ledger.
+    Sinks.checkAndStampParams(spark, bandPath(warehouse),
+      graft.operators.DedupOps.minhashParams(64, 16))
+    // HOT-BUCKET cap: the exchange-free store join opts out of AQE skew
+    // splitting, so a boilerplate flood concentrated in one (band, sig)
+    // bucket would concentrate every later drop on one task. When capped,
+    // overflowing buckets are excluded from the probe and RECORDED in
+    // corpus/capped_buckets — the recall contract (pairs witnessed only by
+    // a hot bucket are not derived) is auditable, never silent. The
+    // overflow scan is a co-located two-int-column aggregate per drop.
+    val hot = maxBucketCandidates.flatMap { cap =>
+      if (!storeExists) None
+      else Some(graft.core.GraftCaches.acquire(DedupOps.overflowingBuckets(
+        readStore(spark, bandPath(warehouse)), cap)))
+    }
+    hot.filter(h => !h.isEmpty).foreach(h =>
+      Sinks.idempotentAppend(h, cappedPath(warehouse),
+        keys = Seq("band", "sig"), partitionCols = Nil))
     val pairs =
       if (!storeExists) DedupOps.minhashLsh(inc, threshold)
       else DedupOps.minhashLshIncremental(
         readStore(spark, bandPath(warehouse)),
         readStore(spark, shinglePath(warehouse)),
-        inc, threshold)
+        inc, threshold, excludeBuckets = hot)
     val nPairs = pairs.count()
     // stamp BEFORE the pairs land: a crash between an unstamped append and
     // the stamp would let a later run at a different threshold slip past
@@ -328,6 +362,7 @@ object CorpusIngest {
   private def embVecsPath(wh: String) = s"$wh/corpus/emb_vecs"
   private def embBandsPath(wh: String) = s"$wh/corpus/emb_bands"
   private def embPairsPath(wh: String) = s"$wh/corpus/emb_pairs"
+  private def embCappedPath(wh: String) = s"$wh/corpus/emb_capped_buckets"
   private def semAsgPath(wh: String) = s"$wh/corpus/sem_asg"
   private def semPairsPath(wh: String) = s"$wh/corpus/sem_pairs"
   private def semCentsPath(wh: String) = s"$wh/corpus/sem_cents"
@@ -369,7 +404,8 @@ object CorpusIngest {
                        threshold: Double = 0.42,
                        storeBuckets: Int = 8,
                        trainedCentroids: Option[DataFrame] = None,
-                       semThreshold: Double = 0.9): (Long, Long) =
+                       semThreshold: Double = 0.9,
+                       maxBucketCandidates: Option[Int] = None): (Long, Long) =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
@@ -390,6 +426,13 @@ object CorpusIngest {
           "over the existing corpus before sem-maintained drops")
       checkThresholdAt(spark, semPairsPath(warehouse), "corpus/sem_pairs",
         semThreshold)
+      // frozen-centroid identity fail-closed BEFORE any work: a drop
+      // assigned under different centroids than sem_asg was built with
+      // fragments clusters silently — pin the centroid fingerprint the
+      // way the band stores pin their hash geometry
+      Sinks.checkAndStampParams(spark, semAsgPath(warehouse),
+        Seq("cents_fp" -> graft.operators.SimilarityOps
+          .centroidFingerprint(trainedCentroids.get).toString))
     } else require(!semAsgExists,
       s"ingestEmbeddings: ${semAsgPath(warehouse)} exists — this warehouse " +
         "is sem-maintained, and a drop ingested without trainedCentroids " +
@@ -411,13 +454,27 @@ object CorpusIngest {
       val nNew = inc.count()
       if (nNew == 0) (0L, 0L)
       else {
+        // geometry fail-closed before any candidate derives (the text
+        // path's argument, over the sign-LSH plane matrix)
+        Sinks.checkAndStampParams(spark, embBandsPath(warehouse),
+          graft.operators.SimilarityOps.embLshParams(6, 48, 64))
+        // hot-bucket cap + ledger, the text path's device on (band, code)
+        val hot = maxBucketCandidates.flatMap { cap =>
+          if (!storeExists) None
+          else Some(graft.core.GraftCaches.acquire(
+            graft.operators.SimilarityOps.overflowingCodeBuckets(
+              readStore(spark, embBandsPath(warehouse)), cap)))
+        }
+        hot.filter(h => !h.isEmpty).foreach(h =>
+          Sinks.idempotentAppend(h, embCappedPath(warehouse),
+            keys = Seq("band", "code"), partitionCols = Nil))
         val pairs =
           if (!storeExists)
             graft.operators.SimilarityOps.cosinePairsLsh(inc, threshold)
           else graft.operators.SimilarityOps.cosinePairsLshIncremental(
             readStore(spark, embBandsPath(warehouse)),
             readStore(spark, embVecsPath(warehouse)),
-            inc, threshold)
+            inc, threshold, excludeBuckets = hot)
         val nPairs = pairs.count()
         // stamp-first, same crash ordering argument as run()
         stampThresholdAt(spark, embPairsPath(warehouse), threshold)
@@ -797,6 +854,7 @@ object CorpusIngest {
   private def mediaHashPath(wh: String) = s"$wh/corpus/media_hashes"
   private def mediaBandsPath(wh: String) = s"$wh/corpus/media_bands"
   private def mediaPairsPath(wh: String) = s"$wh/corpus/media_pairs"
+  private def mediaCappedPath(wh: String) = s"$wh/corpus/media_capped_buckets"
 
   /** Land one MEDIA drop — the image-modality twin of `run` /
     * `ingestEmbeddings`: trim the drop against the hash store (replayed
@@ -816,11 +874,18 @@ object CorpusIngest {
     */
   def ingestMedia(spark: SparkSession, drop: DataFrame, warehouse: String,
                   maxHamming: Int = 3,
-                  storeBuckets: Int = 8): (Long, Long) =
+                  storeBuckets: Int = 8,
+                  maxBucketCandidates: Option[Int] = None): (Long, Long) =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, mediaHashPath(warehouse))
     checkThresholdAt(spark, mediaPairsPath(warehouse), "corpus/media_pairs",
       maxHamming.toDouble)
+    // band-store geometry ledger too (chunk count = maxHamming + 1): the
+    // pair ledger alone would not catch a cut drift against a band store
+    // stamped by a direct appendPhashStoreBucketed user before any pair
+    // table existed
+    Sinks.checkAndStampParams(spark, mediaBandsPath(warehouse),
+      Seq("maxHamming" -> maxHamming.toString))
     graft.core.GraftCaches.withScope(spark) {
       val newMedia =
         (if (!storeExists) drop
@@ -840,6 +905,16 @@ object CorpusIngest {
         val freshBands = graft.core.GraftCaches.acquire(
           graft.operators.Multimodal.phashBandTableFromHashes(hashes,
             maxHamming))
+        // hot-bucket cap + ledger on (ci, chunk), the text path's device
+        val hot = maxBucketCandidates.flatMap { cap =>
+          if (!storeExists) None
+          else Some(graft.core.GraftCaches.acquire(
+            graft.operators.Multimodal.overflowingChunkBuckets(
+              readStore(spark, mediaBandsPath(warehouse)), cap)))
+        }
+        hot.filter(h => !h.isEmpty).foreach(h =>
+          Sinks.idempotentAppend(h, mediaCappedPath(warehouse),
+            keys = Seq("ci", "chunk"), partitionCols = Nil))
         val pairs =
           if (!storeExists) graft.operators.Multimodal.nearDupFromHashes(
             hashes.filter(col("phash").isNotNull && col("phash") =!= -1L),
@@ -851,7 +926,8 @@ object CorpusIngest {
             // commit table may pair — orphan band rows from a crashed,
             // never-retried drop emit no ghosts
             commitIds =
-              Some(readStore(spark, mediaHashPath(warehouse)).select("media_id")))
+              Some(readStore(spark, mediaHashPath(warehouse)).select("media_id")),
+            excludeBuckets = hot)
         val nPairs = pairs.count()
         stampThresholdAt(spark, mediaPairsPath(warehouse), maxHamming.toDouble)
         appendKeyedStore(spark, pairs, mediaPairsPath(warehouse), storeBuckets,
@@ -967,6 +1043,12 @@ object CorpusIngest {
       // spot reclaim mid-cadence and the centroids were unrecoverable)
       Sinks.writeCurrent(cents0, semCentsPath(warehouse))
       val cents = spark.read.parquet(semCentsPath(warehouse))
+      // stamp the NEW centroid identity on the rebuilt assignment store
+      // (dropStore removed the old ledger with the old table), so later
+      // drops under stale centroids are refused before work
+      Sinks.checkAndStampParams(spark, semAsgPath(warehouse),
+        Seq("cents_fp" -> graft.operators.SimilarityOps
+          .centroidFingerprint(cents).toString))
       val asg = graft.core.GraftCaches.acquire(asg0)
       stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
       appendKeyedStore(spark,
@@ -1001,7 +1083,7 @@ object CorpusIngest {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
-    Seq("._bucketspec", "._threshold").foreach(s =>
+    Seq("._bucketspec", "._threshold", "._params").foreach(s =>
       fs.delete(new org.apache.hadoop.fs.Path(path + s), false))
     val name = Sinks.bucketedTableName(path)
     if (spark.catalog.tableExists(name))

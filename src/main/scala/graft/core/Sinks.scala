@@ -871,6 +871,43 @@ object Sinks {
     * append lands at most one file per non-empty bucket instead of
     * tasks × buckets small files.
     */
+  /** Sibling PARAMS ledger for a derived store: a single-line `k=v,...`
+    * file stamped at store creation and required-EQUAL before every later
+    * append — the geometry twin of the pair tables' threshold ledger. The
+    * signature stores' idempotence keys deliberately include DERIVED
+    * columns (band/sig, band/code, ci/chunk, cid) so the bucketed scan
+    * satisfies the existence anti-join's distribution; the flip side is
+    * that a replayed row under DRIFTED hash geometry (changed
+    * numHashes/bands/dims, or different frozen centroids) computes a
+    * different derived key, slips past the no-op check, and lands a
+    * CONFLICTING signature row — silent candidate corruption, forever.
+    * This ledger refuses that append (and, checked early by the ingest
+    * drivers, the whole drop) before any work. Stamp-first ordering fails
+    * closed; sibling placement survives compaction's directory swap.
+    */
+  def checkAndStampParams(spark: SparkSession, path: String,
+                          params: Seq[(String, String)]): Unit = {
+    val line = params.map { case (k, v) => s"$k=$v" }.mkString(",")
+    require(!line.contains("\n"), "params ledger is single-line")
+    val p = new org.apache.hadoop.fs.Path(path + "._params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine()
+      finally in.close()
+      require(stored != null && stored.trim == line,
+        s"$path was built under params [${Option(stored).getOrElse("").trim}]; " +
+          s"refusing to append under drifted params [$line] — rows keyed on " +
+          "derived signature columns would land conflicting duplicates " +
+          "instead of no-opping on replay (rebuild the store, or restore " +
+          "the original parameters)")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(line.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** JVM-wide guard for the co-partition conf flip in
     * bucketedIdempotentAppend: the flip is session-global, so two
     * overlapping appends could otherwise interleave set/restore and leave

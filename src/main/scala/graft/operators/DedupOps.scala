@@ -757,9 +757,19 @@ object DedupOps {
     * Shingles-first would leave the doc permanently half-ingested: the
     * trim skips it forever while its band rows never arrive.
     */
+  /** The band store's geometry identity — what `Sinks.checkAndStampParams`
+    * stamps on the store and refuses drift against: the (doc_id, band)
+    * replay no-op is only sound while sig stays a stable function of the
+    * document, i.e. while the hash geometry is frozen.
+    */
+  def minhashParams(numHashes: Int, bands: Int): Seq[(String, String)] =
+    Seq("numHashes" -> numHashes.toString, "bands" -> bands.toString)
+
   def appendSignatureStore(newDocs: DataFrame, bandPath: String,
                            shinglePath: String, numHashes: Int = 64,
                            bands: Int = 16): Unit = {
+    graft.core.Sinks.checkAndStampParams(newDocs.sparkSession, bandPath,
+      minhashParams(numHashes, bands))
     val sh = shingleTable(newDocs)
     graft.core.Sinks.idempotentAppend(minhashBandTable(sh, numHashes, bands),
       bandPath, keys = Seq("doc_id", "band"), partitionCols = Nil)
@@ -781,6 +791,11 @@ object DedupOps {
                                    shinglePath: String, buckets: Int,
                                    numHashes: Int = 64,
                                    bands: Int = 16): Unit = {
+    // geometry ledger BEFORE any write: an append under drifted
+    // numHashes/bands would land conflicting (band, sig) rows the
+    // (band, sig, doc_id) no-op keys cannot catch
+    graft.core.Sinks.checkAndStampParams(newDocs.sparkSession, bandPath,
+      minhashParams(numHashes, bands))
     val sh = shingleTable(newDocs)
     // bands first, shingles LAST — the shingle table is the ingest trim's
     // commit point (see appendSignatureStore's crash contract).
@@ -813,14 +828,43 @@ object DedupOps {
     * candidates against the stored shingle sets by doc_id — at 100 TB a
     * pruned point-lookup of the shingle store, not a text pass.
     */
+  /** The (band, sig) buckets of a signature store holding more than `cap`
+    * members — the HOT-BUCKET screen for the incremental probe. The
+    * bucketed store join that makes drops exchange-free also opts out of
+    * AQE skew splitting (the store side never re-shuffles), so one
+    * boilerplate flood concentrating in a bucket would concentrate every
+    * later drop's candidate join on one task. This aggregate reads two
+    * int columns off the (band, sig)-bucketed scan — partial aggregation
+    * collapses per bucket file with NO exchange — and the result is tiny
+    * (only overflowing buckets). Same device as the stopword df-cap:
+    * drop-with-ledger, documented recall contract (pairs witnessed ONLY
+    * by a hot bucket are not probed; a bucket that hot is boilerplate
+    * with quadratic pair volume nobody wants as near-dup "evidence").
+    */
+  def overflowingBuckets(storedBands: DataFrame, cap: Int): DataFrame =
+    storedBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
+
+  /** `excludeBuckets`: hot (band, sig) buckets (overflowingBuckets output)
+    * the probe must skip — broadcast-anti-joined against the INCREMENT
+    * side only, so the store scan keeps its exchange-free shape. Skipping
+    * on the fresh side suppresses both new-old and new-new candidates of
+    * the bucket (the bucket is degenerate; its members pair with
+    * everything in it).
+    */
   def minhashLshIncremental(storedBands: DataFrame, storedShingles: DataFrame,
                             newDocs: DataFrame, threshold: Double,
-                            numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                            numHashes: Int = 64, bands: Int = 16,
+                            excludeBuckets: Option[DataFrame] = None): DataFrame = {
     val freshSh = shingleTable(newDocs)
     // persisted: the fresh bands feed both the new-old probe and the
     // new-new self-join, and Spark does not CSE across join branches
-    val fresh = graft.core.GraftCaches.acquire(
+    val freshAll = graft.core.GraftCaches.acquire(
       minhashBandTable(freshSh, numHashes, bands), StorageLevel.MEMORY_AND_DISK)
+    val fresh = excludeBuckets.fold(freshAll)(hot =>
+      freshAll.join(broadcast(hot.select(col("band"), col("sig"))),
+        Seq("band", "sig"), "left_anti"))
     // pairs touching a new doc split EXACTLY into new-old ∪ new-new, so the
     // corpus-sized store is probed DIRECTLY — no union sits above its scan.
     // That structural choice is the scale contract: when the store is a

@@ -339,7 +339,12 @@ object Multimodal {
     * drop (the on-disk spec ledger wins thereafter).
     */
   def appendPhashStoreBucketed(newMedia: DataFrame, bandPath: String,
-                               buckets: Int, maxHamming: Int = 3): Unit =
+                               buckets: Int, maxHamming: Int = 3): Unit = {
+    // geometry ledger: chunk count is maxHamming + 1 (pigeonhole), so a
+    // drifted cut re-chunks the hash and the (ci, chunk, media_id) no-op
+    // keys stop matching replayed rows
+    graft.core.Sinks.checkAndStampParams(newMedia.sparkSession, bandPath,
+      Seq("maxHamming" -> maxHamming.toString))
     // idempotence keys include the bucket keys: chunk is a deterministic
     // function of (media_id, ci), so (ci, chunk, media_id) is equivalent
     // to (media_id, ci) — and the bucketed scan then satisfies the
@@ -349,6 +354,7 @@ object Multimodal {
       phashBandTable(newMedia, maxHamming), bandPath,
       keys = Seq("ci", "chunk", "media_id"), bucketKeys = Seq("ci", "chunk"),
       buckets = buckets)
+  }
 
   /** INCREMENTAL perceptual near-dup: pairs involving at least one NEW
     * image — the drop-shape twin of `minhashLshIncremental` /
@@ -364,12 +370,13 @@ object Multimodal {
     */
   def phashNearDupIncremental(storedBands: DataFrame, newMedia: DataFrame,
                               maxHamming: Int = 3,
-                              commitIds: Option[DataFrame] = None): DataFrame =
+                              commitIds: Option[DataFrame] = None,
+                              excludeBuckets: Option[DataFrame] = None): DataFrame =
     // persisted: the fresh bands feed both the new-old probe and the
     // new-new self-join, and Spark does not CSE across join branches
     phashIncrementalFromBands(storedBands,
       graft.core.GraftCaches.acquire(phashBandTable(newMedia, maxHamming)),
-      maxHamming, commitIds)
+      maxHamming, commitIds, excludeBuckets)
 
   /** The pair derivation half of `phashNearDupIncremental`, taking the
     * increment's banded frame directly — for a caller that already decoded
@@ -389,12 +396,28 @@ object Multimodal {
     * store-sized band scan is never re-keyed. Pass None only when no
     * commit table exists yet.
     */
+  /** The (ci, chunk) buckets of a banded pHash store holding more than
+    * `cap` images — the image twin of `DedupOps.overflowingBuckets`
+    * (co-located aggregate off the bucketed scan, drop-with-ledger recall
+    * contract).
+    */
+  def overflowingChunkBuckets(storedBands: DataFrame, cap: Int): DataFrame =
+    storedBands.groupBy(col("ci"), col("chunk"))
+      .agg(count(lit(1)).as("n_media"))
+      .filter(col("n_media") > cap)
+
   def phashIncrementalFromBands(storedBands: DataFrame, fresh: DataFrame,
                                 maxHamming: Int = 3,
-                                commitIds: Option[DataFrame] = None): DataFrame = {
+                                commitIds: Option[DataFrame] = None,
+                                excludeBuckets: Option[DataFrame] = None): DataFrame = {
     val store = storedBands.select(
       col("media_id"), col("ci"), col("chunk"), col("phash"))
-    val newOldRaw = fresh.hint("shuffle_hash").as("a").join(store.as("b"),
+    // hot-bucket screen on the INCREMENT side only — the store scan keeps
+    // its exchange-free shape; see DedupOps.minhashLshIncremental
+    val freshKept = excludeBuckets.fold(fresh)(hot =>
+      fresh.join(broadcast(hot.select(col("ci"), col("chunk"))),
+        Seq("ci", "chunk"), "left_anti"))
+    val newOldRaw = freshKept.hint("shuffle_hash").as("a").join(store.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") =!= col("b.media_id"))
       .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
@@ -412,7 +435,7 @@ object Multimodal {
         ids.select(col(ids.columns.head).as("_store_id")),
         Seq("_store_id"))
     }.drop("_store_id")
-    val newNew = fresh.as("a").join(fresh.as("b"),
+    val newNew = freshKept.as("a").join(freshKept.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),

@@ -595,6 +595,20 @@ object SimilarityOps {
         round(rawDot / normProd, 6).as("cos"))
   }
 
+  /** Deterministic identity of a frozen centroid frame — the value the
+    * sem_asg store's params ledger pins: an order-insensitive 64-bit fold
+    * of every (cid, ce) row. A drop assigned under DIFFERENT centroids
+    * than the store was built with silently fragments clusters (the same
+    * vector maps to different cids across drops, and within-cluster pair
+    * search misses across the split); the fingerprint turns that into a
+    * refuse-before-work. Cheap: one tiny job over the k-row frame.
+    */
+  def centroidFingerprint(cents: DataFrame): Long = {
+    val d = cents.agg(
+      sum(xxhash64(col("cid"), col("ce")).cast("decimal(38,0)"))).head()
+    if (d.isNullAt(0)) 0L else d.getDecimal(0).longValue()
+  }
+
   /** Persist a drop's SemDeDup assignments as a path-anchored BUCKETED
     * table on the pair-join key (cid), keyed vec_id (replayed drops are
     * data no-ops). One table carries assignment AND verify payload, so the
@@ -851,10 +865,22 @@ object SimilarityOps {
     * store, the retry re-admits it, and the band append no-ops the rows
     * already landed; vecs-first would strand a half-ingested vector.
     */
+  /** The sign-LSH store's geometry identity (see DedupOps.minhashParams —
+    * the same replay-no-op-requires-frozen-geometry argument, here over
+    * the plane matrix, which is a pure function of (bands·rowsPerBand,
+    * dims)).
+    */
+  def embLshParams(rowsPerBand: Int, bands: Int,
+                   dims: Int): Seq[(String, String)] =
+    Seq("rowsPerBand" -> rowsPerBand.toString, "bands" -> bands.toString,
+      "dims" -> dims.toString)
+
   def appendEmbSignatureStoreBucketed(newEmb: DataFrame, bandPath: String,
                                       vecPath: String, buckets: Int,
                                       rowsPerBand: Int = 6, bands: Int = 48,
                                       dims: Int = 64): Unit = {
+    graft.core.Sinks.checkAndStampParams(newEmb.sparkSession, bandPath,
+      embLshParams(rowsPerBand, bands, dims))
     val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
     val coded = graft.core.GraftCaches.acquire(
       withNorm(newEmb).select(col("vec_id"), col("e"), col("nrm"),
@@ -895,10 +921,25 @@ object SimilarityOps {
     * contract) with arithmetic identical to `cosinePairsLsh`, so the two
     * paths can never drift.
     */
+  /** The (band, code) buckets of a sign-LSH store holding more than `cap`
+    * vectors — the embedding twin of `DedupOps.overflowingBuckets` (see
+    * its scaling note: co-located aggregate off the bucketed scan, tiny
+    * output, drop-with-ledger recall contract).
+    */
+  def overflowingCodeBuckets(storedBands: DataFrame, cap: Int): DataFrame =
+    storedBands.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > cap)
+
+  /** `excludeBuckets`: hot (band, code) buckets the probe must skip —
+    * anti-joined against the increment side only (the store scan keeps
+    * its exchange-free shape); see DedupOps.minhashLshIncremental.
+    */
   def cosinePairsLshIncremental(storedBands: DataFrame, storedVecs: DataFrame,
                                 newEmb: DataFrame, threshold: Double,
                                 rowsPerBand: Int = 6, bands: Int = 48,
-                                dims: Int = 64): DataFrame = {
+                                dims: Int = 64,
+                                excludeBuckets: Option[DataFrame] = None): DataFrame = {
     val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
     // persisted: the fresh codes feed the new-old probe AND the new-new
     // self-join, and Spark does not CSE across join branches
@@ -908,8 +949,11 @@ object SimilarityOps {
         .select(col("vec_id"), col("e"), col("nrm"),
           call_function("graft_band_codes", col("e"), typedlit(planeVecs),
             lit(rowsPerBand)).as("codes")))
-    val freshBands = fresh.select(col("vec_id"),
+    val freshBandsAll = fresh.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("band", "code")))
+    val freshBands = excludeBuckets.fold(freshBandsAll)(hot =>
+      freshBandsAll.join(broadcast(hot.select(col("band"), col("code"))),
+        Seq("band", "code"), "left_anti"))
     // SHUFFLE_HASH with the increment as build side: the bucketed store
     // already satisfies the join's distribution off the scan, but a plain
     // join would then pick sort-merge and pay a full SORT of the

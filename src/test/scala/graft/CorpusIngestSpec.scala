@@ -775,4 +775,132 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(semPairs.contains((1L, 8L)), s"committed pair missing: $semPairs")
     graft.core.GraftCaches.releaseAll(spark)
   }
+
+  test("hot-bucket cap: a boilerplate flood's buckets are skipped by later probes and ledgered") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whhot").toString
+    // a flood of IDENTICAL docs: every flood member lands the same 16
+    // (band, sig) rows, so each of those buckets holds 60 docs — plus one
+    // normal doc in its own cold buckets
+    val flood = ((100L until 160L).map(i => (i, base)) :+ (20L, unrelated))
+      .toDF("doc_id", "text")
+    CorpusIngest.run(spark, flood, wh)
+    // capped probe: a near-twin of the flood text finds NOTHING (all its
+    // matching buckets are hot), while a near-twin of the cold doc still
+    // pairs — the cap is per-bucket, not a probe kill-switch
+    val drop2 = Seq(
+      (999L, base.replace("winter", "summer")),
+      (21L, unrelated.replace("today", "tomorrow"))).toDF("doc_id", "text")
+    val (n2, p2) = CorpusIngest.run(spark, drop2, wh,
+      maxBucketCandidates = Some(50))
+    assert(n2 == 2L, s"drop2 landed $n2")
+    assert(p2 == 1L, s"flood buckets must be skipped, cold pair kept: $p2")
+    val pairRows = spark.read.parquet(s"$wh/corpus/pairs")
+      .filter(col("doc_a") === 999L || col("doc_b") === 999L).count()
+    assert(pairRows == 0L, "no pair may come from a capped bucket")
+    // the recall trade is RECORDED, never silent: the ledger names the
+    // skipped buckets with their sizes
+    val capped = spark.read.parquet(s"$wh/corpus/capped_buckets")
+    assert(capped.count() == 16L &&
+      capped.agg(min(col("n_docs"))).head().getLong(0) >= 60L,
+      "every flooded (band, sig) bucket must be ledgered")
+    // later capped drops re-detect the same hot buckets; the keyed ledger
+    // append no-ops instead of duplicating rows
+    CorpusIngest.run(spark,
+      Seq((22L, "entirely new content about telescopes observing distant quiet galaxies"))
+        .toDF("doc_id", "text"), wh, maxBucketCandidates = Some(50))
+    assert(spark.read.parquet(s"$wh/corpus/capped_buckets").count() == 16L)
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("hot-bucket cap: embedding and media incremental probes skip overflowing buckets") {
+    import graft.operators.{Multimodal, SimilarityOps}
+    // EMBEDDINGS, operator level: 60 identical stored vectors flood every
+    // (band, code) bucket they occupy; a near-twin probe under the cap
+    // yields nothing, uncapped yields 60 pairs
+    def v(eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = 1f; a(1) = eps; a
+    }
+    val storedEmb = (0L until 60L).map(i => (i, v(0f))).toDF("vec_id", "embedding")
+    val storedBands = graft.core.GraftCaches.acquire(
+      SimilarityOps.embBandTable(storedEmb))
+    val storedVecs = graft.core.GraftCaches.acquire(
+      SimilarityOps.embVecTable(storedEmb))
+    val probe = Seq((999L, v(0.01f))).toDF("vec_id", "embedding")
+    val uncapped = SimilarityOps.cosinePairsLshIncremental(
+      storedBands, storedVecs, probe, threshold = 0.9).count()
+    assert(uncapped == 60L, s"uncapped control: $uncapped")
+    val hotE = SimilarityOps.overflowingCodeBuckets(storedBands, cap = 50)
+    val capped = SimilarityOps.cosinePairsLshIncremental(
+      storedBands, storedVecs, probe, threshold = 0.9,
+      excludeBuckets = Some(hotE)).count()
+    assert(capped == 0L, s"capped probe must skip the flood: $capped")
+
+    // MEDIA, operator level: 60 identical stored hashes flood the
+    // (ci, chunk) buckets; same skip-vs-control contract
+    val floodHashes = (0L until 60L).map(i => (i, 0x0f0f0f0fL))
+      .toDF("media_id", "phash")
+    val storedMb = graft.core.GraftCaches.acquire(
+      Multimodal.phashBandTableFromHashes(floodHashes))
+    val freshMb = graft.core.GraftCaches.acquire(
+      Multimodal.phashBandTableFromHashes(
+        Seq((999L, 0x0f0f0f0eL)).toDF("media_id", "phash")))
+    val uncappedM = Multimodal.phashIncrementalFromBands(
+      storedMb, freshMb).count()
+    assert(uncappedM == 60L, s"uncapped media control: $uncappedM")
+    val hotM = Multimodal.overflowingChunkBuckets(storedMb, cap = 50)
+    val cappedM = Multimodal.phashIncrementalFromBands(
+      storedMb, freshMb, excludeBuckets = Some(hotM)).count()
+    assert(cappedM == 0L, s"capped media probe must skip the flood: $cappedM")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("geometry ledger: signature stores refuse appends and probes under drifted params") {
+    import graft.core.Sinks
+    import graft.operators.DedupOps
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whgeo").toString
+    CorpusIngest.run(spark, Seq((1L, base)).toDF("doc_id", "text"), wh)
+    // the band store carries its geometry; a direct append under different
+    // numHashes/bands is refused before any write — replayed rows keyed on
+    // (band, sig, doc_id) could not no-op under a different sig function
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.appendSignatureStoreBucketed(
+        Seq((2L, unrelated)).toDF("doc_id", "text"),
+        s"$wh/corpus/bands", s"$wh/corpus/shingles", buckets = 8,
+        numHashes = 32, bands = 8)
+    }
+    assert(err.getMessage.contains("numHashes=32"), err.getMessage)
+    // matching geometry still lands
+    val (n, _) = CorpusIngest.run(spark,
+      Seq((2L, unrelated)).toDF("doc_id", "text"), wh)
+    assert(n == 1L)
+
+    // frozen-centroid identity: a sem drop under DIFFERENT centroids than
+    // the assignment store was built with is refused before work
+    import graft.operators.SimilarityOps
+    def vv(major: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a
+    }
+    val seed = Seq((1L, vv(0)), (2L, vv(30))).toDF("vec_id", "embedding")
+    val cents = graft.core.GraftCaches.acquire(
+      SimilarityOps.kmeansCentroids(seed, k = 2, iters = 1))
+    CorpusIngest.ingestEmbeddings(spark, seed, wh,
+      trainedCentroids = Some(cents))
+    val otherCents = graft.core.GraftCaches.acquire(
+      SimilarityOps.kmeansCentroids(
+        Seq((1L, vv(5)), (2L, vv(40))).toDF("vec_id", "embedding"),
+        k = 2, iters = 1))
+    val errC = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestEmbeddings(spark,
+        Seq((3L, vv(0))).toDF("vec_id", "embedding"), wh,
+        trainedCentroids = Some(otherCents))
+    }
+    assert(errC.getMessage.contains("cents_fp"), errC.getMessage)
+    // the retrain cadence re-stamps: drops under the NEW centroids work
+    val cents2 = CorpusIngest.retrainSemStore(spark, wh, k = 2, iters = 1)
+    val (n3, _) = CorpusIngest.ingestEmbeddings(spark,
+      Seq((3L, vv(0))).toDF("vec_id", "embedding"), wh,
+      trainedCentroids = Some(cents2))
+    assert(n3 == 1L, "post-retrain drop under the new centroids must land")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
 }
