@@ -363,6 +363,8 @@ object CorpusIngest {
   private def embBandsPath(wh: String) = s"$wh/corpus/emb_bands"
   private def embPairsPath(wh: String) = s"$wh/corpus/emb_pairs"
   private def embCappedPath(wh: String) = s"$wh/corpus/emb_capped_buckets"
+  private def stagedEmbPath(wh: String) = s"$wh/corpus/staged_emb_drops"
+  private def embTombPath(wh: String) = s"$wh/corpus/emb_tombstones"
   private def semAsgPath(wh: String) = s"$wh/corpus/sem_asg"
   private def semPairsPath(wh: String) = s"$wh/corpus/sem_pairs"
   private def semCentsPath(wh: String) = s"$wh/corpus/sem_cents"
@@ -536,13 +538,16 @@ object CorpusIngest {
   /** GOVERNANCE DELETE for the embedding modality — `delete`'s cascade over
     * the embedding tables, kept as a SEPARATE entry point because vec_id
     * and doc_id are independent id spaces (a warehouse that keys both from
-    * one id calls both). Purges emb_vecs / emb_bands / sem_asg on vec_id
-    * (the vector itself, its recoverable sign fingerprint, and its cluster
-    * assignment) and emb_pairs / sem_pairs on vec_a OR vec_b, each through
-    * the bucketed writer so the store layout survives.
-    * Embeddings do not ride the streaming landing, so there is no tombstone
-    * interplay: a re-submitted vec_id lands as new on the next drop, like
-    * the batch text path. Returns per-table (rowsBefore, rowsAfter).
+    * one id calls both; `forget` resolves a shared content key across all
+    * three). Purges emb_vecs / emb_bands / sem_asg / staged_emb_drops on
+    * vec_id (the vector itself, its recoverable sign fingerprint, its
+    * cluster assignment, and the stream path's staged mirror) and
+    * emb_pairs / sem_pairs on vec_a OR vec_b, each through the bucketed
+    * writer so the store layout survives. Tombstones the ids
+    * unconditionally (same argument as the text cascade: a streaming
+    * landing is never rewritten, so a later promotion would re-stage the
+    * deleted vectors without the tombstone); `reinstateEmbeddings` lifts.
+    * Returns per-table (rowsBefore, rowsAfter).
     */
   def deleteEmbeddings(spark: SparkSession, warehouse: String,
                        vecIds: Seq[Long]): Map[String, (Long, Long)] =
@@ -552,13 +557,16 @@ object CorpusIngest {
     val byVecId = Seq(
       "emb_vecs" -> embVecsPath(warehouse),
       "emb_bands" -> embBandsPath(warehouse),
-      "sem_asg" -> semAsgPath(warehouse))
+      "sem_asg" -> semAsgPath(warehouse),
+      "staged_emb_drops" -> stagedEmbPath(warehouse))
     val purged = byVecId.flatMap { case (name, p) =>
       if (!Sinks.pathExists(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("vec_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("vec_id")))
     }.toMap
+    Sinks.idempotentAppend(keys, embTombPath(warehouse),
+      keys = Seq("vec_id"), partitionCols = Nil)
     val pairTables = Seq(
       "emb_pairs" -> embPairsPath(warehouse),
       "sem_pairs" -> semPairsPath(warehouse))
@@ -569,6 +577,20 @@ object CorpusIngest {
           Seq("vec_a", "vec_b")))
       else Some(name -> Sinks.deleteByAnyKey(spark, p, keys, "vec_id",
         Seq("vec_a", "vec_b")))
+    }
+  }
+
+  /** `reinstate` for the embedding modality (see `reinstate`'s asymmetry
+    * note: lifts the block, never resurrects data). */
+  def reinstateEmbeddings(spark: SparkSession, warehouse: String,
+                          vecIds: Seq[Long]): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    if (!Sinks.pathExists(spark, embTombPath(warehouse))) 0L
+    else {
+      import spark.implicits._
+      val (before, after) = Sinks.deleteByKey(spark, embTombPath(warehouse),
+        vecIds.toDF("vec_id"), Seq("vec_id"))
+      before - after
     }
   }
 
@@ -703,12 +725,53 @@ object CorpusIngest {
   def startLanding(spark: SparkSession, dropDir: String, landingPath: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startLandingVia(spark, dropDir, landingPath, trigger,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+
+  /** `startLanding` for the EMBEDDING modality: the always-on vector
+    * firehose lands (vec_id, embedding) in a streaming parquet sink;
+    * `promoteAndIngestEmbeddings` runs the dedup/SemDeDup maintenance on
+    * the batch cadence. Same exactly-once shape as the text landing.
+    */
+  def startEmbeddingLanding(spark: SparkSession, dropDir: String,
+                            landingPath: String,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startLandingVia(spark, dropDir, landingPath, trigger,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+
+  /** `startLanding` for the MEDIA modality: (media_id, content) binary
+    * payloads land append-only; decode/hash work stays on the
+    * `promoteAndIngestMedia` batch cadence, never in the stream's path.
+    */
+  def startMediaLanding(spark: SparkSession, dropDir: String,
+                        landingPath: String,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startLandingVia(spark, dropDir, landingPath, trigger,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+
+  private def startLandingVia(spark: SparkSession, dropDir: String,
+                              landingPath: String,
+                              trigger: org.apache.spark.sql.streaming.Trigger,
+                              schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(dropDir)
       .writeStream.format("parquet")
       .option("path", landingPath)
@@ -718,7 +781,6 @@ object CorpusIngest {
       .option("checkpointLocation", s"${landingPath}_checkpoint")
       .trigger(trigger)
       .start()
-  }
 
   /** Promote the streamed landing into the warehouse's staged-drop table
     * and ingest whatever is genuinely new — the batch half of the
@@ -753,39 +815,94 @@ object CorpusIngest {
   private def promoteAndIngestHeld(spark: SparkSession, landingPath: String,
                                    warehouse: String, threshold: Double,
                                    compactTargetFiles: Option[Int],
-                                   storeBuckets: Int): (Long, Long) = {
-    val staged = stagedPath(warehouse)
+                                   storeBuckets: Int): (Long, Long) =
+    promoteAndIngestVia(spark, landingPath, stagedPath(warehouse),
+      tombPath(warehouse), "doc_id", storeBuckets, compactTargetFiles,
+      staged => run(spark, staged, warehouse, threshold,
+        compactTargetFiles, storeBuckets))
+
+  /** `promoteAndIngest` for the EMBEDDING modality — the batch half of
+    * `startEmbeddingLanding`'s rhythm, with the same crash ledgers and
+    * tombstone purge; the promoted staged table feeds `ingestEmbeddings`
+    * (including SemDeDup maintenance when `trainedCentroids` is given).
+    * Calling it on any cadence, or replaying it, lands each streamed
+    * vector once: the resulting pair/assignment tables are bit-identical
+    * to ingesting the same drops all-batch.
+    */
+  def promoteAndIngestEmbeddings(spark: SparkSession, landingPath: String,
+                                 warehouse: String, threshold: Double = 0.42,
+                                 compactTargetFiles: Option[Int] = None,
+                                 storeBuckets: Int = 8,
+                                 trainedCentroids: Option[DataFrame] = None,
+                                 semThreshold: Double = 0.9,
+                                 maxBucketCandidates: Option[Int] = None)
+      : (Long, Long) =
+    graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+      promoteAndIngestVia(spark, landingPath, stagedEmbPath(warehouse),
+        embTombPath(warehouse), "vec_id", storeBuckets, compactTargetFiles,
+        staged => ingestEmbeddings(spark, staged, warehouse, threshold,
+          storeBuckets, trainedCentroids, semThreshold, maxBucketCandidates))
+    }
+
+  /** `promoteAndIngest` for the MEDIA modality — the batch half of
+    * `startMediaLanding`'s rhythm. Decode/hash work happens here, on the
+    * maintenance cadence, never in the stream's write path.
+    */
+  def promoteAndIngestMedia(spark: SparkSession, landingPath: String,
+                            warehouse: String, maxHamming: Int = 3,
+                            compactTargetFiles: Option[Int] = None,
+                            storeBuckets: Int = 8,
+                            maxBucketCandidates: Option[Int] = None)
+      : (Long, Long) =
+    graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+      promoteAndIngestVia(spark, landingPath, stagedMediaPath(warehouse),
+        mediaTombPath(warehouse), "media_id", storeBuckets,
+        compactTargetFiles,
+        staged => ingestMedia(spark, staged, warehouse, maxHamming,
+          storeBuckets, maxBucketCandidates))
+    }
+
+  /** The modality-agnostic promote → tombstone-purge → ingest step all
+    * three `promoteAndIngest*` entry points share (the landing/promote/
+    * ledger machinery in `Sinks.promote` never depended on the modality;
+    * this factors the crash ledgers and purge so they cannot drift apart).
+    */
+  private def promoteAndIngestVia(spark: SparkSession, landingPath: String,
+                                  staged: String, tombs: String,
+                                  keyCol: String, storeBuckets: Int,
+                                  compactTargetFiles: Option[Int],
+                                  ingest: DataFrame => (Long, Long))
+      : (Long, Long) = {
     // a maintenance cadence can legitimately fire before the landing's
     // stream has committed its first trigger (no _spark_metadata yet) —
     // that is "nothing to promote", not an error; Sinks.promote's require
     // would otherwise crash the cadence
     if (!Sinks.pathExists(spark, s"$landingPath/_spark_metadata"))
       return (0L, 0L)
-    // the staged mirror is cumulative and doc_id-keyed like documents:
-    // bucketed, each promotion's existence anti-join AND the ingest trim
-    // below are co-located on the bucket layout instead of re-shuffling
-    // the mirror; a legacy plain mirror keeps its layout
+    // the staged mirror is cumulative and key-keyed like the modality's
+    // main table: bucketed, each promotion's existence anti-join AND the
+    // ingest trim below are co-located on the bucket layout instead of
+    // re-shuffling the mirror; a legacy plain mirror keeps its layout
     val stagedSpec =
       if (Sinks.isBucketedStore(spark, staged) || !Sinks.pathExists(spark, staged))
-        Some(Seq("doc_id") -> storeBuckets)
+        Some(Seq(keyCol) -> storeBuckets)
       else None
-    Sinks.promote(spark, landingPath, staged, keys = Seq("doc_id"),
+    Sinks.promote(spark, landingPath, staged, keys = Seq(keyCol),
       bucketSpec = stagedSpec)
     if (!Sinks.pathExists(spark, staged)) return (0L, 0L)
     val promotedUpto = readLongLedger(spark, staged + "._promoted_upto")
     val ingLedger = staged + "._ingested_upto"
     if (promotedUpto <= readLongLedger(spark, ingLedger)) return (0L, 0L)
-    // governance: a promotion may have re-staged deleted docs from the
+    // governance: a promotion may have re-staged deleted rows from the
     // landing (which is never rewritten) — purge them before ingest; the
     // delete is existence-probed, so a clean staged table costs one probe
-    if (Sinks.pathExists(spark, tombPath(warehouse))) {
-      val tombs = spark.read.parquet(tombPath(warehouse))
+    if (Sinks.pathExists(spark, tombs)) {
+      val t = spark.read.parquet(tombs)
       if (Sinks.isBucketedStore(spark, staged))
-        Sinks.deleteBucketedByKey(spark, staged, tombs, Seq("doc_id"))
-      else Sinks.deleteByKey(spark, staged, tombs, Seq("doc_id"))
+        Sinks.deleteBucketedByKey(spark, staged, t, Seq(keyCol))
+      else Sinks.deleteByKey(spark, staged, t, Seq(keyCol))
     }
-    val res = run(spark, readStore(spark, staged), warehouse, threshold,
-      compactTargetFiles, storeBuckets)
+    val res = ingest(readStore(spark, staged))
     writeLongLedger(spark, ingLedger, promotedUpto)
     // the staged mirror fragments one file set per promotion like the
     // signature store; same gate, and both sibling ledgers survive the
@@ -855,6 +972,8 @@ object CorpusIngest {
   private def mediaBandsPath(wh: String) = s"$wh/corpus/media_bands"
   private def mediaPairsPath(wh: String) = s"$wh/corpus/media_pairs"
   private def mediaCappedPath(wh: String) = s"$wh/corpus/media_capped_buckets"
+  private def stagedMediaPath(wh: String) = s"$wh/corpus/staged_media_drops"
+  private def mediaTombPath(wh: String) = s"$wh/corpus/media_tombstones"
 
   /** Land one MEDIA drop — the image-modality twin of `run` /
     * `ingestEmbeddings`: trim the drop against the hash store (replayed
@@ -948,10 +1067,13 @@ object CorpusIngest {
   }
 
   /** GOVERNANCE DELETE for the media modality: purges media_hashes /
-    * media_bands on media_id (the recoverable perceptual fingerprint) and
+    * media_bands / staged_media_drops on media_id (the recoverable
+    * perceptual fingerprint and the stream path's staged mirror) and
     * media_pairs on either side, through the bucketed writer. The raw
     * media bytes live upstream of this warehouse; this removes every
-    * derived fingerprint so a re-submission re-lands as new.
+    * derived fingerprint so a re-submission re-lands as new. Tombstones
+    * unconditionally (landing promotions must not resurrect the id);
+    * `reinstateMedia` lifts.
     */
   def deleteMedia(spark: SparkSession, warehouse: String,
                   mediaIds: Seq[Long]): Map[String, (Long, Long)] =
@@ -960,13 +1082,16 @@ object CorpusIngest {
     val keys = mediaIds.toDF("media_id")
     val byId = Seq(
       "media_hashes" -> mediaHashPath(warehouse),
-      "media_bands" -> mediaBandsPath(warehouse))
+      "media_bands" -> mediaBandsPath(warehouse),
+      "staged_media_drops" -> stagedMediaPath(warehouse))
     val purged = byId.flatMap { case (name, p) =>
       if (!Sinks.pathExists(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("media_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("media_id")))
     }.toMap
+    Sinks.idempotentAppend(keys, mediaTombPath(warehouse),
+      keys = Seq("media_id"), partitionCols = Nil)
     if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
     else if (Sinks.isBucketedStore(spark, mediaPairsPath(warehouse)))
       purged + ("media_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
@@ -975,6 +1100,20 @@ object CorpusIngest {
     else purged + ("media_pairs" -> Sinks.deleteByAnyKey(spark,
       mediaPairsPath(warehouse), keys, "media_id",
       Seq("media_a", "media_b")))
+  }
+
+  /** `reinstate` for the media modality (lifts the block, never
+    * resurrects data). */
+  def reinstateMedia(spark: SparkSession, warehouse: String,
+                     mediaIds: Seq[Long]): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    if (!Sinks.pathExists(spark, mediaTombPath(warehouse))) 0L
+    else {
+      import spark.implicits._
+      val (before, after) = Sinks.deleteByKey(spark, mediaTombPath(warehouse),
+        mediaIds.toDF("media_id"), Seq("media_id"))
+      before - after
+    }
   }
 
   /** The deduplicated MEDIA view: surviving (media_id, phash) rows under
@@ -998,6 +1137,80 @@ object CorpusIngest {
       val losers = lab.filter(col("node") =!= col("component"))
         .select(col("node").as("media_id"))
       hashes.join(losers, Seq("media_id"), "left_anti")
+    }
+  }
+
+  private def linksPath(wh: String) = s"$wh/corpus/links"
+
+  /** CROSS-MODALITY LINKAGE — the table `forget` resolves: one row per
+    * (content_key, modality, id) with modality in {"doc", "vec", "media"},
+    * registered at ingest alongside each drop (the ingest entry points
+    * cannot infer the linkage — doc/vec/media id spaces are independent by
+    * design, and only the pipeline that derived a vector from a document
+    * knows they are the same content). Keyed idempotent append, so
+    * re-registering with a replayed drop is a no-op. Thin rows, one
+    * modality per row — no null-keyed columns to break the keyed no-op.
+    */
+  def registerLinks(spark: SparkSession, warehouse: String,
+                    links: DataFrame): Unit =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    require(Set("content_key", "modality", "id").subsetOf(links.columns.toSet),
+      s"registerLinks needs (content_key, modality, id), got " +
+        links.columns.mkString(", "))
+    val bad = links.select(col("modality")).distinct()
+      .filter(!col("modality").isin("doc", "vec", "media")).collect()
+    require(bad.isEmpty,
+      s"registerLinks: unknown modalities ${bad.mkString(",")} — " +
+        "expected doc | vec | media")
+    Sinks.idempotentAppend(
+      links.select(col("content_key").cast("long"), col("modality"),
+        col("id").cast("long")),
+      linksPath(warehouse),
+      keys = Seq("content_key", "modality", "id"), partitionCols = Nil)
+  }
+
+  /** UNIFIED TAKEDOWN — one entry point for "forget this content":
+    * resolves the linkage table and cascades `delete`,
+    * `deleteEmbeddings`, and `deleteMedia` (each with its tombstone) in a
+    * single leased call, then purges the resolved link rows themselves
+    * (a (content_key, id) mapping is a content fingerprint too). Without
+    * this, a compliance pass had to know which modalities a piece of
+    * content reached and issue three id-space-specific deletes — and a
+    * missed modality left recoverable fingerprints behind.
+    *
+    * The resolved id lists ride the driver (takedown lists are
+    * human-scale, same class as the delete APIs' Seq[Long] inputs).
+    * Returns the combined audit, entries keyed `<modality>.<table>` plus
+    * `links`. Content keys with no link rows contribute nothing — calling
+    * forget on never-registered content is a no-op, not an error.
+    */
+  def forget(spark: SparkSession, warehouse: String,
+             contentKeys: Seq[Long]): Map[String, (Long, Long)] =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    if (!Sinks.pathExists(spark, linksPath(warehouse))) Map.empty
+    else {
+      import spark.implicits._
+      val keyDf = contentKeys.toDF("content_key")
+      val resolved = spark.read.parquet(linksPath(warehouse))
+        .join(keyDf, "content_key")
+        .select(col("modality"), col("id")).distinct().collect()
+      def ids(m: String): Seq[Long] =
+        resolved.filter(_.getString(0) == m).map(_.getLong(1)).toSeq
+      val docAudit =
+        if (ids("doc").isEmpty) Map.empty[String, (Long, Long)]
+        else delete(spark, warehouse, ids("doc"))
+          .map { case (k, v) => s"doc.$k" -> v }
+      val vecAudit =
+        if (ids("vec").isEmpty) Map.empty[String, (Long, Long)]
+        else deleteEmbeddings(spark, warehouse, ids("vec"))
+          .map { case (k, v) => s"vec.$k" -> v }
+      val mediaAudit =
+        if (ids("media").isEmpty) Map.empty[String, (Long, Long)]
+        else deleteMedia(spark, warehouse, ids("media"))
+          .map { case (k, v) => s"media.$k" -> v }
+      docAudit ++ vecAudit ++ mediaAudit +
+        ("links" -> Sinks.deleteByKey(spark, linksPath(warehouse), keyDf,
+          Seq("content_key")))
     }
   }
 

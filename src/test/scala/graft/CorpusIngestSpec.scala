@@ -854,6 +854,69 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("forget: one call purges every fingerprint of a content key across all modalities") {
+    import graft.core.Sinks
+    import graft.operators.Multimodal
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whforget").toString
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    // content key 7 reached all three modalities (doc 70, vec 700, media
+    // 7000), each with a near-twin so pair rows exist in every pair table
+    CorpusIngest.run(spark, Seq((70L, base),
+      (71L, base.replace("winter", "summer")), (72L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    CorpusIngest.ingestEmbeddings(spark, Seq((700L, vec(0)),
+      (701L, vec(0, 0.01f)), (702L, vec(30))).toDF("vec_id", "embedding"), wh)
+    CorpusIngest.ingestMedia(spark,
+      Multimodal.syntheticImageCorpus(Seq(7000L, 7001L, 7002L).toDF("doc_id"))
+        .withColumnRenamed("doc_id", "media_id"), wh)
+    CorpusIngest.registerLinks(spark, wh,
+      Seq((7L, "doc", 70L), (7L, "vec", 700L), (7L, "media", 7000L))
+        .toDF("content_key", "modality", "id"))
+
+    val audit = CorpusIngest.forget(spark, wh, Seq(7L))
+    assert(audit.contains("doc.documents") && audit.contains("vec.emb_vecs") &&
+      audit.contains("media.media_hashes") && audit.contains("links"),
+      s"audit keys: ${audit.keySet}")
+
+    // zero fingerprints across every store table, all nine + links
+    def tbl(t: String) = {
+      val p = s"$wh/corpus/$t"
+      if (Sinks.isBucketedStore(spark, p)) Sinks.readBucketedPath(spark, p)
+      else spark.read.parquet(p)
+    }
+    def gone(t: String, cond: org.apache.spark.sql.Column): Unit =
+      assert(tbl(t).filter(cond).isEmpty, s"$t still holds fingerprints")
+    gone("documents", col("doc_id") === 70L)
+    gone("shingles", col("doc_id") === 70L)
+    gone("bands", col("doc_id") === 70L)
+    gone("doc_stats", col("doc_id") === 70L)
+    gone("pairs", col("doc_a") === 70L || col("doc_b") === 70L)
+    gone("emb_vecs", col("vec_id") === 700L)
+    gone("emb_bands", col("vec_id") === 700L)
+    gone("emb_pairs", col("vec_a") === 700L || col("vec_b") === 700L)
+    gone("media_hashes", col("media_id") === 7000L)
+    gone("media_bands", col("media_id") === 7000L)
+    gone("media_pairs", col("media_a") === 7000L || col("media_b") === 7000L)
+    gone("links", col("content_key") === 7L)
+    // every modality tombstoned in one call (stream-path resurrection guard)
+    assert(spark.read.parquet(s"$wh/corpus/tombstones")
+      .as[Long].collect().toSeq == Seq(70L))
+    assert(spark.read.parquet(s"$wh/corpus/emb_tombstones")
+      .as[Long].collect().toSeq == Seq(700L))
+    assert(spark.read.parquet(s"$wh/corpus/media_tombstones")
+      .as[Long].collect().toSeq == Seq(7000L))
+    // the twins survive in every modality — forget is key-scoped
+    assert(tbl("documents").filter(col("doc_id") === 71L).count() == 1L)
+    assert(tbl("emb_vecs").filter(col("vec_id") === 701L).count() == 1L)
+    assert(tbl("media_hashes").filter(col("media_id") === 7001L).count() == 1L)
+    // forgetting never-registered content is a no-op, not an error
+    val noop = CorpusIngest.forget(spark, wh, Seq(999L))
+    assert(noop.keySet == Set("links"), s"$noop")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("geometry ledger: signature stores refuse appends and probes under drifted params") {
     import graft.core.Sinks
     import graft.operators.DedupOps

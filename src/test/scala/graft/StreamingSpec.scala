@@ -514,6 +514,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.contains(50L), "new streamed docs still land after a takedown")
   }
 
+  test("streamed embedding landing promotes into the warehouse; pairs match the all-batch run") {
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    val drop1 = Seq((1L, vec(0)), (2L, vec(30)))
+    val drop2 = Seq((3L, vec(0, 0.01f)), (2L, vec(30))) // near-dup + replay
+
+    val whBatch = java.nio.file.Files.createTempDirectory("emb-batch").toString
+    graft.app.CorpusIngest.ingestEmbeddings(spark,
+      drop1.toDF("vec_id", "embedding"), whBatch)
+    graft.app.CorpusIngest.ingestEmbeddings(spark,
+      drop2.toDF("vec_id", "embedding"), whBatch)
+
+    val root = java.nio.file.Files.createTempDirectory("emb-stream").toString
+    val dropDir = s"$root/drops"
+    val landing = s"$root/landing"
+    val wh = s"$root/wh"
+    def land(rows: Seq[(Long, Array[Float])]): Unit = {
+      rows.toDF("vec_id", "embedding").repartition(1)
+        .write.mode("append").parquet(dropDir)
+      graft.app.CorpusIngest.startEmbeddingLanding(spark, dropDir, landing)
+        .awaitTermination()
+    }
+    land(drop1)
+    val (n1, p1) = graft.app.CorpusIngest.promoteAndIngestEmbeddings(
+      spark, landing, wh)
+    assert((n1, p1) == (2L, 0L), s"first promotion: ($n1, $p1)")
+    assert(graft.app.CorpusIngest.promoteAndIngestEmbeddings(
+      spark, landing, wh) == (0L, 0L), "unchanged landing must short-circuit")
+    land(drop2)
+    val (n2, p2) = graft.app.CorpusIngest.promoteAndIngestEmbeddings(
+      spark, landing, wh)
+    assert((n2, p2) == (1L, 1L), s"second promotion: ($n2, $p2)")
+
+    def pairs(w: String) = spark.read.parquet(s"$w/corpus/emb_pairs")
+      .select("vec_a", "vec_b", "cos").collect().toSet
+    assert(pairs(wh) == pairs(whBatch),
+      s"streamed emb pairs ${pairs(wh)} != batch ${pairs(whBatch)}")
+    def survivors(w: String) = graft.app.CorpusIngest.embSurvivors(spark, w)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors(wh) == survivors(whBatch), "emb survivor sets must match")
+
+    // governance through the stream path: the cascade purges the staged
+    // mirror and tombstones the id, so later promotions cannot resurrect
+    graft.app.CorpusIngest.deleteEmbeddings(spark, wh, Seq(1L))
+    assert(spark.read.parquet(s"$wh/corpus/emb_tombstones")
+      .as[Long].collect().toSeq == Seq(1L))
+    land(Seq((9L, vec(40))))
+    graft.app.CorpusIngest.promoteAndIngestEmbeddings(spark, landing, wh)
+    val after = graft.core.Sinks.readBucketedPath(spark, s"$wh/corpus/emb_vecs")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!after.contains(1L), "takedown must survive later promotions")
+    assert(after.contains(9L), "new streamed vectors still land after a takedown")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("streamed media landing promotes into the warehouse; pairs match the all-batch run") {
+    def imgs(ids: Seq[Long]) =
+      graft.operators.Multimodal.syntheticImageCorpus(ids.toDF("doc_id"))
+    val whBatch = java.nio.file.Files.createTempDirectory("media-batch").toString
+    graft.app.CorpusIngest.ingestMedia(spark, imgs(Seq(0L, 1L, 2L)), whBatch)
+    graft.app.CorpusIngest.ingestMedia(spark, imgs(Seq(10L, 11L)), whBatch)
+
+    val root = java.nio.file.Files.createTempDirectory("media-stream").toString
+    val dropDir = s"$root/drops"
+    val landing = s"$root/landing"
+    val wh = s"$root/wh"
+    def land(ids: Seq[Long]): Unit = {
+      imgs(ids).repartition(1).write.mode("append").parquet(dropDir)
+      graft.app.CorpusIngest.startMediaLanding(spark, dropDir, landing)
+        .awaitTermination()
+    }
+    land(Seq(0L, 1L, 2L))
+    val (n1, p1) = graft.app.CorpusIngest.promoteAndIngestMedia(
+      spark, landing, wh)
+    assert((n1, p1) == (3L, 1L), s"first promotion: ($n1, $p1)")
+    land(Seq(10L, 11L))
+    val (n2, p2) = graft.app.CorpusIngest.promoteAndIngestMedia(
+      spark, landing, wh)
+    assert((n2, p2) == (2L, 1L), s"second promotion: ($n2, $p2)")
+
+    def pairs(w: String) = spark.read.parquet(s"$w/corpus/media_pairs")
+      .select("media_a", "media_b", "hamming").collect().toSet
+    assert(pairs(wh) == pairs(whBatch),
+      s"streamed media pairs ${pairs(wh)} != batch ${pairs(whBatch)}")
+    def survivors(w: String) = graft.app.CorpusIngest.mediaSurvivors(spark, w)
+      .select("media_id").as[Long].collect().toSet
+    assert(survivors(wh) == survivors(whBatch),
+      "media survivor sets must match")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
