@@ -263,6 +263,141 @@ object StressProbe {
       (build +: drops) :+ append
     }
 
+    // ---- incremental MEDIA near-dup against the persisted banded pHash
+    // store (CorpusIngest.ingestMedia's production shape). Hashes are
+    // SYNTHETIC (media_id, phash) rows — the decode cost is probed
+    // separately by phash_neardup_imgs; here the target is the store
+    // join. Every 10th id is a 1-bit-flipped copy of its successor
+    // (hamming 1, exactly one partner — pair volume stays linear), the
+    // rest are unique xxhash64 values. Bucketed (ci, chunk) store vs the
+    // same files read as plain parquet, plus the drop's own append; the
+    // commit-table guard join rides both probes (production shape).
+    val mediaStoreProbe = {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-stress-mediastore").toString
+      val bandP = s"$storeDir/media_bands"
+      val hashP = s"$storeDir/media_hashes"
+      val nMedia = nDocs.toLong
+      def hashesOf(r: org.apache.spark.sql.Dataset[java.lang.Long]) = r.select(
+        col("id").as("media_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+          xxhash64(col("id") + 1).bitwiseXOR(lit(1L)))
+          .otherwise(xxhash64(col("id"))).as("phash"))
+      val corpusHashes = hashesOf(spark.range(0, nMedia, 1, 64))
+      val dropN = math.max(500L, nMedia / 100L)
+      val dropHashes = hashesOf(spark.range(nMedia, nMedia + dropN, 1, 16))
+      val dropSelected = Seq("media_drop_unbucketed", "media_drop_bucketed",
+        "media_store_append_drop").exists(selected)
+      def buildStore(): Unit = core.GraftCaches.withScope(spark) {
+        core.Sinks.bucketedIdempotentAppend(
+          operators.Multimodal.phashBandTableFromHashes(corpusHashes), bandP,
+          keys = Seq("ci", "chunk", "media_id"),
+          bucketKeys = Seq("ci", "chunk"), buckets = 32)
+        core.Sinks.bucketedIdempotentAppend(corpusHashes, hashP,
+          keys = Seq("media_id"), bucketKeys = Seq("media_id"), buckets = 32)
+      }
+      val build =
+        if (!selected("media_store_build") && dropSelected) {
+          buildStore(); "media_store_build" -> 0.0
+        } else timeEffect("media_store_build", nMedia)(buildStore())
+      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val drops = try Seq(
+        core.GraftCaches.withScope(spark)(
+          timeN("media_drop_unbucketed", dropN)(
+            operators.Multimodal.phashIncrementalFromBands(
+              spark.read.parquet(bandP),
+              core.GraftCaches.acquire(
+                operators.Multimodal.phashBandTableFromHashes(dropHashes)),
+              commitIds =
+                Some(spark.read.parquet(hashP).select("media_id"))))),
+        core.GraftCaches.withScope(spark)(
+          timeN("media_drop_bucketed", dropN)(
+            operators.Multimodal.phashIncrementalFromBands(
+              core.Sinks.readBucketedPath(spark, bandP),
+              core.GraftCaches.acquire(
+                operators.Multimodal.phashBandTableFromHashes(dropHashes)),
+              commitIds = Some(core.Sinks.readBucketedPath(spark, hashP)
+                .select("media_id")))))
+      ) finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      val append = core.GraftCaches.withScope(spark)(
+        timeEffect("media_store_append_drop", dropN) {
+          core.Sinks.bucketedIdempotentAppend(
+            operators.Multimodal.phashBandTableFromHashes(dropHashes), bandP,
+            keys = Seq("ci", "chunk", "media_id"),
+            bucketKeys = Seq("ci", "chunk"), buckets = 32)
+          core.Sinks.bucketedIdempotentAppend(dropHashes, hashP,
+            keys = Seq("media_id"), bucketKeys = Seq("media_id"),
+            buckets = 32)
+        })
+      (build +: drops) :+ append
+    }
+
+    // ---- incremental SemDeDup against the persisted cid-bucketed
+    // assignment store (the frozen-centroid drop shape of
+    // CorpusIngest.ingestEmbeddings). Centroids are FIXED synthetic
+    // gaussians at k=64 — SemDeDup scales k with corpus size (the paper
+    // runs tens of thousands of clusters; at k=8 on 95k vectors the
+    // within-cluster verification compute dominates and masks the store
+    // shape entirely: measured 4.4s vs 4.5s). The corpus is assigned once
+    // into the store, then the ~1% drop is assigned fresh and probed.
+    // Bucketed-on-cid store vs plain-parquet control: the wall delta is
+    // the per-drop exchange + sort of the corpus-sized assignment table
+    // that the bucket layout removes.
+    val semStoreProbe = {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-stress-semstore").toString
+      val asgP = s"$storeDir/sem_asg"
+      val cents = (0 until 64).map { c =>
+        val rng = new scala.util.Random(c * 987654321L)
+        (c.toLong, Array.fill(64)(rng.nextGaussian()))
+      }.toDF("cid", "ce")
+      val corpusVecs = vecs.filter(col("vec_id") < nVec * 95L / 100L)
+      val dropN = math.max(500L, nVec / 100L)
+      val dropVecs = spark.range(nVec, nVec + dropN, 1, 16).as[Long].map { id =>
+        val isDup = id % 2 == 0
+        val seed = if (isDup) id % 1000 else id
+        val rng = new scala.util.Random(seed * 2654435761L)
+        val v = Array.fill(64)(rng.nextGaussian())
+        if (isDup) {
+          val noise = new scala.util.Random(id)
+          var i = 0
+          while (i < 64) { v(i) += noise.nextGaussian() * 0.05; i += 1 }
+        }
+        (id, v.map(_.toFloat))
+      }.toDF("vec_id", "embedding")
+      val dropSelected = Seq("sem_drop_unbucketed", "sem_drop_bucketed",
+        "sem_store_append_drop").exists(selected)
+      def buildStore(): Unit = core.GraftCaches.withScope(spark)(
+        operators.SimilarityOps.appendSemAssignStoreBucketed(
+          corpusVecs, cents, asgP, buckets = 32))
+      val build =
+        if (!selected("sem_store_build") && dropSelected) {
+          buildStore(); "sem_store_build" -> 0.0
+        } else timeEffect("sem_store_build", nVec * 95L / 100L)(buildStore())
+      def freshAsg() = core.GraftCaches.acquire(
+        operators.SimilarityOps.semAssignTable(dropVecs, cents)
+          .repartition(col("vec_id")))
+      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val drops = try Seq(
+        core.GraftCaches.withScope(spark)(
+          timeN("sem_drop_unbucketed", dropN)(
+            operators.SimilarityOps.semPairsIncrementalFromAssign(
+              spark.read.parquet(asgP), freshAsg(), threshold = 0.9))),
+        core.GraftCaches.withScope(spark)(
+          timeN("sem_drop_bucketed", dropN)(
+            operators.SimilarityOps.semPairsIncrementalFromAssign(
+              core.Sinks.readBucketedPath(spark, asgP), freshAsg(),
+              threshold = 0.9)))
+      ) finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      val append = core.GraftCaches.withScope(spark)(
+        timeEffect("sem_store_append_drop", dropN)(
+          operators.SimilarityOps.appendSemAssignStoreBucketed(
+            dropVecs, cents, asgP, buckets = 32)))
+      (build +: drops) :+ append
+    }
+
     // ---- connected components at probe scale: a random recursive tree
     // over nEdges nodes (one giant component, log diameter — the realistic
     // near-dup cluster regime at volume) PLUS a 50k-node pure path (the
@@ -397,7 +532,8 @@ object StressProbe {
     )
 
     val all =
-      results ++ llm ++ storeProbe ++ embStoreProbe ++ ccProbe ++ corpusProbe
+      results ++ llm ++ storeProbe ++ embStoreProbe ++ mediaStoreProbe ++
+        semStoreProbe ++ ccProbe ++ corpusProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

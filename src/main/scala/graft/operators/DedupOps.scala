@@ -310,6 +310,59 @@ object DedupOps {
         docs.filter(col("doc_id") % 7 === 0), threshold = 0.5)
     },
 
+    // CAPPED incremental dedup — the production skew guard as a declared,
+    // oracle-locked contract: the same drop-shaped probe with hot store
+    // buckets (> cap OLD docs per (band, sig)) excluded from the
+    // increment's candidate generation, the device that keeps one
+    // boilerplate flood from serializing every later drop on a single
+    // task (the bucketed store join opts out of AQE skew splitting). The
+    // recall trade is EXACTLY specified, not heuristic: a pair survives
+    // iff some shared band bucket is cold, and the oracle recomputes the
+    // very same bucket counts from the shared banded CTE — bit-identical
+    // sig arithmetic, exact integer cap compare. cap = 1 is deliberately
+    // adversarial so the fixtures exercise BOTH sides of the cut at every
+    // SF: a new doc probing an exact-dup GROUP (all its band buckets hold
+    // the whole group, > 1 old member) loses those pairs, while pairs
+    // whose old side is a loner (every shared bucket holds 1 old doc)
+    // survive untouched. Production caps are orders of magnitude higher —
+    // the contract, not the constant, is what this locks.
+    QueryDef.sqlBacked(
+      "dedup_incremental_capped",
+      s"""WITH $duckMinhashCtes,
+         |oldb AS (SELECT band, code, count(*) AS n FROM banded
+         |         WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+         |hot AS (SELECT band, code FROM oldb WHERE n > 1),
+         |keptband AS (
+         |  SELECT bn.doc_id, bn.band, bn.code FROM banded bn
+         |  WHERE bn.doc_id % 7 = 0
+         |    AND NOT EXISTS (SELECT 1 FROM hot h
+         |                    WHERE h.band = bn.band AND h.code = bn.code)),
+         |cand2 AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |         greatest(x.doc_id, y.doc_id) AS doc_b
+         |  FROM keptband x
+         |  JOIN (SELECT doc_id, band, code FROM banded WHERE doc_id % 7 <> 0
+         |        UNION ALL SELECT doc_id, band, code FROM keptband) y
+         |    ON x.band = y.band AND x.code = y.code AND x.doc_id <> y.doc_id),
+         |vc AS (
+         |  SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |         sa.n AS na, sb.n AS nb
+         |  FROM cand2
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+         |FROM vc
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldSh = shingleTable(docs.filter(col("doc_id") % 7 =!= 0))
+      val storedBands = minhashBandTable(oldSh)
+      minhashLshIncremental(storedBands, oldSh,
+        docs.filter(col("doc_id") % 7 === 0), threshold = 0.5,
+        excludeBuckets = Some(overflowingBuckets(storedBands, cap = 1)))
+    },
+
     // CONTAINMENT near-dup: asymmetric overlap |A∩B|/|A| (and /|B|) over
     // the same LSH candidate set and exact shingle verify as the Jaccard
     // family — the quote-inclusion detector: a short document pasted
