@@ -1303,6 +1303,120 @@ object CorpusIngest {
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
   }
 
+  /** WAREHOUSE INTEGRITY CHECK (fsck) — one read-only audit of the
+    * invariants the write paths maintain, for the operator who inherits a
+    * warehouse after crashes, takedowns, and retries and needs to know
+    * whether what is on disk is still the state the contracts promise.
+    * Returns (check, table, violations, severity):
+    *
+    *   - severity "warn" rows are EXPECTED crash-window residue the next
+    *     retry heals — rows landed before a commit point whose drop died
+    *     (orphan band/assignment rows, documents without their shingle
+    *     commit row). The probe guards (commit semi-joins, null-resolve
+    *     verify) keep them inert meanwhile; a persistently growing warn
+    *     count means drops are crashing and nobody is retrying.
+    *   - severity "error" rows should be IMPOSSIBLE under the write
+    *     contracts: pair rows referencing ids absent from their commit
+    *     table (ghosts that escaped the guards), commit rows that precede
+    *     their write order (shingles without documents), tombstoned ids
+    *     still present in content tables (a takedown leak), a pair table
+    *     without its threshold ledger, or an ingest ledger ahead of its
+    *     promote ledger. Any non-zero error count is corruption: restore
+    *     from the immutable landing / re-run the cascade.
+    *
+    * Every check is an id-projected anti-join or a ledger compare —
+    * bounded scans, no content read; bucketed stores join co-located.
+    */
+  def fsck(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    def read(p: String): Option[DataFrame] =
+      if (!Sinks.pathExists(spark, p)) None
+      else if (Sinks.isBucketedStore(spark, p))
+        Some(Sinks.readBucketedPath(spark, p))
+      else Some(spark.read.parquet(p))
+    def short(p: String) = p.split('/').takeRight(1).mkString
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    // ids present in `tableP` but absent from `commitP`
+    def missingFrom(check: String, tableP: String, keyT: String,
+                    commitP: String, keyC: String, sev: String): Unit =
+      for (t <- read(tableP)) {
+        val c = read(commitP).map(_.select(col(keyC).as("k")))
+          .getOrElse(Seq.empty[Long].toDF("k"))
+        out += ((check, short(tableP),
+          t.select(col(keyT).as("k")).distinct()
+            .join(c, Seq("k"), "left_anti").count(), sev))
+      }
+    // pair rows with EITHER side absent from the commit table
+    def ghostPairs(check: String, pairsP: String, a: String, b: String,
+                   commitP: String, keyC: String): Unit =
+      for (p <- read(pairsP); c0 <- read(commitP)) {
+        val c = c0.select(col(keyC).as("k"))
+        val sides = p.select(col(a).as("k"))
+          .unionByName(p.select(col(b).as("k"))).distinct()
+        out += ((check, short(pairsP),
+          sides.join(c, Seq("k"), "left_anti").count(), "error"))
+      }
+    // tombstoned ids still present in a content table
+    def tombLeak(check: String, tombP: String, contentP: String,
+                 key: String): Unit =
+      for (t <- read(tombP); c <- read(contentP))
+        out += ((check, short(contentP),
+          t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi")
+            .count(), "error"))
+
+    // crash-window residue (heals on retry)
+    missingFrom("orphan_bands", bandPath(warehouse), "doc_id",
+      shinglePath(warehouse), "doc_id", "warn")
+    missingFrom("stranded_docs", docsPath(warehouse), "doc_id",
+      shinglePath(warehouse), "doc_id", "warn")
+    missingFrom("orphan_emb_bands", embBandsPath(warehouse), "vec_id",
+      embVecsPath(warehouse), "vec_id", "warn")
+    missingFrom("orphan_sem_asg", semAsgPath(warehouse), "vec_id",
+      embVecsPath(warehouse), "vec_id", "warn")
+    missingFrom("orphan_media_bands", mediaBandsPath(warehouse), "media_id",
+      mediaHashPath(warehouse), "media_id", "warn")
+    // write-order violations (impossible under the contracts)
+    missingFrom("headless_shingles", shinglePath(warehouse), "doc_id",
+      docsPath(warehouse), "doc_id", "error")
+    // ghost pair references that escaped the probe guards
+    ghostPairs("ghost_pair_refs", pairsPath(warehouse), "doc_a", "doc_b",
+      shinglePath(warehouse), "doc_id")
+    ghostPairs("ghost_emb_pair_refs", embPairsPath(warehouse), "vec_a",
+      "vec_b", embVecsPath(warehouse), "vec_id")
+    ghostPairs("ghost_sem_pair_refs", semPairsPath(warehouse), "vec_a",
+      "vec_b", embVecsPath(warehouse), "vec_id")
+    ghostPairs("ghost_media_pair_refs", mediaPairsPath(warehouse), "media_a",
+      "media_b", mediaHashPath(warehouse), "media_id")
+    // takedown leaks
+    tombLeak("tombstone_leak", tombPath(warehouse), shinglePath(warehouse),
+      "doc_id")
+    tombLeak("emb_tombstone_leak", embTombPath(warehouse),
+      embVecsPath(warehouse), "vec_id")
+    tombLeak("media_tombstone_leak", mediaTombPath(warehouse),
+      mediaHashPath(warehouse), "media_id")
+    // ledger presence / ordering
+    def fileExists(p: String) = Sinks.pathExists(spark, p)
+    for (pp <- Seq(pairsPath(warehouse), embPairsPath(warehouse),
+      semPairsPath(warehouse), mediaPairsPath(warehouse))
+      if fileExists(pp))
+      out += (("missing_threshold_ledger", short(pp),
+        if (fileExists(pp + "._threshold")) 0L else 1L, "error"))
+    for (bp <- Seq(bandPath(warehouse), embBandsPath(warehouse),
+      mediaBandsPath(warehouse), semAsgPath(warehouse))
+      if fileExists(bp))
+      out += (("missing_params_ledger", short(bp),
+        if (fileExists(bp + "._params")) 0L else 1L, "warn"))
+    for (st <- Seq(stagedPath(warehouse), stagedEmbPath(warehouse),
+      stagedMediaPath(warehouse)) if fileExists(st)) {
+      val promoted = readLongLedger(spark, st + "._promoted_upto")
+      val ingested = readLongLedger(spark, st + "._ingested_upto")
+      out += (("ingest_ledger_ahead", short(st),
+        if (ingested > promoted) 1L else 0L, "error"))
+    }
+    out.toSeq.toDF("check", "table", "violations", "severity")
+      .orderBy(col("severity"), col("check"), col("table"))
+  }
+
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
     * cluster over the CUMULATIVE pair table. Cost is bounded by the pair
     * graph (the duplicated subset), plus one anti-join shipping loser ids.

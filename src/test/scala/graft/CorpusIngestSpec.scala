@@ -854,6 +854,83 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("overflow scan and commit guard stay co-located on the bucketed stores") {
+    import graft.core.Sinks
+    import graft.operators.{DedupOps, Multimodal}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcoloc").toString
+    val seed = (1 to 40).map(i =>
+      (i.toLong, s"seed document number $i about topic ${i % 5} with enough " +
+        s"distinct words to shingle reliably across the corpus variant ${i % 3}"))
+      .toDF("doc_id", "text")
+    CorpusIngest.run(spark, seed, wh, storeBuckets = 4)
+    CorpusIngest.ingestMedia(spark, Multimodal.syntheticImageCorpus(
+      (0L until 20L).toDF("doc_id")), wh, storeBuckets = 4)
+
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def storeShuffles(df: org.apache.spark.sql.DataFrame, token: String) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike
+            if e.child.collectLeaves().nonEmpty &&
+               e.child.collectLeaves().forall(_.toString.contains(token)) => e
+        }
+      // 1. the hot-bucket overflow scan: its groupBy keys ARE the store's
+      //    bucket keys, so partial aggregation collapses per bucket file
+      //    and the final aggregate reads the scan's own distribution —
+      //    zero exchange ANYWHERE, or the per-drop skew guard would itself
+      //    cost a store-wide shuffle
+      val hot = DedupOps.overflowingBuckets(
+        Sinks.readBucketedPath(spark, s"$wh/corpus/bands"), cap = 2)
+      assert(hot.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }.isEmpty,
+        s"overflow scan shuffles:\n${hot.queryExecution.executedPlan}")
+
+      // 2. the media commit guard: the hash commit table streams off its
+      //    media_id buckets — never re-shuffled, never sorted; only the
+      //    pair-bounded guard input moves
+      val freshB = graft.core.GraftCaches.acquire(
+        Multimodal.phashBandTable(Multimodal.syntheticImageCorpus(
+          Seq(1000L, 1001L).toDF("doc_id"))))
+      def guarded(commit: org.apache.spark.sql.DataFrame) =
+        Multimodal.phashIncrementalFromBands(
+          Sinks.readBucketedPath(spark, s"$wh/corpus/media_bands"), freshB,
+          commitIds = Some(commit))
+      val pairs = guarded(Sinks
+        .readBucketedPath(spark, s"$wh/corpus/media_hashes")
+        .select("media_id"))
+      for (t <- Seq("corpus/media_bands", "corpus/media_hashes"))
+        assert(storeShuffles(pairs, t).isEmpty,
+          s"commit guard re-shuffles $t:\n${pairs.queryExecution.executedPlan}")
+      def storeSorts(df: org.apache.spark.sql.DataFrame, token: String) =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec
+            if s.child.collectLeaves().nonEmpty &&
+               s.child.collectLeaves().forall(_.toString.contains(token)) => s
+        }
+      assert(storeSorts(pairs, "corpus/media_hashes").isEmpty,
+        s"commit guard sorts the hash store:\n${pairs.queryExecution.executedPlan}")
+
+      // plain-parquet control: the same guard MUST shuffle the commit
+      // table, or the assertions above are vacuous
+      val plainDir =
+        java.nio.file.Files.createTempDirectory("plainhash").toString
+      spark.read.parquet(s"$wh/corpus/media_hashes")
+        .write.parquet(s"$plainDir/corpus/media_hashes")
+      val ctrl = guarded(spark
+        .read.parquet(s"$plainDir/corpus/media_hashes").select("media_id"))
+      assert(storeShuffles(ctrl, "corpus/media_hashes").nonEmpty,
+        "plain-parquet control should shuffle the commit table")
+      assert(ctrl.collect().toSet == pairs.collect().toSet,
+        "guarded pairs must be layout-independent")
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("forget: one call purges every fingerprint of a content key across all modalities") {
     import graft.core.Sinks
     import graft.operators.Multimodal
@@ -914,6 +991,54 @@ class CorpusIngestSpec extends AnyFunSuite {
     // forgetting never-registered content is a no-op, not an error
     val noop = CorpusIngest.forget(spark, wh, Seq(999L))
     assert(noop.keySet == Set("links"), s"$noop")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("fsck: healthy warehouse audits clean; planted corruption and crash residue are detected") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whfsck").toString
+    val drop1 = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    CorpusIngest.run(spark, drop1, wh)
+    CorpusIngest.ingestEmbeddings(spark,
+      Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding"), wh)
+    CorpusIngest.ingestMedia(spark, graft.operators.Multimodal
+      .syntheticImageCorpus(Seq(0L, 1L, 2L).toDF("doc_id")), wh)
+    def findings() = CorpusIngest.fsck(spark, wh)
+      .filter(col("violations") > 0)
+      .select("check", "violations", "severity")
+      .as[(String, Long, String)].collect().toSeq
+    assert(findings().isEmpty, s"healthy warehouse flagged: ${findings()}")
+
+    // crash residue: a doc whose commit-point shingle row never landed —
+    // fsck WARNS (stranded doc + its now-orphan band rows), and the
+    // drop's retry heals it back to clean
+    Sinks.deleteBucketedByKey(spark, s"$wh/corpus/shingles",
+      Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    val residue = findings()
+    assert(residue.exists(f => f._1 == "stranded_docs" && f._3 == "warn") &&
+      residue.exists(f => f._1 == "orphan_bands" && f._3 == "warn"),
+      s"crash residue not detected: $residue")
+    assert(residue.forall(_._3 == "warn"),
+      s"crash residue must never be an error: $residue")
+    CorpusIngest.run(spark, drop1, wh)
+    assert(findings().isEmpty, s"retry must heal the residue: ${findings()}")
+
+    // real corruption: a pair row referencing ids no commit table knows —
+    // impossible under the write contracts, severity error
+    Sinks.bucketedIdempotentAppend(
+      Seq((9998L, 9999L, 1.0)).toDF("doc_a", "doc_b", "jac"),
+      s"$wh/corpus/pairs", keys = Seq("doc_a", "doc_b"),
+      bucketKeys = Seq("doc_a", "doc_b"), buckets = 8)
+    assert(findings().exists(f =>
+      f._1 == "ghost_pair_refs" && f._2 == 2L && f._3 == "error"),
+      s"ghost pair not detected: ${findings()}")
+
+    // takedown leak: a tombstoned id still present in the content tables
+    Sinks.idempotentAppend(Seq(2L).toDF("doc_id"), s"$wh/corpus/tombstones",
+      keys = Seq("doc_id"), partitionCols = Nil)
+    assert(findings().exists(f =>
+      f._1 == "tombstone_leak" && f._3 == "error"),
+      s"tombstone leak not detected: ${findings()}")
     graft.core.GraftCaches.releaseAll(spark)
   }
 
