@@ -357,7 +357,12 @@ object DedupOps {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val oldSh = shingleTable(docs.filter(col("doc_id") % 7 =!= 0))
-      val storedBands = minhashBandTable(oldSh)
+      // persisted: in this declared query the "store" is derived in-plan,
+      // and it feeds the overflow scan AND the probe joins — without the
+      // cache the old corpus would be re-signed per consumer (production
+      // reads the store off its bucketed parquet, where re-scans are the
+      // cheap path and the overflow aggregate is exchange-free)
+      val storedBands = graft.core.GraftCaches.acquire(minhashBandTable(oldSh))
       minhashLshIncremental(storedBands, oldSh,
         docs.filter(col("doc_id") % 7 === 0), threshold = 0.5,
         excludeBuckets = Some(overflowingBuckets(storedBands, cap = 1)))
