@@ -63,7 +63,12 @@ object Backfill {
   }
 
   def run(spark: SparkSession, pagesDir: String, warehouse: String,
-          asOf: Option[java.sql.Timestamp] = None): Unit = {
+          asOf: Option[java.sql.Timestamp] = None): Unit =
+      // the market warehouse is single-writer like the corpus one: two
+      // concurrent sweeps would race the compaction/index swaps and
+      // double-land bars between each other's existence scans — the lease
+      // turns that into a fail-fast (see core.WarehouseLease)
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     // phase 1: dimension refresh (reference does dims before the bar sweep).
     // A forensic replay (asOf set) instead reads the tickers dim AS IT WAS
     // KNOWN at that instant and must NOT refresh — overwriting current views

@@ -121,6 +121,23 @@ class DurabilitySpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("write lease: the market backfill sweep is leased too") {
+    val pages = java.nio.file.Files.createTempDirectory("lease-pages")
+    val wh = java.nio.file.Files.createTempDirectory("lease-mkt").toString
+    val dir = pages.resolve("AAPL/adjusted")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2}],
+        |"next_url":null}""".stripMargin)
+    WarehouseLease.acquire(spark, wh, owner = "other-sweep", ttlMs = 60000L)
+    intercept[WarehouseLease.LeaseHeldException] {
+      graft.app.Backfill.run(spark, pages.toString, wh)
+    }
+    WarehouseLease.release(spark, wh, owner = "other-sweep")
+    graft.app.Backfill.run(spark, pages.toString, wh)
+    assert(spark.read.parquet(s"$wh/silver/bars").count() == 1L)
+  }
+
   test("write lease: JVM re-entrancy lets nested entry points share one lease") {
     val wh = java.nio.file.Files.createTempDirectory("lease-wh2").toString
     val drop = Seq((1L, "short text about gardens and rivers flowing through quiet valleys"))
