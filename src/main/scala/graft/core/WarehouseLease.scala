@@ -31,11 +31,14 @@ import org.apache.spark.sql.SparkSession
   *     warehouse), so nested entry points — promoteAndIngest → run,
   *     forget → delete* — acquire once.
   *
-  * The TTL bounds how long a crashed writer blocks the warehouse; size it
-  * above the longest expected drop (a live holder that outruns its TTL is
-  * exposed to reclaim — re-entry through `withWriteLease` refreshes the
-  * expiry at each nested entry, but a single very long call should pass a
-  * bigger ttl). Reclaim uses delete-then-create, not an atomic swap: two
+  * The TTL bounds how long a CRASHED writer blocks the warehouse — it is
+  * not a bound on how long a live one may work: `withWriteLease` runs a
+  * HEARTBEAT that re-stamps the expiry every ttl/3 while the body runs,
+  * so a multi-hour drop under the 15-minute default is never exposed to
+  * reclaim (the one way a live-but-slow holder could reopen the silent
+  * two-writer window this ledger exists to close). A crash stops the
+  * heartbeat with the process, and the lease expires one ttl later.
+  * Reclaim uses delete-then-create, not an atomic swap: two
   * reclaimers racing resolve to one winner because exactly one exclusive
   * create succeeds; a reader racing the window sees either lease state,
   * never a torn file (single-block write).
@@ -66,6 +69,21 @@ object WarehouseLease {
 
   // JVM-level re-entrancy: canonical lease URI -> (owner, depth)
   private val held = new ConcurrentHashMap[String, (String, Int)]()
+
+  // heartbeat renewals for held leases — one shared daemon thread; tasks
+  // are cancelled at outermost release (and double-checked against `held`
+  // so a cancel/fire race can never re-stamp a released lease)
+  private val renewals =
+    new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+  private lazy val heartbeatPool = {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-lease-heartbeat")
+        th.setDaemon(true)
+        th
+      })
+    t
+  }
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,8 +194,22 @@ object WarehouseLease {
         s"warehouse $warehouse is being written by $o in this JVM")
     })._2
     if (depth == 1) {
-      try acquire(spark, warehouse, owner, ttlMs)
-      catch {
+      try {
+        acquire(spark, warehouse, owner, ttlMs)
+        // heartbeat: re-stamp expiry every ttl/3 while held, so a live
+        // holder outworking its ttl is never reclaimed mid-drop; the task
+        // checks `held` before stamping so a cancel/fire race cannot
+        // resurrect a released lease
+        val period = math.max(ttlMs / 3L, 100L)
+        renewals.put(key, heartbeatPool.scheduleAtFixedRate(
+          () => {
+            val cur = held.get(key)
+            if (cur != null && cur._1 == owner)
+              try writeRefresh(spark, warehouse, owner, ttlMs)
+              catch { case _: Throwable => () } // next beat retries
+          },
+          period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+      } catch {
         case e: Throwable => held.remove(key); throw e
       }
     }
@@ -188,7 +220,11 @@ object WarehouseLease {
         case (o, d) if o == owner => (o, d - 1)
         case other => other
       })
-      if (left == null) release(spark, warehouse, owner)
+      if (left == null) {
+        val hb = renewals.remove(key)
+        if (hb != null) hb.cancel(false)
+        release(spark, warehouse, owner)
+      }
     }
   }
 }

@@ -121,6 +121,23 @@ class DurabilitySpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("write lease: the heartbeat keeps a live slow holder from being reclaimed") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-slow").toString
+    // a holder whose WORK outlives its raw ttl: without the heartbeat the
+    // lease would expire mid-body and a second writer could reclaim it —
+    // reopening the exact silent two-writer window the lease closes
+    WarehouseLease.withWriteLease(spark, wh, owner = "slow-drop",
+      ttlMs = 1200L) {
+      Thread.sleep(3000L) // well past the raw ttl; beats fire every 400ms
+      intercept[WarehouseLease.LeaseHeldException] {
+        WarehouseLease.acquire(spark, wh, owner = "reclaimer", ttlMs = 1000L)
+      }
+    }
+    // the heartbeat dies with the release: a later writer enters normally
+    WarehouseLease.acquire(spark, wh, owner = "reclaimer", ttlMs = 1000L)
+    WarehouseLease.release(spark, wh, owner = "reclaimer")
+  }
+
   test("write lease: the market backfill sweep is leased too") {
     val pages = java.nio.file.Files.createTempDirectory("lease-pages")
     val wh = java.nio.file.Files.createTempDirectory("lease-mkt").toString
