@@ -803,23 +803,17 @@ object CorpusIngest {
   def promoteAndIngest(spark: SparkSession, landingPath: String,
                        warehouse: String, threshold: Double = 0.5,
                        compactTargetFiles: Option[Int] = None,
-                       storeBuckets: Int = 8): (Long, Long) =
+                       storeBuckets: Int = 8,
+                       maxBucketCandidates: Option[Int] = None): (Long, Long) =
     // lease taken HERE (not only in the nested run) so the promote, the
     // tombstone purge, and the ingest are one exclusive unit; the nested
     // run() re-enters the same JVM lease at depth 2
     graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-      promoteAndIngestHeld(spark, landingPath, warehouse, threshold,
-        compactTargetFiles, storeBuckets)
+      promoteAndIngestVia(spark, landingPath, stagedPath(warehouse),
+        tombPath(warehouse), "doc_id", storeBuckets, compactTargetFiles,
+        staged => run(spark, staged, warehouse, threshold,
+          compactTargetFiles, storeBuckets, maxBucketCandidates))
     }
-
-  private def promoteAndIngestHeld(spark: SparkSession, landingPath: String,
-                                   warehouse: String, threshold: Double,
-                                   compactTargetFiles: Option[Int],
-                                   storeBuckets: Int): (Long, Long) =
-    promoteAndIngestVia(spark, landingPath, stagedPath(warehouse),
-      tombPath(warehouse), "doc_id", storeBuckets, compactTargetFiles,
-      staged => run(spark, staged, warehouse, threshold,
-        compactTargetFiles, storeBuckets))
 
   /** `promoteAndIngest` for the EMBEDDING modality — the batch half of
     * `startEmbeddingLanding`'s rhythm, with the same crash ledgers and
@@ -1309,20 +1303,23 @@ object CorpusIngest {
     * whether what is on disk is still the state the contracts promise.
     * Returns (check, table, violations, severity):
     *
-    *   - severity "warn" rows are EXPECTED crash-window residue the next
-    *     retry heals — rows landed before a commit point whose drop died
+    *   - severity "warn" rows are states DOCUMENTED flows can reach and
+    *     a retry or a governance decision resolves: crash-window residue
     *     (orphan band/assignment rows, documents without their shingle
-    *     commit row). The probe guards (commit semi-joins, null-resolve
-    *     verify) keep them inert meanwhile; a persistently growing warn
-    *     count means drops are crashing and nobody is retrying.
+    *     commit row, PAIR rows referencing ids whose commit append the
+    *     crash preempted — pairs land before the commit point by design,
+    *     so ghost refs are residue too, healed when the drop retries and
+    *     kept inert meanwhile by the probe guards), and tombstoned ids
+    *     present in content tables (legal after a documented pure-batch
+    *     re-submission of a deleted id — but review it: if no
+    *     re-submission happened, a takedown leaked). A persistently
+    *     GROWING warn count means drops are crashing and nobody retries.
     *   - severity "error" rows should be IMPOSSIBLE under the write
-    *     contracts: pair rows referencing ids absent from their commit
-    *     table (ghosts that escaped the guards), commit rows that precede
-    *     their write order (shingles without documents), tombstoned ids
-    *     still present in content tables (a takedown leak), a pair table
-    *     without its threshold ledger, or an ingest ledger ahead of its
-    *     promote ledger. Any non-zero error count is corruption: restore
-    *     from the immutable landing / re-run the cascade.
+    *     contracts: commit rows that precede their write order (shingles
+    *     without documents), a pair table without its threshold ledger,
+    *     or an ingest ledger ahead of its promote ledger. Any non-zero
+    *     error count is corruption: restore from the immutable landing /
+    *     re-run the cascade.
     *
     * Every check is an id-projected anti-join or a ledger compare —
     * bounded scans, no content read; bucketed stores join co-located.
@@ -1346,7 +1343,10 @@ object CorpusIngest {
           t.select(col(keyT).as("k")).distinct()
             .join(c, Seq("k"), "left_anti").count(), sev))
       }
-    // pair rows with EITHER side absent from the commit table
+    // pair rows with EITHER side absent from the commit table — crash
+    // residue too (pairs land BEFORE the commit point by design), so
+    // severity warn: the drop's retry heals it, the probe guards keep the
+    // ghosts out of new derivations meanwhile
     def ghostPairs(check: String, pairsP: String, a: String, b: String,
                    commitP: String, keyC: String): Unit =
       for (p <- read(pairsP); c0 <- read(commitP)) {
@@ -1354,15 +1354,17 @@ object CorpusIngest {
         val sides = p.select(col(a).as("k"))
           .unionByName(p.select(col(b).as("k"))).distinct()
         out += ((check, short(pairsP),
-          sides.join(c, Seq("k"), "left_anti").count(), "error"))
+          sides.join(c, Seq("k"), "left_anti").count(), "warn"))
       }
-    // tombstoned ids still present in a content table
+    // tombstoned ids still present in a content table — legal after a
+    // documented pure-batch re-submission (the batch path never consults
+    // tombstones), so warn-and-review, not error
     def tombLeak(check: String, tombP: String, contentP: String,
                  key: String): Unit =
       for (t <- read(tombP); c <- read(contentP))
         out += ((check, short(contentP),
           t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi")
-            .count(), "error"))
+            .count(), "warn"))
 
     // crash-window residue (heals on retry)
     missingFrom("orphan_bands", bandPath(warehouse), "doc_id",

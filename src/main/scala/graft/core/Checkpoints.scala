@@ -36,13 +36,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Checkpoints {
 
   /** Session conf key: set (non-empty) to switch every `cut` in the
-    * session from executor-local to reliable checkpointing.
+    * session from executor-local to reliable checkpointing — the GLOBAL
+    * mode a production driver sets once at session build.
     */
   val DirKey = "spark.graft.checkpointDir"
 
-  /** The configured durable checkpoint dir, if any. */
+  // withCheckpointDir's scoping is a call-tree-local override, NOT a
+  // session-conf flip: two concurrent call trees on one session (two
+  // warehouses, two threads) would otherwise interleave set/restore and
+  // cross-apply or strand each other's dirs — the same hazard class the
+  // co-partition flip in Sinks takes a JVM lock for, solved here without
+  // serializing whole ingest bodies because the value is only read on the
+  // calling thread (all cuts are synchronous driver-side calls).
+  private val localDir = new scala.util.DynamicVariable[Option[String]](None)
+
+  /** The configured durable checkpoint dir, if any: the enclosing
+    * `withCheckpointDir` scope first, the session conf otherwise.
+    */
   def configured(spark: SparkSession): Option[String] =
-    spark.conf.getOption(DirKey).filter(_.trim.nonEmpty)
+    localDir.value.orElse(
+      spark.conf.getOption(DirKey).filter(_.trim.nonEmpty))
 
   // SparkContext.setCheckpointDir creates a fresh UUID subdirectory per
   // call — remember the base we last set per context so repeated cuts
@@ -73,18 +86,13 @@ object Checkpoints {
     }
   }
 
-  /** Run `body` with reliable checkpointing into `dir`, restoring the
-    * previous session setting (or unsetting) on exit — the scoping shape
-    * for a driver that wants durability for one ingest call tree without
-    * flipping the whole session.
+  /** Run `body` with reliable checkpointing into `dir` — a call-tree
+    * override scoped to the calling thread (restored on exit even on
+    * throw), so concurrent ingests on one session can each carry their
+    * own durability dir without touching the shared session conf. The
+    * `spark` parameter keeps the call shape symmetric with `configured`;
+    * the session itself is not mutated.
     */
-  def withCheckpointDir[T](spark: SparkSession, dir: String)(body: => T): T = {
-    val old = spark.conf.getOption(DirKey)
-    spark.conf.set(DirKey, dir)
-    try body
-    finally old match {
-      case Some(v) => spark.conf.set(DirKey, v)
-      case None => spark.conf.unset(DirKey)
-    }
-  }
+  def withCheckpointDir[T](spark: SparkSession, dir: String)(body: => T): T =
+    localDir.withValue(Some(dir))(body)
 }

@@ -67,8 +67,13 @@ object WarehouseLease {
   private def leasePath(warehouse: String) =
     new Path(warehouse, "._graft_writer_lease")
 
-  // JVM-level re-entrancy: canonical lease URI -> (owner, depth)
-  private val held = new ConcurrentHashMap[String, (String, Int)]()
+  // JVM-level re-entrancy: canonical lease URI ->
+  // (owner, holding thread id, depth). The THREAD id matters: re-entrancy
+  // exists for nested entry points in ONE call tree (promoteAndIngest →
+  // run); a second thread of the same JVM — same default jvmOwner —
+  // launching a concurrent drop is exactly the two-writer hazard, and
+  // owner-only matching would wave it through as depth 2.
+  private val held = new ConcurrentHashMap[String, (String, Long, Int)]()
 
   // heartbeat renewals for held leases — one shared daemon thread; tasks
   // are cancelled at outermost release (and double-checked against `held`
@@ -88,8 +93,11 @@ object WarehouseLease {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read (owner, expiryMillis) from the lease file; None when absent or
-    * unreadable (unreadable = treat as contended, never as free).
+  /** Read (owner, expiryMillis) from the lease file; None when absent.
+    * Any unparseable content — missing separator, garbage expiry from a
+    * torn write — reads as a never-expiring foreign holder: unreadable =
+    * treat as contended, never as free (and never as a crash out of the
+    * caller's entry point).
     */
   private def readLease(spark: SparkSession,
                         warehouse: String): Option[(String, Long)] = {
@@ -104,7 +112,10 @@ object WarehouseLease {
         finally in.close()
       val i = if (line == null) -1 else line.lastIndexOf('|')
       if (i < 0) Some(("<corrupt>", Long.MaxValue))
-      else Some((line.substring(0, i), line.substring(i + 1).trim.toLong))
+      else try Some((line.substring(0, i), line.substring(i + 1).trim.toLong))
+      catch {
+        case _: NumberFormatException => Some(("<corrupt>", Long.MaxValue))
+      }
     }
   }
 
@@ -150,14 +161,22 @@ object WarehouseLease {
         // our own lease (crashed-call retry, or TTL refresh): take it back
         writeRefresh(spark, warehouse, owner, ttlMs)
       case Some((o, exp)) if exp < System.currentTimeMillis() =>
-        // stale: the holder died without releasing — reclaim. Exactly one
-        // of racing reclaimers wins the exclusive re-create.
-        val p = leasePath(warehouse)
-        fsOf(spark, p).delete(p, false)
-        if (!writeExclusive(spark, warehouse, owner, ttlMs))
-          throw new LeaseHeldException(
+        // stale: the holder died without releasing — reclaim by
+        // OVERWRITE-then-verify, never delete-then-create: a racing
+        // reclaimer's delete could remove the winner's freshly created
+        // lease and leave BOTH believing they hold it. With overwrite,
+        // racing reclaimers last-write-wins; after a settle delay each
+        // re-reads and only the one whose owner survived proceeds (the
+        // settle must exceed the writers' mutual clock-visible skew on
+        // the lease file — generous for one filesystem).
+        writeRefresh(spark, warehouse, owner, ttlMs)
+        Thread.sleep(200L)
+        readLease(spark, warehouse) match {
+          case Some((w, _)) if w == owner => ()
+          case other => throw new LeaseHeldException(
             s"warehouse $warehouse: lease of expired owner $o was " +
-              "reclaimed by a concurrent writer first")
+              s"reclaimed by a concurrent writer (now: $other)")
+        }
       case Some((o, exp)) =>
         throw new LeaseHeldException(
           s"warehouse $warehouse is being written by $o (lease expires " +
@@ -187,26 +206,37 @@ object WarehouseLease {
                         owner: String = jvmOwner,
                         ttlMs: Long = defaultTtlMs)(body: => T): T = {
     val key = leasePath(warehouse).toString
+    val tid = Thread.currentThread().getId
     val depth = held.compute(key, (_, cur) => cur match {
-      case null => (owner, 1)
-      case (o, d) if o == owner => (o, d + 1)
-      case (o, _) => throw new LeaseHeldException(
+      case null => (owner, tid, 1)
+      case (o, t, d) if o == owner && t == tid => (o, t, d + 1)
+      case (o, t, _) if o == owner => throw new LeaseHeldException(
+        s"warehouse $warehouse is being written by owner $o on thread $t " +
+          s"of this JVM (this is thread $tid) — re-entrancy is per call " +
+          "tree, not per process; a concurrent drop needs its own owner " +
+          "so the lease can arbitrate, or better, its own serialized slot")
+      case (o, _, _) => throw new LeaseHeldException(
         s"warehouse $warehouse is being written by $o in this JVM")
-    })._2
+    })._3
     if (depth == 1) {
       try {
         acquire(spark, warehouse, owner, ttlMs)
         // heartbeat: re-stamp expiry every ttl/3 while held, so a live
-        // holder outworking its ttl is never reclaimed mid-drop; the task
-        // checks `held` before stamping so a cancel/fire race cannot
-        // resurrect a released lease
+        // holder outworking its ttl is never reclaimed mid-drop. The beat
+        // checks the in-memory hold AND the FILE's current owner before
+        // stamping: a cancel/fire race on release, or a reclaim that
+        // somehow slipped between beats, must not be clobbered by a stale
+        // overwrite.
         val period = math.max(ttlMs / 3L, 100L)
         renewals.put(key, heartbeatPool.scheduleAtFixedRate(
           () => {
             val cur = held.get(key)
             if (cur != null && cur._1 == owner)
-              try writeRefresh(spark, warehouse, owner, ttlMs)
-              catch { case _: Throwable => () } // next beat retries
+              try readLease(spark, warehouse) match {
+                case Some((o2, _)) if o2 == owner =>
+                  writeRefresh(spark, warehouse, owner, ttlMs)
+                case _ => () // not ours any more — never re-stamp
+              } catch { case _: Throwable => () } // next beat retries
           },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
@@ -216,8 +246,8 @@ object WarehouseLease {
     try body
     finally {
       val left = held.compute(key, (_, cur) => cur match {
-        case (o, 1) if o == owner => null
-        case (o, d) if o == owner => (o, d - 1)
+        case (o, t, 1) if o == owner && t == tid => null
+        case (o, t, d) if o == owner && t == tid => (o, t, d - 1)
         case other => other
       })
       if (left == null) {

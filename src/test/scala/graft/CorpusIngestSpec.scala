@@ -1023,22 +1023,32 @@ class CorpusIngestSpec extends AnyFunSuite {
     CorpusIngest.run(spark, drop1, wh)
     assert(findings().isEmpty, s"retry must heal the residue: ${findings()}")
 
-    // real corruption: a pair row referencing ids no commit table knows —
-    // impossible under the write contracts, severity error
+    // ghost pair references: crash residue too (pairs land BEFORE the
+    // commit point), detected at severity warn — a retry heals it and the
+    // probe guards keep the ghosts inert meanwhile
     Sinks.bucketedIdempotentAppend(
       Seq((9998L, 9999L, 1.0)).toDF("doc_a", "doc_b", "jac"),
       s"$wh/corpus/pairs", keys = Seq("doc_a", "doc_b"),
       bucketKeys = Seq("doc_a", "doc_b"), buckets = 8)
     assert(findings().exists(f =>
-      f._1 == "ghost_pair_refs" && f._2 == 2L && f._3 == "error"),
+      f._1 == "ghost_pair_refs" && f._2 == 2L && f._3 == "warn"),
       s"ghost pair not detected: ${findings()}")
 
-    // takedown leak: a tombstoned id still present in the content tables
+    // tombstoned id still present upstream: legal after a pure-batch
+    // re-submission, so warn-and-review rather than error
     Sinks.idempotentAppend(Seq(2L).toDF("doc_id"), s"$wh/corpus/tombstones",
       keys = Seq("doc_id"), partitionCols = Nil)
     assert(findings().exists(f =>
-      f._1 == "tombstone_leak" && f._3 == "error"),
+      f._1 == "tombstone_leak" && f._3 == "warn"),
       s"tombstone leak not detected: ${findings()}")
+
+    // a genuine write-order violation IS an error: a shingle commit row
+    // whose document never landed cannot arise from any documented flow
+    Sinks.deleteBucketedByKey(spark, s"$wh/corpus/documents",
+      Seq(2L).toDF("doc_id"), Seq("doc_id"))
+    assert(findings().exists(f =>
+      f._1 == "headless_shingles" && f._3 == "error"),
+      s"write-order violation not detected: ${findings()}")
     graft.core.GraftCaches.releaseAll(spark)
   }
 

@@ -121,6 +121,28 @@ class DurabilitySpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("write lease: a second thread of the same JVM owner is arbitrated, not re-admitted") {
+    // re-entrancy is per CALL TREE: a concurrent drop launched from
+    // another thread of the same driver (same default jvmOwner) is the
+    // two-writer hazard itself, and must fail fast rather than ride the
+    // depth counter into the held lease
+    val wh = java.nio.file.Files.createTempDirectory("lease-thr").toString
+    @volatile var second: Option[Throwable] = None
+    WarehouseLease.withWriteLease(spark, wh) {
+      val t = new Thread(() => {
+        try WarehouseLease.withWriteLease(spark, wh) { () }
+        catch { case e: Throwable => second = Some(e) }
+      })
+      t.start(); t.join()
+    }
+    assert(second.exists(_.isInstanceOf[WarehouseLease.LeaseHeldException]),
+      s"same-owner cross-thread entry must fail fast, got $second")
+    // the failed entry did not corrupt the bookkeeping: the outer exit
+    // released, and a fresh writer acquires normally
+    WarehouseLease.acquire(spark, wh, owner = "x", ttlMs = 1000L)
+    WarehouseLease.release(spark, wh, owner = "x")
+  }
+
   test("write lease: the heartbeat keeps a live slow holder from being reclaimed") {
     val wh = java.nio.file.Files.createTempDirectory("lease-slow").toString
     // a holder whose WORK outlives its raw ttl: without the heartbeat the
