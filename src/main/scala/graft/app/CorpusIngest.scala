@@ -58,6 +58,7 @@ object CorpusIngest {
     spark.stop()
   }
 
+  private def ccLabelsPath(wh: String) = s"$wh/corpus/cc_labels"
   private def docsPath(wh: String) = s"$wh/corpus/documents"
   private def shinglePath(wh: String) = s"$wh/corpus/shingles"
   private def bandPath(wh: String) = s"$wh/corpus/bands"
@@ -204,12 +205,14 @@ object CorpusIngest {
     hot.filter(h => !h.isEmpty).foreach(h =>
       Sinks.idempotentAppend(h, cappedPath(warehouse),
         keys = Seq("band", "sig"), partitionCols = Nil))
-    val pairs =
+    // persisted: the pair frame feeds the count, the keyed append, and
+    // the label-store merge (scope-released with the drop)
+    val pairs = graft.core.GraftCaches.acquire(
       if (!storeExists) DedupOps.minhashLsh(inc, threshold)
       else DedupOps.minhashLshIncremental(
         readStore(spark, bandPath(warehouse)),
         readStore(spark, shinglePath(warehouse)),
-        inc, threshold, excludeBuckets = hot)
+        inc, threshold, excludeBuckets = hot))
     val nPairs = pairs.count()
     // stamp BEFORE the pairs land: a crash between an unstamped append and
     // the stamp would let a later run at a different threshold slip past
@@ -221,6 +224,12 @@ object CorpusIngest {
     // at crawl scale) — same bucket treatment, keyed (doc_a, doc_b)
     appendKeyedStore(spark, pairs, pairsPath(warehouse), storeBuckets,
       keys = Seq("doc_a", "doc_b"))
+    // fold the drop's pairs into the survivors label store — work bounded
+    // by touched components, so the survivors view never re-runs the
+    // full-graph contraction (see the label-store section below)
+    if (nPairs > 0)
+      updateLabels(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
+        pairs, "doc_a", "doc_b", storeBuckets)
     // documents and doc_stats are cumulative doc_id-keyed tables too, and
     // their idempotent appends anti-join the FULL table per drop — the
     // same per-increment store shuffle the band join had. Bucketed on
@@ -262,6 +271,84 @@ object CorpusIngest {
       else Sinks.compactIfFragmented(spark, p, target)
     }
     (nNew, nPairs)
+  }
+
+  // ---------------- incremental component label stores ----------------
+  //
+  // `survivors` (and its emb/sem/media twins) used to re-run connected
+  // components over the FULL cumulative pair table on every read — an
+  // iterative multi-shuffle job whose cost grows with the pair graph
+  // forever. Each ingest now folds its drop's new pairs into a persisted
+  // VERSIONED label table instead (Components.mergeLabels: work bounded
+  // by the touched components + increment, never the cumulative graph),
+  // and the survivor views read the label store's current view — one
+  // co-located argmax scan. The store is append-only (node, component,
+  // seq) bucketed on node: per-drop writes are touched-rows-sized, the
+  // current view is a zero-exchange groupBy on the bucket key, and
+  // maintenance folds old versions away with an atomic bucket-preserving
+  // rewrite once they dominate. Governance deletes can SPLIT components
+  // (pair rows removed), which incremental merge cannot express — the
+  // cascades drop the affected label store instead, and the next drop
+  // (or nothing, the views fall back to the full recompute) rebuilds it.
+  // Crash-retry safe: the merge is deterministic from (current view,
+  // re-derived identical pairs), so a replay appends identical values
+  // under a fresh seq — the argmax view is unchanged.
+
+  /** Current view of a versioned label store: latest component per node. */
+  private def labelView(store: DataFrame): DataFrame =
+    store.groupBy(col("node"))
+      .agg(max_by(col("component"), col("seq")).as("component"))
+
+  /** Fold one drop's verified pairs into the label store at `labelPath`
+    * (creating it from the FULL pair table the first time, so
+    * pre-label-store history is covered).
+    */
+  private def updateLabels(spark: SparkSession, labelPath: String,
+                           pairsP: String, newPairs: DataFrame,
+                           aCol: String, bCol: String,
+                           buckets: Int): Unit = {
+    val exists = Sinks.pathExists(spark, labelPath)
+    val changed =
+      if (!exists)
+        Components.connectedComponents(
+          readStore(spark, pairsP).select(col(aCol), col(bCol)))
+      else Components.mergeLabels(
+        labelView(readStore(spark, labelPath)),
+        newPairs.select(col(aCol), col(bCol)))
+    val seq =
+      if (!exists) 0L
+      else {
+        // a store can legitimately exist EMPTY (created by a pair-less
+        // rebuild); max over zero rows is null, and the next version is 0
+        val r = readStore(spark, labelPath).agg(max(col("seq"))).head()
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
+      }
+    Sinks.bucketedIdempotentAppend(changed.withColumn("seq", lit(seq)),
+      labelPath, keys = Seq("node", "seq"), bucketKeys = Seq("node"),
+      buckets = buckets)
+    // maintenance: fold accumulated versions into the current view once
+    // appends have fragmented the store — one atomic swap that is both
+    // the compaction and the version GC
+    if (Sinks.dataFileCount(spark, labelPath) > 4L * buckets)
+      Sinks.rewriteBucketed(spark, labelPath,
+        labelView(readStore(spark, labelPath)).withColumn("seq", lit(0L)))
+  }
+
+  /** Loser ids (component non-minima) for a pair table: from the label
+    * store's current view when one is maintained — a co-located scan —
+    * or the full-graph recompute otherwise (legacy warehouses, and any
+    * state right after a governance delete dropped the store).
+    */
+  private def losersFor(spark: SparkSession, labelPath: String,
+                        pairsP: String, aCol: String, bCol: String,
+                        outCol: String): DataFrame = {
+    val lab =
+      if (Sinks.pathExists(spark, labelPath))
+        labelView(readStore(spark, labelPath))
+      else Components.connectedComponents(
+        readStore(spark, pairsP).select(col(aCol), col(bCol)))
+    lab.filter(col("node") =!= col("component"))
+      .select(col("node").as(outCol))
   }
 
   /** GOVERNANCE DELETE cascade — the corpus-warehouse form of
@@ -312,6 +399,10 @@ object CorpusIngest {
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("doc_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("doc_id")))
     }.toMap
+    // removed pair rows can SPLIT components — incremental merge cannot
+    // express a split, so the label store is dropped and rebuilt lazily
+    // (survivors falls back to the full recompute meanwhile)
+    dropStore(spark, ccLabelsPath(warehouse))
     // tombstone UNCONDITIONALLY: gating this on the staged table existing
     // left a hole — a takedown issued while a streaming landing was active
     // but before its first promotion recorded nothing, and that first
@@ -365,6 +456,8 @@ object CorpusIngest {
   private def embCappedPath(wh: String) = s"$wh/corpus/emb_capped_buckets"
   private def stagedEmbPath(wh: String) = s"$wh/corpus/staged_emb_drops"
   private def embTombPath(wh: String) = s"$wh/corpus/emb_tombstones"
+  private def embCcPath(wh: String) = s"$wh/corpus/emb_cc_labels"
+  private def semCcPath(wh: String) = s"$wh/corpus/sem_cc_labels"
   private def semAsgPath(wh: String) = s"$wh/corpus/sem_asg"
   private def semPairsPath(wh: String) = s"$wh/corpus/sem_pairs"
   private def semCentsPath(wh: String) = s"$wh/corpus/sem_cents"
@@ -470,18 +563,21 @@ object CorpusIngest {
         hot.filter(h => !h.isEmpty).foreach(h =>
           Sinks.idempotentAppend(h, embCappedPath(warehouse),
             keys = Seq("band", "code"), partitionCols = Nil))
-        val pairs =
+        val pairs = graft.core.GraftCaches.acquire(
           if (!storeExists)
             graft.operators.SimilarityOps.cosinePairsLsh(inc, threshold)
           else graft.operators.SimilarityOps.cosinePairsLshIncremental(
             readStore(spark, embBandsPath(warehouse)),
             readStore(spark, embVecsPath(warehouse)),
-            inc, threshold, excludeBuckets = hot)
+            inc, threshold, excludeBuckets = hot))
         val nPairs = pairs.count()
         // stamp-first, same crash ordering argument as run()
         stampThresholdAt(spark, embPairsPath(warehouse), threshold)
         appendKeyedStore(spark, pairs, embPairsPath(warehouse), storeBuckets,
           keys = Seq("vec_a", "vec_b"))
+        if (nPairs > 0)
+          updateLabels(spark, embCcPath(warehouse), embPairsPath(warehouse),
+            pairs, "vec_a", "vec_b", storeBuckets)
         // SemDeDup maintenance rides the same drop when the caller supplies
         // FROZEN trained centroids (the retrain-cadence contract — see
         // SimilarityOps.semAssignTable): assign the increment once, derive
@@ -510,15 +606,19 @@ object CorpusIngest {
           // legitimate commit set is EMPTY: any stored assignment row is
           // either an orphan or re-admitted in this very increment (whose
           // pairs re-derive as new-new)
-          val semPairs = graft.operators.SimilarityOps
-            .semPairsIncrementalFromAssign(storedAsg, freshAsg, semThreshold,
-              commitIds = Some(
-                if (storeExists)
-                  readStore(spark, embVecsPath(warehouse)).select("vec_id")
-                else inc.select("vec_id").limit(0)))
+          val semPairs = graft.core.GraftCaches.acquire(
+            graft.operators.SimilarityOps
+              .semPairsIncrementalFromAssign(storedAsg, freshAsg, semThreshold,
+                commitIds = Some(
+                  if (storeExists)
+                    readStore(spark, embVecsPath(warehouse)).select("vec_id")
+                  else inc.select("vec_id").limit(0))))
           stampThresholdAt(spark, semPairsPath(warehouse), semThreshold)
           appendKeyedStore(spark, semPairs, semPairsPath(warehouse),
             storeBuckets, keys = Seq("vec_a", "vec_b"))
+          if (!semPairs.isEmpty)
+            updateLabels(spark, semCcPath(warehouse), semPairsPath(warehouse),
+              semPairs, "vec_a", "vec_b", storeBuckets)
           Sinks.bucketedIdempotentAppend(freshAsg, semAsgPath(warehouse),
             keys = Seq("cid", "vec_id"), bucketKeys = Seq("cid"),
             buckets = storeBuckets)
@@ -567,6 +667,10 @@ object CorpusIngest {
     }.toMap
     Sinks.idempotentAppend(keys, embTombPath(warehouse),
       keys = Seq("vec_id"), partitionCols = Nil)
+    // pair-row removal can split components — drop the label stores (see
+    // the text cascade)
+    dropStore(spark, embCcPath(warehouse))
+    dropStore(spark, semCcPath(warehouse))
     val pairTables = Seq(
       "emb_pairs" -> embPairsPath(warehouse),
       "sem_pairs" -> semPairsPath(warehouse))
@@ -934,32 +1038,29 @@ object CorpusIngest {
 
   /** The deduplicated EMBEDDING view — `survivors` for the semantic
     * modality: keep-the-minimum canonical per cosine near-dup cluster over
-    * the cumulative `corpus/emb_pairs` table. Same cost shape: components
-    * bounded by the pair graph, one anti-join shipping loser vec_ids (the
-    * embedding arrays never ride the component computation).
+    * the cumulative `corpus/emb_pairs` table. Losers come off the
+    * incrementally-maintained label store when present (a co-located
+    * scan); the full-graph recompute is the fallback.
     */
   def embSurvivors(spark: SparkSession, warehouse: String): DataFrame =
-    survivorsOverPairs(spark, warehouse, embPairsPath(warehouse))
+    survivorsOverPairs(spark, warehouse, embPairsPath(warehouse),
+      embCcPath(warehouse))
 
   /** The SemDeDup-applied view: keep-the-minimum per semantic cluster
     * component over the cumulative `corpus/sem_pairs` table — the corpus a
     * SemDeDup-curated training run actually reads.
     */
   def semSurvivors(spark: SparkSession, warehouse: String): DataFrame =
-    survivorsOverPairs(spark, warehouse, semPairsPath(warehouse))
+    survivorsOverPairs(spark, warehouse, semPairsPath(warehouse),
+      semCcPath(warehouse))
 
   private def survivorsOverPairs(spark: SparkSession, warehouse: String,
-                                 pairsP: String): DataFrame = {
+                                 pairsP: String, labelP: String): DataFrame = {
     val vecs = readStore(spark, embVecsPath(warehouse))
     if (!Sinks.pathExists(spark, pairsP)) vecs
-    else {
-      val pairs = readStore(spark, pairsP)
-      val lab = Components.connectedComponents(
-        pairs.select(col("vec_a"), col("vec_b")))
-      val losers = lab.filter(col("node") =!= col("component"))
-        .select(col("node").as("vec_id"))
-      vecs.join(losers, Seq("vec_id"), "left_anti")
-    }
+    else vecs.join(
+      losersFor(spark, labelP, pairsP, "vec_a", "vec_b", "vec_id"),
+      Seq("vec_id"), "left_anti")
   }
 
   private def mediaHashPath(wh: String) = s"$wh/corpus/media_hashes"
@@ -968,6 +1069,7 @@ object CorpusIngest {
   private def mediaCappedPath(wh: String) = s"$wh/corpus/media_capped_buckets"
   private def stagedMediaPath(wh: String) = s"$wh/corpus/staged_media_drops"
   private def mediaTombPath(wh: String) = s"$wh/corpus/media_tombstones"
+  private def mediaCcPath(wh: String) = s"$wh/corpus/media_cc_labels"
 
   /** Land one MEDIA drop — the image-modality twin of `run` /
     * `ingestEmbeddings`: trim the drop against the hash store (replayed
@@ -1028,7 +1130,7 @@ object CorpusIngest {
         hot.filter(h => !h.isEmpty).foreach(h =>
           Sinks.idempotentAppend(h, mediaCappedPath(warehouse),
             keys = Seq("ci", "chunk"), partitionCols = Nil))
-        val pairs =
+        val pairs = graft.core.GraftCaches.acquire(
           if (!storeExists) graft.operators.Multimodal.nearDupFromHashes(
             hashes.filter(col("phash").isNotNull && col("phash") =!= -1L),
             maxHamming)
@@ -1040,11 +1142,15 @@ object CorpusIngest {
             // never-retried drop emit no ghosts
             commitIds =
               Some(readStore(spark, mediaHashPath(warehouse)).select("media_id")),
-            excludeBuckets = hot)
+            excludeBuckets = hot))
         val nPairs = pairs.count()
         stampThresholdAt(spark, mediaPairsPath(warehouse), maxHamming.toDouble)
         appendKeyedStore(spark, pairs, mediaPairsPath(warehouse), storeBuckets,
           keys = Seq("media_a", "media_b"))
+        if (nPairs > 0)
+          updateLabels(spark, mediaCcPath(warehouse),
+            mediaPairsPath(warehouse), pairs, "media_a", "media_b",
+            storeBuckets)
         // bands before the hash commit point; same prefix-keyed
         // exchange-free existence check as appendPhashStoreBucketed
         Sinks.bucketedIdempotentAppend(freshBands, mediaBandsPath(warehouse),
@@ -1086,6 +1192,7 @@ object CorpusIngest {
     }.toMap
     Sinks.idempotentAppend(keys, mediaTombPath(warehouse),
       keys = Seq("media_id"), partitionCols = Nil)
+    dropStore(spark, mediaCcPath(warehouse))
     if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
     else if (Sinks.isBucketedStore(spark, mediaPairsPath(warehouse)))
       purged + ("media_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
@@ -1124,14 +1231,10 @@ object CorpusIngest {
     val hashes = readStore(spark, mediaHashPath(warehouse))
       .filter(col("phash").isNotNull && col("phash") =!= lit(-1L))
     if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) hashes
-    else {
-      val pairs = readStore(spark, mediaPairsPath(warehouse))
-      val lab = Components.connectedComponents(
-        pairs.select(col("media_a"), col("media_b")))
-      val losers = lab.filter(col("node") =!= col("component"))
-        .select(col("node").as("media_id"))
-      hashes.join(losers, Seq("media_id"), "left_anti")
-    }
+    else hashes.join(
+      losersFor(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
+        "media_a", "media_b", "media_id"),
+      Seq("media_id"), "left_anti")
   }
 
   private def linksPath(wh: String) = s"$wh/corpus/links"
@@ -1235,6 +1338,7 @@ object CorpusIngest {
         "ingest embeddings first")
     dropStore(spark, semAsgPath(warehouse))
     dropStore(spark, semPairsPath(warehouse))
+    dropStore(spark, semCcPath(warehouse))
     graft.core.GraftCaches.withScope(spark) {
       val vecs = readStore(spark, embVecsPath(warehouse))
       // one shared integerized pass for train + assign; centroids eager +
@@ -1261,6 +1365,13 @@ object CorpusIngest {
       appendKeyedStore(spark,
         graft.operators.SimilarityOps.semPairsFromAssignments(asg, semThreshold),
         semPairsPath(warehouse), storeBuckets, keys = Seq("vec_a", "vec_b"))
+      // rebuild the sem label store from the fresh pair table (the old
+      // one went with the old sem state); the store-absent branch of
+      // updateLabels reads the full table, so the increment frame is
+      // an empty placeholder
+      updateLabels(spark, semCcPath(warehouse), semPairsPath(warehouse),
+        asg.limit(0).select(col("vec_id").as("vec_a"),
+          col("vec_id").as("vec_b")), "vec_a", "vec_b", storeBuckets)
       Sinks.bucketedIdempotentAppend(asg, semAsgPath(warehouse),
         keys = Seq("cid", "vec_id"), bucketKeys = Seq("cid"),
         buckets = storeBuckets)
@@ -1420,22 +1531,18 @@ object CorpusIngest {
   }
 
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
-    * cluster over the CUMULATIVE pair table. Cost is bounded by the pair
-    * graph (the duplicated subset), plus one anti-join shipping loser ids.
+    * cluster over the CUMULATIVE pair table. Losers come off the
+    * incrementally-maintained label store when present — a co-located
+    * argmax scan plus one anti-join shipping loser ids; the full-graph
+    * contraction runs only as the fallback (legacy warehouses, or right
+    * after a governance delete dropped the store).
     */
   def survivors(spark: SparkSession, warehouse: String): DataFrame = {
     val docs = readStore(spark, docsPath(warehouse))
     if (!Sinks.pathExists(spark, pairsPath(warehouse))) docs
-    else {
-      // readStore, not a plain read: a bucketed pair store purged to empty
-      // by a takedown legitimately holds no data files, and only the
-      // catalog/ledger read path knows its schema then
-      val pairs = readStore(spark, pairsPath(warehouse))
-      val lab = Components.connectedComponents(
-        pairs.select(col("doc_a"), col("doc_b")))
-      val losers = lab.filter(col("node") =!= col("component"))
-        .select(col("node").as("doc_id"))
-      docs.join(losers, Seq("doc_id"), "left_anti")
-    }
+    else docs.join(
+      losersFor(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
+        "doc_a", "doc_b", "doc_id"),
+      Seq("doc_id"), "left_anti")
   }
 }

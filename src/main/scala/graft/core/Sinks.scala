@@ -1054,6 +1054,18 @@ object Sinks {
       }
     }
 
+  /** Rewrite a bucketed store's CONTENT in place (bucket layout, spec
+    * ledger, and catalog entry preserved) — the version-fold primitive
+    * for append-only VERSIONED tables (CorpusIngest's component label
+    * stores): periodic maintenance replaces the accumulated version rows
+    * with the current view in one atomic swap, the same way compaction
+    * replaces fragmented files. Single-writer contract applies (hold the
+    * warehouse lease).
+    */
+  def rewriteBucketed(spark: SparkSession, path: String,
+                      df: DataFrame): Unit =
+    bucketedSwapInto(spark, path, df)
+
   /** The bucketed rewrite-and-swap: write `df` through the bucketed writer
     * to a sibling tmp table (repartitioned to the bucket layout → one file
     * per bucket), drop the tmp CATALOG entry (external — files stay), then

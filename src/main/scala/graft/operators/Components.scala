@@ -95,6 +95,47 @@ object Components {
       .distinct()
   }
 
+  /** INCREMENTAL component maintenance: fold a drop's new edges into an
+    * existing (node, component) labeling WITHOUT re-running the
+    * contraction over the full graph. The observation: new edges can only
+    * change components they TOUCH — every other component keeps its label
+    * set verbatim. So the work is (1) find the components the new edges'
+    * endpoints belong to, (2) re-run the star contraction over just the
+    * NEW edges plus the star edges (node, component) of those touched
+    * components' members — star edges are an equivalent connectivity
+    * witness for the old labeling, so the sub-result equals the full
+    * recompute restricted to the touched region — and (3) return the
+    * re-labeled rows (touched members ∪ new endpoints) for the caller to
+    * version-append over the old rows.
+    *
+    * Cost: bounded by the new edges plus the touched components' member
+    * counts — never the cumulative pair graph. This is what turns the
+    * survivors view from a per-read full-graph CC job into a label-store
+    * scan at 100 TB (CorpusIngest maintains the store per drop).
+    *
+    * `currentLabels`: (node, component) — the CURRENT view of the label
+    * store (one row per node). `newEdges`: two numeric columns. Returns
+    * (node, component) for exactly the rows whose label may have changed.
+    * Deterministic (min-id labels), so a crash-retry replaying the same
+    * merge appends identical values — version-append semantics make that
+    * harmless.
+    */
+  def mergeLabels(currentLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val Seq(cu, cv) = newEdges.columns.toSeq.take(2).map(col)
+    val e = newEdges.select(cu.cast("long").as("u"), cv.cast("long").as("v"))
+    val touched = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    val labels = currentLabels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val touchedComps = labels.join(touched, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    // all members of the touched components, as star edges — an exact
+    // connectivity witness of the old labeling on that region
+    val memberStars = labels.join(touchedComps, Seq("component"), "left_semi")
+      .select(col("node").as("u"), col("component").as("v"))
+    connectedComponents(e.select(col("u"), col("v")).unionByName(memberStars))
+  }
+
   /** Large-star: every node re-points its strictly-LARGER neighbors at the
     * minimum of its closed neighborhood. Operates on the symmetric closure;
     * output is canonical (u > v) and self-loop-free because

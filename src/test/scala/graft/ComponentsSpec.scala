@@ -113,4 +113,37 @@ class ComponentsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(5L, 8L), s"survivors: $survivors")
   }
+
+  test("mergeLabels: incremental drop sequences equal the batch recompute (property)") {
+    // random edge streams folded drop by drop must label identically to
+    // one batch contraction over everything seen so far — across merges
+    // that EXTEND components, JOIN two old components through a new edge,
+    // relabel members when a smaller node arrives, and leave untouched
+    // components byte-identical
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val n = 40 + rng.nextInt(40)
+      val edges = Seq.fill(60 + rng.nextInt(60))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val dropSizes = Iterator.continually(1 + rng.nextInt(15))
+      var labels = Map.empty[Long, Long]
+      var seen = Seq.empty[(Long, Long)]
+      var rest = edges
+      while (rest.nonEmpty) {
+        val k = math.min(dropSizes.next(), rest.size)
+        val (drop, tail) = rest.splitAt(k)
+        rest = tail
+        seen = seen ++ drop
+        val changed = Components.mergeLabels(
+          labels.toSeq.toDF("node", "component"), drop.toDF("u", "v"))
+          .as[(Long, Long)].collect().toMap
+        labels = labels ++ changed
+        val batch = Components.connectedComponents(seen.toDF("u", "v"))
+          .as[(Long, Long)].collect().toMap
+        assert(labels == batch,
+          s"trial $trial after ${seen.size} edges: incremental $labels != batch $batch")
+      }
+    }
+  }
 }

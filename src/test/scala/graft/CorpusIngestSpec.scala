@@ -994,6 +994,57 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("survivors label store: maintained per drop, merges and relabels, dropped and rebuilt around deletes") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whlab").toString
+    def surv() = CorpusIngest.survivors(spark, wh)
+      .select("doc_id").as[Long].collect().toSet
+    CorpusIngest.run(spark,
+      Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text"), wh)
+    CorpusIngest.run(spark, Seq(
+      (30L, base.replace("winter", "summer")), (40L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    // pairs (10,30) and (20,40): the label store exists and the survivors
+    // view READS it — no contraction rounds at read time
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/cc_labels"),
+      "label store must be created by the pair-bearing drop")
+    // leaves print catalog names, so recognize the label store by its
+    // (node, component, seq) schema — and the pair table must be absent
+    // from the read entirely (no contraction input at read time)
+    val plan = CorpusIngest.survivors(spark, wh)
+      .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    assert(plan.exists(s => s.contains("node#") && s.contains("seq#")),
+      s"survivors must read the label store, leaves: $plan")
+    assert(!plan.exists(s => s.contains("doc_a#")),
+      s"survivors must not read the pair table when labels exist: $plan")
+    assert(surv() == Set(10L, 20L), s"survivors: ${surv()}")
+
+    // a later drop can RELABEL an existing component: doc 5 joins the
+    // base cluster and, as the new minimum, becomes its canonical
+    CorpusIngest.run(spark,
+      Seq((5L, base.replace("winter", "autumn"))).toDF("doc_id", "text"), wh)
+    assert(surv() == Set(5L, 20L),
+      s"new minimum must relabel the touched component: ${surv()}")
+
+    // a governance delete can split components — the store is dropped
+    // (incremental merge cannot express splits) and the view falls back
+    // to the full recompute, still correct
+    CorpusIngest.delete(spark, wh, Seq(5L))
+    assert(!Sinks.pathExists(spark, s"$wh/corpus/cc_labels"),
+      "delete must drop the label store")
+    assert(surv() == Set(10L, 20L), s"post-delete survivors: ${surv()}")
+
+    // the next pair-bearing drop rebuilds the store from the FULL pair
+    // table (pre-store history covered), and the view reads it again
+    CorpusIngest.run(spark,
+      Seq((60L, unrelated.replace("today", "tonight")))
+        .toDF("doc_id", "text"), wh)
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/cc_labels"),
+      "pair-bearing drop must rebuild the label store")
+    assert(surv() == Set(10L, 20L), s"post-rebuild survivors: ${surv()}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("fsck: healthy warehouse audits clean; planted corruption and crash residue are detected") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whfsck").toString
