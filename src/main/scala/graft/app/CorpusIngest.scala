@@ -288,11 +288,18 @@ object CorpusIngest {
   // maintenance folds old versions away with an atomic bucket-preserving
   // rewrite once they dominate. Governance deletes can SPLIT components
   // (pair rows removed), which incremental merge cannot express — the
-  // cascades drop the affected label store instead, and the next drop
-  // (or nothing, the views fall back to the full recompute) rebuilds it.
-  // Crash-retry safe: the merge is deterministic from (current view,
-  // re-derived identical pairs), so a replay appends identical values
-  // under a fresh seq — the argmax view is unchanged.
+  // cascades drop the affected label store and EAGERLY rebuild it from
+  // the purged pair table (rebuildLabels), so the one full contraction a
+  // split costs is paid once inside the rare takedown call, never per
+  // survivors read. Crash-retry safe: the merge is deterministic from
+  // (current view, re-derived identical pairs), so a replay appends
+  // identical values under a fresh seq — the argmax view is unchanged.
+  // Store presence is judged by the SPEC LEDGER, not the directory:
+  // bucketedIdempotentAppend stamps the ledger only after the initial
+  // write commits, so a torn create (crash mid-first-write) reads as
+  // "no store" — the views fall back to the recompute instead of
+  // silently serving a partial labeling, and the next writer clears the
+  // residue directory and recreates.
 
   /** Current view of a versioned label store: latest component per node. */
   private def labelView(store: DataFrame): DataFrame =
@@ -307,7 +314,13 @@ object CorpusIngest {
                            pairsP: String, newPairs: DataFrame,
                            aCol: String, bCol: String,
                            buckets: Int): Unit = {
-    val exists = Sinks.pathExists(spark, labelPath)
+    val exists = Sinks.isBucketedStore(spark, labelPath)
+    // a label directory WITHOUT its spec ledger is torn-create residue
+    // (the ledger is stamped after the initial write commits) — clear it
+    // so the recreate below can land; label stores are always bucketed,
+    // so there is no legacy-plain layout this could misread
+    if (!exists && Sinks.pathExists(spark, labelPath))
+      dropStore(spark, labelPath)
     val changed =
       if (!exists)
         Components.connectedComponents(
@@ -334,16 +347,46 @@ object CorpusIngest {
         labelView(readStore(spark, labelPath)).withColumn("seq", lit(0L)))
   }
 
+  /** Eagerly rebuild a component label store from its (just-purged) pair
+    * table after a governance delete. Removing pair rows can SPLIT
+    * components — a state the incremental merge cannot express — so the
+    * cascades previously dropped the store and every survivors read until
+    * the next pair-bearing drop re-ran the full-graph contraction, per
+    * READ. The cascade now pays that contraction exactly once, inside the
+    * rare takedown call, and reads stay label-scan priced throughout.
+    * Crash-safe by ordering: the store is dropped FIRST, so a crash
+    * anywhere before the rebuild's spec ledger lands leaves "no store"
+    * and the views fall back to the (always-correct) recompute — never a
+    * stale pre-delete labeling; the lease-held delete's retry heals. The
+    * rebuilt store inherits the pair table's bucket count so the argmax
+    * view keeps the layout the ingest chose; a warehouse with no pair
+    * table keeps no store (nothing to label).
+    */
+  private def rebuildLabels(spark: SparkSession, labelPath: String,
+                            pairsP: String, aCol: String,
+                            bCol: String): Unit = {
+    dropStore(spark, labelPath)
+    if (Sinks.pathExists(spark, pairsP)) {
+      val buckets = Sinks.bucketSpecOf(spark, pairsP).map(_._2).getOrElse(8)
+      val labels = Components.connectedComponents(
+        readStore(spark, pairsP).select(col(aCol), col(bCol)))
+      Sinks.bucketedIdempotentAppend(labels.withColumn("seq", lit(0L)),
+        labelPath, keys = Seq("node", "seq"), bucketKeys = Seq("node"),
+        buckets = buckets)
+    }
+  }
+
   /** Loser ids (component non-minima) for a pair table: from the label
     * store's current view when one is maintained — a co-located scan —
     * or the full-graph recompute otherwise (legacy warehouses, and any
-    * state right after a governance delete dropped the store).
+    * crash window where a store create was torn before its ledger). The
+    * ledger gate means a torn create can never serve a partial labeling.
     */
   private def losersFor(spark: SparkSession, labelPath: String,
                         pairsP: String, aCol: String, bCol: String,
                         outCol: String): DataFrame = {
     val lab =
-      if (Sinks.pathExists(spark, labelPath))
+      if (Sinks.isBucketedStore(spark, labelPath))
         labelView(readStore(spark, labelPath))
       else Components.connectedComponents(
         readStore(spark, pairsP).select(col(aCol), col(bCol)))
@@ -400,8 +443,9 @@ object CorpusIngest {
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("doc_id")))
     }.toMap
     // removed pair rows can SPLIT components — incremental merge cannot
-    // express a split, so the label store is dropped and rebuilt lazily
-    // (survivors falls back to the full recompute meanwhile)
+    // express a split, so the label store is dropped here (every crash
+    // window below then falls back to the recompute, never a stale
+    // labeling) and rebuilt EAGERLY from the purged pair table at the end
     dropStore(spark, ccLabelsPath(warehouse))
     // tombstone UNCONDITIONALLY: gating this on the staged table existing
     // left a hole — a takedown issued while a streaming landing was active
@@ -412,12 +456,16 @@ object CorpusIngest {
     // row in a thin table.
     Sinks.idempotentAppend(keys, tombPath(warehouse),
       keys = Seq("doc_id"), partitionCols = Nil)
-    if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
-    else if (Sinks.isBucketedStore(spark, pairsPath(warehouse)))
-      purged + ("pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+    val all =
+      if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
+      else if (Sinks.isBucketedStore(spark, pairsPath(warehouse)))
+        purged + ("pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+          pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
+      else purged + ("pairs" -> Sinks.deleteByAnyKey(spark,
         pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
-    else purged + ("pairs" -> Sinks.deleteByAnyKey(spark,
-      pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
+    rebuildLabels(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
+      "doc_a", "doc_b")
+    all
   }
 
   /** TOMBSTONE LIFT — the reversal half of the governance contract: a
@@ -667,14 +715,15 @@ object CorpusIngest {
     }.toMap
     Sinks.idempotentAppend(keys, embTombPath(warehouse),
       keys = Seq("vec_id"), partitionCols = Nil)
-    // pair-row removal can split components — drop the label stores (see
-    // the text cascade)
+    // pair-row removal can split components — drop the label stores, then
+    // rebuild them eagerly from the purged pair tables (see the text
+    // cascade's crash-ordering note)
     dropStore(spark, embCcPath(warehouse))
     dropStore(spark, semCcPath(warehouse))
     val pairTables = Seq(
       "emb_pairs" -> embPairsPath(warehouse),
       "sem_pairs" -> semPairsPath(warehouse))
-    purged ++ pairTables.flatMap { case (name, p) =>
+    val all = purged ++ pairTables.flatMap { case (name, p) =>
       if (!Sinks.pathExists(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByAnyKey(spark, p, keys, "vec_id",
@@ -682,6 +731,11 @@ object CorpusIngest {
       else Some(name -> Sinks.deleteByAnyKey(spark, p, keys, "vec_id",
         Seq("vec_a", "vec_b")))
     }
+    rebuildLabels(spark, embCcPath(warehouse), embPairsPath(warehouse),
+      "vec_a", "vec_b")
+    rebuildLabels(spark, semCcPath(warehouse), semPairsPath(warehouse),
+      "vec_a", "vec_b")
+    all
   }
 
   /** `reinstate` for the embedding modality (see `reinstate`'s asymmetry
@@ -1193,14 +1247,18 @@ object CorpusIngest {
     Sinks.idempotentAppend(keys, mediaTombPath(warehouse),
       keys = Seq("media_id"), partitionCols = Nil)
     dropStore(spark, mediaCcPath(warehouse))
-    if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
-    else if (Sinks.isBucketedStore(spark, mediaPairsPath(warehouse)))
-      purged + ("media_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+    val all =
+      if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
+      else if (Sinks.isBucketedStore(spark, mediaPairsPath(warehouse)))
+        purged + ("media_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
+          mediaPairsPath(warehouse), keys, "media_id",
+          Seq("media_a", "media_b")))
+      else purged + ("media_pairs" -> Sinks.deleteByAnyKey(spark,
         mediaPairsPath(warehouse), keys, "media_id",
         Seq("media_a", "media_b")))
-    else purged + ("media_pairs" -> Sinks.deleteByAnyKey(spark,
-      mediaPairsPath(warehouse), keys, "media_id",
-      Seq("media_a", "media_b")))
+    rebuildLabels(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
+      "media_a", "media_b")
+    all
   }
 
   /** `reinstate` for the media modality (lifts the block, never

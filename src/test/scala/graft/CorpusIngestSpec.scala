@@ -1026,22 +1026,52 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(surv() == Set(5L, 20L),
       s"new minimum must relabel the touched component: ${surv()}")
 
-    // a governance delete can split components — the store is dropped
-    // (incremental merge cannot express splits) and the view falls back
-    // to the full recompute, still correct
+    // a governance delete can split components — incremental merge cannot
+    // express that, so the cascade rebuilds the store EAGERLY from the
+    // purged pair table: reads stay label-scan priced immediately, and
+    // the view result matches the full recompute
     CorpusIngest.delete(spark, wh, Seq(5L))
-    assert(!Sinks.pathExists(spark, s"$wh/corpus/cc_labels"),
-      "delete must drop the label store")
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/cc_labels"),
+      "delete must rebuild the label store eagerly")
+    val planPostDelete = CorpusIngest.survivors(spark, wh)
+      .queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    assert(planPostDelete.exists(s => s.contains("node#") && s.contains("seq#")),
+      s"post-delete survivors must read the rebuilt store: $planPostDelete")
+    assert(!planPostDelete.exists(s => s.contains("doc_a#")),
+      s"post-delete survivors must not re-run the contraction: $planPostDelete")
     assert(surv() == Set(10L, 20L), s"post-delete survivors: ${surv()}")
 
-    // the next pair-bearing drop rebuilds the store from the FULL pair
-    // table (pre-store history covered), and the view reads it again
+    // the next pair-bearing drop merges INCREMENTALLY into the rebuilt
+    // store (no drop-then-recreate churn), and the view stays correct
     CorpusIngest.run(spark,
       Seq((60L, unrelated.replace("today", "tonight")))
         .toDF("doc_id", "text"), wh)
     assert(Sinks.isBucketedStore(spark, s"$wh/corpus/cc_labels"),
-      "pair-bearing drop must rebuild the label store")
+      "label store must survive the post-delete drop")
     assert(surv() == Set(10L, 20L), s"post-rebuild survivors: ${surv()}")
+
+    // torn-create residue: a label DIRECTORY without its spec ledger
+    // (crash mid-first-write — the ledger is stamped last) must read as
+    // "no store": the view falls back to the recompute instead of
+    // serving a partial labeling, and the next writer clears the residue
+    val labDir = new java.io.File(s"$wh/corpus/cc_labels")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(labDir)
+    new java.io.File(s"$wh/corpus/cc_labels._bucketspec").delete()
+    spark.sql(s"DROP TABLE IF EXISTS `${Sinks.bucketedTableName(s"$wh/corpus/cc_labels")}`")
+    labDir.mkdirs()
+    Seq((999L, 999L, 0L)).toDF("node", "component", "seq")
+      .coalesce(1).write.mode("overwrite").parquet(labDir.toString)
+    assert(surv() == Set(10L, 20L),
+      s"torn-create residue must fall back to the recompute: ${surv()}")
+    CorpusIngest.run(spark,
+      Seq((70L, unrelated.replace("today", "tomorrow")))
+        .toDF("doc_id", "text"), wh)
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/cc_labels"),
+      "next writer must clear torn-create residue and recreate the store")
+    assert(surv() == Set(10L, 20L), s"post-heal survivors: ${surv()}")
     graft.core.GraftCaches.releaseAll(spark)
   }
 
