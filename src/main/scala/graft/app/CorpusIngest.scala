@@ -1481,14 +1481,21 @@ object CorpusIngest {
     *     kept inert meanwhile by the probe guards), and tombstoned ids
     *     present in content tables (legal after a documented pure-batch
     *     re-submission of a deleted id — but review it: if no
-    *     re-submission happened, a takedown leaked). A persistently
-    *     GROWING warn count means drops are crashing and nobody retries.
+    *     re-submission happened, a takedown leaked). Label-store
+    *     residue is warn too: a torn store create (directory without
+    *     its spec ledger — reads already fall back) and pair ids the
+    *     label merge has not yet covered (pairs land before the merge;
+    *     a retry or any delete's eager rebuild heals, and the miss can
+    *     only UNDER-drop). A persistently GROWING warn count means
+    *     drops are crashing and nobody retries.
     *   - severity "error" rows should be IMPOSSIBLE under the write
     *     contracts: commit rows that precede their write order (shingles
     *     without documents), a pair table without its threshold ledger,
-    *     or an ingest ledger ahead of its promote ledger. Any non-zero
-    *     error count is corruption: restore from the immutable landing /
-    *     re-run the cascade.
+    *     an ingest ledger ahead of its promote ledger, or label-store
+    *     nodes with no pair evidence (which could silently suppress a
+    *     real row from a survivors view). Any non-zero error count is
+    *     corruption: restore from the immutable landing / re-run the
+    *     cascade.
     *
     * Every check is an id-projected anti-join or a ledger compare —
     * bounded scans, no content read; bucketed stores join co-located.
@@ -1534,6 +1541,33 @@ object CorpusIngest {
         out += ((check, short(contentP),
           t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi")
             .count(), "warn"))
+    // component label stores: the survivors views trust these instead of
+    // re-running the contraction, so audit them against the pair tables
+    // they summarize. A directory WITHOUT its spec ledger is torn-create
+    // residue (reads already fall back; the next writer clears it) —
+    // warn. Pair-side ids ABSENT from the labels are crash residue too
+    // (pairs land before the label merge; the drop's retry — or any
+    // delete's eager rebuild — heals), and the miss direction only ever
+    // UNDER-drops: warn. Label nodes absent from the pair table cannot
+    // arise from any documented flow (merges only add nodes from pairs
+    // already appended; deletes rebuild from the purged table) and could
+    // suppress a real row from the survivors view with no pair evidence
+    // — error.
+    def labelChecks(labelP: String, pairsP: String, a: String,
+                    b: String): Unit = {
+      if (fileExists(labelP) && !Sinks.isBucketedStore(spark, labelP))
+        out += (("label_store_torn_create", short(labelP), 1L, "warn"))
+      else for (lab <- read(labelP)) {
+        val nodes = lab.select(col("node").as("k")).distinct()
+        val ids = read(pairsP).map(p => p.select(col(a).as("k"))
+            .unionByName(p.select(col(b).as("k"))).distinct())
+          .getOrElse(Seq.empty[Long].toDF("k"))
+        out += (("label_missing_nodes", short(labelP),
+          ids.join(nodes, Seq("k"), "left_anti").count(), "warn"))
+        out += (("label_orphan_nodes", short(labelP),
+          nodes.join(ids, Seq("k"), "left_anti").count(), "error"))
+      }
+    }
 
     // crash-window residue (heals on retry)
     missingFrom("orphan_bands", bandPath(warehouse), "doc_id",
@@ -1565,6 +1599,15 @@ object CorpusIngest {
       embVecsPath(warehouse), "vec_id")
     tombLeak("media_tombstone_leak", mediaTombPath(warehouse),
       mediaHashPath(warehouse), "media_id")
+    // label-store / pair-table consistency
+    labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
+      "doc_a", "doc_b")
+    labelChecks(embCcPath(warehouse), embPairsPath(warehouse),
+      "vec_a", "vec_b")
+    labelChecks(semCcPath(warehouse), semPairsPath(warehouse),
+      "vec_a", "vec_b")
+    labelChecks(mediaCcPath(warehouse), mediaPairsPath(warehouse),
+      "media_a", "media_b")
     // ledger presence / ordering
     def fileExists(p: String) = Sinks.pathExists(spark, p)
     for (pp <- Seq(pairsPath(warehouse), embPairsPath(warehouse),

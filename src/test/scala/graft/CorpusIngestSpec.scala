@@ -1075,6 +1075,55 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("fsck: label stores audited against their pair tables") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whfscklab").toString
+    def findings() = CorpusIngest.fsck(spark, wh)
+      .filter(col("violations") > 0)
+      .select("check", "violations", "severity")
+      .as[(String, Long, String)].collect().toSeq
+    // a pair-bearing corpus: (10, 30) near-dups, 20 unrelated
+    CorpusIngest.run(spark, Seq((10L, base), (20L, unrelated),
+      (30L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    assert(Sinks.isBucketedStore(spark, s"$wh/corpus/cc_labels"))
+    assert(findings().isEmpty, s"healthy labeled warehouse flagged: ${findings()}")
+
+    // crash residue: a pair row whose label merge never ran (pairs land
+    // BEFORE the merge) — warn, and a governance delete's eager rebuild
+    // (even a no-match delete) heals it
+    Sinks.bucketedIdempotentAppend(
+      Seq((10L, 20L, 1.0)).toDF("doc_a", "doc_b", "jac"),
+      s"$wh/corpus/pairs", keys = Seq("doc_a", "doc_b"),
+      bucketKeys = Seq("doc_a", "doc_b"), buckets = 8)
+    assert(findings().exists(f =>
+      f._1 == "label_missing_nodes" && f._2 == 1L && f._3 == "warn"),
+      s"uncovered pair id not detected: ${findings()}")
+    CorpusIngest.delete(spark, wh, Seq(999999L))
+    assert(findings().isEmpty,
+      s"delete's eager rebuild must heal label coverage: ${findings()}")
+
+    // a label node with NO pair evidence cannot arise from any documented
+    // flow and could suppress a real row from the survivors view — error
+    Sinks.bucketedIdempotentAppend(
+      Seq((424242L, 424242L, 99L)).toDF("node", "component", "seq"),
+      s"$wh/corpus/cc_labels", keys = Seq("node", "seq"),
+      bucketKeys = Seq("node"), buckets = 8)
+    assert(findings().exists(f =>
+      f._1 == "label_orphan_nodes" && f._2 == 1L && f._3 == "error"),
+      s"orphan label node not detected: ${findings()}")
+
+    // torn store create: a label directory without its spec ledger reads
+    // as "no store" everywhere — fsck still surfaces it for review (warn)
+    val embLab = new java.io.File(s"$wh/corpus/emb_cc_labels")
+    embLab.mkdirs()
+    Seq((1L, 1L, 0L)).toDF("node", "component", "seq")
+      .coalesce(1).write.mode("overwrite").parquet(embLab.toString)
+    assert(findings().exists(f =>
+      f._1 == "label_store_torn_create" && f._3 == "warn"),
+      s"torn label create not detected: ${findings()}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("fsck: healthy warehouse audits clean; planted corruption and crash residue are detected") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whfsck").toString
