@@ -119,12 +119,21 @@ object CorpusIngest {
     * it in production: the exchange-free store join opts out of AQE skew
     * splitting, so an uncapped boilerplate flood serializes every later
     * drop on one task.
+    *
+    * `hotBucketSalt` (with `maxBucketCandidates`): > 0 upgrades the skip
+    * to the RECALL-PRESERVING salted split — hot buckets' candidates
+    * derive through a salted branch bounded per task instead of being
+    * dropped, the pair set equals the uncapped probe's, and nothing
+    * lands in `corpus/capped_buckets` (there is no recall trade to
+    * audit). Use skip mode for degenerate boilerplate, salt mode when
+    * hot buckets are legitimate content.
     */
   def run(spark: SparkSession, drop: DataFrame, warehouse: String,
           threshold: Double = 0.5,
           compactTargetFiles: Option[Int] = None,
           storeBuckets: Int = 8,
-          maxBucketCandidates: Option[Int] = None): (Long, Long) =
+          maxBucketCandidates: Option[Int] = None,
+          hotBucketSalt: Int = 0): (Long, Long) =
       // every mutating entry point holds the warehouse write lease: a
       // second concurrent drop would pass the trim against a store missing
       // this drop's increment and silently lose cross-drop pairs — the
@@ -169,7 +178,8 @@ object CorpusIngest {
       val nNew = inc.count()
       if (nNew == 0) (0L, 0L)
       else landIncrement(spark, inc, nNew, warehouse, threshold,
-        compactTargetFiles, storeBuckets, storeExists, maxBucketCandidates)
+        compactTargetFiles, storeBuckets, storeExists, maxBucketCandidates,
+        hotBucketSalt)
     }
   }
 
@@ -181,7 +191,8 @@ object CorpusIngest {
                             compactTargetFiles: Option[Int],
                             storeBuckets: Int,
                             storeExists: Boolean,
-                            maxBucketCandidates: Option[Int]): (Long, Long) = {
+                            maxBucketCandidates: Option[Int],
+                            hotBucketSalt: Int = 0): (Long, Long) = {
     // geometry fail-closed BEFORE any candidate derives: the incremental
     // probe signs the increment with the library geometry, and a store
     // built under different numHashes/bands would yield garbage candidates
@@ -202,9 +213,12 @@ object CorpusIngest {
       else Some(graft.core.GraftCaches.acquire(DedupOps.overflowingBuckets(
         readStore(spark, bandPath(warehouse)), cap)))
     }
-    hot.filter(h => !h.isEmpty).foreach(h =>
-      Sinks.idempotentAppend(h, cappedPath(warehouse),
-        keys = Seq("band", "sig"), partitionCols = Nil))
+    // the capped ledger records a RECALL trade — salt mode has none (hot
+    // buckets still derive their pairs, just through the salted branch)
+    if (hotBucketSalt <= 0)
+      hot.filter(h => !h.isEmpty).foreach(h =>
+        Sinks.idempotentAppend(h, cappedPath(warehouse),
+          keys = Seq("band", "sig"), partitionCols = Nil))
     // persisted: the pair frame feeds the count, the keyed append, and
     // the label-store merge (scope-released with the drop)
     val pairs = graft.core.GraftCaches.acquire(
@@ -212,7 +226,8 @@ object CorpusIngest {
       else DedupOps.minhashLshIncremental(
         readStore(spark, bandPath(warehouse)),
         readStore(spark, shinglePath(warehouse)),
-        inc, threshold, excludeBuckets = hot))
+        inc, threshold, excludeBuckets = hot,
+        saltHotBuckets = hotBucketSalt))
     val nPairs = pairs.count()
     // stamp BEFORE the pairs land: a crash between an unstamped append and
     // the stamp would let a later run at a different threshold slip past
@@ -548,7 +563,8 @@ object CorpusIngest {
                        storeBuckets: Int = 8,
                        trainedCentroids: Option[DataFrame] = None,
                        semThreshold: Double = 0.9,
-                       maxBucketCandidates: Option[Int] = None): (Long, Long) =
+                       maxBucketCandidates: Option[Int] = None,
+                       hotBucketSalt: Int = 0): (Long, Long) =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
@@ -608,16 +624,20 @@ object CorpusIngest {
             graft.operators.SimilarityOps.overflowingCodeBuckets(
               readStore(spark, embBandsPath(warehouse)), cap)))
         }
-        hot.filter(h => !h.isEmpty).foreach(h =>
-          Sinks.idempotentAppend(h, embCappedPath(warehouse),
-            keys = Seq("band", "code"), partitionCols = Nil))
+        // salt mode derives the hot buckets' pairs (no recall trade) — the
+        // capped ledger records only genuine skips
+        if (hotBucketSalt <= 0)
+          hot.filter(h => !h.isEmpty).foreach(h =>
+            Sinks.idempotentAppend(h, embCappedPath(warehouse),
+              keys = Seq("band", "code"), partitionCols = Nil))
         val pairs = graft.core.GraftCaches.acquire(
           if (!storeExists)
             graft.operators.SimilarityOps.cosinePairsLsh(inc, threshold)
           else graft.operators.SimilarityOps.cosinePairsLshIncremental(
             readStore(spark, embBandsPath(warehouse)),
             readStore(spark, embVecsPath(warehouse)),
-            inc, threshold, excludeBuckets = hot))
+            inc, threshold, excludeBuckets = hot,
+            saltHotBuckets = hotBucketSalt))
         val nPairs = pairs.count()
         // stamp-first, same crash ordering argument as run()
         stampThresholdAt(spark, embPairsPath(warehouse), threshold)
@@ -962,7 +982,8 @@ object CorpusIngest {
                        warehouse: String, threshold: Double = 0.5,
                        compactTargetFiles: Option[Int] = None,
                        storeBuckets: Int = 8,
-                       maxBucketCandidates: Option[Int] = None): (Long, Long) =
+                       maxBucketCandidates: Option[Int] = None,
+                       hotBucketSalt: Int = 0): (Long, Long) =
     // lease taken HERE (not only in the nested run) so the promote, the
     // tombstone purge, and the ingest are one exclusive unit; the nested
     // run() re-enters the same JVM lease at depth 2
@@ -970,7 +991,8 @@ object CorpusIngest {
       promoteAndIngestVia(spark, landingPath, stagedPath(warehouse),
         tombPath(warehouse), "doc_id", storeBuckets, compactTargetFiles,
         staged => run(spark, staged, warehouse, threshold,
-          compactTargetFiles, storeBuckets, maxBucketCandidates))
+          compactTargetFiles, storeBuckets, maxBucketCandidates,
+          hotBucketSalt))
     }
 
   /** `promoteAndIngest` for the EMBEDDING modality — the batch half of
@@ -987,13 +1009,15 @@ object CorpusIngest {
                                  storeBuckets: Int = 8,
                                  trainedCentroids: Option[DataFrame] = None,
                                  semThreshold: Double = 0.9,
-                                 maxBucketCandidates: Option[Int] = None)
+                                 maxBucketCandidates: Option[Int] = None,
+                                 hotBucketSalt: Int = 0)
       : (Long, Long) =
     graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
       promoteAndIngestVia(spark, landingPath, stagedEmbPath(warehouse),
         embTombPath(warehouse), "vec_id", storeBuckets, compactTargetFiles,
         staged => ingestEmbeddings(spark, staged, warehouse, threshold,
-          storeBuckets, trainedCentroids, semThreshold, maxBucketCandidates))
+          storeBuckets, trainedCentroids, semThreshold, maxBucketCandidates,
+          hotBucketSalt))
     }
 
   /** `promoteAndIngest` for the MEDIA modality — the batch half of
@@ -1004,14 +1028,15 @@ object CorpusIngest {
                             warehouse: String, maxHamming: Int = 3,
                             compactTargetFiles: Option[Int] = None,
                             storeBuckets: Int = 8,
-                            maxBucketCandidates: Option[Int] = None)
+                            maxBucketCandidates: Option[Int] = None,
+                            hotBucketSalt: Int = 0)
       : (Long, Long) =
     graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
       promoteAndIngestVia(spark, landingPath, stagedMediaPath(warehouse),
         mediaTombPath(warehouse), "media_id", storeBuckets,
         compactTargetFiles,
         staged => ingestMedia(spark, staged, warehouse, maxHamming,
-          storeBuckets, maxBucketCandidates))
+          storeBuckets, maxBucketCandidates, hotBucketSalt))
     }
 
   /** The modality-agnostic promote → tombstone-purge → ingest step all
@@ -1144,7 +1169,8 @@ object CorpusIngest {
   def ingestMedia(spark: SparkSession, drop: DataFrame, warehouse: String,
                   maxHamming: Int = 3,
                   storeBuckets: Int = 8,
-                  maxBucketCandidates: Option[Int] = None): (Long, Long) =
+                  maxBucketCandidates: Option[Int] = None,
+                  hotBucketSalt: Int = 0): (Long, Long) =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     val storeExists = Sinks.pathExists(spark, mediaHashPath(warehouse))
     checkThresholdAt(spark, mediaPairsPath(warehouse), "corpus/media_pairs",
@@ -1181,9 +1207,12 @@ object CorpusIngest {
             graft.operators.Multimodal.overflowingChunkBuckets(
               readStore(spark, mediaBandsPath(warehouse)), cap)))
         }
-        hot.filter(h => !h.isEmpty).foreach(h =>
-          Sinks.idempotentAppend(h, mediaCappedPath(warehouse),
-            keys = Seq("ci", "chunk"), partitionCols = Nil))
+        // salt mode derives the hot buckets' pairs (no recall trade) — the
+        // capped ledger records only genuine skips
+        if (hotBucketSalt <= 0)
+          hot.filter(h => !h.isEmpty).foreach(h =>
+            Sinks.idempotentAppend(h, mediaCappedPath(warehouse),
+              keys = Seq("ci", "chunk"), partitionCols = Nil))
         val pairs = graft.core.GraftCaches.acquire(
           if (!storeExists) graft.operators.Multimodal.nearDupFromHashes(
             hashes.filter(col("phash").isNotNull && col("phash") =!= -1L),
@@ -1196,7 +1225,8 @@ object CorpusIngest {
             // never-retried drop emit no ghosts
             commitIds =
               Some(readStore(spark, mediaHashPath(warehouse)).select("media_id")),
-            excludeBuckets = hot))
+            excludeBuckets = hot,
+            saltHotBuckets = hotBucketSalt))
         val nPairs = pairs.count()
         stampThresholdAt(spark, mediaPairsPath(warehouse), maxHamming.toDouble)
         appendKeyedStore(spark, pairs, mediaPairsPath(warehouse), storeBuckets,

@@ -368,6 +368,35 @@ object DedupOps {
         excludeBuckets = Some(overflowingBuckets(storedBands, cap = 1)))
     },
 
+    // SALTED incremental dedup — the skew guard's recall-preserving form:
+    // the same hot-bucket screen (cap = 1, adversarially low so every
+    // fixture exercises it), but hot buckets route through the SALTED
+    // branch instead of being dropped — store members of a flooded
+    // (band, sig) bucket spread over deterministic sub-keys, the hot
+    // increment rows replicate across them, and no task ever holds the
+    // whole bucket. The contract this locks is the strongest one
+    // available: the pair set EQUALS the uncapped probe's, so the oracle
+    // is dedup_incremental's oracle verbatim — skew mitigation with zero
+    // recall trade (the capped query keeps the drop-with-ledger trade for
+    // degenerate boilerplate; this is the path for hot-but-legitimate
+    // buckets).
+    QueryDef.sqlBacked(
+      "dedup_incremental_salted",
+      s"""WITH $duckMinhashCtes
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldSh = shingleTable(docs.filter(col("doc_id") % 7 =!= 0))
+      val storedBands = graft.core.GraftCaches.acquire(minhashBandTable(oldSh))
+      minhashLshIncremental(storedBands, oldSh,
+        docs.filter(col("doc_id") % 7 === 0), threshold = 0.5,
+        excludeBuckets = Some(overflowingBuckets(storedBands, cap = 1)),
+        saltHotBuckets = 4)
+    },
+
     // CONTAINMENT near-dup: asymmetric overlap |A∩B|/|A| (and /|B|) over
     // the same LSH candidate set and exact shingle verify as the Jaccard
     // family — the quote-inclusion detector: a short document pasted
@@ -910,11 +939,27 @@ object DedupOps {
     * on the fresh side suppresses both new-old and new-new candidates of
     * the bucket (the bucket is degenerate; its members pair with
     * everything in it).
+    *
+    * `saltHotBuckets` > 0 upgrades the skip to a RECALL-PRESERVING split:
+    * cold buckets keep the exchange-free bucketed probe below, and the
+    * hot buckets' candidates derive through a separate SALTED branch
+    * (Salting.saltedSkewJoin) — store members of a hot bucket spread over
+    * `saltHotBuckets` deterministic sub-keys, the hot increment rows
+    * replicate across them, and no task ever holds a whole flooded
+    * bucket. The hot branch shuffles only rows already screened hot
+    * (bounded by the overflow scan's membership), so the store's
+    * zero-exchange contract still holds for everything cold; the pair
+    * set is EXACTLY the uncapped probe's (the salted query's oracle is
+    * the plain incremental oracle). Skip mode (salt = 0) remains the
+    * right device for degenerate boilerplate whose quadratic pair volume
+    * nobody wants derived at all — salt mode is for hot-but-legitimate
+    * buckets where recall must survive the skew guard.
     */
   def minhashLshIncremental(storedBands: DataFrame, storedShingles: DataFrame,
                             newDocs: DataFrame, threshold: Double,
                             numHashes: Int = 64, bands: Int = 16,
-                            excludeBuckets: Option[DataFrame] = None): DataFrame = {
+                            excludeBuckets: Option[DataFrame] = None,
+                            saltHotBuckets: Int = 0): DataFrame = {
     val freshSh = shingleTable(newDocs)
     // persisted: the fresh bands feed both the new-old probe and the
     // new-new self-join, and Spark does not CSE across join branches
@@ -949,7 +994,31 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = newOld.unionByName(newNew).dropDuplicates("doc_a", "doc_b")
+    // the salted hot branch: candidates of the screened-hot buckets, with
+    // the store members salted so no task holds a whole flooded bucket.
+    // The store side arrives through a broadcast semi against the tiny
+    // hot set — a filtered scan, never a store-wide shuffle — and only
+    // the surviving hot members (plus salts copies of the hot increment
+    // rows) pay the salted exchange.
+    val hotPairs = excludeBuckets.filter(_ => saltHotBuckets > 0).map { hot =>
+      val hotSet = broadcast(hot.select(col("band"), col("sig")))
+      val hotFresh = graft.core.GraftCaches.acquire(
+        freshAll.join(hotSet, Seq("band", "sig"), "left_semi"))
+      val hotStore = storedBands.select(col("doc_id"), col("band"), col("sig"))
+        .join(hotSet, Seq("band", "sig"), "left_semi")
+      val hotNewOld = Salting.saltedSkewJoin(hotFresh, hotStore,
+          Seq("band", "sig"), col("doc_id"), saltHotBuckets,
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      val hotNewNew = Salting.saltedSkewJoin(hotFresh, hotFresh,
+          Seq("band", "sig"), col("doc_id"), saltHotBuckets,
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      hotNewOld.unionByName(hotNewNew)
+    }
+    val cand = hotPairs.foldLeft(newOld.unionByName(newNew))(_ unionByName _)
+      .dropDuplicates("doc_a", "doc_b")
     verifyPairsSplit(cand, storedShingles.select(col("doc_id"), col("sh")),
       freshSh, threshold)
   }

@@ -371,12 +371,13 @@ object Multimodal {
   def phashNearDupIncremental(storedBands: DataFrame, newMedia: DataFrame,
                               maxHamming: Int = 3,
                               commitIds: Option[DataFrame] = None,
-                              excludeBuckets: Option[DataFrame] = None): DataFrame =
+                              excludeBuckets: Option[DataFrame] = None,
+                              saltHotBuckets: Int = 0): DataFrame =
     // persisted: the fresh bands feed both the new-old probe and the
     // new-new self-join, and Spark does not CSE across join branches
     phashIncrementalFromBands(storedBands,
       graft.core.GraftCaches.acquire(phashBandTable(newMedia, maxHamming)),
-      maxHamming, commitIds, excludeBuckets)
+      maxHamming, commitIds, excludeBuckets, saltHotBuckets)
 
   /** The pair derivation half of `phashNearDupIncremental`, taking the
     * increment's banded frame directly — for a caller that already decoded
@@ -409,7 +410,8 @@ object Multimodal {
   def phashIncrementalFromBands(storedBands: DataFrame, fresh: DataFrame,
                                 maxHamming: Int = 3,
                                 commitIds: Option[DataFrame] = None,
-                                excludeBuckets: Option[DataFrame] = None): DataFrame = {
+                                excludeBuckets: Option[DataFrame] = None,
+                                saltHotBuckets: Int = 0): DataFrame = {
     val store = storedBands.select(
       col("media_id"), col("ci"), col("chunk"), col("phash"))
     // hot-bucket screen on the INCREMENT side only — the store scan keeps
@@ -417,7 +419,7 @@ object Multimodal {
     val freshKept = excludeBuckets.fold(fresh)(hot =>
       fresh.join(broadcast(hot.select(col("ci"), col("chunk"))),
         Seq("ci", "chunk"), "left_anti"))
-    val newOldRaw = freshKept.hint("shuffle_hash").as("a").join(store.as("b"),
+    val coldNewOld = freshKept.hint("shuffle_hash").as("a").join(store.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") =!= col("b.media_id"))
       .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
@@ -425,6 +427,34 @@ object Multimodal {
         expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"),
         col("b.media_id").as("_store_id"))
       .filter(col("hamming") <= maxHamming)
+    // salted hot branch (the text/embedding twins' shape): hot members
+    // arrive via a broadcast semi against the tiny hot set and spread
+    // over salted sub-keys, preserving the skipped buckets' recall with
+    // bounded per-task fan-in. Hot new-old pairs re-enter BEFORE the
+    // commit guard so ghost-pair protection covers both branches.
+    val hotBranches = excludeBuckets.filter(_ => saltHotBuckets > 0).map { h =>
+      val hotSet = broadcast(h.select(col("ci"), col("chunk")))
+      val hotFresh = graft.core.GraftCaches.acquire(
+        fresh.join(hotSet, Seq("ci", "chunk"), "left_semi"))
+      val hotStore = store.join(hotSet, Seq("ci", "chunk"), "left_semi")
+      val hotNewOld = Salting.saltedSkewJoin(hotFresh, hotStore,
+          Seq("ci", "chunk"), col("media_id"), saltHotBuckets,
+          col("a.media_id") =!= col("b.media_id"))
+        .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
+          greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+          expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"),
+          col("b.media_id").as("_store_id"))
+        .filter(col("hamming") <= maxHamming)
+      val hotNewNew = Salting.saltedSkewJoin(hotFresh, hotFresh,
+          Seq("ci", "chunk"), col("media_id"), saltHotBuckets,
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"),
+          expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+      (hotNewOld, hotNewNew)
+    }
+    val newOldRaw = hotBranches.map(_._1).foldLeft(coldNewOld)(_ unionByName _)
     // INNER join, not semi: the commit table is unique on its id (it is
     // the keyed commit point), so inner ≡ semi here — and inner admits a
     // build-LEFT shuffle_hash, letting the pair-bounded side build the
@@ -435,12 +465,13 @@ object Multimodal {
         ids.select(col(ids.columns.head).as("_store_id")),
         Seq("_store_id"))
     }.drop("_store_id")
-    val newNew = freshKept.as("a").join(freshKept.as("b"),
+    val coldNewNew = freshKept.as("a").join(freshKept.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val newNew = hotBranches.map(_._2).foldLeft(coldNewNew)(_ unionByName _)
     newOld.unionByName(newNew)
       .distinct()
   }

@@ -61,4 +61,36 @@ object Salting {
     saltedAgg(df, keys, buckets,
       aggs = Map(s"sum_$valueCol" -> (c => sum(c))),
       valueCols = Map(s"sum_$valueCol" -> col(valueCol)))
+
+  /** Salted skewed EQUI-JOIN: the join twin of saltedAgg, for probes whose
+    * key groups are hot on the RIGHT side (the incremental dedup paths'
+    * hot signature buckets). The right side splits each key group into
+    * `salts` deterministic sub-keys — pmod(xxhash64(saltKey), salts), so
+    * task retries re-derive the same salt — and the left side replicates
+    * across ALL sub-keys; joining on keys :+ salt yields exactly the
+    * plain join's rows while any single key group's per-task fan-in drops
+    * to ~1/salts of its right-side membership. The cost is shuffling
+    * `salts` copies of the left side — pay it only for rows already
+    * screened hot (AQE's skew splitting covers joins whose both sides
+    * shuffle; a side that must stay on its bucketed scan, or a hash join
+    * AQE won't re-plan, still needs this).
+    *
+    * Returns the join of `left.as("a")` × `right.as("b")` under the equi
+    * keys, the salt match, and the caller's residual `extra` condition
+    * (written against the "a"/"b" aliases); the salt columns are dropped
+    * from the output. Neither input may already carry a `_salt` column.
+    */
+  def saltedSkewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     saltKey: Column, salts: Int, extra: Column): DataFrame = {
+    require(salts >= 1, "saltedSkewJoin needs at least one salt")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedSkewJoin reserves the _salt column")
+    val rep = left.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    val sal = right.withColumn("_salt",
+      pmod(xxhash64(saltKey), lit(salts)).cast("int"))
+    val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a._salt") === col("b._salt")) :+ extra).reduce(_ && _)
+    rep.as("a").join(sal.as("b"), cond).drop("_salt")
+  }
 }

@@ -934,12 +934,18 @@ object SimilarityOps {
   /** `excludeBuckets`: hot (band, code) buckets the probe must skip —
     * anti-joined against the increment side only (the store scan keeps
     * its exchange-free shape); see DedupOps.minhashLshIncremental.
+    * `saltHotBuckets` > 0 upgrades the skip to the recall-preserving
+    * salted split — the hot buckets' candidates derive through
+    * `Salting.saltedSkewJoin` with per-task fan-in bounded to
+    * ~membership/salts, and the pair set equals the uncapped probe's
+    * (same contract and trade-off notes as the text twin).
     */
   def cosinePairsLshIncremental(storedBands: DataFrame, storedVecs: DataFrame,
                                 newEmb: DataFrame, threshold: Double,
                                 rowsPerBand: Int = 6, bands: Int = 48,
                                 dims: Int = 64,
-                                excludeBuckets: Option[DataFrame] = None): DataFrame = {
+                                excludeBuckets: Option[DataFrame] = None,
+                                saltHotBuckets: Int = 0): DataFrame = {
     val planeVecs = lshPlanesArith(bands * rowsPerBand, dims)
     // persisted: the fresh codes feed the new-old probe AND the new-new
     // self-join, and Spark does not CSE across join branches
@@ -971,7 +977,29 @@ object SimilarityOps {
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val cand = newOld.unionByName(newNew).dropDuplicates("vec_a", "vec_b")
+    // salted hot branch — the text twin's shape: store members arrive via
+    // a broadcast semi against the tiny hot set (filtered scan, no
+    // store-wide shuffle) and only screened-hot rows pay the salted
+    // exchange
+    val hotPairs = excludeBuckets.filter(_ => saltHotBuckets > 0).map { hot =>
+      val hotSet = broadcast(hot.select(col("band"), col("code")))
+      val hotFresh = graft.core.GraftCaches.acquire(
+        freshBandsAll.join(hotSet, Seq("band", "code"), "left_semi"))
+      val hotStore = storedBands.select(col("vec_id"), col("band"), col("code"))
+        .join(hotSet, Seq("band", "code"), "left_semi")
+      val hotNewOld = Salting.saltedSkewJoin(hotFresh, hotStore,
+          Seq("band", "code"), col("vec_id"), saltHotBuckets,
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+                greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      val hotNewNew = Salting.saltedSkewJoin(hotFresh, hotFresh,
+          Seq("band", "code"), col("vec_id"), saltHotBuckets,
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      hotNewOld.unionByName(hotNewNew)
+    }
+    val cand = hotPairs.foldLeft(newOld.unionByName(newNew))(_ unionByName _)
+      .dropDuplicates("vec_a", "vec_b")
     // resolve each pair side's vector from the persisted store or the
     // increment — disjoint sources, so two left joins + coalesce keep the
     // corpus-sized vector store the probed side of plain equi-joins

@@ -812,6 +812,73 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("hot-bucket salt: flooded buckets keep their pairs through the salted branch") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whsalt").toString
+    // the same flood shape as the skip test: 60 identical docs heat 16
+    // (band, sig) buckets; one cold doc alongside
+    val flood = ((100L until 160L).map(i => (i, base)) :+ (20L, unrelated))
+      .toDF("doc_id", "text")
+    CorpusIngest.run(spark, flood, wh)
+    // salt mode: the near-twin of the flood text derives ALL 60 pairs
+    // (through the salted branch) plus the cold pair — the uncapped pair
+    // set, where skip mode kept only the cold pair
+    val drop2 = Seq(
+      (999L, base.replace("winter", "summer")),
+      (21L, unrelated.replace("today", "tomorrow"))).toDF("doc_id", "text")
+    val (n2, p2) = CorpusIngest.run(spark, drop2, wh,
+      maxBucketCandidates = Some(50), hotBucketSalt = 4)
+    assert(n2 == 2L, s"drop2 landed $n2")
+    assert(p2 == 61L, s"salted probe must keep the flood's recall: $p2")
+    assert(spark.read.parquet(s"$wh/corpus/pairs")
+      .filter(col("doc_a") === 999L || col("doc_b") === 999L).count() == 60L,
+      "every flood pair must derive through the salted branch")
+    // no recall was traded, so nothing may be ledgered as capped
+    assert(!Sinks.pathExists(spark, s"$wh/corpus/capped_buckets"),
+      "salt mode must not write the capped ledger")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("hot-bucket salt: embedding and media salted probes equal the uncapped pair sets") {
+    import graft.operators.{Multimodal, SimilarityOps}
+    def v(eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = 1f; a(1) = eps; a
+    }
+    val storedEmb = (0L until 60L).map(i => (i, v(0f))).toDF("vec_id", "embedding")
+    val storedBands = graft.core.GraftCaches.acquire(
+      SimilarityOps.embBandTable(storedEmb))
+    val storedVecs = graft.core.GraftCaches.acquire(
+      SimilarityOps.embVecTable(storedEmb))
+    val probe = Seq((999L, v(0.01f))).toDF("vec_id", "embedding")
+    val uncapped = SimilarityOps.cosinePairsLshIncremental(
+      storedBands, storedVecs, probe, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hotE = SimilarityOps.overflowingCodeBuckets(storedBands, cap = 50)
+    val salted = SimilarityOps.cosinePairsLshIncremental(
+      storedBands, storedVecs, probe, threshold = 0.9,
+      excludeBuckets = Some(hotE), saltHotBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 60 && salted == uncapped,
+      s"salted emb probe must equal uncapped: ${salted.size} vs ${uncapped.size}")
+
+    val floodHashes = (0L until 60L).map(i => (i, 0x0f0f0f0fL))
+      .toDF("media_id", "phash")
+    val storedMb = graft.core.GraftCaches.acquire(
+      Multimodal.phashBandTableFromHashes(floodHashes))
+    val freshMb = graft.core.GraftCaches.acquire(
+      Multimodal.phashBandTableFromHashes(
+        Seq((999L, 0x0f0f0f0eL)).toDF("media_id", "phash")))
+    val uncappedM = Multimodal.phashIncrementalFromBands(storedMb, freshMb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hotM = Multimodal.overflowingChunkBuckets(storedMb, cap = 50)
+    val saltedM = Multimodal.phashIncrementalFromBands(storedMb, freshMb,
+      excludeBuckets = Some(hotM), saltHotBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncappedM.size == 60 && saltedM == uncappedM,
+      s"salted media probe must equal uncapped: ${saltedM.size} vs ${uncappedM.size}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("hot-bucket cap: embedding and media incremental probes skip overflowing buckets") {
     import graft.operators.{Multimodal, SimilarityOps}
     // EMBEDDINGS, operator level: 60 identical stored vectors flood every
