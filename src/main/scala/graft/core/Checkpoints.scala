@@ -72,16 +72,28 @@ object Checkpoints {
     configured(spark) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (lastBase.get(sc) != dir) {
-          // serialize the set against other cut() callers on this context
-          lastBase.synchronized {
-            if (lastBase.get(sc) != dir) {
-              sc.setCheckpointDir(dir)
-              lastBase.put(sc, dir)
-            }
+        // setCheckpointDir is CONTEXT-global while the scoped dir is
+        // call-tree-local, and the reliable-checkpoint machinery captures
+        // the context's dir at RDD-MARK time (Dataset.checkpoint marks
+        // synchronously even with eager = false). So the lock must span
+        // set + mark as one unit: marking outside it would let a
+        // concurrent cut() flip the dir between our set and our mark, and
+        // this frame's files would land in the OTHER call tree's scratch
+        // dir — deleted when that run ends, stranding a live job's cut.
+        // The locked section is cheap driver-side work (no Spark job);
+        // the job that materializes the cut runs OUTSIDE the lock.
+        val marked = lastBase.synchronized {
+          if (lastBase.get(sc) != dir) {
+            sc.setCheckpointDir(dir)
+            lastBase.put(sc, dir)
           }
+          df.checkpoint(eager = false)
         }
-        df.checkpoint()
+        // force materialization now — same effect as eager = true (the
+        // checkpoint files write at the end of this first job), without
+        // holding the lock across the job
+        marked.count()
+        marked
       case None => df.localCheckpoint()
     }
   }

@@ -896,8 +896,18 @@ object Sinks {
       val stored = try new java.io.BufferedReader(
         new java.io.InputStreamReader(in)).readLine()
       finally in.close()
-      require(stored != null && stored.trim == line,
-        s"$path was built under params [${Option(stored).getOrElse("").trim}]; " +
+      // an EMPTY ledger is a torn stamp (crash between create and write),
+      // not a drifted geometry: stamp-first ordering means no append can
+      // have succeeded under it, so restamping with the caller's params
+      // is safe — and requiring equality against an empty line would
+      // brick the store forever with a message no parameter change could
+      // satisfy (the torn-write tolerance WarehouseLease.readLease
+      // documents, applied to the geometry ledger)
+      if (stored == null || stored.trim.isEmpty) {
+        val out = fs.create(p, true)
+        try out.write(line.getBytes("UTF-8")) finally out.close()
+      } else require(stored.trim == line,
+        s"$path was built under params [${stored.trim}]; " +
           s"refusing to append under drifted params [$line] — rows keyed on " +
           "derived signature columns would land conflicting duplicates " +
           "instead of no-opping on replay (rebuild the store, or restore " +
@@ -908,15 +918,17 @@ object Sinks {
     }
   }
 
-  /** JVM-wide guard for the co-partition conf flip in
-    * bucketedIdempotentAppend: the flip is session-global, so two
-    * overlapping appends could otherwise interleave set/restore and leave
-    * the relaxed value stranded on the session. Serializing the whole
-    * anti-join+write window is acceptable — warehouse store writes are
-    * single-writer by contract (enforced cross-process by WarehouseLease;
-    * this lock closes the same hole within one JVM).
+  /** Per-SESSION guard for the co-partition conf flip in
+    * bucketedIdempotentAppend: the flip is session-global (each session's
+    * own SQLConf), so two overlapping appends ON ONE SESSION could
+    * interleave set/restore and leave the relaxed value stranded. The
+    * monitor is the session's own RuntimeConfig instance — exactly the
+    * state being protected — so appends on INDEPENDENT sessions (two
+    * leased drops into two warehouses, or the shared-JVM test suites)
+    * keep their parallelism; a JVM-wide lock here serialized every
+    * bucketed append in the process for no correctness gain.
     */
-  private val coPartitionFlipLock = new Object
+  private def coPartitionFlipLock(spark: SparkSession): Object = spark.conf
 
   def bucketedIdempotentAppend(df: DataFrame, path: String, keys: Seq[String],
                                bucketKeys: Seq[String], buckets: Int): Unit = {
@@ -962,15 +974,16 @@ object Sinks {
       // increment side shuffles to the store's layout and the store
       // streams off its buckets. Correctness is unaffected — equal full
       // keys imply equal bucket-subset keys, so matching rows are
-      // co-located either way. Scoped and restored in finally, under a
-      // JVM-wide lock: two overlapping appends (any sessions in this JVM)
-      // can no longer interleave set/restore and strand the flipped value.
-      // A concurrent UNRELATED query planned inside the window still sees
-      // the relaxation (performance-shaped, never a correctness change);
-      // cross-PROCESS writers are serialized by the warehouse lease
-      // (core.WarehouseLease), which is what enforces the single-writer
-      // store contract.
-      coPartitionFlipLock.synchronized {
+      // co-located either way. Scoped and restored in finally, under the
+      // SESSION's flip lock: two overlapping appends on one session can
+      // no longer interleave set/restore and strand the flipped value,
+      // while appends on independent sessions (their own SQLConf) keep
+      // their parallelism. A concurrent UNRELATED query planned inside
+      // the window still sees the relaxation (performance-shaped, never a
+      // correctness change); cross-PROCESS writers are serialized by the
+      // warehouse lease (core.WarehouseLease), which is what enforces the
+      // single-writer store contract.
+      coPartitionFlipLock(spark).synchronized {
         val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
         val oldCo = spark.conf.get(coKey)
         try {

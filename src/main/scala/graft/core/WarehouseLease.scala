@@ -75,6 +75,38 @@ object WarehouseLease {
   // owner-only matching would wave it through as depth 2.
   private val held = new ConcurrentHashMap[String, (String, Long, Int)]()
 
+  /** The in-JVM arbitration key must be SPELLING-INDEPENDENT: two threads
+    * addressing one warehouse as "/data/wh" and "data/wh" (or
+    * "file:/data/wh") reach the same directory through the filesystem but
+    * would miss each other in a raw-string map — both proceeding as
+    * writers with the same jvmOwner, the exact silent two-writer hole the
+    * map exists to close. Qualify against the filesystem (scheme,
+    * authority, working-dir resolution) so every spelling of one
+    * directory arbitrates on one key.
+    */
+  private def heldKey(spark: SparkSession, warehouse: String): String = {
+    val p = leasePath(warehouse)
+    fsOf(spark, p).makeQualified(p).toString
+  }
+
+  // per-key monitors serializing the heartbeat body against release: the
+  // beat's check-then-refresh is not atomic on its own, so an unlucky
+  // preemption between its readLease and its writeRefresh could recreate
+  // the lease file AFTER release deleted it — an orphan lease blocking
+  // foreign writers for a full ttl
+  private val beatMonitors = new ConcurrentHashMap[String, Object]()
+  private def beatMonitor(key: String): Object =
+    beatMonitors.computeIfAbsent(key, _ => new Object)
+
+  // keys whose heartbeat observed a FOREIGN owner on the lease file while
+  // we believed we held it (possible only if >ttl elapsed without a
+  // successful beat — filesystem outage, driver-wide GC pause — and a
+  // second writer legitimately reclaimed). The beat can only stop
+  // re-stamping; the surfacing happens at the outermost withWriteLease
+  // exit, which THROWS instead of returning silently-possibly-incomplete
+  // results.
+  private val lost = ConcurrentHashMap.newKeySet[String]()
+
   // heartbeat renewals for held leases — one shared daemon thread; tasks
   // are cancelled at outermost release (and double-checked against `held`
   // so a cancel/fire race can never re-stamp a released lease)
@@ -205,7 +237,7 @@ object WarehouseLease {
   def withWriteLease[T](spark: SparkSession, warehouse: String,
                         owner: String = jvmOwner,
                         ttlMs: Long = defaultTtlMs)(body: => T): T = {
-    val key = leasePath(warehouse).toString
+    val key = heldKey(spark, warehouse)
     val tid = Thread.currentThread().getId
     val depth = held.compute(key, (_, cur) => cur match {
       case null => (owner, tid, 1)
@@ -229,13 +261,27 @@ object WarehouseLease {
         // overwrite.
         val period = math.max(ttlMs / 3L, 100L)
         renewals.put(key, heartbeatPool.scheduleAtFixedRate(
-          () => {
+          () => beatMonitor(key).synchronized {
+            // the monitor makes check-then-refresh atomic against release:
+            // without it a beat preempted between its read and its write
+            // could recreate the lease file AFTER release deleted it
             val cur = held.get(key)
             if (cur != null && cur._1 == owner)
               try readLease(spark, warehouse) match {
                 case Some((o2, _)) if o2 == owner =>
                   writeRefresh(spark, warehouse, owner, ttlMs)
-                case _ => () // not ours any more — never re-stamp
+                case other =>
+                  // a foreign owner on a lease we believe we hold: >ttl
+                  // passed without a successful beat and someone reclaimed.
+                  // Never re-stamp — and surface it at the outermost exit
+                  // (the two-writer window was OPEN; silence here is the
+                  // failure mode the lease exists to close).
+                  lost.add(key)
+                  System.err.println(
+                    s"[graft] WARN: write lease on $warehouse lost to " +
+                      s"$other while held by $owner — a concurrent writer " +
+                      "may have interleaved; the holding call will throw " +
+                      "on exit")
               } catch { case _: Throwable => () } // next beat retries
           },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
@@ -243,8 +289,20 @@ object WarehouseLease {
         case e: Throwable => held.remove(key); throw e
       }
     }
-    try body
-    finally {
+    try {
+      val out = body
+      // surface a mid-body lease loss on the success path: the work ran,
+      // but a reclaiming writer may have interleaved with it — the caller
+      // must treat the drop as suspect (its appends are idempotent, so
+      // re-running after re-acquiring heals)
+      if (depth == 1 && lost.contains(key))
+        throw new LeaseHeldException(
+          s"warehouse $warehouse: the write lease was lost to another " +
+            "owner while this call ran (heartbeat gap exceeded the ttl); " +
+            "a concurrent writer may have interleaved — re-run this " +
+            "entry point after re-acquiring, its appends are idempotent")
+      out
+    } finally {
       val left = held.compute(key, (_, cur) => cur match {
         case (o, t, 1) if o == owner && t == tid => null
         case (o, t, d) if o == owner && t == tid => (o, t, d - 1)
@@ -253,7 +311,13 @@ object WarehouseLease {
       if (left == null) {
         val hb = renewals.remove(key)
         if (hb != null) hb.cancel(false)
-        release(spark, warehouse, owner)
+        // under the beat monitor: a beat already past its held-check must
+        // finish (refresh-then-delete is fine) before we delete — the
+        // reverse order would resurrect the file as an orphan
+        beatMonitor(key).synchronized {
+          release(spark, warehouse, owner)
+        }
+        lost.remove(key)
       }
     }
   }

@@ -1269,6 +1269,26 @@ class CorpusIngestSpec extends AnyFunSuite {
       Seq((2L, unrelated)).toDF("doc_id", "text"), wh)
     assert(n == 1L)
 
+    // a TORN stamp (crash between the ledger file's create and its write
+    // leaves it empty) is not drift: stamp-first ordering means nothing
+    // landed under it, so the next run restamps and proceeds instead of
+    // bricking the store behind an unsatisfiable params compare
+    val pp = new org.apache.hadoop.fs.Path(s"$wh/corpus/bands._params")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(pp, true).close() // truncate to empty
+    val (nt, _) = CorpusIngest.run(spark,
+      Seq((3L, unrelated.replace("today", "tonight"))).toDF("doc_id", "text"),
+      wh)
+    assert(nt == 1L, "torn params stamp must restamp, not refuse")
+    // ...and the restamp restored the real geometry guard
+    val err2 = intercept[IllegalArgumentException] {
+      DedupOps.appendSignatureStoreBucketed(
+        Seq((4L, base)).toDF("doc_id", "text"),
+        s"$wh/corpus/bands", s"$wh/corpus/shingles", buckets = 8,
+        numHashes = 32, bands = 8)
+    }
+    assert(err2.getMessage.contains("numHashes=32"), err2.getMessage)
+
     // frozen-centroid identity: a sem drop under DIFFERENT centroids than
     // the assignment store was built with is refused before work
     import graft.operators.SimilarityOps

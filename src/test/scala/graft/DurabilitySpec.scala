@@ -143,6 +143,61 @@ class DurabilitySpec extends AnyFunSuite {
     WarehouseLease.release(spark, wh, owner = "x")
   }
 
+  test("write lease: arbitration is spelling-independent (qualified key)") {
+    // two spellings of ONE warehouse directory (raw path vs file: URI)
+    // must arbitrate on one in-JVM key: a raw-string map would let a
+    // second thread slip past `held`, then ride the same-owner file
+    // branch straight into the two-writer window
+    val wh = java.nio.file.Files.createTempDirectory("lease-spell").toString
+    val spelled = "file:" + wh
+    @volatile var second: Option[Throwable] = None
+    WarehouseLease.withWriteLease(spark, wh) {
+      // same call tree, alternate spelling: re-enters as depth 2 (same key)
+      WarehouseLease.withWriteLease(spark, spelled) { () }
+      // another thread, alternate spelling: must fail fast, not re-admit
+      val t = new Thread(() => {
+        try WarehouseLease.withWriteLease(spark, spelled) { () }
+        catch { case e: Throwable => second = Some(e) }
+      })
+      t.start(); t.join()
+    }
+    assert(second.exists(_.isInstanceOf[WarehouseLease.LeaseHeldException]),
+      s"alternate spelling must hit the same arbitration key, got $second")
+    WarehouseLease.acquire(spark, wh, owner = "x", ttlMs = 1000L)
+    WarehouseLease.release(spark, wh, owner = "x")
+  }
+
+  test("write lease: a mid-body reclaim is surfaced on exit, never silent") {
+    // simulate the >ttl heartbeat gap: a foreign writer overwrites the
+    // lease file while the body runs. The beat must observe the foreign
+    // owner, never re-stamp over it, and the holding call must THROW on
+    // exit — the two-writer window was open and silence is the one
+    // unacceptable outcome
+    val wh = java.nio.file.Files.createTempDirectory("lease-lost").toString
+    val ex = intercept[WarehouseLease.LeaseHeldException] {
+      WarehouseLease.withWriteLease(spark, wh, owner = "gapped",
+        ttlMs = 300L) {
+        // forge the reclaim (writeRefresh-equivalent): foreign owner, live
+        val p = new org.apache.hadoop.fs.Path(wh, "._graft_writer_lease")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(
+          s"usurper|${System.currentTimeMillis() + 60000L}".getBytes("UTF-8"))
+        finally out.close()
+        Thread.sleep(700L) // several beat periods (ttl/3 = 100ms)
+      }
+    }
+    assert(ex.getMessage.contains("lost to another owner"), ex.getMessage)
+    // the usurper's lease was never clobbered by a stale re-stamp
+    intercept[WarehouseLease.LeaseHeldException] {
+      WarehouseLease.acquire(spark, wh, owner = "third", ttlMs = 1000L)
+    }
+    // and the bookkeeping is clean: after the usurper releases, the
+    // original owner enters normally again (lost-flag cleared on exit)
+    WarehouseLease.release(spark, wh, owner = "usurper")
+    WarehouseLease.withWriteLease(spark, wh, owner = "gapped") { () }
+  }
+
   test("write lease: the heartbeat keeps a live slow holder from being reclaimed") {
     val wh = java.nio.file.Files.createTempDirectory("lease-slow").toString
     // a holder whose WORK outlives its raw ttl: without the heartbeat the
