@@ -480,6 +480,7 @@ object CorpusIngest {
         pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
     rebuildLabels(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
+    appendAudit(spark, warehouse, "delete", "doc_id", docIds.size.toLong, all)
     all
   }
 
@@ -509,6 +510,8 @@ object CorpusIngest {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, tombPath(warehouse),
         docIds.toDF("doc_id"), Seq("doc_id"))
+      appendAudit(spark, warehouse, "reinstate", "doc_id",
+        docIds.size.toLong, Map("tombstones" -> (before, after)))
       before - after
     }
   }
@@ -755,6 +758,8 @@ object CorpusIngest {
       "vec_a", "vec_b")
     rebuildLabels(spark, semCcPath(warehouse), semPairsPath(warehouse),
       "vec_a", "vec_b")
+    appendAudit(spark, warehouse, "delete_embeddings", "vec_id",
+      vecIds.size.toLong, all)
     all
   }
 
@@ -768,6 +773,8 @@ object CorpusIngest {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, embTombPath(warehouse),
         vecIds.toDF("vec_id"), Seq("vec_id"))
+      appendAudit(spark, warehouse, "reinstate_embeddings", "vec_id",
+        vecIds.size.toLong, Map("emb_tombstones" -> (before, after)))
       before - after
     }
   }
@@ -1288,6 +1295,8 @@ object CorpusIngest {
         Seq("media_a", "media_b")))
     rebuildLabels(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
       "media_a", "media_b")
+    appendAudit(spark, warehouse, "delete_media", "media_id",
+      mediaIds.size.toLong, all)
     all
   }
 
@@ -1301,6 +1310,8 @@ object CorpusIngest {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, mediaTombPath(warehouse),
         mediaIds.toDF("media_id"), Seq("media_id"))
+      appendAudit(spark, warehouse, "reinstate_media", "media_id",
+        mediaIds.size.toLong, Map("media_tombstones" -> (before, after)))
       before - after
     }
   }
@@ -1393,9 +1404,105 @@ object CorpusIngest {
         if (ids("media").isEmpty) Map.empty[String, (Long, Long)]
         else deleteMedia(spark, warehouse, ids("media"))
           .map { case (k, v) => s"media.$k" -> v }
-      docAudit ++ vecAudit ++ mediaAudit +
+      val all = docAudit ++ vecAudit ++ mediaAudit +
         ("links" -> Sinks.deleteByKey(spark, linksPath(warehouse), keyDf,
           Seq("content_key")))
+      appendAudit(spark, warehouse, "forget", "content_key",
+        contentKeys.size.toLong, Map("links" -> all("links")))
+      all
+    }
+  }
+
+  private def auditPath(wh: String) = s"$wh/corpus/audit_log"
+
+  /** Durable GOVERNANCE AUDIT TRAIL: every delete / forget / reinstate
+    * appends one row per touched table —
+    * (at_ms, op, id_col, n_ids, table, rows_before, rows_after) — so a
+    * compliance pass can prove a takedown ran (and what it removed)
+    * without having captured the entry point's return value. Plain
+    * event-log append, deliberately NOT keyed: a crash-retried cascade
+    * logs twice, which is the truthful record (the cascade ran twice —
+    * idempotently), and readers reconcile by timestamp. Each cascade
+    * writes its audit rows LAST, so a crash mid-cascade under-reports
+    * (the retry re-logs) rather than fabricating a completed purge. The
+    * log is thin (a few rows per governance call) and lives outside the
+    * content tables — `fsck` and the views never read it.
+    */
+  private def appendAudit(spark: SparkSession, warehouse: String, op: String,
+                          idCol: String, nIds: Long,
+                          entries: Map[String, (Long, Long)]): Unit =
+    if (entries.nonEmpty) {
+      import spark.implicits._
+      val at = System.currentTimeMillis()
+      entries.toSeq.map { case (t, (b, a)) => (at, op, idCol, nIds, t, b, a) }
+        .toDF("at_ms", "op", "id_col", "n_ids", "table",
+          "rows_before", "rows_after")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(auditPath(warehouse))
+    }
+
+  /** The governance audit trail as a frame (empty-but-schema'd when no
+    * governance call has run), newest first.
+    */
+  def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
+    if (Sinks.pathExists(spark, auditPath(warehouse)))
+      spark.read.parquet(auditPath(warehouse))
+        .orderBy(col("at_ms").desc, col("op"), col("table"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, String, String, Long, String, Long, Long)]
+        .toDF("at_ms", "op", "id_col", "n_ids", "table",
+          "rows_before", "rows_after")
+    }
+
+  /** The CROSS-MODALITY curated corpus — the view a training run reads
+    * when content flows through more than one modality: text `survivors`
+    * RESTRICTED to docs whose linked embedding and media representations
+    * also survived their own dedup passes. The linkage is the same
+    * `corpus/links` table `forget` resolves: a doc whose vector lost its
+    * cosine or SemDeDup cluster is semantically duplicated content even
+    * when its TEXT survived the Jaccard cut (that asymmetry is SemDeDup's
+    * whole premise), and a doc whose image lost its perceptual cluster
+    * likewise. Docs with no links — or none in a given modality, or in a
+    * modality whose stores this warehouse never built — are unconstrained
+    * by it; with no links table at all this degenerates to `survivors`.
+    * Scale shape: every join ships thin id rows (links is (key, modality,
+    * id); the survivor sets resolve off the label stores), so the
+    * restriction costs id-sized joins on top of the label scans.
+    */
+  def curatedSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
+    val docs = survivors(spark, warehouse)
+    if (!Sinks.pathExists(spark, linksPath(warehouse))) docs
+    else {
+      val links = spark.read.parquet(linksPath(warehouse))
+      // "lost" means LOST A DEDUP CLUSTER (a component non-minimum) —
+      // deliberately not "absent from the survivors view": the media view
+      // also excludes undecodable/blank bookkeeping rows, and a doc whose
+      // image merely failed to decode is not duplicated content
+      def lostVia(modality: String, labelP: String, pairsP: String,
+                  a: String, b: String): Option[DataFrame] =
+        if (!Sinks.pathExists(spark, pairsP)) None
+        else Some(links.filter(col("modality") === modality)
+          .join(losersFor(spark, labelP, pairsP, a, b, "id"),
+            Seq("id"), "left_semi")
+          .select(col("content_key")))
+      val allLost = Seq(
+        // a vec lost in EITHER the cosine or the SemDeDup clustering
+        lostVia("vec", embCcPath(warehouse), embPairsPath(warehouse),
+          "vec_a", "vec_b"),
+        lostVia("vec", semCcPath(warehouse), semPairsPath(warehouse),
+          "vec_a", "vec_b"),
+        lostVia("media", mediaCcPath(warehouse), mediaPairsPath(warehouse),
+          "media_a", "media_b")).flatten
+      if (allLost.isEmpty) docs
+      else {
+        val lost = allLost.reduce(_ unionByName _).distinct()
+        val lostDocs = links.filter(col("modality") === "doc")
+          .join(lost, Seq("content_key"), "left_semi")
+          .select(col("id").as("doc_id"))
+        docs.join(lostDocs, Seq("doc_id"), "left_anti")
+      }
     }
   }
 

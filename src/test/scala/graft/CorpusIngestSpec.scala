@@ -1061,6 +1061,57 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("curated survivors: cross-modality dedup losses restrict the doc view; governance calls leave a durable audit trail") {
+    import graft.core.Sinks
+    import graft.operators.Multimodal
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whcur").toString
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    assert(CorpusIngest.governanceAudit(spark, wh).isEmpty,
+      "no governance call yet — the audit must be empty-but-schema'd")
+    // three TEXT-unique docs; vectors 10/11 are cosine twins (11 loses to
+    // the smaller id), media 9000/9001 are planted perceptual twins (9001
+    // loses); vec 12 and media 9002 survive their modalities
+    CorpusIngest.run(spark, Seq((1L, base), (2L, unrelated),
+      (3L, "completely different text about mountain weather stations " +
+        "reporting hourly pressure and wind readings to the valley network"))
+      .toDF("doc_id", "text"), wh)
+    CorpusIngest.ingestEmbeddings(spark, Seq((10L, vec(0)),
+      (11L, vec(0, 0.01f)), (12L, vec(30))).toDF("vec_id", "embedding"), wh)
+    CorpusIngest.ingestMedia(spark,
+      Multimodal.syntheticImageCorpus(Seq(9000L, 9001L, 9002L).toDF("doc_id"))
+        .withColumnRenamed("doc_id", "media_id"), wh)
+    def curated() = CorpusIngest.curatedSurvivors(spark, wh)
+      .select("doc_id").as[Long].collect().toSet
+    // no links table: curated degenerates to the text survivors
+    assert(curated() == Set(1L, 2L, 3L), s"pre-links curated: ${curated()}")
+    // doc 1's embedding is the losing twin 11; doc 2's image is the losing
+    // twin 9001; doc 3 links only to survivors
+    CorpusIngest.registerLinks(spark, wh, Seq(
+      (100L, "doc", 1L), (100L, "vec", 11L),
+      (200L, "doc", 2L), (200L, "media", 9001L),
+      (300L, "doc", 3L), (300L, "vec", 12L), (300L, "media", 9002L))
+      .toDF("content_key", "modality", "id"))
+    // text kept all three, but 1 and 2 are semantically/perceptually
+    // duplicated content — the curated view drops them
+    assert(curated() == Set(3L), s"curated: ${curated()}")
+
+    // governance audit trail: delete + reinstate + forget each leave
+    // durable per-table rows with the exact counts the call returned
+    CorpusIngest.delete(spark, wh, Seq(3L))
+    CorpusIngest.reinstate(spark, wh, Seq(3L))
+    CorpusIngest.forget(spark, wh, Seq(100L))
+    val audit = CorpusIngest.governanceAudit(spark, wh)
+      .select("op", "table", "rows_before", "rows_after")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(audit.contains(("delete", "documents", 3L, 2L)), s"$audit")
+    assert(audit.contains(("reinstate", "tombstones", 1L, 0L)), s"$audit")
+    assert(audit.exists(r => r._1 == "forget" && r._2 == "links"), s"$audit")
+    assert(audit.exists(r => r._1 == "delete_embeddings"), s"$audit")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("survivors label store: maintained per drop, merges and relabels, dropped and rebuilt around deletes") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whlab").toString
