@@ -921,6 +921,58 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("salted probe: the cold store path stays exchange-free; hot candidates join on the salt key") {
+    import graft.core.Sinks
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whsaltplan").toString
+    // a 10-doc flood heats every bucket it occupies (cap = 5); one cold doc
+    CorpusIngest.run(spark,
+      ((100L until 110L).map(i => (i, base)) :+ (20L, unrelated))
+        .toDF("doc_id", "text"), wh, storeBuckets = 4)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val bands = Sinks.readBucketedPath(spark, s"$wh/corpus/bands")
+      val sh = Sinks.readBucketedPath(spark, s"$wh/corpus/shingles")
+      val drop = Seq((999L, base.replace("winter", "summer")),
+        (21L, unrelated.replace("today", "tomorrow"))).toDF("doc_id", "text")
+      val salted = DedupOps.minhashLshIncremental(bands, sh, drop,
+        threshold = 0.5,
+        excludeBuckets = Some(DedupOps.overflowingBuckets(bands, cap = 5)),
+        saltHotBuckets = 4)
+      val plan = salted.queryExecution.executedPlan
+      // the hot branch's candidates must carry the salt key (that is what
+      // bounds per-task fan-in to ~membership/salts)
+      assert(plan.toString.contains("_salt"),
+        s"salted branch must join on _salt:\n$plan")
+      // the COLD new-old join still streams the band store straight off
+      // its bucketed scan: no exchange, no sort anywhere beneath it — the
+      // salted branch must not cost the cold path its zero-exchange shape
+      val coldOk = plan.collect { case j: ShuffledHashJoinExec => j }
+        .exists { j =>
+          val streamed = j.buildSide match {
+            case BuildLeft => j.right
+            case BuildRight => j.left
+          }
+          val leaves = streamed.collectLeaves()
+          leaves.nonEmpty &&
+            leaves.forall(_.toString.contains("corpus/bands")) &&
+            streamed.collect { case e: ShuffleExchangeLike => e }.isEmpty &&
+            streamed.collect {
+              case s: org.apache.spark.sql.execution.SortExec => s
+            }.isEmpty
+        }
+      assert(coldOk,
+        s"cold store side must stream exchange-free and unsorted:\n$plan")
+      graft.core.GraftCaches.releaseAll(spark)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("overflow scan and commit guard stay co-located on the bucketed stores") {
     import graft.core.Sinks
     import graft.operators.{DedupOps, Multimodal}
