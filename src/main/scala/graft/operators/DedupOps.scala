@@ -950,10 +950,14 @@ object DedupOps {
     * (bounded by the overflow scan's membership), so the store's
     * zero-exchange contract still holds for everything cold; the pair
     * set is EXACTLY the uncapped probe's (the salted query's oracle is
-    * the plain incremental oracle). Skip mode (salt = 0) remains the
-    * right device for degenerate boilerplate whose quadratic pair volume
-    * nobody wants derived at all — salt mode is for hot-but-legitimate
-    * buckets where recall must survive the skew guard.
+    * the plain incremental oracle). Cost note: the hot branch reads the
+    * store a SECOND time per drop (a three-int-column scan filtered by
+    * the broadcast hot set — bounded, but not free at warehouse scale),
+    * and the hot buckets' quadratic candidate volume flows into
+    * verification. Skip mode (salt = 0) therefore remains the right
+    * device for degenerate boilerplate whose pair volume nobody wants
+    * derived at all — salt mode is for hot-but-legitimate buckets where
+    * recall must survive the skew guard.
     */
   def minhashLshIncremental(storedBands: DataFrame, storedShingles: DataFrame,
                             newDocs: DataFrame, threshold: Double,
