@@ -293,7 +293,48 @@ class PropertySpec extends AnyFunSuite {
         df.filter(isNew), threshold = 0.5))
       assert(got == wantNewSide,
         s"m=$m extra=${got -- wantNewSide} missing=${wantNewSide -- got}")
+      // the SALTED skew-guard form must be invisible in the result: with
+      // an adversarial cap (1) most buckets route through the salted
+      // branch, and the pair set still equals the uncapped probe's
+      val bands = graft.core.GraftCaches.acquire(
+        graft.operators.DedupOps.minhashBandTable(oldSh))
+      val gotSalted = pairsOf(graft.operators.DedupOps.minhashLshIncremental(
+        bands, oldSh, df.filter(isNew), threshold = 0.5,
+        excludeBuckets =
+          Some(graft.operators.DedupOps.overflowingBuckets(bands, cap = 1)),
+        saltHotBuckets = 3))
+      assert(gotSalted == wantNewSide,
+        s"salted m=$m extra=${gotSalted -- wantNewSide} " +
+          s"missing=${wantNewSide -- gotSalted}")
       graft.core.GraftCaches.releaseAll(spark)
+    }
+  }
+
+  test("saltedSkewJoin equals the plain equi-join under random skewed frames and salt counts") {
+    val caseGen: Gen[(Int, Int, Int, Int)] = for {
+      n <- Gen.chooseNum(5, 40)
+      m <- Gen.chooseNum(5, 40)
+      salts <- Gen.chooseNum(1, 6)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n, m, salts, seed)
+    forAll(caseGen, n = 6) { case (n, m, salts, seed) =>
+      val rng = new scala.util.Random(seed)
+      // deliberately skewed: key 0 holds about half of each side
+      def rows(c: Int, off: Long) = (0 until c).map(i =>
+        (if (rng.nextBoolean()) 0L else rng.nextInt(5).toLong, off + i))
+      val l = rows(n, 0L).toDF("k", "lid")
+      val r = rows(m, 1000L).toDF("k", "rid")
+      val cond = col("a.lid") + 1000L =!= col("b.rid")
+      val plain = l.as("a").join(r.as("b"),
+          col("a.k") === col("b.k") && cond)
+        .select(col("a.lid"), col("b.rid"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val salted = graft.operators.Salting.saltedSkewJoin(
+          l, r, Seq("k"), col("rid"), salts, cond)
+        .select(col("a.lid"), col("b.rid"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(salted == plain,
+        s"salts=$salts plain=${plain.size} salted=${salted.size}")
     }
   }
 
