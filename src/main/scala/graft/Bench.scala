@@ -125,7 +125,14 @@ object Bench {
         "code re-measured across sessions drifts +-50% with the box, so " +
         "cross-round per-query ratios under ~1.5x are box noise, not plan. " +
         "The r9 serial-window versions were ~0.8-1.1s: the delta is the " +
-        "price of not serializing the day grid through one task.\""
+        "price of not serializing the day grid through one task. " +
+        "dedup_incremental_salted costs ~1s over dedup_incremental_capped " +
+        "by design: its adversarial cap=1 routes nearly every bucket " +
+        "through the salted branch, which pays a second in-plan store " +
+        "scan and derives ALL the pairs skip mode drops (the query locks " +
+        "recall equality with the uncapped oracle, not a fast path; " +
+        "production caps make the hot subset - and the surcharge - " +
+        "proportionally tiny).\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""
