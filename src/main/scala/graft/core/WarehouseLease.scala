@@ -53,6 +53,16 @@ object WarehouseLease {
   final class LeaseHeldException(msg: String)
       extends IllegalStateException(msg)
 
+  /** Thrown by `withWriteLease` when the lease was LOST to a reclaiming
+    * owner while the body ran (heartbeat gap exceeded the ttl). A
+    * distinct type from the acquisition-time LeaseHeldException so
+    * retry wrappers (`awaitWriteLease`) can retry contention without
+    * ever auto-retrying a body that may have interleaved with another
+    * writer — that decision belongs to the caller.
+    */
+  final class LeaseLostException(msg: String)
+      extends IllegalStateException(msg)
+
   /** Default writer identity: stable for this JVM's lifetime, unique
     * across JVMs — a crashed-and-restarted driver gets a NEW owner and
     * waits out (or outlives) its predecessor's TTL, while a retry inside
@@ -296,7 +306,7 @@ object WarehouseLease {
       // must treat the drop as suspect (its appends are idempotent, so
       // re-running after re-acquiring heals)
       if (depth == 1 && lost.contains(key))
-        throw new LeaseHeldException(
+        throw new LeaseLostException(
           s"warehouse $warehouse: the write lease was lost to another " +
             "owner while this call ran (heartbeat gap exceeded the ttl); " +
             "a concurrent writer may have interleaved — re-run this " +
@@ -320,5 +330,45 @@ object WarehouseLease {
         lost.remove(key)
       }
     }
+  }
+
+  /** `withWriteLease` with PATIENCE — the entry-point shape a scheduled
+    * cadence wants (promote every N minutes; a busy warehouse should
+    * delay the cadence, not fail the run): a CONTENDED lease is retried
+    * with jittered backoff until `timeoutMs` elapses, then the last
+    * LeaseHeldException propagates. Only acquisition-time contention
+    * retries — a `LeaseLostException` (the body ran but the lease was
+    * lost mid-flight) always propagates immediately: auto-re-running a
+    * body that may have interleaved with another writer is a caller
+    * decision, never a wrapper default. Fail-fast `withWriteLease`
+    * remains the right call for interactive drops.
+    */
+  def awaitWriteLease[T](spark: SparkSession, warehouse: String,
+                         owner: String = jvmOwner,
+                         ttlMs: Long = defaultTtlMs,
+                         timeoutMs: Long = 10L * 60L * 1000L,
+                         pollMs: Long = 2000L)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val rng = new scala.util.Random
+    @scala.annotation.tailrec
+    def attempt(): T = {
+      val out =
+        try Right(withWriteLease(spark, warehouse, owner, ttlMs)(body))
+        catch {
+          case e: LeaseHeldException
+            if System.currentTimeMillis() < deadline => Left(e)
+        }
+      out match {
+        case Right(t) => t
+        case Left(_) =>
+          // jittered poll (±25%) so two waiting cadences don't thunder
+          // in lockstep at the same instants forever
+          val jitter = (pollMs * (0.75 + 0.5 * rng.nextDouble())).toLong
+          Thread.sleep(math.max(50L,
+            math.min(jitter, deadline - System.currentTimeMillis())))
+          attempt()
+      }
+    }
+    attempt()
   }
 }

@@ -174,7 +174,7 @@ class DurabilitySpec extends AnyFunSuite {
     // exit — the two-writer window was open and silence is the one
     // unacceptable outcome
     val wh = java.nio.file.Files.createTempDirectory("lease-lost").toString
-    val ex = intercept[WarehouseLease.LeaseHeldException] {
+    val ex = intercept[WarehouseLease.LeaseLostException] {
       WarehouseLease.withWriteLease(spark, wh, owner = "gapped",
         ttlMs = 300L) {
         // forge the reclaim (writeRefresh-equivalent): foreign owner, live
@@ -196,6 +196,26 @@ class DurabilitySpec extends AnyFunSuite {
     // original owner enters normally again (lost-flag cleared on exit)
     WarehouseLease.release(spark, wh, owner = "usurper")
     WarehouseLease.withWriteLease(spark, wh, owner = "gapped") { () }
+  }
+
+  test("write lease: awaitWriteLease outwaits contention but never auto-retries a lost lease") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-await").toString
+    // a foreign holder about to expire: the waiting cadence polls through
+    // the contention window, reclaims once the ttl lapses, and runs
+    WarehouseLease.acquire(spark, wh, owner = "busy", ttlMs = 1500L)
+    val t0 = System.currentTimeMillis()
+    val ran = WarehouseLease.awaitWriteLease(spark, wh, owner = "cadence",
+      ttlMs = 60000L, timeoutMs = 30000L, pollMs = 300L) { 42 }
+    assert(ran == 42 && System.currentTimeMillis() - t0 >= 1000L,
+      "await must poll through the foreign holder's remaining ttl")
+    // a LIVE foreign holder past the timeout: the last contention
+    // propagates instead of waiting forever
+    WarehouseLease.acquire(spark, wh, owner = "busy2", ttlMs = 60000L)
+    intercept[WarehouseLease.LeaseHeldException] {
+      WarehouseLease.awaitWriteLease(spark, wh, owner = "cadence",
+        ttlMs = 60000L, timeoutMs = 1200L, pollMs = 300L) { () }
+    }
+    WarehouseLease.release(spark, wh, owner = "busy2")
   }
 
   test("write lease: the heartbeat keeps a live slow holder from being reclaimed") {
