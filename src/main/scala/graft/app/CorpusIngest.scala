@@ -469,8 +469,8 @@ object CorpusIngest {
     // path never consults tombstones, so pure-batch re-submission
     // semantics are unchanged; the only cost of a spurious tombstone is a
     // row in a thin table.
-    Sinks.idempotentAppend(keys, tombPath(warehouse),
-      keys = Seq("doc_id"), partitionCols = Nil)
+    val tomb = tombstoneWithCounts(spark, tombPath(warehouse), keys,
+      Seq("doc_id"))
     val all =
       if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
       else if (Sinks.isBucketedStore(spark, pairsPath(warehouse)))
@@ -480,7 +480,8 @@ object CorpusIngest {
         pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
     rebuildLabels(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
-    appendAudit(spark, warehouse, "delete", "doc_id", docIds.size.toLong, all)
+    appendAudit(spark, warehouse, "delete", "doc_id", docIds.size.toLong,
+      all + ("tombstones" -> tomb))
     all
   }
 
@@ -736,8 +737,8 @@ object CorpusIngest {
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("vec_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("vec_id")))
     }.toMap
-    Sinks.idempotentAppend(keys, embTombPath(warehouse),
-      keys = Seq("vec_id"), partitionCols = Nil)
+    val tomb = tombstoneWithCounts(spark, embTombPath(warehouse), keys,
+      Seq("vec_id"))
     // pair-row removal can split components — drop the label stores, then
     // rebuild them eagerly from the purged pair tables (see the text
     // cascade's crash-ordering note)
@@ -759,7 +760,7 @@ object CorpusIngest {
     rebuildLabels(spark, semCcPath(warehouse), semPairsPath(warehouse),
       "vec_a", "vec_b")
     appendAudit(spark, warehouse, "delete_embeddings", "vec_id",
-      vecIds.size.toLong, all)
+      vecIds.size.toLong, all + ("emb_tombstones" -> tomb))
     all
   }
 
@@ -1281,8 +1282,8 @@ object CorpusIngest {
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("media_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("media_id")))
     }.toMap
-    Sinks.idempotentAppend(keys, mediaTombPath(warehouse),
-      keys = Seq("media_id"), partitionCols = Nil)
+    val tomb = tombstoneWithCounts(spark, mediaTombPath(warehouse), keys,
+      Seq("media_id"))
     dropStore(spark, mediaCcPath(warehouse))
     val all =
       if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
@@ -1296,7 +1297,7 @@ object CorpusIngest {
     rebuildLabels(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
       "media_a", "media_b")
     appendAudit(spark, warehouse, "delete_media", "media_id",
-      mediaIds.size.toLong, all)
+      mediaIds.size.toLong, all + ("media_tombstones" -> tomb))
     all
   }
 
@@ -1416,17 +1417,23 @@ object CorpusIngest {
   private def auditPath(wh: String) = s"$wh/corpus/audit_log"
 
   /** Durable GOVERNANCE AUDIT TRAIL: every delete / forget / reinstate
-    * appends one row per touched table —
-    * (at_ms, op, id_col, n_ids, table, rows_before, rows_after) — so a
-    * compliance pass can prove a takedown ran (and what it removed)
-    * without having captured the entry point's return value. Plain
-    * event-log append, deliberately NOT keyed: a crash-retried cascade
-    * logs twice, which is the truthful record (the cascade ran twice —
-    * idempotently), and readers reconcile by timestamp. Each cascade
-    * writes its audit rows LAST, so a crash mid-cascade under-reports
-    * (the retry re-logs) rather than fabricating a completed purge. The
-    * log is thin (a few rows per governance call) and lives outside the
-    * content tables — `fsck` and the views never read it.
+    * appends one row per table it TOUCHED — including the tombstone
+    * tables the deletes stamp — as (seq, at_ms, op, id_col, n_ids,
+    * table, rows_before, rows_after), so a compliance pass can prove a
+    * takedown ran (and what it removed, and that the streamed-
+    * resurrection block was placed) without having captured the entry
+    * point's return value. `seq` is a per-warehouse monotonic event
+    * number (max + 1, race-free because every writer holds the warehouse
+    * lease) — same-millisecond events stay ordered, which `at_ms` alone
+    * cannot promise. Plain event-log append, deliberately NOT keyed: a
+    * crash-retried cascade logs twice, which is the truthful record (the
+    * cascade ran twice — idempotently). Each cascade writes its audit
+    * rows LAST, so a crash mid-cascade under-reports (the retry re-logs)
+    * rather than fabricating a completed purge. A call that touched
+    * nothing (reinstate before any tombstone table, forget of an
+    * unregistered key) logs nothing — there is no event to record. The
+    * log is thin and lives outside the content tables — `fsck` and the
+    * views never read it.
     */
   private def appendAudit(spark: SparkSession, warehouse: String, op: String,
                           idCol: String, nIds: Long,
@@ -1434,25 +1441,48 @@ object CorpusIngest {
     if (entries.nonEmpty) {
       import spark.implicits._
       val at = System.currentTimeMillis()
-      entries.toSeq.map { case (t, (b, a)) => (at, op, idCol, nIds, t, b, a) }
-        .toDF("at_ms", "op", "id_col", "n_ids", "table",
+      val seq =
+        if (!Sinks.pathExists(spark, auditPath(warehouse))) 0L
+        else {
+          val r = spark.read.parquet(auditPath(warehouse))
+            .agg(max(col("seq"))).head()
+          (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
+        }
+      entries.toSeq.map { case (t, (b, a)) =>
+        (seq, at, op, idCol, nIds, t, b, a)
+      }
+        .toDF("seq", "at_ms", "op", "id_col", "n_ids", "table",
           "rows_before", "rows_after")
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(auditPath(warehouse))
     }
 
+  /** Tombstone stamp with (before, after) table counts for the audit
+    * trail — the tombstone tables are thin (one id per row), so the two
+    * counts are metadata-cheap.
+    */
+  private def tombstoneWithCounts(spark: SparkSession, path: String,
+                                  keys: DataFrame,
+                                  keyCols: Seq[String]): (Long, Long) = {
+    val before =
+      if (Sinks.pathExists(spark, path)) spark.read.parquet(path).count()
+      else 0L
+    Sinks.idempotentAppend(keys, path, keys = keyCols, partitionCols = Nil)
+    (before, spark.read.parquet(path).count())
+  }
+
   /** The governance audit trail as a frame (empty-but-schema'd when no
-    * governance call has run), newest first.
+    * governance call has run), newest event first.
     */
   def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
     if (Sinks.pathExists(spark, auditPath(warehouse)))
       spark.read.parquet(auditPath(warehouse))
-        .orderBy(col("at_ms").desc, col("op"), col("table"))
+        .orderBy(col("seq").desc, col("table"))
     else {
       import spark.implicits._
-      Seq.empty[(Long, String, String, Long, String, Long, Long)]
-        .toDF("at_ms", "op", "id_col", "n_ids", "table",
+      Seq.empty[(Long, Long, String, String, Long, String, Long, Long)]
+        .toDF("seq", "at_ms", "op", "id_col", "n_ids", "table",
           "rows_before", "rows_after")
     }
 

@@ -352,11 +352,21 @@ object WarehouseLease {
     val rng = new scala.util.Random
     @scala.annotation.tailrec
     def attempt(): T = {
+      // retry ONLY acquisition-origin contention: a LeaseHeldException
+      // thrown from INSIDE the body (a nested entry point on some other
+      // warehouse, say) must propagate — re-running a body whose earlier
+      // writes already executed is never a wrapper decision. The flag
+      // flips the instant the body starts, so any exception after that
+      // point escapes the retry loop.
+      var bodyStarted = false
       val out =
-        try Right(withWriteLease(spark, warehouse, owner, ttlMs)(body))
+        try Right(withWriteLease(spark, warehouse, owner, ttlMs) {
+          bodyStarted = true; body
+        })
         catch {
           case e: LeaseHeldException
-            if System.currentTimeMillis() < deadline => Left(e)
+            if !bodyStarted && System.currentTimeMillis() < deadline =>
+            Left(e)
         }
       out match {
         case Right(t) => t

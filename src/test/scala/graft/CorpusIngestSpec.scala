@@ -1158,9 +1158,19 @@ class CorpusIngestSpec extends AnyFunSuite {
       .select("op", "table", "rows_before", "rows_after")
       .as[(String, String, Long, Long)].collect().toSeq
     assert(audit.contains(("delete", "documents", 3L, 2L)), s"$audit")
+    // the tombstone stamp is a touched table too — the audit must show
+    // the streamed-resurrection block was placed, not just the purge
+    assert(audit.contains(("delete", "tombstones", 0L, 1L)), s"$audit")
     assert(audit.contains(("reinstate", "tombstones", 1L, 0L)), s"$audit")
     assert(audit.exists(r => r._1 == "forget" && r._2 == "links"), s"$audit")
     assert(audit.exists(r => r._1 == "delete_embeddings"), s"$audit")
+    // same-millisecond events stay ordered: the seq number is strictly
+    // monotonic per governance call, so reinstate sorts after its delete
+    val seqs = CorpusIngest.governanceAudit(spark, wh)
+      .select("seq", "op").as[(Long, String)].collect().toSeq
+    val delSeq = seqs.filter(_._2 == "delete").map(_._1).min
+    val reinSeq = seqs.filter(_._2 == "reinstate").map(_._1).min
+    assert(delSeq < reinSeq, s"seq must order the events: $seqs")
     graft.core.GraftCaches.releaseAll(spark)
   }
 

@@ -215,7 +215,25 @@ class DurabilitySpec extends AnyFunSuite {
       WarehouseLease.awaitWriteLease(spark, wh, owner = "cadence",
         ttlMs = 60000L, timeoutMs = 1200L, pollMs = 300L) { () }
     }
+    // a LeaseHeldException thrown from INSIDE the body (a nested entry
+    // point on a DIFFERENT warehouse) must propagate immediately — the
+    // wrapper retries only its own acquisition, never a body whose
+    // earlier writes already executed
     WarehouseLease.release(spark, wh, owner = "busy2")
+    val whB = java.nio.file.Files.createTempDirectory("lease-awaitB").toString
+    WarehouseLease.acquire(spark, whB, owner = "foreign-b", ttlMs = 60000L)
+    var bodyRuns = 0
+    val t1 = System.currentTimeMillis()
+    intercept[WarehouseLease.LeaseHeldException] {
+      WarehouseLease.awaitWriteLease(spark, wh, owner = "cadence",
+        ttlMs = 60000L, timeoutMs = 30000L, pollMs = 300L) {
+        bodyRuns += 1
+        WarehouseLease.withWriteLease(spark, whB, owner = "cadence") { () }
+      }
+    }
+    assert(bodyRuns == 1 && System.currentTimeMillis() - t1 < 10000L,
+      s"body-origin contention must not be retried (ran $bodyRuns times)")
+    WarehouseLease.release(spark, whB, owner = "foreign-b")
   }
 
   test("write lease: the heartbeat keeps a live slow holder from being reclaimed") {
