@@ -205,4 +205,66 @@ object Backfill {
     else graft.core.Layout.prunedRead(spark, silverPath, idx,
       Map("ticker" -> (ticker, ticker), "t" -> (tFrom, tTo)))
   }
+
+  /** MARKET-warehouse integrity check — `CorpusIngest.fsck`'s silver-side
+    * twin: one read-only audit of the invariants the backfill write paths
+    * maintain, as (check, table, violations, severity).
+    *
+    *   - `parked_swap` (warn): a table parked mid-rename by a crashed
+    *     rewrite swap — data complete at ._compact_old, live path absent;
+    *     `Sinks.recoverSwap` (or the table's next write) heals.
+    *   - `silver_duplicate_keys` (error): duplicate (series key, t) rows
+    *     in silver — impossible under the idempotent-append contract;
+    *     any non-zero count is corruption (replay bronze).
+    *   - `watermark_behind_data` (warn): rows landed but the watermark
+    *     advance was preempted (crash between append and advance) — the
+    *     next run's strict filter re-admits nothing and the advance
+    *     catches up; heals on the next sweep.
+    *   - `watermark_ahead_of_data` (warn): the watermark clears t values
+    *     silver no longer holds — legal after a governance delete of
+    *     silver rows (re-submission stays blocked, which a takedown
+    *     wants), otherwise data loss; review.
+    *   - `stale_bars_index` (warn): the skipping index's file set drifted
+    *     from silver (run died between the silver write and the index
+    *     rewrite) — box reads fall back to full-scan filters (correct,
+    *     slower); the next `run` re-indexes.
+    */
+  def fsck(spark: SparkSession, warehouse: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    def short(p: String) = p.split('/').takeRight(1).mkString
+    Sinks.parkedSwaps(spark, warehouse).foreach(p =>
+      out += (("parked_swap", short(p).stripSuffix("._compact_old"),
+        1L, "warn")))
+    val silverPath = s"$warehouse/silver/bars"
+    if (Sinks.pathExists(spark, silverPath)) {
+      val silver = spark.read.parquet(silverPath)
+      val seriesKey = Seq("ticker", "timespan", "multiplier", "adjusted")
+        .filter(silver.columns.contains)
+      out += (("silver_duplicate_keys", "silver/bars",
+        silver.groupBy((seriesKey :+ "t").map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).count(), "error"))
+      val wm = graft.core.Watermarks.read(spark, warehouse)
+      val wmKeys = Seq("ticker", "timespan", "multiplier", "adjusted")
+        .filter(wm.columns.contains)
+      if (!wm.isEmpty && wmKeys.forall(silver.columns.contains)) {
+        val dataMax = silver.groupBy(wmKeys.map(col): _*)
+          .agg(max(col("t")).as("data_t"))
+        val j = wm.join(dataMax, wmKeys, "left")
+        out += (("watermark_behind_data", "_watermarks",
+          j.filter(col("data_t").isNotNull && col("max_t") < col("data_t"))
+            .count(), "warn"))
+        out += (("watermark_ahead_of_data", "_watermarks",
+          j.filter(col("data_t").isNull || col("max_t") > col("data_t"))
+            .count(), "warn"))
+      }
+      val idx = barsIndexPath(warehouse)
+      if (Sinks.pathExists(spark, idx))
+        out += (("stale_bars_index", "silver/bars_index",
+          math.abs(Sinks.dataFileCount(spark, silverPath) -
+            spark.read.parquet(idx).count()), "warn"))
+    }
+    out.toSeq.toDF("check", "table", "violations", "severity")
+      .orderBy(col("severity"), col("check"), col("table"))
+  }
 }

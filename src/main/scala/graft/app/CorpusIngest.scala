@@ -1766,6 +1766,14 @@ object CorpusIngest {
       embVecsPath(warehouse), "vec_id")
     tombLeak("media_tombstone_leak", mediaTombPath(warehouse),
       mediaHashPath(warehouse), "media_id")
+    // crash-parked rewrite swaps anywhere under the warehouse: the table's
+    // data is complete but parked at ._compact_old with the live path
+    // absent — reads fail until Sinks.recoverSwap (or the next write on
+    // the table) restores the rename, so surface every one (warn: a
+    // documented crash state with a one-call heal)
+    Sinks.parkedSwaps(spark, warehouse).foreach(p =>
+      out += (("parked_swap", short(p).stripSuffix("._compact_old"),
+        1L, "warn")))
     // label-store / pair-table consistency
     labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")

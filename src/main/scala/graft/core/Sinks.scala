@@ -689,6 +689,38 @@ object Sinks {
     }
   }
 
+  /** Enumerate CRASH-PARKED rewrite swaps under `root`: directories named
+    * `<table>._compact_old` whose live `<table>` path is ABSENT — the
+    * state a process dying between swapInto's two renames leaves behind
+    * (data complete, table path gone; swapInto's crash-window note).
+    * Reads of a parked table fail until `recoverSwap` (or the next swap
+    * on it) restores the rename; this enumeration is how an operator
+    * inheriting a warehouse finds every parked table in one pass — the
+    * fsck entry points surface each hit. Driver-side recursive listing:
+    * warehouse trees are shallow and directory counts metadata-sized.
+    */
+  def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) Seq.empty
+    else {
+      val out = Seq.newBuilder[String]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) {
+            val name = st.getPath.getName
+            if (name.endsWith("._compact_old")) {
+              val live = new org.apache.hadoop.fs.Path(st.getPath.getParent,
+                name.stripSuffix("._compact_old"))
+              if (!fs.exists(live)) out += st.getPath.toString
+            } else if (!name.startsWith("._")) walk(st.getPath)
+          }
+        }
+      walk(rp)
+      out.result()
+    }
+  }
+
   private[core] def swapInto(spark: SparkSession, path: String, df: DataFrame,
                        partitionCols: Seq[String],
                        targetFiles: Option[Int],

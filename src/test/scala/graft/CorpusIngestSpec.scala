@@ -1255,6 +1255,29 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("fsck: a crash-parked rewrite swap is surfaced and recoverSwap heals it") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whpark").toString
+    CorpusIngest.run(spark, Seq((1L, base), (2L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    def findings() = CorpusIngest.fsck(spark, wh)
+      .filter(col("violations") > 0)
+      .select("check", "table", "severity")
+      .as[(String, String, String)].collect().toSeq
+    assert(findings().isEmpty, s"healthy warehouse flagged: ${findings()}")
+    // simulate a crash between swapInto's two renames: live dir gone, data
+    // parked complete at ._compact_old
+    val p = new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p,
+      new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats._compact_old")))
+    assert(findings().contains(("parked_swap", "doc_stats", "warn")),
+      s"parked swap not surfaced: ${findings()}")
+    assert(Sinks.recoverSwap(spark, s"$wh/corpus/doc_stats"))
+    assert(findings().isEmpty, s"recoverSwap must heal: ${findings()}")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("fsck: label stores audited against their pair tables") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whfscklab").toString

@@ -78,6 +78,85 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/silver/bars").count() == 3)
   }
 
+  test("Backfill.fsck: healthy market warehouse audits clean; planted states are classified") {
+    val pages = Files.createTempDirectory("bf-fsck-pages")
+    val wh = Files.createTempDirectory("bf-fsck-wh").toString
+    val dir = pages.resolve("AAPL/adjusted")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("page-0000.json"),
+      """{"results":[{"t":60000,"o":1,"h":2,"l":1,"c":2,"v":10,"vw":1.5,"n":2},
+        |{"t":600000,"o":5,"h":6,"l":4,"c":5,"v":30,"vw":5.0,"n":3}],
+        |"next_url":null}""".stripMargin)
+    graft.app.Backfill.run(spark, pages.toString, wh)
+    def findings() = graft.app.Backfill.fsck(spark, wh)
+      .filter(col("violations") > 0)
+      .select("check", "violations", "severity")
+      .as[(String, Long, String)].collect().toSeq
+    assert(findings().isEmpty, s"healthy market warehouse flagged: ${findings()}")
+
+    // crash-parked swap: gold table parked mid-rename — warn, then healed
+    val gp = new org.apache.hadoop.fs.Path(s"$wh/gold/bars_5m")
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(gp,
+      new org.apache.hadoop.fs.Path(s"$wh/gold/bars_5m._compact_old")))
+    assert(findings().contains(("parked_swap", 1L, "warn")), s"${findings()}")
+    assert(graft.core.Sinks.recoverSwap(spark, s"$wh/gold/bars_5m"))
+    assert(findings().isEmpty, s"recoverSwap must heal: ${findings()}")
+
+    // the explicit watermark table is the library-level O-F5 protocol
+    // (Backfill.run itself rides the page frontier) — stamp a consistent
+    // one from silver, then tamper it into each documented state
+    graft.core.Watermarks.advance(spark, wh,
+      spark.read.parquet(s"$wh/silver/bars")
+        .select("ticker", "timespan", "multiplier", "adjusted", "t"))
+    assert(findings().isEmpty,
+      s"a consistent watermark must audit clean: ${findings()}")
+    // watermark BEHIND data (crash between append and advance): warn
+    val wmPath = s"$wh/_watermarks"
+    val saved = spark.read.parquet(wmPath).collect()
+    val schema = spark.read.parquet(wmPath).schema
+    def restamp(maxT: Long): Unit = {
+      val rows = saved.map { r =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(
+          schema.fieldIndex("max_t"), maxT))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), schema)
+        .write.mode("overwrite").parquet(wmPath)
+    }
+    restamp(60000L)
+    assert(findings().contains(("watermark_behind_data", 1L, "warn")),
+      s"${findings()}")
+    // watermark AHEAD of data (governance delete or loss): warn
+    restamp(999999999L)
+    assert(findings().contains(("watermark_ahead_of_data", 1L, "warn")),
+      s"${findings()}")
+    restamp(600000L)
+    assert(findings().isEmpty, s"restored watermark must audit clean: ${findings()}")
+
+    // a duplicate (series, t) silver row violates the idempotent-append
+    // contract — error; the extra un-indexed file also stales the index.
+    // Plant it file-level inside the leaf partition dir (silver is
+    // partitioned by the series key; the duplicate bypasses the append's
+    // existence check the way only corruption can)
+    val silverRoot = new org.apache.hadoop.fs.Path(s"$wh/silver/bars")
+    val it = fs.listFiles(silverRoot, true)
+    var leaf: org.apache.hadoop.fs.Path = null
+    while (it.hasNext && leaf == null) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) leaf = f.getParent
+    }
+    val leafDf = spark.read.parquet(leaf.toString)
+    val one = leafDf.limit(1).collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(one), leafDf.schema)
+      .coalesce(1).write.mode("append").parquet(leaf.toString)
+    assert(findings().contains(("silver_duplicate_keys", 1L, "error")),
+      s"${findings()}")
+    assert(findings().exists(f => f._1 == "stale_bars_index" && f._3 == "warn"),
+      s"${findings()}")
+  }
+
   test("Backfill.run: dim refresh first, bar sweep restricted to stock tickers") {
     val pages = Files.createTempDirectory("bf-dims")
     val wh = Files.createTempDirectory("bf-dims-wh").toString
