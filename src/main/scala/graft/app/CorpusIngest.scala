@@ -1806,6 +1806,71 @@ object CorpusIngest {
       .orderBy(col("severity"), col("check"), col("table"))
   }
 
+  /** MECHANICAL REPAIR — the write-side companion to `fsck`: applies, in
+    * one leased call, every heal that is safe WITHOUT re-running a drop:
+    *
+    *   1. `recovered_swap` — restore every crash-parked table under the
+    *      warehouse (`Sinks.parkedSwaps` → `recoverSwap`).
+    *   2. `cleared_torn_label_create` — remove label directories whose
+    *      spec ledger never landed (reads already ignore them; clearing
+    *      unblocks the next writer without waiting for a drop).
+    *   3. `rebuilt_label_store` — any label store whose node set drifted
+    *      from its pair table (pair ids the merge never covered, or
+    *      orphan label nodes) is rebuilt from the pair table — the same
+    *      full-contraction rebuild the delete cascades use.
+    *
+    * Crash residue that needs the ORIGINAL drop's data — orphan band/
+    * assignment rows, stranded docs, ghost pair refs — is deliberately
+    * NOT touched: only the drop's retry can heal those, and `fsck` keeps
+    * reporting them until it does. Returns (action, table) rows for the
+    * audit trail; a healthy warehouse returns an empty frame.
+    */
+  def repair(spark: SparkSession, warehouse: String): DataFrame =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def short(p: String) = p.split('/').takeRight(1).mkString
+    Sinks.parkedSwaps(spark, warehouse).foreach { parked =>
+      val table = parked.stripSuffix("._compact_old")
+      if (Sinks.recoverSwap(spark, table))
+        out += (("recovered_swap", short(table)))
+    }
+    val labelStores = Seq(
+      (ccLabelsPath(warehouse), pairsPath(warehouse), "doc_a", "doc_b"),
+      (embCcPath(warehouse), embPairsPath(warehouse), "vec_a", "vec_b"),
+      (semCcPath(warehouse), semPairsPath(warehouse), "vec_a", "vec_b"),
+      (mediaCcPath(warehouse), mediaPairsPath(warehouse),
+        "media_a", "media_b"))
+    labelStores.foreach { case (labelP, pairsP, a, b) =>
+      if (Sinks.pathExists(spark, labelP) &&
+          !Sinks.isBucketedStore(spark, labelP)) {
+        dropStore(spark, labelP)
+        out += (("cleared_torn_label_create", short(labelP)))
+      } else if (Sinks.isBucketedStore(spark, labelP)) {
+        val nodes = readStore(spark, labelP)
+          .select(col("node").as("k")).distinct()
+        val ids =
+          if (!Sinks.pathExists(spark, pairsP)) Seq.empty[Long].toDF("k")
+          else readStore(spark, pairsP).select(col(a).as("k"))
+            .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
+            .distinct()
+        val drifted =
+          !ids.join(nodes, Seq("k"), "left_anti").isEmpty ||
+          !nodes.join(ids, Seq("k"), "left_anti").isEmpty
+        if (drifted) {
+          rebuildLabels(spark, labelP, pairsP, a, b)
+          out += (("rebuilt_label_store", short(labelP)))
+        }
+      }
+    }
+    // the repair itself is a governance-grade event: record WHICH actions
+    // ran (the counts columns carry no row delta for a repair — zeroed)
+    if (out.nonEmpty)
+      appendAudit(spark, warehouse, "repair", "n/a", 0L,
+        out.map { case (act, t) => s"$act.$t" -> ((0L, 0L)) }.toMap)
+    out.toSeq.toDF("action", "table")
+  }
+
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
     * cluster over the CUMULATIVE pair table. Losers come off the
     * incrementally-maintained label store when present — a co-located

@@ -1278,6 +1278,47 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("repair: every drop-independent fsck state heals in one leased call") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whrepair").toString
+    CorpusIngest.run(spark, Seq((10L, base), (20L, unrelated),
+      (30L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    def findings() = CorpusIngest.fsck(spark, wh)
+      .filter(col("violations") > 0)
+      .select("check", "severity").as[(String, String)].collect().toSeq
+    assert(findings().isEmpty)
+    assert(CorpusIngest.repair(spark, wh).isEmpty,
+      "a healthy warehouse repairs nothing")
+    // plant all three repairable states: a parked swap, a torn label
+    // create (on the emb store path), and label coverage drift (a pair
+    // row the merge never saw)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats"),
+      new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats._compact_old")))
+    new java.io.File(s"$wh/corpus/emb_cc_labels").mkdirs()
+    Seq((1L, 1L, 0L)).toDF("node", "component", "seq")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$wh/corpus/emb_cc_labels")
+    Sinks.bucketedIdempotentAppend(
+      Seq((10L, 20L, 1.0)).toDF("doc_a", "doc_b", "jac"),
+      s"$wh/corpus/pairs", keys = Seq("doc_a", "doc_b"),
+      bucketKeys = Seq("doc_a", "doc_b"), buckets = 8)
+    assert(findings().toSet == Set(("parked_swap", "warn"),
+      ("label_store_torn_create", "warn"), ("label_missing_nodes", "warn")),
+      s"${findings()}")
+    val actions = CorpusIngest.repair(spark, wh)
+      .select("action", "table").as[(String, String)].collect().toSet
+    assert(actions == Set(("recovered_swap", "doc_stats"),
+      ("cleared_torn_label_create", "emb_cc_labels"),
+      ("rebuilt_label_store", "cc_labels")), s"$actions")
+    assert(findings().isEmpty, s"repair must heal to clean: ${findings()}")
+    // the repair is itself on the audit trail
+    assert(CorpusIngest.governanceAudit(spark, wh)
+      .filter(col("op") === "repair").count() == 3L)
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("fsck: label stores audited against their pair tables") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whfscklab").toString
