@@ -232,10 +232,9 @@ object Backfill {
   def fsck(spark: SparkSession, warehouse: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
-    def short(p: String) = p.split('/').takeRight(1).mkString
-    Sinks.parkedSwaps(spark, warehouse).foreach(p =>
-      out += (("parked_swap", short(p).stripSuffix("._compact_old"),
-        1L, "warn")))
+    Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
+      out += (("parked_swap", rel, 1L, "warn"))
+    }
     val silverPath = s"$warehouse/silver/bars"
     if (Sinks.pathExists(spark, silverPath)) {
       val silver = spark.read.parquet(silverPath)
@@ -247,15 +246,24 @@ object Backfill {
       val wm = graft.core.Watermarks.read(spark, warehouse)
       val wmKeys = Seq("ticker", "timespan", "multiplier", "adjusted")
         .filter(wm.columns.contains)
+      // audited only when the warehouse OPTED INTO the explicit watermark
+      // protocol (a table exists) — Backfill's own page-frontier sweep
+      // keeps none, and counting every series "behind" there would alarm
+      // on every healthy warehouse. FULL outer: a series with silver rows
+      // but no watermark row is the first-sweep crash (filterNew passes
+      // watermark-less series whole; the advance was preempted) — behind
+      // residue a watermark-side join could never see.
       if (!wm.isEmpty && wmKeys.forall(silver.columns.contains)) {
         val dataMax = silver.groupBy(wmKeys.map(col): _*)
           .agg(max(col("t")).as("data_t"))
-        val j = wm.join(dataMax, wmKeys, "left")
+        val j = wm.join(dataMax, wmKeys, "full_outer")
         out += (("watermark_behind_data", "_watermarks",
-          j.filter(col("data_t").isNotNull && col("max_t") < col("data_t"))
+          j.filter(col("data_t").isNotNull &&
+              (col("max_t").isNull || col("max_t") < col("data_t")))
             .count(), "warn"))
         out += (("watermark_ahead_of_data", "_watermarks",
-          j.filter(col("data_t").isNull || col("max_t") > col("data_t"))
+          j.filter(col("max_t").isNotNull &&
+              (col("data_t").isNull || col("max_t") > col("data_t")))
             .count(), "warn"))
       }
       val idx = barsIndexPath(warehouse)

@@ -391,6 +391,25 @@ object CorpusIngest {
     }
   }
 
+  /** Label-store / pair-table DRIFT: (pair ids the label merge never
+    * covered, label nodes with no pair evidence). One definition shared
+    * by `fsck` (which reports the counts) and `repair` (which rebuilds on
+    * any drift) — so the audit and the heal can never diverge.
+    */
+  private def labelDrift(spark: SparkSession, labelP: String,
+                         pairsP: String, a: String,
+                         b: String): (Long, Long) = {
+    import spark.implicits._
+    val nodes = readStore(spark, labelP).select(col("node").as("k")).distinct()
+    val ids =
+      if (!Sinks.pathExists(spark, pairsP)) Seq.empty[Long].toDF("k")
+      else readStore(spark, pairsP).select(col(a).as("k"))
+        .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
+        .distinct()
+    (ids.join(nodes, Seq("k"), "left_anti").count(),
+      nodes.join(ids, Seq("k"), "left_anti").count())
+  }
+
   /** Loser ids (component non-minima) for a pair table: from the label
     * store's current view when one is maintained — a co-located scan —
     * or the full-graph recompute otherwise (legacy warehouses, and any
@@ -1435,6 +1454,19 @@ object CorpusIngest {
     * log is thin and lives outside the content tables — `fsck` and the
     * views never read it.
     */
+  /** The audit log with the `seq` column GUARANTEED present: a log whose
+    * earliest files predate the seq column (legacy-warehouse contract —
+    * same tolerance as readStore's plain fallback) reads those rows as
+    * seq = -1, so appends keep numbering from 0 and the compliance read
+    * orders legacy rows by timestamp beneath every numbered event.
+    */
+  private def readAudit(spark: SparkSession, warehouse: String): DataFrame = {
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(auditPath(warehouse))
+    if (!log.columns.contains("seq")) log.withColumn("seq", lit(-1L))
+    else log.withColumn("seq", coalesce(col("seq"), lit(-1L)))
+  }
+
   private def appendAudit(spark: SparkSession, warehouse: String, op: String,
                           idCol: String, nIds: Long,
                           entries: Map[String, (Long, Long)]): Unit =
@@ -1444,8 +1476,7 @@ object CorpusIngest {
       val seq =
         if (!Sinks.pathExists(spark, auditPath(warehouse))) 0L
         else {
-          val r = spark.read.parquet(auditPath(warehouse))
-            .agg(max(col("seq"))).head()
+          val r = readAudit(spark, warehouse).agg(max(col("seq"))).head()
           (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
         }
       entries.toSeq.map { case (t, (b, a)) =>
@@ -1477,8 +1508,10 @@ object CorpusIngest {
     */
   def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
     if (Sinks.pathExists(spark, auditPath(warehouse)))
-      spark.read.parquet(auditPath(warehouse))
-        .orderBy(col("seq").desc, col("table"))
+      readAudit(spark, warehouse)
+        .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
+          col("n_ids"), col("table"), col("rows_before"), col("rows_after"))
+        .orderBy(col("seq").desc, col("at_ms").desc, col("table"))
     else {
       import spark.implicits._
       Seq.empty[(Long, Long, String, String, Long, String, Long, Long)]
@@ -1724,15 +1757,10 @@ object CorpusIngest {
                     b: String): Unit = {
       if (fileExists(labelP) && !Sinks.isBucketedStore(spark, labelP))
         out += (("label_store_torn_create", short(labelP), 1L, "warn"))
-      else for (lab <- read(labelP)) {
-        val nodes = lab.select(col("node").as("k")).distinct()
-        val ids = read(pairsP).map(p => p.select(col(a).as("k"))
-            .unionByName(p.select(col(b).as("k"))).distinct())
-          .getOrElse(Seq.empty[Long].toDF("k"))
-        out += (("label_missing_nodes", short(labelP),
-          ids.join(nodes, Seq("k"), "left_anti").count(), "warn"))
-        out += (("label_orphan_nodes", short(labelP),
-          nodes.join(ids, Seq("k"), "left_anti").count(), "error"))
+      else if (Sinks.isBucketedStore(spark, labelP)) {
+        val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
+        out += (("label_missing_nodes", short(labelP), missing, "warn"))
+        out += (("label_orphan_nodes", short(labelP), orphan, "error"))
       }
     }
 
@@ -1770,10 +1798,11 @@ object CorpusIngest {
     // data is complete but parked at ._compact_old with the live path
     // absent — reads fail until Sinks.recoverSwap (or the next write on
     // the table) restores the rename, so surface every one (warn: a
-    // documented crash state with a one-call heal)
-    Sinks.parkedSwaps(spark, warehouse).foreach(p =>
-      out += (("parked_swap", short(p).stripSuffix("._compact_old"),
-        1L, "warn")))
+    // documented crash state with a one-call heal). Reported by
+    // warehouse-RELATIVE name so same-basename tables stay distinct.
+    Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
+      out += (("parked_swap", rel, 1L, "warn"))
+    }
     // label-store / pair-table consistency
     labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
@@ -1830,10 +1859,11 @@ object CorpusIngest {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     def short(p: String) = p.split('/').takeRight(1).mkString
-    Sinks.parkedSwaps(spark, warehouse).foreach { parked =>
-      val table = parked.stripSuffix("._compact_old")
+    // warehouse-relative names keep same-basename tables distinct in both
+    // the result and the audit keys (the walk covers the whole tree)
+    Sinks.parkedSwapTables(spark, warehouse).foreach { case (table, rel) =>
       if (Sinks.recoverSwap(spark, table))
-        out += (("recovered_swap", short(table)))
+        out += (("recovered_swap", rel))
     }
     val labelStores = Seq(
       (ccLabelsPath(warehouse), pairsPath(warehouse), "doc_a", "doc_b"),
@@ -1847,17 +1877,10 @@ object CorpusIngest {
         dropStore(spark, labelP)
         out += (("cleared_torn_label_create", short(labelP)))
       } else if (Sinks.isBucketedStore(spark, labelP)) {
-        val nodes = readStore(spark, labelP)
-          .select(col("node").as("k")).distinct()
-        val ids =
-          if (!Sinks.pathExists(spark, pairsP)) Seq.empty[Long].toDF("k")
-          else readStore(spark, pairsP).select(col(a).as("k"))
-            .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
-            .distinct()
-        val drifted =
-          !ids.join(nodes, Seq("k"), "left_anti").isEmpty ||
-          !nodes.join(ids, Seq("k"), "left_anti").isEmpty
-        if (drifted) {
+        // the SAME drift invariant fsck reports — shared helper, so the
+        // audit and the heal can never diverge
+        val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
+        if (missing + orphan > 0) {
           rebuildLabels(spark, labelP, pairsP, a, b)
           out += (("rebuilt_label_store", short(labelP)))
         }

@@ -699,6 +699,21 @@ object Sinks {
     * fsck entry points surface each hit. Driver-side recursive listing:
     * warehouse trees are shallow and directory counts metadata-sized.
     */
+  /** `parkedSwaps` resolved to (live table path, warehouse-RELATIVE table
+    * name) pairs — the shape the fsck/repair call sites report: the
+    * relative name disambiguates two parked tables sharing a basename
+    * (the walk covers the whole tree), and deriving it here keeps the
+    * `._compact_old` naming convention in one place.
+    */
+  def parkedSwapTables(spark: SparkSession,
+                       root: String): Seq[(String, String)] =
+    parkedSwaps(spark, root).map { parked =>
+      val table = parked.stripSuffix("._compact_old")
+      val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+      val tableUri = new org.apache.hadoop.fs.Path(table).toUri.getPath
+      (table, tableUri.stripPrefix(rootUri).dropWhile(_ == '/'))
+    }
+
   def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1271,7 +1271,7 @@ class CorpusIngestSpec extends AnyFunSuite {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(p,
       new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats._compact_old")))
-    assert(findings().contains(("parked_swap", "doc_stats", "warn")),
+    assert(findings().contains(("parked_swap", "corpus/doc_stats", "warn")),
       s"parked swap not surfaced: ${findings()}")
     assert(Sinks.recoverSwap(spark, s"$wh/corpus/doc_stats"))
     assert(findings().isEmpty, s"recoverSwap must heal: ${findings()}")
@@ -1309,7 +1309,7 @@ class CorpusIngestSpec extends AnyFunSuite {
       s"${findings()}")
     val actions = CorpusIngest.repair(spark, wh)
       .select("action", "table").as[(String, String)].collect().toSet
-    assert(actions == Set(("recovered_swap", "doc_stats"),
+    assert(actions == Set(("recovered_swap", "corpus/doc_stats"),
       ("cleared_torn_label_create", "emb_cc_labels"),
       ("rebuilt_label_store", "cc_labels")), s"$actions")
     assert(findings().isEmpty, s"repair must heal to clean: ${findings()}")

@@ -131,6 +131,21 @@ class SinksSpec extends AnyFunSuite {
     restamp(999999999L)
     assert(findings().contains(("watermark_ahead_of_data", 1L, "warn")),
       s"${findings()}")
+    // first-sweep crash: rows in silver but NO watermark row for the
+    // series (filterNew passes watermark-less series whole; the advance
+    // was preempted) — a watermark-side join could never see it; the
+    // full-outer counts it behind, and the orphaned MSFT watermark row
+    // (no data) counts ahead in the same plant
+    val msft = saved.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(
+        schema.fieldIndex("ticker"), "MSFT"))
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(msft.toSeq), schema)
+      .write.mode("overwrite").parquet(wmPath)
+    assert(findings().contains(("watermark_behind_data", 1L, "warn")) &&
+      findings().contains(("watermark_ahead_of_data", 1L, "warn")),
+      s"first-sweep crash not counted: ${findings()}")
     restamp(600000L)
     assert(findings().isEmpty, s"restored watermark must audit clean: ${findings()}")
 
