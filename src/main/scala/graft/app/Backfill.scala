@@ -220,6 +220,10 @@ object Backfill {
     *     advance was preempted (crash between append and advance) — the
     *     next run's strict filter re-admits nothing and the advance
     *     catches up; heals on the next sweep.
+    *   - `watermark_missing_series` (warn): a series with silver rows
+    *     but no watermark row at all — a first-sweep crash (advance
+    *     preempted before the series' first row), or a series managed
+    *     by the page-frontier protocol in a mixed warehouse; review.
     *   - `watermark_ahead_of_data` (warn): the watermark clears t values
     *     silver no longer holds — legal after a governance delete of
     *     silver rows (re-submission stays blocked, which a takedown
@@ -243,23 +247,35 @@ object Backfill {
       out += (("silver_duplicate_keys", "silver/bars",
         silver.groupBy((seriesKey :+ "t").map(col): _*)
           .agg(count(lit(1)).as("n")).filter(col("n") > 1).count(), "error"))
+      // audited only when the warehouse OPTED INTO the explicit watermark
+      // protocol — the TABLE exists (even empty: a first sweep that
+      // crashed before its first advance is exactly a state to audit).
+      // Backfill's own page-frontier sweep keeps no watermark table, and
+      // counting its series "unwatermarked" would alarm on every healthy
+      // warehouse. FULL outer join, with the two directions of absence
+      // reported under DISTINCT names: a series with data but no
+      // watermark row may be a first-sweep crash (advance preempted;
+      // filterNew passes watermark-less series whole) or a series
+      // legitimately managed by the page frontier in a mixed warehouse —
+      // `watermark_missing_series` says review, while
+      // `watermark_behind_data` (row present, stale) is unambiguous
+      // crash residue that heals on the next sweep.
+      val wmTableExists =
+        Sinks.pathExists(spark, graft.core.Watermarks.path(warehouse)) ||
+        Sinks.pathExists(spark, graft.core.Watermarks.path(warehouse) + "_bak")
       val wm = graft.core.Watermarks.read(spark, warehouse)
       val wmKeys = Seq("ticker", "timespan", "multiplier", "adjusted")
         .filter(wm.columns.contains)
-      // audited only when the warehouse OPTED INTO the explicit watermark
-      // protocol (a table exists) — Backfill's own page-frontier sweep
-      // keeps none, and counting every series "behind" there would alarm
-      // on every healthy warehouse. FULL outer: a series with silver rows
-      // but no watermark row is the first-sweep crash (filterNew passes
-      // watermark-less series whole; the advance was preempted) — behind
-      // residue a watermark-side join could never see.
-      if (!wm.isEmpty && wmKeys.forall(silver.columns.contains)) {
+      if (wmTableExists && wmKeys.nonEmpty &&
+          wmKeys.forall(silver.columns.contains)) {
         val dataMax = silver.groupBy(wmKeys.map(col): _*)
           .agg(max(col("t")).as("data_t"))
         val j = wm.join(dataMax, wmKeys, "full_outer")
         out += (("watermark_behind_data", "_watermarks",
-          j.filter(col("data_t").isNotNull &&
-              (col("max_t").isNull || col("max_t") < col("data_t")))
+          j.filter(col("data_t").isNotNull && col("max_t").isNotNull &&
+              col("max_t") < col("data_t")).count(), "warn"))
+        out += (("watermark_missing_series", "_watermarks",
+          j.filter(col("data_t").isNotNull && col("max_t").isNull)
             .count(), "warn"))
         out += (("watermark_ahead_of_data", "_watermarks",
           j.filter(col("max_t").isNotNull &&

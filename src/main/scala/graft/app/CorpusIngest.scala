@@ -399,13 +399,13 @@ object CorpusIngest {
   private def labelDrift(spark: SparkSession, labelP: String,
                          pairsP: String, a: String,
                          b: String): (Long, Long) = {
-    import spark.implicits._
+    // callers guarantee BOTH tables are present (fsck/repair gate on it):
+    // comparing against an absent pair table would read "every node
+    // orphaned" — never a useful drift signal
     val nodes = readStore(spark, labelP).select(col("node").as("k")).distinct()
-    val ids =
-      if (!Sinks.pathExists(spark, pairsP)) Seq.empty[Long].toDF("k")
-      else readStore(spark, pairsP).select(col(a).as("k"))
-        .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
-        .distinct()
+    val ids = readStore(spark, pairsP).select(col(a).as("k"))
+      .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
+      .distinct()
     (ids.join(nodes, Seq("k"), "left_anti").count(),
       nodes.join(ids, Seq("k"), "left_anti").count())
   }
@@ -1757,10 +1757,22 @@ object CorpusIngest {
                     b: String): Unit = {
       if (fileExists(labelP) && !Sinks.isBucketedStore(spark, labelP))
         out += (("label_store_torn_create", short(labelP), 1L, "warn"))
-      else if (Sinks.isBucketedStore(spark, labelP)) {
-        val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
-        out += (("label_missing_nodes", short(labelP), missing, "warn"))
-        out += (("label_orphan_nodes", short(labelP), orphan, "error"))
+      // the DIRECTORY must be present too: a crash-parked label store
+      // (ledger survives the swap, dir absent) is already the parked_swap
+      // row above — running the drift scan against the missing path would
+      // abort or count every pair id "missing" next to its own heal
+      else if (fileExists(labelP) && Sinks.isBucketedStore(spark, labelP)) {
+        if (!fileExists(pairsP))
+          // a label store whose pair table is gone (parked — see the
+          // parked_swap row — or hand surgery): the drift counts would
+          // read "every node orphaned", which is noise next to the real
+          // state; one warn row says what to review instead
+          out += (("label_store_without_pairs", short(labelP), 1L, "warn"))
+        else {
+          val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
+          out += (("label_missing_nodes", short(labelP), missing, "warn"))
+          out += (("label_orphan_nodes", short(labelP), orphan, "error"))
+        }
       }
     }
 
@@ -1876,9 +1888,14 @@ object CorpusIngest {
           !Sinks.isBucketedStore(spark, labelP)) {
         dropStore(spark, labelP)
         out += (("cleared_torn_label_create", short(labelP)))
-      } else if (Sinks.isBucketedStore(spark, labelP)) {
+      } else if (Sinks.pathExists(spark, labelP) &&
+                 Sinks.isBucketedStore(spark, labelP) &&
+                 Sinks.pathExists(spark, pairsP)) {
         // the SAME drift invariant fsck reports — shared helper, so the
-        // audit and the heal can never diverge
+        // audit and the heal can never diverge. Both tables must be
+        // present (the swap-recovery step above already restored parked
+        // ones); a genuinely absent pair table is ambiguous and repair
+        // never drops data on ambiguity.
         val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
         if (missing + orphan > 0) {
           rebuildLabels(spark, labelP, pairsP, a, b)

@@ -706,13 +706,19 @@ object Sinks {
     * `._compact_old` naming convention in one place.
     */
   def parkedSwapTables(spark: SparkSession,
-                       root: String): Seq[(String, String)] =
+                       root: String): Seq[(String, String)] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    // qualify the root the same way the walk's listStatus qualifies its
+    // results — a RELATIVE root would otherwise never prefix-match and
+    // the "relative" name would degrade to the absolute path
+    val rootUri = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rp).toUri.getPath
     parkedSwaps(spark, root).map { parked =>
       val table = parked.stripSuffix("._compact_old")
-      val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
       val tableUri = new org.apache.hadoop.fs.Path(table).toUri.getPath
       (table, tableUri.stripPrefix(rootUri).dropWhile(_ == '/'))
     }
+  }
 
   def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
@@ -904,9 +910,20 @@ object Sinks {
     * here (not spark.read.parquet) wherever the bucketing is the point —
     * a plain parquet read of the same directory is correct but advertises
     * no partitioning, so the join it feeds re-shuffles the store side.
+    *
+    * A spec ledger whose DIRECTORY is absent is a crash-parked swap
+    * (bucketedSwapInto died between its two renames; the sibling ledger
+    * survives the swap by design) — restored HERE, per the reader-side
+    * recoverSwap contract (swapInto's doc): without the heal the
+    * registered external table lists an empty location and the store
+    * silently reads as EMPTY — a trim that admits everything, a label
+    * view with no losers — and the next append would then resurrect the
+    * directory empty, orphaning the parked data forever.
     */
-  def readBucketedPath(spark: SparkSession, path: String): DataFrame =
+  def readBucketedPath(spark: SparkSession, path: String): DataFrame = {
+    if (!pathExists(spark, path)) recoverSwap(spark, path)
     spark.table(ensureBucketedRegistered(spark, path))
+  }
 
   /** Idempotent keyed append into a path-anchored bucketed store — the
     * bucketed twin of idempotentAppend. First call creates the store and
@@ -981,6 +998,11 @@ object Sinks {
                                bucketKeys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
     require(bucketKeys.nonEmpty && buckets >= 1, "bucket spec must be non-trivial")
+    // ledger present but directory absent = crash-parked swap: restore
+    // before branching, or the create path would rebuild the store EMPTY
+    // over the parked data (see readBucketedPath's heal note)
+    if (!pathExists(spark, path) && isBucketedStore(spark, path))
+      recoverSwap(spark, path)
     if (!pathExists(spark, path)) {
       val name = bucketedTableName(path)
       if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE IF EXISTS `$name`")

@@ -78,6 +78,36 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/silver/bars").count() == 3)
   }
 
+  test("a crash-parked bucketed store heals on read and append instead of resurrecting empty") {
+    import graft.core.Sinks
+    val base = Files.createTempDirectory("bkt-park").toString
+    val p = s"$base/store"
+    Sinks.bucketedIdempotentAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p,
+      keys = Seq("k"), bucketKeys = Seq("k"), buckets = 2)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def park(): Unit = assert(fs.rename(hp,
+      new org.apache.hadoop.fs.Path(p + "._compact_old")))
+    // the crash window bucketedSwapInto documents: live dir gone, data
+    // parked, the sibling spec ledger still present. A read must HEAL and
+    // serve the data — a silently-empty scan here is the trim that admits
+    // everything and the label view with no losers
+    park()
+    assert(Sinks.readBucketedPath(spark, p).count() == 2L,
+      "read of a parked store must recover the swap, not scan empty")
+    // an append on a parked store must heal FIRST and preserve the old
+    // rows — the create branch would otherwise rebuild the store empty
+    // over the parked data
+    park()
+    Sinks.bucketedIdempotentAppend(
+      Seq((3L, "c")).toDF("k", "v"), p,
+      keys = Seq("k"), bucketKeys = Seq("k"), buckets = 2)
+    assert(Sinks.readBucketedPath(spark, p)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "append on a parked store must recover, then append")
+  }
+
   test("Backfill.fsck: healthy market warehouse audits clean; planted states are classified") {
     val pages = Files.createTempDirectory("bf-fsck-pages")
     val wh = Files.createTempDirectory("bf-fsck-wh").toString
@@ -134,8 +164,9 @@ class SinksSpec extends AnyFunSuite {
     // first-sweep crash: rows in silver but NO watermark row for the
     // series (filterNew passes watermark-less series whole; the advance
     // was preempted) — a watermark-side join could never see it; the
-    // full-outer counts it behind, and the orphaned MSFT watermark row
-    // (no data) counts ahead in the same plant
+    // full-outer reports it under its own name (the state is ambiguous
+    // with a page-frontier-managed series, so it is not "behind"), and
+    // the orphaned MSFT watermark row (no data) counts ahead
     val msft = saved.map { r =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(
         schema.fieldIndex("ticker"), "MSFT"))
@@ -143,7 +174,7 @@ class SinksSpec extends AnyFunSuite {
     spark.createDataFrame(
         spark.sparkContext.parallelize(msft.toSeq), schema)
       .write.mode("overwrite").parquet(wmPath)
-    assert(findings().contains(("watermark_behind_data", 1L, "warn")) &&
+    assert(findings().contains(("watermark_missing_series", 1L, "warn")) &&
       findings().contains(("watermark_ahead_of_data", 1L, "warn")),
       s"first-sweep crash not counted: ${findings()}")
     restamp(600000L)
