@@ -52,8 +52,19 @@ object CorpusIngest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (nNew, nPairs) = run(spark, spark.read.parquet(dropPath), warehouse,
+    // SPARK_GRAFT_CHECKPOINT_DIR switches the drop's lineage cuts to
+    // durable checkpoints AND cleans the scratch on exit — a scheduled
+    // cadence must not accumulate one rdd-* set per drop forever
+    // (Checkpoints.withCheckpointDir's cleanup contract: run returns
+    // scalars, so nothing handed back rides a checkpointed RDD)
+    def drop() = run(spark, spark.read.parquet(dropPath), warehouse,
       threshold)
+    val (nNew, nPairs) = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR") match {
+      case Some(dir) if dir.trim.nonEmpty =>
+        graft.core.Checkpoints.withCheckpointDir(spark, dir,
+          cleanup = true)(drop())
+      case _ => drop()
+    }
     println(s"[corpus-ingest] landed $nNew new docs, $nPairs new pairs")
     spark.stop()
   }

@@ -72,28 +72,53 @@ object Checkpoints {
     configured(spark) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir is CONTEXT-global while the scoped dir is
-        // call-tree-local, and the reliable-checkpoint machinery captures
-        // the context's dir at RDD-MARK time (Dataset.checkpoint marks
-        // synchronously even with eager = false). So the lock must span
-        // set + mark as one unit: marking outside it would let a
-        // concurrent cut() flip the dir between our set and our mark, and
-        // this frame's files would land in the OTHER call tree's scratch
-        // dir — deleted when that run ends, stranding a live job's cut.
-        // The locked section is cheap driver-side work (no Spark job);
-        // the job that materializes the cut runs OUTSIDE the lock.
-        val marked = lastBase.synchronized {
-          if (lastBase.get(sc) != dir) {
-            sc.setCheckpointDir(dir)
-            lastBase.put(sc, dir)
+        // Reliable RDD checkpointing runs a SECOND job to write the files,
+        // and that write job RECOMPUTES every partition of the marked RDD
+        // unless its blocks are already cached (the documented
+        // RDD.checkpoint behavior — Spark's own scaladoc recommends
+        // persisting first). Without the persist, every durable cut paid
+        // its plan twice: per contraction round in Components, per
+        // increment in a multi-hour ingest — 2× the cut cost in exactly
+        // the production mode durability exists for. Persist
+        // MEMORY_AND_DISK before the mark, so the forcing count populates
+        // blocks and the checkpoint write job reads them back instead of
+        // re-running the upstream plan; unpersist once the files are on
+        // disk. Skipped when the caller already persisted the frame —
+        // their cache, their release discipline.
+        val ourPersist =
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (ourPersist)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // setCheckpointDir is CONTEXT-global while the scoped dir is
+          // call-tree-local, and the reliable-checkpoint machinery captures
+          // the context's dir at RDD-MARK time (Dataset.checkpoint marks
+          // synchronously even with eager = false). So the lock must span
+          // set + mark as one unit: marking outside it would let a
+          // concurrent cut() flip the dir between our set and our mark, and
+          // this frame's files would land in the OTHER call tree's scratch
+          // dir — deleted when that run ends, stranding a live job's cut.
+          // The locked section is cheap driver-side work (no Spark job);
+          // the job that materializes the cut runs OUTSIDE the lock.
+          val marked = lastBase.synchronized {
+            if (lastBase.get(sc) != dir) {
+              sc.setCheckpointDir(dir)
+              lastBase.put(sc, dir)
+            }
+            df.checkpoint(eager = false)
           }
-          df.checkpoint(eager = false)
+          // force materialization now — same effect as eager = true (the
+          // checkpoint files write at the end of this first job, reading
+          // the blocks the job just cached), without holding the lock
+          // across the job
+          marked.count()
+          marked
+        } finally {
+          // the checkpoint files are on disk once count() returns (the
+          // write job runs inside the same action) — the cache was
+          // scaffolding for the write, not state the cut depends on
+          if (ourPersist) df.unpersist(blocking = false)
         }
-        // force materialization now — same effect as eager = true (the
-        // checkpoint files write at the end of this first job), without
-        // holding the lock across the job
-        marked.count()
-        marked
       case None => df.localCheckpoint()
     }
   }
@@ -104,7 +129,37 @@ object Checkpoints {
     * own durability dir without touching the shared session conf. The
     * `spark` parameter keeps the call shape symmetric with `configured`;
     * the session itself is not mutated.
+    *
+    * `cleanup = true` deletes the scratch content under `dir` when the
+    * body exits (success or throw) — Spark never garbage-collects a live
+    * session's checkpoint files, so a daily cadence without this
+    * accumulates one rdd-* set per drop forever. Opt-in because it is
+    * only safe when the body MATERIALIZES everything it hands back
+    * (counts, parquet tables): a returned frame still backed by a
+    * checkpointed RDD would lose its data. Every CorpusIngest entry
+    * point qualifies — their cuts are internal and their returns are
+    * scalars or warehouse scans.
     */
-  def withCheckpointDir[T](spark: SparkSession, dir: String)(body: => T): T =
-    localDir.withValue(Some(dir))(body)
+  def withCheckpointDir[T](spark: SparkSession, dir: String,
+                           cleanup: Boolean = false)(body: => T): T =
+    try localDir.withValue(Some(dir))(body)
+    finally if (cleanup) cleanScratch(spark, dir)
+
+  /** Delete the checkpoint scratch under `dir` (the rdd-* file sets Spark
+    * wrote for this session's cuts) and forget the dir binding, so a later
+    * cut re-creates a fresh scratch subdirectory. Call AFTER every frame
+    * cut into `dir` is consumed — one call tree per dir is the
+    * `withCheckpointDir` contract, so the tree's own exit is the safe
+    * point. The base directory itself is kept (it may be a mount point the
+    * operator provisioned).
+    */
+  def cleanScratch(spark: SparkSession, dir: String): Unit = {
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    lastBase.synchronized {
+      if (lastBase.get(sc) == dir) lastBase.remove(sc)
+      if (fs.exists(p)) fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
+    }
+  }
 }

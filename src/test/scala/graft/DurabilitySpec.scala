@@ -84,6 +84,60 @@ class DurabilitySpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("durable cut computes its frame ONCE (persist feeds the checkpoint write job)") {
+    // Reliable RDD checkpointing writes its files in a second job that
+    // RECOMPUTES the marked RDD unless its blocks are cached — cut()
+    // persists before the forcing count precisely so that write job reads
+    // blocks. The accumulator counts upstream row computations: one pass
+    // means N, a recompute would read 2N.
+    val acc = spark.sparkContext.longAccumulator("cut-computes")
+    val counted = udf { (x: Long) => acc.add(1L); x }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-1x").toString
+    val n = 1000L
+    Checkpoints.withCheckpointDir(spark, dir) {
+      val df = spark.range(n).toDF("id").withColumn("y", counted(col("id")))
+      val cutDf = Checkpoints.cut(df)
+      assert(cutDf.count() == n)
+      assert(rddCheckpointFiles(dir).nonEmpty, "cut must be durable")
+      assert(acc.value == n,
+        s"durable cut recomputed its frame (${acc.value} row computations " +
+          s"for $n rows) — the checkpoint write job must read cached blocks")
+      // ...and the scaffolding cache was released once the files landed
+      assert(df.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "cut must unpersist its own scaffolding persist")
+    }
+  }
+
+  test("withCheckpointDir cleanup leaves the scratch dir empty after a completed drop") {
+    val wh = java.nio.file.Files.createTempDirectory("ckpt-clean-wh").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-clean").toString
+    val drop = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a second unrelated document about mountains and morning fog"))
+      .toDF("doc_id", "text")
+    val (n, _) = Checkpoints.withCheckpointDir(spark, dir, cleanup = true) {
+      CorpusIngest.run(spark, drop, wh)
+    }
+    assert(n == 2L)
+    // scratch content gone (the base dir itself is the operator's mount)
+    assert(rddCheckpointFiles(dir).isEmpty &&
+      new java.io.File(dir).listFiles().isEmpty,
+      s"cleanup must empty $dir")
+    // the warehouse is untouched by the cleanup — and a LATER durable drop
+    // on the same dir re-creates fresh scratch (the binding was forgotten)
+    val drop2 = Seq((3L, "a third text about oceans tides and the evening sky"))
+      .toDF("doc_id", "text")
+    Checkpoints.withCheckpointDir(spark, dir) {
+      val (n2, _) = CorpusIngest.run(spark, drop2, wh)
+      assert(n2 == 1L)
+      assert(rddCheckpointFiles(dir).nonEmpty,
+        "a later cut must re-create scratch after cleanup")
+    }
+    assert(spark.read.parquet(s"$wh/corpus/documents").count() == 3L)
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("write lease: a second writer fails fast, a stale lease is reclaimed, a crashed holder's retry re-enters") {
     val wh = java.nio.file.Files.createTempDirectory("lease-wh").toString
     val drop = Seq((1L, "some text about a fox and a dog crossing the river at dawn"))
