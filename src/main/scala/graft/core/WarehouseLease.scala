@@ -2,46 +2,102 @@ package graft.core
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Single-WRITER enforcement for a corpus warehouse.
   *
   * Every store in the warehouse is maintained under a single-writer
   * contract (Sinks.bucketedIdempotentAppend's conf flip, the commit-point
-  * write orders, the rewrite swaps) — but until now the contract was only
-  * asserted in comments. The failure it guards is silent: two concurrent
-  * drops both pass the trim, each computes pairs against a store missing
-  * the other's increment, and the cross-drop pair set is incomplete
-  * forever (every append stays idempotent, so nothing crashes or even
-  * warns). This ledger makes the contract REAL: a sibling lease file under
-  * the warehouse root, created atomically (create-fails-if-exists), held
-  * for the duration of a mutating call.
+  * write orders, the rewrite swaps) — but until round 13 the contract was
+  * only asserted in comments. The failure it guards is silent: two
+  * concurrent drops both pass the trim, each computes pairs against a
+  * store missing the other's increment, and the cross-drop pair set is
+  * incomplete forever (every append stays idempotent, so nothing crashes
+  * or even warns). This ledger makes the contract REAL: a lease file
+  * holding `owner|expiryMillis`, held for the duration of a mutating call.
   *
-  * Semantics:
-  *   - acquire: exclusive-create `<warehouse>/._graft_writer_lease`
-  *     holding `owner|expiryMillis`. If the file exists: the SAME owner
-  *     re-acquires (refreshing expiry) — that is the crashed-holder retry
+  * == The arbitration primitive is PLUGGABLE per filesystem scheme ==
+  *
+  * Exclusive-create (`fs.create(path, overwrite = false)`) is atomic on
+  * HDFS but NOT on object stores: S3A implements it as check-then-put, so
+  * two racing writers can both "win" — the single-writer guarantee would
+  * silently degrade to advisory exactly where a 100 TB warehouse lives.
+  * (Hadoop's LOCAL create-no-overwrite is a check-then-open too; the
+  * local medium here uses an O_EXCL kernel create instead.) So the lease
+  * speaks to a [[LeaseMedium]] — the minimal set of atomic transitions —
+  * selected by the warehouse's filesystem scheme:
+  *
+  *   - `file` / `hdfs` / `viewfs` → [[HadoopRenameMedium]]: exclusive
+  *     create (O_EXCL on local, namenode-atomic on HDFS) plus RENAME-based
+  *     single-winner transitions. Reclaim is TOKEN-GATED: racing
+  *     reclaimers race an exclusive-create on a sibling gate file —
+  *     exactly one wins — and the winner re-verifies the stamp it saw
+  *     before publishing its own via atomic overwrite-rename, so the
+  *     lease file is NEVER absent during a reclaim (a rename-away-then-
+  *     recreate protocol would open an absence window an acquirer could
+  *     mistake for a free warehouse). Release claims the lease file away
+  *     by atomic rename, deletes it iff the content is still the
+  *     releaser's, and renames it back untouched otherwise. Refresh
+  *     publishes via write-sibling + atomic overwrite-rename — never
+  *     absent, never torn.
+  *   - a scheme registered via [[registerMedium]] → the deployment's own
+  *     medium. [[CasLeaseMedium]] over an [[AtomicCell]] is the sound
+  *     building block: the cell's compare-and-swap shape is exactly what
+  *     S3 conditional writes (`If-None-Match: *` create, `If-Match: etag`
+  *     replace/delete) provide, and under a true CAS every transition
+  *     here is single-winner with NO timing assumptions.
+  *   - any other scheme → [[LeaseUnsupportedException]] at acquire, with
+  *     the two escape hatches spelled out. REFUSING loudly beats silently
+  *     arbitrating on a broken primitive.
+  *
+  * Escape hatch for object-store warehouses without a registered medium:
+  * set [[CoordDirKey]] (`spark.graft.lease.coordDir`) to a directory on
+  * an atomic-rename filesystem (HDFS, a posix mount) — the lease files
+  * for every warehouse then live THERE (named by a hash of the warehouse
+  * URI), while the data stays on the object store.
+  *
+  * == Semantics ==
+  *
+  *   - acquire: create the lease if absent. If present: the SAME owner
+  *     re-acquires (refreshing expiry) — the crashed-holder retry
   *     re-entering cleanly, since a crash cannot release; a DIFFERENT
   *     owner fails fast with LeaseHeldException unless the lease has
-  *     EXPIRED, in which case it is reclaimed (delete + re-create; losing
-  *     the re-create race fails fast too).
-  *   - release: delete the file iff still owned.
+  *     EXPIRED, in which case it is reclaimed via the medium's
+  *     single-winner takeover (losing the takeover race fails fast too).
+  *   - release: single-winner claim of the lease, deleted iff still ours,
+  *     restored untouched otherwise — a reclaimed-then-released stale
+  *     lease can never delete the new holder's file.
   *   - `withWriteLease` adds JVM-level re-entrancy (depth-counted per
   *     warehouse), so nested entry points — promoteAndIngest → run,
   *     forget → delete* — acquire once.
   *
   * The TTL bounds how long a CRASHED writer blocks the warehouse — it is
   * not a bound on how long a live one may work: `withWriteLease` runs a
-  * HEARTBEAT that re-stamps the expiry every ttl/3 while the body runs,
-  * so a multi-hour drop under the 15-minute default is never exposed to
-  * reclaim (the one way a live-but-slow holder could reopen the silent
-  * two-writer window this ledger exists to close). A crash stops the
-  * heartbeat with the process, and the lease expires one ttl later.
-  * Reclaim uses delete-then-create, not an atomic swap: two
-  * reclaimers racing resolve to one winner because exactly one exclusive
-  * create succeeds; a reader racing the window sees either lease state,
-  * never a torn file (single-block write).
+  * HEARTBEAT that re-stamps the expiry every ttl/3 while the body runs.
+  * A crash stops the heartbeat with the process, and the lease expires
+  * one ttl later.
+  *
+  * == Residual windows (rename media only — a CAS medium has none) ==
+  *
+  * Rename gives atomic single-winner CLAIMS but not compare-and-swap, so
+  * two narrow hazards remain on file/hdfs, both bounded by one heartbeat
+  * period (ttl/3) because the displaced holder's next beat observes the
+  * foreign owner, stops re-stamping, and the holding call THROWS
+  * LeaseLostException at exit instead of returning silently:
+  *
+  *   1. A holder's beat that read its own UNEXPIRED stamp, then paused
+  *      longer than the stamp's remaining life (≥ 2·ttl/3 under healthy
+  *      beats — a driver-wide GC pause class event) before publishing,
+  *      can overwrite a legitimate reclaimer. Beats route an expired or
+  *      nearly-expired own stamp through the single-winner reclaim path
+  *      instead of the publish path, which is what pins the pause bound
+  *      to the stamp's remaining life.
+  *   2. A reclaimer that pauses past the reclaim token's deadline (30 s
+  *      for a three-op body) lets a successor take the gate; the paused
+  *      reclaimer re-checks token ownership immediately before its
+  *      publish, shrinking the double-publish hazard to a pause landing
+  *      exactly between two adjacent driver ops after a 30 s stall.
   *
   * This is advisory locking with cooperative writers — the right tool for
   * one pipeline's own drivers (all CorpusIngest entry points check it).
@@ -49,6 +105,9 @@ import org.apache.spark.sql.SparkSession
   * more than any lock file does.
   */
 object WarehouseLease {
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.core.WarehouseLease")
 
   final class LeaseHeldException(msg: String)
       extends IllegalStateException(msg)
@@ -63,6 +122,394 @@ object WarehouseLease {
   final class LeaseLostException(msg: String)
       extends IllegalStateException(msg)
 
+  /** Thrown at acquire when the warehouse's filesystem scheme has no
+    * atomic arbitration primitive and none was registered — refusing
+    * loudly instead of silently degrading the single-writer guarantee
+    * to advisory-only (the S3A check-then-put failure mode).
+    */
+  final class LeaseUnsupportedException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** The atomic transitions a lease location must provide. Every state
+    * change of the lease cell goes through one of these; the protocol
+    * above them carries no timing assumptions beyond what the medium
+    * documents.
+    */
+  trait LeaseMedium {
+    /** Current lease content, None when absent; torn/empty reads as ""
+      * (parsed upstream as a never-expiring foreign holder: unreadable =
+      * contended, never free).
+      */
+    def read(): Option[String]
+    /** Atomically create the cell with `content` iff absent. */
+    def createIfAbsent(content: String): Boolean
+    /** Holder re-stamp: publish `next` given the cell held `expect`.
+      * Atomic-publish at minimum (the cell is never absent or torn);
+      * true CAS where the backend has one.
+      */
+    def refresh(expect: String, next: String): Boolean
+    /** Single-winner takeover: transition `expect` → `next` such that of
+      * N racers on one `expect`, AT MOST ONE returns true; a cell that
+      * no longer holds `expect` is left unchanged (restored if the
+      * medium had to disturb it to look).
+      */
+    def reclaim(expect: String, next: String): Boolean
+    /** Delete the cell iff it still holds `expect`; single-winner, never
+      * deletes a successor's lease.
+      */
+    def release(expect: String): Unit
+  }
+
+  /** A conditional-write cell — the exact shape S3 conditional requests
+    * expose (`If-None-Match: *` on put, `If-Match: <etag>` on put and
+    * delete). A deployment backs this with its object-store SDK and
+    * registers `new CasLeaseMedium(cell)` for the scheme; the in-memory
+    * implementation in LeaseSpec proves the protocol single-winner under
+    * racing writers.
+    */
+  trait AtomicCell {
+    /** (content, opaque version tag), None when absent. */
+    def get(): Option[(String, String)]
+    /** Create iff absent — atomic. */
+    def putIfAbsent(content: String): Boolean
+    /** Replace iff the current version tag equals `tag` — atomic. */
+    def putIfTag(tag: String, content: String): Boolean
+    /** Delete iff the current version tag equals `tag` — atomic. */
+    def deleteIfTag(tag: String): Boolean
+  }
+
+  /** Sound lease medium over a compare-and-swap cell: every transition is
+    * a single conditional write, so all three race classes (acquire,
+    * reclaim, release-vs-reclaim) resolve to exactly one winner with no
+    * settle delays and no residual windows.
+    */
+  final class CasLeaseMedium(cell: AtomicCell) extends LeaseMedium {
+    override def read(): Option[String] = cell.get().map(_._1)
+    override def createIfAbsent(content: String): Boolean =
+      cell.putIfAbsent(content)
+    private def ifHolds(expect: String)(f: String => Boolean): Boolean =
+      cell.get() match {
+        case Some((c, tag)) if c == expect => f(tag)
+        case _ => false
+      }
+    override def refresh(expect: String, next: String): Boolean =
+      ifHolds(expect)(cell.putIfTag(_, next))
+    override def reclaim(expect: String, next: String): Boolean =
+      ifHolds(expect)(cell.putIfTag(_, next))
+    override def release(expect: String): Unit = {
+      ifHolds(expect)(cell.deleteIfTag(_)); ()
+    }
+  }
+
+  /** Lease medium for atomic-rename filesystems (local posix, HDFS,
+    * viewfs). Exclusive create is O_EXCL on local (Hadoop's own local
+    * `create(p, false)` is check-then-open — two racers both pass) and
+    * namenode-atomic on HDFS. Reclaim is token-gated (exclusive-create
+    * on a sibling gate file picks the one publisher; the lease file is
+    * never absent mid-reclaim); release claims the lease away by atomic
+    * rename, deleting iff still the releaser's and renaming it back
+    * untouched otherwise; refresh publishes through write-sibling +
+    * atomic overwrite-rename, so a reader never observes an absent or
+    * torn lease mid-refresh. Local-scheme I/O goes through the RAW local
+    * filesystem (no .crc siblings) so NIO and Hadoop ops can mix freely,
+    * and local renames use NIO ATOMIC_MOVE — Hadoop's local rename falls
+    * back to copy-then-delete on a failed renameTo, which would fabricate
+    * claim copies under racing claimers.
+    */
+  final class HadoopRenameMedium(spark: SparkSession, path: Path)
+      extends LeaseMedium {
+    private val conf = spark.sparkContext.hadoopConfiguration
+    private val isLocal = {
+      val s = Option(path.toUri.getScheme)
+        .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
+      s == "file"
+    }
+    private val fs =
+      if (isLocal) FileSystem.getLocal(conf).getRaw
+      else path.getFileSystem(conf)
+    private val lease = fs.makeQualified(path)
+    private def nio(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
+
+    private def readAt(p: Path): Option[String] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val line =
+            try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+              .readLine()
+            finally in.close()
+          Some(if (line == null) "" else line)
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+
+    override def read(): Option[String] = readAt(lease)
+
+    override def createIfAbsent(content: String): Boolean =
+      createIfAbsentAt(lease, content)
+
+    private def createIfAbsentAt(p: Path, content: String): Boolean =
+      if (isLocal) {
+        // kernel-atomic O_EXCL create — the one create-no-overwrite that
+        // is actually atomic on a posix filesystem
+        try {
+          java.nio.file.Files.createDirectories(nio(p).getParent)
+          val ch = java.nio.channels.FileChannel.open(nio(p),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.write(java.nio.ByteBuffer.wrap(content.getBytes("UTF-8")))
+          finally ch.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try {
+          val out = fs.create(p, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+
+    private def writeAt(p: Path, content: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Atomically publish `tmp`'s content over the live lease file —
+      * rename(2) on local, FileContext OVERWRITE rename (namenode-atomic)
+      * on HDFS. The lease file is never absent during the publish.
+      */
+    private def publishOver(tmp: Path): Boolean =
+      try {
+        if (isLocal)
+          java.nio.file.Files.move(nio(tmp), nio(lease),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else
+          FileContext.getFileContext(lease.toUri, conf)
+            .rename(tmp, lease, Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: java.io.IOException =>
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+          false
+      }
+
+    override def refresh(expect: String, next: String): Boolean =
+      if (!read().contains(expect)) false
+      else {
+        val tmp = new Path(lease.getParent,
+          lease.getName + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        writeAt(tmp, next)
+        // verify-then-atomic-publish, not CAS: the residual window (a
+        // pause between the read above and this publish exceeding the
+        // stamp's remaining life) is documented in the object doc; the
+        // protocol routes expired stamps through reclaim() so an
+        // in-date refresh can only overwrite its own live stamp
+        publishOver(tmp)
+      }
+
+    /** Rename the live lease to a unique claim file; exactly one racing
+      * claimer wins (the source vanishes atomically). Returns the claim
+      * path and its content.
+      */
+    private def claimAway(): Option[(Path, String)] = {
+      val claim = new Path(lease.getParent,
+        lease.getName + ".claim-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      val won =
+        try {
+          if (isLocal) {
+            // NIO ATOMIC_MOVE is a bare rename(2): exactly one racing
+            // claimer wins, the losers get NoSuchFileException. Hadoop's
+            // RawLocalFileSystem.rename must NOT be used here — when its
+            // renameTo fails it falls back to COPY-then-delete, which can
+            // fabricate extra "claims" (copies) under racing claimers and
+            // void the single-winner property this protocol stands on.
+            java.nio.file.Files.move(nio(lease), nio(claim),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } else fs.rename(lease, claim) // namenode-atomic on hdfs/viewfs
+        } catch { case _: java.io.IOException => false }
+      if (!won) None else Some((claim, readAt(claim).getOrElse("")))
+    }
+
+    private def discard(claim: Path): Unit =
+      try fs.delete(claim, false) catch { case _: java.io.IOException => () }
+
+    // reclaim token: a sibling gate file so that of N reclaimers racing
+    // one expired stamp, exactly one (the atomic token creator) may
+    // publish. The lease file itself is NEVER absent during a reclaim —
+    // publish is an atomic content swap — so an acquirer polling the
+    // cell can never mistake a reclaim in flight for a free warehouse
+    // (rename-away-then-recreate protocols open exactly that window).
+    private val token = new Path(lease.getParent, lease.getName + ".reclaim")
+    private val tokenTtlMs = 30000L
+
+    private def tokenDeadline(t: String): Long = {
+      val i = t.lastIndexOf('|')
+      if (i < 0) Long.MaxValue
+      else try t.substring(i + 1).trim.toLong
+      catch { case _: NumberFormatException => Long.MaxValue }
+    }
+
+    /** Win the reclaim gate: clear a CRASHED reclaimer's expired token
+      * (single-winner removal via atomic rename of the token — losers
+      * back off for this round), then race the exclusive create.
+      */
+    private def tokenUp(me: String): Boolean = {
+      val cleared = readAt(token) match {
+        case None => true
+        case Some(t) if tokenDeadline(t) >= System.currentTimeMillis() =>
+          false // a reclaim is in flight — back off, the next pass retries
+        case Some(_) =>
+          // crashed reclaimer's token: remove it single-winner (rename to
+          // a unique name; the copy-fallback hazard of Hadoop's local
+          // rename is avoided the same way as claimAway)
+          val uniq = new Path(token.getParent, token.getName + ".stale-" + me)
+          try {
+            if (isLocal)
+              java.nio.file.Files.move(nio(token), nio(uniq),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            else if (!fs.rename(token, uniq)) throw new java.io.IOException
+            try fs.delete(uniq, false)
+            catch { case _: java.io.IOException => () }
+            true
+          } catch { case _: java.io.IOException => false }
+      }
+      cleared && createIfAbsentAt(token,
+        s"$me|${System.currentTimeMillis() + tokenTtlMs}")
+    }
+
+    private def dropToken(me: String): Unit =
+      // only if still OURS: a >deadline pause lets a later reclaimer
+      // replace the token, and deleting theirs would double-admit
+      if (readAt(token).exists(_.startsWith(me + "|")))
+        try fs.delete(token, false) catch { case _: java.io.IOException => () }
+
+    override def reclaim(expect: String, next: String): Boolean = {
+      val me = java.util.UUID.randomUUID().toString.take(12)
+      if (!tokenUp(me)) false
+      else try {
+        if (!read().contains(expect)) false // transitioned since the read
+        else {
+          val tmp = new Path(lease.getParent,
+            lease.getName + ".tmp-" + me.take(8))
+          writeAt(tmp, next)
+          // re-check token ownership immediately before the publish: if a
+          // pause outlived the token deadline a successor reclaimer may
+          // hold the gate now, and it must be the only publisher (this
+          // shrinks the pause hazard to the gap between two adjacent
+          // driver ops — the residual the object doc documents)
+          if (readAt(token).exists(_.startsWith(me + "|"))) publishOver(tmp)
+          else {
+            try fs.delete(tmp, false)
+            catch { case _: java.io.IOException => () }
+            false
+          }
+        }
+      } finally dropToken(me)
+    }
+
+    override def release(expect: String): Unit =
+      claimAway() match {
+        case None => ()
+        case Some((claim, got)) if got == expect => discard(claim)
+        case Some((claim, _)) =>
+          // not ours anymore — a successor's lease; put it BACK by
+          // renaming the claim into place (atomic, content untouched).
+          // If an acquirer slipped into the claim gap, leave its lease
+          // and drop the claim — the displaced successor's next beat
+          // surfaces the overlap.
+          try {
+            if (fs.exists(lease)) discard(claim)
+            else if (isLocal) {
+              java.nio.file.Files.move(nio(claim), nio(lease),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            } else if (!fs.rename(claim, lease)) discard(claim)
+          } catch { case _: java.io.IOException => discard(claim) }
+      }
+  }
+
+  /** Conf key: a directory on an atomic-rename filesystem hosting the
+    * lease files of warehouses whose OWN filesystem has no atomic
+    * primitive (object stores). Lease files are named by a hash of the
+    * warehouse URI; the warehouse data never moves.
+    */
+  val CoordDirKey = "spark.graft.lease.coordDir"
+
+  // filesystem schemes whose create/rename primitives are atomic enough
+  // for HadoopRenameMedium; everything else must register a medium or
+  // redirect via CoordDirKey
+  private val atomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  // deployment-registered media by warehouse scheme (e.g. "s3a" → a
+  // CasLeaseMedium over the SDK's conditional PUT)
+  private val customMedia =
+    new ConcurrentHashMap[String, (SparkSession, String) => LeaseMedium]()
+
+  /** Register the lease medium for a filesystem scheme — the seam an
+    * object-store deployment uses to supply its conditional-write
+    * arbitration (see [[AtomicCell]] / [[CasLeaseMedium]]).
+    */
+  def registerMedium(scheme: String,
+                     factory: (SparkSession, String) => LeaseMedium): Unit =
+    customMedia.put(scheme, factory)
+
+  def unregisterMedium(scheme: String): Unit = customMedia.remove(scheme)
+
+  private def schemeOf(spark: SparkSession, s: String): String =
+    Option(new Path(s).toUri.getScheme).getOrElse(
+      FileSystem.getDefaultUri(spark.sparkContext.hadoopConfiguration)
+        .getScheme)
+
+  private def sha16(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Where this warehouse's lease lives: a sibling file under the
+    * warehouse root, unless [[CoordDirKey]] redirects every lease to a
+    * coordination directory (keyed by the normalized warehouse URI, so
+    * the same warehouse always maps to the same lease file).
+    */
+  private def leasePath(spark: SparkSession, warehouse: String): Path =
+    spark.conf.getOption(CoordDirKey).filter(_.trim.nonEmpty) match {
+      case Some(cd) =>
+        val norm = new Path(warehouse).toUri.toString
+        val base = new Path(warehouse).getName
+          .replaceAll("[^A-Za-z0-9._-]", "_").take(48)
+        new Path(cd, s"._graft_writer_lease-$base-${sha16(norm)}")
+      case None => new Path(warehouse, "._graft_writer_lease")
+    }
+
+  /** Resolve the arbitration medium for a warehouse. Scheme-registered
+    * media win; atomic-rename filesystems (including a CoordDirKey
+    * redirect landing on one) get [[HadoopRenameMedium]]; anything else
+    * refuses loudly.
+    */
+  private[graft] def mediumFor(spark: SparkSession,
+                               warehouse: String): LeaseMedium = {
+    val custom = customMedia.get(schemeOf(spark, warehouse))
+    if (custom != null) custom(spark, warehouse)
+    else {
+      val p = leasePath(spark, warehouse)
+      val s = schemeOf(spark, p.toString)
+      if (atomicRenameSchemes(s)) new HadoopRenameMedium(spark, p)
+      else throw new LeaseUnsupportedException(
+        s"warehouse $warehouse: no atomic lease primitive on filesystem " +
+          s"scheme '$s' — create-no-overwrite is check-then-put on object " +
+          "stores (S3A et al), so exclusive-create arbitration would " +
+          "silently admit two writers. Either set " +
+          s"$CoordDirKey to a directory on an atomic-rename filesystem " +
+          "(HDFS, a posix mount) to host the lease files there, or " +
+          "WarehouseLease.registerMedium a conditional-write medium for " +
+          "the scheme (CasLeaseMedium over an AtomicCell backed by the " +
+          "store's conditional PUT / If-Match semantics)")
+    }
+  }
+
   /** Default writer identity: stable for this JVM's lifetime, unique
     * across JVMs — a crashed-and-restarted driver gets a NEW owner and
     * waits out (or outlives) its predecessor's TTL, while a retry inside
@@ -73,9 +520,6 @@ object WarehouseLease {
       java.util.UUID.randomUUID().toString.take(8)
 
   val defaultTtlMs: Long = 15L * 60L * 1000L
-
-  private def leasePath(warehouse: String) =
-    new Path(warehouse, "._graft_writer_lease")
 
   // JVM-level re-entrancy: canonical lease URI ->
   // (owner, holding thread id, depth). The THREAD id matters: re-entrancy
@@ -92,16 +536,18 @@ object WarehouseLease {
     * writers with the same jvmOwner, the exact silent two-writer hole the
     * map exists to close. Qualify against the filesystem (scheme,
     * authority, working-dir resolution) so every spelling of one
-    * directory arbitrates on one key.
+    * directory arbitrates on one key; schemes the session cannot resolve
+    * (custom-medium stores) key on the normalized lease URI instead.
     */
   private def heldKey(spark: SparkSession, warehouse: String): String = {
-    val p = leasePath(warehouse)
-    fsOf(spark, p).makeQualified(p).toString
+    val p = leasePath(spark, warehouse)
+    try fsOf(spark, p).makeQualified(p).toString
+    catch { case _: Exception => "unresolved:" + p.toUri.toString }
   }
 
   // per-key monitors serializing the heartbeat body against release: the
   // beat's check-then-refresh is not atomic on its own, so an unlucky
-  // preemption between its readLease and its writeRefresh could recreate
+  // preemption between its read and its refresh could recreate
   // the lease file AFTER release deleted it — an orphan lease blocking
   // foreign writers for a full ttl
   private val beatMonitors = new ConcurrentHashMap[String, Object]()
@@ -135,92 +581,65 @@ object WarehouseLease {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read (owner, expiryMillis) from the lease file; None when absent.
-    * Any unparseable content — missing separator, garbage expiry from a
-    * torn write — reads as a never-expiring foreign holder: unreadable =
-    * treat as contended, never as free (and never as a crash out of the
-    * caller's entry point).
+  private def stamp(owner: String, ttlMs: Long): String =
+    s"$owner|${System.currentTimeMillis() + ttlMs}"
+
+  /** Parse `owner|expiryMillis`. Any unparseable content — missing
+    * separator, garbage expiry from a torn write — reads as a
+    * never-expiring foreign holder: unreadable = treat as contended,
+    * never as free (and never as a crash out of the caller's entry
+    * point).
     */
-  private def readLease(spark: SparkSession,
-                        warehouse: String): Option[(String, Long)] = {
-    val p = leasePath(warehouse)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line =
-        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-          .readLine()
-        finally in.close()
-      val i = if (line == null) -1 else line.lastIndexOf('|')
-      if (i < 0) Some(("<corrupt>", Long.MaxValue))
-      else try Some((line.substring(0, i), line.substring(i + 1).trim.toLong))
-      catch {
-        case _: NumberFormatException => Some(("<corrupt>", Long.MaxValue))
-      }
-    }
+  private def parseLease(raw: String): (String, Long) = {
+    val i = raw.lastIndexOf('|')
+    if (i < 0) ("<corrupt>", Long.MaxValue)
+    else try (raw.substring(0, i), raw.substring(i + 1).trim.toLong)
+    catch { case _: NumberFormatException => ("<corrupt>", Long.MaxValue) }
   }
 
-  private def writeExclusive(spark: SparkSession, warehouse: String,
-                             owner: String, ttlMs: Long): Boolean = {
-    val p = leasePath(warehouse)
-    val fs = fsOf(spark, p)
-    try {
-      // overwrite = false: atomic create-fails-if-exists on local/HDFS —
-      // the arbitration primitive
-      val out = fs.create(p, false)
-      try out.write(s"$owner|${System.currentTimeMillis() + ttlMs}"
-        .getBytes("UTF-8"))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
-  }
-
-  private def writeRefresh(spark: SparkSession, warehouse: String,
-                           owner: String, ttlMs: Long): Unit = {
-    val p = leasePath(warehouse)
-    val fs = fsOf(spark, p)
-    val out = fs.create(p, true)
-    try out.write(s"$owner|${System.currentTimeMillis() + ttlMs}"
-      .getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** Take the warehouse write lease (filesystem level — see object doc).
-    * Throws LeaseHeldException when another live owner holds it.
+  /** Take the warehouse write lease. Throws LeaseHeldException when
+    * another live owner holds it (or when a racing transition beat us),
+    * LeaseUnsupportedException when the warehouse's filesystem has no
+    * atomic primitive.
     */
   def acquire(spark: SparkSession, warehouse: String,
               owner: String = jvmOwner,
-              ttlMs: Long = defaultTtlMs): Unit = {
-    if (writeExclusive(spark, warehouse, owner, ttlMs)) return
-    readLease(spark, warehouse) match {
+              ttlMs: Long = defaultTtlMs): Unit =
+    acquireVia(mediumFor(spark, warehouse), warehouse, owner, ttlMs)
+
+  private def acquireVia(m: LeaseMedium, warehouse: String,
+                         owner: String, ttlMs: Long): Unit = {
+    if (m.createIfAbsent(stamp(owner, ttlMs))) return
+    m.read() match {
       case None =>
         // holder released between our create and read — one retry
-        if (!writeExclusive(spark, warehouse, owner, ttlMs))
+        if (!m.createIfAbsent(stamp(owner, ttlMs)))
           throw new LeaseHeldException(
             s"warehouse $warehouse: lost the lease race on re-acquire")
-      case Some((o, _)) if o == owner =>
-        // our own lease (crashed-call retry, or TTL refresh): take it back
-        writeRefresh(spark, warehouse, owner, ttlMs)
-      case Some((o, exp)) if exp < System.currentTimeMillis() =>
-        // stale: the holder died without releasing — reclaim by
-        // OVERWRITE-then-verify, never delete-then-create: a racing
-        // reclaimer's delete could remove the winner's freshly created
-        // lease and leave BOTH believing they hold it. With overwrite,
-        // racing reclaimers last-write-wins; after a settle delay each
-        // re-reads and only the one whose owner survived proceeds (the
-        // settle must exceed the writers' mutual clock-visible skew on
-        // the lease file — generous for one filesystem).
-        writeRefresh(spark, warehouse, owner, ttlMs)
-        Thread.sleep(200L)
-        readLease(spark, warehouse) match {
-          case Some((w, _)) if w == owner => ()
-          case other => throw new LeaseHeldException(
-            s"warehouse $warehouse: lease of expired owner $o was " +
-              s"reclaimed by a concurrent writer (now: $other)")
-        }
-      case Some((o, exp)) =>
-        throw new LeaseHeldException(
+      case Some(raw) =>
+        val (o, exp) = parseLease(raw)
+        val now = System.currentTimeMillis()
+        if (o == owner) {
+          // our own lease (crashed-call retry, or TTL refresh): take it
+          // back. An EXPIRED own stamp goes through the single-winner
+          // reclaim — a foreign reclaimer may be mid-takeover on it, and
+          // a plain publish could clobber the winner.
+          val ok =
+            if (exp < now) m.reclaim(raw, stamp(owner, ttlMs))
+            else m.refresh(raw, stamp(owner, ttlMs))
+          if (!ok) throw new LeaseHeldException(
+            s"warehouse $warehouse: our lease transitioned while " +
+              s"re-acquiring as $owner (a reclaimer won it); current: " +
+              s"${m.read()}")
+        } else if (exp < now) {
+          // stale: the holder died without releasing — single-winner
+          // takeover via the medium (rename-claim or CAS); losing the
+          // race fails fast
+          if (!m.reclaim(raw, stamp(owner, ttlMs)))
+            throw new LeaseHeldException(
+              s"warehouse $warehouse: lease of expired owner $o was " +
+                s"reclaimed by a concurrent writer (now: ${m.read()})")
+        } else throw new LeaseHeldException(
           s"warehouse $warehouse is being written by $o (lease expires " +
             s"${new java.sql.Timestamp(exp)}); concurrent drops would " +
             "silently lose cross-drop pairs — serialize your writers")
@@ -228,15 +647,16 @@ object WarehouseLease {
   }
 
   /** Release iff still owned (a reclaimed-then-released stale lease must
-    * not delete the new holder's file).
+    * not delete the new holder's file) — single-winner through the
+    * medium's claim-verify-delete.
     */
   def release(spark: SparkSession, warehouse: String,
               owner: String = jvmOwner): Unit =
-    readLease(spark, warehouse) match {
-      case Some((o, _)) if o == owner =>
-        val p = leasePath(warehouse)
-        fsOf(spark, p).delete(p, false)
-      case _ => ()
+    releaseVia(mediumFor(spark, warehouse), owner)
+
+  private def releaseVia(m: LeaseMedium, owner: String): Unit =
+    m.read().foreach { raw =>
+      if (parseLease(raw)._1 == owner) m.release(raw)
     }
 
   /** Hold the write lease around `body`, re-entrant within this JVM per
@@ -262,10 +682,11 @@ object WarehouseLease {
     })._3
     if (depth == 1) {
       try {
-        acquire(spark, warehouse, owner, ttlMs)
+        val m = mediumFor(spark, warehouse)
+        acquireVia(m, warehouse, owner, ttlMs)
         // heartbeat: re-stamp expiry every ttl/3 while held, so a live
         // holder outworking its ttl is never reclaimed mid-drop. The beat
-        // checks the in-memory hold AND the FILE's current owner before
+        // checks the in-memory hold AND the cell's current owner before
         // stamping: a cancel/fire race on release, or a reclaim that
         // somehow slipped between beats, must not be clobbered by a stale
         // overwrite.
@@ -277,21 +698,35 @@ object WarehouseLease {
             // could recreate the lease file AFTER release deleted it
             val cur = held.get(key)
             if (cur != null && cur._1 == owner)
-              try readLease(spark, warehouse) match {
-                case Some((o2, _)) if o2 == owner =>
-                  writeRefresh(spark, warehouse, owner, ttlMs)
+              try m.read() match {
+                case Some(raw) if parseLease(raw)._1 == owner =>
+                  val exp = parseLease(raw)._2
+                  val now = System.currentTimeMillis()
+                  if (exp >= now + period)
+                    // comfortably in date: no reclaimer can legitimately
+                    // act on this stamp, atomic publish is safe. A false
+                    // return is transient — the next beat retries or
+                    // detects the foreign owner.
+                    m.refresh(raw, stamp(owner, ttlMs))
+                  else if (!m.reclaim(raw, stamp(owner, ttlMs)))
+                    // expired (or expiring within one beat): a reclaimer
+                    // may be acting on this very stamp, so only a
+                    // single-winner takeover may re-stamp it. Losing it
+                    // means a foreign writer won — unless the cell still
+                    // reads as ours (our own racing transition), treat
+                    // the lease as lost.
+                    m.read() match {
+                      case Some(r2) if parseLease(r2)._1 == owner => ()
+                      case other => markLost(key, warehouse, owner, other)
+                    }
                 case other =>
                   // a foreign owner on a lease we believe we hold: >ttl
-                  // passed without a successful beat and someone reclaimed.
-                  // Never re-stamp — and surface it at the outermost exit
-                  // (the two-writer window was OPEN; silence here is the
-                  // failure mode the lease exists to close).
-                  lost.add(key)
-                  System.err.println(
-                    s"[graft] WARN: write lease on $warehouse lost to " +
-                      s"$other while held by $owner — a concurrent writer " +
-                      "may have interleaved; the holding call will throw " +
-                      "on exit")
+                  // passed without a successful beat and someone
+                  // reclaimed. Never re-stamp — and surface it at the
+                  // outermost exit (the two-writer window was OPEN;
+                  // silence here is the failure mode the lease exists to
+                  // close).
+                  markLost(key, warehouse, owner, other)
               } catch { case _: Throwable => () } // next beat retries
           },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
@@ -325,11 +760,23 @@ object WarehouseLease {
         // finish (refresh-then-delete is fine) before we delete — the
         // reverse order would resurrect the file as an orphan
         beatMonitor(key).synchronized {
-          release(spark, warehouse, owner)
+          releaseVia(mediumFor(spark, warehouse), owner)
         }
         lost.remove(key)
       }
     }
+  }
+
+  private def markLost(key: String, warehouse: String, owner: String,
+                       observed: Option[String]): Unit = {
+    // log on the TRANSITION, not every beat — this is the one message an
+    // operator must never miss, and a repeated wall of it buries the
+    // fleet's other warnings
+    if (lost.add(key))
+      log.warn(
+        s"write lease on $warehouse lost to ${observed.getOrElse("<absent>")} " +
+          s"while held by $owner — a concurrent writer may have " +
+          "interleaved; the holding call will throw on exit")
   }
 
   /** `withWriteLease` with PATIENCE — the entry-point shape a scheduled

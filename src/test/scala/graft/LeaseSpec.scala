@@ -1,0 +1,220 @@
+package graft
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+import graft.core.WarehouseLease
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arbitration-primitive proofs for the pluggable lease media: the
+  * check-then-put hazard the object-store refusal guards, the
+  * single-winner property of the CAS medium under racing writers, the
+  * rename-claim reclaim on atomic-rename filesystems, and the CoordDir
+  * escape hatch. DurabilitySpec covers the protocol ABOVE the media
+  * (re-entrancy, heartbeat, loss surfacing); this suite attacks the
+  * primitives themselves.
+  */
+class LeaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** In-memory conditional-write cell — the exact S3 conditional PUT
+    * shape (If-None-Match on create, If-Match: etag on replace/delete).
+    */
+  private final class MemCell extends WarehouseLease.AtomicCell {
+    private val ref = new AtomicReference[Option[(String, Long)]](None)
+    override def get(): Option[(String, String)] =
+      ref.get().map { case (c, v) => (c, v.toString) }
+    override def putIfAbsent(content: String): Boolean =
+      ref.compareAndSet(None, Some((content, 0L)))
+    override def putIfTag(tag: String, content: String): Boolean = {
+      val cur = ref.get()
+      cur match {
+        case Some((_, v)) if v.toString == tag =>
+          ref.compareAndSet(cur, Some((content, v + 1L)))
+        case _ => false
+      }
+    }
+    override def deleteIfTag(tag: String): Boolean = {
+      val cur = ref.get()
+      cur match {
+        case Some((_, v)) if v.toString == tag => ref.compareAndSet(cur, None)
+        case _ => false
+      }
+    }
+  }
+
+  private def race[T](n: Int)(body: Int => T): Seq[T] = {
+    val start = new CountDownLatch(1)
+    val out = new ConcurrentHashMap[Int, T]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => { start.await(); out.put(i, body(i)) })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000L))
+    (0 until n).flatMap(i => Option(out.get(i)))
+  }
+
+  test("the hazard: check-then-put create-no-overwrite admits MULTIPLE winners") {
+    // this is what fs.create(path, overwrite = false) compiles to on S3A:
+    // a HEAD check followed by an unconditional PUT. With any scheduling
+    // gap between the two, racing writers all pass the check — the
+    // arbitration the lease used to rely on simply does not exist there,
+    // which is why unknown schemes now REFUSE instead.
+    val cell = new AtomicReference[Option[String]](None)
+    def checkThenPut(content: String): Boolean =
+      if (cell.get().isDefined) false
+      else { Thread.sleep(25L); cell.set(Some(content)); true } // HEAD .. PUT
+    val winners = race(8)(i => checkThenPut(s"writer-$i")).count(identity)
+    assert(winners >= 2,
+      s"expected the broken primitive to admit multiple winners, got $winners")
+  }
+
+  test("CAS medium: exactly one of N racing acquirers holds; reclaim of an expired lease has exactly one winner") {
+    val cells = new ConcurrentHashMap[String, MemCell]()
+    WarehouseLease.registerMedium("mem", (_, wh) =>
+      new WarehouseLease.CasLeaseMedium(
+        cells.computeIfAbsent(wh, _ => new MemCell)))
+    try {
+      val wh = "mem://bucket/warehouse-a"
+      // fresh-cell race: N writers, one winner
+      val okA = new AtomicInteger(0)
+      val heldA = new AtomicInteger(0)
+      race(16) { i =>
+        try { WarehouseLease.acquire(spark, wh, owner = s"w$i",
+          ttlMs = 60000L); okA.incrementAndGet() }
+        catch { case _: WarehouseLease.LeaseHeldException =>
+          heldA.incrementAndGet() }
+      }
+      assert(okA.get() == 1 && heldA.get() == 15,
+        s"acquire race: ${okA.get()} winners, ${heldA.get()} refused")
+
+      // expired-lease reclaim race: N writers against one stale stamp,
+      // exactly one single-winner CAS succeeds
+      val wh2 = "mem://bucket/warehouse-b"
+      WarehouseLease.acquire(spark, wh2, owner = "dead", ttlMs = -1000L)
+      val okB = new AtomicInteger(0)
+      val heldB = new AtomicInteger(0)
+      race(16) { i =>
+        try { WarehouseLease.acquire(spark, wh2, owner = s"r$i",
+          ttlMs = 60000L); okB.incrementAndGet() }
+        catch { case _: WarehouseLease.LeaseHeldException =>
+          heldB.incrementAndGet() }
+      }
+      assert(okB.get() == 1 && heldB.get() == 15,
+        s"reclaim race: ${okB.get()} winners, ${heldB.get()} refused")
+    } finally WarehouseLease.unregisterMedium("mem")
+  }
+
+  test("CAS medium: withWriteLease lifecycle — heartbeat refreshes, contender refused, release empties the cell") {
+    val cells = new ConcurrentHashMap[String, MemCell]()
+    WarehouseLease.registerMedium("mem", (_, wh) =>
+      new WarehouseLease.CasLeaseMedium(
+        cells.computeIfAbsent(wh, _ => new MemCell)))
+    try {
+      val wh = "mem://bucket/warehouse-c"
+      WarehouseLease.withWriteLease(spark, wh, owner = "holder",
+        ttlMs = 600L) {
+        Thread.sleep(1500L) // several beat periods past the raw ttl
+        // the CAS refresh kept us live: a contender is refused
+        intercept[WarehouseLease.LeaseHeldException] {
+          WarehouseLease.acquire(spark, wh, owner = "contender",
+            ttlMs = 1000L)
+        }
+      }
+      // released on exit: the cell is empty and a fresh writer enters
+      assert(cells.get(wh).get().isEmpty, "release must empty the cell")
+      WarehouseLease.acquire(spark, wh, owner = "next", ttlMs = 1000L)
+      WarehouseLease.release(spark, wh, owner = "next")
+    } finally WarehouseLease.unregisterMedium("mem")
+  }
+
+  test("object-store scheme with no medium refuses loudly instead of degrading") {
+    val ex = intercept[WarehouseLease.LeaseUnsupportedException] {
+      WarehouseLease.acquire(spark, "s3a://bucket/wh", owner = "x")
+    }
+    assert(ex.getMessage.contains("check-then-put") &&
+      ex.getMessage.contains(WarehouseLease.CoordDirKey) &&
+      ex.getMessage.contains("registerMedium"), ex.getMessage)
+    // withWriteLease refuses the same way, and leaves the in-JVM
+    // bookkeeping clean for a later (supported) attempt
+    intercept[WarehouseLease.LeaseUnsupportedException] {
+      WarehouseLease.withWriteLease(spark, "s3a://bucket/wh",
+        owner = "x") { fail("body must not run") }
+    }
+    intercept[WarehouseLease.LeaseUnsupportedException] {
+      WarehouseLease.withWriteLease(spark, "s3a://bucket/wh",
+        owner = "x") { fail("body must not run") }
+    }
+  }
+
+  test("coordDir hosts an object-store warehouse's lease on an atomic filesystem") {
+    val cd = java.nio.file.Files.createTempDirectory("lease-coord").toString
+    spark.conf.set(WarehouseLease.CoordDirKey, cd)
+    try {
+      val wh = "s3a://bucket/wh-coord"
+      WarehouseLease.acquire(spark, wh, owner = "a", ttlMs = 60000L)
+      // the lease landed under the coordination dir, not the object store
+      val files = new java.io.File(cd).listFiles()
+        .filter(_.getName.startsWith("._graft_writer_lease"))
+      assert(files.length == 1, files.mkString(","))
+      // arbitration works across owners
+      intercept[WarehouseLease.LeaseHeldException] {
+        WarehouseLease.acquire(spark, wh, owner = "b", ttlMs = 1000L)
+      }
+      // a DIFFERENT warehouse maps to a different lease file — no
+      // cross-warehouse contention through the shared dir
+      WarehouseLease.acquire(spark, "s3a://bucket/wh-other", owner = "b",
+        ttlMs = 60000L)
+      WarehouseLease.release(spark, "s3a://bucket/wh-other", owner = "b")
+      WarehouseLease.release(spark, wh, owner = "a")
+      WarehouseLease.acquire(spark, wh, owner = "b", ttlMs = 1000L)
+      WarehouseLease.release(spark, wh, owner = "b")
+    } finally spark.conf.unset(WarehouseLease.CoordDirKey)
+  }
+
+  test("rename medium: exactly one of N racing local reclaimers wins the expired lease") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-claimrace").toString
+    WarehouseLease.acquire(spark, wh, owner = "dead", ttlMs = -1000L)
+    val ok = new AtomicInteger(0)
+    val refused = new AtomicInteger(0)
+    race(8) { i =>
+      try { WarehouseLease.acquire(spark, wh, owner = s"rc$i",
+        ttlMs = 60000L); ok.incrementAndGet() }
+      catch { case _: WarehouseLease.LeaseHeldException =>
+        refused.incrementAndGet() }
+    }
+    assert(ok.get() == 1 && refused.get() == 7,
+      s"rename-claim reclaim: ${ok.get()} winners, ${refused.get()} refused")
+    // the winner's lease file is intact and no claim residue leaks into
+    // reads: only the single live lease remains
+    val leases = new java.io.File(wh).listFiles()
+      .filter(_.getName.startsWith("._graft_writer_lease"))
+    assert(leases.map(_.getName).toSeq == Seq("._graft_writer_lease"),
+      leases.map(_.getName).mkString(","))
+  }
+
+  test("rename medium: a claim of a lease that transitioned since the read is refused and restored") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-restore").toString
+    val m = WarehouseLease.mediumFor(spark, wh)
+    val stale = s"dead|${System.currentTimeMillis() - 5000L}"
+    assert(m.createIfAbsent(stale))
+    // the lease transitions (a faster reclaimer won it and is live)
+    val fresh = s"winner|${System.currentTimeMillis() + 60000L}"
+    assert(m.reclaim(stale, fresh), "first reclaim must win")
+    // a SLOW reclaimer still holding the stale content now tries: it must
+    // lose AND leave the winner's lease exactly as it was — this is the
+    // racing-reclaimer overwrite hazard the old overwrite-then-verify
+    // settle window could not close
+    assert(!m.reclaim(stale, s"slow|${System.currentTimeMillis() + 60000L}"),
+      "stale reclaim must be refused")
+    assert(m.read().contains(fresh),
+      s"winner's lease must be restored untouched, got ${m.read()}")
+    // same single-winner shape for release: a stale releaser must not
+    // delete the winner's lease
+    m.release(stale)
+    assert(m.read().contains(fresh), "stale release must not delete")
+    m.release(fresh)
+    assert(m.read().isEmpty)
+  }
+}
