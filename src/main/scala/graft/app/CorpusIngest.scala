@@ -99,7 +99,7 @@ object CorpusIngest {
   private def appendKeyedStore(spark: SparkSession, df: DataFrame,
                                path: String, buckets: Int,
                                keys: Seq[String] = Seq("doc_id")): Unit =
-    if (Sinks.isBucketedStore(spark, path) || !Sinks.pathExists(spark, path))
+    if (Sinks.isBucketedStore(spark, path) || !Sinks.storePresent(spark, path))
       Sinks.bucketedIdempotentAppend(df, path, keys = keys,
         bucketKeys = keys, buckets = buckets)
     else Sinks.idempotentAppend(df, path, keys = keys, partitionCols = Nil)
@@ -150,7 +150,12 @@ object CorpusIngest {
       // this drop's increment and silently lose cross-drop pairs — the
       // lease turns that silent gap into a fail-fast (WarehouseLease doc)
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    val storeExists = Sinks.pathExists(spark, shinglePath(warehouse))
+    // park-aware presence (storePresent, not raw pathExists): a crash-
+    // parked shingle store read as ABSENT would silently take the
+    // first-drop branch — no trim, batch pair derivation — and every
+    // new-old pair against the existing corpus would be lost forever.
+    // Under the lease just taken, storePresent heals the park in-line.
+    val storeExists = Sinks.storePresent(spark, shinglePath(warehouse))
     // refuse to mix dedup thresholds in one pair table BEFORE any work: a
     // pair row carries no threshold, so appends under a different cut-off
     // would silently corrupt the cumulative table's semantics (the same
@@ -277,7 +282,7 @@ object CorpusIngest {
     // re-enter the same branch on retry (an absent table counts as
     // bucketed-ready; only a present PLAIN table forces the legacy path)
     def plainStore(p: String) =
-      Sinks.pathExists(spark, p) && !Sinks.isBucketedStore(spark, p)
+      Sinks.storePresent(spark, p) && !Sinks.isBucketedStore(spark, p)
     if (plainStore(bandPath(warehouse)) || plainStore(shinglePath(warehouse)))
       DedupOps.appendSignatureStore(inc, bandPath(warehouse),
         shinglePath(warehouse))
@@ -392,7 +397,7 @@ object CorpusIngest {
                             pairsP: String, aCol: String,
                             bCol: String): Unit = {
     dropStore(spark, labelPath)
-    if (Sinks.pathExists(spark, pairsP)) {
+    if (Sinks.storePresent(spark, pairsP)) {
       val buckets = Sinks.bucketSpecOf(spark, pairsP).map(_._2).getOrElse(8)
       val labels = Components.connectedComponents(
         readStore(spark, pairsP).select(col(aCol), col(bCol)))
@@ -479,7 +484,9 @@ object CorpusIngest {
       "doc_stats" -> statsPath(warehouse),
       "staged_drops" -> stagedPath(warehouse))
     val purged = byDocId.flatMap { case (name, p) =>
-      if (!Sinks.pathExists(spark, p)) None
+      // park-aware (storePresent): a parked table read as absent would
+      // silently SKIP its purge — a takedown that leaves fingerprints
+      if (!Sinks.storePresent(spark, p)) None
       // the signature store must be rewritten through the bucketed writer —
       // a plain swap would strip the bucket-id file naming the catalog
       // still promises, and later band joins would read a wrong layout
@@ -502,7 +509,7 @@ object CorpusIngest {
     val tomb = tombstoneWithCounts(spark, tombPath(warehouse), keys,
       Seq("doc_id"))
     val all =
-      if (!Sinks.pathExists(spark, pairsPath(warehouse))) purged
+      if (!Sinks.storePresent(spark, pairsPath(warehouse))) purged
       else if (Sinks.isBucketedStore(spark, pairsPath(warehouse)))
         purged + ("pairs" -> Sinks.deleteBucketedByAnyKey(spark,
           pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
@@ -536,7 +543,7 @@ object CorpusIngest {
   def reinstate(spark: SparkSession, warehouse: String,
                 docIds: Seq[Long]): Long =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    if (!Sinks.pathExists(spark, tombPath(warehouse))) 0L
+    if (!Sinks.storePresent(spark, tombPath(warehouse))) 0L
     else {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, tombPath(warehouse),
@@ -600,7 +607,9 @@ object CorpusIngest {
                        maxBucketCandidates: Option[Int] = None,
                        hotBucketSalt: Int = 0): (Long, Long) =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    val storeExists = Sinks.pathExists(spark, embVecsPath(warehouse))
+    // park-aware like run(): a parked vec store must not flip this drop
+    // into the first-drop branch (all new-old pairs lost)
+    val storeExists = Sinks.storePresent(spark, embVecsPath(warehouse))
     checkThresholdAt(spark, embPairsPath(warehouse), "corpus/emb_pairs",
       threshold)
     // SemDeDup COVERAGE is refused-before-work like every other contract
@@ -610,7 +619,7 @@ object CorpusIngest {
     // never assigned — run retrainSemStore first to cover them. (2) A
     // sem-maintained warehouse receiving a drop WITHOUT centroids — that
     // drop's vectors would never enter sem_asg.
-    val semAsgExists = Sinks.pathExists(spark, semAsgPath(warehouse))
+    val semAsgExists = Sinks.storePresent(spark, semAsgPath(warehouse))
     if (trainedCentroids.isDefined) {
       require(semAsgExists || !storeExists,
         s"ingestEmbeddings: ${semAsgPath(warehouse)} is missing but the " +
@@ -689,7 +698,7 @@ object CorpusIngest {
         // on retry and these keyed appends no-op what already landed.
         trainedCentroids.foreach { cents =>
           val storedAsg =
-            if (Sinks.pathExists(spark, semAsgPath(warehouse)))
+            if (Sinks.storePresent(spark, semAsgPath(warehouse)))
               readStore(spark, semAsgPath(warehouse))
             // first drop: an empty store with the right schema — the
             // incremental path then derives new-new pairs only
@@ -762,7 +771,7 @@ object CorpusIngest {
       "sem_asg" -> semAsgPath(warehouse),
       "staged_emb_drops" -> stagedEmbPath(warehouse))
     val purged = byVecId.flatMap { case (name, p) =>
-      if (!Sinks.pathExists(spark, p)) None
+      if (!Sinks.storePresent(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("vec_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("vec_id")))
@@ -778,7 +787,7 @@ object CorpusIngest {
       "emb_pairs" -> embPairsPath(warehouse),
       "sem_pairs" -> semPairsPath(warehouse))
     val all = purged ++ pairTables.flatMap { case (name, p) =>
-      if (!Sinks.pathExists(spark, p)) None
+      if (!Sinks.storePresent(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByAnyKey(spark, p, keys, "vec_id",
           Seq("vec_a", "vec_b")))
@@ -799,7 +808,7 @@ object CorpusIngest {
   def reinstateEmbeddings(spark: SparkSession, warehouse: String,
                           vecIds: Seq[Long]): Long =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    if (!Sinks.pathExists(spark, embTombPath(warehouse))) 0L
+    if (!Sinks.storePresent(spark, embTombPath(warehouse))) 0L
     else {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, embTombPath(warehouse),
@@ -1099,19 +1108,19 @@ object CorpusIngest {
     // ingest trim below are co-located on the bucket layout instead of
     // re-shuffling the mirror; a legacy plain mirror keeps its layout
     val stagedSpec =
-      if (Sinks.isBucketedStore(spark, staged) || !Sinks.pathExists(spark, staged))
+      if (Sinks.isBucketedStore(spark, staged) || !Sinks.storePresent(spark, staged))
         Some(Seq(keyCol) -> storeBuckets)
       else None
     Sinks.promote(spark, landingPath, staged, keys = Seq(keyCol),
       bucketSpec = stagedSpec)
-    if (!Sinks.pathExists(spark, staged)) return (0L, 0L)
+    if (!Sinks.storePresent(spark, staged)) return (0L, 0L)
     val promotedUpto = readLongLedger(spark, staged + "._promoted_upto")
     val ingLedger = staged + "._ingested_upto"
     if (promotedUpto <= readLongLedger(spark, ingLedger)) return (0L, 0L)
     // governance: a promotion may have re-staged deleted rows from the
     // landing (which is never rewritten) — purge them before ingest; the
     // delete is existence-probed, so a clean staged table costs one probe
-    if (Sinks.pathExists(spark, tombs)) {
+    if (Sinks.storePresent(spark, tombs)) {
       val t = spark.read.parquet(tombs)
       if (Sinks.isBucketedStore(spark, staged))
         Sinks.deleteBucketedByKey(spark, staged, t, Seq(keyCol))
@@ -1174,7 +1183,9 @@ object CorpusIngest {
   private def survivorsOverPairs(spark: SparkSession, warehouse: String,
                                  pairsP: String, labelP: String): DataFrame = {
     val vecs = readStore(spark, embVecsPath(warehouse))
-    if (!Sinks.pathExists(spark, pairsP)) vecs
+    // lease-free view: storePresent FAILS on a crash-parked pair table
+    // instead of silently serving the corpus unfiltered
+    if (!Sinks.storePresent(spark, pairsP)) vecs
     else vecs.join(
       losersFor(spark, labelP, pairsP, "vec_a", "vec_b", "vec_id"),
       Seq("vec_id"), "left_anti")
@@ -1210,7 +1221,9 @@ object CorpusIngest {
                   maxBucketCandidates: Option[Int] = None,
                   hotBucketSalt: Int = 0): (Long, Long) =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    val storeExists = Sinks.pathExists(spark, mediaHashPath(warehouse))
+    // park-aware like run(): a parked hash store must not flip this drop
+    // into the first-drop branch
+    val storeExists = Sinks.storePresent(spark, mediaHashPath(warehouse))
     checkThresholdAt(spark, mediaPairsPath(warehouse), "corpus/media_pairs",
       maxHamming.toDouble)
     // band-store geometry ledger too (chunk count = maxHamming + 1): the
@@ -1307,7 +1320,7 @@ object CorpusIngest {
       "media_bands" -> mediaBandsPath(warehouse),
       "staged_media_drops" -> stagedMediaPath(warehouse))
     val purged = byId.flatMap { case (name, p) =>
-      if (!Sinks.pathExists(spark, p)) None
+      if (!Sinks.storePresent(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("media_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("media_id")))
@@ -1316,7 +1329,7 @@ object CorpusIngest {
       Seq("media_id"))
     dropStore(spark, mediaCcPath(warehouse))
     val all =
-      if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) purged
+      if (!Sinks.storePresent(spark, mediaPairsPath(warehouse))) purged
       else if (Sinks.isBucketedStore(spark, mediaPairsPath(warehouse)))
         purged + ("media_pairs" -> Sinks.deleteBucketedByAnyKey(spark,
           mediaPairsPath(warehouse), keys, "media_id",
@@ -1336,7 +1349,7 @@ object CorpusIngest {
   def reinstateMedia(spark: SparkSession, warehouse: String,
                      mediaIds: Seq[Long]): Long =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    if (!Sinks.pathExists(spark, mediaTombPath(warehouse))) 0L
+    if (!Sinks.storePresent(spark, mediaTombPath(warehouse))) 0L
     else {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, mediaTombPath(warehouse),
@@ -1360,7 +1373,8 @@ object CorpusIngest {
   def mediaSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
     val hashes = readStore(spark, mediaHashPath(warehouse))
       .filter(col("phash").isNotNull && col("phash") =!= lit(-1L))
-    if (!Sinks.pathExists(spark, mediaPairsPath(warehouse))) hashes
+    // lease-free view: fail on a parked pair table, never serve unfiltered
+    if (!Sinks.storePresent(spark, mediaPairsPath(warehouse))) hashes
     else hashes.join(
       losersFor(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
         "media_a", "media_b", "media_id"),
@@ -1414,7 +1428,7 @@ object CorpusIngest {
   def forget(spark: SparkSession, warehouse: String,
              contentKeys: Seq[Long]): Map[String, (Long, Long)] =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    if (!Sinks.pathExists(spark, linksPath(warehouse))) Map.empty
+    if (!Sinks.storePresent(spark, linksPath(warehouse))) Map.empty
     else {
       import spark.implicits._
       val keyDf = contentKeys.toDF("content_key")
@@ -1485,7 +1499,7 @@ object CorpusIngest {
       import spark.implicits._
       val at = System.currentTimeMillis()
       val seq =
-        if (!Sinks.pathExists(spark, auditPath(warehouse))) 0L
+        if (!Sinks.storePresent(spark, auditPath(warehouse))) 0L
         else {
           val r = readAudit(spark, warehouse).agg(max(col("seq"))).head()
           (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
@@ -1508,7 +1522,7 @@ object CorpusIngest {
                                   keys: DataFrame,
                                   keyCols: Seq[String]): (Long, Long) = {
     val before =
-      if (Sinks.pathExists(spark, path)) spark.read.parquet(path).count()
+      if (Sinks.storePresent(spark, path)) spark.read.parquet(path).count()
       else 0L
     Sinks.idempotentAppend(keys, path, keys = keyCols, partitionCols = Nil)
     (before, spark.read.parquet(path).count())
@@ -1518,7 +1532,7 @@ object CorpusIngest {
     * governance call has run), newest event first.
     */
   def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
-    if (Sinks.pathExists(spark, auditPath(warehouse)))
+    if (Sinks.storePresent(spark, auditPath(warehouse)))
       readAudit(spark, warehouse)
         .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
           col("n_ids"), col("table"), col("rows_before"), col("rows_after"))
@@ -1547,7 +1561,7 @@ object CorpusIngest {
     */
   def curatedSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
     val docs = survivors(spark, warehouse)
-    if (!Sinks.pathExists(spark, linksPath(warehouse))) docs
+    if (!Sinks.storePresent(spark, linksPath(warehouse))) docs
     else {
       val links = spark.read.parquet(linksPath(warehouse))
       // "lost" means LOST A DEDUP CLUSTER (a component non-minimum) —
@@ -1556,7 +1570,7 @@ object CorpusIngest {
       // image merely failed to decode is not duplicated content
       def lostVia(modality: String, labelP: String, pairsP: String,
                   a: String, b: String): Option[DataFrame] =
-        if (!Sinks.pathExists(spark, pairsP)) None
+        if (!Sinks.storePresent(spark, pairsP)) None
         else Some(links.filter(col("modality") === modality)
           .join(losersFor(spark, labelP, pairsP, a, b, "id"),
             Seq("id"), "left_semi")
@@ -1602,7 +1616,7 @@ object CorpusIngest {
                       iters: Int = 3, semThreshold: Double = 0.9,
                       storeBuckets: Int = 8): DataFrame =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    require(Sinks.pathExists(spark, embVecsPath(warehouse)),
+    require(Sinks.storePresent(spark, embVecsPath(warehouse)),
       s"retrainSemStore: no vector store at ${embVecsPath(warehouse)} — " +
         "ingest embeddings first")
     dropStore(spark, semAsgPath(warehouse))
@@ -1656,7 +1670,7 @@ object CorpusIngest {
     * holding a frame across sessions. None before the first retrain.
     */
   def semCentroids(spark: SparkSession, warehouse: String): Option[DataFrame] =
-    if (Sinks.pathExists(spark, semCentsPath(warehouse)))
+    if (Sinks.storePresent(spark, semCentsPath(warehouse)))
       Some(spark.read.parquet(semCentsPath(warehouse)))
     else None
 
@@ -1931,7 +1945,9 @@ object CorpusIngest {
     */
   def survivors(spark: SparkSession, warehouse: String): DataFrame = {
     val docs = readStore(spark, docsPath(warehouse))
-    if (!Sinks.pathExists(spark, pairsPath(warehouse))) docs
+    // lease-free view: storePresent FAILS on a crash-parked pair table
+    // instead of silently serving every duplicate (run repair() first)
+    if (!Sinks.storePresent(spark, pairsPath(warehouse))) docs
     else docs.join(
       losersFor(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
         "doc_a", "doc_b", "doc_id"),

@@ -228,6 +228,70 @@ object Sinks {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when `path` shows the CRASH-PARKED swap signature right now:
+    * live directory absent, complete data at `._compact_old`. NOTE this
+    * is also what a reader racing a HEALTHY swap sees for the instant
+    * between swapInto's two renames — callers that cannot hold the
+    * warehouse lease must go through `confirmParkedSwap`, which re-checks
+    * across that window before declaring a crash.
+    */
+  def hasParkedSwap(spark: SparkSession, path: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(live) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path + "._compact_old"))
+  }
+
+  /** Lease-free parked-swap detection: distinguish a genuine crash-park
+    * from the millisecond live-absent window of a healthy in-flight swap
+    * by observing the signature persist across several re-checks. A
+    * healthy swap's rename(tmp→live) lands within the first recheck; a
+    * crashed one stays parked forever. Only the ERROR path pays the
+    * bounded wait.
+    */
+  private def confirmParkedSwap(spark: SparkSession, path: String): Boolean = {
+    var i = 0
+    while (i < 5) {
+      if (!hasParkedSwap(spark, path)) return false
+      Thread.sleep(120L); i += 1
+    }
+    hasParkedSwap(spark, path)
+  }
+
+  private def parkedStoreError(path: String): Nothing =
+    throw new IllegalStateException(
+      s"$path is crash-parked: the live directory is absent and the " +
+        "complete table sits at ._compact_old (a rewrite swap died " +
+        "between its two renames). This caller does not hold the " +
+        "warehouse write lease, and healing without it can collide with " +
+        "a concurrent writer's in-flight swap — run CorpusIngest.repair " +
+        "(or any leased entry point, which heals on entry) and retry")
+
+  /** Existence gate for store paths, park-aware — the one gate every
+    * branch decision (first-drop vs incremental, purge vs skip, filter vs
+    * pass-through) must use instead of raw `pathExists`, which reads a
+    * crash-parked store as ABSENT and silently flips those branches
+    * (first-drop over an existing corpus loses every new-old pair
+    * forever; a survivors view admits every duplicate).
+    *
+    *   - healthy → true; genuinely absent (no `._compact_old`) → false
+    *   - parked + this thread holds the enclosing warehouse's write lease
+    *     (`WarehouseLease.heldByCurrentThread`) → heal via `recoverSwap`,
+    *     then true: the lease guarantees no other writer's swap is
+    *     mid-flight, so the rename-back is safe
+    *   - parked + lease-free → throw. A lease-free caller cannot tell a
+    *     crash from a healthy swap's rename window (it re-checks across
+    *     the window first), and renaming `._compact_old` back under a
+    *     live writer nests stale data inside the new table — fail loudly
+    *     and point at `repair`.
+    */
+  def storePresent(spark: SparkSession, path: String): Boolean =
+    if (pathExists(spark, path)) true
+    else if (WarehouseLease.heldByCurrentThread(spark, path))
+      recoverSwap(spark, path)
+    else if (confirmParkedSwap(spark, path)) parkedStoreError(path)
+    else false
+
   /** Build a static partition-pruning predicate restricting `stored` to
     * the partition values present in `batch`: the existence anti-join's
     * store side then READS only the partitions the batch can possibly
@@ -913,15 +977,19 @@ object Sinks {
     *
     * A spec ledger whose DIRECTORY is absent is a crash-parked swap
     * (bucketedSwapInto died between its two renames; the sibling ledger
-    * survives the swap by design) — restored HERE, per the reader-side
-    * recoverSwap contract (swapInto's doc): without the heal the
-    * registered external table lists an empty location and the store
-    * silently reads as EMPTY — a trim that admits everything, a label
-    * view with no losers — and the next append would then resurrect the
-    * directory empty, orphaning the parked data forever.
+    * survives the swap by design). Without intervention the registered
+    * external table lists an empty location and the store silently reads
+    * as EMPTY — a trim that admits everything, a label view with no
+    * losers — and the next append would then resurrect the directory
+    * empty, orphaning the parked data forever. The response is
+    * LEASE-AWARE (`storePresent`): inside a leased call tree the swap is
+    * healed in-line; a lease-free reader FAILS with a repair pointer
+    * instead — its rename-back could land between a live writer's two
+    * renames and nest the stale `._compact_old` inside the fresh table,
+    * breaking swapInto's complete-old-or-complete-new read contract.
     */
   def readBucketedPath(spark: SparkSession, path: String): DataFrame = {
-    if (!pathExists(spark, path)) recoverSwap(spark, path)
+    storePresent(spark, path)
     spark.table(ensureBucketedRegistered(spark, path))
   }
 

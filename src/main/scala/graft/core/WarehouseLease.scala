@@ -545,6 +545,52 @@ object WarehouseLease {
     catch { case _: Exception => "unresolved:" + p.toUri.toString }
   }
 
+  // Qualified warehouse ROOT directories the current thread holds through
+  // `withWriteLease`, depth-counted — keyed on the DATA root (not the
+  // lease file's location, which CoordDirKey can move elsewhere) so
+  // `heldByCurrentThread` can answer "does the single-writer contract
+  // cover this store path" by prefix. Thread-local because the question
+  // is per call tree: a sibling thread of the same JVM holding the lease
+  // does NOT make this thread the writer.
+  private val threadHeldRoots: ThreadLocal[scala.collection.mutable.Map[String, Int]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty[String, Int])
+
+  /** Qualify a data path the same way for roots and queries so every
+    * spelling of one directory compares equal (the heldKey rationale,
+    * applied to data paths).
+    */
+  private def qualifiedDir(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    catch { case _: Exception => "unresolved:" + p.toUri.toString }
+  }
+
+  /** True iff the CURRENT thread is inside a `withWriteLease` body whose
+    * warehouse root is `path` or an ancestor of it. This is the guard the
+    * self-heal gates in `core.Sinks` consult before restoring a
+    * crash-parked rewrite swap: only the lease-holding call tree can know
+    * no OTHER writer's swap is mid-flight — a lease-free reader renaming
+    * `._compact_old` back can collide with a healthy swap's rename pair
+    * and nest stale data inside the live table. Thread-scoped by design;
+    * a lease held elsewhere in the JVM answers false here.
+    */
+  private def dropThreadRoot(rootKey: String): Unit = {
+    val r = threadHeldRoots.get()
+    r.get(rootKey).foreach { d =>
+      if (d <= 1) r.remove(rootKey) else r(rootKey) = d - 1
+    }
+  }
+
+  def heldByCurrentThread(spark: SparkSession, path: String): Boolean = {
+    val roots = threadHeldRoots.get()
+    if (roots.isEmpty) false
+    else {
+      val q = qualifiedDir(spark, path)
+      roots.keysIterator.exists(r => q == r || q.startsWith(r + "/"))
+    }
+  }
+
   // per-key monitors serializing the heartbeat body against release: the
   // beat's check-then-refresh is not atomic on its own, so an unlucky
   // preemption between its read and its refresh could recreate
@@ -680,6 +726,14 @@ object WarehouseLease {
       case (o, _, _) => throw new LeaseHeldException(
         s"warehouse $warehouse is being written by $o in this JVM")
     })._3
+    // record the DATA root for this thread the moment arbitration is won:
+    // from here until the outer exit, `heldByCurrentThread` must answer
+    // true for stores under this warehouse (the Sinks self-heal gates ask
+    // it from inside the body)
+    val rootKey = qualifiedDir(spark, warehouse)
+    locally {
+      val r = threadHeldRoots.get(); r(rootKey) = r.getOrElse(rootKey, 0) + 1
+    }
     if (depth == 1) {
       try {
         val m = mediumFor(spark, warehouse)
@@ -731,7 +785,8 @@ object WarehouseLease {
           },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
-        case e: Throwable => held.remove(key); throw e
+        case e: Throwable =>
+          held.remove(key); dropThreadRoot(rootKey); throw e
       }
     }
     try {
@@ -748,6 +803,7 @@ object WarehouseLease {
             "entry point after re-acquiring, its appends are idempotent")
       out
     } finally {
+      dropThreadRoot(rootKey)
       val left = held.compute(key, (_, cur) => cur match {
         case (o, t, 1) if o == owner && t == tid => null
         case (o, t, d) if o == owner && t == tid => (o, t, d - 1)

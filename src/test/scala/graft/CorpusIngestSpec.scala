@@ -1255,6 +1255,43 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("a crash-parked store heals at leased entry points and fails loudly in lease-free views") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whgate").toString
+    CorpusIngest.run(spark, Seq((10L, base), (20L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def park(table: String): Unit = assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$wh/corpus/$table"),
+      new org.apache.hadoop.fs.Path(s"$wh/corpus/$table._compact_old")))
+    // lease-free VIEW over a parked pair table: serving the corpus
+    // unfiltered (the old raw-pathExists gate read parked as "no pairs")
+    // would silently admit every duplicate — it must fail and point at
+    // repair instead
+    park("pairs")
+    val ex = intercept[IllegalStateException](
+      CorpusIngest.survivors(spark, wh).count())
+    assert(ex.getMessage.contains("crash-parked") &&
+      ex.getMessage.contains("repair"), ex.getMessage)
+    assert(CorpusIngest.repair(spark, wh)
+      .select("action").as[String].collect().toSeq == Seq("recovered_swap"))
+    assert(CorpusIngest.survivors(spark, wh).count() == 2L)
+    // LEASED entry point over a parked trim store: the old gate read the
+    // warehouse as FIRST-DROP (no trim, batch pair derivation) and every
+    // new-old pair was lost forever; under the lease the gate now heals
+    // the swap and takes the incremental branch
+    park("shingles")
+    val (n2, p2) = CorpusIngest.run(spark,
+      Seq((30L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    assert((n2, p2) == (1L, 1L), s"parked-store drop landed ($n2, $p2)")
+    val pairs = spark.read.parquet(s"$wh/corpus/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 30L)),
+      s"cross-drop pair lost through the parked gate: $pairs")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("fsck: a crash-parked rewrite swap is surfaced and recoverSwap heals it") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whpark").toString

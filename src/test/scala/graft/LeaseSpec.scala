@@ -217,4 +217,34 @@ class LeaseSpec extends AnyFunSuite {
     m.release(fresh)
     assert(m.read().isEmpty)
   }
+
+  test("heldByCurrentThread: true only inside the holding call tree, for the root and its subpaths") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-held").toString
+    val store = s"$wh/corpus/pairs"
+    assert(!WarehouseLease.heldByCurrentThread(spark, wh))
+    assert(!WarehouseLease.heldByCurrentThread(spark, store))
+    WarehouseLease.withWriteLease(spark, wh) {
+      assert(WarehouseLease.heldByCurrentThread(spark, wh))
+      assert(WarehouseLease.heldByCurrentThread(spark, store),
+        "a store path under the held root must count as covered")
+      // prefix match is per path SEGMENT, not per character: a sibling
+      // directory sharing the root's name as a string prefix is NOT under
+      // the lease
+      assert(!WarehouseLease.heldByCurrentThread(spark, wh + "x/corpus"))
+      // re-entrant depth keeps the answer true until the OUTERMOST exit
+      WarehouseLease.withWriteLease(spark, wh) {
+        assert(WarehouseLease.heldByCurrentThread(spark, store))
+      }
+      assert(WarehouseLease.heldByCurrentThread(spark, store))
+      // thread-scoped: a sibling thread of the same JVM is NOT the writer
+      var onOther = true
+      val t = new Thread(() => {
+        onOther = WarehouseLease.heldByCurrentThread(spark, store)
+      })
+      t.start(); t.join(10000L)
+      assert(!onOther, "another thread must not inherit the hold")
+    }
+    assert(!WarehouseLease.heldByCurrentThread(spark, store),
+      "the hold must clear at the outermost exit")
+  }
 }

@@ -90,12 +90,19 @@ class SinksSpec extends AnyFunSuite {
     def park(): Unit = assert(fs.rename(hp,
       new org.apache.hadoop.fs.Path(p + "._compact_old")))
     // the crash window bucketedSwapInto documents: live dir gone, data
-    // parked, the sibling spec ledger still present. A read must HEAL and
-    // serve the data — a silently-empty scan here is the trim that admits
-    // everything and the label view with no losers
+    // parked, the sibling spec ledger still present. A LEASE-FREE read
+    // must FAIL LOUDLY (healing here could collide with a live writer's
+    // in-flight swap; silently-empty is the trim that admits everything),
+    // and the same read inside a leased call tree must heal and serve
     park()
-    assert(Sinks.readBucketedPath(spark, p).count() == 2L,
-      "read of a parked store must recover the swap, not scan empty")
+    val ex = intercept[IllegalStateException](Sinks.readBucketedPath(spark, p))
+    assert(ex.getMessage.contains("crash-parked") &&
+      ex.getMessage.contains("repair"),
+      s"lease-free read of a parked store must point at repair: ${ex.getMessage}")
+    graft.core.WarehouseLease.withWriteLease(spark, base) {
+      assert(Sinks.readBucketedPath(spark, p).count() == 2L,
+        "leased read of a parked store must recover the swap, not scan empty")
+    }
     // an append on a parked store must heal FIRST and preserve the old
     // rows — the create branch would otherwise rebuild the store empty
     // over the parked data
