@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, Relational2, SourceQueries}
+import graft.queries.{CorpusLifecycle, Relational, Relational2, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       operators.DedupOps.defs ++
       operators.SimilarityOps.defs ++
       operators.MarketOps.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      CorpusLifecycle.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped multi-aggregate (O-A7 analogue).

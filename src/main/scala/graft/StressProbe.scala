@@ -203,6 +203,85 @@ object StressProbe {
       (build +: drops) :+ append
     }
 
+    // ---- hot-bucket skew guard at a PRODUCTION cap. The bench prices the
+    // salted branch only at the adversarial cap = 1 (every bucket routes
+    // hot); this probe measures the regime the operator contract claims
+    // ("production caps make the hot subset — and the surcharge —
+    // proportionally tiny", DedupOps.minhashLshIncremental doc): a store
+    // whose corpus carries a 2% boilerplate flood (one shared text) in an
+    // otherwise unique population, cap = 64 marking ONLY the flood's ~16
+    // (band, sig) buckets hot out of ~16·nDocs distinct, and one ~1% drop
+    // that re-emits the boilerplate in a quarter of its rows. Three prices
+    // for the same drop: uncapped (the flood's quadratic candidates all
+    // serialize through the flood bucket's tasks), capped-skip (flood
+    // candidates dropped — the recall trade), capped-salted (flood
+    // candidates derived through the per-task-bounded salted branch —
+    // exact recall). What the numbers demonstrate (measured ~6.7 / 3.1 /
+    // 7.4 s at nDocs = 100k on the r14 box): skip is cheapest by exactly
+    // the flood pairs it refuses to derive; salted pays ~10% over
+    // uncapped — the bounded three-int-column second store scan — for the
+    // same pair set with per-task candidate volume bounded by
+    // cap × salt instead of the flood's full membership (the straggler
+    // property CorpusIngestSpec locks functionally). The adversarial
+    // cap = 1 bench queries price the OTHER end, where every bucket
+    // routes hot.
+    val skewProbe = {
+      val tags = Seq("skew_drop_uncapped", "skew_drop_capped_skip",
+        "skew_drop_capped_salted")
+      if (!tags.exists(selected)) tags.map(_ -> 0.0)
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-stress-skew").toString
+        val bandP = s"$dir/bands"
+        val shingleP = s"$dir/shingles"
+        val floodN = math.max(64L, nDocs / 50L)
+        def corpusOf(lo: Long, hi: Long, floodMod: String) =
+          spark.range(lo, hi, 1, 64).select(
+            col("id").as("doc_id"),
+            array_join(expr(
+              s"""transform(sequence(0, 19), i -> substr(
+                 |  md5(concat(CASE WHEN $floodMod THEN -1 ELSE id END,
+                 |             '-', i)), 1, 6))""".stripMargin),
+              " ").as("text"))
+        core.GraftCaches.withScope(spark)(
+          operators.DedupOps.appendSignatureStoreBucketed(
+            corpusOf(0, nDocs, s"id < $floodN"), bandP, shingleP,
+            buckets = 32))
+        val dropN = math.max(500L, nDocs / 100L)
+        val dropDocs = corpusOf(nDocs, nDocs + dropN, "id % 4 = 0")
+        val cap = 64
+        val oldT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          def store() = (core.Sinks.readBucketedPath(spark, bandP),
+            core.Sinks.readBucketedPath(spark, shingleP))
+          def hot() = Some(core.GraftCaches.acquire(
+            operators.DedupOps.overflowingBuckets(
+              core.Sinks.readBucketedPath(spark, bandP), cap)))
+          Seq(
+            core.GraftCaches.withScope(spark)(
+              timeN("skew_drop_uncapped", dropN) {
+                val (b, sh) = store()
+                operators.DedupOps.minhashLshIncremental(b, sh, dropDocs,
+                  threshold = 0.5)
+              }),
+            core.GraftCaches.withScope(spark)(
+              timeN("skew_drop_capped_skip", dropN) {
+                val (b, sh) = store()
+                operators.DedupOps.minhashLshIncremental(b, sh, dropDocs,
+                  threshold = 0.5, excludeBuckets = hot())
+              }),
+            core.GraftCaches.withScope(spark)(
+              timeN("skew_drop_capped_salted", dropN) {
+                val (b, sh) = store()
+                operators.DedupOps.minhashLshIncremental(b, sh, dropDocs,
+                  threshold = 0.5, excludeBuckets = hot(),
+                  saltHotBuckets = 8)
+              }))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
+      }
+    }
+
     // ---- incremental EMBEDDING dedup against the persisted bucketed
     // sign-LSH store (CorpusIngest.ingestEmbeddings' production shape):
     // same bucketed-vs-plain comparison as the text-store probe above —
@@ -532,8 +611,8 @@ object StressProbe {
     )
 
     val all =
-      results ++ llm ++ storeProbe ++ embStoreProbe ++ mediaStoreProbe ++
-        semStoreProbe ++ ccProbe ++ corpusProbe
+      results ++ llm ++ storeProbe ++ skewProbe ++ embStoreProbe ++
+        mediaStoreProbe ++ semStoreProbe ++ ccProbe ++ corpusProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

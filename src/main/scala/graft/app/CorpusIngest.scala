@@ -1467,9 +1467,10 @@ object CorpusIngest {
     * takedown ran (and what it removed, and that the streamed-
     * resurrection block was placed) without having captured the entry
     * point's return value. `seq` is a per-warehouse monotonic event
-    * number (max + 1, race-free because every writer holds the warehouse
-    * lease) — same-millisecond events stay ordered, which `at_ms` alone
-    * cannot promise. Plain event-log append, deliberately NOT keyed: a
+    * number — same-millisecond events stay ordered, which `at_ms` alone
+    * cannot promise. It comes off a sibling ledger (stamp-first, race-free
+    * because every writer holds the warehouse lease); the full-log
+    * max-scan runs only once, on a legacy log that predates the ledger. Plain event-log append, deliberately NOT keyed: a
     * crash-retried cascade logs twice, which is the truthful record (the
     * cascade ran twice — idempotently). Each cascade writes its audit
     * rows LAST, so a crash mid-cascade under-reports (the retry re-logs)
@@ -1492,18 +1493,40 @@ object CorpusIngest {
     else log.withColumn("seq", coalesce(col("seq"), lit(-1L)))
   }
 
+  /** Sibling ledger holding the LAST USED audit seq — the metadata-read
+    * that replaces scanning the whole (compacted, but unbounded) event log
+    * for max(seq) on every governance call. Sibling placement survives the
+    * log's compaction swap, like every other ledger here.
+    */
+  private def auditSeqLedger(wh: String) = auditPath(wh) + "._audit_seq"
+
   private def appendAudit(spark: SparkSession, warehouse: String, op: String,
                           idCol: String, nIds: Long,
                           entries: Map[String, (Long, Long)]): Unit =
     if (entries.nonEmpty) {
       import spark.implicits._
       val at = System.currentTimeMillis()
-      val seq =
-        if (!Sinks.storePresent(spark, auditPath(warehouse))) 0L
-        else {
-          val r = readAudit(spark, warehouse).agg(max(col("seq"))).head()
-          (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
-        }
+      // last used seq: the ledger when present; one full-log scan only on
+      // a legacy warehouse whose log predates the ledger (or a torn
+      // ledger write — unreadable = re-derive, never skip). Race-free:
+      // every governance writer holds the warehouse lease.
+      val last = readLongLedger(spark, auditSeqLedger(warehouse)) match {
+        case -1L =>
+          if (!Sinks.storePresent(spark, auditPath(warehouse))) -1L
+          else {
+            val r = readAudit(spark, warehouse).agg(max(col("seq"))).head()
+            if (r.isNullAt(0)) -1L else r.getLong(0)
+          }
+        case v => v
+      }
+      val seq = last + 1L
+      // STAMP-FIRST, same crash ordering as every ledger here: a crash
+      // between the stamp and the row append leaves a seq GAP — an event
+      // that recorded nothing, i.e. the trail under-reports (fsck flags
+      // the gap as warn). The reverse order could reuse a seq after a
+      // crash and fabricate one event out of two — never acceptable in a
+      // compliance trail.
+      writeLongLedger(spark, auditSeqLedger(warehouse), seq)
       entries.toSeq.map { case (t, (b, a)) =>
         (seq, at, op, idCol, nIds, t, b, a)
       }
@@ -1512,6 +1535,10 @@ object CorpusIngest {
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(auditPath(warehouse))
+      // lifecycle: one coalesced file per event still fragments at a real
+      // compliance cadence — same 4× gate as every other table. The swap
+      // preserves row content exactly and the sibling ledgers ride it.
+      Sinks.compactIfFragmented(spark, auditPath(warehouse), targetFiles = 4)
     }
 
   /** Tombstone stamp with (before, after) table counts for the audit
@@ -1867,6 +1894,40 @@ object CorpusIngest {
       val ingested = readLongLedger(spark, st + "._ingested_upto")
       out += (("ingest_ledger_ahead", short(st),
         if (ingested > promoted) 1L else 0L, "error"))
+    }
+    // the AUDITOR is audited too: the compliance trail's own invariants.
+    // Seq numbering is stamp-first under the lease, so per event (one
+    // (seq, at_ms, op, n_ids) write): a seq shared by two DISTINCT events
+    // is impossible under the contracts and would fabricate one takedown
+    // out of two — error. A seq GAP (ledger stamped, rows never landed)
+    // is the documented crash window — the trail under-reports, warn.
+    // The ledger must never trail the log (that is how a seq gets
+    // reused) — error; ledger ahead of the log is the same crash window
+    // as a gap — warn. Legacy rows (seq = -1, pre-ledger files) are
+    // outside the numbering contract and excluded.
+    if (fileExists(auditPath(warehouse))) {
+      val numbered = readAudit(spark, warehouse).filter(col("seq") >= 0)
+      val events = numbered
+        .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
+          col("n_ids")).distinct()
+      out += (("audit_duplicate_seq", "audit_log",
+        events.groupBy(col("seq")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count(), "error"))
+      val r = events.agg(max(col("seq")), count(lit(1))).head()
+      val (logMax, nSeq) =
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))
+      out += (("audit_seq_gaps", "audit_log",
+        math.max(0L, logMax + 1L - nSeq), "warn"))
+      // an ABSENT ledger is the documented legacy state (pre-ledger log;
+      // appendAudit's scan fallback keeps numbering correct), so the
+      // ordering checks only run against a ledger that exists
+      if (fileExists(auditSeqLedger(warehouse))) {
+        val ledger = readLongLedger(spark, auditSeqLedger(warehouse))
+        out += (("audit_seq_ledger_behind", "audit_log",
+          if (ledger < logMax) 1L else 0L, "error"))
+        out += (("audit_seq_ledger_ahead", "audit_log",
+          if (ledger > logMax) 1L else 0L, "warn"))
+      }
     }
     out.toSeq.toDF("check", "table", "violations", "severity")
       .orderBy(col("severity"), col("check"), col("table"))

@@ -81,7 +81,7 @@ object DedupOps {
     * and `dedup_cluster` (connected components over the same pairs) so the
     * two oracles can never drift apart.
     */
-  private lazy val duckMinhashCtes =
+  private[graft] lazy val duckMinhashCtes =
     s"""d2 AS ($duckShingles),
        |hb AS (SELECT doc_id, sh, list_transform(sh, s -> $duckBaseHash) AS hb
        |       FROM d2),
@@ -630,7 +630,7 @@ object DedupOps {
     * its own cut — so the three queries built on it can never drift in
     * candidate generation or verification arithmetic.
     */
-  private lazy val duckEmbLshCtes: String =
+  private[graft] lazy val duckEmbLshCtes: String =
     """e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
       |  FROM embeddings),

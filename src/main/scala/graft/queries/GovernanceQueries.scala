@@ -1,0 +1,173 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.{QueryDef, Tables}
+import graft.app.CorpusIngest
+import graft.operators.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed declared queries for the WAREHOUSE read paths a training
+  * run and a compliance pass actually consume — `curatedSurvivors` (the
+  * cross-modality curated corpus view) and `governanceAudit` (the durable
+  * takedown trail). The single-modality survivor views have had hash-exact
+  * oracle locks since their rounds (`dedup_survivors`,
+  * `dedup_embedding_survivors`); these two close the gap for the composed
+  * views, exercising the REAL ingest → store → view lifecycle rather than
+  * an in-plan re-derivation: each query drives the actual
+  * `CorpusIngest` entry points against a scratch warehouse built once per
+  * (fixture, scenario) and memoized for the process, then returns the
+  * view. Every ingest/governance step is deterministic (MinHash/sign-LSH
+  * geometry is arithmetic, component labels are keep-the-minimum, ids are
+  * sorted before deletes), so the view is a pure function of the fixture
+  * and the DuckDB oracle can recompute it from the same parquet.
+  *
+  * Scale note: the scratch warehouses are fixture-sized and the build cost
+  * is paid once per process (bench's unreported warmup pass absorbs it);
+  * the MEASURED cost of each query is the view read itself — label-store
+  * argmax scans plus id-sized joins, the same shape the 100 TB read has.
+  */
+object CorpusLifecycle {
+
+  // one scratch warehouse per (scenario, fixture dir), built on first use —
+  // ConcurrentHashMap so Verify/Bench/test callers can never double-build
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  /** Identity cross-modality link fixture: content_key = id for both
+    * modalities, so a document and the embedding with the same id are
+    * declared the same content. The fixtures' vec_id range is a subset of
+    * the doc_id range, which makes the restriction non-vacuous: a doc
+    * whose same-id vector lost its cosine cluster drops out of the
+    * curated view even when its text survived the Jaccard cut.
+    */
+  private def identityLinks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("content_key"), lit("doc").as("modality"),
+        col("doc_id").as("id"))
+      .unionByName(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("content_key"), lit("vec").as("modality"),
+          col("vec_id").as("id")))
+
+  /** Scratch warehouse for the curated view: one text drop (the full
+    * documents fixture, threshold 0.5 — `dedup_survivors`' regime), one
+    * embedding drop (threshold 0.42 — `dedup_embedding_survivors`'
+    * regime), identity links. No sem/media state, so the curated
+    * restriction is exactly "docs whose linked vector lost a cosine
+    * cluster".
+    */
+  private def curatedWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"curated|$dir", { _ =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-curated-wh").toString
+      CorpusIngest.run(s, Tables.documents(s, dir), wh, threshold = 0.5)
+      CorpusIngest.ingestEmbeddings(s, Tables.embeddings(s, dir), wh,
+        threshold = 0.42)
+      CorpusIngest.registerLinks(s, wh, identityLinks(s, dir))
+      wh
+    })
+
+  /** Scratch warehouse for the audit trail: a deterministic governance
+    * SCENARIO over a thin subset (doc_id % 5 = 0) — delete the two
+    * smallest ids, reinstate the smallest, delete the third-smallest —
+    * three audited events whose per-table row counts the oracle
+    * recomputes from the fixture alone.
+    */
+  private def auditWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"audit|$dir", { _ =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-audit-wh").toString
+      val subset = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      CorpusIngest.run(s, subset, wh, threshold = 0.5)
+      // human-scale id lists, driver-side by design (the delete APIs take
+      // Seq[Long]); sorted so the scenario is order-deterministic
+      val ids = subset.select("doc_id").orderBy("doc_id")
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      CorpusIngest.delete(s, wh, ids.take(2))
+      CorpusIngest.reinstate(s, wh, Seq(ids.head))
+      CorpusIngest.delete(s, wh, Seq(ids(2)))
+      wh
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    // The cross-modality curated corpus: text survivors restricted by
+    // linked embedding dedup losses, read off the REAL warehouse view
+    // (label-store argmax + id-sized link joins). The oracle composes the
+    // two already-locked survivor oracles — the MinHash chain for text
+    // survivors, the sign-LSH chain for vector losers — as nested
+    // recursive CTE scopes (their CTE names collide, so each chain gets
+    // its own derived-table scope), then applies the identity linkage.
+    QueryDef.sqlBacked(
+      "corpus_curated_survivors",
+      s"""SELECT sv.doc_id, sv.lang, sv.n_chars FROM (
+         |  WITH RECURSIVE ${DedupOps.duckMinhashCtes},
+         |  p AS (SELECT doc_a, doc_b FROM v
+         |        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |  edges AS (SELECT doc_a AS s, doc_b AS t FROM p
+         |            UNION SELECT doc_b, doc_a FROM p),
+         |  reach(s, t) AS (
+         |    SELECT s, t FROM edges
+         |    UNION
+         |    SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+         |  lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+         |          FROM reach GROUP BY s)
+         |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |  WHERE d.doc_id NOT IN
+         |    (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+         |) sv
+         |WHERE sv.doc_id NOT IN (
+         |  SELECT vl.vec_id FROM (
+         |    WITH RECURSIVE ${DedupOps.duckEmbLshCtes},
+         |    p AS (SELECT vec_a, vec_b FROM v WHERE cos >= 0.42),
+         |    edges AS (SELECT vec_a AS s, vec_b AS t FROM p
+         |              UNION SELECT vec_b, vec_a FROM p),
+         |    reach(s, t) AS (
+         |      SELECT s, t FROM edges
+         |      UNION
+         |      SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+         |    lab AS (SELECT s AS vec_id, least(s, min(t)) AS cluster_id
+         |            FROM reach GROUP BY s)
+         |    SELECT vec_id FROM lab WHERE vec_id <> cluster_id
+         |  ) vl)
+         |ORDER BY sv.doc_id""".stripMargin) { (s, d) =>
+      CorpusIngest.curatedSurvivors(s, curatedWarehouse(s, d))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The governance audit trail's CONTRACT: contiguous per-warehouse seq
+    // numbering, one row per touched table per event, exact before/after
+    // row counts. Projected to the two tables whose counts are derivable
+    // from the fixture alone (documents and the tombstone table — the
+    // derived stores' row counts depend on shingling internals the oracle
+    // deliberately does not replicate); the VALUES-shaped oracle
+    // recomputes those counts from documents.parquet.
+    QueryDef.sqlBacked(
+      "corpus_audit_trail",
+      s"""WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM s)
+         |SELECT CAST(seq AS BIGINT) AS seq, op, id_col,
+         |       CAST(n_ids AS BIGINT) AS n_ids, "table",
+         |       CAST(rows_before AS BIGINT) AS rows_before,
+         |       CAST(rows_after AS BIGINT) AS rows_after
+         |FROM (
+         |  SELECT 0 AS seq, 'delete' AS op, 'doc_id' AS id_col,
+         |         2 AS n_ids, 'documents' AS "table",
+         |         n0 AS rows_before, n0 - 2 AS rows_after FROM n
+         |  UNION ALL SELECT 0, 'delete', 'doc_id', 2, 'tombstones',
+         |         0, 2 FROM n
+         |  UNION ALL SELECT 1, 'reinstate', 'doc_id', 1, 'tombstones',
+         |         2, 1 FROM n
+         |  UNION ALL SELECT 2, 'delete', 'doc_id', 1, 'documents',
+         |         n0 - 2, n0 - 3 FROM n
+         |  UNION ALL SELECT 2, 'delete', 'doc_id', 1, 'tombstones',
+         |         1, 2 FROM n)
+         |ORDER BY seq, "table"""".stripMargin) { (s, d) =>
+      CorpusIngest.governanceAudit(s, auditWarehouse(s, d))
+        .filter(col("table").isin("documents", "tombstones"))
+        .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
+          col("table"), col("rows_before"), col("rows_after"))
+        .orderBy(col("seq"), col("table"))
+    }
+  )
+}

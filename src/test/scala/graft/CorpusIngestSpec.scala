@@ -1255,6 +1255,69 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("audit-log lifecycle: ledger-fed seq stays contiguous, the log compacts, and fsck audits the auditor") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whaud").toString
+    CorpusIngest.run(spark, (0L until 12L).map(i =>
+      (i, s"wholly unique document number $i about topic ${i * 31} " +
+        s"with enough words ${i * 7} to shingle cleanly every time"))
+      .toDF("doc_id", "text"), wh)
+    // a governance CADENCE: 18 audited events (9 delete + 9 reinstate) —
+    // enough one-file-per-event appends to cross the compaction gate
+    (0L until 9L).foreach { i =>
+      CorpusIngest.delete(spark, wh, Seq(i))
+      CorpusIngest.reinstate(spark, wh, Seq(i))
+    }
+    val audit = CorpusIngest.governanceAudit(spark, wh)
+    val seqs = audit.select("seq").distinct().as[Long].collect().sorted.toSeq
+    assert(seqs == (0L until 18L), s"seq must be contiguous from 0: $seqs")
+    // the seq ledger replaced the full-log scan and must track the log.
+    // Tampering goes through the Hadoop FS (writeLongLedger's medium) —
+    // a raw java.nio write would orphan the .crc sidecar and fail reads
+    val ledgerP = new org.apache.hadoop.fs.Path(
+      s"$wh/corpus/audit_log._audit_seq")
+    val fsH = ledgerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readLedger(): String = {
+      val in = fsH.open(ledgerP)
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in)).readLine().trim
+      finally in.close()
+    }
+    def stampLedger(v: String): Unit = {
+      val o = fsH.create(ledgerP, true)
+      try o.write(v.getBytes("UTF-8")) finally o.close()
+    }
+    assert(fsH.exists(ledgerP) && readLedger() == "17")
+    // lifecycle: one file per event would be 18 — the 4×-gate compaction
+    // keeps the log bounded at a real compliance cadence
+    assert(Sinks.dataFileCount(spark, s"$wh/corpus/audit_log") <= 8L,
+      "audit log must compact past the fragmentation gate")
+    def fsckRows() = CorpusIngest.fsck(spark, wh)
+      .filter(col("check").startsWith("audit_") && col("violations") > 0)
+      .select("check", "severity").as[(String, String)].collect().toSet
+    assert(fsckRows().isEmpty, s"healthy trail flagged: ${fsckRows()}")
+    // crash window: ledger stamped, rows never landed → the NEXT event
+    // leaves a seq gap; fsck warns on both shapes, never errors
+    stampLedger("19")
+    assert(fsckRows() == Set(("audit_seq_ledger_ahead", "warn")))
+    CorpusIngest.delete(spark, wh, Seq(0L))
+    assert(fsckRows() == Set(("audit_seq_gaps", "warn")),
+      s"skipped seq must read as an under-reporting gap: ${fsckRows()}")
+    // corruption: a ledger BEHIND the log is how a seq gets reused — error
+    stampLedger("3")
+    assert(fsckRows().contains(("audit_seq_ledger_behind", "error")))
+    // legacy tolerance: no ledger at all → one full-log scan re-derives
+    // the numbering and re-stamps; no duplicate seq is ever minted
+    assert(fsH.delete(ledgerP, false))
+    CorpusIngest.delete(spark, wh, Seq(1L))
+    val events = CorpusIngest.governanceAudit(spark, wh)
+      .select("seq", "at_ms", "op", "id_col", "n_ids").distinct()
+      .groupBy("seq").count().filter(col("count") > 1).count()
+    assert(events == 0L, "scan fallback must never reuse a seq")
+    assert(readLedger() == "21")
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("a crash-parked store heals at leased entry points and fails loudly in lease-free views") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whgate").toString
