@@ -1621,6 +1621,147 @@ object CorpusIngest {
     }
   }
 
+  // ===== Reproducible corpus snapshots ======================================
+  //
+  // A training run needs to name the EXACT corpus it read — across later
+  // drops, dedup-cluster churn, and takedowns — without freezing 100 TB of
+  // text per run. A snapshot here pins curated MEMBERSHIP, not bytes: an
+  // id-only manifest of the curated survivor set, written as its own
+  // bucketed store co-located with `corpus/documents` (same doc_id bucket
+  // layout), so `curatedAsOf`'s semi-join plans no exchange on the
+  // corpus-sized side however many snapshots accumulate. The trade is
+  // deliberate and governance-CORRECT: reading a snapshot joins the
+  // manifest against the LIVE document store, so a takedown flows through
+  // every historical snapshot automatically (`delete` physically purges
+  // the rows) — "reproducible" never means "retains what compliance
+  // removed". With content-keyed ids (the links table's contract),
+  // membership-of-ids IS membership-of-bytes for every doc that is still
+  // lawful to read.
+  //
+  // Crash ordering: manifest rows land first, the `_snap_commit` marker
+  // (holding the manifest count — the list API's metadata read) lands
+  // LAST, and every reader ignores uncommitted dirs — a crash mid-write
+  // leaves residue that is invisible, flagged by fsck, and cleared by
+  // repair. Stamps are strictly monotonic per warehouse (enforced under
+  // the lease), so "latest at or before t" is unambiguous.
+  private def snapsRoot(wh: String) = s"$wh/corpus/snapshots"
+  private def snapDirOf(wh: String, ts: Long) = s"${snapsRoot(wh)}/snap_ts=$ts"
+  private def snapCommitLedger(dir: String) = dir + "/_snap_commit"
+
+  /** (committed snapshot stamps ascending, uncommitted residue dirs). */
+  private def scanSnapshots(spark: SparkSession,
+                            wh: String): (Seq[Long], Seq[String]) = {
+    val root = new org.apache.hadoop.fs.Path(snapsRoot(wh))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) (Nil, Nil)
+    else {
+      val dirs = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap_ts="))
+        .map(_.getPath)
+      val (committed, torn) = dirs.partition(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_snap_commit")))
+      (committed.map(_.getName.stripPrefix("snap_ts=").toLong).sorted,
+        torn.map(_.toString))
+    }
+  }
+
+  /** Pin the current curated corpus as a named snapshot; returns its
+    * stamp (epoch millis — the handle `curatedAsOf` resolves). Leased:
+    * the manifest must be one drop's consistent view, not a torn read
+    * across a concurrent ingest. Audited (`op = snapshot`, counting the
+    * snapshot census in the snapshots "table") so the compliance trail
+    * records every corpus a training run could have pinned. Explicit
+    * `atMs` stamps must advance past the latest snapshot — refused
+    * otherwise; the default clock stamp self-corrects same-millisecond
+    * collisions.
+    */
+  def snapshotCorpus(spark: SparkSession, warehouse: String,
+                     atMs: Option[Long] = None): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    require(Sinks.storePresent(spark, docsPath(warehouse)),
+      s"snapshotCorpus: no document store at ${docsPath(warehouse)} — " +
+        "ingest first")
+    val (prior, _) = scanSnapshots(spark, warehouse)
+    val ts = atMs match {
+      case Some(t) =>
+        require(prior.forall(_ < t),
+          s"snapshotCorpus: stamp $t is not after the latest snapshot " +
+            s"${prior.max} — stamps are monotonic per warehouse")
+        t
+      case None =>
+        val now = System.currentTimeMillis()
+        if (prior.isEmpty) now else math.max(now, prior.max + 1L)
+    }
+    val dir = snapDirOf(warehouse, ts)
+    // manifest bucket layout mirrors the document store's so the as-of
+    // semi-join co-locates; a legacy plain docs store gets the default
+    // geometry (the join then shuffles the manifest — the small side)
+    val buckets = Sinks.bucketSpecOf(spark, docsPath(warehouse))
+      .map(_._2).getOrElse(8)
+    Sinks.bucketedIdempotentAppend(
+      curatedSurvivors(spark, warehouse).select(col("doc_id")),
+      dir, keys = Seq("doc_id"), bucketKeys = Seq("doc_id"),
+      buckets = buckets)
+    val n = Sinks.readBucketedPath(spark, dir).count()
+    // commit point: the marker lands only over a fully-written manifest
+    writeLongLedger(spark, snapCommitLedger(dir), n)
+    appendAudit(spark, warehouse, "snapshot", "doc_id", n,
+      Map("snapshots" -> ((prior.size.toLong, prior.size.toLong + 1L))))
+    ts
+  }
+
+  /** Census of committed snapshots: (snap_ts, n_docs), ascending. The
+    * counts come off the commit markers — a metadata read, no manifest
+    * scan. Driver-sized by construction (one row per retained snapshot).
+    */
+  def listCorpusSnapshots(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    scanSnapshots(spark, warehouse)._1
+      .map(ts => (ts,
+        readLongLedger(spark, snapCommitLedger(snapDirOf(warehouse, ts)))))
+      .toDF("snap_ts", "n_docs")
+  }
+
+  /** The curated corpus as pinned by the latest snapshot at or before
+    * `asOfMs` — full document rows, manifest-membership ∩ live store
+    * (id-bucketed semi-join, co-located with `corpus/documents`).
+    * Takedowns since the snapshot are ABSENT by construction. Lease-free
+    * read; refuses when no snapshot covers the asked time (an expired or
+    * never-taken snapshot must fail the training run, not silently serve
+    * the live view).
+    */
+  def curatedAsOf(spark: SparkSession, warehouse: String,
+                  asOfMs: Long): DataFrame = {
+    val covered = scanSnapshots(spark, warehouse)._1.filter(_ <= asOfMs)
+    require(covered.nonEmpty,
+      s"curatedAsOf: no committed corpus snapshot at or before $asOfMs " +
+        s"under ${snapsRoot(warehouse)} — run snapshotCorpus (or the " +
+        "snapshot asked for was expired)")
+    readStore(spark, docsPath(warehouse)).join(
+      Sinks.readBucketedPath(spark, snapDirOf(warehouse, covered.max)),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** Retention: drop the oldest committed snapshots beyond `keepLast`.
+    * Leased and audited like every other mutation; returns how many were
+    * expired. Reads against an expired stamp fail loudly at `curatedAsOf`
+    * — the documented contract, not data loss (manifests hold ids only).
+    */
+  def expireCorpusSnapshots(spark: SparkSession, warehouse: String,
+                            keepLast: Int): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    require(keepLast >= 1, "expireCorpusSnapshots: keepLast must be >= 1")
+    val (snaps, _) = scanSnapshots(spark, warehouse)
+    val drop = snaps.dropRight(keepLast)
+    drop.foreach(ts => dropStore(spark, snapDirOf(warehouse, ts)))
+    if (drop.nonEmpty)
+      appendAudit(spark, warehouse, "expire_snapshots", "snap_ts",
+        drop.size.toLong,
+        Map("snapshots" -> ((snaps.size.toLong,
+          snaps.size.toLong - drop.size))))
+    drop.size.toLong
+  }
+
   /** RETRAIN the SemDeDup state — the other half of the frozen-centroid
     * cadence `ingestEmbeddings(trainedCentroids = ...)` rides on: train
     * fresh centroids on the CURRENT vector store, rebuild the assignment
@@ -1929,6 +2070,23 @@ object CorpusIngest {
           if (ledger > logMax) 1L else 0L, "warn"))
       }
     }
+    // snapshot manifests: an uncommitted dir is snapshotCorpus' documented
+    // crash window (manifest landed, commit marker didn't) — invisible to
+    // every read, warn, repair clears it. A COMMITTED manifest whose row
+    // count drifts from its commit marker should be impossible (the
+    // marker lands last, over a finished manifest) — error.
+    {
+      val (snaps, torn) = scanSnapshots(spark, warehouse)
+      out += (("snapshot_uncommitted", "snapshots", torn.size.toLong,
+        "warn"))
+      val drifted = snaps.count { ts =>
+        val dir = snapDirOf(warehouse, ts)
+        Sinks.readBucketedPath(spark, dir).count() !=
+          readLongLedger(spark, snapCommitLedger(dir))
+      }
+      out += (("snapshot_manifest_drift", "snapshots", drifted.toLong,
+        "error"))
+    }
     out.toSeq.toDF("check", "table", "violations", "severity")
       .orderBy(col("severity"), col("check"), col("table"))
   }
@@ -1988,6 +2146,14 @@ object CorpusIngest {
           out += (("rebuilt_label_store", short(labelP)))
         }
       }
+    }
+    // uncommitted snapshot dirs are snapshotCorpus' documented crash
+    // residue (manifest landed, commit marker didn't) — invisible to
+    // every read, so clearing loses nothing a snapshot retry can't
+    // recreate
+    scanSnapshots(spark, warehouse)._2.foreach { d =>
+      dropStore(spark, d)
+      out += (("cleared_uncommitted_snapshot", short(d)))
     }
     // the repair itself is a governance-grade event: record WHICH actions
     // ran (the counts columns carry no row delta for a repair — zeroed)

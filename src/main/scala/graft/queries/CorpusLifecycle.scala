@@ -89,6 +89,72 @@ object CorpusLifecycle {
       wh
     })
 
+  /** The curated-view oracle: the two already-locked survivor oracles —
+    * the MinHash chain for text survivors, the sign-LSH chain for vector
+    * losers — composed as nested recursive CTE scopes (their CTE names
+    * collide, so each chain gets its own derived-table scope), restricted
+    * by the identity linkage. `extraPred` appends further curated-set
+    * predicates (the snapshot query's takedown exclusion).
+    */
+  private def curatedSql(extraPred: String): String =
+    s"""SELECT sv.doc_id, sv.lang, sv.n_chars FROM (
+       |  WITH RECURSIVE ${DedupOps.duckMinhashCtes},
+       |  p AS (SELECT doc_a, doc_b FROM v
+       |        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+       |  edges AS (SELECT doc_a AS s, doc_b AS t FROM p
+       |            UNION SELECT doc_b, doc_a FROM p),
+       |  reach(s, t) AS (
+       |    SELECT s, t FROM edges
+       |    UNION
+       |    SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+       |  lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |          FROM reach GROUP BY s)
+       |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |  WHERE d.doc_id NOT IN
+       |    (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+       |) sv
+       |WHERE sv.doc_id NOT IN (
+       |  SELECT vl.vec_id FROM (
+       |    WITH RECURSIVE ${DedupOps.duckEmbLshCtes},
+       |    p AS (SELECT vec_a, vec_b FROM v WHERE cos >= 0.42),
+       |    edges AS (SELECT vec_a AS s, vec_b AS t FROM p
+       |              UNION SELECT vec_b, vec_a FROM p),
+       |    reach(s, t) AS (
+       |      SELECT s, t FROM edges
+       |      UNION
+       |      SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+       |    lab AS (SELECT s AS vec_id, least(s, min(t)) AS cluster_id
+       |            FROM reach GROUP BY s)
+       |    SELECT vec_id FROM lab WHERE vec_id <> cluster_id
+       |  ) vl)$extraPred
+       |ORDER BY sv.doc_id""".stripMargin
+
+  /** Scratch warehouse for the snapshot read path: the curated build
+    * (text drop + embedding drop + identity links), then PIN it with
+    * `snapshotCorpus`, then take down the smallest doc_id — so the query
+    * reads a snapshot that is both PINNED (the label churn the delete
+    * causes must not move it) and takedown-filtered (the removed doc must
+    * be absent even though the manifest still names it). Returns
+    * (warehouse, snapshot stamp).
+    */
+  private def snapshotWarehouse(s: SparkSession, dir: String): (String, Long) = {
+    val v = memo.computeIfAbsent(s"snapshot|$dir", { _ =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-snap-wh").toString
+      CorpusIngest.run(s, Tables.documents(s, dir), wh, threshold = 0.5)
+      CorpusIngest.ingestEmbeddings(s, Tables.embeddings(s, dir), wh,
+        threshold = 0.42)
+      CorpusIngest.registerLinks(s, wh, identityLinks(s, dir))
+      val ts = CorpusIngest.snapshotCorpus(s, wh)
+      val minId = Tables.documents(s, dir)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      CorpusIngest.delete(s, wh, Seq(minId))
+      s"$wh|$ts"
+    })
+    val i = v.lastIndexOf('|')
+    (v.substring(0, i), v.substring(i + 1).toLong)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // The cross-modality curated corpus: text survivors restricted by
     // linked embedding dedup losses, read off the REAL warehouse view
@@ -98,38 +164,7 @@ object CorpusLifecycle {
     // recursive CTE scopes (their CTE names collide, so each chain gets
     // its own derived-table scope), then applies the identity linkage.
     QueryDef.sqlBacked(
-      "corpus_curated_survivors",
-      s"""SELECT sv.doc_id, sv.lang, sv.n_chars FROM (
-         |  WITH RECURSIVE ${DedupOps.duckMinhashCtes},
-         |  p AS (SELECT doc_a, doc_b FROM v
-         |        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
-         |  edges AS (SELECT doc_a AS s, doc_b AS t FROM p
-         |            UNION SELECT doc_b, doc_a FROM p),
-         |  reach(s, t) AS (
-         |    SELECT s, t FROM edges
-         |    UNION
-         |    SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
-         |  lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-         |          FROM reach GROUP BY s)
-         |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-         |  WHERE d.doc_id NOT IN
-         |    (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
-         |) sv
-         |WHERE sv.doc_id NOT IN (
-         |  SELECT vl.vec_id FROM (
-         |    WITH RECURSIVE ${DedupOps.duckEmbLshCtes},
-         |    p AS (SELECT vec_a, vec_b FROM v WHERE cos >= 0.42),
-         |    edges AS (SELECT vec_a AS s, vec_b AS t FROM p
-         |              UNION SELECT vec_b, vec_a FROM p),
-         |    reach(s, t) AS (
-         |      SELECT s, t FROM edges
-         |      UNION
-         |      SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
-         |    lab AS (SELECT s AS vec_id, least(s, min(t)) AS cluster_id
-         |            FROM reach GROUP BY s)
-         |    SELECT vec_id FROM lab WHERE vec_id <> cluster_id
-         |  ) vl)
-         |ORDER BY sv.doc_id""".stripMargin) { (s, d) =>
+      "corpus_curated_survivors", curatedSql("")) { (s, d) =>
       CorpusIngest.curatedSurvivors(s, curatedWarehouse(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -168,6 +203,24 @@ object CorpusLifecycle {
         .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
           col("table"), col("rows_before"), col("rows_after"))
         .orderBy(col("seq"), col("table"))
+    },
+
+    // The snapshot read path a training run pins its corpus with:
+    // `curatedAsOf` over a warehouse that was snapshotted and THEN took a
+    // takedown. The contract under test is both halves of "membership is
+    // pinned, bytes are live": the curated set as of the stamp (unmoved
+    // by the delete's label churn) MINUS the removed doc (a takedown
+    // flows through historical snapshots). Oracle = the curated chain
+    // with the deterministic takedown target (min doc_id) excluded.
+    QueryDef.sqlBacked(
+      "corpus_snapshot_asof",
+      curatedSql(
+        "\n  AND sv.doc_id <> (SELECT min(doc_id) FROM documents)")) {
+      (s, d) =>
+        val (wh, ts) = snapshotWarehouse(s, d)
+        CorpusIngest.curatedAsOf(s, wh, ts)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
     }
   )
 }

@@ -1318,6 +1318,87 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("corpus snapshots: as-of membership is pinned, takedowns flow through, retention and crash residue behave") {
+    import graft.core.Sinks
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whsnap").toString
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    // doc 1's linked vector is the losing cosine twin → curated = {2}
+    CorpusIngest.run(spark, Seq((1L, base), (2L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    CorpusIngest.ingestEmbeddings(spark, Seq((10L, vec(0)),
+      (11L, vec(0, 0.01f))).toDF("vec_id", "embedding"), wh)
+    CorpusIngest.registerLinks(spark, wh, Seq(
+      (100L, "doc", 1L), (100L, "vec", 11L), (200L, "doc", 2L),
+      (200L, "vec", 10L)).toDF("content_key", "modality", "id"))
+    val t1 = CorpusIngest.snapshotCorpus(spark, wh)
+    def asOfIds(t: Long) = CorpusIngest.curatedAsOf(spark, wh, t)
+      .select("doc_id").as[Long].collect().toSet
+    assert(asOfIds(t1) == Set(2L))
+    // a later drop moves the LIVE view but not the pinned one
+    CorpusIngest.run(spark, Seq((3L, "completely fresh text about gardens " +
+      "and rivers flowing through quiet mountain valleys at dawn"))
+      .toDF("doc_id", "text"), wh)
+    assert(CorpusIngest.curatedSurvivors(spark, wh)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(asOfIds(t1) == Set(2L), "pinned membership must not drift")
+    val t2 = CorpusIngest.snapshotCorpus(spark, wh)
+    assert(t2 > t1, "stamps are strictly monotonic")
+    assert(asOfIds(t2) == Set(2L, 3L))
+    // as-of resolves the LATEST snapshot at or before t
+    assert(asOfIds(t2 - 1) == Set(2L))
+    assert(asOfIds(Long.MaxValue) == Set(2L, 3L))
+    // a takedown flows through every HISTORICAL snapshot: membership is
+    // pinned, bytes come from the live store
+    CorpusIngest.delete(spark, wh, Seq(2L))
+    assert(asOfIds(t1) == Set.empty, "reading removed content via an old " +
+      "snapshot must be impossible")
+    assert(asOfIds(t2) == Set(3L))
+    // no snapshot covers t1-1 → refuse, never silently serve live
+    intercept[IllegalArgumentException](
+      CorpusIngest.curatedAsOf(spark, wh, t1 - 1))
+    // an explicit stamp not past the latest snapshot → refuse
+    intercept[IllegalArgumentException](
+      CorpusIngest.snapshotCorpus(spark, wh, atMs = Some(t2)))
+    // census reads commit markers only; the audit trail records the census
+    assert(CorpusIngest.listCorpusSnapshots(spark, wh)
+      .as[(Long, Long)].collect().toSeq == Seq((t1, 1L), (t2, 2L)))
+    assert(CorpusIngest.governanceAudit(spark, wh)
+      .filter(col("op") === "snapshot")
+      .select("table", "rows_before", "rows_after")
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("snapshots", 0L, 1L), ("snapshots", 1L, 2L)))
+    // crash residue: a manifest without its commit marker is invisible to
+    // reads and the census, warned by fsck, cleared by repair
+    Seq(3L).toDF("doc_id").write
+      .parquet(s"$wh/corpus/snapshots/snap_ts=${t2 + 5}")
+    assert(asOfIds(Long.MaxValue) == Set(3L))
+    assert(CorpusIngest.listCorpusSnapshots(spark, wh).count() == 2L)
+    def fsckSnap() = CorpusIngest.fsck(spark, wh)
+      .filter(col("check").startsWith("snapshot_") && col("violations") > 0)
+      .select("check", "severity").as[(String, String)].collect().toSet
+    assert(fsckSnap() == Set(("snapshot_uncommitted", "warn")))
+    assert(CorpusIngest.repair(spark, wh)
+      .filter(col("action") === "cleared_uncommitted_snapshot").count() == 1L)
+    assert(fsckSnap().isEmpty, s"after repair: ${fsckSnap()}")
+    // retention: oldest beyond keepLast expire; expired reads refuse
+    assert(CorpusIngest.expireCorpusSnapshots(spark, wh, keepLast = 1) == 1L)
+    intercept[IllegalArgumentException](
+      CorpusIngest.curatedAsOf(spark, wh, t1))
+    assert(asOfIds(t2) == Set(3L))
+    assert(CorpusIngest.listCorpusSnapshots(spark, wh)
+      .as[(Long, Long)].collect().toSeq == Seq((t2, 2L)))
+    // post-commit corruption (marker count vs manifest rows) is an error
+    val markerP = new org.apache.hadoop.fs.Path(
+      s"$wh/corpus/snapshots/snap_ts=$t2/_snap_commit")
+    val fsH = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fsH.create(markerP, true)
+    try o.write("99".getBytes("UTF-8")) finally o.close()
+    assert(fsckSnap() == Set(("snapshot_manifest_drift", "error")))
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("a crash-parked store heals at leased entry points and fails loudly in lease-free views") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whgate").toString
