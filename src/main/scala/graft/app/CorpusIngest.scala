@@ -1648,21 +1648,48 @@ object CorpusIngest {
   private def snapDirOf(wh: String, ts: Long) = s"${snapsRoot(wh)}/snap_ts=$ts"
   private def snapCommitLedger(dir: String) = dir + "/_snap_commit"
 
-  /** (committed snapshot stamps ascending, uncommitted residue dirs). */
-  private def scanSnapshots(spark: SparkSession,
-                            wh: String): (Seq[Long], Seq[String]) = {
-    val root = new org.apache.hadoop.fs.Path(snapsRoot(wh))
+  /** Generic scan of a root of `<prefix><stamp>` artifact dirs committed
+    * by a lands-last `<marker>` file: (committed stamps ascending,
+    * uncommitted residue dirs). Shared by snapshots and exports — both
+    * commit the same way, so fsck/repair reason about both identically.
+    */
+  private def scanStamped(spark: SparkSession, rootDir: String,
+                          prefix: String,
+                          marker: String): (Seq[Long], Seq[String]) = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) (Nil, Nil)
     else {
       val dirs = fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap_ts="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
         .map(_.getPath)
       val (committed, torn) = dirs.partition(p =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_snap_commit")))
-      (committed.map(_.getName.stripPrefix("snap_ts=").toLong).sorted,
+        fs.exists(new org.apache.hadoop.fs.Path(p, marker)))
+      (committed.map(_.getName.stripPrefix(prefix).toLong).sorted,
         torn.map(_.toString))
     }
+  }
+
+  /** (committed snapshot stamps ascending, uncommitted residue dirs). */
+  private def scanSnapshots(spark: SparkSession,
+                            wh: String): (Seq[Long], Seq[String]) =
+    scanStamped(spark, snapsRoot(wh), "snap_ts=", "_snap_commit")
+
+  /** Monotonic artifact stamp: explicit stamps must advance past the
+    * latest prior stamp (refused otherwise); the default clock stamp
+    * self-corrects same-millisecond collisions. Callers hold the lease,
+    * so reading `prior` then stamping is race-free.
+    */
+  private def nextStamp(prior: Seq[Long], atMs: Option[Long],
+                        what: String): Long = atMs match {
+    case Some(t) =>
+      require(prior.forall(_ < t),
+        s"$what: stamp $t is not after the latest ${prior.max} — " +
+          "stamps are monotonic per warehouse")
+      t
+    case None =>
+      val now = System.currentTimeMillis()
+      if (prior.isEmpty) now else math.max(now, prior.max + 1L)
   }
 
   /** Pin the current curated corpus as a named snapshot; returns its
@@ -1682,16 +1709,7 @@ object CorpusIngest {
       s"snapshotCorpus: no document store at ${docsPath(warehouse)} — " +
         "ingest first")
     val (prior, _) = scanSnapshots(spark, warehouse)
-    val ts = atMs match {
-      case Some(t) =>
-        require(prior.forall(_ < t),
-          s"snapshotCorpus: stamp $t is not after the latest snapshot " +
-            s"${prior.max} — stamps are monotonic per warehouse")
-        t
-      case None =>
-        val now = System.currentTimeMillis()
-        if (prior.isEmpty) now else math.max(now, prior.max + 1L)
-    }
+    val ts = nextStamp(prior, atMs, "snapshotCorpus")
     val dir = snapDirOf(warehouse, ts)
     // manifest bucket layout mirrors the document store's so the as-of
     // semi-join co-locates; a legacy plain docs store gets the default
@@ -1759,6 +1777,126 @@ object CorpusIngest {
         drop.size.toLong,
         Map("snapshots" -> ((snaps.size.toLong,
           snaps.size.toLong - drop.size))))
+    drop.size.toLong
+  }
+
+  // ===== Reproducible training exports ======================================
+  //
+  // The export is the last warehouse artifact before a trainer reads
+  // bytes: a snapshot's membership fixed into the DETERMINISTIC global
+  // shuffle — (doc_id, shard, pos) via `CorpusOps.shardAssignment`'s
+  // portable hashes — so a restarted or re-provisioned training job
+  // re-derives byte-identical shard order from the warehouse instead of
+  // trusting whatever files survived. Like snapshots, an export pins the
+  // PLAN, not bytes: `readExport` joins the manifest against the LIVE
+  // document store (id-bucketed, co-located with `corpus/documents`), so
+  // takedowns flow through already-cut exports — a removed doc vanishes
+  // from its shard while every OTHER doc keeps its (shard, pos); a
+  // mid-training purge leaves a gap, never a re-shuffle under the
+  // trainer's feet. An export is self-contained once committed (the
+  // manifest holds the placement), so expiring its source snapshot does
+  // not invalidate it.
+  //
+  // Same crash ordering as snapshots: manifest rows first, sidecar
+  // ledgers (source snapshot stamp, shard count), then the
+  // `_export_commit` marker (holding the manifest count) lands LAST;
+  // readers ignore uncommitted dirs, fsck warns on them, repair clears
+  // them.
+  private def exportsRoot(wh: String) = s"$wh/corpus/exports"
+  private def exportDirOf(wh: String, ts: Long) =
+    s"${exportsRoot(wh)}/export_ts=$ts"
+  private def exportCommitLedger(dir: String) = dir + "/_export_commit"
+  private def exportSnapLedger(dir: String) = dir + "/_export_snap"
+  private def exportShardsLedger(dir: String) = dir + "/_export_shards"
+
+  /** (committed export stamps ascending, uncommitted residue dirs). */
+  private def scanExports(spark: SparkSession,
+                          wh: String): (Seq[Long], Seq[String]) =
+    scanStamped(spark, exportsRoot(wh), "export_ts=", "_export_commit")
+
+  /** Fix the corpus a training run reads: shard-assign the snapshot
+    * membership at `asOfMs` (resolved exactly like `curatedAsOf` — the
+    * latest committed snapshot at or before it; refused when none covers
+    * it) into a deterministic (doc_id, shard, pos) manifest, persisted
+    * id-bucketed so `readExport` co-locates with the document store.
+    * Returns the export stamp. Leased — the manifest must be one
+    * consistent view — and audited (`op = export`). The window behind
+    * `shardAssignment` shuffles once on `shard` — increment-free by
+    * design, since an export is a one-shot artifact, not a maintained
+    * store.
+    */
+  def exportCorpus(spark: SparkSession, warehouse: String, asOfMs: Long,
+                   numShards: Int, atMs: Option[Long] = None): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    require(numShards >= 1, s"exportCorpus: numShards must be >= 1")
+    val snaps = scanSnapshots(spark, warehouse)._1.filter(_ <= asOfMs)
+    require(snaps.nonEmpty,
+      s"exportCorpus: no committed corpus snapshot at or before $asOfMs " +
+        s"under ${snapsRoot(warehouse)} — run snapshotCorpus first")
+    val (prior, _) = scanExports(spark, warehouse)
+    val ts = nextStamp(prior, atMs, "exportCorpus")
+    val dir = exportDirOf(warehouse, ts)
+    val manifest = graft.operators.CorpusOps.shardAssignment(
+      curatedAsOf(spark, warehouse, asOfMs).select(col("doc_id")), numShards)
+    val buckets = Sinks.bucketSpecOf(spark, docsPath(warehouse))
+      .map(_._2).getOrElse(8)
+    Sinks.bucketedIdempotentAppend(manifest, dir, keys = Seq("doc_id"),
+      bucketKeys = Seq("doc_id"), buckets = buckets)
+    val n = Sinks.readBucketedPath(spark, dir).count()
+    writeLongLedger(spark, exportSnapLedger(dir), snaps.max)
+    writeLongLedger(spark, exportShardsLedger(dir), numShards.toLong)
+    // commit point: the marker lands only over a fully-written manifest
+    writeLongLedger(spark, exportCommitLedger(dir), n)
+    appendAudit(spark, warehouse, "export", "doc_id", n,
+      Map("exports" -> ((prior.size.toLong, prior.size.toLong + 1L))))
+    ts
+  }
+
+  /** Census of committed exports: (export_ts, snap_ts, n_shards, n_docs),
+    * ascending — all off the sidecar ledgers, no manifest scan.
+    */
+  def listCorpusExports(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    scanExports(spark, warehouse)._1.map { ts =>
+      val dir = exportDirOf(warehouse, ts)
+      (ts, readLongLedger(spark, exportSnapLedger(dir)),
+        readLongLedger(spark, exportShardsLedger(dir)),
+        readLongLedger(spark, exportCommitLedger(dir)))
+    }.toDF("export_ts", "snap_ts", "n_shards", "n_docs")
+  }
+
+  /** The trainer's read: full document rows with their pinned
+    * (shard, pos) placement — manifest ⋈ live store, id-bucketed both
+    * sides so the join plans no exchange on the corpus-sized side.
+    * Takedowns since the export are ABSENT; surviving docs keep their
+    * placement. Lease-free read; refuses an unknown or uncommitted stamp
+    * (an export handle must resolve exactly or fail the run).
+    */
+  def readExport(spark: SparkSession, warehouse: String,
+                 exportTs: Long): DataFrame = {
+    require(scanExports(spark, warehouse)._1.contains(exportTs),
+      s"readExport: no committed export export_ts=$exportTs under " +
+        s"${exportsRoot(warehouse)} — see listCorpusExports")
+    readStore(spark, docsPath(warehouse)).join(
+      Sinks.readBucketedPath(spark, exportDirOf(warehouse, exportTs)),
+      Seq("doc_id"))
+  }
+
+  /** Retention: drop the oldest committed exports beyond `keepLast`.
+    * Leased, audited, loud-on-expired-read — `expireCorpusSnapshots`'
+    * contract applied to exports.
+    */
+  def expireCorpusExports(spark: SparkSession, warehouse: String,
+                          keepLast: Int): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    require(keepLast >= 1, "expireCorpusExports: keepLast must be >= 1")
+    val (exps, _) = scanExports(spark, warehouse)
+    val drop = exps.dropRight(keepLast)
+    drop.foreach(ts => dropStore(spark, exportDirOf(warehouse, ts)))
+    if (drop.nonEmpty)
+      appendAudit(spark, warehouse, "expire_exports", "export_ts",
+        drop.size.toLong,
+        Map("exports" -> ((exps.size.toLong, exps.size.toLong - drop.size))))
     drop.size.toLong
   }
 
@@ -2087,6 +2225,20 @@ object CorpusIngest {
       out += (("snapshot_manifest_drift", "snapshots", drifted.toLong,
         "error"))
     }
+    // export manifests: same commit protocol, same reachability — an
+    // uncommitted dir is exportCorpus' crash window (warn, repair
+    // clears); a committed manifest disagreeing with its marker count
+    // should be impossible (error).
+    {
+      val (exps, torn) = scanExports(spark, warehouse)
+      out += (("export_uncommitted", "exports", torn.size.toLong, "warn"))
+      val drifted = exps.count { ts =>
+        val dir = exportDirOf(warehouse, ts)
+        Sinks.readBucketedPath(spark, dir).count() !=
+          readLongLedger(spark, exportCommitLedger(dir))
+      }
+      out += (("export_manifest_drift", "exports", drifted.toLong, "error"))
+    }
     out.toSeq.toDF("check", "table", "violations", "severity")
       .orderBy(col("severity"), col("check"), col("table"))
   }
@@ -2154,6 +2306,12 @@ object CorpusIngest {
     scanSnapshots(spark, warehouse)._2.foreach { d =>
       dropStore(spark, d)
       out += (("cleared_uncommitted_snapshot", short(d)))
+    }
+    // same protocol, same recovery: an uncommitted export dir is invisible
+    // to every read and an export retry recreates it exactly
+    scanExports(spark, warehouse)._2.foreach { d =>
+      dropStore(spark, d)
+      out += (("cleared_uncommitted_export", short(d)))
     }
     // the repair itself is a governance-grade event: record WHICH actions
     // ran (the counts columns carry no row delta for a repair — zeroed)

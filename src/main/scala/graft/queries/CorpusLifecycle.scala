@@ -129,15 +129,18 @@ object CorpusLifecycle {
        |  ) vl)$extraPred
        |ORDER BY sv.doc_id""".stripMargin
 
-  /** Scratch warehouse for the snapshot read path: the curated build
-    * (text drop + embedding drop + identity links), then PIN it with
-    * `snapshotCorpus`, then take down the smallest doc_id — so the query
-    * reads a snapshot that is both PINNED (the label churn the delete
-    * causes must not move it) and takedown-filtered (the removed doc must
-    * be absent even though the manifest still names it). Returns
-    * (warehouse, snapshot stamp).
+  /** Scratch warehouse for the snapshot and export read paths: the
+    * curated build (text drop + embedding drop + identity links), PIN it
+    * with `snapshotCorpus`, EXPORT the pinned membership into 8 shards,
+    * then take down the smallest doc_id — so the queries read artifacts
+    * that are both PINNED (the label churn the delete causes must not
+    * move them) and takedown-filtered (the removed doc must be absent
+    * even though the manifests still name it, and every surviving doc
+    * must keep its pre-takedown shard placement). Returns
+    * (warehouse, snapshot stamp, export stamp).
     */
-  private def snapshotWarehouse(s: SparkSession, dir: String): (String, Long) = {
+  private def snapshotWarehouse(s: SparkSession,
+                                dir: String): (String, Long, Long) = {
     val v = memo.computeIfAbsent(s"snapshot|$dir", { _ =>
       val wh = java.nio.file.Files
         .createTempDirectory("graft-snap-wh").toString
@@ -146,13 +149,15 @@ object CorpusLifecycle {
         threshold = 0.42)
       CorpusIngest.registerLinks(s, wh, identityLinks(s, dir))
       val ts = CorpusIngest.snapshotCorpus(s, wh)
+      val ex = CorpusIngest.exportCorpus(s, wh, asOfMs = ts, numShards = 8)
       val minId = Tables.documents(s, dir)
         .agg(min(col("doc_id"))).head().getLong(0)
       CorpusIngest.delete(s, wh, Seq(minId))
-      s"$wh|$ts"
+      s"$wh|$ts|$ex"
     })
-    val i = v.lastIndexOf('|')
-    (v.substring(0, i), v.substring(i + 1).toLong)
+    val parts = v.split('|')
+    (parts.dropRight(2).mkString("|"), parts(parts.length - 2).toLong,
+      parts.last.toLong)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -217,10 +222,39 @@ object CorpusLifecycle {
       curatedSql(
         "\n  AND sv.doc_id <> (SELECT min(doc_id) FROM documents)")) {
       (s, d) =>
-        val (wh, ts) = snapshotWarehouse(s, d)
+        val (wh, ts, _) = snapshotWarehouse(s, d)
         CorpusIngest.curatedAsOf(s, wh, ts)
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy(col("doc_id"))
+    },
+
+    // The export read path — the trainer's pinned global shuffle:
+    // `readExport` over an export cut from the snapshot BEFORE the
+    // takedown. The contract: every surviving doc keeps the EXACT
+    // (shard, pos) computed over the pre-takedown membership (the
+    // removed doc leaves a gap, nothing re-shuffles), and the removed
+    // doc is absent. Oracle = `txt_shard_export`'s portable-hash shard
+    // assignment over the full curated set, minus the takedown target —
+    // position arithmetic INCLUDES the removed doc, exactly as the
+    // pinned manifest does.
+    QueryDef.sqlBacked(
+      "corpus_export_shards",
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 1000003) * 40503 % 8 AS BIGINT) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY (doc_id % 1000003) * 40503 % 8
+         |      ORDER BY (doc_id % 1000003) * 69069 % 65536, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM (
+         |${curatedSql("")}
+         |  ) c) a
+         |WHERE doc_id <> (SELECT min(doc_id) FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (wh, _, ex) = snapshotWarehouse(s, d)
+      CorpusIngest.readExport(s, wh, ex)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
     }
   )
 }

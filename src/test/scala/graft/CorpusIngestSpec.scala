@@ -1399,6 +1399,88 @@ class CorpusIngestSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("corpus exports: pinned shard placement survives takedowns; census, retention, crash residue behave") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whexp").toString
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    // doc 1's linked vector is the losing cosine twin → curated = {2}
+    CorpusIngest.run(spark, Seq((1L, base), (2L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    CorpusIngest.ingestEmbeddings(spark, Seq((10L, vec(0)),
+      (11L, vec(0, 0.01f))).toDF("vec_id", "embedding"), wh)
+    CorpusIngest.registerLinks(spark, wh, Seq(
+      (100L, "doc", 1L), (100L, "vec", 11L), (200L, "doc", 2L),
+      (200L, "vec", 10L)).toDF("content_key", "modality", "id"))
+    // no snapshot yet → exporting refuses (never silently serves live)
+    intercept[IllegalArgumentException](
+      CorpusIngest.exportCorpus(spark, wh, System.currentTimeMillis(), 1))
+    val t1 = CorpusIngest.snapshotCorpus(spark, wh)
+    val e1 = CorpusIngest.exportCorpus(spark, wh, asOfMs = t1, numShards = 1)
+    def exp(ts: Long) = CorpusIngest.readExport(spark, wh, ts)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(exp(e1) == Set((2L, 0L, 1L)))
+    // grow the corpus; a fresh snapshot+export places both docs in the
+    // portable-hash order (orderHash(2)=7066 < orderHash(3)=10599)
+    CorpusIngest.run(spark, Seq((3L, "completely fresh text about gardens " +
+      "and rivers flowing through quiet mountain valleys at dawn"))
+      .toDF("doc_id", "text"), wh)
+    val t2 = CorpusIngest.snapshotCorpus(spark, wh)
+    val e2 = CorpusIngest.exportCorpus(spark, wh, asOfMs = t2, numShards = 1)
+    assert(e2 > e1, "export stamps are strictly monotonic")
+    assert(exp(e2) == Set((2L, 0L, 1L), (3L, 0L, 2L)))
+    // takedown: the doc vanishes from BOTH exports while every survivor
+    // keeps its PRE-takedown placement — a gap, never a re-shuffle
+    CorpusIngest.delete(spark, wh, Seq(2L))
+    assert(exp(e1) == Set.empty)
+    assert(exp(e2) == Set((3L, 0L, 2L)),
+      "surviving docs must keep their pinned (shard, pos)")
+    // an unknown export handle must fail the run, not resolve fuzzily
+    intercept[IllegalArgumentException](
+      CorpusIngest.readExport(spark, wh, e2 + 1))
+    // census off the sidecar ledgers; the audit trail records each cut
+    assert(CorpusIngest.listCorpusExports(spark, wh)
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((e1, t1, 1L, 1L), (e2, t2, 1L, 2L)))
+    assert(CorpusIngest.governanceAudit(spark, wh)
+      .filter(col("op") === "export")
+      .select("table", "rows_before", "rows_after")
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("exports", 0L, 1L), ("exports", 1L, 2L)))
+    // crash residue: a manifest without its commit marker is invisible to
+    // reads and the census, warned by fsck, cleared by repair
+    Seq((3L, 0L, 1L)).toDF("doc_id", "shard", "pos").write
+      .parquet(s"$wh/corpus/exports/export_ts=${e2 + 7}")
+    assert(CorpusIngest.listCorpusExports(spark, wh).count() == 2L)
+    def fsckExp() = CorpusIngest.fsck(spark, wh)
+      .filter(col("check").startsWith("export_") && col("violations") > 0)
+      .select("check", "severity").as[(String, String)].collect().toSet
+    assert(fsckExp() == Set(("export_uncommitted", "warn")))
+    assert(CorpusIngest.repair(spark, wh)
+      .filter(col("action") === "cleared_uncommitted_export").count() == 1L)
+    assert(fsckExp().isEmpty, s"after repair: ${fsckExp()}")
+    // a committed export is SELF-CONTAINED: expiring its source snapshot
+    // must not invalidate it
+    assert(CorpusIngest.expireCorpusSnapshots(spark, wh, keepLast = 1) == 1L)
+    assert(exp(e2) == Set((3L, 0L, 2L)))
+    // retention on exports; expired handles refuse
+    assert(CorpusIngest.expireCorpusExports(spark, wh, keepLast = 1) == 1L)
+    intercept[IllegalArgumentException](
+      CorpusIngest.readExport(spark, wh, e1))
+    assert(CorpusIngest.listCorpusExports(spark, wh)
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((e2, t2, 1L, 2L)))
+    // post-commit corruption (marker count vs manifest rows) is an error
+    val markerP = new org.apache.hadoop.fs.Path(
+      s"$wh/corpus/exports/export_ts=$e2/_export_commit")
+    val fsH = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fsH.create(markerP, true)
+    try o.write("99".getBytes("UTF-8")) finally o.close()
+    assert(fsckExp() == Set(("export_manifest_drift", "error")))
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("a crash-parked store heals at leased entry points and fails loudly in lease-free views") {
     import graft.core.Sinks
     val wh = java.nio.file.Files.createTempDirectory("corpus-whgate").toString
