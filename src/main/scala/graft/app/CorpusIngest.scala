@@ -1760,6 +1760,32 @@ object CorpusIngest {
       Seq("doc_id"), "left_semi")
   }
 
+  /** Membership delta between two committed snapshots: (doc_id, change)
+    * with change ∈ {added, removed} — what a training team reviews before
+    * re-pinning a corpus (and the input to an incremental re-export: the
+    * adds are exactly what `extendExport` appends). A doc_id appears at
+    * most once — snapshot manifests are membership sets. Lease-free read;
+    * refuses uncommitted stamps like every snapshot read.
+    *
+    * Scale: two anti-joins between id-only manifests bucketed identically
+    * on doc_id — co-located, no exchange on either side at any corpus
+    * size.
+    */
+  def snapshotDiff(spark: SparkSession, warehouse: String,
+                   fromTs: Long, toTs: Long): DataFrame = {
+    val snaps = scanSnapshots(spark, warehouse)._1
+    for (ts <- Seq(fromTs, toTs))
+      require(snaps.contains(ts),
+        s"snapshotDiff: no committed corpus snapshot snap_ts=$ts under " +
+          s"${snapsRoot(warehouse)} — see listCorpusSnapshots")
+    val a = Sinks.readBucketedPath(spark, snapDirOf(warehouse, fromTs))
+    val b = Sinks.readBucketedPath(spark, snapDirOf(warehouse, toTs))
+    b.join(a, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("added").as("change"))
+      .unionByName(a.join(b, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("removed").as("change")))
+  }
+
   /** Retention: drop the oldest committed snapshots beyond `keepLast`.
     * Leased and audited like every other mutation; returns how many were
     * expired. Reads against an expired stamp fail loudly at `curatedAsOf`
@@ -1808,6 +1834,7 @@ object CorpusIngest {
   private def exportCommitLedger(dir: String) = dir + "/_export_commit"
   private def exportSnapLedger(dir: String) = dir + "/_export_snap"
   private def exportShardsLedger(dir: String) = dir + "/_export_shards"
+  private def exportBaseLedger(dir: String) = dir + "/_export_base"
 
   /** (committed export stamps ascending, uncommitted residue dirs). */
   private def scanExports(spark: SparkSession,
@@ -1852,8 +1879,65 @@ object CorpusIngest {
     ts
   }
 
-  /** Census of committed exports: (export_ts, snap_ts, n_shards, n_docs),
-    * ascending — all off the sidecar ledgers, no manifest scan.
+  /** Extend a committed export with a LATER snapshot's additions — the
+    * continued-pretraining evolution: every base-manifest row keeps its
+    * (shard, pos) VERBATIM (the byte prefix a resumed or continued
+    * training run already consumed), and docs in the resolved snapshot
+    * but not the base manifest are appended past each shard's high-water
+    * mark in the same portable-hash order `exportCorpus` would have used.
+    * Docs that left the corpus since the base stay in the manifest —
+    * takedown gaps flow through `readExport`'s live join exactly as they
+    * do for a root export, never a re-shuffle. The new export is a
+    * first-class committed artifact (own stamp, same sidecars plus an
+    * `_export_base` lineage ledger; expiring the base does not invalidate
+    * it). Leased and audited (`op = extend_export`).
+    *
+    * Scale: one anti-join between id-bucketed manifests (co-located), a
+    * rank window over the ADDITIONS only (bounded by the delta, not the
+    * corpus), and a broadcast of the numShards-row high-water frame.
+    */
+  def extendExport(spark: SparkSession, warehouse: String,
+                   baseExportTs: Long, asOfMs: Long,
+                   atMs: Option[Long] = None): Long =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    val (prior, _) = scanExports(spark, warehouse)
+    require(prior.contains(baseExportTs),
+      s"extendExport: no committed export export_ts=$baseExportTs under " +
+        s"${exportsRoot(warehouse)} — see listCorpusExports")
+    val snaps = scanSnapshots(spark, warehouse)._1.filter(_ <= asOfMs)
+    require(snaps.nonEmpty,
+      s"extendExport: no committed corpus snapshot at or before $asOfMs " +
+        s"under ${snapsRoot(warehouse)} — run snapshotCorpus first")
+    val ts = nextStamp(prior, atMs, "extendExport")
+    val dir = exportDirOf(warehouse, ts)
+    val baseDir = exportDirOf(warehouse, baseExportTs)
+    val numShards = readLongLedger(spark, exportShardsLedger(baseDir)).toInt
+    val base = Sinks.readBucketedPath(spark, baseDir)
+    val newDocs = Sinks.readBucketedPath(
+        spark, snapDirOf(warehouse, snaps.max))
+      .join(base, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val baseMax = base.groupBy(col("shard"))
+      .agg(max(col("pos")).as("max_pos"))
+    val appended = graft.operators.CorpusOps.shardAssignmentAfter(
+      newDocs, numShards, baseMax)
+    val buckets = Sinks.bucketSpecOf(spark, docsPath(warehouse))
+      .map(_._2).getOrElse(8)
+    Sinks.bucketedIdempotentAppend(base.unionByName(appended), dir,
+      keys = Seq("doc_id"), bucketKeys = Seq("doc_id"), buckets = buckets)
+    val n = Sinks.readBucketedPath(spark, dir).count()
+    writeLongLedger(spark, exportSnapLedger(dir), snaps.max)
+    writeLongLedger(spark, exportShardsLedger(dir), numShards.toLong)
+    writeLongLedger(spark, exportBaseLedger(dir), baseExportTs)
+    // commit point: the marker lands only over a fully-written manifest
+    writeLongLedger(spark, exportCommitLedger(dir), n)
+    appendAudit(spark, warehouse, "extend_export", "doc_id", n,
+      Map("exports" -> ((prior.size.toLong, prior.size.toLong + 1L))))
+    ts
+  }
+
+  /** Census of committed exports: (export_ts, snap_ts, n_shards, n_docs,
+    * base_ts), ascending — all off the sidecar ledgers, no manifest scan.
+    * `base_ts` is the lineage of an extended export (-1 for a root cut).
     */
   def listCorpusExports(spark: SparkSession, warehouse: String): DataFrame = {
     import spark.implicits._
@@ -1861,8 +1945,9 @@ object CorpusIngest {
       val dir = exportDirOf(warehouse, ts)
       (ts, readLongLedger(spark, exportSnapLedger(dir)),
         readLongLedger(spark, exportShardsLedger(dir)),
-        readLongLedger(spark, exportCommitLedger(dir)))
-    }.toDF("export_ts", "snap_ts", "n_shards", "n_docs")
+        readLongLedger(spark, exportCommitLedger(dir)),
+        readLongLedger(spark, exportBaseLedger(dir)))
+    }.toDF("export_ts", "snap_ts", "n_shards", "n_docs", "base_ts")
   }
 
   /** The trainer's read: full document rows with their pinned
@@ -1880,6 +1965,49 @@ object CorpusIngest {
     readStore(spark, docsPath(warehouse)).join(
       Sinks.readBucketedPath(spark, exportDirOf(warehouse, exportTs)),
       Seq("doc_id"))
+  }
+
+  /** Pre-run shard verification — the check a trainer runs BEFORE reading
+    * an export: per shard, the manifest's row count and placement
+    * fingerprint next to the LIVE view's (manifest ∩ document store).
+    * Equal columns mean the shard streams exactly the pinned bytes;
+    * `n_manifest - n_live` counts takedown gaps (expected, reviewable via
+    * the audit trail), and a fingerprint drift at EQUAL counts would
+    * evidence placement corruption — impossible under the write
+    * contracts, which is exactly why a trainer checks it.
+    *
+    * The fingerprint is an order-insensitive multiset hash of
+    * (doc_id, shard, pos) placements: XOR of a portable per-row hash
+    * (same modular family as the shard/order hashes, so DuckDB replays it
+    * exactly). XOR, not SUM, so the aggregate cannot overflow at any
+    * corpus size; manifest rows are doc_id-unique by construction, so
+    * XOR's self-cancellation is unreachable.
+    *
+    * Scale: two aggregates over the id-sized manifest (the live side is
+    * an id-projected semi-join co-located with the document store) into
+    * `numShards` rows — no content read, driver-sized result.
+    */
+  def exportIntegrity(spark: SparkSession, warehouse: String,
+                      exportTs: Long): DataFrame = {
+    require(scanExports(spark, warehouse)._1.contains(exportTs),
+      s"exportIntegrity: no committed export export_ts=$exportTs under " +
+        s"${exportsRoot(warehouse)} — see listCorpusExports")
+    val manifest = Sinks.readBucketedPath(
+      spark, exportDirOf(warehouse, exportTs))
+    val live = manifest.join(
+      readStore(spark, docsPath(warehouse)).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val fp = ((col("doc_id") % 1000003L) * 40503L +
+      col("pos") * 69069L) % 2147483647L
+    def roll(df: DataFrame, n: String, f: String): DataFrame =
+      df.select(col("shard"), fp.as("fp")).groupBy(col("shard"))
+        .agg(count(lit(1)).as(n), expr("bit_xor(fp)").as(f))
+    roll(manifest, "n_manifest", "fp_manifest")
+      .join(roll(live, "n_live", "fp_live"), Seq("shard"), "left_outer")
+      .select(col("shard"), col("n_manifest"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        col("fp_manifest"),
+        coalesce(col("fp_live"), lit(0L)).as("fp_live"))
   }
 
   /** Retention: drop the oldest committed exports beyond `keepLast`.

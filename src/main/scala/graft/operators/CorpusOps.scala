@@ -86,6 +86,26 @@ object CorpusOps {
       .withColumn("pos", row_number().over(rk).cast("long"))
   }
 
+  /** APPEND-ONLY shard assignment: place `docs` AFTER an existing
+    * manifest's per-shard high-water marks (`basePos`: (shard, max_pos),
+    * numShards rows, broadcast) — same portable shard/order hashes, so a
+    * doc's shard and relative order are the ones `shardAssignment` would
+    * have picked, offset past the base prefix. The evolution primitive
+    * behind `CorpusIngest.extendExport`: positions already cut stay
+    * byte-identical, new docs extend each shard's tail.
+    */
+  def shardAssignmentAfter(docs: DataFrame, numShards: Int,
+                           basePos: DataFrame): DataFrame = {
+    val rk = Window.partitionBy(col("shard"))
+      .orderBy(orderHash(col("doc_id")), col("doc_id"))
+    docs.select(col("doc_id"),
+        shardHash(col("doc_id"), numShards).cast("long").as("shard"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(basePos), Seq("shard"), "left_outer")
+      .select(col("doc_id"), col("shard"),
+        (col("rk") + coalesce(col("max_pos"), lit(0L))).as("pos"))
+  }
+
   /** Materialize the sharded corpus: one directory per shard
     * (`shard=N/part-*`), rows inside each shard file in the deterministic
     * within-shard order. Reruns produce identical shard contents — the

@@ -65,24 +65,31 @@ object DedupOps {
     s"(((($i + 1) * 2654435761) % 2147483647) * $h" +
       s" + ((($i + 1) * 40503) % 2147483647)) % 2147483647"
 
-  private val duckShingles =
-    """SELECT doc_id,
+  private def duckShinglesWhere(pred: String) =
+    s"""SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |FROM (SELECT doc_id,
-      |        list_filter(string_split_regex(lower(text), '\s+'),
+      |        list_filter(string_split_regex(lower(text), '\\s+'),
       |                    x -> len(x) > 0) AS w
-      |      FROM documents)
+      |      FROM documents WHERE $pred)
       |WHERE len(w) >= 3""".stripMargin
 
-  /** CTE chain recomputing the MinHash+LSH construction in DuckDB, ending
-    * in `v(doc_a, doc_b, inter, na, nb)` — verified candidate pairs with
-    * exact intersection sizes. Shared by `dedup_minhash_lsh` (pair listing)
-    * and `dedup_cluster` (connected components over the same pairs) so the
-    * two oracles can never drift apart.
+  private val duckShingles = duckShinglesWhere("TRUE")
+
+  /** CTE chain recomputing the MinHash+LSH construction in DuckDB over
+    * the `documents` rows matching `pred`, ending in
+    * `v(doc_a, doc_b, inter, na, nb)` — verified candidate pairs with
+    * exact intersection sizes. The predicate is how an oracle replays the
+    * chain as of an EARLIER corpus state (pairs are pairwise, so the
+    * chain over a doc subset equals the full chain minus pairs touching
+    * the complement — exactly how the incremental pair table evolves).
+    * The unrestricted `duckMinhashCtes` is shared by `dedup_minhash_lsh`
+    * (pair listing) and `dedup_cluster` (connected components over the
+    * same pairs) so the two oracles can never drift apart.
     */
-  private[graft] lazy val duckMinhashCtes =
-    s"""d2 AS ($duckShingles),
+  private[graft] def duckMinhashCtesWhere(pred: String) =
+    s"""d2 AS (${duckShinglesWhere(pred)}),
        |hb AS (SELECT doc_id, sh, list_transform(sh, s -> $duckBaseHash) AS hb
        |       FROM d2),
        |mh AS (SELECT doc_id,
@@ -107,6 +114,8 @@ object DedupOps {
        |  FROM cand
        |  JOIN sz sa ON sa.doc_id = doc_a
        |  JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private[graft] lazy val duckMinhashCtes = duckMinhashCtesWhere("TRUE")
 
   /** Exact pairwise Jaccard from intersection count and set sizes. */
   private def jaccard(inter: Column, sa: Column, sb: Column): Column =

@@ -97,8 +97,18 @@ object CorpusLifecycle {
     * predicates (the snapshot query's takedown exclusion).
     */
   private def curatedSql(extraPred: String): String =
+    curatedSqlWhere("TRUE", extraPred)
+
+  /** `curatedSql` restricted to the `documents` rows matching `docPred` —
+    * how the oracle replays the curated set as of an EARLIER corpus state
+    * (before a later drop, or after a takedown): the text chain runs over
+    * the restricted docs (pairwise pairs make that exactly the historical
+    * pair table), while the vector-loser side stays unrestricted (the
+    * scenarios ingest embeddings once, up front).
+    */
+  private def curatedSqlWhere(docPred: String, extraPred: String): String =
     s"""SELECT sv.doc_id, sv.lang, sv.n_chars FROM (
-       |  WITH RECURSIVE ${DedupOps.duckMinhashCtes},
+       |  WITH RECURSIVE ${DedupOps.duckMinhashCtesWhere(docPred)},
        |  p AS (SELECT doc_a, doc_b FROM v
        |        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
        |  edges AS (SELECT doc_a AS s, doc_b AS t FROM p
@@ -110,7 +120,7 @@ object CorpusLifecycle {
        |  lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
        |          FROM reach GROUP BY s)
        |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-       |  WHERE d.doc_id NOT IN
+       |  WHERE ($docPred) AND d.doc_id NOT IN
        |    (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
        |) sv
        |WHERE sv.doc_id NOT IN (
@@ -159,6 +169,52 @@ object CorpusLifecycle {
     (parts.dropRight(2).mkString("|"), parts(parts.length - 2).toLong,
       parts.last.toLong)
   }
+
+  /** Scratch warehouse for the corpus-EVOLUTION read paths: drop 1 is a
+    * doc subset (doc_id % 3 <> 0), pinned (snap 1) and exported; drop 2
+    * adds the remainder (new-old pairs can DEMOTE old keepers when the
+    * newcomer has a smaller id); then a takedown of the smallest doc_id,
+    * and the post-delete corpus is pinned again (snap 2) and
+    * `extendExport`ed on top of export 1. The diff between the pins and
+    * the extended manifest both read real adds, removes, demotions, and a
+    * takedown at once. Returns (warehouse, snap1, export1, snap2,
+    * export2).
+    */
+  private def evolveWarehouse(s: SparkSession,
+                              dir: String): (String, Long, Long, Long, Long) = {
+    val v = memo.computeIfAbsent(s"evolve|$dir", { _ =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-evolve-wh").toString
+      val docs = Tables.documents(s, dir)
+      CorpusIngest.run(s, docs.filter(col("doc_id") % 3 =!= 0), wh,
+        threshold = 0.5)
+      CorpusIngest.ingestEmbeddings(s, Tables.embeddings(s, dir), wh,
+        threshold = 0.42)
+      CorpusIngest.registerLinks(s, wh, identityLinks(s, dir))
+      val ts1 = CorpusIngest.snapshotCorpus(s, wh)
+      val ex1 = CorpusIngest.exportCorpus(s, wh, asOfMs = ts1, numShards = 8)
+      CorpusIngest.run(s, docs.filter(col("doc_id") % 3 === 0), wh,
+        threshold = 0.5)
+      val minId = docs.agg(min(col("doc_id"))).head().getLong(0)
+      CorpusIngest.delete(s, wh, Seq(minId))
+      val ts2 = CorpusIngest.snapshotCorpus(s, wh)
+      val ex2 = CorpusIngest.extendExport(s, wh, baseExportTs = ex1,
+        asOfMs = ts2)
+      s"$wh|$ts1|$ex1|$ts2|$ex2"
+    })
+    val parts = v.split('|')
+    (parts.dropRight(4).mkString("|"),
+      parts(parts.length - 4).toLong, parts(parts.length - 3).toLong,
+      parts(parts.length - 2).toLong, parts.last.toLong)
+  }
+
+  // the evolve scenario's two pinned memberships, as oracle fragments:
+  // snap 1 = the curated chain over drop 1's subset; snap 2 = the chain
+  // over the post-takedown corpus (pairwise pairs make the doc_id
+  // restriction exactly the purged pair table the delete leaves)
+  private val evolveSnap1Pred = "doc_id % 3 <> 0"
+  private val evolveSnap2Pred =
+    "doc_id <> (SELECT min(doc_id) FROM documents)"
 
   val defs: Seq[QueryDef] = Seq(
     // The cross-modality curated corpus: text survivors restricted by
@@ -253,6 +309,113 @@ object CorpusLifecycle {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val (wh, _, ex) = snapshotWarehouse(s, d)
       CorpusIngest.readExport(s, wh, ex)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The trainer's pre-run shard verification: `exportIntegrity` over
+    // the same post-takedown export — per shard, manifest count and
+    // placement fingerprint vs the live view's. The contract: counts
+    // differ by exactly the takedown gaps in that shard, and the
+    // fingerprints are the portable XOR multiset hash of (doc_id, pos)
+    // placements — which the oracle recomputes arithmetically from the
+    // curated chain, takedown target excluded on the live side only.
+    QueryDef.sqlBacked(
+      "corpus_export_integrity",
+      s"""WITH c AS (
+         |${curatedSql("")}
+         |),
+         |a AS (SELECT doc_id,
+         |    CAST((doc_id % 1000003) * 40503 % 8 AS BIGINT) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY (doc_id % 1000003) * 40503 % 8
+         |      ORDER BY (doc_id % 1000003) * 69069 % 65536, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM c),
+         |f AS (SELECT doc_id, shard, pos,
+         |    ((doc_id % 1000003) * 40503 + pos * 69069) % 2147483647 AS fp
+         |  FROM a),
+         |mn AS (SELECT min(doc_id) AS m FROM documents)
+         |SELECT shard,
+         |  CAST(count(*) AS BIGINT) AS n_manifest,
+         |  CAST(count(*) FILTER (WHERE doc_id <> m) AS BIGINT) AS n_live,
+         |  CAST(bit_xor(fp) AS BIGINT) AS fp_manifest,
+         |  CAST(COALESCE(bit_xor(fp) FILTER (WHERE doc_id <> m), 0)
+         |       AS BIGINT) AS fp_live
+         |FROM f CROSS JOIN mn
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin) { (s, d) =>
+      val (wh, _, ex) = snapshotWarehouse(s, d)
+      CorpusIngest.exportIntegrity(s, wh, ex).orderBy(col("shard"))
+    },
+
+    // The membership delta between two pinned corpora — what a training
+    // team reviews before re-pinning. Over the evolve scenario the diff
+    // carries every change class at once: drop-2 survivors are adds,
+    // old keepers demoted by a smaller-id newcomer are removes, the
+    // takedown is a remove, and keepers promoted by the takedown are
+    // adds. Oracle = the two curated chains (subset / post-takedown)
+    // anti-joined both ways.
+    QueryDef.sqlBacked(
+      "corpus_snapshot_diff",
+      s"""WITH s1 AS (
+         |${curatedSqlWhere(evolveSnap1Pred, "")}
+         |),
+         |s2 AS (
+         |${curatedSqlWhere(evolveSnap2Pred, "")}
+         |)
+         |SELECT doc_id, change FROM (
+         |  SELECT doc_id, 'added' AS change FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+         |  UNION ALL
+         |  SELECT doc_id, 'removed' AS change FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM s2))
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (wh, ts1, _, ts2, _) = evolveWarehouse(s, d)
+      CorpusIngest.snapshotDiff(s, wh, ts1, ts2).orderBy(col("doc_id"))
+    },
+
+    // The extended export — the continued-pretraining read: every base
+    // doc keeps the EXACT (shard, pos) export 1 cut from the subset
+    // corpus (demoted keepers included — membership was pinned), the
+    // takedown target is absent (live join), and snap-2 additions sit
+    // appended past each shard's base high-water mark in portable-hash
+    // order. Oracle = base placement chain over the snap-1 set, unioned
+    // with the additions ranked after each shard's base max.
+    QueryDef.sqlBacked(
+      "corpus_export_extended",
+      s"""WITH s1 AS (
+         |${curatedSqlWhere(evolveSnap1Pred, "")}
+         |),
+         |s2 AS (
+         |${curatedSqlWhere(evolveSnap2Pred, "")}
+         |),
+         |base AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 1000003) * 40503 % 8 AS BIGINT) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY (doc_id % 1000003) * 40503 % 8
+         |      ORDER BY (doc_id % 1000003) * 69069 % 65536, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM s1),
+         |bm AS (SELECT shard, max(pos) AS mx FROM base GROUP BY shard),
+         |adds AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id % 1000003) * 40503 % 8 AS BIGINT) AS shard
+         |  FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM s1)),
+         |addpos AS (
+         |  SELECT a.doc_id, a.shard,
+         |    COALESCE(bm.mx, 0) + CAST(row_number() OVER (
+         |      PARTITION BY a.shard
+         |      ORDER BY (a.doc_id % 1000003) * 69069 % 65536, a.doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM adds a LEFT JOIN bm ON bm.shard = a.shard)
+         |SELECT doc_id, shard, pos FROM (
+         |  SELECT * FROM base UNION ALL SELECT * FROM addpos)
+         |WHERE doc_id <> (SELECT min(doc_id) FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (wh, _, _, _, ex2) = evolveWarehouse(s, d)
+      CorpusIngest.readExport(s, wh, ex2)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     }

@@ -1439,10 +1439,11 @@ class CorpusIngestSpec extends AnyFunSuite {
     // an unknown export handle must fail the run, not resolve fuzzily
     intercept[IllegalArgumentException](
       CorpusIngest.readExport(spark, wh, e2 + 1))
-    // census off the sidecar ledgers; the audit trail records each cut
+    // census off the sidecar ledgers (base_ts = -1: both are root cuts);
+    // the audit trail records each cut
     assert(CorpusIngest.listCorpusExports(spark, wh)
-      .as[(Long, Long, Long, Long)].collect().toSeq ==
-      Seq((e1, t1, 1L, 1L), (e2, t2, 1L, 2L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((e1, t1, 1L, 1L, -1L), (e2, t2, 1L, 2L, -1L)))
     assert(CorpusIngest.governanceAudit(spark, wh)
       .filter(col("op") === "export")
       .select("table", "rows_before", "rows_after")
@@ -1469,8 +1470,8 @@ class CorpusIngestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       CorpusIngest.readExport(spark, wh, e1))
     assert(CorpusIngest.listCorpusExports(spark, wh)
-      .as[(Long, Long, Long, Long)].collect().toSeq ==
-      Seq((e2, t2, 1L, 2L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((e2, t2, 1L, 2L, -1L)))
     // post-commit corruption (marker count vs manifest rows) is an error
     val markerP = new org.apache.hadoop.fs.Path(
       s"$wh/corpus/exports/export_ts=$e2/_export_commit")
@@ -1478,6 +1479,69 @@ class CorpusIngestSpec extends AnyFunSuite {
     val o = fsH.create(markerP, true)
     try o.write("99".getBytes("UTF-8")) finally o.close()
     assert(fsckExp() == Set(("export_manifest_drift", "error")))
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
+  test("corpus evolution: snapshot diff classifies changes; extended exports pin the base prefix and append past it") {
+    val wh = java.nio.file.Files.createTempDirectory("corpus-whevo").toString
+    // portable per-placement fingerprint, mirrored from exportIntegrity
+    def fp(docId: Long, pos: Long): Long =
+      ((docId % 1000003L) * 40503L + pos * 69069L) % 2147483647L
+    def exp(ts: Long) = CorpusIngest.readExport(spark, wh, ts)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().toSet
+    def integrity(ts: Long) = CorpusIngest.exportIntegrity(spark, wh, ts)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    CorpusIngest.run(spark, Seq((2L, base), (3L, unrelated))
+      .toDF("doc_id", "text"), wh)
+    val t1 = CorpusIngest.snapshotCorpus(spark, wh)
+    val e1 = CorpusIngest.exportCorpus(spark, wh, asOfMs = t1, numShards = 1)
+    // orderHash(2) = 7066 < orderHash(3) = 10599 fixes the base order
+    assert(exp(e1) == Set((2L, 0L, 1L), (3L, 0L, 2L)))
+    // a healthy export verifies clean: live side ≡ manifest side
+    assert(integrity(e1) ==
+      Set((0L, 2L, 2L, fp(2L, 1L) ^ fp(3L, 2L), fp(2L, 1L) ^ fp(3L, 2L))))
+
+    // evolve: a smaller-id near-dup DEMOTES keeper 2; takedown removes 3
+    CorpusIngest.run(spark,
+      Seq((1L, base.replace("winter", "summer"))).toDF("doc_id", "text"), wh)
+    CorpusIngest.delete(spark, wh, Seq(3L))
+    val t2 = CorpusIngest.snapshotCorpus(spark, wh)
+
+    // the diff reads every change class: 1 arrived (and took 2's
+    // cluster), 2 was demoted, 3 was taken down
+    assert(CorpusIngest.snapshotDiff(spark, wh, t1, t2)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "added"), (2L, "removed"), (3L, "removed")))
+    intercept[IllegalArgumentException](
+      CorpusIngest.snapshotDiff(spark, wh, t1, t2 + 1))
+
+    // extend export 1 at snap 2: the base prefix — including demoted
+    // keeper 2 and taken-down 3 — keeps its placement verbatim in the
+    // manifest; the addition lands past the shard's high-water mark
+    val e2 = CorpusIngest.extendExport(spark, wh, baseExportTs = e1,
+      asOfMs = t2)
+    intercept[IllegalArgumentException](
+      CorpusIngest.extendExport(spark, wh, baseExportTs = e1 - 1,
+        asOfMs = t2))
+    // the trainer's read: 2 still streams (demotion is not a takedown —
+    // membership was pinned), 3 is a gap, 1 is appended at pos 3
+    assert(exp(e2) == Set((2L, 0L, 1L), (1L, 0L, 3L)))
+    // integrity prices the gap: one manifest row is not live, and the
+    // placement fingerprints drift by exactly the missing row
+    assert(integrity(e2) == Set((0L, 3L, 2L,
+      fp(2L, 1L) ^ fp(3L, 2L) ^ fp(1L, 3L), fp(2L, 1L) ^ fp(1L, 3L))))
+    // census: the extended cut carries its base lineage, the root -1
+    assert(CorpusIngest.listCorpusExports(spark, wh)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((e1, t1, 1L, 2L, -1L), (e2, t2, 1L, 3L, e1)))
+    // the audit trail records the extension as its own operation
+    assert(CorpusIngest.governanceAudit(spark, wh)
+      .filter(col("op") === "extend_export")
+      .select("table", "rows_before", "rows_after")
+      .as[(String, Long, Long)].collect().toSet ==
+      Set(("exports", 1L, 2L)))
     graft.core.GraftCaches.releaseAll(spark)
   }
 
