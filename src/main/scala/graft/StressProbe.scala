@@ -610,9 +610,60 @@ object StressProbe {
       }
     )
 
+    // ---- reproducible-export lifecycle at probe scale: the delta-bounded
+    // claim of extendExport (CorpusIngest doc: "rank window over the
+    // ADDITIONS only + a broadcast numShards-row high-water frame")
+    // measured, not just spec-proved at fixture size. A docs-only
+    // warehouse (the export path reads membership + the doc store; dedup
+    // state is irrelevant to its cost): base = 99% of docs ingested and
+    // pinned, export_full pays the full-corpus shard/rank window + the
+    // bucketed manifest write; then a ~1% delta drop is pinned and
+    // export_extend_1pct must be bounded by the DELTA — one co-located
+    // anti-join, a rank window over the additions, the high-water
+    // broadcast, plus re-writing the (id, shard, pos) manifest rows.
+    // export_read is the trainer's co-located manifest ⋈ store join;
+    // export_integrity is two id-sized aggregates into numShards rows.
+    val exportProbe = {
+      val tags = Seq("export_full", "export_extend_1pct", "export_read",
+        "export_integrity")
+      if (!tags.exists(selected)) tags.map(_ -> 0.0)
+      else {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-stress-export").toString
+        val baseN = nDocs * 99L / 100L
+        // setup, untimed: the base corpus drop and its pin (drop cost is
+        // the signature_store_build probe's territory)
+        core.GraftCaches.withScope(spark)(
+          app.CorpusIngest.run(spark, docs.filter(col("doc_id") < baseN),
+            wh, threshold = 0.5))
+        val snap1 = app.CorpusIngest.snapshotCorpus(spark, wh)
+        var ex1 = 0L
+        val full = timeEffect("export_full", baseN) {
+          ex1 = app.CorpusIngest.exportCorpus(spark, wh, asOfMs = snap1,
+            numShards = 64)
+        }
+        // the ~1% delta drop and its pin, untimed
+        core.GraftCaches.withScope(spark)(
+          app.CorpusIngest.run(spark, docs.filter(col("doc_id") >= baseN),
+            wh, threshold = 0.5))
+        val snap2 = app.CorpusIngest.snapshotCorpus(spark, wh)
+        var ex2 = 0L
+        val extend = timeEffect("export_extend_1pct", nDocs - baseN) {
+          ex2 = app.CorpusIngest.extendExport(spark, wh,
+            baseExportTs = ex1, asOfMs = snap2)
+        }
+        val read = timeN("export_read", nDocs)(
+          app.CorpusIngest.readExport(spark, wh, ex2))
+        val integ = timeN("export_integrity", nDocs)(
+          app.CorpusIngest.exportIntegrity(spark, wh, ex2))
+        Seq(full, extend, read, integ)
+      }
+    }
+
     val all =
       results ++ llm ++ storeProbe ++ skewProbe ++ embStoreProbe ++
-        mediaStoreProbe ++ semStoreProbe ++ ccProbe ++ corpusProbe
+        mediaStoreProbe ++ semStoreProbe ++ ccProbe ++ corpusProbe ++
+        exportProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

@@ -1,7 +1,8 @@
 package graft.app
 
 import graft.core.Sinks
-import graft.operators.{Components, DedupOps}
+import graft.app.CorpusStore._
+import graft.operators.DedupOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,41 +69,6 @@ object CorpusIngest {
     println(s"[corpus-ingest] landed $nNew new docs, $nPairs new pairs")
     spark.stop()
   }
-
-  private def ccLabelsPath(wh: String) = s"$wh/corpus/cc_labels"
-  private def docsPath(wh: String) = s"$wh/corpus/documents"
-  private def shinglePath(wh: String) = s"$wh/corpus/shingles"
-  private def bandPath(wh: String) = s"$wh/corpus/bands"
-  private def pairsPath(wh: String) = s"$wh/corpus/pairs"
-  private def statsPath(wh: String) = s"$wh/corpus/doc_stats"
-  private def stagedPath(wh: String) = s"$wh/corpus/staged_drops"
-  private def tombPath(wh: String) = s"$wh/corpus/tombstones"
-  private def cappedPath(wh: String) = s"$wh/corpus/capped_buckets"
-
-  /** The signature store reads through its bucketed catalog registration
-    * when it has one — that scan is what lets the incremental band/verify
-    * joins keep the corpus side exchange-free. Legacy (pre-bucketing)
-    * warehouses fall back to the plain parquet read and keep working, just
-    * without the elision.
-    */
-  private def readStore(spark: SparkSession, path: String): DataFrame =
-    if (Sinks.isBucketedStore(spark, path)) Sinks.readBucketedPath(spark, path)
-    else spark.read.parquet(path)
-
-  /** Keyed idempotent append into a cumulative warehouse table: bucketed
-    * on the key for new warehouses (and ones already bucketed), so the
-    * per-drop existence anti-join never re-shuffles the table side; legacy
-    * plain tables keep their layout and the plain append. EVERY cumulative
-    * append in this file dispatches through here — the
-    * bucketed-if-ledger-or-fresh-else-legacy rule must not fork per site.
-    */
-  private def appendKeyedStore(spark: SparkSession, df: DataFrame,
-                               path: String, buckets: Int,
-                               keys: Seq[String] = Seq("doc_id")): Unit =
-    if (Sinks.isBucketedStore(spark, path) || !Sinks.storePresent(spark, path))
-      Sinks.bucketedIdempotentAppend(df, path, keys = keys,
-        bucketKeys = keys, buckets = buckets)
-    else Sinks.idempotentAppend(df, path, keys = keys, partitionCols = Nil)
 
   /** Land one drop; returns (new docs landed, new verified pairs).
     *
@@ -304,146 +270,6 @@ object CorpusIngest {
     (nNew, nPairs)
   }
 
-  // ---------------- incremental component label stores ----------------
-  //
-  // `survivors` (and its emb/sem/media twins) used to re-run connected
-  // components over the FULL cumulative pair table on every read — an
-  // iterative multi-shuffle job whose cost grows with the pair graph
-  // forever. Each ingest now folds its drop's new pairs into a persisted
-  // VERSIONED label table instead (Components.mergeLabels: work bounded
-  // by the touched components + increment, never the cumulative graph),
-  // and the survivor views read the label store's current view — one
-  // co-located argmax scan. The store is append-only (node, component,
-  // seq) bucketed on node: per-drop writes are touched-rows-sized, the
-  // current view is a zero-exchange groupBy on the bucket key, and
-  // maintenance folds old versions away with an atomic bucket-preserving
-  // rewrite once they dominate. Governance deletes can SPLIT components
-  // (pair rows removed), which incremental merge cannot express — the
-  // cascades drop the affected label store and EAGERLY rebuild it from
-  // the purged pair table (rebuildLabels), so the one full contraction a
-  // split costs is paid once inside the rare takedown call, never per
-  // survivors read. Crash-retry safe: the merge is deterministic from
-  // (current view, re-derived identical pairs), so a replay appends
-  // identical values under a fresh seq — the argmax view is unchanged.
-  // Store presence is judged by the SPEC LEDGER, not the directory:
-  // bucketedIdempotentAppend stamps the ledger only after the initial
-  // write commits, so a torn create (crash mid-first-write) reads as
-  // "no store" — the views fall back to the recompute instead of
-  // silently serving a partial labeling, and the next writer clears the
-  // residue directory and recreates.
-
-  /** Current view of a versioned label store: latest component per node. */
-  private def labelView(store: DataFrame): DataFrame =
-    store.groupBy(col("node"))
-      .agg(max_by(col("component"), col("seq")).as("component"))
-
-  /** Fold one drop's verified pairs into the label store at `labelPath`
-    * (creating it from the FULL pair table the first time, so
-    * pre-label-store history is covered).
-    */
-  private def updateLabels(spark: SparkSession, labelPath: String,
-                           pairsP: String, newPairs: DataFrame,
-                           aCol: String, bCol: String,
-                           buckets: Int): Unit = {
-    val exists = Sinks.isBucketedStore(spark, labelPath)
-    // a label directory WITHOUT its spec ledger is torn-create residue
-    // (the ledger is stamped after the initial write commits) — clear it
-    // so the recreate below can land; label stores are always bucketed,
-    // so there is no legacy-plain layout this could misread
-    if (!exists && Sinks.pathExists(spark, labelPath))
-      dropStore(spark, labelPath)
-    val changed =
-      if (!exists)
-        Components.connectedComponents(
-          readStore(spark, pairsP).select(col(aCol), col(bCol)))
-      else Components.mergeLabels(
-        labelView(readStore(spark, labelPath)),
-        newPairs.select(col(aCol), col(bCol)))
-    val seq =
-      if (!exists) 0L
-      else {
-        // a store can legitimately exist EMPTY (created by a pair-less
-        // rebuild); max over zero rows is null, and the next version is 0
-        val r = readStore(spark, labelPath).agg(max(col("seq"))).head()
-        (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
-      }
-    Sinks.bucketedIdempotentAppend(changed.withColumn("seq", lit(seq)),
-      labelPath, keys = Seq("node", "seq"), bucketKeys = Seq("node"),
-      buckets = buckets)
-    // maintenance: fold accumulated versions into the current view once
-    // appends have fragmented the store — one atomic swap that is both
-    // the compaction and the version GC
-    if (Sinks.dataFileCount(spark, labelPath) > 4L * buckets)
-      Sinks.rewriteBucketed(spark, labelPath,
-        labelView(readStore(spark, labelPath)).withColumn("seq", lit(0L)))
-  }
-
-  /** Eagerly rebuild a component label store from its (just-purged) pair
-    * table after a governance delete. Removing pair rows can SPLIT
-    * components — a state the incremental merge cannot express — so the
-    * cascades previously dropped the store and every survivors read until
-    * the next pair-bearing drop re-ran the full-graph contraction, per
-    * READ. The cascade now pays that contraction exactly once, inside the
-    * rare takedown call, and reads stay label-scan priced throughout.
-    * Crash-safe by ordering: the store is dropped FIRST, so a crash
-    * anywhere before the rebuild's spec ledger lands leaves "no store"
-    * and the views fall back to the (always-correct) recompute — never a
-    * stale pre-delete labeling; the lease-held delete's retry heals. The
-    * rebuilt store inherits the pair table's bucket count so the argmax
-    * view keeps the layout the ingest chose; a warehouse with no pair
-    * table keeps no store (nothing to label).
-    */
-  private def rebuildLabels(spark: SparkSession, labelPath: String,
-                            pairsP: String, aCol: String,
-                            bCol: String): Unit = {
-    dropStore(spark, labelPath)
-    if (Sinks.storePresent(spark, pairsP)) {
-      val buckets = Sinks.bucketSpecOf(spark, pairsP).map(_._2).getOrElse(8)
-      val labels = Components.connectedComponents(
-        readStore(spark, pairsP).select(col(aCol), col(bCol)))
-      Sinks.bucketedIdempotentAppend(labels.withColumn("seq", lit(0L)),
-        labelPath, keys = Seq("node", "seq"), bucketKeys = Seq("node"),
-        buckets = buckets)
-    }
-  }
-
-  /** Label-store / pair-table DRIFT: (pair ids the label merge never
-    * covered, label nodes with no pair evidence). One definition shared
-    * by `fsck` (which reports the counts) and `repair` (which rebuilds on
-    * any drift) — so the audit and the heal can never diverge.
-    */
-  private def labelDrift(spark: SparkSession, labelP: String,
-                         pairsP: String, a: String,
-                         b: String): (Long, Long) = {
-    // callers guarantee BOTH tables are present (fsck/repair gate on it):
-    // comparing against an absent pair table would read "every node
-    // orphaned" — never a useful drift signal
-    val nodes = readStore(spark, labelP).select(col("node").as("k")).distinct()
-    val ids = readStore(spark, pairsP).select(col(a).as("k"))
-      .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
-      .distinct()
-    (ids.join(nodes, Seq("k"), "left_anti").count(),
-      nodes.join(ids, Seq("k"), "left_anti").count())
-  }
-
-  /** Loser ids (component non-minima) for a pair table: from the label
-    * store's current view when one is maintained — a co-located scan —
-    * or the full-graph recompute otherwise (legacy warehouses, and any
-    * crash window where a store create was torn before its ledger). The
-    * ledger gate means a torn create can never serve a partial labeling.
-    */
-  private def losersFor(spark: SparkSession, labelPath: String,
-                        pairsP: String, aCol: String, bCol: String,
-                        outCol: String): DataFrame = {
-    val lab =
-      if (Sinks.isBucketedStore(spark, labelPath))
-        labelView(readStore(spark, labelPath))
-      else Components.connectedComponents(
-        readStore(spark, pairsP).select(col(aCol), col(bCol)))
-    lab.filter(col("node") =!= col("component"))
-      .select(col("node").as(outCol))
-  }
-
   /** GOVERNANCE DELETE cascade — the corpus-warehouse form of
     * Sinks.deleteByKey's "gone from the FILES" contract. Deleting only from
     * `corpus/documents` is not a takedown: the doc's shingle set and MinHash
@@ -506,7 +332,7 @@ object CorpusIngest {
     // path never consults tombstones, so pure-batch re-submission
     // semantics are unchanged; the only cost of a spurious tombstone is a
     // row in a thin table.
-    val tomb = tombstoneWithCounts(spark, tombPath(warehouse), keys,
+    val tomb = Governance.tombstoneWithCounts(spark, tombPath(warehouse), keys,
       Seq("doc_id"))
     val all =
       if (!Sinks.storePresent(spark, pairsPath(warehouse))) purged
@@ -517,7 +343,7 @@ object CorpusIngest {
         pairsPath(warehouse), keys, "doc_id", Seq("doc_a", "doc_b")))
     rebuildLabels(spark, ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
-    appendAudit(spark, warehouse, "delete", "doc_id", docIds.size.toLong,
+    Governance.appendAudit(spark, warehouse, "delete", "doc_id", docIds.size.toLong,
       all + ("tombstones" -> tomb))
     all
   }
@@ -548,23 +374,11 @@ object CorpusIngest {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, tombPath(warehouse),
         docIds.toDF("doc_id"), Seq("doc_id"))
-      appendAudit(spark, warehouse, "reinstate", "doc_id",
+      Governance.appendAudit(spark, warehouse, "reinstate", "doc_id",
         docIds.size.toLong, Map("tombstones" -> (before, after)))
       before - after
     }
   }
-
-  private def embVecsPath(wh: String) = s"$wh/corpus/emb_vecs"
-  private def embBandsPath(wh: String) = s"$wh/corpus/emb_bands"
-  private def embPairsPath(wh: String) = s"$wh/corpus/emb_pairs"
-  private def embCappedPath(wh: String) = s"$wh/corpus/emb_capped_buckets"
-  private def stagedEmbPath(wh: String) = s"$wh/corpus/staged_emb_drops"
-  private def embTombPath(wh: String) = s"$wh/corpus/emb_tombstones"
-  private def embCcPath(wh: String) = s"$wh/corpus/emb_cc_labels"
-  private def semCcPath(wh: String) = s"$wh/corpus/sem_cc_labels"
-  private def semAsgPath(wh: String) = s"$wh/corpus/sem_asg"
-  private def semPairsPath(wh: String) = s"$wh/corpus/sem_pairs"
-  private def semCentsPath(wh: String) = s"$wh/corpus/sem_cents"
 
   /** Land one EMBEDDING drop — the semantic-modality twin of `run`: trim
     * the drop against the vector store (replayed drops are no-ops), derive
@@ -776,7 +590,7 @@ object CorpusIngest {
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("vec_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("vec_id")))
     }.toMap
-    val tomb = tombstoneWithCounts(spark, embTombPath(warehouse), keys,
+    val tomb = Governance.tombstoneWithCounts(spark, embTombPath(warehouse), keys,
       Seq("vec_id"))
     // pair-row removal can split components — drop the label stores, then
     // rebuild them eagerly from the purged pair tables (see the text
@@ -798,7 +612,7 @@ object CorpusIngest {
       "vec_a", "vec_b")
     rebuildLabels(spark, semCcPath(warehouse), semPairsPath(warehouse),
       "vec_a", "vec_b")
-    appendAudit(spark, warehouse, "delete_embeddings", "vec_id",
+    Governance.appendAudit(spark, warehouse, "delete_embeddings", "vec_id",
       vecIds.size.toLong, all + ("emb_tombstones" -> tomb))
     all
   }
@@ -813,60 +627,11 @@ object CorpusIngest {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, embTombPath(warehouse),
         vecIds.toDF("vec_id"), Seq("vec_id"))
-      appendAudit(spark, warehouse, "reinstate_embeddings", "vec_id",
+      Governance.appendAudit(spark, warehouse, "reinstate_embeddings", "vec_id",
         vecIds.size.toLong, Map("emb_tombstones" -> (before, after)))
       before - after
     }
   }
-
-  /** A pair table's threshold provenance ledger: a sibling file (so
-    * compaction's directory swap preserves it, same placement as
-    * Sinks.promote's ledger) recording the dedup threshold the table was
-    * built under. One ledger per pair table — the text pairs and the
-    * embedding pairs carry independent semantics (Jaccard vs cosine), so
-    * each table stamps its own.
-    */
-  private def thresholdLedgerAt(pairsP: String) =
-    new org.apache.hadoop.fs.Path(pairsP + "._threshold")
-
-  private def checkThresholdAt(spark: SparkSession, pairsP: String,
-                               label: String, threshold: Double): Unit = {
-    val p = thresholdLedgerAt(pairsP)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val line = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine()
-      finally in.close()
-      require(line != null && line.trim.nonEmpty,
-        s"$label threshold ledger $p exists but is empty/corrupt — " +
-          "delete it to restamp on the next run")
-      val stamped = line.trim.toDouble
-      require(stamped == threshold,
-        s"$label was built at dedup threshold $stamped; refusing to " +
-          s"append pairs derived at $threshold — mixed-threshold pair " +
-          "tables have no single semantics (rebuild the warehouse or match " +
-          "the stamped threshold)")
-    }
-  }
-
-  private def stampThresholdAt(spark: SparkSession, pairsP: String,
-                               threshold: Double): Unit = {
-    val p = thresholdLedgerAt(pairsP)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      try out.write(threshold.toString.getBytes("UTF-8")) finally out.close()
-    }
-  }
-
-  private def checkThreshold(spark: SparkSession, wh: String,
-                             threshold: Double): Unit =
-    checkThresholdAt(spark, pairsPath(wh), "corpus/pairs", threshold)
-
-  private def stampThreshold(spark: SparkSession, wh: String,
-                             threshold: Double): Unit =
-    stampThresholdAt(spark, pairsPath(wh), threshold)
 
   /** Per-document stat partials for the increment — thin rows (ids +
     * counts, never text), same per-doc derivation as TextOps.datacard so
@@ -1138,30 +903,6 @@ object CorpusIngest {
     res
   }
 
-  /** Single-long sibling-ledger read (the `Sinks.promote` format); -1 when
-    * absent or unreadable (unreadable = re-do the guarded work, never skip).
-    */
-  private def readLongLedger(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      val line = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine()
-      finally in.close()
-      if (line == null || line.trim.isEmpty) -1L else line.trim.toLong
-    }
-  }
-
-  private def writeLongLedger(spark: SparkSession, path: String,
-                              value: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
-  }
-
   /** The deduplicated EMBEDDING view — `survivors` for the semantic
     * modality: keep-the-minimum canonical per cosine near-dup cluster over
     * the cumulative `corpus/emb_pairs` table. Losers come off the
@@ -1190,14 +931,6 @@ object CorpusIngest {
       losersFor(spark, labelP, pairsP, "vec_a", "vec_b", "vec_id"),
       Seq("vec_id"), "left_anti")
   }
-
-  private def mediaHashPath(wh: String) = s"$wh/corpus/media_hashes"
-  private def mediaBandsPath(wh: String) = s"$wh/corpus/media_bands"
-  private def mediaPairsPath(wh: String) = s"$wh/corpus/media_pairs"
-  private def mediaCappedPath(wh: String) = s"$wh/corpus/media_capped_buckets"
-  private def stagedMediaPath(wh: String) = s"$wh/corpus/staged_media_drops"
-  private def mediaTombPath(wh: String) = s"$wh/corpus/media_tombstones"
-  private def mediaCcPath(wh: String) = s"$wh/corpus/media_cc_labels"
 
   /** Land one MEDIA drop — the image-modality twin of `run` /
     * `ingestEmbeddings`: trim the drop against the hash store (replayed
@@ -1325,7 +1058,7 @@ object CorpusIngest {
         Some(name -> Sinks.deleteBucketedByKey(spark, p, keys, Seq("media_id")))
       else Some(name -> Sinks.deleteByKey(spark, p, keys, Seq("media_id")))
     }.toMap
-    val tomb = tombstoneWithCounts(spark, mediaTombPath(warehouse), keys,
+    val tomb = Governance.tombstoneWithCounts(spark, mediaTombPath(warehouse), keys,
       Seq("media_id"))
     dropStore(spark, mediaCcPath(warehouse))
     val all =
@@ -1339,7 +1072,7 @@ object CorpusIngest {
         Seq("media_a", "media_b")))
     rebuildLabels(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
       "media_a", "media_b")
-    appendAudit(spark, warehouse, "delete_media", "media_id",
+    Governance.appendAudit(spark, warehouse, "delete_media", "media_id",
       mediaIds.size.toLong, all + ("media_tombstones" -> tomb))
     all
   }
@@ -1354,7 +1087,7 @@ object CorpusIngest {
       import spark.implicits._
       val (before, after) = Sinks.deleteByKey(spark, mediaTombPath(warehouse),
         mediaIds.toDF("media_id"), Seq("media_id"))
-      appendAudit(spark, warehouse, "reinstate_media", "media_id",
+      Governance.appendAudit(spark, warehouse, "reinstate_media", "media_id",
         mediaIds.size.toLong, Map("media_tombstones" -> (before, after)))
       before - after
     }
@@ -1379,653 +1112,6 @@ object CorpusIngest {
       losersFor(spark, mediaCcPath(warehouse), mediaPairsPath(warehouse),
         "media_a", "media_b", "media_id"),
       Seq("media_id"), "left_anti")
-  }
-
-  private def linksPath(wh: String) = s"$wh/corpus/links"
-
-  /** CROSS-MODALITY LINKAGE — the table `forget` resolves: one row per
-    * (content_key, modality, id) with modality in {"doc", "vec", "media"},
-    * registered at ingest alongside each drop (the ingest entry points
-    * cannot infer the linkage — doc/vec/media id spaces are independent by
-    * design, and only the pipeline that derived a vector from a document
-    * knows they are the same content). Keyed idempotent append, so
-    * re-registering with a replayed drop is a no-op. Thin rows, one
-    * modality per row — no null-keyed columns to break the keyed no-op.
-    */
-  def registerLinks(spark: SparkSession, warehouse: String,
-                    links: DataFrame): Unit =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    require(Set("content_key", "modality", "id").subsetOf(links.columns.toSet),
-      s"registerLinks needs (content_key, modality, id), got " +
-        links.columns.mkString(", "))
-    val bad = links.select(col("modality")).distinct()
-      .filter(!col("modality").isin("doc", "vec", "media")).collect()
-    require(bad.isEmpty,
-      s"registerLinks: unknown modalities ${bad.mkString(",")} — " +
-        "expected doc | vec | media")
-    Sinks.idempotentAppend(
-      links.select(col("content_key").cast("long"), col("modality"),
-        col("id").cast("long")),
-      linksPath(warehouse),
-      keys = Seq("content_key", "modality", "id"), partitionCols = Nil)
-  }
-
-  /** UNIFIED TAKEDOWN — one entry point for "forget this content":
-    * resolves the linkage table and cascades `delete`,
-    * `deleteEmbeddings`, and `deleteMedia` (each with its tombstone) in a
-    * single leased call, then purges the resolved link rows themselves
-    * (a (content_key, id) mapping is a content fingerprint too). Without
-    * this, a compliance pass had to know which modalities a piece of
-    * content reached and issue three id-space-specific deletes — and a
-    * missed modality left recoverable fingerprints behind.
-    *
-    * The resolved id lists ride the driver (takedown lists are
-    * human-scale, same class as the delete APIs' Seq[Long] inputs).
-    * Returns the combined audit, entries keyed `<modality>.<table>` plus
-    * `links`. Content keys with no link rows contribute nothing — calling
-    * forget on never-registered content is a no-op, not an error.
-    */
-  def forget(spark: SparkSession, warehouse: String,
-             contentKeys: Seq[Long]): Map[String, (Long, Long)] =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    if (!Sinks.storePresent(spark, linksPath(warehouse))) Map.empty
-    else {
-      import spark.implicits._
-      val keyDf = contentKeys.toDF("content_key")
-      val resolved = spark.read.parquet(linksPath(warehouse))
-        .join(keyDf, "content_key")
-        .select(col("modality"), col("id")).distinct().collect()
-      def ids(m: String): Seq[Long] =
-        resolved.filter(_.getString(0) == m).map(_.getLong(1)).toSeq
-      val docAudit =
-        if (ids("doc").isEmpty) Map.empty[String, (Long, Long)]
-        else delete(spark, warehouse, ids("doc"))
-          .map { case (k, v) => s"doc.$k" -> v }
-      val vecAudit =
-        if (ids("vec").isEmpty) Map.empty[String, (Long, Long)]
-        else deleteEmbeddings(spark, warehouse, ids("vec"))
-          .map { case (k, v) => s"vec.$k" -> v }
-      val mediaAudit =
-        if (ids("media").isEmpty) Map.empty[String, (Long, Long)]
-        else deleteMedia(spark, warehouse, ids("media"))
-          .map { case (k, v) => s"media.$k" -> v }
-      val all = docAudit ++ vecAudit ++ mediaAudit +
-        ("links" -> Sinks.deleteByKey(spark, linksPath(warehouse), keyDf,
-          Seq("content_key")))
-      appendAudit(spark, warehouse, "forget", "content_key",
-        contentKeys.size.toLong, Map("links" -> all("links")))
-      all
-    }
-  }
-
-  private def auditPath(wh: String) = s"$wh/corpus/audit_log"
-
-  /** Durable GOVERNANCE AUDIT TRAIL: every delete / forget / reinstate
-    * appends one row per table it TOUCHED — including the tombstone
-    * tables the deletes stamp — as (seq, at_ms, op, id_col, n_ids,
-    * table, rows_before, rows_after), so a compliance pass can prove a
-    * takedown ran (and what it removed, and that the streamed-
-    * resurrection block was placed) without having captured the entry
-    * point's return value. `seq` is a per-warehouse monotonic event
-    * number — same-millisecond events stay ordered, which `at_ms` alone
-    * cannot promise. It comes off a sibling ledger (stamp-first, race-free
-    * because every writer holds the warehouse lease); the full-log
-    * max-scan runs only once, on a legacy log that predates the ledger. Plain event-log append, deliberately NOT keyed: a
-    * crash-retried cascade logs twice, which is the truthful record (the
-    * cascade ran twice — idempotently). Each cascade writes its audit
-    * rows LAST, so a crash mid-cascade under-reports (the retry re-logs)
-    * rather than fabricating a completed purge. A call that touched
-    * nothing (reinstate before any tombstone table, forget of an
-    * unregistered key) logs nothing — there is no event to record. The
-    * log is thin and lives outside the content tables — `fsck` and the
-    * views never read it.
-    */
-  /** The audit log with the `seq` column GUARANTEED present: a log whose
-    * earliest files predate the seq column (legacy-warehouse contract —
-    * same tolerance as readStore's plain fallback) reads those rows as
-    * seq = -1, so appends keep numbering from 0 and the compliance read
-    * orders legacy rows by timestamp beneath every numbered event.
-    */
-  private def readAudit(spark: SparkSession, warehouse: String): DataFrame = {
-    val log = spark.read.option("mergeSchema", "true")
-      .parquet(auditPath(warehouse))
-    if (!log.columns.contains("seq")) log.withColumn("seq", lit(-1L))
-    else log.withColumn("seq", coalesce(col("seq"), lit(-1L)))
-  }
-
-  /** Sibling ledger holding the LAST USED audit seq — the metadata-read
-    * that replaces scanning the whole (compacted, but unbounded) event log
-    * for max(seq) on every governance call. Sibling placement survives the
-    * log's compaction swap, like every other ledger here.
-    */
-  private def auditSeqLedger(wh: String) = auditPath(wh) + "._audit_seq"
-
-  private def appendAudit(spark: SparkSession, warehouse: String, op: String,
-                          idCol: String, nIds: Long,
-                          entries: Map[String, (Long, Long)]): Unit =
-    if (entries.nonEmpty) {
-      import spark.implicits._
-      val at = System.currentTimeMillis()
-      // last used seq: the ledger when present; one full-log scan only on
-      // a legacy warehouse whose log predates the ledger (or a torn
-      // ledger write — unreadable = re-derive, never skip). Race-free:
-      // every governance writer holds the warehouse lease.
-      val last = readLongLedger(spark, auditSeqLedger(warehouse)) match {
-        case -1L =>
-          if (!Sinks.storePresent(spark, auditPath(warehouse))) -1L
-          else {
-            val r = readAudit(spark, warehouse).agg(max(col("seq"))).head()
-            if (r.isNullAt(0)) -1L else r.getLong(0)
-          }
-        case v => v
-      }
-      val seq = last + 1L
-      // STAMP-FIRST, same crash ordering as every ledger here: a crash
-      // between the stamp and the row append leaves a seq GAP — an event
-      // that recorded nothing, i.e. the trail under-reports (fsck flags
-      // the gap as warn). The reverse order could reuse a seq after a
-      // crash and fabricate one event out of two — never acceptable in a
-      // compliance trail.
-      writeLongLedger(spark, auditSeqLedger(warehouse), seq)
-      entries.toSeq.map { case (t, (b, a)) =>
-        (seq, at, op, idCol, nIds, t, b, a)
-      }
-        .toDF("seq", "at_ms", "op", "id_col", "n_ids", "table",
-          "rows_before", "rows_after")
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(auditPath(warehouse))
-      // lifecycle: one coalesced file per event still fragments at a real
-      // compliance cadence — same 4× gate as every other table. The swap
-      // preserves row content exactly and the sibling ledgers ride it.
-      Sinks.compactIfFragmented(spark, auditPath(warehouse), targetFiles = 4)
-    }
-
-  /** Tombstone stamp with (before, after) table counts for the audit
-    * trail — the tombstone tables are thin (one id per row), so the two
-    * counts are metadata-cheap.
-    */
-  private def tombstoneWithCounts(spark: SparkSession, path: String,
-                                  keys: DataFrame,
-                                  keyCols: Seq[String]): (Long, Long) = {
-    val before =
-      if (Sinks.storePresent(spark, path)) spark.read.parquet(path).count()
-      else 0L
-    Sinks.idempotentAppend(keys, path, keys = keyCols, partitionCols = Nil)
-    (before, spark.read.parquet(path).count())
-  }
-
-  /** The governance audit trail as a frame (empty-but-schema'd when no
-    * governance call has run), newest event first.
-    */
-  def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
-    if (Sinks.storePresent(spark, auditPath(warehouse)))
-      readAudit(spark, warehouse)
-        .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
-          col("n_ids"), col("table"), col("rows_before"), col("rows_after"))
-        .orderBy(col("seq").desc, col("at_ms").desc, col("table"))
-    else {
-      import spark.implicits._
-      Seq.empty[(Long, Long, String, String, Long, String, Long, Long)]
-        .toDF("seq", "at_ms", "op", "id_col", "n_ids", "table",
-          "rows_before", "rows_after")
-    }
-
-  /** The CROSS-MODALITY curated corpus — the view a training run reads
-    * when content flows through more than one modality: text `survivors`
-    * RESTRICTED to docs whose linked embedding and media representations
-    * also survived their own dedup passes. The linkage is the same
-    * `corpus/links` table `forget` resolves: a doc whose vector lost its
-    * cosine or SemDeDup cluster is semantically duplicated content even
-    * when its TEXT survived the Jaccard cut (that asymmetry is SemDeDup's
-    * whole premise), and a doc whose image lost its perceptual cluster
-    * likewise. Docs with no links — or none in a given modality, or in a
-    * modality whose stores this warehouse never built — are unconstrained
-    * by it; with no links table at all this degenerates to `survivors`.
-    * Scale shape: every join ships thin id rows (links is (key, modality,
-    * id); the survivor sets resolve off the label stores), so the
-    * restriction costs id-sized joins on top of the label scans.
-    */
-  def curatedSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
-    val docs = survivors(spark, warehouse)
-    if (!Sinks.storePresent(spark, linksPath(warehouse))) docs
-    else {
-      val links = spark.read.parquet(linksPath(warehouse))
-      // "lost" means LOST A DEDUP CLUSTER (a component non-minimum) —
-      // deliberately not "absent from the survivors view": the media view
-      // also excludes undecodable/blank bookkeeping rows, and a doc whose
-      // image merely failed to decode is not duplicated content
-      def lostVia(modality: String, labelP: String, pairsP: String,
-                  a: String, b: String): Option[DataFrame] =
-        if (!Sinks.storePresent(spark, pairsP)) None
-        else Some(links.filter(col("modality") === modality)
-          .join(losersFor(spark, labelP, pairsP, a, b, "id"),
-            Seq("id"), "left_semi")
-          .select(col("content_key")))
-      val allLost = Seq(
-        // a vec lost in EITHER the cosine or the SemDeDup clustering
-        lostVia("vec", embCcPath(warehouse), embPairsPath(warehouse),
-          "vec_a", "vec_b"),
-        lostVia("vec", semCcPath(warehouse), semPairsPath(warehouse),
-          "vec_a", "vec_b"),
-        lostVia("media", mediaCcPath(warehouse), mediaPairsPath(warehouse),
-          "media_a", "media_b")).flatten
-      if (allLost.isEmpty) docs
-      else {
-        val lost = allLost.reduce(_ unionByName _).distinct()
-        val lostDocs = links.filter(col("modality") === "doc")
-          .join(lost, Seq("content_key"), "left_semi")
-          .select(col("id").as("doc_id"))
-        docs.join(lostDocs, Seq("doc_id"), "left_anti")
-      }
-    }
-  }
-
-  // ===== Reproducible corpus snapshots ======================================
-  //
-  // A training run needs to name the EXACT corpus it read — across later
-  // drops, dedup-cluster churn, and takedowns — without freezing 100 TB of
-  // text per run. A snapshot here pins curated MEMBERSHIP, not bytes: an
-  // id-only manifest of the curated survivor set, written as its own
-  // bucketed store co-located with `corpus/documents` (same doc_id bucket
-  // layout), so `curatedAsOf`'s semi-join plans no exchange on the
-  // corpus-sized side however many snapshots accumulate. The trade is
-  // deliberate and governance-CORRECT: reading a snapshot joins the
-  // manifest against the LIVE document store, so a takedown flows through
-  // every historical snapshot automatically (`delete` physically purges
-  // the rows) — "reproducible" never means "retains what compliance
-  // removed". With content-keyed ids (the links table's contract),
-  // membership-of-ids IS membership-of-bytes for every doc that is still
-  // lawful to read.
-  //
-  // Crash ordering: manifest rows land first, the `_snap_commit` marker
-  // (holding the manifest count — the list API's metadata read) lands
-  // LAST, and every reader ignores uncommitted dirs — a crash mid-write
-  // leaves residue that is invisible, flagged by fsck, and cleared by
-  // repair. Stamps are strictly monotonic per warehouse (enforced under
-  // the lease), so "latest at or before t" is unambiguous.
-  private def snapsRoot(wh: String) = s"$wh/corpus/snapshots"
-  private def snapDirOf(wh: String, ts: Long) = s"${snapsRoot(wh)}/snap_ts=$ts"
-  private def snapCommitLedger(dir: String) = dir + "/_snap_commit"
-
-  /** Generic scan of a root of `<prefix><stamp>` artifact dirs committed
-    * by a lands-last `<marker>` file: (committed stamps ascending,
-    * uncommitted residue dirs). Shared by snapshots and exports — both
-    * commit the same way, so fsck/repair reason about both identically.
-    */
-  private def scanStamped(spark: SparkSession, rootDir: String,
-                          prefix: String,
-                          marker: String): (Seq[Long], Seq[String]) = {
-    val root = new org.apache.hadoop.fs.Path(rootDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) (Nil, Nil)
-    else {
-      val dirs = fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-        .map(_.getPath)
-      val (committed, torn) = dirs.partition(p =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, marker)))
-      (committed.map(_.getName.stripPrefix(prefix).toLong).sorted,
-        torn.map(_.toString))
-    }
-  }
-
-  /** (committed snapshot stamps ascending, uncommitted residue dirs). */
-  private def scanSnapshots(spark: SparkSession,
-                            wh: String): (Seq[Long], Seq[String]) =
-    scanStamped(spark, snapsRoot(wh), "snap_ts=", "_snap_commit")
-
-  /** Monotonic artifact stamp: explicit stamps must advance past the
-    * latest prior stamp (refused otherwise); the default clock stamp
-    * self-corrects same-millisecond collisions. Callers hold the lease,
-    * so reading `prior` then stamping is race-free.
-    */
-  private def nextStamp(prior: Seq[Long], atMs: Option[Long],
-                        what: String): Long = atMs match {
-    case Some(t) =>
-      require(prior.forall(_ < t),
-        s"$what: stamp $t is not after the latest ${prior.max} — " +
-          "stamps are monotonic per warehouse")
-      t
-    case None =>
-      val now = System.currentTimeMillis()
-      if (prior.isEmpty) now else math.max(now, prior.max + 1L)
-  }
-
-  /** Pin the current curated corpus as a named snapshot; returns its
-    * stamp (epoch millis — the handle `curatedAsOf` resolves). Leased:
-    * the manifest must be one drop's consistent view, not a torn read
-    * across a concurrent ingest. Audited (`op = snapshot`, counting the
-    * snapshot census in the snapshots "table") so the compliance trail
-    * records every corpus a training run could have pinned. Explicit
-    * `atMs` stamps must advance past the latest snapshot — refused
-    * otherwise; the default clock stamp self-corrects same-millisecond
-    * collisions.
-    */
-  def snapshotCorpus(spark: SparkSession, warehouse: String,
-                     atMs: Option[Long] = None): Long =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    require(Sinks.storePresent(spark, docsPath(warehouse)),
-      s"snapshotCorpus: no document store at ${docsPath(warehouse)} — " +
-        "ingest first")
-    val (prior, _) = scanSnapshots(spark, warehouse)
-    val ts = nextStamp(prior, atMs, "snapshotCorpus")
-    val dir = snapDirOf(warehouse, ts)
-    // manifest bucket layout mirrors the document store's so the as-of
-    // semi-join co-locates; a legacy plain docs store gets the default
-    // geometry (the join then shuffles the manifest — the small side)
-    val buckets = Sinks.bucketSpecOf(spark, docsPath(warehouse))
-      .map(_._2).getOrElse(8)
-    Sinks.bucketedIdempotentAppend(
-      curatedSurvivors(spark, warehouse).select(col("doc_id")),
-      dir, keys = Seq("doc_id"), bucketKeys = Seq("doc_id"),
-      buckets = buckets)
-    val n = Sinks.readBucketedPath(spark, dir).count()
-    // commit point: the marker lands only over a fully-written manifest
-    writeLongLedger(spark, snapCommitLedger(dir), n)
-    appendAudit(spark, warehouse, "snapshot", "doc_id", n,
-      Map("snapshots" -> ((prior.size.toLong, prior.size.toLong + 1L))))
-    ts
-  }
-
-  /** Census of committed snapshots: (snap_ts, n_docs), ascending. The
-    * counts come off the commit markers — a metadata read, no manifest
-    * scan. Driver-sized by construction (one row per retained snapshot).
-    */
-  def listCorpusSnapshots(spark: SparkSession, warehouse: String): DataFrame = {
-    import spark.implicits._
-    scanSnapshots(spark, warehouse)._1
-      .map(ts => (ts,
-        readLongLedger(spark, snapCommitLedger(snapDirOf(warehouse, ts)))))
-      .toDF("snap_ts", "n_docs")
-  }
-
-  /** The curated corpus as pinned by the latest snapshot at or before
-    * `asOfMs` — full document rows, manifest-membership ∩ live store
-    * (id-bucketed semi-join, co-located with `corpus/documents`).
-    * Takedowns since the snapshot are ABSENT by construction. Lease-free
-    * read; refuses when no snapshot covers the asked time (an expired or
-    * never-taken snapshot must fail the training run, not silently serve
-    * the live view).
-    */
-  def curatedAsOf(spark: SparkSession, warehouse: String,
-                  asOfMs: Long): DataFrame = {
-    val covered = scanSnapshots(spark, warehouse)._1.filter(_ <= asOfMs)
-    require(covered.nonEmpty,
-      s"curatedAsOf: no committed corpus snapshot at or before $asOfMs " +
-        s"under ${snapsRoot(warehouse)} — run snapshotCorpus (or the " +
-        "snapshot asked for was expired)")
-    readStore(spark, docsPath(warehouse)).join(
-      Sinks.readBucketedPath(spark, snapDirOf(warehouse, covered.max)),
-      Seq("doc_id"), "left_semi")
-  }
-
-  /** Membership delta between two committed snapshots: (doc_id, change)
-    * with change ∈ {added, removed} — what a training team reviews before
-    * re-pinning a corpus (and the input to an incremental re-export: the
-    * adds are exactly what `extendExport` appends). A doc_id appears at
-    * most once — snapshot manifests are membership sets. Lease-free read;
-    * refuses uncommitted stamps like every snapshot read.
-    *
-    * Scale: two anti-joins between id-only manifests bucketed identically
-    * on doc_id — co-located, no exchange on either side at any corpus
-    * size.
-    */
-  def snapshotDiff(spark: SparkSession, warehouse: String,
-                   fromTs: Long, toTs: Long): DataFrame = {
-    val snaps = scanSnapshots(spark, warehouse)._1
-    for (ts <- Seq(fromTs, toTs))
-      require(snaps.contains(ts),
-        s"snapshotDiff: no committed corpus snapshot snap_ts=$ts under " +
-          s"${snapsRoot(warehouse)} — see listCorpusSnapshots")
-    val a = Sinks.readBucketedPath(spark, snapDirOf(warehouse, fromTs))
-    val b = Sinks.readBucketedPath(spark, snapDirOf(warehouse, toTs))
-    b.join(a, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit("added").as("change"))
-      .unionByName(a.join(b, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit("removed").as("change")))
-  }
-
-  /** Retention: drop the oldest committed snapshots beyond `keepLast`.
-    * Leased and audited like every other mutation; returns how many were
-    * expired. Reads against an expired stamp fail loudly at `curatedAsOf`
-    * — the documented contract, not data loss (manifests hold ids only).
-    */
-  def expireCorpusSnapshots(spark: SparkSession, warehouse: String,
-                            keepLast: Int): Long =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    require(keepLast >= 1, "expireCorpusSnapshots: keepLast must be >= 1")
-    val (snaps, _) = scanSnapshots(spark, warehouse)
-    val drop = snaps.dropRight(keepLast)
-    drop.foreach(ts => dropStore(spark, snapDirOf(warehouse, ts)))
-    if (drop.nonEmpty)
-      appendAudit(spark, warehouse, "expire_snapshots", "snap_ts",
-        drop.size.toLong,
-        Map("snapshots" -> ((snaps.size.toLong,
-          snaps.size.toLong - drop.size))))
-    drop.size.toLong
-  }
-
-  // ===== Reproducible training exports ======================================
-  //
-  // The export is the last warehouse artifact before a trainer reads
-  // bytes: a snapshot's membership fixed into the DETERMINISTIC global
-  // shuffle — (doc_id, shard, pos) via `CorpusOps.shardAssignment`'s
-  // portable hashes — so a restarted or re-provisioned training job
-  // re-derives byte-identical shard order from the warehouse instead of
-  // trusting whatever files survived. Like snapshots, an export pins the
-  // PLAN, not bytes: `readExport` joins the manifest against the LIVE
-  // document store (id-bucketed, co-located with `corpus/documents`), so
-  // takedowns flow through already-cut exports — a removed doc vanishes
-  // from its shard while every OTHER doc keeps its (shard, pos); a
-  // mid-training purge leaves a gap, never a re-shuffle under the
-  // trainer's feet. An export is self-contained once committed (the
-  // manifest holds the placement), so expiring its source snapshot does
-  // not invalidate it.
-  //
-  // Same crash ordering as snapshots: manifest rows first, sidecar
-  // ledgers (source snapshot stamp, shard count), then the
-  // `_export_commit` marker (holding the manifest count) lands LAST;
-  // readers ignore uncommitted dirs, fsck warns on them, repair clears
-  // them.
-  private def exportsRoot(wh: String) = s"$wh/corpus/exports"
-  private def exportDirOf(wh: String, ts: Long) =
-    s"${exportsRoot(wh)}/export_ts=$ts"
-  private def exportCommitLedger(dir: String) = dir + "/_export_commit"
-  private def exportSnapLedger(dir: String) = dir + "/_export_snap"
-  private def exportShardsLedger(dir: String) = dir + "/_export_shards"
-  private def exportBaseLedger(dir: String) = dir + "/_export_base"
-
-  /** (committed export stamps ascending, uncommitted residue dirs). */
-  private def scanExports(spark: SparkSession,
-                          wh: String): (Seq[Long], Seq[String]) =
-    scanStamped(spark, exportsRoot(wh), "export_ts=", "_export_commit")
-
-  /** Fix the corpus a training run reads: shard-assign the snapshot
-    * membership at `asOfMs` (resolved exactly like `curatedAsOf` — the
-    * latest committed snapshot at or before it; refused when none covers
-    * it) into a deterministic (doc_id, shard, pos) manifest, persisted
-    * id-bucketed so `readExport` co-locates with the document store.
-    * Returns the export stamp. Leased — the manifest must be one
-    * consistent view — and audited (`op = export`). The window behind
-    * `shardAssignment` shuffles once on `shard` — increment-free by
-    * design, since an export is a one-shot artifact, not a maintained
-    * store.
-    */
-  def exportCorpus(spark: SparkSession, warehouse: String, asOfMs: Long,
-                   numShards: Int, atMs: Option[Long] = None): Long =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    require(numShards >= 1, s"exportCorpus: numShards must be >= 1")
-    val snaps = scanSnapshots(spark, warehouse)._1.filter(_ <= asOfMs)
-    require(snaps.nonEmpty,
-      s"exportCorpus: no committed corpus snapshot at or before $asOfMs " +
-        s"under ${snapsRoot(warehouse)} — run snapshotCorpus first")
-    val (prior, _) = scanExports(spark, warehouse)
-    val ts = nextStamp(prior, atMs, "exportCorpus")
-    val dir = exportDirOf(warehouse, ts)
-    val manifest = graft.operators.CorpusOps.shardAssignment(
-      curatedAsOf(spark, warehouse, asOfMs).select(col("doc_id")), numShards)
-    val buckets = Sinks.bucketSpecOf(spark, docsPath(warehouse))
-      .map(_._2).getOrElse(8)
-    Sinks.bucketedIdempotentAppend(manifest, dir, keys = Seq("doc_id"),
-      bucketKeys = Seq("doc_id"), buckets = buckets)
-    val n = Sinks.readBucketedPath(spark, dir).count()
-    writeLongLedger(spark, exportSnapLedger(dir), snaps.max)
-    writeLongLedger(spark, exportShardsLedger(dir), numShards.toLong)
-    // commit point: the marker lands only over a fully-written manifest
-    writeLongLedger(spark, exportCommitLedger(dir), n)
-    appendAudit(spark, warehouse, "export", "doc_id", n,
-      Map("exports" -> ((prior.size.toLong, prior.size.toLong + 1L))))
-    ts
-  }
-
-  /** Extend a committed export with a LATER snapshot's additions — the
-    * continued-pretraining evolution: every base-manifest row keeps its
-    * (shard, pos) VERBATIM (the byte prefix a resumed or continued
-    * training run already consumed), and docs in the resolved snapshot
-    * but not the base manifest are appended past each shard's high-water
-    * mark in the same portable-hash order `exportCorpus` would have used.
-    * Docs that left the corpus since the base stay in the manifest —
-    * takedown gaps flow through `readExport`'s live join exactly as they
-    * do for a root export, never a re-shuffle. The new export is a
-    * first-class committed artifact (own stamp, same sidecars plus an
-    * `_export_base` lineage ledger; expiring the base does not invalidate
-    * it). Leased and audited (`op = extend_export`).
-    *
-    * Scale: one anti-join between id-bucketed manifests (co-located), a
-    * rank window over the ADDITIONS only (bounded by the delta, not the
-    * corpus), and a broadcast of the numShards-row high-water frame.
-    */
-  def extendExport(spark: SparkSession, warehouse: String,
-                   baseExportTs: Long, asOfMs: Long,
-                   atMs: Option[Long] = None): Long =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    val (prior, _) = scanExports(spark, warehouse)
-    require(prior.contains(baseExportTs),
-      s"extendExport: no committed export export_ts=$baseExportTs under " +
-        s"${exportsRoot(warehouse)} — see listCorpusExports")
-    val snaps = scanSnapshots(spark, warehouse)._1.filter(_ <= asOfMs)
-    require(snaps.nonEmpty,
-      s"extendExport: no committed corpus snapshot at or before $asOfMs " +
-        s"under ${snapsRoot(warehouse)} — run snapshotCorpus first")
-    val ts = nextStamp(prior, atMs, "extendExport")
-    val dir = exportDirOf(warehouse, ts)
-    val baseDir = exportDirOf(warehouse, baseExportTs)
-    val numShards = readLongLedger(spark, exportShardsLedger(baseDir)).toInt
-    val base = Sinks.readBucketedPath(spark, baseDir)
-    val newDocs = Sinks.readBucketedPath(
-        spark, snapDirOf(warehouse, snaps.max))
-      .join(base, Seq("doc_id"), "left_anti").select(col("doc_id"))
-    val baseMax = base.groupBy(col("shard"))
-      .agg(max(col("pos")).as("max_pos"))
-    val appended = graft.operators.CorpusOps.shardAssignmentAfter(
-      newDocs, numShards, baseMax)
-    val buckets = Sinks.bucketSpecOf(spark, docsPath(warehouse))
-      .map(_._2).getOrElse(8)
-    Sinks.bucketedIdempotentAppend(base.unionByName(appended), dir,
-      keys = Seq("doc_id"), bucketKeys = Seq("doc_id"), buckets = buckets)
-    val n = Sinks.readBucketedPath(spark, dir).count()
-    writeLongLedger(spark, exportSnapLedger(dir), snaps.max)
-    writeLongLedger(spark, exportShardsLedger(dir), numShards.toLong)
-    writeLongLedger(spark, exportBaseLedger(dir), baseExportTs)
-    // commit point: the marker lands only over a fully-written manifest
-    writeLongLedger(spark, exportCommitLedger(dir), n)
-    appendAudit(spark, warehouse, "extend_export", "doc_id", n,
-      Map("exports" -> ((prior.size.toLong, prior.size.toLong + 1L))))
-    ts
-  }
-
-  /** Census of committed exports: (export_ts, snap_ts, n_shards, n_docs,
-    * base_ts), ascending — all off the sidecar ledgers, no manifest scan.
-    * `base_ts` is the lineage of an extended export (-1 for a root cut).
-    */
-  def listCorpusExports(spark: SparkSession, warehouse: String): DataFrame = {
-    import spark.implicits._
-    scanExports(spark, warehouse)._1.map { ts =>
-      val dir = exportDirOf(warehouse, ts)
-      (ts, readLongLedger(spark, exportSnapLedger(dir)),
-        readLongLedger(spark, exportShardsLedger(dir)),
-        readLongLedger(spark, exportCommitLedger(dir)),
-        readLongLedger(spark, exportBaseLedger(dir)))
-    }.toDF("export_ts", "snap_ts", "n_shards", "n_docs", "base_ts")
-  }
-
-  /** The trainer's read: full document rows with their pinned
-    * (shard, pos) placement — manifest ⋈ live store, id-bucketed both
-    * sides so the join plans no exchange on the corpus-sized side.
-    * Takedowns since the export are ABSENT; surviving docs keep their
-    * placement. Lease-free read; refuses an unknown or uncommitted stamp
-    * (an export handle must resolve exactly or fail the run).
-    */
-  def readExport(spark: SparkSession, warehouse: String,
-                 exportTs: Long): DataFrame = {
-    require(scanExports(spark, warehouse)._1.contains(exportTs),
-      s"readExport: no committed export export_ts=$exportTs under " +
-        s"${exportsRoot(warehouse)} — see listCorpusExports")
-    readStore(spark, docsPath(warehouse)).join(
-      Sinks.readBucketedPath(spark, exportDirOf(warehouse, exportTs)),
-      Seq("doc_id"))
-  }
-
-  /** Pre-run shard verification — the check a trainer runs BEFORE reading
-    * an export: per shard, the manifest's row count and placement
-    * fingerprint next to the LIVE view's (manifest ∩ document store).
-    * Equal columns mean the shard streams exactly the pinned bytes;
-    * `n_manifest - n_live` counts takedown gaps (expected, reviewable via
-    * the audit trail), and a fingerprint drift at EQUAL counts would
-    * evidence placement corruption — impossible under the write
-    * contracts, which is exactly why a trainer checks it.
-    *
-    * The fingerprint is an order-insensitive multiset hash of
-    * (doc_id, shard, pos) placements: XOR of a portable per-row hash
-    * (same modular family as the shard/order hashes, so DuckDB replays it
-    * exactly). XOR, not SUM, so the aggregate cannot overflow at any
-    * corpus size; manifest rows are doc_id-unique by construction, so
-    * XOR's self-cancellation is unreachable.
-    *
-    * Scale: two aggregates over the id-sized manifest (the live side is
-    * an id-projected semi-join co-located with the document store) into
-    * `numShards` rows — no content read, driver-sized result.
-    */
-  def exportIntegrity(spark: SparkSession, warehouse: String,
-                      exportTs: Long): DataFrame = {
-    require(scanExports(spark, warehouse)._1.contains(exportTs),
-      s"exportIntegrity: no committed export export_ts=$exportTs under " +
-        s"${exportsRoot(warehouse)} — see listCorpusExports")
-    val manifest = Sinks.readBucketedPath(
-      spark, exportDirOf(warehouse, exportTs))
-    val live = manifest.join(
-      readStore(spark, docsPath(warehouse)).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val fp = ((col("doc_id") % 1000003L) * 40503L +
-      col("pos") * 69069L) % 2147483647L
-    def roll(df: DataFrame, n: String, f: String): DataFrame =
-      df.select(col("shard"), fp.as("fp")).groupBy(col("shard"))
-        .agg(count(lit(1)).as(n), expr("bit_xor(fp)").as(f))
-    roll(manifest, "n_manifest", "fp_manifest")
-      .join(roll(live, "n_live", "fp_live"), Seq("shard"), "left_outer")
-      .select(col("shard"), col("n_manifest"),
-        coalesce(col("n_live"), lit(0L)).as("n_live"),
-        col("fp_manifest"),
-        coalesce(col("fp_live"), lit(0L)).as("fp_live"))
-  }
-
-  /** Retention: drop the oldest committed exports beyond `keepLast`.
-    * Leased, audited, loud-on-expired-read — `expireCorpusSnapshots`'
-    * contract applied to exports.
-    */
-  def expireCorpusExports(spark: SparkSession, warehouse: String,
-                          keepLast: Int): Long =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    require(keepLast >= 1, "expireCorpusExports: keepLast must be >= 1")
-    val (exps, _) = scanExports(spark, warehouse)
-    val drop = exps.dropRight(keepLast)
-    drop.foreach(ts => dropStore(spark, exportDirOf(warehouse, ts)))
-    if (drop.nonEmpty)
-      appendAudit(spark, warehouse, "expire_exports", "export_ts",
-        drop.size.toLong,
-        Map("exports" -> ((exps.size.toLong, exps.size.toLong - drop.size))))
-    drop.size.toLong
   }
 
   /** RETRAIN the SemDeDup state — the other half of the frozen-centroid
@@ -2108,347 +1194,6 @@ object CorpusIngest {
       Some(spark.read.parquet(semCentsPath(warehouse)))
     else None
 
-  /** Drop a warehouse table AND its sibling ledgers (bucket spec,
-    * threshold provenance) plus any catalog registration — the rebuild
-    * primitive retrain uses. A directory-only delete would leave a
-    * bucket-spec ledger pointing at nothing and a stale threshold stamp
-    * guarding an empty table.
-    */
-  private def dropStore(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    Seq("._bucketspec", "._threshold", "._params").foreach(s =>
-      fs.delete(new org.apache.hadoop.fs.Path(path + s), false))
-    val name = Sinks.bucketedTableName(path)
-    if (spark.catalog.tableExists(name))
-      spark.sql(s"DROP TABLE IF EXISTS `$name`")
-  }
-
-  /** WAREHOUSE INTEGRITY CHECK (fsck) — one read-only audit of the
-    * invariants the write paths maintain, for the operator who inherits a
-    * warehouse after crashes, takedowns, and retries and needs to know
-    * whether what is on disk is still the state the contracts promise.
-    * Returns (check, table, violations, severity):
-    *
-    *   - severity "warn" rows are states DOCUMENTED flows can reach and
-    *     a retry or a governance decision resolves: crash-window residue
-    *     (orphan band/assignment rows, documents without their shingle
-    *     commit row, PAIR rows referencing ids whose commit append the
-    *     crash preempted — pairs land before the commit point by design,
-    *     so ghost refs are residue too, healed when the drop retries and
-    *     kept inert meanwhile by the probe guards), and tombstoned ids
-    *     present in content tables (legal after a documented pure-batch
-    *     re-submission of a deleted id — but review it: if no
-    *     re-submission happened, a takedown leaked). Label-store
-    *     residue is warn too: a torn store create (directory without
-    *     its spec ledger — reads already fall back) and pair ids the
-    *     label merge has not yet covered (pairs land before the merge;
-    *     a retry or any delete's eager rebuild heals, and the miss can
-    *     only UNDER-drop). A persistently GROWING warn count means
-    *     drops are crashing and nobody retries.
-    *   - severity "error" rows should be IMPOSSIBLE under the write
-    *     contracts: commit rows that precede their write order (shingles
-    *     without documents), a pair table without its threshold ledger,
-    *     an ingest ledger ahead of its promote ledger, or label-store
-    *     nodes with no pair evidence (which could silently suppress a
-    *     real row from a survivors view). Any non-zero error count is
-    *     corruption: restore from the immutable landing / re-run the
-    *     cascade.
-    *
-    * Every check is an id-projected anti-join or a ledger compare —
-    * bounded scans, no content read; bucketed stores join co-located.
-    */
-  def fsck(spark: SparkSession, warehouse: String): DataFrame = {
-    import spark.implicits._
-    def read(p: String): Option[DataFrame] =
-      if (!Sinks.pathExists(spark, p)) None
-      else if (Sinks.isBucketedStore(spark, p))
-        Some(Sinks.readBucketedPath(spark, p))
-      else Some(spark.read.parquet(p))
-    def short(p: String) = p.split('/').takeRight(1).mkString
-    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
-    // ids present in `tableP` but absent from `commitP`
-    def missingFrom(check: String, tableP: String, keyT: String,
-                    commitP: String, keyC: String, sev: String): Unit =
-      for (t <- read(tableP)) {
-        val c = read(commitP).map(_.select(col(keyC).as("k")))
-          .getOrElse(Seq.empty[Long].toDF("k"))
-        out += ((check, short(tableP),
-          t.select(col(keyT).as("k")).distinct()
-            .join(c, Seq("k"), "left_anti").count(), sev))
-      }
-    // pair rows with EITHER side absent from the commit table — crash
-    // residue too (pairs land BEFORE the commit point by design), so
-    // severity warn: the drop's retry heals it, the probe guards keep the
-    // ghosts out of new derivations meanwhile
-    def ghostPairs(check: String, pairsP: String, a: String, b: String,
-                   commitP: String, keyC: String): Unit =
-      for (p <- read(pairsP); c0 <- read(commitP)) {
-        val c = c0.select(col(keyC).as("k"))
-        val sides = p.select(col(a).as("k"))
-          .unionByName(p.select(col(b).as("k"))).distinct()
-        out += ((check, short(pairsP),
-          sides.join(c, Seq("k"), "left_anti").count(), "warn"))
-      }
-    // tombstoned ids still present in a content table — legal after a
-    // documented pure-batch re-submission (the batch path never consults
-    // tombstones), so warn-and-review, not error
-    def tombLeak(check: String, tombP: String, contentP: String,
-                 key: String): Unit =
-      for (t <- read(tombP); c <- read(contentP))
-        out += ((check, short(contentP),
-          t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi")
-            .count(), "warn"))
-    // component label stores: the survivors views trust these instead of
-    // re-running the contraction, so audit them against the pair tables
-    // they summarize. A directory WITHOUT its spec ledger is torn-create
-    // residue (reads already fall back; the next writer clears it) —
-    // warn. Pair-side ids ABSENT from the labels are crash residue too
-    // (pairs land before the label merge; the drop's retry — or any
-    // delete's eager rebuild — heals), and the miss direction only ever
-    // UNDER-drops: warn. Label nodes absent from the pair table cannot
-    // arise from any documented flow (merges only add nodes from pairs
-    // already appended; deletes rebuild from the purged table) and could
-    // suppress a real row from the survivors view with no pair evidence
-    // — error.
-    def labelChecks(labelP: String, pairsP: String, a: String,
-                    b: String): Unit = {
-      if (fileExists(labelP) && !Sinks.isBucketedStore(spark, labelP))
-        out += (("label_store_torn_create", short(labelP), 1L, "warn"))
-      // the DIRECTORY must be present too: a crash-parked label store
-      // (ledger survives the swap, dir absent) is already the parked_swap
-      // row above — running the drift scan against the missing path would
-      // abort or count every pair id "missing" next to its own heal
-      else if (fileExists(labelP) && Sinks.isBucketedStore(spark, labelP)) {
-        if (!fileExists(pairsP))
-          // a label store whose pair table is gone (parked — see the
-          // parked_swap row — or hand surgery): the drift counts would
-          // read "every node orphaned", which is noise next to the real
-          // state; one warn row says what to review instead
-          out += (("label_store_without_pairs", short(labelP), 1L, "warn"))
-        else {
-          val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
-          out += (("label_missing_nodes", short(labelP), missing, "warn"))
-          out += (("label_orphan_nodes", short(labelP), orphan, "error"))
-        }
-      }
-    }
-
-    // crash-window residue (heals on retry)
-    missingFrom("orphan_bands", bandPath(warehouse), "doc_id",
-      shinglePath(warehouse), "doc_id", "warn")
-    missingFrom("stranded_docs", docsPath(warehouse), "doc_id",
-      shinglePath(warehouse), "doc_id", "warn")
-    missingFrom("orphan_emb_bands", embBandsPath(warehouse), "vec_id",
-      embVecsPath(warehouse), "vec_id", "warn")
-    missingFrom("orphan_sem_asg", semAsgPath(warehouse), "vec_id",
-      embVecsPath(warehouse), "vec_id", "warn")
-    missingFrom("orphan_media_bands", mediaBandsPath(warehouse), "media_id",
-      mediaHashPath(warehouse), "media_id", "warn")
-    // write-order violations (impossible under the contracts)
-    missingFrom("headless_shingles", shinglePath(warehouse), "doc_id",
-      docsPath(warehouse), "doc_id", "error")
-    // ghost pair references that escaped the probe guards
-    ghostPairs("ghost_pair_refs", pairsPath(warehouse), "doc_a", "doc_b",
-      shinglePath(warehouse), "doc_id")
-    ghostPairs("ghost_emb_pair_refs", embPairsPath(warehouse), "vec_a",
-      "vec_b", embVecsPath(warehouse), "vec_id")
-    ghostPairs("ghost_sem_pair_refs", semPairsPath(warehouse), "vec_a",
-      "vec_b", embVecsPath(warehouse), "vec_id")
-    ghostPairs("ghost_media_pair_refs", mediaPairsPath(warehouse), "media_a",
-      "media_b", mediaHashPath(warehouse), "media_id")
-    // takedown leaks
-    tombLeak("tombstone_leak", tombPath(warehouse), shinglePath(warehouse),
-      "doc_id")
-    tombLeak("emb_tombstone_leak", embTombPath(warehouse),
-      embVecsPath(warehouse), "vec_id")
-    tombLeak("media_tombstone_leak", mediaTombPath(warehouse),
-      mediaHashPath(warehouse), "media_id")
-    // crash-parked rewrite swaps anywhere under the warehouse: the table's
-    // data is complete but parked at ._compact_old with the live path
-    // absent — reads fail until Sinks.recoverSwap (or the next write on
-    // the table) restores the rename, so surface every one (warn: a
-    // documented crash state with a one-call heal). Reported by
-    // warehouse-RELATIVE name so same-basename tables stay distinct.
-    Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
-      out += (("parked_swap", rel, 1L, "warn"))
-    }
-    // label-store / pair-table consistency
-    labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
-      "doc_a", "doc_b")
-    labelChecks(embCcPath(warehouse), embPairsPath(warehouse),
-      "vec_a", "vec_b")
-    labelChecks(semCcPath(warehouse), semPairsPath(warehouse),
-      "vec_a", "vec_b")
-    labelChecks(mediaCcPath(warehouse), mediaPairsPath(warehouse),
-      "media_a", "media_b")
-    // ledger presence / ordering
-    def fileExists(p: String) = Sinks.pathExists(spark, p)
-    for (pp <- Seq(pairsPath(warehouse), embPairsPath(warehouse),
-      semPairsPath(warehouse), mediaPairsPath(warehouse))
-      if fileExists(pp))
-      out += (("missing_threshold_ledger", short(pp),
-        if (fileExists(pp + "._threshold")) 0L else 1L, "error"))
-    for (bp <- Seq(bandPath(warehouse), embBandsPath(warehouse),
-      mediaBandsPath(warehouse), semAsgPath(warehouse))
-      if fileExists(bp))
-      out += (("missing_params_ledger", short(bp),
-        if (fileExists(bp + "._params")) 0L else 1L, "warn"))
-    for (st <- Seq(stagedPath(warehouse), stagedEmbPath(warehouse),
-      stagedMediaPath(warehouse)) if fileExists(st)) {
-      val promoted = readLongLedger(spark, st + "._promoted_upto")
-      val ingested = readLongLedger(spark, st + "._ingested_upto")
-      out += (("ingest_ledger_ahead", short(st),
-        if (ingested > promoted) 1L else 0L, "error"))
-    }
-    // the AUDITOR is audited too: the compliance trail's own invariants.
-    // Seq numbering is stamp-first under the lease, so per event (one
-    // (seq, at_ms, op, n_ids) write): a seq shared by two DISTINCT events
-    // is impossible under the contracts and would fabricate one takedown
-    // out of two — error. A seq GAP (ledger stamped, rows never landed)
-    // is the documented crash window — the trail under-reports, warn.
-    // The ledger must never trail the log (that is how a seq gets
-    // reused) — error; ledger ahead of the log is the same crash window
-    // as a gap — warn. Legacy rows (seq = -1, pre-ledger files) are
-    // outside the numbering contract and excluded.
-    if (fileExists(auditPath(warehouse))) {
-      val numbered = readAudit(spark, warehouse).filter(col("seq") >= 0)
-      val events = numbered
-        .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
-          col("n_ids")).distinct()
-      out += (("audit_duplicate_seq", "audit_log",
-        events.groupBy(col("seq")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1).count(), "error"))
-      val r = events.agg(max(col("seq")), count(lit(1))).head()
-      val (logMax, nSeq) =
-        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))
-      out += (("audit_seq_gaps", "audit_log",
-        math.max(0L, logMax + 1L - nSeq), "warn"))
-      // an ABSENT ledger is the documented legacy state (pre-ledger log;
-      // appendAudit's scan fallback keeps numbering correct), so the
-      // ordering checks only run against a ledger that exists
-      if (fileExists(auditSeqLedger(warehouse))) {
-        val ledger = readLongLedger(spark, auditSeqLedger(warehouse))
-        out += (("audit_seq_ledger_behind", "audit_log",
-          if (ledger < logMax) 1L else 0L, "error"))
-        out += (("audit_seq_ledger_ahead", "audit_log",
-          if (ledger > logMax) 1L else 0L, "warn"))
-      }
-    }
-    // snapshot manifests: an uncommitted dir is snapshotCorpus' documented
-    // crash window (manifest landed, commit marker didn't) — invisible to
-    // every read, warn, repair clears it. A COMMITTED manifest whose row
-    // count drifts from its commit marker should be impossible (the
-    // marker lands last, over a finished manifest) — error.
-    {
-      val (snaps, torn) = scanSnapshots(spark, warehouse)
-      out += (("snapshot_uncommitted", "snapshots", torn.size.toLong,
-        "warn"))
-      val drifted = snaps.count { ts =>
-        val dir = snapDirOf(warehouse, ts)
-        Sinks.readBucketedPath(spark, dir).count() !=
-          readLongLedger(spark, snapCommitLedger(dir))
-      }
-      out += (("snapshot_manifest_drift", "snapshots", drifted.toLong,
-        "error"))
-    }
-    // export manifests: same commit protocol, same reachability — an
-    // uncommitted dir is exportCorpus' crash window (warn, repair
-    // clears); a committed manifest disagreeing with its marker count
-    // should be impossible (error).
-    {
-      val (exps, torn) = scanExports(spark, warehouse)
-      out += (("export_uncommitted", "exports", torn.size.toLong, "warn"))
-      val drifted = exps.count { ts =>
-        val dir = exportDirOf(warehouse, ts)
-        Sinks.readBucketedPath(spark, dir).count() !=
-          readLongLedger(spark, exportCommitLedger(dir))
-      }
-      out += (("export_manifest_drift", "exports", drifted.toLong, "error"))
-    }
-    out.toSeq.toDF("check", "table", "violations", "severity")
-      .orderBy(col("severity"), col("check"), col("table"))
-  }
-
-  /** MECHANICAL REPAIR — the write-side companion to `fsck`: applies, in
-    * one leased call, every heal that is safe WITHOUT re-running a drop:
-    *
-    *   1. `recovered_swap` — restore every crash-parked table under the
-    *      warehouse (`Sinks.parkedSwaps` → `recoverSwap`).
-    *   2. `cleared_torn_label_create` — remove label directories whose
-    *      spec ledger never landed (reads already ignore them; clearing
-    *      unblocks the next writer without waiting for a drop).
-    *   3. `rebuilt_label_store` — any label store whose node set drifted
-    *      from its pair table (pair ids the merge never covered, or
-    *      orphan label nodes) is rebuilt from the pair table — the same
-    *      full-contraction rebuild the delete cascades use.
-    *
-    * Crash residue that needs the ORIGINAL drop's data — orphan band/
-    * assignment rows, stranded docs, ghost pair refs — is deliberately
-    * NOT touched: only the drop's retry can heal those, and `fsck` keeps
-    * reporting them until it does. Returns (action, table) rows for the
-    * audit trail; a healthy warehouse returns an empty frame.
-    */
-  def repair(spark: SparkSession, warehouse: String): DataFrame =
-      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
-    import spark.implicits._
-    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    def short(p: String) = p.split('/').takeRight(1).mkString
-    // warehouse-relative names keep same-basename tables distinct in both
-    // the result and the audit keys (the walk covers the whole tree)
-    Sinks.parkedSwapTables(spark, warehouse).foreach { case (table, rel) =>
-      if (Sinks.recoverSwap(spark, table))
-        out += (("recovered_swap", rel))
-    }
-    val labelStores = Seq(
-      (ccLabelsPath(warehouse), pairsPath(warehouse), "doc_a", "doc_b"),
-      (embCcPath(warehouse), embPairsPath(warehouse), "vec_a", "vec_b"),
-      (semCcPath(warehouse), semPairsPath(warehouse), "vec_a", "vec_b"),
-      (mediaCcPath(warehouse), mediaPairsPath(warehouse),
-        "media_a", "media_b"))
-    labelStores.foreach { case (labelP, pairsP, a, b) =>
-      if (Sinks.pathExists(spark, labelP) &&
-          !Sinks.isBucketedStore(spark, labelP)) {
-        dropStore(spark, labelP)
-        out += (("cleared_torn_label_create", short(labelP)))
-      } else if (Sinks.pathExists(spark, labelP) &&
-                 Sinks.isBucketedStore(spark, labelP) &&
-                 Sinks.pathExists(spark, pairsP)) {
-        // the SAME drift invariant fsck reports — shared helper, so the
-        // audit and the heal can never diverge. Both tables must be
-        // present (the swap-recovery step above already restored parked
-        // ones); a genuinely absent pair table is ambiguous and repair
-        // never drops data on ambiguity.
-        val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
-        if (missing + orphan > 0) {
-          rebuildLabels(spark, labelP, pairsP, a, b)
-          out += (("rebuilt_label_store", short(labelP)))
-        }
-      }
-    }
-    // uncommitted snapshot dirs are snapshotCorpus' documented crash
-    // residue (manifest landed, commit marker didn't) — invisible to
-    // every read, so clearing loses nothing a snapshot retry can't
-    // recreate
-    scanSnapshots(spark, warehouse)._2.foreach { d =>
-      dropStore(spark, d)
-      out += (("cleared_uncommitted_snapshot", short(d)))
-    }
-    // same protocol, same recovery: an uncommitted export dir is invisible
-    // to every read and an export retry recreates it exactly
-    scanExports(spark, warehouse)._2.foreach { d =>
-      dropStore(spark, d)
-      out += (("cleared_uncommitted_export", short(d)))
-    }
-    // the repair itself is a governance-grade event: record WHICH actions
-    // ran (the counts columns carry no row delta for a repair — zeroed)
-    if (out.nonEmpty)
-      appendAudit(spark, warehouse, "repair", "n/a", 0L,
-        out.map { case (act, t) => s"$act.$t" -> ((0L, 0L)) }.toMap)
-    out.toSeq.toDF("action", "table")
-  }
-
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup
     * cluster over the CUMULATIVE pair table. Losers come off the
     * incrementally-maintained label store when present — a co-located
@@ -2466,4 +1211,75 @@ object CorpusIngest {
         "doc_a", "doc_b", "doc_id"),
       Seq("doc_id"), "left_anti")
   }
+
+  // ---- re-exported public API --------------------------------------------
+  //
+  // The governance / snapshot / export surfaces moved to focused modules
+  // (Governance, CorpusSnapshots, CorpusExports) when this file crossed
+  // 2,400 lines; the entry-point object keeps forwarding so every caller
+  // (tests, queries, operational tooling) sees ONE warehouse API.
+
+  def registerLinks(spark: SparkSession, warehouse: String,
+                    links: DataFrame): Unit =
+    Governance.registerLinks(spark, warehouse, links)
+
+  def forget(spark: SparkSession, warehouse: String,
+             contentKeys: Seq[Long]): Map[String, (Long, Long)] =
+    Governance.forget(spark, warehouse, contentKeys)
+
+  def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
+    Governance.governanceAudit(spark, warehouse)
+
+  def curatedSurvivors(spark: SparkSession, warehouse: String): DataFrame =
+    Governance.curatedSurvivors(spark, warehouse)
+
+  def fsck(spark: SparkSession, warehouse: String): DataFrame =
+    Governance.fsck(spark, warehouse)
+
+  def repair(spark: SparkSession, warehouse: String): DataFrame =
+    Governance.repair(spark, warehouse)
+
+  def snapshotCorpus(spark: SparkSession, warehouse: String,
+                     atMs: Option[Long] = None): Long =
+    CorpusSnapshots.snapshotCorpus(spark, warehouse, atMs)
+
+  def listCorpusSnapshots(spark: SparkSession,
+                          warehouse: String): DataFrame =
+    CorpusSnapshots.listCorpusSnapshots(spark, warehouse)
+
+  def curatedAsOf(spark: SparkSession, warehouse: String,
+                  asOfMs: Long): DataFrame =
+    CorpusSnapshots.curatedAsOf(spark, warehouse, asOfMs)
+
+  def snapshotDiff(spark: SparkSession, warehouse: String,
+                   fromTs: Long, toTs: Long): DataFrame =
+    CorpusSnapshots.snapshotDiff(spark, warehouse, fromTs, toTs)
+
+  def expireCorpusSnapshots(spark: SparkSession, warehouse: String,
+                            keepLast: Int): Long =
+    CorpusSnapshots.expireCorpusSnapshots(spark, warehouse, keepLast)
+
+  def exportCorpus(spark: SparkSession, warehouse: String, asOfMs: Long,
+                   numShards: Int, atMs: Option[Long] = None): Long =
+    CorpusExports.exportCorpus(spark, warehouse, asOfMs, numShards, atMs)
+
+  def extendExport(spark: SparkSession, warehouse: String,
+                   baseExportTs: Long, asOfMs: Long,
+                   atMs: Option[Long] = None): Long =
+    CorpusExports.extendExport(spark, warehouse, baseExportTs, asOfMs, atMs)
+
+  def listCorpusExports(spark: SparkSession, warehouse: String): DataFrame =
+    CorpusExports.listCorpusExports(spark, warehouse)
+
+  def readExport(spark: SparkSession, warehouse: String,
+                 exportTs: Long): DataFrame =
+    CorpusExports.readExport(spark, warehouse, exportTs)
+
+  def exportIntegrity(spark: SparkSession, warehouse: String,
+                      exportTs: Long): DataFrame =
+    CorpusExports.exportIntegrity(spark, warehouse, exportTs)
+
+  def expireCorpusExports(spark: SparkSession, warehouse: String,
+                          keepLast: Int): Long =
+    CorpusExports.expireCorpusExports(spark, warehouse, keepLast)
 }

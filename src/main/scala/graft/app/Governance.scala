@@ -1,0 +1,591 @@
+package graft.app
+
+import graft.core.Sinks
+import graft.app.CorpusStore._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GOVERNANCE surface of the corpus warehouse: cross-modality linkage and
+  * unified takedown (`registerLinks` / `forget`), the durable audit trail
+  * (`appendAudit` / `governanceAudit`), the cross-modality curated corpus
+  * view (`curatedSurvivors`), and the warehouse integrity pair
+  * (`fsck` / `repair`). Split out of CorpusIngest (which re-exports the
+  * public API) purely for module size — semantics unchanged.
+  */
+object Governance {
+
+  /** CROSS-MODALITY LINKAGE — the table `forget` resolves: one row per
+    * (content_key, modality, id) with modality in {"doc", "vec", "media"},
+    * registered at ingest alongside each drop (the ingest entry points
+    * cannot infer the linkage — doc/vec/media id spaces are independent by
+    * design, and only the pipeline that derived a vector from a document
+    * knows they are the same content). Keyed idempotent append, so
+    * re-registering with a replayed drop is a no-op. Thin rows, one
+    * modality per row — no null-keyed columns to break the keyed no-op.
+    */
+  def registerLinks(spark: SparkSession, warehouse: String,
+                    links: DataFrame): Unit =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    require(Set("content_key", "modality", "id").subsetOf(links.columns.toSet),
+      s"registerLinks needs (content_key, modality, id), got " +
+        links.columns.mkString(", "))
+    val bad = links.select(col("modality")).distinct()
+      .filter(!col("modality").isin("doc", "vec", "media")).collect()
+    require(bad.isEmpty,
+      s"registerLinks: unknown modalities ${bad.mkString(",")} — " +
+        "expected doc | vec | media")
+    Sinks.idempotentAppend(
+      links.select(col("content_key").cast("long"), col("modality"),
+        col("id").cast("long")),
+      linksPath(warehouse),
+      keys = Seq("content_key", "modality", "id"), partitionCols = Nil)
+  }
+
+  /** UNIFIED TAKEDOWN — one entry point for "forget this content":
+    * resolves the linkage table and cascades `delete`,
+    * `deleteEmbeddings`, and `deleteMedia` (each with its tombstone) in a
+    * single leased call, then purges the resolved link rows themselves
+    * (a (content_key, id) mapping is a content fingerprint too). Without
+    * this, a compliance pass had to know which modalities a piece of
+    * content reached and issue three id-space-specific deletes — and a
+    * missed modality left recoverable fingerprints behind.
+    *
+    * The resolved id lists ride the driver (takedown lists are
+    * human-scale, same class as the delete APIs' Seq[Long] inputs).
+    * Returns the combined audit, entries keyed `<modality>.<table>` plus
+    * `links`. Content keys with no link rows contribute nothing — calling
+    * forget on never-registered content is a no-op, not an error.
+    */
+  def forget(spark: SparkSession, warehouse: String,
+             contentKeys: Seq[Long]): Map[String, (Long, Long)] =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    if (!Sinks.storePresent(spark, linksPath(warehouse))) Map.empty
+    else {
+      import spark.implicits._
+      val keyDf = contentKeys.toDF("content_key")
+      val resolved = spark.read.parquet(linksPath(warehouse))
+        .join(keyDf, "content_key")
+        .select(col("modality"), col("id")).distinct().collect()
+      def ids(m: String): Seq[Long] =
+        resolved.filter(_.getString(0) == m).map(_.getLong(1)).toSeq
+      val docAudit =
+        if (ids("doc").isEmpty) Map.empty[String, (Long, Long)]
+        else CorpusIngest.delete(spark, warehouse, ids("doc"))
+          .map { case (k, v) => s"doc.$k" -> v }
+      val vecAudit =
+        if (ids("vec").isEmpty) Map.empty[String, (Long, Long)]
+        else CorpusIngest.deleteEmbeddings(spark, warehouse, ids("vec"))
+          .map { case (k, v) => s"vec.$k" -> v }
+      val mediaAudit =
+        if (ids("media").isEmpty) Map.empty[String, (Long, Long)]
+        else CorpusIngest.deleteMedia(spark, warehouse, ids("media"))
+          .map { case (k, v) => s"media.$k" -> v }
+      val all = docAudit ++ vecAudit ++ mediaAudit +
+        ("links" -> Sinks.deleteByKey(spark, linksPath(warehouse), keyDf,
+          Seq("content_key")))
+      appendAudit(spark, warehouse, "forget", "content_key",
+        contentKeys.size.toLong, Map("links" -> all("links")))
+      all
+    }
+  }
+
+  private[app] def auditPath(wh: String) = s"$wh/corpus/audit_log"
+
+  /** Durable GOVERNANCE AUDIT TRAIL: every delete / forget / reinstate
+    * appends one row per table it TOUCHED — including the tombstone
+    * tables the deletes stamp — as (seq, at_ms, op, id_col, n_ids,
+    * table, rows_before, rows_after), so a compliance pass can prove a
+    * takedown ran (and what it removed, and that the streamed-
+    * resurrection block was placed) without having captured the entry
+    * point's return value. `seq` is a per-warehouse monotonic event
+    * number — same-millisecond events stay ordered, which `at_ms` alone
+    * cannot promise. It comes off a sibling ledger (stamp-first, race-free
+    * because every writer holds the warehouse lease); the full-log
+    * max-scan runs only once, on a legacy log that predates the ledger. Plain event-log append, deliberately NOT keyed: a
+    * crash-retried cascade logs twice, which is the truthful record (the
+    * cascade ran twice — idempotently). Each cascade writes its audit
+    * rows LAST, so a crash mid-cascade under-reports (the retry re-logs)
+    * rather than fabricating a completed purge. A call that touched
+    * nothing (reinstate before any tombstone table, forget of an
+    * unregistered key) logs nothing — there is no event to record. The
+    * log is thin and lives outside the content tables — `fsck` and the
+    * views never read it.
+    */
+  /** The audit log with the `seq` column GUARANTEED present: a log whose
+    * earliest files predate the seq column (legacy-warehouse contract —
+    * same tolerance as readStore's plain fallback) reads those rows as
+    * seq = -1, so appends keep numbering from 0 and the compliance read
+    * orders legacy rows by timestamp beneath every numbered event.
+    */
+  private[app] def readAudit(spark: SparkSession, warehouse: String): DataFrame = {
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(auditPath(warehouse))
+    if (!log.columns.contains("seq")) log.withColumn("seq", lit(-1L))
+    else log.withColumn("seq", coalesce(col("seq"), lit(-1L)))
+  }
+
+  /** Sibling ledger holding the LAST USED audit seq — the metadata-read
+    * that replaces scanning the whole (compacted, but unbounded) event log
+    * for max(seq) on every governance call. Sibling placement survives the
+    * log's compaction swap, like every other ledger here.
+    */
+  private[app] def auditSeqLedger(wh: String) = auditPath(wh) + "._audit_seq"
+
+  private[app] def appendAudit(spark: SparkSession, warehouse: String, op: String,
+                          idCol: String, nIds: Long,
+                          entries: Map[String, (Long, Long)]): Unit =
+    if (entries.nonEmpty) {
+      import spark.implicits._
+      val at = System.currentTimeMillis()
+      // park-aware presence gate on EVERY branch, not only the legacy
+      // ledger==-1 fallback: the log is compactable (swapInto), so a crash
+      // between its two renames parks it at ._compact_old. With the seq
+      // ledger present, a plain Append would recreate the live directory
+      // holding only the new event — silently orphaning the whole
+      // historical trail in a state fsck can never see (live exists) and
+      // a later compaction's stage-out rename would collide with. Leased
+      // callers (all of them) heal the park in-line here.
+      val logPresent = Sinks.storePresent(spark, auditPath(warehouse))
+      // last used seq: the ledger when present; one full-log scan only on
+      // a legacy warehouse whose log predates the ledger (or a torn
+      // ledger write — unreadable = re-derive, never skip). Race-free:
+      // every governance writer holds the warehouse lease.
+      val last = readLongLedger(spark, auditSeqLedger(warehouse)) match {
+        case -1L =>
+          if (!logPresent) -1L
+          else {
+            val r = readAudit(spark, warehouse).agg(max(col("seq"))).head()
+            if (r.isNullAt(0)) -1L else r.getLong(0)
+          }
+        case v => v
+      }
+      val seq = last + 1L
+      // STAMP-FIRST, same crash ordering as every ledger here: a crash
+      // between the stamp and the row append leaves a seq GAP — an event
+      // that recorded nothing, i.e. the trail under-reports (fsck flags
+      // the gap as warn). The reverse order could reuse a seq after a
+      // crash and fabricate one event out of two — never acceptable in a
+      // compliance trail.
+      writeLongLedger(spark, auditSeqLedger(warehouse), seq)
+      entries.toSeq.map { case (t, (b, a)) =>
+        (seq, at, op, idCol, nIds, t, b, a)
+      }
+        .toDF("seq", "at_ms", "op", "id_col", "n_ids", "table",
+          "rows_before", "rows_after")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(auditPath(warehouse))
+      // lifecycle: one coalesced file per event still fragments at a real
+      // compliance cadence — same 4× gate as every other table. The swap
+      // preserves row content exactly and the sibling ledgers ride it.
+      Sinks.compactIfFragmented(spark, auditPath(warehouse), targetFiles = 4)
+    }
+
+  /** Tombstone stamp with (before, after) table counts for the audit
+    * trail — the tombstone tables are thin (one id per row), so the two
+    * counts are metadata-cheap.
+    */
+  private[app] def tombstoneWithCounts(spark: SparkSession, path: String,
+                                  keys: DataFrame,
+                                  keyCols: Seq[String]): (Long, Long) = {
+    val before =
+      if (Sinks.storePresent(spark, path)) spark.read.parquet(path).count()
+      else 0L
+    Sinks.idempotentAppend(keys, path, keys = keyCols, partitionCols = Nil)
+    (before, spark.read.parquet(path).count())
+  }
+
+  /** The governance audit trail as a frame (empty-but-schema'd when no
+    * governance call has run), newest event first.
+    */
+  def governanceAudit(spark: SparkSession, warehouse: String): DataFrame =
+    if (Sinks.storePresent(spark, auditPath(warehouse)))
+      readAudit(spark, warehouse)
+        .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
+          col("n_ids"), col("table"), col("rows_before"), col("rows_after"))
+        .orderBy(col("seq").desc, col("at_ms").desc, col("table"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, String, String, Long, String, Long, Long)]
+        .toDF("seq", "at_ms", "op", "id_col", "n_ids", "table",
+          "rows_before", "rows_after")
+    }
+
+  /** The CROSS-MODALITY curated corpus — the view a training run reads
+    * when content flows through more than one modality: text `survivors`
+    * RESTRICTED to docs whose linked embedding and media representations
+    * also survived their own dedup passes. The linkage is the same
+    * `corpus/links` table `forget` resolves: a doc whose vector lost its
+    * cosine or SemDeDup cluster is semantically duplicated content even
+    * when its TEXT survived the Jaccard cut (that asymmetry is SemDeDup's
+    * whole premise), and a doc whose image lost its perceptual cluster
+    * likewise. Docs with no links — or none in a given modality, or in a
+    * modality whose stores this warehouse never built — are unconstrained
+    * by it; with no links table at all this degenerates to `survivors`.
+    * Scale shape: every join ships thin id rows (links is (key, modality,
+    * id); the survivor sets resolve off the label stores), so the
+    * restriction costs id-sized joins on top of the label scans.
+    */
+  def curatedSurvivors(spark: SparkSession, warehouse: String): DataFrame = {
+    val docs = CorpusIngest.survivors(spark, warehouse)
+    if (!Sinks.storePresent(spark, linksPath(warehouse))) docs
+    else {
+      val links = spark.read.parquet(linksPath(warehouse))
+      // "lost" means LOST A DEDUP CLUSTER (a component non-minimum) —
+      // deliberately not "absent from the survivors view": the media view
+      // also excludes undecodable/blank bookkeeping rows, and a doc whose
+      // image merely failed to decode is not duplicated content
+      def lostVia(modality: String, labelP: String, pairsP: String,
+                  a: String, b: String): Option[DataFrame] =
+        if (!Sinks.storePresent(spark, pairsP)) None
+        else Some(links.filter(col("modality") === modality)
+          .join(losersFor(spark, labelP, pairsP, a, b, "id"),
+            Seq("id"), "left_semi")
+          .select(col("content_key")))
+      val allLost = Seq(
+        // a vec lost in EITHER the cosine or the SemDeDup clustering
+        lostVia("vec", embCcPath(warehouse), embPairsPath(warehouse),
+          "vec_a", "vec_b"),
+        lostVia("vec", semCcPath(warehouse), semPairsPath(warehouse),
+          "vec_a", "vec_b"),
+        lostVia("media", mediaCcPath(warehouse), mediaPairsPath(warehouse),
+          "media_a", "media_b")).flatten
+      if (allLost.isEmpty) docs
+      else {
+        val lost = allLost.reduce(_ unionByName _).distinct()
+        val lostDocs = links.filter(col("modality") === "doc")
+          .join(lost, Seq("content_key"), "left_semi")
+          .select(col("id").as("doc_id"))
+        docs.join(lostDocs, Seq("doc_id"), "left_anti")
+      }
+    }
+  }
+
+  /** WAREHOUSE INTEGRITY CHECK (fsck) — one read-only audit of the
+    * invariants the write paths maintain, for the operator who inherits a
+    * warehouse after crashes, takedowns, and retries and needs to know
+    * whether what is on disk is still the state the contracts promise.
+    * Returns (check, table, violations, severity):
+    *
+    *   - severity "warn" rows are states DOCUMENTED flows can reach and
+    *     a retry or a governance decision resolves: crash-window residue
+    *     (orphan band/assignment rows, documents without their shingle
+    *     commit row, PAIR rows referencing ids whose commit append the
+    *     crash preempted — pairs land before the commit point by design,
+    *     so ghost refs are residue too, healed when the drop retries and
+    *     kept inert meanwhile by the probe guards), and tombstoned ids
+    *     present in content tables (legal after a documented pure-batch
+    *     re-submission of a deleted id — but review it: if no
+    *     re-submission happened, a takedown leaked). Label-store
+    *     residue is warn too: a torn store create (directory without
+    *     its spec ledger — reads already fall back) and pair ids the
+    *     label merge has not yet covered (pairs land before the merge;
+    *     a retry or any delete's eager rebuild heals, and the miss can
+    *     only UNDER-drop). A persistently GROWING warn count means
+    *     drops are crashing and nobody retries.
+    *   - severity "error" rows should be IMPOSSIBLE under the write
+    *     contracts: commit rows that precede their write order (shingles
+    *     without documents), a pair table without its threshold ledger,
+    *     an ingest ledger ahead of its promote ledger, or label-store
+    *     nodes with no pair evidence (which could silently suppress a
+    *     real row from a survivors view). Any non-zero error count is
+    *     corruption: restore from the immutable landing / re-run the
+    *     cascade.
+    *
+    * Every check is an id-projected anti-join or a ledger compare —
+    * bounded scans, no content read; bucketed stores join co-located.
+    */
+  def fsck(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    def read(p: String): Option[DataFrame] =
+      if (!Sinks.pathExists(spark, p)) None
+      else if (Sinks.isBucketedStore(spark, p))
+        Some(Sinks.readBucketedPath(spark, p))
+      else Some(spark.read.parquet(p))
+    def short(p: String) = p.split('/').takeRight(1).mkString
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    // ids present in `tableP` but absent from `commitP`
+    def missingFrom(check: String, tableP: String, keyT: String,
+                    commitP: String, keyC: String, sev: String): Unit =
+      for (t <- read(tableP)) {
+        val c = read(commitP).map(_.select(col(keyC).as("k")))
+          .getOrElse(Seq.empty[Long].toDF("k"))
+        out += ((check, short(tableP),
+          t.select(col(keyT).as("k")).distinct()
+            .join(c, Seq("k"), "left_anti").count(), sev))
+      }
+    // pair rows with EITHER side absent from the commit table — crash
+    // residue too (pairs land BEFORE the commit point by design), so
+    // severity warn: the drop's retry heals it, the probe guards keep the
+    // ghosts out of new derivations meanwhile
+    def ghostPairs(check: String, pairsP: String, a: String, b: String,
+                   commitP: String, keyC: String): Unit =
+      for (p <- read(pairsP); c0 <- read(commitP)) {
+        val c = c0.select(col(keyC).as("k"))
+        val sides = p.select(col(a).as("k"))
+          .unionByName(p.select(col(b).as("k"))).distinct()
+        out += ((check, short(pairsP),
+          sides.join(c, Seq("k"), "left_anti").count(), "warn"))
+      }
+    // tombstoned ids still present in a content table — legal after a
+    // documented pure-batch re-submission (the batch path never consults
+    // tombstones), so warn-and-review, not error
+    def tombLeak(check: String, tombP: String, contentP: String,
+                 key: String): Unit =
+      for (t <- read(tombP); c <- read(contentP))
+        out += ((check, short(contentP),
+          t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi")
+            .count(), "warn"))
+    // component label stores: the survivors views trust these instead of
+    // re-running the contraction, so audit them against the pair tables
+    // they summarize. A directory WITHOUT its spec ledger is torn-create
+    // residue (reads already fall back; the next writer clears it) —
+    // warn. Pair-side ids ABSENT from the labels are crash residue too
+    // (pairs land before the label merge; the drop's retry — or any
+    // delete's eager rebuild — heals), and the miss direction only ever
+    // UNDER-drops: warn. Label nodes absent from the pair table cannot
+    // arise from any documented flow (merges only add nodes from pairs
+    // already appended; deletes rebuild from the purged table) and could
+    // suppress a real row from the survivors view with no pair evidence
+    // — error.
+    def labelChecks(labelP: String, pairsP: String, a: String,
+                    b: String): Unit = {
+      if (fileExists(labelP) && !Sinks.isBucketedStore(spark, labelP))
+        out += (("label_store_torn_create", short(labelP), 1L, "warn"))
+      // the DIRECTORY must be present too: a crash-parked label store
+      // (ledger survives the swap, dir absent) is already the parked_swap
+      // row above — running the drift scan against the missing path would
+      // abort or count every pair id "missing" next to its own heal
+      else if (fileExists(labelP) && Sinks.isBucketedStore(spark, labelP)) {
+        if (!fileExists(pairsP))
+          // a label store whose pair table is gone (parked — see the
+          // parked_swap row — or hand surgery): the drift counts would
+          // read "every node orphaned", which is noise next to the real
+          // state; one warn row says what to review instead
+          out += (("label_store_without_pairs", short(labelP), 1L, "warn"))
+        else {
+          val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
+          out += (("label_missing_nodes", short(labelP), missing, "warn"))
+          out += (("label_orphan_nodes", short(labelP), orphan, "error"))
+        }
+      }
+    }
+
+    // crash-window residue (heals on retry)
+    missingFrom("orphan_bands", bandPath(warehouse), "doc_id",
+      shinglePath(warehouse), "doc_id", "warn")
+    missingFrom("stranded_docs", docsPath(warehouse), "doc_id",
+      shinglePath(warehouse), "doc_id", "warn")
+    missingFrom("orphan_emb_bands", embBandsPath(warehouse), "vec_id",
+      embVecsPath(warehouse), "vec_id", "warn")
+    missingFrom("orphan_sem_asg", semAsgPath(warehouse), "vec_id",
+      embVecsPath(warehouse), "vec_id", "warn")
+    missingFrom("orphan_media_bands", mediaBandsPath(warehouse), "media_id",
+      mediaHashPath(warehouse), "media_id", "warn")
+    // write-order violations (impossible under the contracts)
+    missingFrom("headless_shingles", shinglePath(warehouse), "doc_id",
+      docsPath(warehouse), "doc_id", "error")
+    // ghost pair references that escaped the probe guards
+    ghostPairs("ghost_pair_refs", pairsPath(warehouse), "doc_a", "doc_b",
+      shinglePath(warehouse), "doc_id")
+    ghostPairs("ghost_emb_pair_refs", embPairsPath(warehouse), "vec_a",
+      "vec_b", embVecsPath(warehouse), "vec_id")
+    ghostPairs("ghost_sem_pair_refs", semPairsPath(warehouse), "vec_a",
+      "vec_b", embVecsPath(warehouse), "vec_id")
+    ghostPairs("ghost_media_pair_refs", mediaPairsPath(warehouse), "media_a",
+      "media_b", mediaHashPath(warehouse), "media_id")
+    // takedown leaks
+    tombLeak("tombstone_leak", tombPath(warehouse), shinglePath(warehouse),
+      "doc_id")
+    tombLeak("emb_tombstone_leak", embTombPath(warehouse),
+      embVecsPath(warehouse), "vec_id")
+    tombLeak("media_tombstone_leak", mediaTombPath(warehouse),
+      mediaHashPath(warehouse), "media_id")
+    // crash-parked rewrite swaps anywhere under the warehouse: the table's
+    // data is complete but parked at ._compact_old with the live path
+    // absent — reads fail until Sinks.recoverSwap (or the next write on
+    // the table) restores the rename, so surface every one (warn: a
+    // documented crash state with a one-call heal). Reported by
+    // warehouse-RELATIVE name so same-basename tables stay distinct.
+    Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
+      out += (("parked_swap", rel, 1L, "warn"))
+    }
+    // label-store / pair-table consistency
+    labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
+      "doc_a", "doc_b")
+    labelChecks(embCcPath(warehouse), embPairsPath(warehouse),
+      "vec_a", "vec_b")
+    labelChecks(semCcPath(warehouse), semPairsPath(warehouse),
+      "vec_a", "vec_b")
+    labelChecks(mediaCcPath(warehouse), mediaPairsPath(warehouse),
+      "media_a", "media_b")
+    // ledger presence / ordering
+    def fileExists(p: String) = Sinks.pathExists(spark, p)
+    for (pp <- Seq(pairsPath(warehouse), embPairsPath(warehouse),
+      semPairsPath(warehouse), mediaPairsPath(warehouse))
+      if fileExists(pp))
+      out += (("missing_threshold_ledger", short(pp),
+        if (fileExists(pp + "._threshold")) 0L else 1L, "error"))
+    for (bp <- Seq(bandPath(warehouse), embBandsPath(warehouse),
+      mediaBandsPath(warehouse), semAsgPath(warehouse))
+      if fileExists(bp))
+      out += (("missing_params_ledger", short(bp),
+        if (fileExists(bp + "._params")) 0L else 1L, "warn"))
+    for (st <- Seq(stagedPath(warehouse), stagedEmbPath(warehouse),
+      stagedMediaPath(warehouse)) if fileExists(st)) {
+      val promoted = readLongLedger(spark, st + "._promoted_upto")
+      val ingested = readLongLedger(spark, st + "._ingested_upto")
+      out += (("ingest_ledger_ahead", short(st),
+        if (ingested > promoted) 1L else 0L, "error"))
+    }
+    // the AUDITOR is audited too: the compliance trail's own invariants.
+    // Seq numbering is stamp-first under the lease, so per event (one
+    // (seq, at_ms, op, n_ids) write): a seq shared by two DISTINCT events
+    // is impossible under the contracts and would fabricate one takedown
+    // out of two — error. A seq GAP (ledger stamped, rows never landed)
+    // is the documented crash window — the trail under-reports, warn.
+    // The ledger must never trail the log (that is how a seq gets
+    // reused) — error; ledger ahead of the log is the same crash window
+    // as a gap — warn. Legacy rows (seq = -1, pre-ledger files) are
+    // outside the numbering contract and excluded.
+    if (fileExists(auditPath(warehouse))) {
+      val numbered = readAudit(spark, warehouse).filter(col("seq") >= 0)
+      val events = numbered
+        .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
+          col("n_ids")).distinct()
+      out += (("audit_duplicate_seq", "audit_log",
+        events.groupBy(col("seq")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count(), "error"))
+      val r = events.agg(max(col("seq")), count(lit(1))).head()
+      val (logMax, nSeq) =
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))
+      out += (("audit_seq_gaps", "audit_log",
+        math.max(0L, logMax + 1L - nSeq), "warn"))
+      // an ABSENT ledger is the documented legacy state (pre-ledger log;
+      // appendAudit's scan fallback keeps numbering correct), so the
+      // ordering checks only run against a ledger that exists
+      if (fileExists(auditSeqLedger(warehouse))) {
+        val ledger = readLongLedger(spark, auditSeqLedger(warehouse))
+        out += (("audit_seq_ledger_behind", "audit_log",
+          if (ledger < logMax) 1L else 0L, "error"))
+        out += (("audit_seq_ledger_ahead", "audit_log",
+          if (ledger > logMax) 1L else 0L, "warn"))
+      }
+    }
+    // snapshot manifests: an uncommitted dir is snapshotCorpus' documented
+    // crash window (manifest landed, commit marker didn't) — invisible to
+    // every read, warn, repair clears it. A COMMITTED manifest whose row
+    // count drifts from its commit marker should be impossible (the
+    // marker lands last, over a finished manifest) — error.
+    {
+      val (snaps, torn) = CorpusSnapshots.scanSnapshots(spark, warehouse)
+      out += (("snapshot_uncommitted", "snapshots", torn.size.toLong,
+        "warn"))
+      val drifted = snaps.count { ts =>
+        val dir = CorpusSnapshots.snapDirOf(warehouse, ts)
+        Sinks.readBucketedPath(spark, dir).count() !=
+          readLongLedger(spark, CorpusSnapshots.snapCommitLedger(dir))
+      }
+      out += (("snapshot_manifest_drift", "snapshots", drifted.toLong,
+        "error"))
+    }
+    // export manifests: same commit protocol, same reachability — an
+    // uncommitted dir is exportCorpus' crash window (warn, repair
+    // clears); a committed manifest disagreeing with its marker count
+    // should be impossible (error).
+    {
+      val (exps, torn) = CorpusExports.scanExports(spark, warehouse)
+      out += (("export_uncommitted", "exports", torn.size.toLong, "warn"))
+      val drifted = exps.count { ts =>
+        val dir = CorpusExports.exportDirOf(warehouse, ts)
+        Sinks.readBucketedPath(spark, dir).count() !=
+          readLongLedger(spark, CorpusExports.exportCommitLedger(dir))
+      }
+      out += (("export_manifest_drift", "exports", drifted.toLong, "error"))
+    }
+    out.toSeq.toDF("check", "table", "violations", "severity")
+      .orderBy(col("severity"), col("check"), col("table"))
+  }
+
+  /** MECHANICAL REPAIR — the write-side companion to `fsck`: applies, in
+    * one leased call, every heal that is safe WITHOUT re-running a drop:
+    *
+    *   1. `recovered_swap` — restore every crash-parked table under the
+    *      warehouse (`Sinks.parkedSwaps` → `recoverSwap`).
+    *   2. `cleared_torn_label_create` — remove label directories whose
+    *      spec ledger never landed (reads already ignore them; clearing
+    *      unblocks the next writer without waiting for a drop).
+    *   3. `rebuilt_label_store` — any label store whose node set drifted
+    *      from its pair table (pair ids the merge never covered, or
+    *      orphan label nodes) is rebuilt from the pair table — the same
+    *      full-contraction rebuild the delete cascades use.
+    *
+    * Crash residue that needs the ORIGINAL drop's data — orphan band/
+    * assignment rows, stranded docs, ghost pair refs — is deliberately
+    * NOT touched: only the drop's retry can heal those, and `fsck` keeps
+    * reporting them until it does. Returns (action, table) rows for the
+    * audit trail; a healthy warehouse returns an empty frame.
+    */
+  def repair(spark: SparkSession, warehouse: String): DataFrame =
+      graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def short(p: String) = p.split('/').takeRight(1).mkString
+    // warehouse-relative names keep same-basename tables distinct in both
+    // the result and the audit keys (the walk covers the whole tree)
+    Sinks.parkedSwapTables(spark, warehouse).foreach { case (table, rel) =>
+      if (Sinks.recoverSwap(spark, table))
+        out += (("recovered_swap", rel))
+    }
+    val labelStores = Seq(
+      (ccLabelsPath(warehouse), pairsPath(warehouse), "doc_a", "doc_b"),
+      (embCcPath(warehouse), embPairsPath(warehouse), "vec_a", "vec_b"),
+      (semCcPath(warehouse), semPairsPath(warehouse), "vec_a", "vec_b"),
+      (mediaCcPath(warehouse), mediaPairsPath(warehouse),
+        "media_a", "media_b"))
+    labelStores.foreach { case (labelP, pairsP, a, b) =>
+      if (Sinks.pathExists(spark, labelP) &&
+          !Sinks.isBucketedStore(spark, labelP)) {
+        dropStore(spark, labelP)
+        out += (("cleared_torn_label_create", short(labelP)))
+      } else if (Sinks.pathExists(spark, labelP) &&
+                 Sinks.isBucketedStore(spark, labelP) &&
+                 Sinks.pathExists(spark, pairsP)) {
+        // the SAME drift invariant fsck reports — shared helper, so the
+        // audit and the heal can never diverge. Both tables must be
+        // present (the swap-recovery step above already restored parked
+        // ones); a genuinely absent pair table is ambiguous and repair
+        // never drops data on ambiguity.
+        val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
+        if (missing + orphan > 0) {
+          rebuildLabels(spark, labelP, pairsP, a, b)
+          out += (("rebuilt_label_store", short(labelP)))
+        }
+      }
+    }
+    // uncommitted snapshot dirs are snapshotCorpus' documented crash
+    // residue (manifest landed, commit marker didn't) — invisible to
+    // every read, so clearing loses nothing a snapshot retry can't
+    // recreate. FOREIGN residue (a dir whose stamp suffix is not a
+    // number — hand surgery, never ours) stays: repair never drops data
+    // on ambiguity; fsck keeps warning until an operator reviews it.
+    CorpusSnapshots.scanSnapshots(spark, warehouse)._2
+      .filter(d => isStampResidue(d, "snap_ts=")).foreach { d =>
+        dropStore(spark, d)
+        out += (("cleared_uncommitted_snapshot", short(d)))
+      }
+    // same protocol, same recovery: an uncommitted export dir is invisible
+    // to every read and an export retry recreates it exactly
+    CorpusExports.scanExports(spark, warehouse)._2
+      .filter(d => isStampResidue(d, "export_ts=")).foreach { d =>
+        dropStore(spark, d)
+        out += (("cleared_uncommitted_export", short(d)))
+      }
+    // the repair itself is a governance-grade event: record WHICH actions
+    // ran (the counts columns carry no row delta for a repair — zeroed)
+    if (out.nonEmpty)
+      appendAudit(spark, warehouse, "repair", "n/a", 0L,
+        out.map { case (act, t) => s"$act.$t" -> ((0L, 0L)) }.toMap)
+    out.toSeq.toDF("action", "table")
+  }
+}

@@ -232,8 +232,8 @@ object Sinks {
     * live directory absent, complete data at `._compact_old`. NOTE this
     * is also what a reader racing a HEALTHY swap sees for the instant
     * between swapInto's two renames — callers that cannot hold the
-    * warehouse lease must go through `confirmParkedSwap`, which re-checks
-    * across that window before declaring a crash.
+    * warehouse lease must resolve the ambiguity through the swap-inflight
+    * token (`storePresent` does), never from this signature alone.
     */
   def hasParkedSwap(spark: SparkSession, path: String): Boolean = {
     val live = new org.apache.hadoop.fs.Path(path)
@@ -242,20 +242,64 @@ object Sinks {
       fs.exists(new org.apache.hadoop.fs.Path(path + "._compact_old"))
   }
 
-  /** Lease-free parked-swap detection: distinguish a genuine crash-park
-    * from the millisecond live-absent window of a healthy in-flight swap
-    * by observing the signature persist across several re-checks. A
-    * healthy swap's rename(tmp→live) lands within the first recheck; a
-    * crashed one stays parked forever. Only the ERROR path pays the
-    * bounded wait.
+  // ---- swap-inflight token -------------------------------------------------
+  //
+  // Every rewrite swap stamps `<table>._swap_inflight` (epoch millis)
+  // BEFORE its stage-out rename and clears it AFTER the swap-in rename, so
+  // a lease-free reader seeing the parked signature can tell a crash from
+  // a healthy writer's rename window by PROTOCOL, not by timing probes:
+  // no token (or a token older than the inflight TTL) means no writer can
+  // be mid-swap — declare the crash; a fresh token means a swap is
+  // plausibly in flight — re-probe once and, if still parked, fail with
+  // "retry shortly" instead of a spurious crash report. Token residue
+  // next to a HEALTHY live table (a crash just before the stage-out, or
+  // just after the swap-in) is inert: readers consult it only under the
+  // parked signature, and the next swap re-stamps it.
+
+  /** Conf key: how long a stamped `._swap_inflight` token stays credible
+    * as "a writer is between its two renames right now". Defaults to 60 s
+    * — orders of magnitude above the rename window on atomic-rename
+    * filesystems; raise it on stores whose directory rename is copy-based
+    * and can genuinely take minutes on a large table.
     */
-  private def confirmParkedSwap(spark: SparkSession, path: String): Boolean = {
-    var i = 0
-    while (i < 5) {
-      if (!hasParkedSwap(spark, path)) return false
-      Thread.sleep(120L); i += 1
-    }
-    hasParkedSwap(spark, path)
+  val SwapInflightTtlKey = "spark.graft.swap.inflightTtlMs"
+
+  private def swapInflightTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption(SwapInflightTtlKey).map(_.trim.toLong)
+      .getOrElse(60000L)
+
+  private def swapTokenPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "._swap_inflight")
+
+  private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Unit = {
+    val out = fs.create(swapTokenPath(path), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def clearSwapToken(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Unit =
+    try fs.delete(swapTokenPath(path), false)
+    catch { case _: java.io.IOException => () }
+
+  /** The token's stamp, None when absent. A token that exists but cannot
+    * be read or parsed reads as stamp 0 — i.e. maximally STALE: ambiguity
+    * resolves toward the loud crash report (which only ever points at
+    * repair), never toward treating a parked store as absent.
+    */
+  private def readSwapToken(spark: SparkSession,
+                            path: String): Option[Long] = {
+    val p = swapTokenPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(
+      try {
+        val in = fs.open(p)
+        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+          .readLine().trim.toLong
+        finally in.close()
+      } catch { case _: Exception => 0L })
   }
 
   private def parkedStoreError(path: String): Nothing =
@@ -266,6 +310,15 @@ object Sinks {
         "warehouse write lease, and healing without it can collide with " +
         "a concurrent writer's in-flight swap — run CorpusIngest.repair " +
         "(or any leased entry point, which heals on entry) and retry")
+
+  private def swapInFlightError(path: String): Nothing =
+    throw new IllegalStateException(
+      s"$path is mid-swap: a writer stamped ._swap_inflight and is " +
+        "between its two renames right now (live absent, data staged at " +
+        "._compact_old). This is a healthy in-flight rewrite, NOT a " +
+        "crash — do not run repair; retry shortly. If the writer died, " +
+        s"the token goes stale after $SwapInflightTtlKey (default 60 s) " +
+        "and this read reports the crash-park instead")
 
   /** Existence gate for store paths, park-aware — the one gate every
     * branch decision (first-drop vs incremental, purge vs skip, filter vs
@@ -279,18 +332,30 @@ object Sinks {
     *     (`WarehouseLease.heldByCurrentThread`) → heal via `recoverSwap`,
     *     then true: the lease guarantees no other writer's swap is
     *     mid-flight, so the rename-back is safe
-    *   - parked + lease-free → throw. A lease-free caller cannot tell a
-    *     crash from a healthy swap's rename window (it re-checks across
-    *     the window first), and renaming `._compact_old` back under a
-    *     live writer nests stale data inside the new table — fail loudly
-    *     and point at `repair`.
+    *   - parked + lease-free → consult the swap-inflight token. No token
+    *     or a stale one: no writer can be mid-swap — throw the crash-park
+    *     error pointing at `repair`. A fresh token: a healthy swap is
+    *     plausibly between its renames — re-probe the live path once
+    *     (its swap-in may have landed already) and, if still parked,
+    *     throw the IN-FLIGHT error ("retry, don't repair"). Either way a
+    *     parked store never silently reads as absent, and no timing
+    *     probe (the old 5×120 ms sleep loop) sits on the read path.
     */
   def storePresent(spark: SparkSession, path: String): Boolean =
     if (pathExists(spark, path)) true
     else if (WarehouseLease.heldByCurrentThread(spark, path))
       recoverSwap(spark, path)
-    else if (confirmParkedSwap(spark, path)) parkedStoreError(path)
-    else false
+    else if (!hasParkedSwap(spark, path)) false
+    else readSwapToken(spark, path) match {
+      case None => parkedStoreError(path)
+      case Some(stamp)
+        if System.currentTimeMillis() - stamp > swapInflightTtlMs(spark) =>
+        parkedStoreError(path)
+      case Some(_) =>
+        if (pathExists(spark, path)) true
+        else if (!hasParkedSwap(spark, path)) pathExists(spark, path)
+        else swapInFlightError(path)
+    }
 
   /** Build a static partition-pruning predicate restricting `stored` to
     * the partition values present in `batch`: the existence anti-join's
@@ -749,6 +814,10 @@ object Sinks {
     else {
       require(fs.rename(old, live),
         s"recoverSwap: could not restore $path from ._compact_old")
+      // the crashed swap's inflight token has served its purpose (the
+      // park is healed); clear it so no stale stamp survives to confuse
+      // a LATER park's readers
+      clearSwapToken(fs, path)
       true
     }
   }
@@ -828,13 +897,19 @@ object Sinks {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
 
+    // announce the rename window BEFORE opening it: a lease-free reader
+    // catching the live-absent instant resolves it against this token
+    // instead of a timing probe (see the swap-inflight section above)
+    stampSwapToken(fs, path)
     require(fs.rename(live, old), s"swapInto: could not stage out $path")
     if (!fs.rename(tmp, live)) {
       // roll the live table back before failing — never leave the path empty
       fs.rename(old, live)
+      clearSwapToken(fs, path)
       throw new IllegalStateException(s"swapInto: swap failed for $path; rolled back")
     }
     fs.delete(old, true)
+    clearSwapToken(fs, path)
   }
 
   /** CO-LOCATED join storage: write `df` hash-bucketed AND sorted by
@@ -1243,13 +1318,18 @@ object Sinks {
       .option("path", tmp.toString)
       .saveAsTable(tmpName)
     spark.sql(s"DROP TABLE `$tmpName`")
+    // same token protocol as swapInto — one reader-visible contract for
+    // every rewrite swap in the warehouse
+    stampSwapToken(fs, path)
     require(fs.rename(live, old), s"bucketedSwapInto: could not stage out $path")
     if (!fs.rename(tmp, live)) {
       fs.rename(old, live)
+      clearSwapToken(fs, path)
       throw new IllegalStateException(
         s"bucketedSwapInto: swap failed for $path; rolled back")
     }
     fs.delete(old, true)
+    clearSwapToken(fs, path)
     spark.catalog.refreshTable(name)
   }
 }

@@ -129,6 +129,81 @@ class LeaseSpec extends AnyFunSuite {
     } finally WarehouseLease.unregisterMedium("mem")
   }
 
+  test("JDBC cell: raw CAS — of N racers on one version tag exactly one wins each transition") {
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-raw")}/db;create=true"
+    val cell = new graft.core.JdbcAtomicCell(url, "graft_lease_cells", "c1")
+    // create race
+    val created = race(8)(i => cell.putIfAbsent(s"w$i")).count(identity)
+    assert(created == 1, s"putIfAbsent admitted $created winners")
+    // replace race on ONE observed tag — a true CAS admits exactly one
+    val tag0 = cell.get().get._2
+    val replaced = race(8)(i => cell.putIfTag(tag0, s"r$i")).count(identity)
+    assert(replaced == 1, s"putIfTag admitted $replaced winners")
+    // the losers' stale tag can no longer delete
+    assert(!cell.deleteIfTag(tag0), "stale tag must not delete")
+    // foreign tag strings answer false, never throw
+    assert(!cell.putIfTag("not-a-tag", "x") && !cell.deleteIfTag("nope"))
+    // delete race on the current tag
+    val tag1 = cell.get().get._2
+    val deleted = race(8)(_ => cell.deleteIfTag(tag1)).count(identity)
+    assert(deleted == 1 && cell.get().isEmpty,
+      s"deleteIfTag admitted $deleted winners")
+    // a SECOND cell name in the same table is independent
+    val other = new graft.core.JdbcAtomicCell(url, "graft_lease_cells", "c2")
+    assert(other.putIfAbsent("x") && cell.get().isEmpty)
+  }
+
+  test("JDBC cell medium: one winner per acquire/reclaim race; lifecycle over the database") {
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-med")}/db;create=true"
+    WarehouseLease.registerMedium("jdbccell",
+      graft.core.JdbcAtomicCell.mediumFactory(url))
+    try {
+      // fresh-cell race: N writers, one winner — same bar as the MemCell
+      // proof, now over a real transactional backend
+      val wh = "jdbccell://bucket/warehouse-a"
+      val okA = new AtomicInteger(0)
+      val heldA = new AtomicInteger(0)
+      race(16) { i =>
+        try { WarehouseLease.acquire(spark, wh, owner = s"w$i",
+          ttlMs = 60000L); okA.incrementAndGet() }
+        catch { case _: WarehouseLease.LeaseHeldException =>
+          heldA.incrementAndGet() }
+      }
+      assert(okA.get() == 1 && heldA.get() == 15,
+        s"acquire race: ${okA.get()} winners, ${heldA.get()} refused")
+
+      // expired-lease reclaim race: one single-winner conditional UPDATE
+      val wh2 = "jdbccell://bucket/warehouse-b"
+      WarehouseLease.acquire(spark, wh2, owner = "dead", ttlMs = -1000L)
+      val okB = new AtomicInteger(0)
+      val heldB = new AtomicInteger(0)
+      race(16) { i =>
+        try { WarehouseLease.acquire(spark, wh2, owner = s"r$i",
+          ttlMs = 60000L); okB.incrementAndGet() }
+        catch { case _: WarehouseLease.LeaseHeldException =>
+          heldB.incrementAndGet() }
+      }
+      assert(okB.get() == 1 && heldB.get() == 15,
+        s"reclaim race: ${okB.get()} winners, ${heldB.get()} refused")
+
+      // lifecycle: heartbeat refreshes through conditional UPDATEs keep a
+      // slow holder live; release deletes the row; a fresh writer enters
+      val wh3 = "jdbccell://bucket/warehouse-c"
+      WarehouseLease.withWriteLease(spark, wh3, owner = "holder",
+        ttlMs = 600L) {
+        Thread.sleep(1500L)
+        intercept[WarehouseLease.LeaseHeldException] {
+          WarehouseLease.acquire(spark, wh3, owner = "contender",
+            ttlMs = 1000L)
+        }
+      }
+      WarehouseLease.acquire(spark, wh3, owner = "next", ttlMs = 1000L)
+      WarehouseLease.release(spark, wh3, owner = "next")
+    } finally WarehouseLease.unregisterMedium("jdbccell")
+  }
+
   test("object-store scheme with no medium refuses loudly instead of degrading") {
     val ex = intercept[WarehouseLease.LeaseUnsupportedException] {
       WarehouseLease.acquire(spark, "s3a://bucket/wh", owner = "x")

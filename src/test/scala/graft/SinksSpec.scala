@@ -115,6 +115,69 @@ class SinksSpec extends AnyFunSuite {
       "append on a parked store must recover, then append")
   }
 
+  test("swap-inflight token: paused healthy writer reads as in-flight, crashed writer as parked") {
+    import graft.core.Sinks
+    val base = Files.createTempDirectory("swap-token").toString
+    val p = s"$base/store"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    def park(): Unit = assert(fs.rename(hp, old))
+    def unpark(): Unit = assert(fs.rename(old, hp))
+    def stamp(atMs: Long): Unit = {
+      val out = fs.create(token, true)
+      try out.write(atMs.toString.getBytes("UTF-8")) finally out.close()
+    }
+    // PAUSED WRITER: parked signature + fresh token = a healthy swap is
+    // between its two renames (a GC pause, a slow object-store rename).
+    // The lease-free gate must fail with the IN-FLIGHT message — "retry,
+    // don't repair" — never the spurious crash report the old timing
+    // probe produced after 600 ms, and never silently-absent
+    park()
+    stamp(System.currentTimeMillis())
+    val inflight = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+    assert(inflight.getMessage.contains("mid-swap") &&
+      inflight.getMessage.contains("do not run repair") &&
+      !inflight.getMessage.contains("crash-parked"),
+      s"fresh token must read as in-flight: ${inflight.getMessage}")
+    // CRASHED WRITER: the token outlived the inflight TTL — no writer can
+    // still be mid-swap, so the gate reports the crash-park and points at
+    // repair (protocol-decided, no sleep on the read path)
+    stamp(System.currentTimeMillis() - 10L * 60L * 1000L)
+    val crashed = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+    assert(crashed.getMessage.contains("crash-parked") &&
+      crashed.getMessage.contains("repair"),
+      s"stale token must read as crash-parked: ${crashed.getMessage}")
+    // NO TOKEN at all (pre-token residue, hand surgery): same crash-park
+    // answer as before the protocol existed
+    fs.delete(token, false)
+    val legacy = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+    assert(legacy.getMessage.contains("crash-parked"), legacy.getMessage)
+    // the TTL is deployment-tunable for copy-based-rename stores: with a
+    // huge TTL the same old stamp reads as in-flight again
+    stamp(System.currentTimeMillis() - 10L * 60L * 1000L)
+    spark.conf.set(Sinks.SwapInflightTtlKey, "3600000")
+    try {
+      val slow = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+      assert(slow.getMessage.contains("mid-swap"), slow.getMessage)
+    } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+    // WRITER COMPLETES while the reader decides: live back + token not yet
+    // cleared → present, no error (the re-probe inside the gate)
+    unpark()
+    stamp(System.currentTimeMillis())
+    assert(Sinks.storePresent(spark, p),
+      "live store with token residue must read as present")
+    fs.delete(token, false)
+    // a COMPLETED rewrite leaves no token residue: stamped before the
+    // stage-out, cleared after the swap-in
+    Sinks.compact(spark, p, targetFiles = 1)
+    assert(!fs.exists(token), "completed swap must clear its token")
+    assert(Sinks.storePresent(spark, p) &&
+      spark.read.parquet(p).count() == 2L)
+  }
+
   test("Backfill.fsck: healthy market warehouse audits clean; planted states are classified") {
     val pages = Files.createTempDirectory("bf-fsck-pages")
     val wh = Files.createTempDirectory("bf-fsck-wh").toString

@@ -606,6 +606,116 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("pinned artifacts cut from a streamed warehouse are bit-identical to the batch ones") {
+    // The store-layer equalities above (pairs, survivor sets — per
+    // modality) transitively imply that a snapshot or export cut from a
+    // streamed warehouse equals the batch one. Transitively-implied is
+    // not asserted: this case pins BOTH warehouses and compares the
+    // training-facing artifacts themselves — snapshot membership AND the
+    // export's (shard, pos) placement — through all three modality paths
+    // that feed the curated view (text survivors; embedding and media
+    // losers restricting it via links).
+    import graft.app.CorpusIngest
+    import graft.core.Sinks
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire in winter"
+    val unrelated =
+      "spark executes distributed dataframe plans with catalyst optimizing every stage of the physical query pipeline today"
+    val textDrop1 = Seq((10L, base), (20L, unrelated))
+    val textDrop2 = Seq((30L, base.replace("winter", "summer")),
+      (40L, "a completely different document about alpine lakes and autumn light fading over quiet water"))
+    def vec(major: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(major) = 1f; a((major + 1) % 64) = eps; a
+    }
+    // vec 4 is a near-dup of vec 3 → loser 4 (keep-the-minimum)
+    val embDrop = Seq((3L, vec(0)), (4L, vec(0, 0.01f)), (5L, vec(30)))
+    // media 0 and 1 share a render seed → near-dups; loser = media 1
+    def imgs(ids: Seq[Long]) =
+      graft.operators.Multimodal.syntheticImageCorpus(ids.toDF("doc_id"))
+    val mediaIds = Seq(0L, 1L, 2L)
+    // linkage: doc 40's content is vec 4 (an embedding loser), doc 20's
+    // is media 1 (a media loser) — both must drop OUT of the curated view
+    def links() = Seq(
+      (100L, "doc", 40L), (100L, "vec", 4L),
+      (200L, "doc", 20L), (200L, "media", 1L)
+    ).toDF("content_key", "modality", "id")
+
+    val whBatch = java.nio.file.Files.createTempDirectory("pin-batch").toString
+    CorpusIngest.run(spark, textDrop1.toDF("doc_id", "text"), whBatch)
+    CorpusIngest.run(spark, textDrop2.toDF("doc_id", "text"), whBatch)
+    CorpusIngest.ingestEmbeddings(spark,
+      embDrop.toDF("vec_id", "embedding"), whBatch)
+    CorpusIngest.ingestMedia(spark, imgs(mediaIds), whBatch)
+    CorpusIngest.registerLinks(spark, whBatch, links())
+
+    // the streamed twin: every modality flows drop-dir → landing stream →
+    // promote, the always-on production shape
+    val root = java.nio.file.Files.createTempDirectory("pin-stream").toString
+    val wh = s"$root/wh"
+    def landText(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$root/tdrops")
+      CorpusIngest.startLanding(spark, s"$root/tdrops", s"$root/tland")
+        .awaitTermination()
+      CorpusIngest.promoteAndIngest(spark, s"$root/tland", wh)
+    }
+    landText(textDrop1)
+    landText(textDrop2)
+    embDrop.toDF("vec_id", "embedding").repartition(1)
+      .write.mode("append").parquet(s"$root/edrops")
+    CorpusIngest.startEmbeddingLanding(spark, s"$root/edrops", s"$root/eland")
+      .awaitTermination()
+    CorpusIngest.promoteAndIngestEmbeddings(spark, s"$root/eland", wh)
+    imgs(mediaIds).repartition(1).write.mode("append").parquet(s"$root/mdrops")
+    CorpusIngest.startMediaLanding(spark, s"$root/mdrops", s"$root/mland")
+      .awaitTermination()
+    CorpusIngest.promoteAndIngestMedia(spark, s"$root/mland", wh)
+    CorpusIngest.registerLinks(spark, wh, links())
+
+    // the curated view is non-vacuous and identical: text loser 30,
+    // linked-vec loser 40, linked-media loser 20 all excluded
+    def curated(w: String) = CorpusIngest.curatedSurvivors(spark, w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated(whBatch) == Set(10L), s"batch curated ${curated(whBatch)}")
+    assert(curated(wh) == curated(whBatch), "curated views must match")
+
+    // pin + export both at the same explicit stamps
+    val ts = 1000L
+    assert(CorpusIngest.snapshotCorpus(spark, whBatch, atMs = Some(ts)) == ts)
+    assert(CorpusIngest.snapshotCorpus(spark, wh, atMs = Some(ts)) == ts)
+    val ex = 2000L
+    assert(CorpusIngest.exportCorpus(spark, whBatch, asOfMs = ts,
+      numShards = 4, atMs = Some(ex)) == ex)
+    assert(CorpusIngest.exportCorpus(spark, wh, asOfMs = ts,
+      numShards = 4, atMs = Some(ex)) == ex)
+
+    // the raw pinned MANIFESTS are bit-identical — membership and the
+    // trainer's global (shard, pos) placement, not just the views over
+    // them
+    def snapManifest(w: String) = Sinks.readBucketedPath(spark,
+      s"$w/corpus/snapshots/snap_ts=$ts").as[Long].collect().toSet
+    assert(snapManifest(wh) == snapManifest(whBatch),
+      s"snapshot manifests: ${snapManifest(wh)} vs ${snapManifest(whBatch)}")
+    def placement(w: String) = Sinks.readBucketedPath(spark,
+      s"$w/corpus/exports/export_ts=$ex")
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(placement(wh) == placement(whBatch),
+      s"export placements: ${placement(wh)} vs ${placement(whBatch)}")
+    // and the read paths over them agree too
+    assert(CorpusIngest.curatedAsOf(spark, wh, ts)
+      .select("doc_id").as[Long].collect().toSet ==
+      CorpusIngest.curatedAsOf(spark, whBatch, ts)
+        .select("doc_id").as[Long].collect().toSet)
+    assert(CorpusIngest.readExport(spark, wh, ex)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet ==
+      CorpusIngest.readExport(spark, whBatch, ex)
+        .select("doc_id", "shard", "pos")
+        .as[(Long, Long, Long)].collect().toSet)
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
