@@ -625,7 +625,7 @@ object StressProbe {
     // export_integrity is two id-sized aggregates into numShards rows.
     val exportProbe = {
       val tags = Seq("export_full", "export_extend_1pct", "export_read",
-        "export_integrity")
+        "export_integrity", "warehouse_fsck")
       if (!tags.exists(selected)) tags.map(_ -> 0.0)
       else {
         val wh = java.nio.file.Files
@@ -656,7 +656,13 @@ object StressProbe {
           app.CorpusIngest.readExport(spark, wh, ex2))
         val integ = timeN("export_integrity", nDocs)(
           app.CorpusIngest.exportIntegrity(spark, wh, ex2))
-        Seq(full, extend, read, integ)
+        // the operator's first move on an inherited warehouse, priced at
+        // probe scale: every fsck check is an id-projected anti-join or a
+        // ledger compare, so the wall should track the thin id tables,
+        // never the corpus bytes
+        val fsck = timeEffect("warehouse_fsck", nDocs)(
+          app.CorpusIngest.fsck(spark, wh).collect())
+        Seq(full, extend, read, integ, fsck)
       }
     }
 

@@ -106,7 +106,13 @@ object CorpusExports {
     *
     * Scale: one anti-join between id-bucketed manifests (co-located), a
     * rank window over the ADDITIONS only (bounded by the delta, not the
-    * corpus), and a broadcast of the numShards-row high-water frame.
+    * corpus), and a broadcast of the numShards-row high-water frame. The
+    * WRITE is manifest-sized (base rows copied verbatim + additions) —
+    * the stated price of self-containment: an extended export stays a
+    * first-class artifact that survives its base's expiry, and manifest
+    * rows are thin ids (a billion-doc manifest is tens of GB, one
+    * bucketed write), so the copy never touches corpus bytes. Probe
+    * numbers in the bench notes (StressProbe export_* tags).
     */
   def extendExport(spark: SparkSession, warehouse: String,
                    baseExportTs: Long, asOfMs: Long,

@@ -506,7 +506,9 @@ object WarehouseLease {
           "(HDFS, a posix mount) to host the lease files there, or " +
           "WarehouseLease.registerMedium a conditional-write medium for " +
           "the scheme (CasLeaseMedium over an AtomicCell backed by the " +
-          "store's conditional PUT / If-Match semantics)")
+          "store's conditional PUT / If-Match semantics — or the shipped " +
+          "JdbcAtomicCell.mediumFactory over any transactional database, " +
+          "e.g. the RDS a deployment already runs)")
     }
   }
 

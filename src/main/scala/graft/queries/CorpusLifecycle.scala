@@ -267,6 +267,41 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the REPAIR read path: a thin text corpus
+    * (doc_id % 7 = 0), then the two mechanically-healable crash states
+    * planted by hand — a crash-parked rewrite swap (`corpus/doc_stats`
+    * renamed to `._compact_old`, live path gone) and a torn label-store
+    * create (`corpus/cc_labels` directory present without its spec
+    * ledger) — and one `repair` call. The query reads the repair's
+    * GOVERNANCE AUDIT rows: deterministic regardless of fixture size
+    * (both plants are layout-level, and run() itself logs no audit
+    * events, so the repair is seq 0).
+    */
+  private def repairWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"repair|$dir", { _ =>
+      val wh = scratchDir("graft-repair-wh")
+      CorpusIngest.run(s, Tables.documents(s, dir).filter(col("doc_id") % 7 === 0),
+        wh, threshold = 0.5)
+      val conf = s.sparkContext.hadoopConfiguration
+      // plant 1 — crash-parked swap: the state a process dying between
+      // swapInto's two renames leaves (data complete at ._compact_old)
+      val stats = new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats")
+      val fs = stats.getFileSystem(conf)
+      require(fs.rename(stats,
+        new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats._compact_old")),
+        "repair scenario: could not park doc_stats")
+      // plant 2 — torn label-store create: directory without its spec
+      // ledger (reads already ignore it; repair clears it). The subset may
+      // or may not have produced a real store — deleting the ledger (or
+      // creating a bare dir) lands the same torn state either way.
+      val labels = new org.apache.hadoop.fs.Path(s"$wh/corpus/cc_labels")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$wh/corpus/cc_labels._bucketspec"), false)
+      if (!fs.exists(labels)) fs.mkdirs(labels)
+      CorpusIngest.repair(s, wh)
+      wh
+    })
+
   /** The text survivor COUNT over `docPred` as a DuckDB scalar subquery —
     * what the snapshot commit markers and export manifests census (the
     * expire scenario is docs-only, so curated membership = text
@@ -557,6 +592,28 @@ object CorpusLifecycle {
         |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
       CorpusIngest.fsck(s, curatedWarehouse(s, d))
         .orderBy(col("severity"), col("check"), col("table"))
+    },
+
+    // The repair read path, locked through its compliance record: one
+    // leased repair over the two planted mechanically-healable crash
+    // states lands ONE audit event (seq 0 — nothing before it audits)
+    // with exactly one row per action taken, keyed action.table — the
+    // parked-swap heal reports the warehouse-RELATIVE table name, the
+    // torn-create clear the store basename. Zero-delta counts: a repair
+    // moves directories, it never changes row counts.
+    QueryDef.sqlBacked(
+      "corpus_repair_audit",
+      """SELECT CAST(0 AS BIGINT) AS seq, 'repair' AS op, 'n/a' AS id_col,
+        |  CAST(0 AS BIGINT) AS n_ids, "table",
+        |  CAST(0 AS BIGINT) AS rows_before, CAST(0 AS BIGINT) AS rows_after
+        |FROM (VALUES ('cleared_torn_label_create.cc_labels'),
+        |             ('recovered_swap.corpus/doc_stats')) AS t("table")
+        |ORDER BY "table"""".stripMargin) { (s, d) =>
+      CorpusIngest.governanceAudit(s, repairWarehouse(s, d))
+        .filter(col("op") === "repair")
+        .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
+          col("table"), col("rows_before"), col("rows_after"))
+        .orderBy(col("table"))
     }
   )
 }

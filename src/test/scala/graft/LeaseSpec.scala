@@ -201,6 +201,34 @@ class LeaseSpec extends AnyFunSuite {
       }
       WarehouseLease.acquire(spark, wh3, owner = "next", ttlMs = 1000L)
       WarehouseLease.release(spark, wh3, owner = "next")
+
+      // release-vs-reclaim race: a slow holder releasing its EXPIRED lease
+      // while N reclaimers race it. Every interleaving is safe on a CAS
+      // cell: a reclaimer's single-winner CAS can beat the release (whose
+      // stale-tag DELETE then no-ops against the new version), or the
+      // DELETE can land between the reclaimers' reads and their CASes —
+      // in which case every reclaim fails this pass (contention, retried
+      // by the caller's next attempt) and the cell is left EMPTY. The
+      // invariant is never-more-than-one admitted, and convergence: after
+      // the dust settles the warehouse is held by the one winner or free.
+      val wh4 = "jdbccell://bucket/warehouse-d"
+      WarehouseLease.acquire(spark, wh4, owner = "slow", ttlMs = -1000L)
+      val okC = new AtomicInteger(0)
+      race(9) { i =>
+        if (i == 0) WarehouseLease.release(spark, wh4, owner = "slow")
+        else {
+          try { WarehouseLease.acquire(spark, wh4, owner = s"c$i",
+            ttlMs = 60000L); okC.incrementAndGet() }
+          catch { case _: WarehouseLease.LeaseHeldException => () }
+        }
+      }
+      assert(okC.get() <= 1,
+        s"release-vs-reclaim race admitted ${okC.get()} writers")
+      if (okC.get() == 0) {
+        // the release won every interleaving: the cell must be free now
+        WarehouseLease.acquire(spark, wh4, owner = "late", ttlMs = 60000L)
+        WarehouseLease.release(spark, wh4, owner = "late")
+      }
     } finally WarehouseLease.unregisterMedium("jdbccell")
   }
 
