@@ -153,9 +153,11 @@ object Bench {
         "construction (plan-shaped: one co-located anti-join + " +
         "additions-only window + numShards-row broadcast) while its " +
         "write is manifest-sized thin id rows, the documented price of " +
-        "a self-contained artifact. warehouse_fsck at 200k docs: 3.9s " +
-        "(~30 serial id-projected anti-join/ledger checks - the " +
-        "operator tool's price, never on a query path).\""
+        "a self-contained artifact. warehouse_fsck at 200k docs: 2.9s as " +
+        "ONE union-of-aggregates job (was 3.9s as ~30 serial count " +
+        "actions - the serial shape paid a scheduler round-trip per " +
+        "check, which dominates on a real cluster; never on a query " +
+        "path).\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""

@@ -303,16 +303,32 @@ object Governance {
         Some(Sinks.readBucketedPath(spark, p))
       else Some(spark.read.parquet(p))
     def short(p: String) = p.split('/').takeRight(1).mkString
-    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    def fileExists(p: String) = Sinks.pathExists(spark, p)
+    // Two result channels, ONE action: distributed checks build 1-row
+    // aggregate frames and driver-side checks (ledger compares, directory
+    // censuses) build literal rows; everything unions into a single lazy
+    // plan, so the whole audit is ONE Spark job however many checks run.
+    // The previous shape — an eager .count() per check — paid ~30 serial
+    // job round-trips, which is pure scheduler latency on a large
+    // cluster where each check is a small co-located join (StressProbe
+    // warehouse_fsck prices the audit at probe scale).
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val local =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    def countRow(check: String, table: String, sev: String)
+                (df: DataFrame): Unit =
+      frames += df.agg(count(lit(1)).as("violations"))
+        .select(lit(check).as("check"), lit(table).as("table"),
+          col("violations"), lit(sev).as("severity"))
     // ids present in `tableP` but absent from `commitP`
     def missingFrom(check: String, tableP: String, keyT: String,
                     commitP: String, keyC: String, sev: String): Unit =
       for (t <- read(tableP)) {
         val c = read(commitP).map(_.select(col(keyC).as("k")))
           .getOrElse(Seq.empty[Long].toDF("k"))
-        out += ((check, short(tableP),
+        countRow(check, short(tableP), sev)(
           t.select(col(keyT).as("k")).distinct()
-            .join(c, Seq("k"), "left_anti").count(), sev))
+            .join(c, Seq("k"), "left_anti"))
       }
     // pair rows with EITHER side absent from the commit table — crash
     // residue too (pairs land BEFORE the commit point by design), so
@@ -324,8 +340,8 @@ object Governance {
         val c = c0.select(col(keyC).as("k"))
         val sides = p.select(col(a).as("k"))
           .unionByName(p.select(col(b).as("k"))).distinct()
-        out += ((check, short(pairsP),
-          sides.join(c, Seq("k"), "left_anti").count(), "warn"))
+        countRow(check, short(pairsP), "warn")(
+          sides.join(c, Seq("k"), "left_anti"))
       }
     // tombstoned ids still present in a content table — legal after a
     // documented pure-batch re-submission (the batch path never consults
@@ -333,9 +349,8 @@ object Governance {
     def tombLeak(check: String, tombP: String, contentP: String,
                  key: String): Unit =
       for (t <- read(tombP); c <- read(contentP))
-        out += ((check, short(contentP),
-          t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi")
-            .count(), "warn"))
+        countRow(check, short(contentP), "warn")(
+          t.select(col(key)).join(c.select(col(key)), Seq(key), "left_semi"))
     // component label stores: the survivors views trust these instead of
     // re-running the contraction, so audit them against the pair tables
     // they summarize. A directory WITHOUT its spec ledger is torn-create
@@ -347,11 +362,13 @@ object Governance {
     // arise from any documented flow (merges only add nodes from pairs
     // already appended; deletes rebuild from the purged table) and could
     // suppress a real row from the survivors view with no pair evidence
-    // — error.
+    // — error. Same drift DEFINITION as labelDrift/repair (expressed as
+    // frames here so the audit rides the one-job union; repair keeps the
+    // eager helper — it needs the counts to decide a rebuild).
     def labelChecks(labelP: String, pairsP: String, a: String,
                     b: String): Unit = {
       if (fileExists(labelP) && !Sinks.isBucketedStore(spark, labelP))
-        out += (("label_store_torn_create", short(labelP), 1L, "warn"))
+        local += (("label_store_torn_create", short(labelP), 1L, "warn"))
       // the DIRECTORY must be present too: a crash-parked label store
       // (ledger survives the swap, dir absent) is already the parked_swap
       // row above — running the drift scan against the missing path would
@@ -362,11 +379,17 @@ object Governance {
           // parked_swap row — or hand surgery): the drift counts would
           // read "every node orphaned", which is noise next to the real
           // state; one warn row says what to review instead
-          out += (("label_store_without_pairs", short(labelP), 1L, "warn"))
+          local += (("label_store_without_pairs", short(labelP), 1L, "warn"))
         else {
-          val (missing, orphan) = labelDrift(spark, labelP, pairsP, a, b)
-          out += (("label_missing_nodes", short(labelP), missing, "warn"))
-          out += (("label_orphan_nodes", short(labelP), orphan, "error"))
+          val nodes = readStore(spark, labelP)
+            .select(col("node").as("k")).distinct()
+          val ids = readStore(spark, pairsP).select(col(a).as("k"))
+            .unionByName(readStore(spark, pairsP).select(col(b).as("k")))
+            .distinct()
+          countRow("label_missing_nodes", short(labelP), "warn")(
+            ids.join(nodes, Seq("k"), "left_anti"))
+          countRow("label_orphan_nodes", short(labelP), "error")(
+            nodes.join(ids, Seq("k"), "left_anti"))
         }
       }
     }
@@ -408,7 +431,7 @@ object Governance {
     // documented crash state with a one-call heal). Reported by
     // warehouse-RELATIVE name so same-basename tables stay distinct.
     Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
-      out += (("parked_swap", rel, 1L, "warn"))
+      local += (("parked_swap", rel, 1L, "warn"))
     }
     // label-store / pair-table consistency
     labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
@@ -420,22 +443,21 @@ object Governance {
     labelChecks(mediaCcPath(warehouse), mediaPairsPath(warehouse),
       "media_a", "media_b")
     // ledger presence / ordering
-    def fileExists(p: String) = Sinks.pathExists(spark, p)
     for (pp <- Seq(pairsPath(warehouse), embPairsPath(warehouse),
       semPairsPath(warehouse), mediaPairsPath(warehouse))
       if fileExists(pp))
-      out += (("missing_threshold_ledger", short(pp),
+      local += (("missing_threshold_ledger", short(pp),
         if (fileExists(pp + "._threshold")) 0L else 1L, "error"))
     for (bp <- Seq(bandPath(warehouse), embBandsPath(warehouse),
       mediaBandsPath(warehouse), semAsgPath(warehouse))
       if fileExists(bp))
-      out += (("missing_params_ledger", short(bp),
+      local += (("missing_params_ledger", short(bp),
         if (fileExists(bp + "._params")) 0L else 1L, "warn"))
     for (st <- Seq(stagedPath(warehouse), stagedEmbPath(warehouse),
       stagedMediaPath(warehouse)) if fileExists(st)) {
       val promoted = readLongLedger(spark, st + "._promoted_upto")
       val ingested = readLongLedger(spark, st + "._ingested_upto")
-      out += (("ingest_ledger_ahead", short(st),
+      local += (("ingest_ledger_ahead", short(st),
         if (ingested > promoted) 1L else 0L, "error"))
     }
     // the AUDITOR is audited too: the compliance trail's own invariants.
@@ -449,61 +471,83 @@ object Governance {
     // as a gap — warn. Legacy rows (seq = -1, pre-ledger files) are
     // outside the numbering contract and excluded.
     if (fileExists(auditPath(warehouse))) {
-      val numbered = readAudit(spark, warehouse).filter(col("seq") >= 0)
-      val events = numbered
+      val events = readAudit(spark, warehouse).filter(col("seq") >= 0)
         .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
           col("n_ids")).distinct()
-      out += (("audit_duplicate_seq", "audit_log",
+      countRow("audit_duplicate_seq", "audit_log", "error")(
         events.groupBy(col("seq")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1).count(), "error"))
-      val r = events.agg(max(col("seq")), count(lit(1))).head()
-      val (logMax, nSeq) =
-        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))
-      out += (("audit_seq_gaps", "audit_log",
-        math.max(0L, logMax + 1L - nSeq), "warn"))
+          .filter(col("n") > 1))
+      // gaps = max(seq) + 1 - distinct-event count, floored at 0; an
+      // empty numbered log aggregates max = null -> coalesce to 0 gaps
+      frames += events
+        .agg(greatest(lit(0L),
+          coalesce(max(col("seq")) + 1L - count(lit(1)), lit(0L)))
+          .as("violations"))
+        .select(lit("audit_seq_gaps").as("check"),
+          lit("audit_log").as("table"), col("violations"),
+          lit("warn").as("severity"))
       // an ABSENT ledger is the documented legacy state (pre-ledger log;
       // appendAudit's scan fallback keeps numbering correct), so the
       // ordering checks only run against a ledger that exists
       if (fileExists(auditSeqLedger(warehouse))) {
         val ledger = readLongLedger(spark, auditSeqLedger(warehouse))
-        out += (("audit_seq_ledger_behind", "audit_log",
-          if (ledger < logMax) 1L else 0L, "error"))
-        out += (("audit_seq_ledger_ahead", "audit_log",
-          if (ledger > logMax) 1L else 0L, "warn"))
+        val logMax = events
+          .agg(coalesce(max(col("seq")), lit(-1L)).as("m"))
+        frames += logMax.select(
+          lit("audit_seq_ledger_behind").as("check"),
+          lit("audit_log").as("table"),
+          when(lit(ledger) < col("m"), lit(1L)).otherwise(lit(0L))
+            .as("violations"),
+          lit("error").as("severity"))
+        frames += logMax.select(
+          lit("audit_seq_ledger_ahead").as("check"),
+          lit("audit_log").as("table"),
+          when(lit(ledger) > col("m"), lit(1L)).otherwise(lit(0L))
+            .as("violations"),
+          lit("warn").as("severity"))
       }
     }
     // snapshot manifests: an uncommitted dir is snapshotCorpus' documented
     // crash window (manifest landed, commit marker didn't) — invisible to
     // every read, warn, repair clears it. A COMMITTED manifest whose row
     // count drifts from its commit marker should be impossible (the
-    // marker lands last, over a finished manifest) — error.
-    {
+    // marker lands last, over a finished manifest) — error. Per-stamp
+    // count-vs-marker comparisons union into the one job too.
+    def manifestDrift(check: String, table: String, stamps: Seq[Long],
+                      dirOf: Long => String,
+                      ledgerOf: String => String): Unit =
+      if (stamps.isEmpty) local += ((check, table, 0L, "error"))
+      else frames += stamps.map { ts =>
+        val dir = dirOf(ts)
+        val n = readLongLedger(spark, ledgerOf(dir))
+        Sinks.readBucketedPath(spark, dir).agg(count(lit(1)).as("n"))
+          .select(when(col("n") =!= lit(n), lit(1L)).otherwise(lit(0L))
+            .as("v"))
+      }.reduce(_ unionByName _)
+        .agg(coalesce(sum(col("v")), lit(0L)).as("violations"))
+        .select(lit(check).as("check"), lit(table).as("table"),
+          col("violations"), lit("error").as("severity"))
+    locally {
       val (snaps, torn) = CorpusSnapshots.scanSnapshots(spark, warehouse)
-      out += (("snapshot_uncommitted", "snapshots", torn.size.toLong,
+      local += (("snapshot_uncommitted", "snapshots", torn.size.toLong,
         "warn"))
-      val drifted = snaps.count { ts =>
-        val dir = CorpusSnapshots.snapDirOf(warehouse, ts)
-        Sinks.readBucketedPath(spark, dir).count() !=
-          readLongLedger(spark, CorpusSnapshots.snapCommitLedger(dir))
-      }
-      out += (("snapshot_manifest_drift", "snapshots", drifted.toLong,
-        "error"))
+      manifestDrift("snapshot_manifest_drift", "snapshots", snaps,
+        ts => CorpusSnapshots.snapDirOf(warehouse, ts),
+        CorpusSnapshots.snapCommitLedger)
     }
     // export manifests: same commit protocol, same reachability — an
     // uncommitted dir is exportCorpus' crash window (warn, repair
     // clears); a committed manifest disagreeing with its marker count
     // should be impossible (error).
-    {
+    locally {
       val (exps, torn) = CorpusExports.scanExports(spark, warehouse)
-      out += (("export_uncommitted", "exports", torn.size.toLong, "warn"))
-      val drifted = exps.count { ts =>
-        val dir = CorpusExports.exportDirOf(warehouse, ts)
-        Sinks.readBucketedPath(spark, dir).count() !=
-          readLongLedger(spark, CorpusExports.exportCommitLedger(dir))
-      }
-      out += (("export_manifest_drift", "exports", drifted.toLong, "error"))
+      local += (("export_uncommitted", "exports", torn.size.toLong, "warn"))
+      manifestDrift("export_manifest_drift", "exports", exps,
+        ts => CorpusExports.exportDirOf(warehouse, ts),
+        CorpusExports.exportCommitLedger)
     }
-    out.toSeq.toDF("check", "table", "violations", "severity")
+    val localDf = local.toSeq.toDF("check", "table", "violations", "severity")
+    (frames :+ localDf).reduce(_ unionByName _)
       .orderBy(col("severity"), col("check"), col("table"))
   }
 
