@@ -235,18 +235,30 @@ object Backfill {
     */
   def fsck(spark: SparkSession, warehouse: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    // same one-job shape as the corpus fsck: distributed checks are 1-row
+    // aggregate frames unioned with the driver-side literal rows into a
+    // single lazy plan — and the three watermark checks share ONE
+    // full-outer join (the eager shape executed that join three times)
+    val frames =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val local =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    def countRow(check: String, table: String, sev: String)
+                (df: org.apache.spark.sql.DataFrame): Unit =
+      frames += df.agg(count(lit(1)).as("violations"))
+        .select(lit(check).as("check"), lit(table).as("table"),
+          col("violations"), lit(sev).as("severity"))
     Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
-      out += (("parked_swap", rel, 1L, "warn"))
+      local += (("parked_swap", rel, 1L, "warn"))
     }
     val silverPath = s"$warehouse/silver/bars"
     if (Sinks.pathExists(spark, silverPath)) {
       val silver = spark.read.parquet(silverPath)
       val seriesKey = Seq("ticker", "timespan", "multiplier", "adjusted")
         .filter(silver.columns.contains)
-      out += (("silver_duplicate_keys", "silver/bars",
+      countRow("silver_duplicate_keys", "silver/bars", "error")(
         silver.groupBy((seriesKey :+ "t").map(col): _*)
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1).count(), "error"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1))
       // audited only when the warehouse OPTED INTO the explicit watermark
       // protocol — the TABLE exists (even empty: a first sweep that
       // crashed before its first advance is exactly a state to audit).
@@ -270,25 +282,33 @@ object Backfill {
           wmKeys.forall(silver.columns.contains)) {
         val dataMax = silver.groupBy(wmKeys.map(col): _*)
           .agg(max(col("t")).as("data_t"))
-        val j = wm.join(dataMax, wmKeys, "full_outer")
-        out += (("watermark_behind_data", "_watermarks",
-          j.filter(col("data_t").isNotNull && col("max_t").isNotNull &&
-              col("max_t") < col("data_t")).count(), "warn"))
-        out += (("watermark_missing_series", "_watermarks",
-          j.filter(col("data_t").isNotNull && col("max_t").isNull)
-            .count(), "warn"))
-        out += (("watermark_ahead_of_data", "_watermarks",
-          j.filter(col("max_t").isNotNull &&
-              (col("data_t").isNull || col("max_t") > col("data_t")))
-            .count(), "warn"))
+        def hit(c: org.apache.spark.sql.Column) =
+          sum(when(c, lit(1L)).otherwise(lit(0L)))
+        frames += wm.join(dataMax, wmKeys, "full_outer").agg(
+          coalesce(hit(col("data_t").isNotNull && col("max_t").isNotNull &&
+            col("max_t") < col("data_t")), lit(0L)).as("behind"),
+          coalesce(hit(col("data_t").isNotNull && col("max_t").isNull),
+            lit(0L)).as("missing"),
+          coalesce(hit(col("max_t").isNotNull &&
+            (col("data_t").isNull || col("max_t") > col("data_t"))),
+            lit(0L)).as("ahead"))
+          .selectExpr("""stack(3,
+            'watermark_behind_data', '_watermarks', behind, 'warn',
+            'watermark_missing_series', '_watermarks', missing, 'warn',
+            'watermark_ahead_of_data', '_watermarks', ahead, 'warn')
+            AS (check, table, violations, severity)""")
       }
       val idx = barsIndexPath(warehouse)
       if (Sinks.pathExists(spark, idx))
-        out += (("stale_bars_index", "silver/bars_index",
-          math.abs(Sinks.dataFileCount(spark, silverPath) -
-            spark.read.parquet(idx).count()), "warn"))
+        frames += spark.read.parquet(idx)
+          .agg(abs(lit(Sinks.dataFileCount(spark, silverPath)) -
+            count(lit(1))).as("violations"))
+          .select(lit("stale_bars_index").as("check"),
+            lit("silver/bars_index").as("table"), col("violations"),
+            lit("warn").as("severity"))
     }
-    out.toSeq.toDF("check", "table", "violations", "severity")
+    val localDf = local.toSeq.toDF("check", "table", "violations", "severity")
+    (frames :+ localDf).reduce(_ unionByName _)
       .orderBy(col("severity"), col("check"), col("table"))
   }
 }
