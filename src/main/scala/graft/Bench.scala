@@ -157,7 +157,11 @@ object Bench {
         "ONE union-of-aggregates job (was 3.9s as ~30 serial count " +
         "actions - the serial shape paid a scheduler round-trip per " +
         "check, which dominates on a real cluster; never on a query " +
-        "path).\""
+        "path). takedown_delete at 200k docs: 4.9s for one leased " +
+        "10-id governance cascade (anti-join rewrite + atomic swap of " +
+        "every touched table + tombstone/audit/label rebuild) - the " +
+        "documented gone-from-the-FILES price, paid per rare takedown " +
+        "call, never per read.\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""

@@ -625,7 +625,7 @@ object StressProbe {
     // export_integrity is two id-sized aggregates into numShards rows.
     val exportProbe = {
       val tags = Seq("export_full", "export_extend_1pct", "export_read",
-        "export_integrity", "warehouse_fsck")
+        "export_integrity", "warehouse_fsck", "takedown_delete")
       if (!tags.exists(selected)) tags.map(_ -> 0.0)
       else {
         val wh = java.nio.file.Files
@@ -662,7 +662,16 @@ object StressProbe {
         // never the corpus bytes
         val fsck = timeEffect("warehouse_fsck", nDocs)(
           app.CorpusIngest.fsck(spark, wh).collect())
-        Seq(full, extend, read, integ, fsck)
+        // the governance cascade's price at probe scale: one leased
+        // delete of 10 ids rewrites every table the ids touch (documents/
+        // shingles/bands/stats/pairs via anti-join + atomic swap, plus
+        // the tombstone stamp, audit event, and eager label rebuild) —
+        // the wall tracks the WAREHOUSE rewrite, the documented cost of
+        // "gone from the FILES" takedown semantics, paid per (rare)
+        // takedown call, never per read
+        val takedown = timeEffect("takedown_delete", nDocs)(
+          app.CorpusIngest.delete(spark, wh, (0L until 10L).toSeq))
+        Seq(full, extend, read, integ, fsck, takedown)
       }
     }
 

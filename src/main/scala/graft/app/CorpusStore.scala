@@ -359,6 +359,10 @@ private[graft] object CorpusStore {
   def nextStamp(prior: Seq[Long], atMs: Option[Long],
                         what: String): Long = atMs match {
     case Some(t) =>
+      // non-negative: scanStamped reads only `<prefix><digits>` dir names
+      // (anything else is foreign residue), so a negative explicit stamp
+      // would write an artifact no reader can ever resolve
+      require(t >= 0, s"$what: stamp $t must be non-negative")
       require(prior.forall(_ < t),
         s"$what: stamp $t is not after the latest ${prior.max} — " +
           "stamps are monotonic per warehouse")
