@@ -302,6 +302,31 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the UNIFIED-takedown read path: text and
+    * embedding subsets (ids % 11 = 0), identity links for both
+    * modalities, then ONE `forget` of the smallest content key present in
+    * BOTH id spaces — so the audit trail must show the full resolution:
+    * the doc cascade (seq 0), the embedding cascade (seq 1), and the
+    * forget marker with the link purge (seq 2).
+    */
+  private def forgetWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"forget|$dir", { _ =>
+      val wh = scratchDir("graft-forget-wh")
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
+      val vecs = Tables.embeddings(s, dir).filter(col("vec_id") % 11 === 0)
+      CorpusIngest.run(s, docs, wh, threshold = 0.5)
+      CorpusIngest.ingestEmbeddings(s, vecs, wh, threshold = 0.42)
+      CorpusIngest.registerLinks(s, wh,
+        docs.select(col("doc_id").as("content_key"),
+          lit("doc").as("modality"), col("doc_id").as("id"))
+          .unionByName(vecs.select(col("vec_id").as("content_key"),
+            lit("vec").as("modality"), col("vec_id").as("id"))))
+      val k = docs.join(vecs, col("doc_id") === col("vec_id"), "left_semi")
+        .agg(min(col("doc_id"))).head().getLong(0)
+      CorpusIngest.forget(s, wh, Seq(k))
+      wh
+    })
+
   /** The text survivor COUNT over `docPred` as a DuckDB scalar subquery —
     * what the snapshot commit markers and export manifests census (the
     * expire scenario is docs-only, so curated membership = text
@@ -614,6 +639,44 @@ object CorpusLifecycle {
         .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
           col("table"), col("rows_before"), col("rows_after"))
         .orderBy(col("table"))
+    },
+
+    // The UNIFIED takedown (`forget`) locked through its audit trail: one
+    // content key resolved across both linked modalities must cascade the
+    // doc delete (seq 0), the embedding delete (seq 1), and the forget
+    // marker with the link purge (seq 2), with exact before/after counts
+    // on every fixture-derivable table. The derived stores (shingles,
+    // bands, pairs) are deliberately projected out — their row counts are
+    // shingling/LSH internals the oracle does not replicate.
+    QueryDef.sqlBacked(
+      "corpus_forget_audit",
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |            FROM documents WHERE doc_id % 11 = 0),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |       FROM embeddings WHERE vec_id % 11 = 0)
+         |SELECT CAST(seq AS BIGINT) AS seq, op, id_col,
+         |       CAST(n_ids AS BIGINT) AS n_ids, "table",
+         |       CAST(rows_before AS BIGINT) AS rows_before,
+         |       CAST(rows_after AS BIGINT) AS rows_after
+         |FROM (
+         |  SELECT 0 AS seq, 'delete' AS op, 'doc_id' AS id_col,
+         |         1 AS n_ids, 'documents' AS "table",
+         |         nd.n AS rows_before, nd.n - 1 AS rows_after FROM nd
+         |  UNION ALL SELECT 0, 'delete', 'doc_id', 1, 'tombstones',
+         |         0, 1 FROM nd
+         |  UNION ALL SELECT 1, 'delete_embeddings', 'vec_id', 1,
+         |         'emb_vecs', nv.n, nv.n - 1 FROM nv
+         |  UNION ALL SELECT 1, 'delete_embeddings', 'vec_id', 1,
+         |         'emb_tombstones', 0, 1 FROM nv
+         |  UNION ALL SELECT 2, 'forget', 'content_key', 1, 'links',
+         |         nd.n + nv.n, nd.n + nv.n - 2 FROM nd, nv)
+         |ORDER BY seq, "table"""".stripMargin) { (s, d) =>
+      CorpusIngest.governanceAudit(s, forgetWarehouse(s, d))
+        .filter(col("table").isin(
+          "documents", "tombstones", "emb_vecs", "emb_tombstones", "links"))
+        .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
+          col("table"), col("rows_before"), col("rows_after"))
+        .orderBy(col("seq"), col("table"))
     }
   )
 }
