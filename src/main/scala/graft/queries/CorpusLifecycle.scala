@@ -316,11 +316,19 @@ object CorpusLifecycle {
       val vecs = Tables.embeddings(s, dir).filter(col("vec_id") % 11 === 0)
       CorpusIngest.run(s, docs, wh, threshold = 0.5)
       CorpusIngest.ingestEmbeddings(s, vecs, wh, threshold = 0.42)
+      // media ids reuse the doc subset's id space (the synthetic corpus
+      // renders one decodable PNG per id), so the media counts the oracle
+      // locks are the SAME fixture count as the documents'
+      CorpusIngest.ingestMedia(s,
+        graft.operators.Multimodal.syntheticImageCorpus(
+          docs.select(col("doc_id"))), wh)
       CorpusIngest.registerLinks(s, wh,
         docs.select(col("doc_id").as("content_key"),
           lit("doc").as("modality"), col("doc_id").as("id"))
           .unionByName(vecs.select(col("vec_id").as("content_key"),
-            lit("vec").as("modality"), col("vec_id").as("id"))))
+            lit("vec").as("modality"), col("vec_id").as("id")))
+          .unionByName(docs.select(col("doc_id").as("content_key"),
+            lit("media").as("modality"), col("doc_id").as("id"))))
       val k = docs.join(vecs, col("doc_id") === col("vec_id"), "left_semi")
         .agg(min(col("doc_id"))).head().getLong(0)
       CorpusIngest.forget(s, wh, Seq(k))
@@ -642,12 +650,13 @@ object CorpusLifecycle {
     },
 
     // The UNIFIED takedown (`forget`) locked through its audit trail: one
-    // content key resolved across both linked modalities must cascade the
-    // doc delete (seq 0), the embedding delete (seq 1), and the forget
-    // marker with the link purge (seq 2), with exact before/after counts
-    // on every fixture-derivable table. The derived stores (shingles,
-    // bands, pairs) are deliberately projected out — their row counts are
-    // shingling/LSH internals the oracle does not replicate.
+    // content key resolved across all THREE linked modalities must cascade
+    // the doc delete (seq 0), the embedding delete (seq 1), the media
+    // delete (seq 2), and the forget marker with the link purge (seq 3),
+    // with exact before/after counts on every fixture-derivable table.
+    // The derived stores (shingles, bands, pairs) are deliberately
+    // projected out — their row counts are shingling/LSH internals the
+    // oracle does not replicate.
     QueryDef.sqlBacked(
       "corpus_forget_audit",
       s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n
@@ -668,15 +677,34 @@ object CorpusLifecycle {
          |         'emb_vecs', nv.n, nv.n - 1 FROM nv
          |  UNION ALL SELECT 1, 'delete_embeddings', 'vec_id', 1,
          |         'emb_tombstones', 0, 1 FROM nv
-         |  UNION ALL SELECT 2, 'forget', 'content_key', 1, 'links',
-         |         nd.n + nv.n, nd.n + nv.n - 2 FROM nd, nv)
+         |  UNION ALL SELECT 2, 'delete_media', 'media_id', 1,
+         |         'media_hashes', nd.n, nd.n - 1 FROM nd
+         |  UNION ALL SELECT 2, 'delete_media', 'media_id', 1,
+         |         'media_tombstones', 0, 1 FROM nd
+         |  UNION ALL SELECT 3, 'forget', 'content_key', 1, 'links',
+         |         2 * nd.n + nv.n, 2 * nd.n + nv.n - 3 FROM nd, nv)
          |ORDER BY seq, "table"""".stripMargin) { (s, d) =>
       CorpusIngest.governanceAudit(s, forgetWarehouse(s, d))
         .filter(col("table").isin(
-          "documents", "tombstones", "emb_vecs", "emb_tombstones", "links"))
+          "documents", "tombstones", "emb_vecs", "emb_tombstones",
+          "media_hashes", "media_tombstones", "links"))
         .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
           col("table"), col("rows_before"), col("rows_after"))
         .orderBy(col("seq"), col("table"))
+    },
+
+    // The INCREMENTALLY-MAINTAINED datacard read off the warehouse's thin
+    // per-doc stats table (landed once per drop at ingest), locked
+    // against the SAME DuckDB oracle as the full-scan `txt_datacard` —
+    // the two must be indistinguishable by contract (the release report
+    // never rescans old text; at 100 TB it aggregates a ~0.1% stats
+    // table). The curated scratch warehouse ingested the full documents
+    // fixture, so the oracle needs no predicate.
+    QueryDef.sqlBacked(
+      "corpus_datacard",
+      graft.operators.TextOps.defs.find(_.name == "txt_datacard").get
+        .oracle.get) { (s, d) =>
+      CorpusIngest.datacard(s, curatedWarehouse(s, d))
     }
   )
 }
