@@ -94,7 +94,7 @@ object SimilarityOps {
     * and `ann_semdedup` so the cluster assignment SemDeDup prunes with is
     * definitionally the assignment the clustering query reports.
     */
-  private def kmeansCtes(k: Int, iters: Int,
+  private[graft] def kmeansCtes(k: Int, iters: Int,
                          where: String = ""): (String, String) = {
     val sb = new StringBuilder
     sb ++= s"""v AS (SELECT vec_id, list_transform(embedding,

@@ -335,6 +335,23 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the SEM-RETRAIN lifecycle: ingest the full
+    * embeddings fixture (vector store lands), then `retrainSemStore` —
+    * fresh integerized-Lloyd centroids over the CURRENT store, assignment
+    * and pair tables rebuilt under them, centroids persisted to
+    * `corpus/sem_cents`. The retrained state must be indistinguishable
+    * from the batch SemDeDup chain over the same vectors.
+    */
+  private def retrainWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"retrain|$dir", { _ =>
+      val wh = scratchDir("graft-retrain-wh")
+      CorpusIngest.ingestEmbeddings(s, Tables.embeddings(s, dir), wh,
+        threshold = 0.42)
+      CorpusIngest.retrainSemStore(s, wh, k = 8, iters = 3,
+        semThreshold = 0.42)
+      wh
+    })
+
   /** The text survivor COUNT over `docPred` as a DuckDB scalar subquery —
     * what the snapshot commit markers and export manifests census (the
     * expire scenario is docs-only, so curated membership = text
@@ -691,6 +708,44 @@ object CorpusLifecycle {
         .select(col("seq"), col("op"), col("id_col"), col("n_ids"),
           col("table"), col("rows_before"), col("rows_after"))
         .orderBy(col("seq"), col("table"))
+    },
+
+    // The SEM-RETRAIN lifecycle locked end-to-end: after retrainSemStore
+    // rebuilds the SemDeDup state from scratch over the warehouse's
+    // vector store (fresh Lloyd centroids, new assignment + pair tables,
+    // persisted durable centroids), `semSurvivors` must equal the batch
+    // SemDeDup chain over the same vectors — the oracle re-runs the
+    // EXACT integerized Lloyd trajectory in DuckDB (the ann_semdedup
+    // CTEs), derives within-cluster pairs at the same cut, and contracts
+    // components keep-the-minimum.
+    QueryDef.sqlBacked(
+      "corpus_sem_retrain", {
+        val (ctes, fin) = graft.operators.SimilarityOps
+          .kmeansCtes(k = 8, iters = 3)
+        s"""WITH RECURSIVE $ctes,
+           |e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |  FROM embeddings),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM $fin a JOIN $fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id
+           |  WHERE round(list_cosine_similarity(ea.ed, eb.ed), 6) >= 0.42),
+           |edges AS (SELECT vec_a AS s, vec_b AS t FROM p
+           |          UNION SELECT vec_b, vec_a FROM p),
+           |reach(s, t) AS (
+           |  SELECT s, t FROM edges
+           |  UNION
+           |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+           |lab AS (SELECT s AS vec_id, least(s, min(t)) AS cluster_id
+           |        FROM reach GROUP BY s)
+           |SELECT em.vec_id FROM embeddings em
+           |WHERE em.vec_id NOT IN
+           |  (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)
+           |ORDER BY em.vec_id""".stripMargin
+      }) { (s, d) =>
+      CorpusIngest.semSurvivors(s, retrainWarehouse(s, d))
+        .select(col("vec_id")).orderBy(col("vec_id"))
     },
 
     // The INCREMENTALLY-MAINTAINED datacard read off the warehouse's thin
