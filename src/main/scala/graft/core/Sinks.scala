@@ -515,7 +515,7 @@ object Sinks {
       val kept = targetCols.foldLeft(stored) { (d, c) =>
           d.join(keyRows.withColumnRenamed(keyCol, c), Seq(c), "left_anti")
         }
-        .select(stored.columns.map(col): _*)
+        .select(stored.columns.toIndexedSeq.map(col): _*)
         .observe(obs, count(lit(1)).as("kept"))
       swapInto(spark, path, kept, partitionCols, targetFiles = None)
       (before, obs.get("kept").asInstanceOf[Long])
@@ -1257,7 +1257,7 @@ object Sinks {
       val kept = targetCols.foldLeft(stored) { (d, c) =>
           d.join(keyRows.withColumnRenamed(keyCol, c), Seq(c), "left_anti")
         }
-        .select(stored.columns.map(col): _*)
+        .select(stored.columns.toIndexedSeq.map(col): _*)
         .observe(obs, count(lit(1)).as("kept"))
       bucketedSwapInto(spark, path, kept)
       (before, obs.get("kept").asInstanceOf[Long])

@@ -287,7 +287,7 @@ object MarketOps {
     }
     parts
       .join(broadcast(prefDf), "_pid")
-      .select(df0.columns.map(col) ++ outCols: _*)
+      .select(df0.columns.toIndexedSeq.map(col) ++ outCols: _*)
   }
 
   def returnVectors(events: DataFrame): DataFrame = {
