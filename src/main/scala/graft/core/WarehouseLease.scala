@@ -99,6 +99,20 @@ import org.apache.spark.sql.SparkSession
   *      publish, shrinking the double-publish hazard to a pause landing
   *      exactly between two adjacent driver ops after a 30 s stall.
   *
+  * == Failure semantics under an unreachable medium ==
+  *
+  * A medium that stops answering (coordination-db outage, filesystem
+  * hang) is never treated as continued holding: acquisition-time failures
+  * propagate to the caller (no lease taken); a HELD lease's heartbeat
+  * retries silently while the last successfully-published stamp is in
+  * date, but once one full ttl passes without a successful beat the stamp
+  * has expired where this holder cannot see it — an unseen reclaim can no
+  * longer be ruled out, so the lease is marked LOST and the holding call
+  * throws [[LeaseLostException]] at the outermost exit. Release through a
+  * dead medium is best-effort (logged, swallowed — the stamp expires by
+  * ttl on its own), so a release failure can never mask the body's
+  * outcome. LeaseSpec's dead-coordination-db case asserts this.
+  *
   * This is advisory locking with cooperative writers — the right tool for
   * one pipeline's own drivers (all CorpusIngest entry points check it).
   * It does not stop a rogue process writing the directory directly, any
@@ -747,6 +761,15 @@ object WarehouseLease {
         // somehow slipped between beats, must not be clobbered by a stale
         // overwrite.
         val period = math.max(ttlMs / 3L, 100L)
+        // last instant the medium ANSWERED a beat (acquire counts as one):
+        // an unreachable medium (coordination-db outage, filesystem hang)
+        // retries silently while the last published stamp is still in
+        // date, but once a full ttl passes without one successful beat
+        // the stamp has expired where nobody can see it — an unseen
+        // reclaim can no longer be ruled out, so the lease is LOST, not
+        // held (surfaced at the outermost exit like every loss)
+        val lastBeatOk =
+          new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
         renewals.put(key, heartbeatPool.scheduleAtFixedRate(
           () => beatMonitor(key).synchronized {
             // the monitor makes check-then-refresh atomic against release:
@@ -754,36 +777,49 @@ object WarehouseLease {
             // could recreate the lease file AFTER release deleted it
             val cur = held.get(key)
             if (cur != null && cur._1 == owner)
-              try m.read() match {
-                case Some(raw) if parseLease(raw)._1 == owner =>
-                  val exp = parseLease(raw)._2
-                  val now = System.currentTimeMillis()
-                  if (exp >= now + period)
-                    // comfortably in date: no reclaimer can legitimately
-                    // act on this stamp, atomic publish is safe. A false
-                    // return is transient — the next beat retries or
-                    // detects the foreign owner.
-                    m.refresh(raw, stamp(owner, ttlMs))
-                  else if (!m.reclaim(raw, stamp(owner, ttlMs)))
-                    // expired (or expiring within one beat): a reclaimer
-                    // may be acting on this very stamp, so only a
-                    // single-winner takeover may re-stamp it. Losing it
-                    // means a foreign writer won — unless the cell still
-                    // reads as ours (our own racing transition), treat
-                    // the lease as lost.
-                    m.read() match {
-                      case Some(r2) if parseLease(r2)._1 == owner => ()
-                      case other => markLost(key, warehouse, owner, other)
-                    }
-                case other =>
-                  // a foreign owner on a lease we believe we hold: >ttl
-                  // passed without a successful beat and someone
-                  // reclaimed. Never re-stamp — and surface it at the
-                  // outermost exit (the two-writer window was OPEN;
-                  // silence here is the failure mode the lease exists to
-                  // close).
-                  markLost(key, warehouse, owner, other)
-              } catch { case _: Throwable => () } // next beat retries
+              try {
+                m.read() match {
+                  case Some(raw) if parseLease(raw)._1 == owner =>
+                    val exp = parseLease(raw)._2
+                    val now = System.currentTimeMillis()
+                    if (exp >= now + period)
+                      // comfortably in date: no reclaimer can legitimately
+                      // act on this stamp, atomic publish is safe. A false
+                      // return is transient — the next beat retries or
+                      // detects the foreign owner.
+                      m.refresh(raw, stamp(owner, ttlMs))
+                    else if (!m.reclaim(raw, stamp(owner, ttlMs)))
+                      // expired (or expiring within one beat): a reclaimer
+                      // may be acting on this very stamp, so only a
+                      // single-winner takeover may re-stamp it. Losing it
+                      // means a foreign writer won — unless the cell still
+                      // reads as ours (our own racing transition), treat
+                      // the lease as lost.
+                      m.read() match {
+                        case Some(r2) if parseLease(r2)._1 == owner => ()
+                        case other => markLost(key, warehouse, owner,
+                          other.getOrElse("<absent>"))
+                      }
+                  case other =>
+                    // a foreign owner on a lease we believe we hold: >ttl
+                    // passed without a successful beat and someone
+                    // reclaimed. Never re-stamp — and surface it at the
+                    // outermost exit (the two-writer window was OPEN;
+                    // silence here is the failure mode the lease exists to
+                    // close).
+                    markLost(key, warehouse, owner,
+                      other.getOrElse("<absent>"))
+                }
+                lastBeatOk.set(System.currentTimeMillis())
+              } catch {
+                case _: Throwable =>
+                  // medium unreachable: the next beat retries while the
+                  // published stamp is in date; past one full ttl without
+                  // a successful beat, treat the lease as lost (doc above)
+                  if (System.currentTimeMillis() - lastBeatOk.get() > ttlMs)
+                    markLost(key, warehouse, owner,
+                      "<medium unreachable past the ttl>")
+              }
           },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
@@ -816,9 +852,18 @@ object WarehouseLease {
         if (hb != null) hb.cancel(false)
         // under the beat monitor: a beat already past its held-check must
         // finish (refresh-then-delete is fine) before we delete — the
-        // reverse order would resurrect the file as an orphan
+        // reverse order would resurrect the file as an orphan.
+        // Release is BEST-EFFORT against an unreachable medium: the stamp
+        // expires by ttl on its own, and an exception here would MASK the
+        // body's outcome (including a LeaseLostException the caller must
+        // see) — log and move on, never throw from the release.
         beatMonitor(key).synchronized {
-          releaseVia(mediumFor(spark, warehouse), owner)
+          try releaseVia(mediumFor(spark, warehouse), owner)
+          catch {
+            case e: Exception => log.warn(
+              s"could not release the write lease on $warehouse " +
+                s"(medium unreachable?) — it expires by ttl on its own", e)
+          }
         }
         lost.remove(key)
       }
@@ -826,13 +871,13 @@ object WarehouseLease {
   }
 
   private def markLost(key: String, warehouse: String, owner: String,
-                       observed: Option[String]): Unit = {
+                       observed: String): Unit = {
     // log on the TRANSITION, not every beat — this is the one message an
     // operator must never miss, and a repeated wall of it buries the
     // fleet's other warnings
     if (lost.add(key))
       log.warn(
-        s"write lease on $warehouse lost to ${observed.getOrElse("<absent>")} " +
+        s"write lease on $warehouse lost ($observed) " +
           s"while held by $owner — a concurrent writer may have " +
           "interleaved; the holding call will throw on exit")
   }

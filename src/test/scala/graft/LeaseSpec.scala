@@ -154,6 +154,82 @@ class LeaseSpec extends AnyFunSuite {
     assert(other.putIfAbsent("x") && cell.get().isEmpty)
   }
 
+  test("JDBC cell: a stalled holder's pre-delete tag cannot CAS against a successor generation") {
+    // The generation-reset ABA (round-15 verdict): CasLeaseMedium.refresh
+    // is get-then-CAS in two statements, so a holder can stall between
+    // them across expire → reclaim → release → re-acquire. If a recreate
+    // restarted the version at 0, the stalled holder's tag "0" would
+    // match the SUCCESSOR's fresh row and both would believe they hold
+    // the lease. The fix: release demotes to a FREE-sentinel row with
+    // version + 1 (never DELETE), create CASes the sentinel back with
+    // version + 1 — monotonic per name for the table's lifetime, so a
+    // pre-delete tag is strictly smaller than anything that follows.
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-gen")}/db;create=true"
+    val cell = new graft.core.JdbcAtomicCell(url, "graft_lease_cells", "gen")
+    assert(cell.putIfAbsent("A"))              // generation 1
+    val stalledTag = cell.get().get._2         // A's beat reads, then stalls
+    assert(cell.putIfTag(stalledTag, "B"))     // B reclaims A's expired lease
+    val bTag = cell.get().get._2
+    assert(cell.deleteIfTag(bTag))             // B releases
+    assert(cell.get().isEmpty, "released cell must read absent")
+    assert(cell.putIfAbsent("C"))              // C acquires generation 2
+    val cTag = cell.get().get._2
+    assert(cTag.toLong > bTag.toLong,
+      s"the version must be monotonic across generations, got $cTag after $bTag")
+    // A's stalled CAS from generation 1 wakes up: both transitions must
+    // be refused, and C's row must be untouched
+    assert(!cell.putIfTag(stalledTag, "A-again"),
+      "a pre-delete tag must never match a successor generation's row")
+    assert(!cell.deleteIfTag(stalledTag),
+      "a pre-delete tag must never delete a successor generation's row")
+    assert(cell.get().contains(("C", cTag)))
+    // the recreate race over a released (sentinel) row is single-winner
+    assert(cell.deleteIfTag(cTag))
+    val winners = race(8)(i => cell.putIfAbsent(s"w$i")).count(identity)
+    assert(winners == 1, s"sentinel-recreate race admitted $winners winners")
+  }
+
+  test("JDBC cell: a coordination db dying mid-hold marks the lease LOST, never silently held") {
+    // The asserted semantics (JdbcAtomicCell doc): while the medium is
+    // unreachable the beat retries silently as long as the last published
+    // stamp is in date; past one full ttl without a successful beat the
+    // holder cannot rule out an unseen reclaim, so the holding call
+    // throws LeaseLostException at exit — and the release failure on the
+    // way out is swallowed (the stamp expires by ttl), never allowed to
+    // mask that loss.
+    val dbdir = java.nio.file.Files.createTempDirectory("lease-jdbc-dead")
+    val url = s"jdbc:derby:$dbdir/db;create=true"
+    val failing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val connect: () => java.sql.Connection = () => {
+      if (failing.get()) throw new java.sql.SQLException("coordination db down")
+      java.sql.DriverManager.getConnection(url)
+    }
+    val media = new ConcurrentHashMap[String, WarehouseLease.LeaseMedium]()
+    WarehouseLease.registerMedium("deadjdbc", (_, wh) =>
+      media.computeIfAbsent(wh, _ => new WarehouseLease.CasLeaseMedium(
+        new graft.core.JdbcAtomicCell(connect, "graft_lease_cells", wh))))
+    try {
+      val wh = "deadjdbc://bucket/warehouse"
+      val bodyRan = new AtomicInteger(0)
+      intercept[WarehouseLease.LeaseLostException] {
+        WarehouseLease.withWriteLease(spark, wh, owner = "holder",
+          ttlMs = 600L) {
+          bodyRan.incrementAndGet()
+          failing.set(true)   // the db dies mid-hold
+          Thread.sleep(1600L) // > ttl with zero successful beats
+        }
+      }
+      assert(bodyRan.get() == 1, "the body must have run exactly once")
+      // once the db is back, the stale stamp is reclaimable by a fresh
+      // owner — the dead-db episode blocked the warehouse for one ttl,
+      // nothing worse
+      failing.set(false)
+      WarehouseLease.acquire(spark, wh, owner = "next", ttlMs = 60000L)
+      WarehouseLease.release(spark, wh, owner = "next")
+    } finally WarehouseLease.unregisterMedium("deadjdbc")
+  }
+
   test("JDBC cell medium: one winner per acquire/reclaim race; lifecycle over the database") {
     val url = s"jdbc:derby:${java.nio.file.Files
       .createTempDirectory("lease-jdbc-med")}/db;create=true"
@@ -319,6 +395,107 @@ class LeaseSpec extends AnyFunSuite {
     assert(m.read().contains(fresh), "stale release must not delete")
     m.release(fresh)
     assert(m.read().isEmpty)
+  }
+
+  // ---- cross-process races (forked JVMs) ----------------------------------
+  //
+  // The single-writer claim defends N DRIVERS on N hosts; everything above
+  // races threads inside one JVM (one heartbeat pool, one `held` map, one
+  // jvmOwner namespace). These fork real JVMs over java.class.path (tests
+  // fork, so that is the full test classpath) and let separate processes
+  // contend through the actual media.
+
+  private def forkJvm(args: Seq[String], log: java.io.File): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    // same module opens the build gives every Spark JVM here
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    new ProcessBuilder(
+      (Seq(java) ++ addOpens ++ Seq("-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.LeaseRaceMain") ++ args): _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+  }
+
+  test("file medium, CROSS-PROCESS: two forked JVMs contending for one warehouse never interleave their holds") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-xproc").toString
+    val events = s"$wh/../lease-xproc-events-${System.nanoTime()}.log"
+    val iters = 4
+    val procs = Seq("alpha", "beta").map { owner =>
+      val log = java.io.File.createTempFile(s"lease-xproc-$owner", ".log")
+      (owner, log, forkJvm(
+        Seq("file", wh, events, owner, iters.toString), log))
+    }
+    procs.foreach { case (owner, log, p) =>
+      assert(p.waitFor(300L, java.util.concurrent.TimeUnit.SECONDS),
+        s"racer $owner did not finish")
+      assert(p.exitValue() == 0,
+        s"racer $owner exited ${p.exitValue()}:\n" +
+          new String(java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")
+            .linesIterator.toSeq.takeRight(25).mkString("\n"))
+    }
+    // O_APPEND writes on a local posix fs: file order IS the global order
+    // of the enter/exit events. The single-writer invariant is strict
+    // alternation — an `enter` while another owner is inside is exactly
+    // the two-writer interleaving the lease exists to make impossible.
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(events)).toArray.map(_.toString)
+    var inside: Option[String] = None
+    lines.foreach { l =>
+      val parts = l.split(' ')
+      (parts(0), parts(1)) match {
+        case ("enter", o) =>
+          assert(inside.isEmpty,
+            s"$o entered while ${inside.get} held the lease:\n" +
+              lines.mkString("\n"))
+          inside = Some(o)
+        case ("exit", o) =>
+          assert(inside.contains(o), s"unmatched exit in:\n${lines.mkString("\n")}")
+          inside = None
+        case _ => fail(s"garbled event line '$l'")
+      }
+    }
+    assert(inside.isEmpty, "a hold never exited")
+    // both processes completed every iteration — nobody starved out
+    Seq("alpha", "beta").foreach { o =>
+      assert(lines.count(_.startsWith(s"enter $o")) == iters,
+        s"$o completed ${lines.count(_.startsWith(s"enter $o"))}/$iters holds")
+    }
+  }
+
+  test("embedded Derby, CROSS-PROCESS: a second process is refused loudly, never admitted as a second coordinator") {
+    // Embedded Derby is single-JVM (JdbcAtomicCell's doc): it CANNOT
+    // arbitrate cross-process — the asserted contract is that the failure
+    // mode is a loud refusal (the second driver cannot coordinate at
+    // all), never a silent second writer. Cross-process CAS arbitration
+    // needs a network-reachable database (Derby network server, Postgres,
+    // MySQL, RDS), which this container deliberately does not ship.
+    val dbdir = java.nio.file.Files.createTempDirectory("lease-xproc-derby")
+    val url = s"jdbc:derby:$dbdir/db"
+    // boot the db in THIS process and hold a live cell over it
+    val cell = new graft.core.JdbcAtomicCell(s"$url;create=true",
+      "graft_lease_cells", "xproc")
+    assert(cell.putIfAbsent("holder|9999999999999"))
+    val log = java.io.File.createTempFile("lease-xproc-derby", ".log")
+    val p = forkJvm(Seq("derby-boot", url), log)
+    assert(p.waitFor(120L, java.util.concurrent.TimeUnit.SECONDS),
+      "derby-boot probe did not finish")
+    val out = new String(
+      java.nio.file.Files.readAllBytes(log.toPath), "UTF-8")
+    assert(p.exitValue() == 0, s"exit ${p.exitValue()}:\n$out")
+    assert(out.contains("REFUSED"), out)
+    // the holder's cell is untouched by the refused intruder
+    assert(cell.get().contains(("holder|9999999999999", "0")))
+    assert(cell.deleteIfTag("0"))
   }
 
   test("heldByCurrentThread: true only inside the holding call tree, for the root and its subpaths") {
