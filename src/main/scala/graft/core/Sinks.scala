@@ -215,147 +215,28 @@ object Sinks {
       .option("url", url).option("dbtable", table)
       .mode(SaveMode.Append).save()
 
-  /** Idempotent keyed append: anti-join strips rows whose key already exists,
-    * then appends partitioned by the partition columns. Replaying the same
-    * batch is a no-op.
-    */
-  /** Filesystem-agnostic existence check (local, HDFS, s3a, ...) — a bare
-    * java.io.File would silently report false for any non-local URI and
-    * disable the idempotence guards.
-    */
-  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** True when `path` shows the CRASH-PARKED swap signature right now:
-    * live directory absent, complete data at `._compact_old`. NOTE this
-    * is also what a reader racing a HEALTHY swap sees for the instant
-    * between swapInto's two renames — callers that cannot hold the
-    * warehouse lease must resolve the ambiguity through the swap-inflight
-    * token (`storePresent` does), never from this signature alone.
-    */
-  def hasParkedSwap(spark: SparkSession, path: String): Boolean = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    !fs.exists(live) &&
-      fs.exists(new org.apache.hadoop.fs.Path(path + "._compact_old"))
-  }
-
-  // ---- swap-inflight token -------------------------------------------------
+  // ---- swap/park protocol (see core.SwapProtocol) --------------------------
   //
-  // Every rewrite swap stamps `<table>._swap_inflight` (epoch millis)
-  // BEFORE its stage-out rename and clears it AFTER the swap-in rename, so
-  // a lease-free reader seeing the parked signature can tell a crash from
-  // a healthy writer's rename window by PROTOCOL, not by timing probes:
-  // no token (or a token older than the inflight TTL) means no writer can
-  // be mid-swap — declare the crash; a fresh token means a swap is
-  // plausibly in flight — re-probe once and, if still parked, fail with
-  // "retry shortly" instead of a spurious crash report. Token residue
-  // next to a HEALTHY live table (a crash just before the stage-out, or
-  // just after the swap-in) is inert: readers consult it only under the
-  // parked signature, and the next swap re-stamps it.
+  // The rewrite-swap crash/park/token contract lives in SwapProtocol — one
+  // self-contained seam readers, writers, and fsck share. These delegations
+  // keep the long-standing Sinks call surface stable.
 
-  /** Conf key: how long a stamped `._swap_inflight` token stays credible
-    * as "a writer is between its two renames right now". Defaults to 60 s
-    * — orders of magnitude above the rename window on atomic-rename
-    * filesystems; raise it on stores whose directory rename is copy-based
-    * and can genuinely take minutes on a large table.
+  /** Filesystem-agnostic existence check — see [[SwapProtocol.pathExists]]. */
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean =
+    SwapProtocol.pathExists(spark, path)
+
+  /** Crash-parked swap signature — see [[SwapProtocol.hasParkedSwap]]. */
+  def hasParkedSwap(spark: SparkSession, path: String): Boolean =
+    SwapProtocol.hasParkedSwap(spark, path)
+
+  /** Inflight-token TTL conf key — see [[SwapProtocol.SwapInflightTtlKey]]
+    * (including the clock-skew sizing note).
     */
-  val SwapInflightTtlKey = "spark.graft.swap.inflightTtlMs"
+  val SwapInflightTtlKey: String = SwapProtocol.SwapInflightTtlKey
 
-  private def swapInflightTtlMs(spark: SparkSession): Long =
-    spark.conf.getOption(SwapInflightTtlKey).map(_.trim.toLong)
-      .getOrElse(60000L)
-
-  private def swapTokenPath(path: String) =
-    new org.apache.hadoop.fs.Path(path + "._swap_inflight")
-
-  private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String): Unit = {
-    val out = fs.create(swapTokenPath(path), true)
-    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def clearSwapToken(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String): Unit =
-    try fs.delete(swapTokenPath(path), false)
-    catch { case _: java.io.IOException => () }
-
-  /** The token's stamp, None when absent. A token that exists but cannot
-    * be read or parsed reads as stamp 0 — i.e. maximally STALE: ambiguity
-    * resolves toward the loud crash report (which only ever points at
-    * repair), never toward treating a parked store as absent.
-    */
-  private def readSwapToken(spark: SparkSession,
-                            path: String): Option[Long] = {
-    val p = swapTokenPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(
-      try {
-        val in = fs.open(p)
-        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-          .readLine().trim.toLong
-        finally in.close()
-      } catch { case _: Exception => 0L })
-  }
-
-  private def parkedStoreError(path: String): Nothing =
-    throw new IllegalStateException(
-      s"$path is crash-parked: the live directory is absent and the " +
-        "complete table sits at ._compact_old (a rewrite swap died " +
-        "between its two renames). This caller does not hold the " +
-        "warehouse write lease, and healing without it can collide with " +
-        "a concurrent writer's in-flight swap — run CorpusIngest.repair " +
-        "(or any leased entry point, which heals on entry) and retry")
-
-  private def swapInFlightError(path: String): Nothing =
-    throw new IllegalStateException(
-      s"$path is mid-swap: a writer stamped ._swap_inflight and is " +
-        "between its two renames right now (live absent, data staged at " +
-        "._compact_old). This is a healthy in-flight rewrite, NOT a " +
-        "crash — do not run repair; retry shortly. If the writer died, " +
-        s"the token goes stale after $SwapInflightTtlKey (default 60 s) " +
-        "and this read reports the crash-park instead")
-
-  /** Existence gate for store paths, park-aware — the one gate every
-    * branch decision (first-drop vs incremental, purge vs skip, filter vs
-    * pass-through) must use instead of raw `pathExists`, which reads a
-    * crash-parked store as ABSENT and silently flips those branches
-    * (first-drop over an existing corpus loses every new-old pair
-    * forever; a survivors view admits every duplicate).
-    *
-    *   - healthy → true; genuinely absent (no `._compact_old`) → false
-    *   - parked + this thread holds the enclosing warehouse's write lease
-    *     (`WarehouseLease.heldByCurrentThread`) → heal via `recoverSwap`,
-    *     then true: the lease guarantees no other writer's swap is
-    *     mid-flight, so the rename-back is safe
-    *   - parked + lease-free → consult the swap-inflight token. No token
-    *     or a stale one: no writer can be mid-swap — throw the crash-park
-    *     error pointing at `repair`. A fresh token: a healthy swap is
-    *     plausibly between its renames — re-probe the live path once
-    *     (its swap-in may have landed already) and, if still parked,
-    *     throw the IN-FLIGHT error ("retry, don't repair"). Either way a
-    *     parked store never silently reads as absent, and no timing
-    *     probe (the old 5×120 ms sleep loop) sits on the read path.
-    */
+  /** Park-aware existence gate — see [[SwapProtocol.storePresent]]. */
   def storePresent(spark: SparkSession, path: String): Boolean =
-    if (pathExists(spark, path)) true
-    else if (WarehouseLease.heldByCurrentThread(spark, path))
-      recoverSwap(spark, path)
-    else if (!hasParkedSwap(spark, path)) false
-    else readSwapToken(spark, path) match {
-      case None => parkedStoreError(path)
-      case Some(stamp)
-        if System.currentTimeMillis() - stamp > swapInflightTtlMs(spark) =>
-        parkedStoreError(path)
-      case Some(_) =>
-        if (pathExists(spark, path)) true
-        else if (!hasParkedSwap(spark, path)) pathExists(spark, path)
-        else swapInFlightError(path)
-    }
+    SwapProtocol.storePresent(spark, path)
 
   /** Build a static partition-pruning predicate restricting `stored` to
     * the partition values present in `batch`: the existence anti-join's
@@ -802,78 +683,20 @@ object Sinks {
     * missing should call `recoverSwap` rather than treat the table as
     * dropped.
     */
-  /** Restore a table whose last rewrite-swap crashed mid-rename (live path
-    * gone, complete data parked at `._compact_old`). Returns true when a
-    * recovery was performed; false when the table is healthy (no-op).
-    */
-  def recoverSwap(spark: SparkSession, path: String): Boolean = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
-    if (fs.exists(live) || !fs.exists(old)) false
-    else {
-      require(fs.rename(old, live),
-        s"recoverSwap: could not restore $path from ._compact_old")
-      // the crashed swap's inflight token has served its purpose (the
-      // park is healed); clear it so no stale stamp survives to confuse
-      // a LATER park's readers
-      clearSwapToken(fs, path)
-      true
-    }
-  }
+  /** Restore a crash-parked table — see [[SwapProtocol.recoverSwap]]. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean =
+    SwapProtocol.recoverSwap(spark, path)
 
-  /** Enumerate CRASH-PARKED rewrite swaps under `root`: directories named
-    * `<table>._compact_old` whose live `<table>` path is ABSENT — the
-    * state a process dying between swapInto's two renames leaves behind
-    * (data complete, table path gone; swapInto's crash-window note).
-    * Reads of a parked table fail until `recoverSwap` (or the next swap
-    * on it) restores the rename; this enumeration is how an operator
-    * inheriting a warehouse finds every parked table in one pass — the
-    * fsck entry points surface each hit. Driver-side recursive listing:
-    * warehouse trees are shallow and directory counts metadata-sized.
-    */
-  /** `parkedSwaps` resolved to (live table path, warehouse-RELATIVE table
-    * name) pairs — the shape the fsck/repair call sites report: the
-    * relative name disambiguates two parked tables sharing a basename
-    * (the walk covers the whole tree), and deriving it here keeps the
-    * `._compact_old` naming convention in one place.
+  /** Parked-swap census as (path, relative) — see
+    * [[SwapProtocol.parkedSwapTables]].
     */
   def parkedSwapTables(spark: SparkSession,
-                       root: String): Seq[(String, String)] = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    // qualify the root the same way the walk's listStatus qualifies its
-    // results — a RELATIVE root would otherwise never prefix-match and
-    // the "relative" name would degrade to the absolute path
-    val rootUri = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(rp).toUri.getPath
-    parkedSwaps(spark, root).map { parked =>
-      val table = parked.stripSuffix("._compact_old")
-      val tableUri = new org.apache.hadoop.fs.Path(table).toUri.getPath
-      (table, tableUri.stripPrefix(rootUri).dropWhile(_ == '/'))
-    }
-  }
+                       root: String): Seq[(String, String)] =
+    SwapProtocol.parkedSwapTables(spark, root)
 
-  def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rp)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      def walk(p: org.apache.hadoop.fs.Path): Unit =
-        fs.listStatus(p).foreach { st =>
-          if (st.isDirectory) {
-            val name = st.getPath.getName
-            if (name.endsWith("._compact_old")) {
-              val live = new org.apache.hadoop.fs.Path(st.getPath.getParent,
-                name.stripSuffix("._compact_old"))
-              if (!fs.exists(live)) out += st.getPath.toString
-            } else if (!name.startsWith("._")) walk(st.getPath)
-          }
-        }
-      walk(rp)
-      out.result()
-    }
-  }
+  /** Parked-swap census — see [[SwapProtocol.parkedSwaps]]. */
+  def parkedSwaps(spark: SparkSession, root: String): Seq[String] =
+    SwapProtocol.parkedSwaps(spark, root)
 
   private[core] def swapInto(spark: SparkSession, path: String, df: DataFrame,
                        partitionCols: Seq[String],
@@ -897,19 +720,20 @@ object Sinks {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
 
-    // announce the rename window BEFORE opening it: a lease-free reader
-    // catching the live-absent instant resolves it against this token
-    // instead of a timing probe (see the swap-inflight section above)
-    stampSwapToken(fs, path)
-    require(fs.rename(live, old), s"swapInto: could not stage out $path")
-    if (!fs.rename(tmp, live)) {
-      // roll the live table back before failing — never leave the path empty
-      fs.rename(old, live)
-      clearSwapToken(fs, path)
-      throw new IllegalStateException(s"swapInto: swap failed for $path; rolled back")
+    // announce the rename window BEFORE opening it and keep the token
+    // LIVE (re-stamped every TTL/3) until the swap-in lands: a lease-free
+    // reader catching the live-absent instant resolves it against this
+    // token instead of a timing probe, however long the renames take
+    // (see SwapProtocol)
+    SwapProtocol.withSwapToken(spark, fs, path) {
+      require(fs.rename(live, old), s"swapInto: could not stage out $path")
+      if (!fs.rename(tmp, live)) {
+        // roll the live table back before failing — never leave the path empty
+        fs.rename(old, live)
+        throw new IllegalStateException(s"swapInto: swap failed for $path; rolled back")
+      }
+      fs.delete(old, true)
     }
-    fs.delete(old, true)
-    clearSwapToken(fs, path)
   }
 
   /** CO-LOCATED join storage: write `df` hash-bucketed AND sorted by
@@ -1320,16 +1144,16 @@ object Sinks {
     spark.sql(s"DROP TABLE `$tmpName`")
     // same token protocol as swapInto — one reader-visible contract for
     // every rewrite swap in the warehouse
-    stampSwapToken(fs, path)
-    require(fs.rename(live, old), s"bucketedSwapInto: could not stage out $path")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live)
-      clearSwapToken(fs, path)
-      throw new IllegalStateException(
-        s"bucketedSwapInto: swap failed for $path; rolled back")
+    SwapProtocol.withSwapToken(spark, fs, path) {
+      require(fs.rename(live, old),
+        s"bucketedSwapInto: could not stage out $path")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live)
+        throw new IllegalStateException(
+          s"bucketedSwapInto: swap failed for $path; rolled back")
+      }
+      fs.delete(old, true)
     }
-    fs.delete(old, true)
-    clearSwapToken(fs, path)
     spark.catalog.refreshTable(name)
   }
 }

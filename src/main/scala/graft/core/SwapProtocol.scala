@@ -1,0 +1,295 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** The rewrite-SWAP/PARK protocol — the reader-visible contract every
+  * atomic table rewrite in the warehouse shares (`Sinks.swapInto` and its
+  * bucketed twin delegate here). Split out of Sinks: the protocol is a
+  * self-contained seam (token lifecycle, park detection, lease-aware
+  * healing) that readers, writers, and fsck all consult, and it must not
+  * drift per rewrite flavor.
+  *
+  * A rewrite swap is: write the new table to `<t>._compact_tmp`, rename
+  * the live dir to `<t>._compact_old` (stage-out), rename tmp into place
+  * (swap-in), drop the old. A reader racing a HEALTHY swap sees the
+  * complete old or complete new table — except for the instant between
+  * the two renames, when the live path is ABSENT with the data parked
+  * complete at `._compact_old`. A process dying in that instant leaves
+  * the same signature permanently (crash-park). Distinguishing the two is
+  * the whole protocol:
+  *
+  *   - every swap stamps `<t>._swap_inflight` (epoch millis) BEFORE the
+  *     stage-out rename, RE-STAMPS it every TTL/3 while between the
+  *     renames (a background beat — so a healthy swap of any duration
+  *     stays credible, not just one faster than the TTL), and clears it
+  *     after the swap-in. A crash kills the beat with the process and the
+  *     token goes stale one TTL later.
+  *   - a lease-free reader seeing the parked signature resolves it by
+  *     PROTOCOL: a fresh token means a swap is plausibly in flight —
+  *     re-probe once, then fail with "retry, don't repair"; no token or a
+  *     stale one means no writer can be mid-swap — fail with the
+  *     crash-park error pointing at repair. No timing probe sits on the
+  *     read path.
+  *   - a LEASED reader (the holding call tree) heals the park in-line:
+  *     the lease guarantees no other writer's swap is mid-flight, so the
+  *     rename-back is safe.
+  *
+  * Token residue next to a HEALTHY live table (a crash just before the
+  * stage-out, or just after the swap-in) is inert: readers consult it
+  * only under the parked signature, and the next swap re-stamps it.
+  */
+object SwapProtocol {
+
+  /** Filesystem-agnostic existence check (local, HDFS, s3a, ...) — a bare
+    * java.io.File would silently report false for any non-local URI and
+    * disable the idempotence guards.
+    */
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** True when `path` shows the CRASH-PARKED swap signature right now:
+    * live directory absent, complete data at `._compact_old`. NOTE this
+    * is also what a reader racing a HEALTHY swap sees for the instant
+    * between the two renames — callers that cannot hold the warehouse
+    * lease must resolve the ambiguity through the swap-inflight token
+    * (`storePresent` does), never from this signature alone.
+    */
+  def hasParkedSwap(spark: SparkSession, path: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(live) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path + "._compact_old"))
+  }
+
+  /** Conf key: how long a stamped `._swap_inflight` token stays credible
+    * as "a writer is between its two renames right now". The writer
+    * re-stamps every TTL/3 while mid-swap, so the TTL bounds TOKEN
+    * staleness after a crash, not swap duration — 60 s default covers a
+    * crashed writer promptly while tolerating beat jitter.
+    *
+    * CLOCK-SKEW assumption: the staleness decision compares the WRITER's
+    * `System.currentTimeMillis` stamp against the READER's clock. On a
+    * multi-driver deployment, skew between the two hosts eats directly
+    * into the margin — a reader ahead of the writer by ~TTL misreads a
+    * healthy in-flight swap as crash-parked (fail-loud, pointing at
+    * repair), and a reader behind keeps a crashed writer's token credible
+    * that much longer. Size the TTL to (intended staleness bound + max
+    * expected cross-host skew); NTP-class skew (ms) is noise against the
+    * 60 s default.
+    */
+  val SwapInflightTtlKey = "spark.graft.swap.inflightTtlMs"
+
+  private def swapInflightTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption(SwapInflightTtlKey).map(_.trim.toLong)
+      .getOrElse(60000L)
+
+  private def swapTokenPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "._swap_inflight")
+
+  private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Unit = {
+    val out = fs.create(swapTokenPath(path), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def clearSwapToken(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Unit =
+    try fs.delete(swapTokenPath(path), false)
+    catch { case _: java.io.IOException => () }
+
+  /** The token's stamp, None when absent. A token that exists but cannot
+    * be read or parsed reads as stamp 0 — i.e. maximally STALE: ambiguity
+    * resolves toward the loud crash report (which only ever points at
+    * repair), never toward treating a parked store as absent.
+    */
+  private def readSwapToken(spark: SparkSession,
+                            path: String): Option[Long] = {
+    val p = swapTokenPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(
+      try {
+        val in = fs.open(p)
+        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+          .readLine().trim.toLong
+        finally in.close()
+      } catch { case _: Exception => 0L })
+  }
+
+  // one shared daemon beat thread for every in-flight swap in the JVM:
+  // re-stamp work is a single tiny file write per period per swap
+  private lazy val restampPool = {
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-swap-token-beat")
+        th.setDaemon(true)
+        th
+      })
+  }
+
+  /** Run `body` (the rename window of a rewrite swap) under a LIVE
+    * inflight token: stamped before the body, re-stamped every TTL/3
+    * while it runs, cleared after. The beat is what keeps a healthy swap
+    * that outlives the TTL (a copy-based directory rename of a huge
+    * table) reading as in-flight instead of false-crashing lease-free
+    * readers; a killed writer's beat dies with the process and the token
+    * goes stale one TTL later. The stamp/clear pair and the beat
+    * serialize on a per-call monitor so a beat already firing can never
+    * re-stamp a token the exit just cleared.
+    */
+  private[graft] def withSwapToken[T](spark: SparkSession,
+                                      fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String)(body: => T): T = {
+    val lock = new Object
+    var active = true
+    stampSwapToken(fs, path)
+    val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
+    val beat = restampPool.scheduleAtFixedRate(
+      () => lock.synchronized {
+        if (active)
+          try stampSwapToken(fs, path) catch { case _: Exception => () }
+      },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    finally lock.synchronized {
+      active = false
+      beat.cancel(false)
+      clearSwapToken(fs, path)
+    }
+  }
+
+  private def parkedStoreError(path: String): Nothing =
+    throw new IllegalStateException(
+      s"$path is crash-parked: the live directory is absent and the " +
+        "complete table sits at ._compact_old (a rewrite swap died " +
+        "between its two renames). This caller does not hold the " +
+        "warehouse write lease, and healing without it can collide with " +
+        "a concurrent writer's in-flight swap — run CorpusIngest.repair " +
+        "(or any leased entry point, which heals on entry) and retry")
+
+  private def swapInFlightError(path: String): Nothing =
+    throw new IllegalStateException(
+      s"$path is mid-swap: a writer stamped ._swap_inflight and is " +
+        "between its two renames right now (live absent, data staged at " +
+        "._compact_old). This is a healthy in-flight rewrite, NOT a " +
+        "crash — do not run repair; retry shortly. If the writer died, " +
+        s"the token goes stale after $SwapInflightTtlKey (default 60 s) " +
+        "and this read reports the crash-park instead")
+
+  /** Existence gate for store paths, park-aware — the one gate every
+    * branch decision (first-drop vs incremental, purge vs skip, filter vs
+    * pass-through) must use instead of raw `pathExists`, which reads a
+    * crash-parked store as ABSENT and silently flips those branches
+    * (first-drop over an existing corpus loses every new-old pair
+    * forever; a survivors view admits every duplicate).
+    *
+    *   - healthy → true; genuinely absent (no `._compact_old`) → false
+    *   - parked + this thread holds the enclosing warehouse's write lease
+    *     (`WarehouseLease.heldByCurrentThread`) → heal via `recoverSwap`,
+    *     then true: the lease guarantees no other writer's swap is
+    *     mid-flight, so the rename-back is safe
+    *   - parked + lease-free → consult the swap-inflight token. A fresh
+    *     token: a healthy swap is plausibly between its renames —
+    *     re-probe the live path once (its swap-in may have landed
+    *     already) and, if still parked, throw the IN-FLIGHT error
+    *     ("retry, don't repair"). No token or a stale one: no writer can
+    *     be mid-swap — but a HEALTHY writer may have completed its swap
+    *     and cleared its token between our park check and the token read,
+    *     so re-probe the live path once here too before throwing the
+    *     crash-park error pointing at `repair`. Either way a parked store
+    *     never silently reads as absent, and no timing probe sits on the
+    *     read path.
+    */
+  def storePresent(spark: SparkSession, path: String): Boolean =
+    if (pathExists(spark, path)) true
+    else if (WarehouseLease.heldByCurrentThread(spark, path))
+      recoverSwap(spark, path)
+    else if (!hasParkedSwap(spark, path)) false
+    else {
+      val fresh = readSwapToken(spark, path).exists(stamp =>
+        System.currentTimeMillis() - stamp <= swapInflightTtlMs(spark))
+      // one live re-probe in EVERY branch: a healthy swap may have
+      // completed (swap-in landed; token possibly already cleared) since
+      // the checks above
+      if (pathExists(spark, path)) true
+      else if (!hasParkedSwap(spark, path)) pathExists(spark, path)
+      else if (fresh) swapInFlightError(path)
+      else parkedStoreError(path)
+    }
+
+  /** Restore a table whose last rewrite-swap crashed mid-rename (live path
+    * gone, complete data parked at `._compact_old`). Returns true when a
+    * recovery was performed; false when the table is healthy (no-op).
+    */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    if (fs.exists(live) || !fs.exists(old)) false
+    else {
+      require(fs.rename(old, live),
+        s"recoverSwap: could not restore $path from ._compact_old")
+      // the crashed swap's inflight token has served its purpose (the
+      // park is healed); clear it so no stale stamp survives to confuse
+      // a LATER park's readers
+      clearSwapToken(fs, path)
+      true
+    }
+  }
+
+  /** Enumerate CRASH-PARKED rewrite swaps under `root`: directories named
+    * `<table>._compact_old` whose live `<table>` path is ABSENT — the
+    * state a process dying between a swap's two renames leaves behind
+    * (data complete, table path gone). Reads of a parked table fail until
+    * `recoverSwap` (or the next swap on it) restores the rename; this
+    * enumeration is how an operator inheriting a warehouse finds every
+    * parked table in one pass — the fsck entry points surface each hit.
+    * Driver-side recursive listing: warehouse trees are shallow and
+    * directory counts metadata-sized.
+    */
+  def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) Seq.empty
+    else {
+      val out = Seq.newBuilder[String]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) {
+            val name = st.getPath.getName
+            if (name.endsWith("._compact_old")) {
+              val live = new org.apache.hadoop.fs.Path(st.getPath.getParent,
+                name.stripSuffix("._compact_old"))
+              if (!fs.exists(live)) out += st.getPath.toString
+            } else if (!name.startsWith("._")) walk(st.getPath)
+          }
+        }
+      walk(rp)
+      out.result()
+    }
+  }
+
+  /** `parkedSwaps` resolved to (live table path, warehouse-RELATIVE table
+    * name) pairs — the shape the fsck/repair call sites report: the
+    * relative name disambiguates two parked tables sharing a basename
+    * (the walk covers the whole tree), and deriving it here keeps the
+    * `._compact_old` naming convention in one place.
+    */
+  def parkedSwapTables(spark: SparkSession,
+                       root: String): Seq[(String, String)] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    // qualify the root the same way the walk's listStatus qualifies its
+    // results — a RELATIVE root would otherwise never prefix-match and
+    // the "relative" name would degrade to the absolute path
+    val rootUri = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rp).toUri.getPath
+    parkedSwaps(spark, root).map { parked =>
+      val table = parked.stripSuffix("._compact_old")
+      val tableUri = new org.apache.hadoop.fs.Path(table).toUri.getPath
+      (table, tableUri.stripPrefix(rootUri).dropWhile(_ == '/'))
+    }
+  }
+}

@@ -178,6 +178,81 @@ class SinksSpec extends AnyFunSuite {
       spark.read.parquet(p).count() == 2L)
   }
 
+  test("swap-inflight token is re-stamped mid-swap: a slow healthy swap outliving the TTL stays in-flight; a killed writer goes stale") {
+    import graft.core.{Sinks, SwapProtocol}
+    val base = Files.createTempDirectory("swap-beat").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    // a short TTL so "the swap outlives the TTL" fits in a test: beat
+    // period = ttl/3 ≈ 133 ms, and the slow rename window below runs for
+    // ~4 TTLs — without the re-stamping beat, every read past 400 ms
+    // would false-crash
+    spark.conf.set(Sinks.SwapInflightTtlKey, "400")
+    try {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() =>
+        try SwapProtocol.withSwapToken(spark, fs, p) {
+          // the rename window of a healthy-but-slow swap (a copy-based
+          // directory rename of a huge table): live absent, data parked
+          assert(fs.rename(hp, old))
+          Thread.sleep(1600L)
+          assert(fs.rename(old, hp))
+        } catch { case t: Throwable => failure.set(t) })
+      writer.start()
+      Thread.sleep(1200L) // well past the 400 ms TTL, writer still mid-swap
+      val ex = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+      assert(ex.getMessage.contains("mid-swap") &&
+        !ex.getMessage.contains("crash-parked"),
+        s"a re-stamped token must keep reading in-flight past the TTL: ${ex.getMessage}")
+      writer.join(30000L)
+      assert(failure.get() == null, s"writer failed: ${failure.get()}")
+      // completed: token cleared, store healthy
+      assert(!fs.exists(token), "completed swap must clear its token")
+      assert(Sinks.storePresent(spark, p))
+      // KILLED writer: the beat dies with the process — model it as a
+      // token stamped once with no beat behind it; one TTL later the
+      // parked signature reads as the crash it is
+      assert(fs.rename(hp, old))
+      val out = fs.create(token, true)
+      try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally out.close()
+      Thread.sleep(600L)
+      val crashed = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+      assert(crashed.getMessage.contains("crash-parked"), crashed.getMessage)
+      assert(fs.rename(old, hp))
+      fs.delete(token, false)
+    } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+  }
+
+  test("storePresent: the no-token parked store still fails loud after the completion re-probe") {
+    import graft.core.Sinks
+    // storePresent now re-probes the live path in EVERY token branch
+    // before throwing (the ADVICE r15 race: a healthy writer can complete
+    // its swap-in and clear its token between the reader's park check and
+    // the token read — only a mid-call state change reaches that exact
+    // interleaving, so this locks the two decidable halves around it):
+    // a genuinely parked no-token store must still produce the loud
+    // crash report, and a healthy store with stale token/old residue must
+    // read present (the fresh-token half is in the swap-token test above).
+    val base = Files.createTempDirectory("swap-resolve").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+    // no token, live present: trivially present (healthy)
+    assert(Sinks.storePresent(spark, p))
+    // no token, live absent, data parked — still the loud crash report
+    assert(fs.rename(hp, old))
+    val ex = intercept[IllegalStateException](Sinks.storePresent(spark, p))
+    assert(ex.getMessage.contains("crash-parked"), ex.getMessage)
+    assert(fs.rename(old, hp))
+  }
+
   test("Backfill.fsck: healthy market warehouse audits clean; planted states are classified") {
     val pages = Files.createTempDirectory("bf-fsck-pages")
     val wh = Files.createTempDirectory("bf-fsck-wh").toString
