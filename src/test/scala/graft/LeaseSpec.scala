@@ -455,7 +455,7 @@ class LeaseSpec extends AnyFunSuite {
       (parts(0), parts(1)) match {
         case ("enter", o) =>
           assert(inside.isEmpty,
-            s"$o entered while ${inside.get} held the lease:\n" +
+            s"$o entered while ${inside.getOrElse("?")} held the lease:\n" +
               lines.mkString("\n"))
           inside = Some(o)
         case ("exit", o) =>
