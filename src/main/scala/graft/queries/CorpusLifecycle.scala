@@ -302,12 +302,73 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the DIRTY fsck read path: a full text corpus,
+    * then five violation classes planted by hand — each one a state a
+    * specific crash or operator mistake leaves, each with an exactly
+    * fixture-independent finding count:
+    *
+    *   1. a GHOST PAIR: one pair row appended whose both sides name doc
+    *      ids that exist nowhere (the state a crash between the pair
+    *      append and the shingle commit point leaves) — ghost_pair_refs 2,
+    *      and the same two ids are pair evidence the label merge never
+    *      covered — label_missing_nodes 2 (both warn: a retry heals).
+    *   2. the pair table's THRESHOLD ledger removed (hand surgery /
+    *      partial restore) — missing_threshold_ledger 1, error.
+    *   3. the band store's PARAMS ledger removed — missing_params_ledger
+    *      1, warn.
+    *   4. `corpus/doc_stats` crash-parked mid-swap (live renamed to
+    *      `._compact_old`) — parked_swap 1, warn.
+    *   5. a staged landing whose INGEST ledger ran ahead of its promote
+    *      ledger (impossible under the write order) — ingest_ledger_ahead
+    *      1, error.
+    *
+    * The query locks the EXACT finding rows (violations > 0) against a
+    * VALUES oracle — the true-positive half of the audit contract;
+    * `corpus_fsck_clean` locks the false-positive half.
+    */
+  private def dirtyWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"dirty|$dir", { _ =>
+      val wh = scratchDir("graft-dirty-wh")
+      CorpusIngest.run(s, Tables.documents(s, dir), wh, threshold = 0.5)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(conf)
+      // plant 1 — ghost pair: both sides outside any fixture's id space.
+      // Shape-preserving: one REAL pair row re-keyed, so the append
+      // matches the store schema whatever the verifier adds to it.
+      val pairsP = graft.app.CorpusStore.pairsPath(wh)
+      val pairs = graft.app.CorpusStore.readStore(s, pairsP)
+      val ghost = pairs.limit(1)
+        .withColumn("doc_a",
+          lit(900000001L).cast(pairs.schema("doc_a").dataType))
+        .withColumn("doc_b",
+          lit(900000002L).cast(pairs.schema("doc_b").dataType))
+      graft.core.Sinks.bucketedIdempotentAppend(ghost, pairsP,
+        keys = Seq("doc_a", "doc_b"), bucketKeys = Seq("doc_a", "doc_b"),
+        buckets = 1)
+      // plants 2 + 3 — sibling ledgers removed
+      fs.delete(new org.apache.hadoop.fs.Path(pairsP + "._threshold"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.app.CorpusStore.bandPath(wh) + "._params"), false)
+      // plant 4 — crash-parked rewrite swap on doc_stats
+      val stats = new org.apache.hadoop.fs.Path(
+        graft.app.CorpusStore.statsPath(wh))
+      require(fs.rename(stats, new org.apache.hadoop.fs.Path(
+        stats.toString + "._compact_old")),
+        "dirty scenario: could not park doc_stats")
+      // plant 5 — staged landing with the ingest ledger ahead of promote
+      val staged = graft.app.CorpusStore.stagedPath(wh)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+      graft.app.CorpusStore.writeLongLedger(s, staged + "._ingested_upto", 5L)
+      wh
+    })
+
   /** Scratch warehouse for the UNIFIED-takedown read path: text and
     * embedding subsets (ids % 11 = 0), identity links for both
     * modalities, then ONE `forget` of the smallest content key present in
-    * BOTH id spaces — so the audit trail must show the full resolution:
-    * the doc cascade (seq 0), the embedding cascade (seq 1), and the
-    * forget marker with the link purge (seq 2).
+    * BOTH id spaces — so the audit trail must show the full resolution
+    * across all four events: the doc cascade (seq 0), the embedding
+    * cascade (seq 1), the media cascade (seq 2), and the forget marker
+    * with the link purge (seq 3).
     */
   private def forgetWarehouse(s: SparkSession, dir: String): String =
     memo.computeIfAbsent(s"forget|$dir", { _ =>
@@ -641,6 +702,32 @@ object CorpusLifecycle {
         |) AS t("check", "table", violations, severity)
         |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
       CorpusIngest.fsck(s, curatedWarehouse(s, d))
+        .orderBy(col("severity"), col("check"), col("table"))
+    },
+
+    // The integrity audit's TRUE-POSITIVE half: the fsck findings over a
+    // warehouse with five PLANTED violation classes (a ghost pair ref and
+    // its uncovered label evidence, a removed threshold ledger, a removed
+    // params ledger, a crash-parked swap, an ingest ledger ahead of its
+    // promote ledger — see dirtyWarehouse). Every planted state has an
+    // exactly fixture-independent count, so the oracle is the literal
+    // finding table: each check fires with the right count, table,
+    // and severity, and nothing else fires.
+    QueryDef.sqlBacked(
+      "corpus_fsck_dirty",
+      """SELECT "check", "table", CAST(violations AS BIGINT) AS violations,
+        |       severity
+        |FROM (VALUES
+        |  ('ingest_ledger_ahead','staged_drops',1,'error'),
+        |  ('missing_threshold_ledger','pairs',1,'error'),
+        |  ('ghost_pair_refs','pairs',2,'warn'),
+        |  ('label_missing_nodes','cc_labels',2,'warn'),
+        |  ('missing_params_ledger','bands',1,'warn'),
+        |  ('parked_swap','corpus/doc_stats',1,'warn')
+        |) AS t("check", "table", violations, severity)
+        |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
+      CorpusIngest.fsck(s, dirtyWarehouse(s, d))
+        .filter(col("violations") > 0)
         .orderBy(col("severity"), col("check"), col("table"))
     },
 
