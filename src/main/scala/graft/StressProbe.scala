@@ -675,10 +675,82 @@ object StressProbe {
       }
     }
 
+    // ---- STORE-SIZE INDEPENDENCE: the 100 TB headline is that a drop's
+    // cost is bounded by the INCREMENT, not the store — every probe above
+    // measures it at one store size, which proves the plan shape but not
+    // the flatness. Here the SAME 2,000-doc drop probes a 200k-doc and a
+    // 1M-doc bucketed signature store (5× the corpus): the exchange-free
+    // candidate join means the only store-sized term left is the bucketed
+    // band-table SCAN feeding the build side, which is columnar,
+    // two-int-plus-key thin, and embarrassingly parallel — so the drop
+    // ratio should sit far below the 5× store ratio (the measured numbers
+    // live in Bench.scala's notes). Drop composition matches the
+    // storeProbe: even ids duplicate a base doc present in BOTH corpora
+    // (ids < 100k), odd ids are novel.
+    val sizeProbe = {
+      val tags = Seq("store_size_build_200k", "store_size_build_1m",
+        "store_size_drop_200k", "store_size_drop_1m")
+      if (!tags.exists(selected)) tags.map(_ -> 0.0)
+      else {
+        val dropN = 2000L
+        def corpusText(src: String) = array_join(expr(
+          s"""transform(sequence(0, 19), i -> substr(
+             |  md5(concat($src, '-', i)), 1, 6))""".stripMargin),
+          " ").as("text")
+        def corpusOf(n: Long) = spark.range(0, n, 1, 64)
+          .select(col("id").as("doc_id"), corpusText("id"))
+        val dropDocs = spark.range(2000000L, 2000000L + dropN, 1, 16)
+          .select(col("id").as("doc_id"),
+            corpusText("CASE WHEN id % 2 = 0 THEN id % 100000 ELSE id END"))
+        // build both stores first, then one UNTIMED warm-up drop before
+        // the timed pair: the first incremental drop of a JVM pays the
+        // codegen/JIT warm-up for the whole probe family, which would
+        // bias whichever store size runs first (measured 2× on a cold
+        // JVM — larger than the effect under measurement)
+        val stores = Seq("200k" -> 200000L, "1m" -> 1000000L).map {
+          case (label, n) =>
+            val dir = java.nio.file.Files
+              .createTempDirectory(s"graft-stress-size-$label").toString
+            val bandP = s"$dir/bands"
+            val shingleP = s"$dir/shingles"
+            val build = core.GraftCaches.withScope(spark)(
+              timeEffect(s"store_size_build_$label", n)(
+                operators.DedupOps.appendSignatureStoreBucketed(
+                  corpusOf(n), bandP, shingleP, buckets = 32)))
+            (label, bandP, shingleP, build)
+        }
+        // same at-scale regime as the storeProbe: neither join side
+        // broadcasts at 100 TB
+        val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val out = try {
+          def dropAgainst(bandP: String, shingleP: String) =
+            operators.DedupOps.minhashLshIncremental(
+              core.Sinks.readBucketedPath(spark, bandP),
+              core.Sinks.readBucketedPath(spark, shingleP),
+              dropDocs, threshold = 0.5)
+          core.GraftCaches.withScope(spark)(
+            dropAgainst(stores.head._2, stores.head._3)
+              .write.format("noop").mode("overwrite").save()) // warm-up
+          stores.flatMap { case (label, bandP, shingleP, build) =>
+            Seq(build, core.GraftCaches.withScope(spark)(
+              timeN(s"store_size_drop_$label", dropN)(
+                dropAgainst(bandP, shingleP))))
+          }
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          oldThresh)
+        val times = out.toMap
+        if (times("store_size_drop_200k") > 0)
+          println(f"[stress] store_size drop ratio (1m / 200k stores, 5x data): " +
+            f"${times("store_size_drop_1m") / times("store_size_drop_200k")}%.2f")
+        out
+      }
+    }
+
     val all =
       results ++ llm ++ storeProbe ++ skewProbe ++ embStoreProbe ++
         mediaStoreProbe ++ semStoreProbe ++ ccProbe ++ corpusProbe ++
-        exportProbe
+        exportProbe ++ sizeProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

@@ -180,6 +180,19 @@ object WarehouseLease {
     * registers `new CasLeaseMedium(cell)` for the scheme; the in-memory
     * implementation in LeaseSpec proves the protocol single-winner under
     * racing writers.
+    *
+    * CONTRACT NOTE — tags must not repeat across delete/recreate
+    * generations: [[CasLeaseMedium]]'s refresh/reclaim are get-then-CAS
+    * in two calls, so a holder stalled between them across
+    * expire → reclaim → release → re-acquire replays a tag from a PRIOR
+    * generation; if the recreated cell can reuse that tag, the stale CAS
+    * succeeds and two writers hold at once (the generation-reset ABA
+    * [[JdbcAtomicCell]] closes with a version monotonic per name). An S3
+    * backing must mind that plain etags are content-derived and DO repeat
+    * for identical content — make the stored content unique per
+    * generation (lease stamps carry expiry millis; add a nonce if the
+    * content could ever repeat) or use a version-token API whose tags are
+    * globally unique.
     */
   trait AtomicCell {
     /** (content, opaque version tag), None when absent. */

@@ -19,13 +19,17 @@ class LeaseSpec extends AnyFunSuite {
 
   /** In-memory conditional-write cell — the exact S3 conditional PUT
     * shape (If-None-Match on create, If-Match: etag on replace/delete).
+    * Tags are monotonic across delete/recreate generations, per the
+    * AtomicCell contract note (a recreate must never reissue a tag a
+    * stalled holder could replay from a prior generation).
     */
   private final class MemCell extends WarehouseLease.AtomicCell {
     private val ref = new AtomicReference[Option[(String, Long)]](None)
+    private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
     override def get(): Option[(String, String)] =
       ref.get().map { case (c, v) => (c, v.toString) }
     override def putIfAbsent(content: String): Boolean =
-      ref.compareAndSet(None, Some((content, 0L)))
+      ref.compareAndSet(None, Some((content, gen.incrementAndGet() * 1000000L)))
     override def putIfTag(tag: String, content: String): Boolean = {
       val cur = ref.get()
       cur match {
