@@ -89,7 +89,7 @@ object Governance {
     }
   }
 
-  private[app] def auditPath(wh: String) = s"$wh/corpus/audit_log"
+  private[graft] def auditPath(wh: String) = s"$wh/corpus/audit_log"
 
   /** Durable GOVERNANCE AUDIT TRAIL: every delete / forget / reinstate
     * appends one row per table it TOUCHED — including the tombstone
@@ -129,7 +129,7 @@ object Governance {
     * for max(seq) on every governance call. Sibling placement survives the
     * log's compaction swap, like every other ledger here.
     */
-  private[app] def auditSeqLedger(wh: String) = auditPath(wh) + "._audit_seq"
+  private[graft] def auditSeqLedger(wh: String) = auditPath(wh) + "._audit_seq"
 
   private[app] def appendAudit(spark: SparkSession, warehouse: String, op: String,
                           idCol: String, nIds: Long,

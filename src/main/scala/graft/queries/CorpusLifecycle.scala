@@ -362,6 +362,36 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the AUDIT-TRAIL self-check read path: the
+    * compliance log's own fsck invariants under its documented crash
+    * window. Two real governance deletes land events seq 0 and seq 1;
+    * then the crash window is planted — the seq LEDGER stamped to 2 with
+    * no rows behind it (exactly the state a crash between appendAudit's
+    * stamp and its row append leaves) — and a third real delete lands at
+    * seq 3, leaving the gap at 2 in the log forever. Finally the ledger
+    * is stamped ahead once more (the same window, not yet consumed by a
+    * next event). fsck must report exactly: one seq gap (the trail
+    * under-reports — warn) and the ledger ahead of the log (warn), and
+    * nothing else — the deletes' cascades leave no dedup-side residue.
+    */
+  private def auditChecksWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"auditchecks|$dir", { _ =>
+      val wh = scratchDir("graft-auditck-wh")
+      val subset = Tables.documents(s, dir).filter(col("doc_id") % 9 === 0)
+      CorpusIngest.run(s, subset, wh, threshold = 0.5)
+      val ids = subset.select("doc_id").orderBy("doc_id")
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      CorpusIngest.delete(s, wh, Seq(ids(0)))          // event seq 0
+      CorpusIngest.delete(s, wh, Seq(ids(1)))          // event seq 1
+      // the crash window: ledger stamped, rows never landed
+      graft.app.CorpusStore.writeLongLedger(s,
+        graft.app.Governance.auditSeqLedger(wh), 2L)
+      CorpusIngest.delete(s, wh, Seq(ids(2)))          // event seq 3
+      graft.app.CorpusStore.writeLongLedger(s,
+        graft.app.Governance.auditSeqLedger(wh), 10L)  // window again
+      wh
+    })
+
   /** Scratch warehouse for the UNIFIED-takedown read path: text and
     * embedding subsets (ids % 11 = 0), identity links for both
     * modalities, then ONE `forget` of the smallest content key present in
@@ -727,6 +757,27 @@ object CorpusLifecycle {
         |) AS t("check", "table", violations, severity)
         |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
       CorpusIngest.fsck(s, dirtyWarehouse(s, d))
+        .filter(col("violations") > 0)
+        .orderBy(col("severity"), col("check"), col("table"))
+    },
+
+    // The AUDITOR AUDITED: the compliance trail's own fsck invariants
+    // under the documented appendAudit crash window (ledger stamped, rows
+    // never landed — see auditChecksWarehouse). The scenario leaves a
+    // permanent seq gap in the log plus a not-yet-consumed ledger-ahead
+    // window; the oracle is the literal two-row finding table — and, as
+    // important, nothing ELSE fires: the three delete cascades leave no
+    // dedup-side residue a violations>0 filter could pick up.
+    QueryDef.sqlBacked(
+      "corpus_fsck_audit",
+      """SELECT "check", "table", CAST(violations AS BIGINT) AS violations,
+        |       severity
+        |FROM (VALUES
+        |  ('audit_seq_gaps','audit_log',1,'warn'),
+        |  ('audit_seq_ledger_ahead','audit_log',1,'warn')
+        |) AS t("check", "table", violations, severity)
+        |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
+      CorpusIngest.fsck(s, auditChecksWarehouse(s, d))
         .filter(col("violations") > 0)
         .orderBy(col("severity"), col("check"), col("table"))
     },
