@@ -392,6 +392,34 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the audit self-checks' ERROR side — the
+    * states the write contracts make impossible, reached here only by
+    * corrupting the ledger by hand: rewinding the seq ledger BELOW the
+    * log makes the next real event REUSE a seq (two distinct events
+    * share seq 1 — the one-takedown-fabricated-out-of-two state the
+    * stamp-first ordering exists to prevent), and a final rewind leaves
+    * the ledger behind the log (the reuse precondition itself). The gap
+    * count stays zero by arithmetic (three distinct events, max seq 1).
+    */
+  private def auditErrWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"auditerr|$dir", { _ =>
+      val wh = scratchDir("graft-auditerr-wh")
+      val subset = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+      CorpusIngest.run(s, subset, wh, threshold = 0.5)
+      val ids = subset.select("doc_id").orderBy("doc_id")
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      CorpusIngest.delete(s, wh, Seq(ids(0)))          // event seq 0
+      CorpusIngest.delete(s, wh, Seq(ids(1)))          // event seq 1
+      // corrupt: rewind the ledger below the log...
+      graft.app.CorpusStore.writeLongLedger(s,
+        graft.app.Governance.auditSeqLedger(wh), 0L)
+      CorpusIngest.delete(s, wh, Seq(ids(2)))          // ...seq 1 REUSED
+      // ...and leave it rewound again (behind the log's max)
+      graft.app.CorpusStore.writeLongLedger(s,
+        graft.app.Governance.auditSeqLedger(wh), 0L)
+      wh
+    })
+
   /** Scratch warehouse for the UNIFIED-takedown read path: text and
     * embedding subsets (ids % 11 = 0), identity links for both
     * modalities, then ONE `forget` of the smallest content key present in
@@ -778,6 +806,26 @@ object CorpusLifecycle {
         |) AS t("check", "table", violations, severity)
         |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
       CorpusIngest.fsck(s, auditChecksWarehouse(s, d))
+        .filter(col("violations") > 0)
+        .orderBy(col("severity"), col("check"), col("table"))
+    },
+
+    // The audit self-checks' ERROR side: a hand-rewound seq ledger makes
+    // a real event reuse seq 1 (audit_duplicate_seq — one takedown
+    // fabricated out of two, the corruption class stamp-first ordering
+    // prevents) and leaves the ledger behind the log (the reuse
+    // precondition). Exactly the two error rows fire; the gap count is
+    // zero by arithmetic (see auditErrWarehouse).
+    QueryDef.sqlBacked(
+      "corpus_fsck_audit_errors",
+      """SELECT "check", "table", CAST(violations AS BIGINT) AS violations,
+        |       severity
+        |FROM (VALUES
+        |  ('audit_duplicate_seq','audit_log',1,'error'),
+        |  ('audit_seq_ledger_behind','audit_log',1,'error')
+        |) AS t("check", "table", violations, severity)
+        |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
+      CorpusIngest.fsck(s, auditErrWarehouse(s, d))
         .filter(col("violations") > 0)
         .orderBy(col("severity"), col("check"), col("table"))
     },
