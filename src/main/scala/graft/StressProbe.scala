@@ -706,17 +706,25 @@ object StressProbe {
         // the timed pair: the first incremental drop of a JVM pays the
         // codegen/JIT warm-up for the whole probe family, which would
         // bias whichever store size runs first (measured 2× on a cold
-        // JVM — larger than the effect under measurement)
+        // JVM — larger than the effect under measurement). Same
+        // tag-selection contract as storeProbe: the drops read the
+        // stores the builds write, so a drop-only selection still builds
+        // — untimed, unreported — instead of dying on a missing store.
+        val dropSelected =
+          Seq("store_size_drop_200k", "store_size_drop_1m").exists(selected)
         val stores = Seq("200k" -> 200000L, "1m" -> 1000000L).map {
           case (label, n) =>
             val dir = java.nio.file.Files
               .createTempDirectory(s"graft-stress-size-$label").toString
             val bandP = s"$dir/bands"
             val shingleP = s"$dir/shingles"
-            val build = core.GraftCaches.withScope(spark)(
-              timeEffect(s"store_size_build_$label", n)(
-                operators.DedupOps.appendSignatureStoreBucketed(
-                  corpusOf(n), bandP, shingleP, buckets = 32)))
+            def buildStore(): Unit = core.GraftCaches.withScope(spark)(
+              operators.DedupOps.appendSignatureStoreBucketed(
+                corpusOf(n), bandP, shingleP, buckets = 32))
+            val tag = s"store_size_build_$label"
+            val build =
+              if (!selected(tag) && dropSelected) { buildStore(); tag -> 0.0 }
+              else timeEffect(tag, n)(buildStore())
             (label, bandP, shingleP, build)
         }
         // same at-scale regime as the storeProbe: neither join side
@@ -729,9 +737,10 @@ object StressProbe {
               core.Sinks.readBucketedPath(spark, bandP),
               core.Sinks.readBucketedPath(spark, shingleP),
               dropDocs, threshold = 0.5)
-          core.GraftCaches.withScope(spark)(
-            dropAgainst(stores.head._2, stores.head._3)
-              .write.format("noop").mode("overwrite").save()) // warm-up
+          if (dropSelected)
+            core.GraftCaches.withScope(spark)(
+              dropAgainst(stores.head._2, stores.head._3)
+                .write.format("noop").mode("overwrite").save()) // warm-up
           stores.flatMap { case (label, bandP, shingleP, build) =>
             Seq(build, core.GraftCaches.withScope(spark)(
               timeN(s"store_size_drop_$label", dropN)(

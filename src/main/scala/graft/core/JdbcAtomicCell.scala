@@ -66,7 +66,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Connections are per-call — lease traffic is a handful of statements
   * per heartbeat period, so pooling would be tuning noise; a deployment
-  * with a shared pool can pass a `connect` thunk instead of a URL.
+  * with a shared pool can pass a `connect` thunk instead of a URL. Give
+  * the thunk connect/read TIMEOUTS (JDBC login timeout, driver socket
+  * timeout): `DriverManager` sets none by default, and while the lease
+  * protocol detects a HANGING database too (the holder's exit checks
+  * beat health and throws LeaseLostException without deadlocking — see
+  * WarehouseLease's failure-semantics doc), a timed-out call frees the
+  * heartbeat thread where a wedged one parks it for the connection's
+  * lifetime.
   */
 final class JdbcAtomicCell(connect: () => Connection, table: String,
                            cellName: String)

@@ -119,15 +119,21 @@ object SwapProtocol {
       } catch { case _: Exception => 0L })
   }
 
-  // one shared daemon beat thread for every in-flight swap in the JVM:
-  // re-stamp work is a single tiny file write per period per swap
+  // a small shared daemon pool beating every in-flight swap in the JVM:
+  // re-stamp work is a single tiny file write per period per swap, but
+  // one re-stamp wedged on a degraded store must not starve a CONCURRENT
+  // swap's beats past its TTL (which would false-crash that swap's
+  // lease-free readers — the exact spurious report the beat eliminates)
   private lazy val restampPool = {
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(2,
       (r: Runnable) => {
-        val th = new Thread(r, "graft-swap-token-beat")
+        val th = new Thread(r, s"graft-swap-token-beat-${n.incrementAndGet()}")
         th.setDaemon(true)
         th
       })
+    t.setRemoveOnCancelPolicy(true)
+    t
   }
 
   /** Run `body` (the rename window of a rewrite swap) under a LIVE
@@ -143,21 +149,34 @@ object SwapProtocol {
   private[graft] def withSwapToken[T](spark: SparkSession,
                                       fs: org.apache.hadoop.fs.FileSystem,
                                       path: String)(body: => T): T = {
-    val lock = new Object
-    var active = true
+    val lock = new java.util.concurrent.locks.ReentrantLock
+    val active = new java.util.concurrent.atomic.AtomicBoolean(true)
     stampSwapToken(fs, path)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
-      () => lock.synchronized {
-        if (active)
-          try stampSwapToken(fs, path) catch { case _: Exception => () }
+      () => {
+        lock.lock()
+        try {
+          if (active.get())
+            try stampSwapToken(fs, path) catch { case _: Exception => () }
+        } finally lock.unlock()
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
-    finally lock.synchronized {
-      active = false
+    finally {
+      active.set(false)
       beat.cancel(false)
-      clearSwapToken(fs, path)
+      // bounded wait for an in-flight beat so the clear is ordered after
+      // its re-stamp; on timeout (the beat is wedged on a degraded
+      // store — where the body's own renames are likely wedged too)
+      // clear anyway: the worst case is inert token residue next to a
+      // healthy table, re-stamped by the next swap (object doc)
+      val locked =
+        try lock.tryLock(period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false }
+      try clearSwapToken(fs, path)
+      finally if (locked) lock.unlock()
     }
   }
 

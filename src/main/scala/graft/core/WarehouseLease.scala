@@ -108,10 +108,19 @@ import org.apache.spark.sql.SparkSession
   * date, but once one full ttl passes without a successful beat the stamp
   * has expired where this holder cannot see it — an unseen reclaim can no
   * longer be ruled out, so the lease is marked LOST and the holding call
-  * throws [[LeaseLostException]] at the outermost exit. Release through a
-  * dead medium is best-effort (logged, swallowed — the stamp expires by
-  * ttl on its own), so a release failure can never mask the body's
-  * outcome. LeaseSpec's dead-coordination-db case asserts this.
+  * throws [[LeaseLostException]] at the outermost exit. This covers a
+  * medium that HANGS (a blocking connect with no timeout) as well as one
+  * that fails fast: the wedged beat cannot report anything, so the exit
+  * itself checks the beat-health stamp, and the release's wait on the
+  * beat lock is bounded (a wedged beat never deadlocks the exit — the
+  * release is skipped and the stamp expires by ttl, extendable by at
+  * most one more ttl if the beat later unblocks mid-refresh). Fail-fast
+  * release failures are best-effort too (logged, swallowed), so no
+  * release failure can ever mask the body's outcome. LeaseSpec's
+  * dead-coordination-db and wedged-medium cases assert all of this.
+  * Supply connect/read timeouts in the medium where possible (JDBC login
+  * and socket timeouts) — detection works without them, but a timed-out
+  * call frees the beat thread where a wedged one parks it.
   *
   * This is advisory locking with cooperative writers — the right tool for
   * one pipeline's own drivers (all CorpusIngest entry points check it).
@@ -620,14 +629,29 @@ object WarehouseLease {
     }
   }
 
-  // per-key monitors serializing the heartbeat body against release: the
+  // per-key locks serializing the heartbeat body against release: the
   // beat's check-then-refresh is not atomic on its own, so an unlucky
   // preemption between its read and its refresh could recreate
   // the lease file AFTER release deleted it — an orphan lease blocking
-  // foreign writers for a full ttl
-  private val beatMonitors = new ConcurrentHashMap[String, Object]()
-  private def beatMonitor(key: String): Object =
-    beatMonitors.computeIfAbsent(key, _ => new Object)
+  // foreign writers for a full ttl. A ReentrantLock (not a monitor) so
+  // release can BOUND its wait: a beat wedged inside a hanging medium
+  // call must never deadlock the holder's exit (see the release path).
+  private val beatMonitors =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private def beatMonitor(key: String): java.util.concurrent.locks.ReentrantLock =
+    beatMonitors.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+
+  // last instant each held lease's medium ANSWERED a beat (acquire counts
+  // as one) — consulted BOTH by the beat's unreachable-medium detection
+  // and by the outermost exit: a WEDGED medium call (a hanging connect
+  // with no timeout — DriverManager sets none by default) blocks the beat
+  // thread inside the call, so the beat itself can never report the
+  // staleness; the exit-time check fires regardless of where the beat is
+  // stuck. Either way, > ttl without one successful beat means the
+  // published stamp expired where nobody could see it — lost, not held.
+  private val beatHealth =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   // keys whose heartbeat observed a FOREIGN owner on the lease file while
   // we believed we held it (possible only if >ttl elapsed without a
@@ -638,18 +662,24 @@ object WarehouseLease {
   // results.
   private val lost = ConcurrentHashMap.newKeySet[String]()
 
-  // heartbeat renewals for held leases — one shared daemon thread; tasks
-  // are cancelled at outermost release (and double-checked against `held`
-  // so a cancel/fire race can never re-stamp a released lease)
+  // heartbeat renewals for held leases — a small shared daemon pool;
+  // tasks are cancelled at outermost release (and double-checked against
+  // `held` so a cancel/fire race can never re-stamp a released lease).
+  // FOUR threads, not one: a beat wedged inside one lease's hanging
+  // medium call must not starve every OTHER held lease's beats past
+  // their ttls (their detection — beatHealth + the exit-time check —
+  // stays loud either way, but healthy leases should keep beating).
   private val renewals =
     new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
   private lazy val heartbeatPool = {
-    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(4,
       (r: Runnable) => {
-        val th = new Thread(r, "graft-lease-heartbeat")
+        val th = new Thread(r, s"graft-lease-heartbeat-${n.incrementAndGet()}")
         th.setDaemon(true)
         th
       })
+    t.setRemoveOnCancelPolicy(true)
     t
   }
 
@@ -774,18 +804,20 @@ object WarehouseLease {
         // somehow slipped between beats, must not be clobbered by a stale
         // overwrite.
         val period = math.max(ttlMs / 3L, 100L)
-        // last instant the medium ANSWERED a beat (acquire counts as one):
         // an unreachable medium (coordination-db outage, filesystem hang)
         // retries silently while the last published stamp is still in
         // date, but once a full ttl passes without one successful beat
         // the stamp has expired where nobody can see it — an unseen
         // reclaim can no longer be ruled out, so the lease is LOST, not
-        // held (surfaced at the outermost exit like every loss)
-        val lastBeatOk =
-          new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+        // held (surfaced at the outermost exit like every loss; a WEDGED
+        // medium call is caught by the exit-time beatHealth check, see
+        // the field doc)
+        val lastBeatOk = beatHealth.computeIfAbsent(key,
+          _ => new java.util.concurrent.atomic.AtomicLong(0L))
+        lastBeatOk.set(System.currentTimeMillis())
         renewals.put(key, heartbeatPool.scheduleAtFixedRate(
-          () => beatMonitor(key).synchronized {
-            // the monitor makes check-then-refresh atomic against release:
+          () => { val l = beatMonitor(key); l.lock(); try {
+            // the lock makes check-then-refresh atomic against release:
             // without it a beat preempted between its read and its write
             // could recreate the lease file AFTER release deleted it
             val cur = held.get(key)
@@ -833,7 +865,7 @@ object WarehouseLease {
                     markLost(key, warehouse, owner,
                       "<medium unreachable past the ttl>")
               }
-          },
+          } finally l.unlock() },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
         case e: Throwable =>
@@ -845,13 +877,22 @@ object WarehouseLease {
       // surface a mid-body lease loss on the success path: the work ran,
       // but a reclaiming writer may have interleaved with it — the caller
       // must treat the drop as suspect (its appends are idempotent, so
-      // re-running after re-acquiring heals)
-      if (depth == 1 && lost.contains(key))
-        throw new LeaseLostException(
-          s"warehouse $warehouse: the write lease was lost to another " +
-            "owner while this call ran (heartbeat gap exceeded the ttl); " +
-            "a concurrent writer may have interleaved — re-run this " +
-            "entry point after re-acquiring, its appends are idempotent")
+      // re-running after re-acquiring heals). The beatHealth clause is
+      // the WEDGED-medium case: a beat blocked inside a hanging call can
+      // never report its own staleness, but a full ttl without one
+      // successful beat means the stamp expired unseen either way.
+      if (depth == 1) {
+        val beatStale = Option(beatHealth.get(key)).exists(a =>
+          System.currentTimeMillis() - a.get() > ttlMs)
+        if (lost.contains(key) || beatStale)
+          throw new LeaseLostException(
+            s"warehouse $warehouse: the write lease was lost to another " +
+              "owner while this call ran (heartbeat gap exceeded the ttl" +
+              (if (beatStale && !lost.contains(key))
+                " — the medium stopped answering beats" else "") +
+              "); a concurrent writer may have interleaved — re-run this " +
+              "entry point after re-acquiring, its appends are idempotent")
+      }
       out
     } finally {
       dropThreadRoot(rootKey)
@@ -863,22 +904,36 @@ object WarehouseLease {
       if (left == null) {
         val hb = renewals.remove(key)
         if (hb != null) hb.cancel(false)
-        // under the beat monitor: a beat already past its held-check must
+        // under the beat lock: a beat already past its held-check must
         // finish (refresh-then-delete is fine) before we delete — the
-        // reverse order would resurrect the file as an orphan.
-        // Release is BEST-EFFORT against an unreachable medium: the stamp
-        // expires by ttl on its own, and an exception here would MASK the
-        // body's outcome (including a LeaseLostException the caller must
-        // see) — log and move on, never throw from the release.
-        beatMonitor(key).synchronized {
+        // reverse order would resurrect the file as an orphan. The wait
+        // is BOUNDED: a beat wedged inside a hanging medium call must
+        // never deadlock the holder's exit — on timeout the release is
+        // skipped (the stamp expires by ttl; a later-unblocking beat can
+        // extend that by at most one more ttl before its held-check
+        // stops it). Release is best-effort against an unreachable
+        // medium for the same reason: an exception here would MASK the
+        // body's outcome (including a LeaseLostException the caller
+        // must see) — log and move on, never throw from the release.
+        val l = beatMonitor(key)
+        val lockedInTime =
+          try l.tryLock(math.max(ttlMs / 3L, 100L) * 2L,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); false }
+        if (lockedInTime)
           try releaseVia(mediumFor(spark, warehouse), owner)
           catch {
             case e: Exception => log.warn(
               s"could not release the write lease on $warehouse " +
                 s"(medium unreachable?) — it expires by ttl on its own", e)
-          }
-        }
+          } finally l.unlock()
+        else log.warn(
+          s"write lease on $warehouse: a heartbeat is wedged inside a " +
+            "hanging medium call — skipping the release; the lease " +
+            "expires by ttl on its own")
         lost.remove(key)
+        beatHealth.remove(key)
       }
     }
   }

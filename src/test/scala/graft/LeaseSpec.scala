@@ -234,6 +234,47 @@ class LeaseSpec extends AnyFunSuite {
     } finally WarehouseLease.unregisterMedium("deadjdbc")
   }
 
+  test("a medium that WEDGES mid-hold is lost loudly at exit, never deadlocked or silently held") {
+    // a HANGING medium (a blocking connect with no timeout — what
+    // DriverManager gives by default) parks the beat thread inside the
+    // call, so the beat can never report its own staleness. The asserted
+    // semantics: the exit itself checks beat health — one full ttl
+    // without a successful beat throws LeaseLostException — and its wait
+    // for the wedged beat's lock is BOUNDED, so the exit returns instead
+    // of deadlocking (the release is skipped; the stamp expires by ttl).
+    val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inner = new MemCell
+    val cell = new WarehouseLease.AtomicCell {
+      // park forever (the beat thread is a daemon; one stays parked for
+      // the rest of the suite, which the 4-thread pool absorbs)
+      private def gate(): Unit =
+        if (wedge.get()) new CountDownLatch(1).await()
+      override def get(): Option[(String, String)] = { gate(); inner.get() }
+      override def putIfAbsent(c: String): Boolean =
+        { gate(); inner.putIfAbsent(c) }
+      override def putIfTag(t: String, c: String): Boolean =
+        { gate(); inner.putIfTag(t, c) }
+      override def deleteIfTag(t: String): Boolean =
+        { gate(); inner.deleteIfTag(t) }
+    }
+    WarehouseLease.registerMedium("wedgemem",
+      (_, _) => new WarehouseLease.CasLeaseMedium(cell))
+    try {
+      val t0 = System.currentTimeMillis()
+      intercept[WarehouseLease.LeaseLostException] {
+        WarehouseLease.withWriteLease(spark, "wedgemem://bucket/wh",
+          owner = "holder", ttlMs = 600L) {
+          wedge.set(true)   // the medium becomes a black hole mid-hold
+          Thread.sleep(1500L)
+        }
+      }
+      // the exit's wait on the wedged beat is bounded (2 beat periods),
+      // not a deadlock
+      assert(System.currentTimeMillis() - t0 < 15000L,
+        "exit must not block on the wedged beat")
+    } finally WarehouseLease.unregisterMedium("wedgemem")
+  }
+
   test("JDBC cell medium: one winner per acquire/reclaim race; lifecycle over the database") {
     val url = s"jdbc:derby:${java.nio.file.Files
       .createTempDirectory("lease-jdbc-med")}/db;create=true"

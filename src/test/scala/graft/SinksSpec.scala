@@ -188,10 +188,11 @@ class SinksSpec extends AnyFunSuite {
     val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
     val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
     // a short TTL so "the swap outlives the TTL" fits in a test: beat
-    // period = ttl/3 ≈ 133 ms, and the slow rename window below runs for
-    // ~4 TTLs — without the re-stamping beat, every read past 400 ms
-    // would false-crash
-    spark.conf.set(Sinks.SwapInflightTtlKey, "400")
+    // period = ttl/3 = 400 ms (tolerating ~800 ms of beat-thread slip
+    // under suite load before a false stale), and the slow rename window
+    // below runs for ~2.5 TTLs — without the re-stamping beat, every
+    // read past 1.2 s would false-crash
+    spark.conf.set(Sinks.SwapInflightTtlKey, "1200")
     try {
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val writer = new Thread(() =>
@@ -199,11 +200,11 @@ class SinksSpec extends AnyFunSuite {
           // the rename window of a healthy-but-slow swap (a copy-based
           // directory rename of a huge table): live absent, data parked
           assert(fs.rename(hp, old))
-          Thread.sleep(1600L)
+          Thread.sleep(3000L)
           assert(fs.rename(old, hp))
         } catch { case t: Throwable => failure.set(t) })
       writer.start()
-      Thread.sleep(1200L) // well past the 400 ms TTL, writer still mid-swap
+      Thread.sleep(2000L) // well past the 1.2 s TTL, writer still mid-swap
       val ex = intercept[IllegalStateException](Sinks.storePresent(spark, p))
       assert(ex.getMessage.contains("mid-swap") &&
         !ex.getMessage.contains("crash-parked"),
@@ -218,9 +219,10 @@ class SinksSpec extends AnyFunSuite {
       // parked signature reads as the crash it is
       assert(fs.rename(hp, old))
       val out = fs.create(token, true)
-      try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      // stamp it already-stale (2 TTLs old) — no sleep on the test path
+      try out.write((System.currentTimeMillis() - 2400L).toString
+        .getBytes("UTF-8"))
       finally out.close()
-      Thread.sleep(600L)
       val crashed = intercept[IllegalStateException](Sinks.storePresent(spark, p))
       assert(crashed.getMessage.contains("crash-parked"), crashed.getMessage)
       assert(fs.rename(old, hp))
