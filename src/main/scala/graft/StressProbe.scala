@@ -710,22 +710,27 @@ object StressProbe {
         // tag-selection contract as storeProbe: the drops read the
         // stores the builds write, so a drop-only selection still builds
         // — untimed, unreported — instead of dying on a missing store.
-        val dropSelected =
-          Seq("store_size_drop_200k", "store_size_drop_1m").exists(selected)
-        val stores = Seq("200k" -> 200000L, "1m" -> 1000000L).map {
+        // per-LABEL gating: a drop tag forces (untimed) only ITS OWN
+        // store's build — store_size_drop_200k alone must not pay the
+        // 1M-doc build it never reads
+        def dropTag(label: String) = s"store_size_drop_$label"
+        val stores = Seq("200k" -> 200000L, "1m" -> 1000000L).flatMap {
           case (label, n) =>
-            val dir = java.nio.file.Files
-              .createTempDirectory(s"graft-stress-size-$label").toString
-            val bandP = s"$dir/bands"
-            val shingleP = s"$dir/shingles"
-            def buildStore(): Unit = core.GraftCaches.withScope(spark)(
-              operators.DedupOps.appendSignatureStoreBucketed(
-                corpusOf(n), bandP, shingleP, buckets = 32))
-            val tag = s"store_size_build_$label"
-            val build =
-              if (!selected(tag) && dropSelected) { buildStore(); tag -> 0.0 }
-              else timeEffect(tag, n)(buildStore())
-            (label, bandP, shingleP, build)
+            val buildTag = s"store_size_build_$label"
+            if (!selected(buildTag) && !selected(dropTag(label))) None
+            else {
+              val dir = java.nio.file.Files
+                .createTempDirectory(s"graft-stress-size-$label").toString
+              val bandP = s"$dir/bands"
+              val shingleP = s"$dir/shingles"
+              def buildStore(): Unit = core.GraftCaches.withScope(spark)(
+                operators.DedupOps.appendSignatureStoreBucketed(
+                  corpusOf(n), bandP, shingleP, buckets = 32))
+              val build =
+                if (!selected(buildTag)) { buildStore(); buildTag -> 0.0 }
+                else timeEffect(buildTag, n)(buildStore())
+              Some((label, bandP, shingleP, build))
+            }
         }
         // same at-scale regime as the storeProbe: neither join side
         // broadcasts at 100 TB
@@ -737,19 +742,21 @@ object StressProbe {
               core.Sinks.readBucketedPath(spark, bandP),
               core.Sinks.readBucketedPath(spark, shingleP),
               dropDocs, threshold = 0.5)
-          if (dropSelected)
+          // warm up against the first store whose drop is selected
+          stores.find(s => selected(dropTag(s._1))).foreach { s =>
             core.GraftCaches.withScope(spark)(
-              dropAgainst(stores.head._2, stores.head._3)
-                .write.format("noop").mode("overwrite").save()) // warm-up
+              dropAgainst(s._2, s._3)
+                .write.format("noop").mode("overwrite").save())
+          }
           stores.flatMap { case (label, bandP, shingleP, build) =>
             Seq(build, core.GraftCaches.withScope(spark)(
-              timeN(s"store_size_drop_$label", dropN)(
-                dropAgainst(bandP, shingleP))))
+              timeN(dropTag(label), dropN)(dropAgainst(bandP, shingleP))))
           }
         } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
           oldThresh)
         val times = out.toMap
-        if (times("store_size_drop_200k") > 0)
+        if (times.getOrElse("store_size_drop_200k", 0.0) > 0 &&
+            times.getOrElse("store_size_drop_1m", 0.0) > 0)
           println(f"[stress] store_size drop ratio (1m / 200k stores, 5x data): " +
             f"${times("store_size_drop_1m") / times("store_size_drop_200k")}%.2f")
         out

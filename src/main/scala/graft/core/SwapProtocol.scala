@@ -123,7 +123,12 @@ object SwapProtocol {
   // re-stamp work is a single tiny file write per period per swap, but
   // one re-stamp wedged on a degraded store must not starve a CONCURRENT
   // swap's beats past its TTL (which would false-crash that swap's
-  // lease-free readers — the exact spurious report the beat eliminates)
+  // lease-free readers — the exact spurious report the beat eliminates).
+  // A wedged re-stamp parks its thread permanently; the residual is
+  // accepted because a warehouse filesystem that WEDGES writes has the
+  // swap's own renames wedged first — the loud failure is the swap
+  // itself, and exhausted beats merely degrade to the pre-beat one-shot
+  // stamp (stale after one TTL), never anything less safe.
   private lazy val restampPool = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     val t = new java.util.concurrent.ScheduledThreadPoolExecutor(2,
@@ -168,9 +173,16 @@ object SwapProtocol {
       beat.cancel(false)
       // bounded wait for an in-flight beat so the clear is ordered after
       // its re-stamp; on timeout (the beat is wedged on a degraded
-      // store — where the body's own renames are likely wedged too)
-      // clear anyway: the worst case is inert token residue next to a
-      // healthy table, re-stamped by the next swap (object doc)
+      // store — where the body's own renames are wedged first, so this
+      // exit rarely even runs) clear anyway: the worst case is inert
+      // token residue next to a healthy table, re-stamped by the next
+      // swap (object doc). Two accepted residuals on a store that
+      // wedges-then-recovers: the clear itself can block on the same
+      // hung fs (the writer was already lost inside its renames), and a
+      // wedged re-stamp unblocking AFTER a later swap's fresh stamp can
+      // overwrite it with its pre-wedge millis — one false crash-park
+      // report for at most one beat period, until the live beat
+      // re-stamps.
       val locked =
         try lock.tryLock(period, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: InterruptedException =>

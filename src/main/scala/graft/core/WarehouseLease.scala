@@ -629,18 +629,18 @@ object WarehouseLease {
     }
   }
 
-  // per-key locks serializing the heartbeat body against release: the
+  // per-HOLD locks serializing the heartbeat body against release: the
   // beat's check-then-refresh is not atomic on its own, so an unlucky
   // preemption between its read and its refresh could recreate
   // the lease file AFTER release deleted it — an orphan lease blocking
   // foreign writers for a full ttl. A ReentrantLock (not a monitor) so
-  // release can BOUND its wait: a beat wedged inside a hanging medium
-  // call must never deadlock the holder's exit (see the release path).
-  private val beatMonitors =
+  // release can BOUND its wait, and a FRESH lock per outermost acquire
+  // rather than per key: a beat wedged inside a hanging medium call
+  // holds ITS hold's lock forever, and a later re-acquire of the same
+  // warehouse — the documented recovery after a LeaseLostException —
+  // must start with an unpoisoned lock, not inherit the wedge.
+  private val beatLocks =
     new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
-  private def beatMonitor(key: String): java.util.concurrent.locks.ReentrantLock =
-    beatMonitors.computeIfAbsent(key,
-      _ => new java.util.concurrent.locks.ReentrantLock)
 
   // last instant each held lease's medium ANSWERED a beat (acquire counts
   // as one) — consulted BOTH by the beat's unreachable-medium detection
@@ -667,8 +667,15 @@ object WarehouseLease {
   // `held` so a cancel/fire race can never re-stamp a released lease).
   // FOUR threads, not one: a beat wedged inside one lease's hanging
   // medium call must not starve every OTHER held lease's beats past
-  // their ttls (their detection — beatHealth + the exit-time check —
-  // stays loud either way, but healthy leases should keep beating).
+  // their ttls. Degradation is GRACEFUL and bounded by design: each
+  // distinct wedge event parks one pool thread permanently (nothing can
+  // safely interrupt a call blocked inside arbitrary driver code), so
+  // four concurrent wedges silence all beating — but loss DETECTION
+  // never degrades with it, because the exit-time beatHealth check fires
+  // without any beat running: worst case every long-held lease exits
+  // with a loud LeaseLostException instead of a silent dual write, and
+  // timeouts on the medium's connects (JdbcAtomicCell doc) prevent the
+  // parking in the first place.
   private val renewals =
     new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
   private lazy val heartbeatPool = {
@@ -815,8 +822,13 @@ object WarehouseLease {
         val lastBeatOk = beatHealth.computeIfAbsent(key,
           _ => new java.util.concurrent.atomic.AtomicLong(0L))
         lastBeatOk.set(System.currentTimeMillis())
+        // the fresh per-hold lock (see beatLocks); the beat closure
+        // captures the INSTANCE so a next hold's beats can never contend
+        // with — or inherit a wedge from — this one's
+        val holdLock = new java.util.concurrent.locks.ReentrantLock
+        beatLocks.put(key, holdLock)
         renewals.put(key, heartbeatPool.scheduleAtFixedRate(
-          () => { val l = beatMonitor(key); l.lock(); try {
+          () => { val l = holdLock; l.lock(); try {
             // the lock makes check-then-refresh atomic against release:
             // without it a beat preempted between its read and its write
             // could recreate the lease file AFTER release deleted it
@@ -904,34 +916,57 @@ object WarehouseLease {
       if (left == null) {
         val hb = renewals.remove(key)
         if (hb != null) hb.cancel(false)
-        // under the beat lock: a beat already past its held-check must
-        // finish (refresh-then-delete is fine) before we delete — the
-        // reverse order would resurrect the file as an orphan. The wait
-        // is BOUNDED: a beat wedged inside a hanging medium call must
-        // never deadlock the holder's exit — on timeout the release is
-        // skipped (the stamp expires by ttl; a later-unblocking beat can
-        // extend that by at most one more ttl before its held-check
-        // stops it). Release is best-effort against an unreachable
-        // medium for the same reason: an exception here would MASK the
-        // body's outcome (including a LeaseLostException the caller
-        // must see) — log and move on, never throw from the release.
-        val l = beatMonitor(key)
-        val lockedInTime =
-          try l.tryLock(math.max(ttlMs / 3L, 100L) * 2L,
-            java.util.concurrent.TimeUnit.MILLISECONDS)
-          catch { case _: InterruptedException =>
-            Thread.currentThread().interrupt(); false }
-        if (lockedInTime)
-          try releaseVia(mediumFor(spark, warehouse), owner)
-          catch {
-            case e: Exception => log.warn(
-              s"could not release the write lease on $warehouse " +
-                s"(medium unreachable?) — it expires by ttl on its own", e)
-          } finally l.unlock()
-        else log.warn(
-          s"write lease on $warehouse: a heartbeat is wedged inside a " +
-            "hanging medium call — skipping the release; the lease " +
-            "expires by ttl on its own")
+        // under the hold's beat lock: a beat already past its held-check
+        // must finish (refresh-then-delete is fine) before we delete —
+        // the reverse order would resurrect the file as an orphan. The
+        // WHOLE release (lock wait AND the release's own medium I/O —
+        // either can hang on a wedged medium) runs in a pool task with a
+        // bounded get, so the holder's exit always returns: on timeout
+        // the release is abandoned (the stamp expires by ttl; a
+        // later-unblocking beat can extend that by at most one more ttl
+        // before its held-check stops it, and the abandoned task parks
+        // one pool thread — the degradation note on heartbeatPool).
+        // Release is best-effort against an unreachable medium for the
+        // same reason: an exception here would MASK the body's outcome
+        // (including a LeaseLostException the caller must see) — log and
+        // move on, never throw from the release.
+        val holdLock = beatLocks.remove(key)
+        val period = math.max(ttlMs / 3L, 100L)
+        val releaseTask = heartbeatPool.submit(new Runnable {
+          override def run(): Unit = {
+            val locked = holdLock == null ||
+              (try holdLock.tryLock(2L * period,
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+              catch { case _: InterruptedException => false })
+            if (!locked)
+              // a beat is wedged mid-call and might still complete its
+              // refresh: releasing concurrently could recreate the lease
+              // as an orphan — skip, the stamp expires by ttl
+              log.warn(
+                s"write lease on $warehouse: a heartbeat is wedged " +
+                  "inside a hanging medium call — skipping the release; " +
+                  "the lease expires by ttl on its own")
+            else
+              try releaseVia(mediumFor(spark, warehouse), owner)
+              catch {
+                case e: Exception => log.warn(
+                  s"could not release the write lease on $warehouse " +
+                    s"(medium unreachable?) — it expires by ttl on its own",
+                  e)
+              } finally if (holdLock != null) holdLock.unlock()
+          }
+        })
+        try releaseTask.get(4L * period,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException => log.warn(
+            s"write lease on $warehouse: the release is wedged inside a " +
+              "hanging medium call — abandoning it; the lease expires " +
+              "by ttl on its own")
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case e: java.util.concurrent.ExecutionException =>
+            log.warn(s"write lease release on $warehouse failed", e)
+        }
         lost.remove(key)
         beatHealth.remove(key)
       }
