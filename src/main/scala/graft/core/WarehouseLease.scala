@@ -709,6 +709,19 @@ object WarehouseLease {
     catch { case _: NumberFormatException => ("<corrupt>", Long.MaxValue) }
   }
 
+  /** Read the warehouse's current lease as (owner, expiryMillis), None
+    * when free — the first question on a contended multi-driver
+    * warehouse ("which driver holds this, until when") answered without
+    * provoking a LeaseHeldException. Purely a read: no transition, no
+    * arbitration, and inherently a snapshot (the holder may release or a
+    * reclaimer may win between this read and anything the caller does
+    * with it). Unreadable/torn content reports as a never-expiring
+    * "<corrupt>" holder, same as the acquire path treats it.
+    */
+  def status(spark: SparkSession,
+             warehouse: String): Option[(String, Long)] =
+    mediumFor(spark, warehouse).read().map(parseLease)
+
   /** Take the warehouse write lease. Throws LeaseHeldException when
     * another live owner holds it (or when a racing transition beat us),
     * LeaseUnsupportedException when the warehouse's filesystem has no

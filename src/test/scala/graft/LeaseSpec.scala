@@ -543,6 +543,22 @@ class LeaseSpec extends AnyFunSuite {
     assert(cell.deleteIfTag("0"))
   }
 
+  test("status reads the current holder without provoking contention") {
+    val wh = java.nio.file.Files.createTempDirectory("lease-status").toString
+    assert(WarehouseLease.status(spark, wh).isEmpty, "free warehouse")
+    WarehouseLease.acquire(spark, wh, owner = "ops-driver", ttlMs = 60000L)
+    val st = WarehouseLease.status(spark, wh)
+    assert(st.exists(_._1 == "ops-driver"), st.toString)
+    assert(st.exists(_._2 > System.currentTimeMillis()), "expiry in the future")
+    // the read took no transition: the holder still holds, a contender is
+    // still refused, and release still works
+    intercept[WarehouseLease.LeaseHeldException] {
+      WarehouseLease.acquire(spark, wh, owner = "other", ttlMs = 1000L)
+    }
+    WarehouseLease.release(spark, wh, owner = "ops-driver")
+    assert(WarehouseLease.status(spark, wh).isEmpty, "released reads free")
+  }
+
   test("heldByCurrentThread: true only inside the holding call tree, for the root and its subpaths") {
     val wh = java.nio.file.Files.createTempDirectory("lease-held").toString
     val store = s"$wh/corpus/pairs"
