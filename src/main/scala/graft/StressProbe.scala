@@ -763,10 +763,69 @@ object StressProbe {
       }
     }
 
+    // ---- GOVERNANCE at two warehouse sizes: `store_size_*` proved the
+    // dedup drop flat across a 5× store; these do the same for the two
+    // governance measurements that were single-size points — the fsck
+    // audit (id-projected anti-joins + ledger compares: the wall should
+    // track the thin id tables, roughly linear in doc count, never the
+    // corpus bytes) and the takedown delete (a leased rewrite of every
+    // table the ids touch: the documented per-takedown price, whose
+    // slope shows whether the rewrite or the fixed per-call protocol
+    // cost dominates at scale). Same warm-up contract as store_size_*:
+    // one untimed fsck + delete of the same plan family first, so the
+    // first timed point doesn't pay the JVM/codegen warm-up.
+    val govProbe = {
+      val sizes = Seq("200k" -> 200000L, "1m" -> 1000000L)
+      val tags = sizes.flatMap { case (l, _) =>
+        Seq(s"gov_build_$l", s"gov_fsck_$l", s"gov_takedown_$l") }
+      if (!tags.exists(selected)) tags.map(_ -> 0.0)
+      else {
+        def corpusOf(n: Long) = spark.range(0, n, 1, 64).select(
+          col("id").as("doc_id"),
+          array_join(expr(
+            """transform(sequence(0, 19), i -> substr(
+              |  md5(concat(id, '-', i)), 1, 6))""".stripMargin),
+            " ").as("text"))
+        val whs = sizes.flatMap { case (label, n) =>
+          val buildTag = s"gov_build_$label"
+          val anySel = Seq(buildTag, s"gov_fsck_$label",
+            s"gov_takedown_$label").exists(selected)
+          if (!anySel) None
+          else {
+            val wh = java.nio.file.Files
+              .createTempDirectory(s"graft-stress-gov-$label").toString
+            def build(): Unit = core.GraftCaches.withScope(spark)(
+              app.CorpusIngest.run(spark, corpusOf(n), wh, threshold = 0.5))
+            val b =
+              if (!selected(buildTag)) { build(); buildTag -> 0.0 }
+              else timeEffect(buildTag, n)(build())
+            Some((label, n, wh, b))
+          }
+        }
+        // untimed warm-up against the first selected size (codegen/JIT
+        // for the whole fsck + delete plan family)
+        whs.headOption.foreach { case (_, _, wh, _) =>
+          core.GraftCaches.withScope(spark)(
+            app.CorpusIngest.fsck(spark, wh).collect())
+          core.GraftCaches.withScope(spark)(
+            app.CorpusIngest.delete(spark, wh, (0L until 10L).toSeq))
+        }
+        whs.flatMap { case (label, n, wh, b) =>
+          Seq(b,
+            core.GraftCaches.withScope(spark)(
+              timeEffect(s"gov_fsck_$label", n)(
+                app.CorpusIngest.fsck(spark, wh).collect())),
+            core.GraftCaches.withScope(spark)(
+              timeEffect(s"gov_takedown_$label", n)(
+                app.CorpusIngest.delete(spark, wh, (10L until 20L).toSeq))))
+        }
+      }
+    }
+
     val all =
       results ++ llm ++ storeProbe ++ skewProbe ++ embStoreProbe ++
         mediaStoreProbe ++ semStoreProbe ++ ccProbe ++ corpusProbe ++
-        exportProbe ++ sizeProbe
+        exportProbe ++ sizeProbe ++ govProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

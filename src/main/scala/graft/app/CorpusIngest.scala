@@ -1239,6 +1239,9 @@ object CorpusIngest {
   def repair(spark: SparkSession, warehouse: String): DataFrame =
     Governance.repair(spark, warehouse)
 
+  def warehouseStatus(spark: SparkSession, warehouse: String): DataFrame =
+    Governance.warehouseStatus(spark, warehouse)
+
   def snapshotCorpus(spark: SparkSession, warehouse: String,
                      atMs: Option[Long] = None): Long =
     CorpusSnapshots.snapshotCorpus(spark, warehouse, atMs)

@@ -632,4 +632,49 @@ object Governance {
         out.map { case (act, t) => s"$act.$t" -> ((0L, 0L)) }.toMap)
     out.toSeq.toDF("action", "table")
   }
+
+  /** ONE-STOP operational status of a warehouse — the first read an
+    * operator (or a scheduler deciding whether to dispatch a drop) makes
+    * on a warehouse they did not build, previously assembled from four
+    * APIs. Rows are (kind, name, n):
+    *
+    *   - `lease` — the current write-lease holder and its expiry millis
+    *     (`<free>` / 0 when unheld; `<corrupt>` for a torn stamp, same
+    *     parse as the acquire path). A read-only snapshot, never a
+    *     transition — see [[graft.core.WarehouseLease.status]].
+    *   - `parked_swap` — one row per crash-parked rewrite swap
+    *     (warehouse-relative table name, n = 1): the "run repair" signal.
+    *   - `audit_head` — the compliance trail's last used event seq off
+    *     its sibling ledger (-1: no numbered event yet).
+    *   - `snapshot` / `export` — the retention censuses: one row per
+    *     committed artifact, name = stamp, n = pinned doc count (off the
+    *     commit markers — metadata reads, no manifest scan).
+    *
+    * Purely metadata-sized: a lease read, a directory walk, ledger reads
+    * — no content table is scanned, so the answer costs the same on a
+    * 100 TB warehouse as on a fixture. Lease-free by design (status must
+    * be readable while a writer works); inherently a snapshot.
+    */
+  def warehouseStatus(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    val lease = graft.core.WarehouseLease.status(spark, warehouse) match {
+      case Some((owner, exp)) => ("lease", owner, exp)
+      case None => ("lease", "<free>", 0L)
+    }
+    val parked = Sinks.parkedSwapTables(spark, warehouse)
+      .map { case (_, rel) => ("parked_swap", rel, 1L) }
+    val auditHead = ("audit_head", "audit_log",
+      if (Sinks.pathExists(spark, auditSeqLedger(warehouse)))
+        readLongLedger(spark, auditSeqLedger(warehouse))
+      else -1L)
+    val driverRows = (lease +: parked) :+ auditHead
+    driverRows.toDF("kind", "name", "n")
+      .unionByName(CorpusSnapshots.listCorpusSnapshots(spark, warehouse)
+        .select(lit("snapshot").as("kind"),
+          col("snap_ts").cast("string").as("name"), col("n_docs").as("n")))
+      .unionByName(CorpusExports.listCorpusExports(spark, warehouse)
+        .select(lit("export").as("kind"),
+          col("export_ts").cast("string").as("name"), col("n_docs").as("n")))
+      .orderBy(col("kind"), col("name"))
+  }
 }

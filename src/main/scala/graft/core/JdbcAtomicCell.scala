@@ -1,6 +1,6 @@
 package graft.core
 
-import java.sql.{Connection, DriverManager, SQLException}
+import java.sql.{Connection, DriverManager, SQLException, Statement}
 
 import org.apache.spark.sql.SparkSession
 
@@ -64,39 +64,104 @@ import org.apache.spark.sql.SparkSession
   * stamp expires by TTL on its own), never allowed to mask the body's
   * outcome. LeaseSpec's dead-coordination-db case asserts all three.
   *
+  * == Every operation is TIMEOUT-BOUNDED ==
+  *
+  * A medium that WEDGES (a TCP connect that hangs before the driver sees
+  * it, a query parked on a dead-but-not-closed socket) is strictly worse
+  * than one that fails fast: the protocol above still DETECTS the loss
+  * (the exit-time beat-health check needs no beat to report), but the
+  * wedged call used to park its calling thread for the connection's
+  * lifetime. So every cell operation is bounded by `opTimeoutMs`
+  * (default 10 s — an order of magnitude over a healthy coordination
+  * round-trip, far under any lease ttl): the connect runs on a
+  * single-use daemon thread with a claim handshake (whichever side loses
+  * the claim closes the connection, so an abandoned connect that later
+  * completes can never leak), and every statement carries a JDBC query
+  * timeout. A timeout surfaces as SQLException (SQLState 08001/HYT00),
+  * which the lease protocol already maps to retry-then-LOST — the thread
+  * is always returned, and the four-wedges-silence-all-beating
+  * degradation the un-bounded path risked cannot occur.
+  *
   * Connections are per-call — lease traffic is a handful of statements
   * per heartbeat period, so pooling would be tuning noise; a deployment
-  * with a shared pool can pass a `connect` thunk instead of a URL. Give
-  * the thunk connect/read TIMEOUTS (JDBC login timeout, driver socket
-  * timeout): `DriverManager` sets none by default, and while the lease
-  * protocol detects a HANGING database too (the holder's exit checks
-  * beat health and throws LeaseLostException without deadlocking — see
-  * WarehouseLease's failure-semantics doc), a timed-out call frees the
-  * heartbeat thread where a wedged one parks it for the connection's
-  * lifetime.
+  * with a shared pool can pass a `connect` thunk instead of a URL (the
+  * timeout harness wraps the thunk either way).
   */
 final class JdbcAtomicCell(connect: () => Connection, table: String,
-                           cellName: String)
+                           cellName: String,
+                           opTimeoutMs: Long = JdbcAtomicCell.DefaultOpTimeoutMs)
     extends WarehouseLease.AtomicCell {
 
   def this(url: String, table: String, cellName: String) =
     this(() => DriverManager.getConnection(url), table, cellName)
 
-  // X0Y32 = Derby "already exists"; 42P07/1050 are the Postgres/MySQL
-  // equivalents — creation races (N media initializing at once) are
-  // first-wins by design
-  JdbcAtomicCell.ensureTable(connect, table)
-
   import JdbcAtomicCell.FreeSentinel
 
+  // statement-level timeout is in whole seconds per JDBC; never 0 (= none)
+  private val stmtTimeoutSec = math.max(1L, opTimeoutMs / 1000L).toInt
+
+  /** Open a connection on a single-use daemon thread, bounded by
+    * `opTimeoutMs`. The claim CAS decides ownership exactly once: if the
+    * waiter times out first it claims ABANDONMENT and the connect thread
+    * closes whatever it later opened; if the connect finishes first it
+    * claims DELIVERY and the waiter takes it. No interleaving leaks a
+    * connection or hands one to a departed waiter.
+    */
+  private def timedConnect(): Connection = {
+    val result =
+      new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Connection]]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val th = new Thread(() => {
+      val r = try Right(connect()) catch { case t: Throwable => Left(t) }
+      result.set(r)
+      if (claimed.compareAndSet(false, true)) done.countDown()
+      else // the waiter abandoned this connect: close, never leak
+        r.foreach(c => try c.close() catch { case _: Exception => () })
+    }, "graft-jdbc-cell-connect")
+    th.setDaemon(true)
+    th.start()
+    val finished =
+      try done.await(opTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false }
+    if (finished) result.get().fold(throw _, identity)
+    else if (claimed.compareAndSet(false, true))
+      // abandonment claimed: the wedged connect's thread is ORPHANED (it
+      // closes its own connection if one ever opens) — the caller's
+      // thread is free, which is the whole point
+      throw new SQLException(
+        s"JdbcAtomicCell: connect to the coordination database timed out " +
+          s"after $opTimeoutMs ms (cell $cellName)", "08001")
+    else {
+      // the connect finished in the instant between our timeout and our
+      // claim — it won delivery, take it
+      done.await()
+      result.get().fold(throw _, identity)
+    }
+  }
+
+  JdbcAtomicCell.ensureTable(() => timedConnect(), table, stmtTimeoutSec)
+
   private def withConn[T](f: Connection => T): T = {
-    val c = connect()
+    val c = timedConnect()
     try f(c) finally c.close()
   }
 
+  // X0Y32 = Derby "already exists"; 42P07/1050 are the Postgres/MySQL
+  // equivalents — creation races (N media initializing at once) are
+  // first-wins by design (see ensureTable)
+
+  private def bounded[S <: Statement](st: S): S = {
+    // a driver that does not support query timeouts must not turn every
+    // call into a failure — the connect-side bound still holds there
+    try st.setQueryTimeout(stmtTimeoutSec) catch { case _: SQLException => () }
+    st
+  }
+
   override def get(): Option[(String, String)] = withConn { c =>
-    val st = c.prepareStatement(
-      s"SELECT content, version FROM $table WHERE name = ?")
+    val st = bounded(c.prepareStatement(
+      s"SELECT content, version FROM $table WHERE name = ?"))
     try {
       st.setString(1, cellName)
       val rs = st.executeQuery()
@@ -115,8 +180,8 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
     * UPDATE by the row lock on the single sentinel-guarded statement.
     */
   override def putIfAbsent(content: String): Boolean = withConn { c =>
-    val ins = c.prepareStatement(
-      s"INSERT INTO $table (name, content, version) VALUES (?, ?, 0)")
+    val ins = bounded(c.prepareStatement(
+      s"INSERT INTO $table (name, content, version) VALUES (?, ?, 0)"))
     val inserted =
       try {
         ins.setString(1, cellName)
@@ -129,9 +194,9 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
           if Option(e.getSQLState).exists(_.startsWith("23")) => false
       } finally ins.close()
     inserted || {
-      val st = c.prepareStatement(
+      val st = bounded(c.prepareStatement(
         s"UPDATE $table SET content = ?, version = version + 1 " +
-          "WHERE name = ? AND content = ?")
+          "WHERE name = ? AND content = ?"))
       try {
         st.setString(1, content)
         st.setString(2, cellName)
@@ -148,9 +213,9 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
   override def putIfTag(tag: String, content: String): Boolean =
     tagAsLong(tag).exists { v =>
       withConn { c =>
-        val st = c.prepareStatement(
+        val st = bounded(c.prepareStatement(
           s"UPDATE $table SET content = ?, version = version + 1 " +
-            "WHERE name = ? AND version = ? AND content <> ?")
+            "WHERE name = ? AND version = ? AND content <> ?"))
         try {
           st.setString(1, content)
           st.setString(2, cellName)
@@ -169,9 +234,9 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
   override def deleteIfTag(tag: String): Boolean =
     tagAsLong(tag).exists { v =>
       withConn { c =>
-        val st = c.prepareStatement(
+        val st = bounded(c.prepareStatement(
           s"UPDATE $table SET content = ?, version = version + 1 " +
-            "WHERE name = ? AND version = ? AND content <> ?")
+            "WHERE name = ? AND version = ? AND content <> ?"))
         try {
           st.setString(1, FreeSentinel)
           st.setString(2, cellName)
@@ -190,6 +255,13 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
 
 object JdbcAtomicCell {
 
+  /** Default bound on one cell operation (connect + statement): an order
+    * of magnitude over a healthy coordination round-trip, far under any
+    * lease ttl — so a wedged database reads as a failed beat (retried,
+    * then LOST), never as a parked thread.
+    */
+  val DefaultOpTimeoutMs: Long = 10000L
+
   /** The released-cell row content. Reserved: `get()` reports a row
     * holding it as absent, and every write path refuses to treat it as
     * live content. Lease stamps (`owner|expiryMillis`) always contain a
@@ -205,25 +277,38 @@ object JdbcAtomicCell {
       ch.isLetterOrDigit || ch == '_' || ch == '.'),
       s"JdbcAtomicCell: table name '$table' must be a plain identifier")
 
-  private def ensureTable(connect: () => Connection, table: String): Unit = {
+  private def ensureTable(connect: () => Connection, table: String,
+                          stmtTimeoutSec: Int): Unit = {
     checkIdent(table)
     val c = connect()
     try {
       val st = c.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE $table (" +
-          "name VARCHAR(512) NOT NULL PRIMARY KEY, " +
-          "content VARCHAR(4096) NOT NULL, " +
-          "version BIGINT NOT NULL)")
-      catch {
+      try {
+        try st.setQueryTimeout(stmtTimeoutSec)
+        catch { case _: SQLException => () }
+        st.executeUpdate(
+          s"CREATE TABLE $table (" +
+            "name VARCHAR(512) NOT NULL PRIMARY KEY, " +
+            "content VARCHAR(4096) NOT NULL, " +
+            "version BIGINT NOT NULL)")
+      } catch {
         // already exists — any SQLState; re-verify by probing the table
         // so a REAL failure (permissions, bad name) still surfaces
         case _: SQLException =>
           val probe = c.createStatement()
-          try probe.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0")
-          finally probe.close()
+          try {
+            try probe.setQueryTimeout(stmtTimeoutSec)
+            catch { case _: SQLException => () }
+            probe.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0")
+          } finally probe.close()
       } finally st.close()
     } finally c.close()
+  }
+
+  private def sha16(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
   }
 
   /** A [[WarehouseLease]] medium factory over one coordination database:
@@ -240,13 +325,21 @@ object JdbcAtomicCell {
     * The URL must reach a database every contending DRIVER can connect
     * to (Postgres/MySQL/RDS, or a Derby network server) — an embedded
     * Derby URL arbitrates only within one JVM (see the class doc).
+    *
+    * The cell name is a readable URI prefix plus a SHA-256 digest of the
+    * FULL normalized URI — never a bare truncation, which would silently
+    * serialize two warehouses sharing a long common prefix on one cell
+    * (safe direction, but a surprise nobody should debug).
     */
-  def mediumFactory(url: String, table: String = "graft_lease_cells")
+  def mediumFactory(url: String, table: String = "graft_lease_cells",
+                    opTimeoutMs: Long = DefaultOpTimeoutMs)
       : (SparkSession, String) => WarehouseLease.LeaseMedium = {
     checkIdent(table)
-    (_, warehouse) =>
+    (_, warehouse) => {
+      val norm = new org.apache.hadoop.fs.Path(warehouse).toUri.toString
       new WarehouseLease.CasLeaseMedium(
-        new JdbcAtomicCell(url, table,
-          new org.apache.hadoop.fs.Path(warehouse).toUri.toString.take(512)))
+        new JdbcAtomicCell(() => DriverManager.getConnection(url), table,
+          s"${norm.take(480)}#${sha16(norm)}", opTimeoutMs))
+    }
   }
 }

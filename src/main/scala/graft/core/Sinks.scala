@@ -234,6 +234,11 @@ object Sinks {
     */
   val SwapInflightTtlKey: String = SwapProtocol.SwapInflightTtlKey
 
+  /** Clock-skew allowance conf key — see
+    * [[SwapProtocol.SwapSkewAllowanceKey]].
+    */
+  val SwapSkewAllowanceKey: String = SwapProtocol.SwapSkewAllowanceKey
+
   /** Park-aware existence gate — see [[SwapProtocol.storePresent]]. */
   def storePresent(spark: SparkSession, path: String): Boolean =
     SwapProtocol.storePresent(spark, path)

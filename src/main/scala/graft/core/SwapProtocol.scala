@@ -81,17 +81,41 @@ object SwapProtocol {
     */
   val SwapInflightTtlKey = "spark.graft.swap.inflightTtlMs"
 
+  /** Conf key: a MECHANICAL cross-host clock-skew allowance (millis,
+    * default 0) added to the token-staleness comparison in
+    * [[storePresent]]. The TTL-sizing advice above remains the fallback;
+    * this key makes the mitigation a setting instead of an operator
+    * convention — a deployment that knows its fleet's skew bound (NTP
+    * monitoring) sets it once and the reader-ahead-of-writer misread
+    * ("healthy in-flight swap reported crash-parked") is excluded by
+    * arithmetic. The allowance only ever widens the in-flight verdict,
+    * whose failure direction is "retry shortly" — it can delay a crashed
+    * writer's park report by at most the allowance, never mask it.
+    */
+  val SwapSkewAllowanceKey = "spark.graft.swap.skewAllowanceMs"
+
   private def swapInflightTtlMs(spark: SparkSession): Long =
     spark.conf.getOption(SwapInflightTtlKey).map(_.trim.toLong)
       .getOrElse(60000L)
 
+  private def swapSkewAllowanceMs(spark: SparkSession): Long =
+    spark.conf.getOption(SwapSkewAllowanceKey).map(_.trim.toLong)
+      .getOrElse(0L)
+
   private def swapTokenPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "._swap_inflight")
 
+  // token content: `<epochMillis>|<swapNonce>` — the nonce identifies
+  // WHICH swap's beat owns the token, so a beat that wedged and
+  // unblocked after a LATER swap stamped fresh refuses to clobber the
+  // newer swap's token with its pre-wedge millis (the ADVICE r16 false
+  // crash-park). Legacy bare-millis tokens (pre-nonce residue) parse
+  // with nonce "" and are treated as unowned — any beat may re-stamp.
   private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String): Unit = {
+                             path: String, nonce: String): Unit = {
     val out = fs.create(swapTokenPath(path), true)
-    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    try out.write(
+      s"${System.currentTimeMillis()}|$nonce".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -100,23 +124,35 @@ object SwapProtocol {
     try fs.delete(swapTokenPath(path), false)
     catch { case _: java.io.IOException => () }
 
-  /** The token's stamp, None when absent. A token that exists but cannot
-    * be read or parsed reads as stamp 0 — i.e. maximally STALE: ambiguity
-    * resolves toward the loud crash report (which only ever points at
-    * repair), never toward treating a parked store as absent.
+  /** (stamp, nonce), None when absent. A token that exists but cannot be
+    * read or parsed reads as stamp 0 with no owner — i.e. maximally
+    * STALE: ambiguity resolves toward the loud crash report (which only
+    * ever points at repair), never toward treating a parked store as
+    * absent.
     */
-  private def readSwapToken(spark: SparkSession,
-                            path: String): Option[Long] = {
+  private def readSwapTokenFull(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): Option[(Long, String)] = {
     val p = swapTokenPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(
       try {
         val in = fs.open(p)
-        try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-          .readLine().trim.toLong
-        finally in.close()
-      } catch { case _: Exception => 0L })
+        val line =
+          try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+            .readLine().trim
+          finally in.close()
+        val i = line.indexOf('|')
+        if (i < 0) (line.toLong, "") // legacy bare-millis token
+        else (line.substring(0, i).toLong, line.substring(i + 1))
+      } catch { case _: Exception => (0L, "") })
+  }
+
+  private def readSwapToken(spark: SparkSession,
+                            path: String): Option[Long] = {
+    val p = swapTokenPath(path)
+    readSwapTokenFull(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+      .map(_._1)
   }
 
   // a small shared daemon pool beating every in-flight swap in the JVM:
@@ -156,14 +192,28 @@ object SwapProtocol {
                                       path: String)(body: => T): T = {
     val lock = new java.util.concurrent.locks.ReentrantLock
     val active = new java.util.concurrent.atomic.AtomicBoolean(true)
-    stampSwapToken(fs, path)
+    // per-swap identity: the beat refuses to clobber a token a LATER
+    // swap stamped (its nonce differs), and the exit's clear refuses to
+    // delete one — a beat or clear that wedged past its swap's lifetime
+    // can no-op but never falsify a newer swap's in-flight claim. The
+    // remaining window is a WRITE that wedged after its owner re-check
+    // and lands late — read-to-write instants, down from the whole wedge
+    // duration.
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    stampSwapToken(fs, path, nonce)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
       () => {
         lock.lock()
         try {
           if (active.get())
-            try stampSwapToken(fs, path) catch { case _: Exception => () }
+            try {
+              val owned = readSwapTokenFull(fs, path) match {
+                case Some((_, n)) if n.nonEmpty && n != nonce => false
+                case _ => true // ours, legacy, or racing-absent
+              }
+              if (owned) stampSwapToken(fs, path, nonce)
+            } catch { case _: Exception => () }
         } finally lock.unlock()
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -176,18 +226,23 @@ object SwapProtocol {
       // store — where the body's own renames are wedged first, so this
       // exit rarely even runs) clear anyway: the worst case is inert
       // token residue next to a healthy table, re-stamped by the next
-      // swap (object doc). Two accepted residuals on a store that
+      // swap (object doc). One accepted residual on a store that
       // wedges-then-recovers: the clear itself can block on the same
-      // hung fs (the writer was already lost inside its renames), and a
-      // wedged re-stamp unblocking AFTER a later swap's fresh stamp can
-      // overwrite it with its pre-wedge millis — one false crash-park
-      // report for at most one beat period, until the live beat
-      // re-stamps.
+      // hung fs (the writer was already lost inside its renames). The
+      // clear is nonce-guarded like the beat — it never deletes a later
+      // swap's live token.
       val locked =
         try lock.tryLock(period, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: InterruptedException =>
           Thread.currentThread().interrupt(); false }
-      try clearSwapToken(fs, path)
+      try {
+        val owned = readSwapTokenFull(fs, path) match {
+          case Some((_, n)) if n.nonEmpty && n != nonce => false
+          case Some(_) => true
+          case None => false // already cleared / never landed
+        }
+        if (owned) clearSwapToken(fs, path)
+      } catch { case _: Exception => () }
       finally if (locked) lock.unlock()
     }
   }
@@ -240,8 +295,12 @@ object SwapProtocol {
       recoverSwap(spark, path)
     else if (!hasParkedSwap(spark, path)) false
     else {
+      // staleness is writer-stamp vs reader-clock: the conf'd skew
+      // allowance (SwapSkewAllowanceKey) mechanically absorbs a reader
+      // running ahead of the writer, on top of the TTL-sizing advice
       val fresh = readSwapToken(spark, path).exists(stamp =>
-        System.currentTimeMillis() - stamp <= swapInflightTtlMs(spark))
+        System.currentTimeMillis() - stamp <=
+          swapInflightTtlMs(spark) + swapSkewAllowanceMs(spark))
       // one live re-probe in EVERY branch: a healthy swap may have
       // completed (swap-in landed; token possibly already cleared) since
       // the checks above

@@ -118,9 +118,13 @@ import org.apache.spark.sql.SparkSession
   * release failures are best-effort too (logged, swallowed), so no
   * release failure can ever mask the body's outcome. LeaseSpec's
   * dead-coordination-db and wedged-medium cases assert all of this.
-  * Supply connect/read timeouts in the medium where possible (JDBC login
-  * and socket timeouts) — detection works without them, but a timed-out
-  * call frees the beat thread where a wedged one parks it.
+  * Liveness degrades gracefully under wedges, never globally: every beat
+  * and every release runs its medium I/O on a SINGLE-USE daemon thread
+  * (the shared scheduler only dispatches), so a wedged call orphans at
+  * most one thread per wedge event and can never exhaust beating for
+  * other leases — and the shipped [[JdbcAtomicCell]] bounds every
+  * operation with its own timeout, so even the orphans are reclaimed
+  * there.
   *
   * This is advisory locking with cooperative writers — the right tool for
   * one pipeline's own drivers (all CorpusIngest entry points check it).
@@ -662,25 +666,25 @@ object WarehouseLease {
   // results.
   private val lost = ConcurrentHashMap.newKeySet[String]()
 
-  // heartbeat renewals for held leases — a small shared daemon pool;
-  // tasks are cancelled at outermost release (and double-checked against
-  // `held` so a cancel/fire race can never re-stamp a released lease).
-  // FOUR threads, not one: a beat wedged inside one lease's hanging
-  // medium call must not starve every OTHER held lease's beats past
-  // their ttls. Degradation is GRACEFUL and bounded by design: each
-  // distinct wedge event parks one pool thread permanently (nothing can
-  // safely interrupt a call blocked inside arbitrary driver code), so
-  // four concurrent wedges silence all beating — but loss DETECTION
-  // never degrades with it, because the exit-time beatHealth check fires
-  // without any beat running: worst case every long-held lease exits
-  // with a loud LeaseLostException instead of a silent dual write, and
-  // timeouts on the medium's connects (JdbcAtomicCell doc) prevent the
-  // parking in the first place.
+  // heartbeat renewals for held leases — a small shared daemon pool that
+  // only DISPATCHES: each firing spawns a single-use daemon thread for
+  // the beat's medium I/O (guarded by the hold lock — a previous beat
+  // still in flight makes the new one skip its period). The pool threads
+  // themselves never touch the medium, so a medium that WEDGES a call
+  // (hanging connect, dead socket) orphans at most one single-use thread
+  // per wedge EVENT and can never exhaust beating capacity — the
+  // four-wedges-silence-all-beating degradation of a pool that ran the
+  // I/O itself is structurally impossible. Loss detection never depended
+  // on the beats anyway (the exit-time beatHealth check fires with every
+  // beat parked), and timeouts on the medium's connects (JdbcAtomicCell
+  // bounds every operation) reclaim even the orphans. Tasks are
+  // cancelled at outermost release and double-checked against `held`, so
+  // a cancel/fire race can never re-stamp a released lease.
   private val renewals =
     new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
   private lazy val heartbeatPool = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
-    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(4,
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(2,
       (r: Runnable) => {
         val th = new Thread(r, s"graft-lease-heartbeat-${n.incrementAndGet()}")
         th.setDaemon(true)
@@ -689,6 +693,18 @@ object WarehouseLease {
     t.setRemoveOnCancelPolicy(true)
     t
   }
+
+  // the hold's LAST successfully-published stamp, per key. The release
+  // targets THIS exact content — never "whatever the medium holds now
+  // with our owner on it": an abandoned release task unblocking after a
+  // re-acquire (same default jvmOwner) would otherwise read the
+  // SUCCESSOR hold's stamp, match on owner, and delete a live lease —
+  // re-opening the two-writer window for the successor's whole body.
+  // Stamps differ per publish (expiry millis advance every beat), so an
+  // exact-content release can only ever delete the stamp THIS hold
+  // published last.
+  private val lastStamps = new ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicReference[String]]()
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -732,15 +748,21 @@ object WarehouseLease {
               ttlMs: Long = defaultTtlMs): Unit =
     acquireVia(mediumFor(spark, warehouse), warehouse, owner, ttlMs)
 
+  /** Returns the stamp that was actually PUBLISHED on success — the
+    * content an exact-stamp release must target (lastStamps doc).
+    */
   private def acquireVia(m: LeaseMedium, warehouse: String,
-                         owner: String, ttlMs: Long): Unit = {
-    if (m.createIfAbsent(stamp(owner, ttlMs))) return
+                         owner: String, ttlMs: Long): String = {
+    val first = stamp(owner, ttlMs)
+    if (m.createIfAbsent(first)) return first
     m.read() match {
       case None =>
         // holder released between our create and read — one retry
-        if (!m.createIfAbsent(stamp(owner, ttlMs)))
+        val retry = stamp(owner, ttlMs)
+        if (!m.createIfAbsent(retry))
           throw new LeaseHeldException(
             s"warehouse $warehouse: lost the lease race on re-acquire")
+        retry
       case Some(raw) =>
         val (o, exp) = parseLease(raw)
         val now = System.currentTimeMillis()
@@ -749,21 +771,25 @@ object WarehouseLease {
           // back. An EXPIRED own stamp goes through the single-winner
           // reclaim — a foreign reclaimer may be mid-takeover on it, and
           // a plain publish could clobber the winner.
+          val next = stamp(owner, ttlMs)
           val ok =
-            if (exp < now) m.reclaim(raw, stamp(owner, ttlMs))
-            else m.refresh(raw, stamp(owner, ttlMs))
+            if (exp < now) m.reclaim(raw, next)
+            else m.refresh(raw, next)
           if (!ok) throw new LeaseHeldException(
             s"warehouse $warehouse: our lease transitioned while " +
               s"re-acquiring as $owner (a reclaimer won it); current: " +
               s"${m.read()}")
+          next
         } else if (exp < now) {
           // stale: the holder died without releasing — single-winner
           // takeover via the medium (rename-claim or CAS); losing the
           // race fails fast
-          if (!m.reclaim(raw, stamp(owner, ttlMs)))
+          val next = stamp(owner, ttlMs)
+          if (!m.reclaim(raw, next))
             throw new LeaseHeldException(
               s"warehouse $warehouse: lease of expired owner $o was " +
                 s"reclaimed by a concurrent writer (now: ${m.read()})")
+          next
         } else throw new LeaseHeldException(
           s"warehouse $warehouse is being written by $o (lease expires " +
             s"${new java.sql.Timestamp(exp)}); concurrent drops would " +
@@ -816,7 +842,10 @@ object WarehouseLease {
     if (depth == 1) {
       try {
         val m = mediumFor(spark, warehouse)
-        acquireVia(m, warehouse, owner, ttlMs)
+        val firstStamp = acquireVia(m, warehouse, owner, ttlMs)
+        val lastPub = new java.util.concurrent.atomic.AtomicReference(
+          firstStamp)
+        lastStamps.put(key, lastPub)
         // heartbeat: re-stamp expiry every ttl/3 while held, so a live
         // holder outworking its ttl is never reclaimed mid-drop. The beat
         // checks the in-memory hold AND the cell's current owner before
@@ -840,61 +869,84 @@ object WarehouseLease {
         // with — or inherit a wedge from — this one's
         val holdLock = new java.util.concurrent.locks.ReentrantLock
         beatLocks.put(key, holdLock)
-        renewals.put(key, heartbeatPool.scheduleAtFixedRate(
-          () => { val l = holdLock; l.lock(); try {
-            // the lock makes check-then-refresh atomic against release:
-            // without it a beat preempted between its read and its write
-            // could recreate the lease file AFTER release deleted it
-            val cur = held.get(key)
-            if (cur != null && cur._1 == owner)
-              try {
-                m.read() match {
-                  case Some(raw) if parseLease(raw)._1 == owner =>
-                    val exp = parseLease(raw)._2
-                    val now = System.currentTimeMillis()
-                    if (exp >= now + period)
-                      // comfortably in date: no reclaimer can legitimately
-                      // act on this stamp, atomic publish is safe. A false
-                      // return is transient — the next beat retries or
-                      // detects the foreign owner.
-                      m.refresh(raw, stamp(owner, ttlMs))
-                    else if (!m.reclaim(raw, stamp(owner, ttlMs)))
-                      // expired (or expiring within one beat): a reclaimer
-                      // may be acting on this very stamp, so only a
-                      // single-winner takeover may re-stamp it. Losing it
-                      // means a foreign writer won — unless the cell still
-                      // reads as ours (our own racing transition), treat
-                      // the lease as lost.
-                      m.read() match {
-                        case Some(r2) if parseLease(r2)._1 == owner => ()
-                        case other => markLost(key, warehouse, owner,
-                          other.getOrElse("<absent>"))
-                      }
-                  case other =>
-                    // a foreign owner on a lease we believe we hold: >ttl
-                    // passed without a successful beat and someone
-                    // reclaimed. Never re-stamp — and surface it at the
-                    // outermost exit (the two-writer window was OPEN;
-                    // silence here is the failure mode the lease exists to
-                    // close).
-                    markLost(key, warehouse, owner,
-                      other.getOrElse("<absent>"))
-                }
-                lastBeatOk.set(System.currentTimeMillis())
-              } catch {
-                case _: Throwable =>
-                  // medium unreachable: the next beat retries while the
-                  // published stamp is in date; past one full ttl without
-                  // a successful beat, treat the lease as lost (doc above)
-                  if (System.currentTimeMillis() - lastBeatOk.get() > ttlMs)
-                    markLost(key, warehouse, owner,
-                      "<medium unreachable past the ttl>")
+        // the beat body — medium I/O, so it NEVER runs on the shared
+        // scheduler pool (heartbeatPool doc): each firing spawns a
+        // single-use daemon thread that tryLocks the hold lock (a
+        // previous beat still in flight — wedged or merely slow — makes
+        // this one skip its period; at most one orphaned thread per
+        // wedge event, pool capacity untouched)
+        def beatOnce(): Unit = {
+          // the lock makes check-then-refresh atomic against release:
+          // without it a beat preempted between its read and its write
+          // could recreate the lease file AFTER release deleted it
+          val cur = held.get(key)
+          if (cur != null && cur._1 == owner)
+            try {
+              m.read() match {
+                case Some(raw) if parseLease(raw)._1 == owner =>
+                  val exp = parseLease(raw)._2
+                  val now = System.currentTimeMillis()
+                  val next = stamp(owner, ttlMs)
+                  if (exp >= now + period) {
+                    // comfortably in date: no reclaimer can legitimately
+                    // act on this stamp, atomic publish is safe. A false
+                    // return is transient — the next beat retries or
+                    // detects the foreign owner.
+                    if (m.refresh(raw, next)) lastPub.set(next)
+                  } else if (m.reclaim(raw, next)) lastPub.set(next)
+                  else
+                    // expired (or expiring within one beat): a reclaimer
+                    // may be acting on this very stamp, so only a
+                    // single-winner takeover may re-stamp it. Losing it
+                    // means a foreign writer won — unless the cell still
+                    // reads as ours (our own racing transition), treat
+                    // the lease as lost.
+                    m.read() match {
+                      case Some(r2) if parseLease(r2)._1 == owner => ()
+                      case other => markLost(key, warehouse, owner,
+                        other.getOrElse("<absent>"))
+                    }
+                case other =>
+                  // a foreign owner on a lease we believe we hold: >ttl
+                  // passed without a successful beat and someone
+                  // reclaimed. Never re-stamp — and surface it at the
+                  // outermost exit (the two-writer window was OPEN;
+                  // silence here is the failure mode the lease exists to
+                  // close).
+                  markLost(key, warehouse, owner,
+                    other.getOrElse("<absent>"))
               }
-          } finally l.unlock() },
+              lastBeatOk.set(System.currentTimeMillis())
+            } catch {
+              case _: Throwable =>
+                // medium unreachable: the next beat retries while the
+                // published stamp is in date; past one full ttl without
+                // a successful beat, treat the lease as lost (doc above)
+                if (System.currentTimeMillis() - lastBeatOk.get() > ttlMs)
+                  markLost(key, warehouse, owner,
+                    "<medium unreachable past the ttl>")
+            }
+        }
+        renewals.put(key, heartbeatPool.scheduleAtFixedRate(
+          () => {
+            val th = new Thread(() => {
+              val l = holdLock
+              if (l.tryLock()) {
+                try beatOnce() finally l.unlock()
+              } // else: a previous beat or the release holds the lock —
+                // skip this period (the next one retries)
+            }, "graft-lease-beat")
+            th.setDaemon(true)
+            th.start()
+          },
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
         case e: Throwable =>
-          held.remove(key); dropThreadRoot(rootKey); throw e
+          held.remove(key); dropThreadRoot(rootKey)
+          Option(renewals.remove(key)).foreach(_.cancel(false))
+          beatLocks.remove(key); beatHealth.remove(key)
+          lastStamps.remove(key)
+          throw e
       }
     }
     try {
@@ -933,53 +985,61 @@ object WarehouseLease {
         // must finish (refresh-then-delete is fine) before we delete —
         // the reverse order would resurrect the file as an orphan. The
         // WHOLE release (lock wait AND the release's own medium I/O —
-        // either can hang on a wedged medium) runs in a pool task with a
-        // bounded get, so the holder's exit always returns: on timeout
-        // the release is abandoned (the stamp expires by ttl; a
-        // later-unblocking beat can extend that by at most one more ttl
-        // before its held-check stops it, and the abandoned task parks
-        // one pool thread — the degradation note on heartbeatPool).
-        // Release is best-effort against an unreachable medium for the
-        // same reason: an exception here would MASK the body's outcome
-        // (including a LeaseLostException the caller must see) — log and
-        // move on, never throw from the release.
+        // either can hang on a wedged medium) runs on a SINGLE-USE daemon
+        // thread with a bounded join, so the holder's exit always
+        // returns: on timeout the release is abandoned as an orphaned
+        // thread (the stamp expires by ttl; a later-unblocking beat can
+        // extend that by at most one more ttl before its held-check
+        // stops it — and the shared scheduler pool is untouched, see
+        // heartbeatPool). The release targets THIS hold's exact
+        // last-published stamp (lastStamps doc): an abandoned task that
+        // unblocks after a same-owner re-acquire finds a successor stamp
+        // it can never match, so it can no-op but never delete a live
+        // successor lease. Release is best-effort against an unreachable
+        // medium for the same reason as ever: an exception here would
+        // MASK the body's outcome (including a LeaseLostException the
+        // caller must see) — log and move on, never throw from the
+        // release.
         val holdLock = beatLocks.remove(key)
+        val lastPub = lastStamps.remove(key)
         val period = math.max(ttlMs / 3L, 100L)
-        val releaseTask = heartbeatPool.submit(new Runnable {
-          override def run(): Unit = {
-            val locked = holdLock == null ||
-              (try holdLock.tryLock(2L * period,
-                java.util.concurrent.TimeUnit.MILLISECONDS)
-              catch { case _: InterruptedException => false })
-            if (!locked)
-              // a beat is wedged mid-call and might still complete its
-              // refresh: releasing concurrently could recreate the lease
-              // as an orphan — skip, the stamp expires by ttl
-              log.warn(
-                s"write lease on $warehouse: a heartbeat is wedged " +
-                  "inside a hanging medium call — skipping the release; " +
-                  "the lease expires by ttl on its own")
-            else
-              try releaseVia(mediumFor(spark, warehouse), owner)
-              catch {
-                case e: Exception => log.warn(
-                  s"could not release the write lease on $warehouse " +
-                    s"(medium unreachable?) — it expires by ttl on its own",
-                  e)
-              } finally if (holdLock != null) holdLock.unlock()
-          }
-        })
-        try releaseTask.get(4L * period,
-          java.util.concurrent.TimeUnit.MILLISECONDS)
-        catch {
-          case _: java.util.concurrent.TimeoutException => log.warn(
-            s"write lease on $warehouse: the release is wedged inside a " +
-              "hanging medium call — abandoning it; the lease expires " +
-              "by ttl on its own")
-          case _: InterruptedException => Thread.currentThread().interrupt()
-          case e: java.util.concurrent.ExecutionException =>
-            log.warn(s"write lease release on $warehouse failed", e)
-        }
+        val releaser = new Thread(() => {
+          val locked = holdLock == null ||
+            (try holdLock.tryLock(2L * period,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch { case _: InterruptedException => false })
+          if (!locked)
+            // a beat is wedged mid-call and might still complete its
+            // refresh: releasing concurrently could recreate the lease
+            // as an orphan — skip, the stamp expires by ttl
+            log.warn(
+              s"write lease on $warehouse: a heartbeat is wedged " +
+                "inside a hanging medium call — skipping the release; " +
+                "the lease expires by ttl on its own")
+          else
+            try {
+              val expect =
+                if (lastPub != null) Option(lastPub.get()) else None
+              expect match {
+                case Some(st) => mediumFor(spark, warehouse).release(st)
+                case None => releaseVia(mediumFor(spark, warehouse), owner)
+              }
+            } catch {
+              case e: Exception => log.warn(
+                s"could not release the write lease on $warehouse " +
+                  s"(medium unreachable?) — it expires by ttl on its own",
+                e)
+            } finally if (holdLock != null) holdLock.unlock()
+        }, "graft-lease-release")
+        releaser.setDaemon(true)
+        releaser.start()
+        try releaser.join(4L * period)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt() }
+        if (releaser.isAlive) log.warn(
+          s"write lease on $warehouse: the release is wedged inside a " +
+            "hanging medium call — abandoning it; the lease expires " +
+            "by ttl on its own")
         lost.remove(key)
         beatHealth.remove(key)
       }

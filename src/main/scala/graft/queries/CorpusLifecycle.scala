@@ -454,6 +454,38 @@ object CorpusLifecycle {
       wh
     })
 
+  /** Scratch warehouse for the one-stop STATUS read: a thin corpus
+    * (doc_id % 6 = 1), pinned at explicit stamp 1000 (audit seq 0),
+    * exported from that pin at stamp 100 (seq 1), one takedown (seq 2 —
+    * the audit head the status must report), and finally `doc_stats`
+    * crash-parked by hand — the "run repair" signal the read exists to
+    * surface. The park lands LAST: every leased entry point heals parks
+    * on entry, and the status read itself is lease-free by design, so
+    * the planted state survives any number of status reads.
+    */
+  private val statusPred = "doc_id % 6 = 1"
+
+  private def statusWarehouse(s: SparkSession, dir: String): String =
+    memo.computeIfAbsent(s"status|$dir", { _ =>
+      val wh = scratchDir("graft-status-wh")
+      CorpusIngest.run(s,
+        Tables.documents(s, dir).filter(col("doc_id") % 6 === 1), wh,
+        threshold = 0.5)
+      CorpusIngest.snapshotCorpus(s, wh, atMs = Some(1000L))  // audit seq 0
+      CorpusIngest.exportCorpus(s, wh, asOfMs = 1000L, numShards = 8,
+        atMs = Some(100L))                                    // audit seq 1
+      val minId = Tables.documents(s, dir).filter(col("doc_id") % 6 === 1)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      CorpusIngest.delete(s, wh, Seq(minId))                  // audit seq 2
+      val stats = new org.apache.hadoop.fs.Path(
+        graft.app.CorpusStore.statsPath(wh))
+      val fs = stats.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.rename(stats, new org.apache.hadoop.fs.Path(
+        stats.toString + "._compact_old")),
+        "status scenario: could not park doc_stats")
+      wh
+    })
+
   /** Scratch warehouse for the SEM-RETRAIN lifecycle: ingest the full
     * embeddings fixture (vector store lands), then `retrainSemStore` —
     * fresh integerized-Lloyd centroids over the CURRENT store, assignment
@@ -932,6 +964,28 @@ object CorpusLifecycle {
       }) { (s, d) =>
       CorpusIngest.semSurvivors(s, retrainWarehouse(s, d))
         .select(col("vec_id")).orderBy(col("vec_id"))
+    },
+
+    // The ONE-STOP operational status read, locked end-to-end: lease
+    // state (free at read time — every entry point released; the HELD
+    // case is inherently non-deterministic and unit-locked in SinksSpec),
+    // the crash-parked swap the scenario plants, the audit seq head after
+    // three audited events (snapshot 0, export 1, takedown 2), and the
+    // snapshot/export censuses whose pinned counts the oracle recomputes
+    // from the survivor chain. Purely metadata-sized — no content scan.
+    QueryDef.sqlBacked(
+      "corpus_status",
+      s"""SELECT kind, name, CAST(n AS BIGINT) AS n FROM (
+         |  SELECT 'audit_head' AS kind, 'audit_log' AS name,
+         |         CAST(2 AS BIGINT) AS n
+         |  UNION ALL SELECT 'export', '100',
+         |    (${survivorCountSql(statusPred)})
+         |  UNION ALL SELECT 'lease', '<free>', 0
+         |  UNION ALL SELECT 'parked_swap', 'corpus/doc_stats', 1
+         |  UNION ALL SELECT 'snapshot', '1000',
+         |    (${survivorCountSql(statusPred)})
+         |) t ORDER BY kind, name""".stripMargin) { (s, d) =>
+      CorpusIngest.warehouseStatus(s, statusWarehouse(s, d))
     },
 
     // The INCREMENTALLY-MAINTAINED datacard read off the warehouse's thin

@@ -245,8 +245,8 @@ class LeaseSpec extends AnyFunSuite {
     val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
     val inner = new MemCell
     val cell = new WarehouseLease.AtomicCell {
-      // park forever (the beat thread is a daemon; one stays parked for
-      // the rest of the suite, which the 4-thread pool absorbs)
+      // park forever (beats run on single-use daemon threads — the one
+      // that wedges here is orphaned; the scheduler pool never sees it)
       private def gate(): Unit =
         if (wedge.get()) new CountDownLatch(1).await()
       override def get(): Option[(String, String)] = { gate(); inner.get() }
@@ -273,6 +273,251 @@ class LeaseSpec extends AnyFunSuite {
       assert(System.currentTimeMillis() - t0 < 15000L,
         "exit must not block on the wedged beat")
     } finally WarehouseLease.unregisterMedium("wedgemem")
+  }
+
+  test("wedged beats orphan single-use threads: beating survives MORE wedge events than any pool size") {
+    // The round-16 residual: beats used to run ON the shared 4-thread
+    // scheduler pool, so each wedge event parked one pool thread
+    // permanently and four wedges silenced all beating for the JVM's
+    // lifetime — after which every hold longer than one ttl exited with
+    // a spurious LeaseLostException even against a HEALTHY medium. Beats
+    // now run on single-use daemon threads (the pool only dispatches):
+    // five sequential wedge events — more than the old pool could absorb
+    // — must each be detected loudly, and a healthy hold afterwards must
+    // still be kept alive by its beats (the exact capability the old
+    // design lost).
+    final class WedgeCell extends WarehouseLease.AtomicCell {
+      val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val inner = new MemCell
+      private def gate(): Unit =
+        if (wedge.get()) new CountDownLatch(1).await()
+      override def get(): Option[(String, String)] = { gate(); inner.get() }
+      override def putIfAbsent(c: String): Boolean =
+        { gate(); inner.putIfAbsent(c) }
+      override def putIfTag(t: String, c: String): Boolean =
+        { gate(); inner.putIfTag(t, c) }
+      override def deleteIfTag(t: String): Boolean =
+        { gate(); inner.deleteIfTag(t) }
+    }
+    val cells = new ConcurrentHashMap[String, WedgeCell]()
+    WarehouseLease.registerMedium("wedgepool", (_, wh) =>
+      new WarehouseLease.CasLeaseMedium(
+        cells.computeIfAbsent(wh, _ => new WedgeCell)))
+    try {
+      for (i <- 0 until 5) {
+        val wh = s"wedgepool://bucket/wh-$i"
+        intercept[WarehouseLease.LeaseLostException] {
+          WarehouseLease.withWriteLease(spark, wh, owner = s"h$i",
+            ttlMs = 450L) {
+            cells.get(wh).wedge.set(true) // this hold's medium black-holes
+            Thread.sleep(1100L)           // > ttl, zero successful beats
+          }
+        }
+      }
+      // after five orphaned wedges, a healthy lease must still BEAT: the
+      // body outlives the raw ttl, a contender is refused mid-body (the
+      // stamp was refreshed), and the exit is clean — no spurious loss
+      val wh = "wedgepool://bucket/wh-healthy"
+      WarehouseLease.withWriteLease(spark, wh, owner = "healthy",
+        ttlMs = 600L) {
+        Thread.sleep(1500L)
+        intercept[WarehouseLease.LeaseHeldException] {
+          WarehouseLease.acquire(spark, wh, owner = "contender",
+            ttlMs = 1000L)
+        }
+      }
+    } finally WarehouseLease.unregisterMedium("wedgepool")
+  }
+
+  test("an abandoned release unblocking after a same-owner re-acquire can never delete the successor's lease") {
+    // The ADVICE r16 two-writer window: the release runs as an
+    // abandonable task that used to re-read the medium at execution time
+    // and match on OWNER — so a release wedged past the exit's bounded
+    // wait, unblocking after the caller followed the documented recovery
+    // (re-acquire with the same default jvmOwner), read the SUCCESSOR's
+    // stamp, matched, and deleted a live lease. The fix: the release
+    // targets the hold's exact LAST-PUBLISHED stamp content; a successor
+    // stamp (new expiry millis) can never match it.
+    val inner = new MemCell
+    val wedgeRelease = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val releaseGate = new CountDownLatch(1)
+    val releaseTouched = new AtomicInteger(0)
+    // wedge ONLY the release thread's medium I/O (single-use daemon
+    // threads named graft-lease-release) — beats and acquires flow free
+    def gate(): Unit =
+      if (wedgeRelease.get() &&
+          Thread.currentThread().getName.startsWith("graft-lease-release")) {
+        releaseTouched.incrementAndGet()
+        releaseGate.await(20L, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    val cell = new WarehouseLease.AtomicCell {
+      override def get(): Option[(String, String)] = { gate(); inner.get() }
+      override def putIfAbsent(c: String): Boolean =
+        { gate(); inner.putIfAbsent(c) }
+      override def putIfTag(t: String, c: String): Boolean =
+        { gate(); inner.putIfTag(t, c) }
+      override def deleteIfTag(t: String): Boolean =
+        { gate(); inner.deleteIfTag(t) }
+    }
+    WarehouseLease.registerMedium("latemem",
+      (_, _) => new WarehouseLease.CasLeaseMedium(cell))
+    try {
+      val wh = "latemem://bucket/wh"
+      wedgeRelease.set(true)
+      // hold 1: the exit's bounded join (4 beat periods = 1.2 s) expires
+      // while the release is wedged inside the medium — abandoned, the
+      // call returns with the stamp still published
+      WarehouseLease.withWriteLease(spark, wh, owner = "dup",
+        ttlMs = 900L) { Thread.sleep(50L) }
+      assert(inner.get().exists(_._1.startsWith("dup|")),
+        "the abandoned release must have left hold 1's stamp in place")
+      // the documented recovery: re-acquire as the SAME owner (hold 2)
+      WarehouseLease.withWriteLease(spark, wh, owner = "dup",
+        ttlMs = 60000L) {
+        val successorStamp = inner.get().map(_._1)
+        // now the wedged release unblocks mid-hold-2 and runs to
+        // completion — with exact-stamp targeting it must no-op
+        releaseGate.countDown()
+        val deadline = System.currentTimeMillis() + 5000L
+        while (releaseTouched.get() == 0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20L)
+        Thread.sleep(500L) // let the unblocked release finish its no-op
+        assert(inner.get().map(_._1) == successorStamp ||
+          inner.get().exists(_._1.startsWith("dup|")),
+          s"successor's lease must survive the late release, got ${inner.get()}")
+        // the two-writer window stays closed: a foreign writer is refused
+        intercept[WarehouseLease.LeaseHeldException] {
+          WarehouseLease.acquire(spark, wh, owner = "thief", ttlMs = 1000L)
+        }
+      }
+    } finally {
+      wedgeRelease.set(false)
+      WarehouseLease.unregisterMedium("latemem")
+    }
+  }
+
+  test("JDBC cell: a WEDGED connect is timeout-bounded — the calling thread is always freed") {
+    // DriverManager sets no connect timeout, and a TCP connect can hang
+    // before the JDBC driver even sees it. Every cell operation now runs
+    // its connect on a single-use daemon thread with a bounded claim
+    // handshake: a hang surfaces as SQLException within opTimeoutMs (the
+    // lease protocol maps it to retry-then-LOST), the caller's thread —
+    // heartbeat or exit — is returned, and a connect that completes
+    // after abandonment is closed by its own thread, never leaked.
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-wedge")}/db;create=true"
+    val hang = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val connect: () => java.sql.Connection = () => {
+      if (hang.get()) new CountDownLatch(1).await() // a black-hole connect
+      java.sql.DriverManager.getConnection(url)
+    }
+    val cell = new graft.core.JdbcAtomicCell(connect, "graft_lease_cells",
+      "wedged", opTimeoutMs = 500L)
+    assert(cell.putIfAbsent("w|1"))
+    hang.set(true)
+    val t0 = System.currentTimeMillis()
+    val ex = intercept[java.sql.SQLException](cell.get())
+    val waited = System.currentTimeMillis() - t0
+    assert(waited < 5000L, s"the op must be bounded, waited $waited ms")
+    assert(ex.getMessage.contains("timed out"), ex.getMessage)
+    // same bound on the write paths
+    intercept[java.sql.SQLException](cell.putIfTag("0", "x"))
+    intercept[java.sql.SQLException](cell.deleteIfTag("0"))
+    // once the medium answers again, the cell state is intact
+    hang.set(false)
+    assert(cell.get().exists(_._1 == "w|1"))
+    assert(cell.deleteIfTag(cell.get().get._2))
+  }
+
+  test("mediumFactory: warehouses sharing a long URI prefix never share a lease cell") {
+    // the cell name used to be uri.take(512) — two warehouses sharing a
+    // 512-char prefix silently serialized on ONE cell (safe direction,
+    // but a surprise); the name now carries a digest of the FULL uri
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-pfx")}/db;create=true"
+    WarehouseLease.registerMedium("jdbcpfx",
+      graft.core.JdbcAtomicCell.mediumFactory(url))
+    try {
+      val prefix = "jdbcpfx://bucket/" + ("a" * 520)
+      WarehouseLease.acquire(spark, s"$prefix/wh1", owner = "one",
+        ttlMs = 60000L)
+      // a shared cell would throw LeaseHeldException here
+      WarehouseLease.acquire(spark, s"$prefix/wh2", owner = "two",
+        ttlMs = 60000L)
+      WarehouseLease.release(spark, s"$prefix/wh1", owner = "one")
+      WarehouseLease.release(spark, s"$prefix/wh2", owner = "two")
+    } finally WarehouseLease.unregisterMedium("jdbcpfx")
+  }
+
+  test("model equivalence: the JDBC cell and the in-memory cell are indistinguishable over randomized op schedules") {
+    // The CAS medium's cross-process soundness cannot be raced on this
+    // box (no derbynet/derbyclient ships with Spark) — the strongest
+    // available substitute is SEMANTIC EQUIVALENCE to the raced in-memory
+    // model: the same randomized schedule of get/putIfAbsent/putIfTag/
+    // deleteIfTag, including stale tags replayed across delete/recreate
+    // GENERATIONS (the ABA class), must produce identical externally-
+    // visible results at every step. Tags are opaque and backend-specific,
+    // so schedules reference them POSITIONALLY ("the tag observed by the
+    // get at step i") and each cell replays with its own observations.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    sealed trait Op
+    case object Get extends Op
+    final case class PutIfAbsent(c: String) extends Op
+    final case class PutIfTag(ref: Int, c: String) extends Op
+    final case class DeleteIfTag(ref: Int) extends Op
+    val contents = Gen.oneOf("w0|1", "w1|2", "w2|3", "w3|4")
+    def opGen(len: Int): Gen[Op] = Gen.frequency(
+      3 -> Gen.const(Get),
+      2 -> contents.map(PutIfAbsent),
+      3 -> Gen.zip(Gen.chooseNum(0, math.max(0, len - 1)), contents)
+        .map { case (r, c) => PutIfTag(r, c) },
+      2 -> Gen.chooseNum(0, math.max(0, len - 1)).map(DeleteIfTag))
+    val schedGen: Gen[List[Op]] =
+      Gen.chooseNum(4, 12).flatMap(n =>
+        Gen.sequence[List[Op], Op]((0 until n).map(i => opGen(i + 1))))
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-model")}/db;create=true"
+    var checked = 0
+    (0 until 1000).foreach { seed =>
+      schedGen.apply(Gen.Parameters.default, Seed(seed.toLong)).foreach { ops =>
+        checked += 1
+        val jdbc = new graft.core.JdbcAtomicCell(url, "graft_model_cells",
+          s"m$seed")
+        val mem = new MemCell
+        // per-cell positional tag observations (None until that step's
+        // get ran, or when it observed an absent cell)
+        val jTags = Array.fill[Option[String]](ops.length)(None)
+        val mTags = Array.fill[Option[String]](ops.length)(None)
+        // a tag string neither backend ever issues — both must refuse it
+        val bogus = "909090909"
+        ops.zipWithIndex.foreach { case (op, i) =>
+          op match {
+            case Get =>
+              val (j, m) = (jdbc.get(), mem.get())
+              assert(j.map(_._1) == m.map(_._1),
+                s"seed $seed step $i: get saw ${j.map(_._1)} vs ${m.map(_._1)} ($ops)")
+              jTags(i) = j.map(_._2); mTags(i) = m.map(_._2)
+            case PutIfAbsent(c) =>
+              assert(jdbc.putIfAbsent(c) == mem.putIfAbsent(c),
+                s"seed $seed step $i: putIfAbsent($c) diverged ($ops)")
+            case PutIfTag(ref, c) =>
+              val r = jdbc.putIfTag(jTags(ref).getOrElse(bogus), c) ==
+                mem.putIfTag(mTags(ref).getOrElse(bogus), c)
+              assert(r, s"seed $seed step $i: putIfTag(@$ref, $c) diverged ($ops)")
+            case DeleteIfTag(ref) =>
+              val r = jdbc.deleteIfTag(jTags(ref).getOrElse(bogus)) ==
+                mem.deleteIfTag(mTags(ref).getOrElse(bogus))
+              assert(r, s"seed $seed step $i: deleteIfTag(@$ref) diverged ($ops)")
+          }
+          // the externally visible CONTENT must agree after every step
+          assert(jdbc.get().map(_._1) == mem.get().map(_._1),
+            s"seed $seed step $i: post-op content diverged ($ops)")
+        }
+      }
+    }
+    assert(checked >= 900, s"only $checked schedules generated")
   }
 
   test("JDBC cell medium: one winner per acquire/reclaim race; lifecycle over the database") {

@@ -187,12 +187,14 @@ class SinksSpec extends AnyFunSuite {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
     val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
-    // a short TTL so "the swap outlives the TTL" fits in a test: beat
-    // period = ttl/3 = 400 ms (tolerating ~800 ms of beat-thread slip
-    // under suite load before a false stale), and the slow rename window
-    // below runs for ~2.5 TTLs — without the re-stamping beat, every
-    // read past 1.2 s would false-crash
-    spark.conf.set(Sinks.SwapInflightTtlKey, "1200")
+    // a short-but-wide TTL so "the swap outlives the TTL" fits in a test
+    // WITHOUT wall-clock sensitivity (ADVICE r16: 1.2 s TTL tolerated
+    // only ~800 ms of scheduler slip and flaked under full-suite load):
+    // beat period = ttl/3 = 1 s, so the shared restamp pool may slip a
+    // full 2 s before a false stale, and the slow rename window below
+    // runs for ~2.5 TTLs — without the re-stamping beat, every read past
+    // 3 s would false-crash
+    spark.conf.set(Sinks.SwapInflightTtlKey, "3000")
     try {
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val writer = new Thread(() =>
@@ -200,11 +202,11 @@ class SinksSpec extends AnyFunSuite {
           // the rename window of a healthy-but-slow swap (a copy-based
           // directory rename of a huge table): live absent, data parked
           assert(fs.rename(hp, old))
-          Thread.sleep(3000L)
+          Thread.sleep(7500L)
           assert(fs.rename(old, hp))
         } catch { case t: Throwable => failure.set(t) })
       writer.start()
-      Thread.sleep(2000L) // well past the 1.2 s TTL, writer still mid-swap
+      Thread.sleep(5000L) // well past the 3 s TTL, writer still mid-swap
       val ex = intercept[IllegalStateException](Sinks.storePresent(spark, p))
       assert(ex.getMessage.contains("mid-swap") &&
         !ex.getMessage.contains("crash-parked"),
@@ -220,7 +222,7 @@ class SinksSpec extends AnyFunSuite {
       assert(fs.rename(hp, old))
       val out = fs.create(token, true)
       // stamp it already-stale (2 TTLs old) — no sleep on the test path
-      try out.write((System.currentTimeMillis() - 2400L).toString
+      try out.write((System.currentTimeMillis() - 6000L).toString
         .getBytes("UTF-8"))
       finally out.close()
       val crashed = intercept[IllegalStateException](Sinks.storePresent(spark, p))
@@ -228,6 +230,130 @@ class SinksSpec extends AnyFunSuite {
       assert(fs.rename(old, hp))
       fs.delete(token, false)
     } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+  }
+
+  test("a stale swap-token beat can never clobber a NEWER swap's token (per-swap nonce)") {
+    import graft.core.{Sinks, SwapProtocol}
+    // The ADVICE r16 residual: a re-stamp that wedged and unblocked
+    // after a LATER swap stamped fresh used to overwrite the token with
+    // its pre-wedge millis — a false crash-park report for that swap's
+    // lease-free readers. The beat (and the exit's clear) now re-read
+    // the token and refuse when another swap's nonce owns it. Modeled
+    // here without a wedge: a foreign-nonce token planted mid-swap must
+    // survive every subsequent beat AND the swap's own exit clear.
+    val base = Files.createTempDirectory("swap-nonce").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    def tokenContent(): String = {
+      val in = fs.open(token)
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+        .readLine()
+      finally in.close()
+    }
+    spark.conf.set(Sinks.SwapInflightTtlKey, "750") // beat period 250 ms
+    try {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() =>
+        try SwapProtocol.withSwapToken(spark, fs, p)(Thread.sleep(2600L))
+        catch { case t: Throwable => failure.set(t) })
+      writer.start()
+      Thread.sleep(600L) // the swap's beat is live
+      // a newer swap's token lands (foreign nonce, distinctive stamp)
+      val foreignStamp = System.currentTimeMillis() + 7777777L
+      val out = fs.create(token, true)
+      try out.write(s"$foreignStamp|zz-foreign".getBytes("UTF-8"))
+      finally out.close()
+      Thread.sleep(1200L) // ≥4 beat periods — each must refuse to clobber
+      assert(tokenContent().endsWith("|zz-foreign"),
+        s"a stale beat clobbered the newer swap's token: ${tokenContent()}")
+      writer.join(30000L)
+      assert(failure.get() == null, s"writer failed: ${failure.get()}")
+      // the exit's clear refused too: the foreign token is still there
+      assert(fs.exists(token) && tokenContent().endsWith("|zz-foreign"),
+        "the swap's exit must not clear a newer swap's token")
+      fs.delete(token, false)
+    } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+  }
+
+  test("swap-token skew allowance: a reader ahead of the writer reads a healthy swap in-flight, mechanically") {
+    import graft.core.Sinks
+    // SwapProtocol's staleness decision compares the WRITER's stamp to
+    // the READER's clock; a reader ahead by ~TTL used to misread a
+    // healthy in-flight swap as crash-parked (doc-only TTL-sizing
+    // advice). spark.graft.swap.skewAllowanceMs now widens the
+    // comparison mechanically. Modeled with a token stamped in the
+    // reader's past beyond the TTL — exactly what a fast reader clock
+    // sees of a healthy writer's fresh stamp.
+    val base = Files.createTempDirectory("swap-skew").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    assert(fs.rename(hp, old)) // parked signature
+    val out = fs.create(token, true)
+    try out.write(s"${System.currentTimeMillis() - 3000L}|wr-nonce"
+      .getBytes("UTF-8"))
+    finally out.close()
+    spark.conf.set(Sinks.SwapInflightTtlKey, "1200")
+    try {
+      // without the allowance: 3 s old > 1.2 s TTL — crash-park
+      val crashed = intercept[IllegalStateException](
+        Sinks.storePresent(spark, p))
+      assert(crashed.getMessage.contains("crash-parked"), crashed.getMessage)
+      // with a 5 s allowance (the deployment's known skew bound): the
+      // same token reads as a healthy in-flight swap — retry, not repair
+      spark.conf.set(Sinks.SwapSkewAllowanceKey, "5000")
+      try {
+        val inflight = intercept[IllegalStateException](
+          Sinks.storePresent(spark, p))
+        assert(inflight.getMessage.contains("mid-swap") &&
+          !inflight.getMessage.contains("crash-parked"),
+          inflight.getMessage)
+      } finally spark.conf.unset(Sinks.SwapSkewAllowanceKey)
+      // allowance removed: back to the loud crash report
+      val again = intercept[IllegalStateException](
+        Sinks.storePresent(spark, p))
+      assert(again.getMessage.contains("crash-parked"), again.getMessage)
+    } finally {
+      spark.conf.unset(Sinks.SwapInflightTtlKey)
+      assert(fs.rename(old, hp))
+      fs.delete(token, false)
+    }
+  }
+
+  test("warehouseStatus: the one operational read — lease holder, parked swaps, audit head, censuses") {
+    import graft.core.WarehouseLease
+    val wh = Files.createTempDirectory("wh-status").toString
+    def rows() = graft.app.CorpusIngest.warehouseStatus(spark, wh)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // a bare free warehouse: lease <free>, no numbered audit yet, no
+    // parked swaps, empty censuses
+    assert(rows() == Seq(("audit_head", "audit_log", -1L),
+      ("lease", "<free>", 0L)), rows().toString)
+    // HELD: the lease row names the live owner with a future expiry (the
+    // non-deterministic columns the corpus_status oracle cannot lock)
+    WarehouseLease.withWriteLease(spark, wh, owner = "ops-driver",
+      ttlMs = 60000L) {
+      val lease = rows().filter(_._1 == "lease")
+      assert(lease.map(_._2) == Seq("ops-driver"), lease.toString)
+      assert(lease.head._3 > System.currentTimeMillis(),
+        "expiry must be in the future while held")
+    }
+    assert(rows().contains(("lease", "<free>", 0L)), "released reads free")
+    // a crash-parked swap surfaces by warehouse-relative table name
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$wh/corpus/doc_stats")
+    val hp = new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(hp,
+      new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats._compact_old")))
+    assert(rows().contains(("parked_swap", "corpus/doc_stats", 1L)),
+      rows().toString)
   }
 
   test("storePresent: the no-token parked store still fails loud after the completion re-probe") {
