@@ -803,8 +803,12 @@ object StressProbe {
           }
         }
         // untimed warm-up against the first selected size (codegen/JIT
-        // for the whole fsck + delete plan family)
-        whs.headOption.foreach { case (_, _, wh, _) =>
+        // for the whole fsck + delete plan family) — only when a timed
+        // fsck/takedown will actually run (a build-only selection must
+        // not pay a warm-up for measurements it skips)
+        val measuring = sizes.exists { case (l, _) =>
+          selected(s"gov_fsck_$l") || selected(s"gov_takedown_$l") }
+        if (measuring) whs.headOption.foreach { case (_, _, wh, _) =>
           core.GraftCaches.withScope(spark)(
             app.CorpusIngest.fsck(spark, wh).collect())
           core.GraftCaches.withScope(spark)(

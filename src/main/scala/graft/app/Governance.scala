@@ -657,10 +657,19 @@ object Governance {
     */
   def warehouseStatus(spark: SparkSession, warehouse: String): DataFrame = {
     import spark.implicits._
-    val lease = graft.core.WarehouseLease.status(spark, warehouse) match {
-      case Some((owner, exp)) => ("lease", owner, exp)
-      case None => ("lease", "<free>", 0L)
-    }
+    // a scheme with no registered lease medium must DEGRADE the lease row,
+    // not fail the read: the census/ledger components need only a readable
+    // filesystem, and the operator asking "what state is this warehouse
+    // in" in a JVM that never registered the deployment's medium still
+    // deserves every answer the metadata can give
+    val lease =
+      try graft.core.WarehouseLease.status(spark, warehouse) match {
+        case Some((owner, exp)) => ("lease", owner, exp)
+        case None => ("lease", "<free>", 0L)
+      } catch {
+        case _: graft.core.WarehouseLease.LeaseUnsupportedException =>
+          ("lease", "<unsupported>", 0L)
+      }
     val parked = Sinks.parkedSwapTables(spark, warehouse)
       .map { case (_, rel) => ("parked_swap", rel, 1L) }
     val auditHead = ("audit_head", "audit_log",

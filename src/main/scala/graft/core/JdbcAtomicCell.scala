@@ -129,16 +129,20 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
     else if (claimed.compareAndSet(false, true))
       // abandonment claimed: the wedged connect's thread is ORPHANED (it
       // closes its own connection if one ever opens) — the caller's
-      // thread is free, which is the whole point
+      // thread is free, which is the whole point. An interrupt lands
+      // here too (type-stable: the protocol above maps SQLException).
       throw new SQLException(
-        s"JdbcAtomicCell: connect to the coordination database timed out " +
-          s"after $opTimeoutMs ms (cell $cellName)", "08001")
-    else {
-      // the connect finished in the instant between our timeout and our
-      // claim — it won delivery, take it
-      done.await()
+        s"JdbcAtomicCell: connect to the coordination database timed " +
+          s"out (or the caller was interrupted) after <= $opTimeoutMs " +
+          s"ms (cell $cellName)", "08001")
+    else
+      // the connect finished in the instant between our timeout (or
+      // interrupt) and our claim — it won delivery. Its result.set
+      // happened-before its winning CAS, which happened-before our
+      // failed CAS, so the result is visible WITHOUT another await
+      // (which would throw immediately on a set interrupt flag and
+      // leak the delivered connection).
       result.get().fold(throw _, identity)
-    }
   }
 
   JdbcAtomicCell.ensureTable(() => timedConnect(), table, stmtTimeoutSec)
@@ -330,6 +334,12 @@ object JdbcAtomicCell {
     * FULL normalized URI — never a bare truncation, which would silently
     * serialize two warehouses sharing a long common prefix on one cell
     * (safe direction, but a surprise nobody should debug).
+    *
+    * MIGRATION NOTE: the naming scheme changed in this version (it was a
+    * bare 512-char truncation before). A fleet upgrading across the
+    * change must drain writers first: a pre-change driver arbitrates on
+    * the old row, a post-change one on the new row, and the two would
+    * not see each other's leases. Same-version fleets are unaffected.
     */
   def mediumFactory(url: String, table: String = "graft_lease_cells",
                     opTimeoutMs: Long = DefaultOpTimeoutMs)

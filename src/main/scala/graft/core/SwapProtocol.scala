@@ -155,16 +155,15 @@ object SwapProtocol {
       .map(_._1)
   }
 
-  // a small shared daemon pool beating every in-flight swap in the JVM:
-  // re-stamp work is a single tiny file write per period per swap, but
-  // one re-stamp wedged on a degraded store must not starve a CONCURRENT
-  // swap's beats past its TTL (which would false-crash that swap's
-  // lease-free readers — the exact spurious report the beat eliminates).
-  // A wedged re-stamp parks its thread permanently; the residual is
-  // accepted because a warehouse filesystem that WEDGES writes has the
-  // swap's own renames wedged first — the loud failure is the swap
-  // itself, and exhausted beats merely degrade to the pre-beat one-shot
-  // stamp (stale after one TTL), never anything less safe.
+  // a small shared daemon pool DISPATCHING the beats of every in-flight
+  // swap in the JVM: each firing spawns a single-use daemon thread for
+  // the token I/O (tryLock-gated — a previous beat still in flight makes
+  // the new one skip its period), so a re-stamp wedged on a degraded
+  // store orphans at most one thread per wedge event and can never
+  // starve a CONCURRENT swap's beats past its TTL (which would
+  // false-crash that swap's lease-free readers — the exact spurious
+  // report the beat eliminates). Same structure as WarehouseLease's
+  // heartbeat pool, for the same reason.
   private lazy val restampPool = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     val t = new java.util.concurrent.ScheduledThreadPoolExecutor(2,
@@ -204,17 +203,25 @@ object SwapProtocol {
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
       () => {
-        lock.lock()
-        try {
-          if (active.get())
+        // token I/O never runs on the dispatcher pool (restampPool doc):
+        // a single-use daemon thread per firing, skipped when a previous
+        // beat still holds the lock (wedged or merely slow)
+        val th = new Thread(() => {
+          if (lock.tryLock()) {
             try {
-              val owned = readSwapTokenFull(fs, path) match {
-                case Some((_, n)) if n.nonEmpty && n != nonce => false
-                case _ => true // ours, legacy, or racing-absent
-              }
-              if (owned) stampSwapToken(fs, path, nonce)
-            } catch { case _: Exception => () }
-        } finally lock.unlock()
+              if (active.get())
+                try {
+                  val owned = readSwapTokenFull(fs, path) match {
+                    case Some((_, n)) if n.nonEmpty && n != nonce => false
+                    case _ => true // ours, legacy, or racing-absent
+                  }
+                  if (owned) stampSwapToken(fs, path, nonce)
+                } catch { case _: Exception => () }
+            } finally lock.unlock()
+          }
+        }, "graft-swap-token-io")
+        th.setDaemon(true)
+        th.start()
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body

@@ -700,9 +700,11 @@ object WarehouseLease {
   // re-acquire (same default jvmOwner) would otherwise read the
   // SUCCESSOR hold's stamp, match on owner, and delete a live lease —
   // re-opening the two-writer window for the successor's whole body.
-  // Stamps differ per publish (expiry millis advance every beat), so an
-  // exact-content release can only ever delete the stamp THIS hold
-  // published last.
+  // Stamps differ per publish except for the same-millisecond
+  // same-owner-same-ttl mint, so the release ALSO skips when a successor
+  // hold is already registered on the key (the check in the releaser) —
+  // doing harm requires clearing both guards inside a read-to-write
+  // window.
   private val lastStamps = new ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicReference[String]]()
 
@@ -875,12 +877,26 @@ object WarehouseLease {
         // previous beat still in flight — wedged or merely slow — makes
         // this one skip its period; at most one orphaned thread per
         // wedge event, pool capacity untouched)
+        // ZOMBIE guard: a beat wedged inside a medium call can unblock
+        // AFTER its hold exited (systematically so now that JdbcAtomicCell
+        // bounds its ops) — and after a same-owner re-acquire, the
+        // owner/held checks alone would wave it through. Identity, not
+        // identity-by-name: this hold's lock instance is the active one
+        // iff beatLocks still maps to it (the exit removes the mapping
+        // before anything else). A stale beat must neither re-stamp (it
+        // would resurrect a released lease or move the successor's stamp
+        // out from under its exact-stamp release) nor markLost (it would
+        // poison the SUCCESSOR hold's exit with a spurious
+        // LeaseLostException). Re-checked immediately before every
+        // publish and every markLost — the residue is a publish wedged
+        // between its re-check and its write, read-to-write instants.
         def beatOnce(): Unit = {
+          def stillOurs: Boolean = beatLocks.get(key) eq holdLock
           // the lock makes check-then-refresh atomic against release:
           // without it a beat preempted between its read and its write
           // could recreate the lease file AFTER release deleted it
           val cur = held.get(key)
-          if (cur != null && cur._1 == owner)
+          if (stillOurs && cur != null && cur._1 == owner)
             try {
               m.read() match {
                 case Some(raw) if parseLease(raw)._1 == owner =>
@@ -892,9 +908,10 @@ object WarehouseLease {
                     // act on this stamp, atomic publish is safe. A false
                     // return is transient — the next beat retries or
                     // detects the foreign owner.
-                    if (m.refresh(raw, next)) lastPub.set(next)
-                  } else if (m.reclaim(raw, next)) lastPub.set(next)
-                  else
+                    if (stillOurs && m.refresh(raw, next)) lastPub.set(next)
+                  } else if (stillOurs && m.reclaim(raw, next))
+                    lastPub.set(next)
+                  else if (stillOurs)
                     // expired (or expiring within one beat): a reclaimer
                     // may be acting on this very stamp, so only a
                     // single-winner takeover may re-stamp it. Losing it
@@ -903,8 +920,9 @@ object WarehouseLease {
                     // the lease as lost.
                     m.read() match {
                       case Some(r2) if parseLease(r2)._1 == owner => ()
-                      case other => markLost(key, warehouse, owner,
-                        other.getOrElse("<absent>"))
+                      case other => if (stillOurs)
+                        markLost(key, warehouse, owner,
+                          other.getOrElse("<absent>"))
                     }
                 case other =>
                   // a foreign owner on a lease we believe we hold: >ttl
@@ -913,8 +931,9 @@ object WarehouseLease {
                   // outermost exit (the two-writer window was OPEN;
                   // silence here is the failure mode the lease exists to
                   // close).
-                  markLost(key, warehouse, owner,
-                    other.getOrElse("<absent>"))
+                  if (stillOurs)
+                    markLost(key, warehouse, owner,
+                      other.getOrElse("<absent>"))
               }
               lastBeatOk.set(System.currentTimeMillis())
             } catch {
@@ -922,7 +941,8 @@ object WarehouseLease {
                 // medium unreachable: the next beat retries while the
                 // published stamp is in date; past one full ttl without
                 // a successful beat, treat the lease as lost (doc above)
-                if (System.currentTimeMillis() - lastBeatOk.get() > ttlMs)
+                if (stillOurs &&
+                  System.currentTimeMillis() - lastBeatOk.get() > ttlMs)
                   markLost(key, warehouse, owner,
                     "<medium unreachable past the ttl>")
             }
@@ -1018,9 +1038,20 @@ object WarehouseLease {
                 "the lease expires by ttl on its own")
           else
             try {
+              // exact-stamp matching alone is not airtight: two stamps
+              // minted the same millisecond with the same owner and ttl
+              // are byte-identical. So a release that finds a SUCCESSOR
+              // hold already active on this key (beatLocks re-mapped —
+              // the documented recovery path re-acquired) skips
+              // entirely: the successor's own exit owns the release. An
+              // abandoned release must clear BOTH guards to do harm —
+              // unblock when no successor is registered AND match its
+              // exact string — which leaves only a wedge landing between
+              // this check and the medium write, read-to-write instants.
               val expect =
                 if (lastPub != null) Option(lastPub.get()) else None
-              expect match {
+              if (beatLocks.get(key) != null) ()
+              else expect match {
                 case Some(st) => mediumFor(spark, warehouse).release(st)
                 case None => releaseVia(mediumFor(spark, warehouse), owner)
               }

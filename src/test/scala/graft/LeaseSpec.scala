@@ -329,6 +329,62 @@ class LeaseSpec extends AnyFunSuite {
     } finally WarehouseLease.unregisterMedium("wedgepool")
   }
 
+  test("a ZOMBIE beat unblocking after its hold exited can neither poison a later hold nor resurrect the lease") {
+    // A beat wedged inside a medium call can unblock AFTER its hold
+    // exited (systematically so now that JdbcAtomicCell bounds its ops).
+    // Two hazards if it then acts: reading the SUCCESSOR hold's foreign
+    // owner it would markLost the warehouse key — and nothing clears
+    // `lost` at acquire, so the successor's healthy exit would throw a
+    // spurious LeaseLostException; reading its own owner's residual
+    // expired stamp it would re-stamp it — resurrecting a lease nobody
+    // holds for a full ttl. The hold-identity guard (beatLocks maps to
+    // THIS hold's lock instance) makes the zombie a no-op.
+    val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val resume = new CountDownLatch(1)
+    val inner = new MemCell
+    val cell = new WarehouseLease.AtomicCell {
+      private def gate(): Unit =
+        if (wedge.get()) { resume.await(30L,
+          java.util.concurrent.TimeUnit.SECONDS); () }
+      override def get(): Option[(String, String)] = { gate(); inner.get() }
+      override def putIfAbsent(c: String): Boolean =
+        { gate(); inner.putIfAbsent(c) }
+      override def putIfTag(t: String, c: String): Boolean =
+        { gate(); inner.putIfTag(t, c) }
+      override def deleteIfTag(t: String): Boolean =
+        { gate(); inner.deleteIfTag(t) }
+    }
+    WarehouseLease.registerMedium("zombiemem",
+      (_, _) => new WarehouseLease.CasLeaseMedium(cell))
+    try {
+      val wh = "zombiemem://bucket/wh"
+      // hold 1: its first beat wedges inside m.read() (holding the hold
+      // lock, so the exit's release is skipped); the hold exits LOST
+      intercept[WarehouseLease.LeaseLostException] {
+        WarehouseLease.withWriteLease(spark, wh, owner = "z1",
+          ttlMs = 450L) {
+          wedge.set(true)
+          Thread.sleep(1100L) // > ttl with zero successful beats
+        }
+      }
+      wedge.set(false)
+      // hold 2 (different owner) reclaims the expired residue and runs;
+      // the zombie unblocks MID-HOLD and reads z2's stamp — without the
+      // identity guard it would markLost and poison this hold's exit
+      WarehouseLease.withWriteLease(spark, wh, owner = "z2",
+        ttlMs = 60000L) {
+        resume.countDown()
+        Thread.sleep(500L) // let the zombie run its course
+      } // must NOT throw — the zombie must not have marked z2's key lost
+      // and the zombie must not have resurrected anything: after z2's
+      // release the cell reads free and a fresh writer enters untroubled
+      assert(inner.get().isEmpty,
+        s"the cell must be free after z2's release, got ${inner.get()}")
+      WarehouseLease.acquire(spark, wh, owner = "z3", ttlMs = 1000L)
+      WarehouseLease.release(spark, wh, owner = "z3")
+    } finally WarehouseLease.unregisterMedium("zombiemem")
+  }
+
   test("an abandoned release unblocking after a same-owner re-acquire can never delete the successor's lease") {
     // The ADVICE r16 two-writer window: the release runs as an
     // abandonable task that used to re-read the medium at execution time

@@ -6,6 +6,15 @@ import graft.core.Sinks
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A local filesystem that answers for the `leaseless:` scheme — lets a
+  * test exercise "readable filesystem, but no registered lease medium"
+  * (plain LocalFileSystem rejects foreign schemes in checkPath).
+  * Instantiated by Hadoop via reflection (fs.leaseless.impl).
+  */
+class LeaselessRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("leaseless:///")
+}
+
 class SinksSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -354,6 +363,32 @@ class SinksSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats._compact_old")))
     assert(rows().contains(("parked_swap", "corpus/doc_stats", 1L)),
       rows().toString)
+  }
+
+  test("warehouseStatus degrades the lease row on a scheme with no lease medium, instead of failing the read") {
+    // a readable filesystem whose SCHEME has no registered lease medium
+    // (the conservative refusal path): the metadata components must still
+    // answer, with the lease row reporting <unsupported> — an operator
+    // asking "what state is this warehouse in" from a JVM that never
+    // registered the deployment's medium deserves everything but the
+    // lease column
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.leaseless.impl", classOf[LeaselessRawFs].getName)
+    try {
+      val dir = Files.createTempDirectory("wh-status-unsup").toString
+      val rows = graft.app.CorpusIngest
+        .warehouseStatus(spark, s"leaseless:$dir")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      assert(rows.contains(("lease", "<unsupported>", 0L)), rows.toString)
+      assert(rows.contains(("audit_head", "audit_log", -1L)), rows.toString)
+      // the refusal stays loud where it matters: actually WRITING still
+      // throws at acquire
+      intercept[graft.core.WarehouseLease.LeaseUnsupportedException] {
+        graft.core.WarehouseLease.acquire(spark, s"leaseless:$dir",
+          owner = "x")
+      }
+    } finally conf.unset("fs.leaseless.impl")
   }
 
   test("storePresent: the no-token parked store still fails loud after the completion re-probe") {
