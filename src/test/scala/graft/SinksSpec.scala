@@ -241,6 +241,72 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
   }
 
+  test("wedged swap-token beats orphan single-use threads: a concurrent swap's beats survive") {
+    import graft.core.{Sinks, SwapProtocol}
+    // Parity with the lease-side fix: token beats used to run their
+    // filesystem I/O directly on the shared 2-thread restamp pool, so
+    // TWO re-stamps wedged on degraded stores parked both threads and
+    // silenced ALL swap-token beating in the JVM — a healthy concurrent
+    // swap outliving its TTL then false-read as crash-parked. Beats now
+    // dispatch to single-use daemon threads: two wedged swaps must not
+    // stop a third, healthy swap's token from staying fresh past the TTL.
+    val base = Files.createTempDirectory("swap-wedge").toString
+    val paths = (1 to 3).map { i =>
+      val p = s"$base/store$i"
+      Seq((i.toLong, "x")).toDF("k", "v").write.parquet(p)
+      p
+    }
+    val rawFs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // wedge ONLY token writes (the beat's create) — reads, deletes, and
+    // the initial caller-thread stamp (wedge still false then) flow free
+    val wedgingFs = new org.apache.hadoop.fs.FilterFileSystem(rawFs) {
+      override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        if (wedge.get() && f.getName.endsWith("._swap_inflight")) {
+          new java.util.concurrent.CountDownLatch(1).await() // park forever
+        }
+        super.create(f, overwrite)
+      }
+    }
+    spark.conf.set(Sinks.SwapInflightTtlKey, "900") // beat period 300 ms
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def swapThread(fs: org.apache.hadoop.fs.FileSystem, p: String,
+                     sleepMs: Long) = {
+        val t = new Thread(() =>
+          try SwapProtocol.withSwapToken(spark, fs, p) {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+            assert(fs.rename(hp, old))
+            Thread.sleep(sleepMs)
+            assert(fs.rename(old, hp))
+          } catch { case t: Throwable => failures.add(t) })
+        t.setDaemon(true); t.start(); t
+      }
+      // two swaps on the wedging fs: initial stamps land (wedge off),
+      // then every subsequent beat write parks its single-use thread
+      val w1 = swapThread(wedgingFs, paths(0), 2500L)
+      val w2 = swapThread(wedgingFs, paths(1), 2500L)
+      Thread.sleep(100L)
+      wedge.set(true)
+      // the healthy third swap outlives the 900 ms TTL — its beats must
+      // keep re-stamping even with two beat threads parked forever
+      val w3 = swapThread(rawFs, paths(2), 2500L)
+      Thread.sleep(1800L) // w3 past 2 TTLs, still mid-swap
+      val ex = intercept[IllegalStateException](
+        Sinks.storePresent(spark, paths(2)))
+      assert(ex.getMessage.contains("mid-swap") &&
+        !ex.getMessage.contains("crash-parked"),
+        s"the healthy swap's beat must survive the wedges: ${ex.getMessage}")
+      wedge.set(false)
+      Seq(w1, w2, w3).foreach(_.join(30000L))
+      assert(failures.isEmpty, s"swap bodies failed: ${failures}")
+      paths.foreach(p => assert(Sinks.storePresent(spark, p)))
+    } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+  }
+
   test("a stale swap-token beat can never clobber a NEWER swap's token (per-swap nonce)") {
     import graft.core.{Sinks, SwapProtocol}
     // The ADVICE r16 residual: a re-stamp that wedged and unblocked
