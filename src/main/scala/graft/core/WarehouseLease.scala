@@ -633,53 +633,83 @@ object WarehouseLease {
     }
   }
 
-  // per-HOLD locks serializing the heartbeat body against release: the
-  // beat's check-then-refresh is not atomic on its own, so an unlucky
-  // preemption between its read and its refresh could recreate
-  // the lease file AFTER release deleted it — an orphan lease blocking
-  // foreign writers for a full ttl. A ReentrantLock (not a monitor) so
-  // release can BOUND its wait, and a FRESH lock per outermost acquire
-  // rather than per key: a beat wedged inside a hanging medium call
-  // holds ITS hold's lock forever, and a later re-acquire of the same
-  // warehouse — the documented recovery after a LeaseLostException —
-  // must start with an unpoisoned lock, not inherit the wedge.
-  private val beatLocks =
-    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  /** Mutable state of ONE outermost hold — a fresh instance per acquire,
+    * never shared across holds of the same warehouse. Instance identity
+    * IS the hold's identity: the beat closure, the exit, and the
+    * abandonable release all capture THIS object, and anything that can
+    * outlive the hold (a beat wedged inside a hanging medium call, an
+    * abandoned release) checks `activeHolds.get(key) eq hold` before
+    * acting — a zombie can touch only its own orphaned instance, never a
+    * successor hold's loss-detection state (the per-KEY maps this
+    * replaces had exactly that hazard: the exit's deferred removals
+    * could clobber entries a successor had already started using).
+    *
+    *   - `lock` serializes the beat's check-then-refresh against
+    *     release: without it a beat preempted between its read and its
+    *     write could recreate the lease file AFTER release deleted it.
+    *     A ReentrantLock (not a monitor) so release can BOUND its wait;
+    *     fresh per hold so a wedged beat can never poison a later
+    *     re-acquire's lock.
+    *   - `lastPub` is the hold's last successfully-published stamp — the
+    *     ONLY content its release may delete (exact-content match): an
+    *     abandoned release unblocking after a same-default-jvmOwner
+    *     re-acquire finds a successor stamp it cannot match. Stamps
+    *     differ per publish except the same-millisecond same-owner-
+    *     same-ttl mint, so the release ALSO skips when a successor hold
+    *     is registered on the key — doing harm requires clearing both
+    *     guards inside a read-to-write window.
+    *   - `lastBeatOk` is the last instant the medium ANSWERED a beat
+    *     (acquire counts as one) — consulted by the beat's unreachable-
+    *     medium detection AND by the outermost exit: a WEDGED medium
+    *     call blocks the beat thread inside the call, so the beat can
+    *     never report its own staleness; the exit-time check fires
+    *     regardless. Either way, > ttl without one successful beat means
+    *     the published stamp expired where nobody could see it — lost,
+    *     not held.
+    *   - `markLost` records that the beat observed a FOREIGN owner (or a
+    *     full ttl of silence) on a lease we believed we held. The beat
+    *     can only stop re-stamping; the surfacing happens at the
+    *     outermost exit, which THROWS instead of returning silently-
+    *     possibly-interleaved results. Logged once, on the transition —
+    *     the one message an operator must never miss, not a wall of it.
+    */
+  private final class HoldState(warehouse: String, owner: String) {
+    val lock = new java.util.concurrent.locks.ReentrantLock
+    val lastPub =
+      new java.util.concurrent.atomic.AtomicReference[String]()
+    val lastBeatOk = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val lostObserved =
+      new java.util.concurrent.atomic.AtomicReference[String]()
+    def markLost(observed: String): Unit =
+      if (lostObserved.compareAndSet(null, observed))
+        log.warn(
+          s"write lease on $warehouse lost ($observed) " +
+            s"while held by $owner — a concurrent writer may have " +
+            "interleaved; the holding call will throw on exit")
+    def isLost: Boolean = lostObserved.get() != null
+  }
 
-  // last instant each held lease's medium ANSWERED a beat (acquire counts
-  // as one) — consulted BOTH by the beat's unreachable-medium detection
-  // and by the outermost exit: a WEDGED medium call (a hanging connect
-  // with no timeout — DriverManager sets none by default) blocks the beat
-  // thread inside the call, so the beat itself can never report the
-  // staleness; the exit-time check fires regardless of where the beat is
-  // stuck. Either way, > ttl without one successful beat means the
-  // published stamp expired where nobody could see it — lost, not held.
-  private val beatHealth =
-    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-
-  // keys whose heartbeat observed a FOREIGN owner on the lease file while
-  // we believed we held it (possible only if >ttl elapsed without a
-  // successful beat — filesystem outage, driver-wide GC pause — and a
-  // second writer legitimately reclaimed). The beat can only stop
-  // re-stamping; the surfacing happens at the outermost withWriteLease
-  // exit, which THROWS instead of returning silently-possibly-incomplete
-  // results.
-  private val lost = ConcurrentHashMap.newKeySet[String]()
+  // the CURRENT outermost hold per canonical lease key — entries are
+  // removed (identity-guarded) the moment the exit begins, so a mapping
+  // present here always belongs to a live hold
+  private val activeHolds = new ConcurrentHashMap[String, HoldState]()
 
   // heartbeat renewals for held leases — a small shared daemon pool that
-  // only DISPATCHES: each firing spawns a single-use daemon thread for
-  // the beat's medium I/O (guarded by the hold lock — a previous beat
-  // still in flight makes the new one skip its period). The pool threads
-  // themselves never touch the medium, so a medium that WEDGES a call
-  // (hanging connect, dead socket) orphans at most one single-use thread
-  // per wedge EVENT and can never exhaust beating capacity — the
-  // four-wedges-silence-all-beating degradation of a pool that ran the
-  // I/O itself is structurally impossible. Loss detection never depended
-  // on the beats anyway (the exit-time beatHealth check fires with every
-  // beat parked), and timeouts on the medium's connects (JdbcAtomicCell
+  // only DISPATCHES: each firing hands the beat's medium I/O to
+  // [[BeatDispatch.fireOnce]] (single-use daemon thread, tryLock-gated
+  // on the hold lock — a previous beat still in flight makes the new one
+  // skip its period). The pool threads themselves never touch the
+  // medium, so a medium that WEDGES a call (hanging connect, dead
+  // socket) orphans at most one single-use thread per wedge EVENT and
+  // can never exhaust beating capacity — the four-wedges-silence-all-
+  // beating degradation of a pool that ran the I/O itself is
+  // structurally impossible. Loss detection never depended on the beats
+  // anyway (the exit-time lastBeatOk check fires with every beat
+  // parked), and timeouts on the medium's connects (JdbcAtomicCell
   // bounds every operation) reclaim even the orphans. Tasks are
-  // cancelled at outermost release and double-checked against `held`, so
-  // a cancel/fire race can never re-stamp a released lease.
+  // cancelled at outermost release and double-checked against `held` and
+  // the hold's identity, so a cancel/fire race can never re-stamp a
+  // released lease.
   private val renewals =
     new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
   private lazy val heartbeatPool = {
@@ -693,20 +723,6 @@ object WarehouseLease {
     t.setRemoveOnCancelPolicy(true)
     t
   }
-
-  // the hold's LAST successfully-published stamp, per key. The release
-  // targets THIS exact content — never "whatever the medium holds now
-  // with our owner on it": an abandoned release task unblocking after a
-  // re-acquire (same default jvmOwner) would otherwise read the
-  // SUCCESSOR hold's stamp, match on owner, and delete a live lease —
-  // re-opening the two-writer window for the successor's whole body.
-  // Stamps differ per publish except for the same-millisecond
-  // same-owner-same-ttl mint, so the release ALSO skips when a successor
-  // hold is already registered on the key (the check in the releaser) —
-  // doing harm requires clearing both guards inside a read-to-write
-  // window.
-  private val lastStamps = new ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicReference[String]]()
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -844,10 +860,14 @@ object WarehouseLease {
     if (depth == 1) {
       try {
         val m = mediumFor(spark, warehouse)
-        val firstStamp = acquireVia(m, warehouse, owner, ttlMs)
-        val lastPub = new java.util.concurrent.atomic.AtomicReference(
-          firstStamp)
-        lastStamps.put(key, lastPub)
+        // one fresh HoldState per outermost acquire (field doc): its
+        // instance identity is the hold's identity for every closure
+        // below, and loss/health state lives ON it — nothing a zombie
+        // can touch ever belongs to a successor hold
+        val hold = new HoldState(warehouse, owner)
+        hold.lastPub.set(acquireVia(m, warehouse, owner, ttlMs))
+        hold.lastBeatOk.set(System.currentTimeMillis())
+        activeHolds.put(key, hold)
         // heartbeat: re-stamp expiry every ttl/3 while held, so a live
         // holder outworking its ttl is never reclaimed mid-drop. The beat
         // checks the in-memory hold AND the cell's current owner before
@@ -855,46 +875,25 @@ object WarehouseLease {
         // somehow slipped between beats, must not be clobbered by a stale
         // overwrite.
         val period = math.max(ttlMs / 3L, 100L)
-        // an unreachable medium (coordination-db outage, filesystem hang)
-        // retries silently while the last published stamp is still in
-        // date, but once a full ttl passes without one successful beat
-        // the stamp has expired where nobody can see it — an unseen
-        // reclaim can no longer be ruled out, so the lease is LOST, not
-        // held (surfaced at the outermost exit like every loss; a WEDGED
-        // medium call is caught by the exit-time beatHealth check, see
-        // the field doc)
-        val lastBeatOk = beatHealth.computeIfAbsent(key,
-          _ => new java.util.concurrent.atomic.AtomicLong(0L))
-        lastBeatOk.set(System.currentTimeMillis())
-        // the fresh per-hold lock (see beatLocks); the beat closure
-        // captures the INSTANCE so a next hold's beats can never contend
-        // with — or inherit a wedge from — this one's
-        val holdLock = new java.util.concurrent.locks.ReentrantLock
-        beatLocks.put(key, holdLock)
-        // the beat body — medium I/O, so it NEVER runs on the shared
-        // scheduler pool (heartbeatPool doc): each firing spawns a
-        // single-use daemon thread that tryLocks the hold lock (a
-        // previous beat still in flight — wedged or merely slow — makes
-        // this one skip its period; at most one orphaned thread per
-        // wedge event, pool capacity untouched)
         // ZOMBIE guard: a beat wedged inside a medium call can unblock
         // AFTER its hold exited (systematically so now that JdbcAtomicCell
         // bounds its ops) — and after a same-owner re-acquire, the
         // owner/held checks alone would wave it through. Identity, not
-        // identity-by-name: this hold's lock instance is the active one
-        // iff beatLocks still maps to it (the exit removes the mapping
-        // before anything else). A stale beat must neither re-stamp (it
+        // identity-by-name: this hold is the active one iff activeHolds
+        // still maps to THIS instance (the exit removes the mapping
+        // before anything else). A stale beat must not re-stamp (it
         // would resurrect a released lease or move the successor's stamp
-        // out from under its exact-stamp release) nor markLost (it would
-        // poison the SUCCESSOR hold's exit with a spurious
-        // LeaseLostException). Re-checked immediately before every
-        // publish and every markLost — the residue is a publish wedged
-        // between its re-check and its write, read-to-write instants.
+        // out from under its exact-stamp release) — re-checked
+        // immediately before every publish; the residue is a publish
+        // wedged between its re-check and its write, read-to-write
+        // instants. markLost needs no re-check: it writes to THIS hold's
+        // own instance, which a successor never reads.
         def beatOnce(): Unit = {
-          def stillOurs: Boolean = beatLocks.get(key) eq holdLock
-          // the lock makes check-then-refresh atomic against release:
-          // without it a beat preempted between its read and its write
-          // could recreate the lease file AFTER release deleted it
+          def stillOurs: Boolean = activeHolds.get(key) eq hold
+          // hold.lock (held by the dispatcher around this body) makes
+          // check-then-refresh atomic against release: without it a beat
+          // preempted between its read and its write could recreate the
+          // lease file AFTER release deleted it
           val cur = held.get(key)
           if (stillOurs && cur != null && cur._1 == owner)
             try {
@@ -908,9 +907,10 @@ object WarehouseLease {
                     // act on this stamp, atomic publish is safe. A false
                     // return is transient — the next beat retries or
                     // detects the foreign owner.
-                    if (stillOurs && m.refresh(raw, next)) lastPub.set(next)
+                    if (stillOurs && m.refresh(raw, next))
+                      hold.lastPub.set(next)
                   } else if (stillOurs && m.reclaim(raw, next))
-                    lastPub.set(next)
+                    hold.lastPub.set(next)
                   else if (stillOurs)
                     // expired (or expiring within one beat): a reclaimer
                     // may be acting on this very stamp, so only a
@@ -920,9 +920,8 @@ object WarehouseLease {
                     // the lease as lost.
                     m.read() match {
                       case Some(r2) if parseLease(r2)._1 == owner => ()
-                      case other => if (stillOurs)
-                        markLost(key, warehouse, owner,
-                          other.getOrElse("<absent>"))
+                      case other =>
+                        hold.markLost(other.getOrElse("<absent>"))
                     }
                 case other =>
                   // a foreign owner on a lease we believe we hold: >ttl
@@ -931,61 +930,58 @@ object WarehouseLease {
                   // outermost exit (the two-writer window was OPEN;
                   // silence here is the failure mode the lease exists to
                   // close).
-                  if (stillOurs)
-                    markLost(key, warehouse, owner,
-                      other.getOrElse("<absent>"))
+                  hold.markLost(other.getOrElse("<absent>"))
               }
-              lastBeatOk.set(System.currentTimeMillis())
+              hold.lastBeatOk.set(System.currentTimeMillis())
             } catch {
               case _: Throwable =>
                 // medium unreachable: the next beat retries while the
                 // published stamp is in date; past one full ttl without
                 // a successful beat, treat the lease as lost (doc above)
-                if (stillOurs &&
-                  System.currentTimeMillis() - lastBeatOk.get() > ttlMs)
-                  markLost(key, warehouse, owner,
-                    "<medium unreachable past the ttl>")
+                if (System.currentTimeMillis() - hold.lastBeatOk.get()
+                  > ttlMs)
+                  hold.markLost("<medium unreachable past the ttl>")
             }
         }
         renewals.put(key, heartbeatPool.scheduleAtFixedRate(
-          () => {
-            val th = new Thread(() => {
-              val l = holdLock
-              if (l.tryLock()) {
-                try beatOnce() finally l.unlock()
-              } // else: a previous beat or the release holds the lock —
-                // skip this period (the next one retries)
-            }, "graft-lease-beat")
-            th.setDaemon(true)
-            th.start()
-          },
+          () => BeatDispatch.fireOnce(hold.lock, "graft-lease-beat")(
+            beatOnce()),
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
         case e: Throwable =>
           held.remove(key); dropThreadRoot(rootKey)
           Option(renewals.remove(key)).foreach(_.cancel(false))
-          beatLocks.remove(key); beatHealth.remove(key)
-          lastStamps.remove(key)
+          activeHolds.remove(key)
           throw e
       }
     }
+    // capture OUR hold instance while the in-JVM arbitration still maps
+    // us (no successor can have replaced the activeHolds entry yet) —
+    // the exit below must never read the map after held opens, or it
+    // could retire a successor's state instead of its own
+    val myHold = if (depth == 1) activeHolds.get(key) else null
     try {
       val out = body
       // surface a mid-body lease loss on the success path: the work ran,
       // but a reclaiming writer may have interleaved with it — the caller
       // must treat the drop as suspect (its appends are idempotent, so
-      // re-running after re-acquiring heals). The beatHealth clause is
+      // re-running after re-acquiring heals). The lastBeatOk clause is
       // the WEDGED-medium case: a beat blocked inside a hanging call can
       // never report its own staleness, but a full ttl without one
-      // successful beat means the stamp expired unseen either way.
+      // successful beat means the stamp expired unseen either way. The
+      // state read is THIS hold's own instance (activeHolds still maps
+      // our key to it until the finally below) — a previous hold's
+      // zombie can never have touched it.
       if (depth == 1) {
-        val beatStale = Option(beatHealth.get(key)).exists(a =>
-          System.currentTimeMillis() - a.get() > ttlMs)
-        if (lost.contains(key) || beatStale)
+        val h = myHold
+        val wasLost = h != null && h.isLost
+        val beatStale = h != null &&
+          System.currentTimeMillis() - h.lastBeatOk.get() > ttlMs
+        if (wasLost || beatStale)
           throw new LeaseLostException(
             s"warehouse $warehouse: the write lease was lost to another " +
               "owner while this call ran (heartbeat gap exceeded the ttl" +
-              (if (beatStale && !lost.contains(key))
+              (if (beatStale && !wasLost)
                 " — the medium stopped answering beats" else "") +
               "); a concurrent writer may have interleaved — re-run this " +
               "entry point after re-acquiring, its appends are idempotent")
@@ -993,6 +989,14 @@ object WarehouseLease {
       out
     } finally {
       dropThreadRoot(rootKey)
+      // retire THIS hold's state BEFORE opening the in-JVM arbitration:
+      // identity-guarded, so a successor's mapping is never touched, and
+      // from this instant every zombie closure of this hold answers
+      // `stillOurs == false`. Ordering matters: the per-key maps this
+      // design replaced deferred their removals past the releaser join,
+      // where they could clobber loss-detection entries a successor had
+      // already started using — a silent-dual-write window.
+      if (depth == 1 && myHold != null) activeHolds.remove(key, myHold)
       val left = held.compute(key, (_, cur) => cur match {
         case (o, t, 1) if o == owner && t == tid => null
         case (o, t, d) if o == owner && t == tid => (o, t, d - 1)
@@ -1001,6 +1005,7 @@ object WarehouseLease {
       if (left == null) {
         val hb = renewals.remove(key)
         if (hb != null) hb.cancel(false)
+        val hold = myHold
         // under the hold's beat lock: a beat already past its held-check
         // must finish (refresh-then-delete is fine) before we delete —
         // the reverse order would resurrect the file as an orphan. The
@@ -1012,7 +1017,7 @@ object WarehouseLease {
         // extend that by at most one more ttl before its held-check
         // stops it — and the shared scheduler pool is untouched, see
         // heartbeatPool). The release targets THIS hold's exact
-        // last-published stamp (lastStamps doc): an abandoned task that
+        // last-published stamp (HoldState doc): an abandoned task that
         // unblocks after a same-owner re-acquire finds a successor stamp
         // it can never match, so it can no-op but never delete a live
         // successor lease. Release is best-effort against an unreachable
@@ -1020,12 +1025,10 @@ object WarehouseLease {
         // MASK the body's outcome (including a LeaseLostException the
         // caller must see) — log and move on, never throw from the
         // release.
-        val holdLock = beatLocks.remove(key)
-        val lastPub = lastStamps.remove(key)
         val period = math.max(ttlMs / 3L, 100L)
         val releaser = new Thread(() => {
-          val locked = holdLock == null ||
-            (try holdLock.tryLock(2L * period,
+          val locked = hold == null ||
+            (try hold.lock.tryLock(2L * period,
               java.util.concurrent.TimeUnit.MILLISECONDS)
             catch { case _: InterruptedException => false })
           if (!locked)
@@ -1041,16 +1044,16 @@ object WarehouseLease {
               // exact-stamp matching alone is not airtight: two stamps
               // minted the same millisecond with the same owner and ttl
               // are byte-identical. So a release that finds a SUCCESSOR
-              // hold already active on this key (beatLocks re-mapped —
-              // the documented recovery path re-acquired) skips
-              // entirely: the successor's own exit owns the release. An
-              // abandoned release must clear BOTH guards to do harm —
-              // unblock when no successor is registered AND match its
-              // exact string — which leaves only a wedge landing between
-              // this check and the medium write, read-to-write instants.
+              // hold already active on this key (the documented recovery
+              // path re-acquired) skips entirely: the successor's own
+              // exit owns the release. An abandoned release must clear
+              // BOTH guards to do harm — unblock when no successor is
+              // registered AND match its exact string — which leaves
+              // only a wedge landing between this check and the medium
+              // write, read-to-write instants.
               val expect =
-                if (lastPub != null) Option(lastPub.get()) else None
-              if (beatLocks.get(key) != null) ()
+                if (hold != null) Option(hold.lastPub.get()) else None
+              if (activeHolds.get(key) != null) ()
               else expect match {
                 case Some(st) => mediumFor(spark, warehouse).release(st)
                 case None => releaseVia(mediumFor(spark, warehouse), owner)
@@ -1060,7 +1063,7 @@ object WarehouseLease {
                 s"could not release the write lease on $warehouse " +
                   s"(medium unreachable?) — it expires by ttl on its own",
                 e)
-            } finally if (holdLock != null) holdLock.unlock()
+            } finally if (hold != null) hold.lock.unlock()
         }, "graft-lease-release")
         releaser.setDaemon(true)
         releaser.start()
@@ -1071,22 +1074,8 @@ object WarehouseLease {
           s"write lease on $warehouse: the release is wedged inside a " +
             "hanging medium call — abandoning it; the lease expires " +
             "by ttl on its own")
-        lost.remove(key)
-        beatHealth.remove(key)
       }
     }
-  }
-
-  private def markLost(key: String, warehouse: String, owner: String,
-                       observed: String): Unit = {
-    // log on the TRANSITION, not every beat — this is the one message an
-    // operator must never miss, and a repeated wall of it buries the
-    // fleet's other warnings
-    if (lost.add(key))
-      log.warn(
-        s"write lease on $warehouse lost ($observed) " +
-          s"while held by $owner — a concurrent writer may have " +
-          "interleaved; the holding call will throw on exit")
   }
 
   /** `withWriteLease` with PATIENCE — the entry-point shape a scheduled

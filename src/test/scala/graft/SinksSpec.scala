@@ -270,7 +270,11 @@ class SinksSpec extends AnyFunSuite {
         super.create(f, overwrite)
       }
     }
-    spark.conf.set(Sinks.SwapInflightTtlKey, "900") // beat period 300 ms
+    // a WIDE ttl-to-period margin (period 800 ms, staleness only past
+    // 2400 ms) so scheduler slip under full-suite load cannot flake the
+    // mid-swap assertion — the r16 ADVICE lesson on wall-clock-sensitive
+    // token tests
+    spark.conf.set(Sinks.SwapInflightTtlKey, "2400")
     try {
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       def swapThread(fs: org.apache.hadoop.fs.FileSystem, p: String,
@@ -291,10 +295,10 @@ class SinksSpec extends AnyFunSuite {
       val w2 = swapThread(wedgingFs, paths(1), 2500L)
       Thread.sleep(100L)
       wedge.set(true)
-      // the healthy third swap outlives the 900 ms TTL — its beats must
+      // the healthy third swap outlives the 2.4 s TTL — its beats must
       // keep re-stamping even with two beat threads parked forever
-      val w3 = swapThread(rawFs, paths(2), 2500L)
-      Thread.sleep(1800L) // w3 past 2 TTLs, still mid-swap
+      val w3 = swapThread(rawFs, paths(2), 6500L)
+      Thread.sleep(5200L) // w3 past 2 TTLs, still mid-swap
       val ex = intercept[IllegalStateException](
         Sinks.storePresent(spark, paths(2)))
       assert(ex.getMessage.contains("mid-swap") &&
