@@ -202,26 +202,19 @@ object SwapProtocol {
     stampSwapToken(fs, path, nonce)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
-      () => {
-        // token I/O never runs on the dispatcher pool (restampPool doc):
-        // a single-use daemon thread per firing, skipped when a previous
-        // beat still holds the lock (wedged or merely slow)
-        val th = new Thread(() => {
-          if (lock.tryLock()) {
-            try {
-              if (active.get())
-                try {
-                  val owned = readSwapTokenFull(fs, path) match {
-                    case Some((_, n)) if n.nonEmpty && n != nonce => false
-                    case _ => true // ours, legacy, or racing-absent
-                  }
-                  if (owned) stampSwapToken(fs, path, nonce)
-                } catch { case _: Exception => () }
-            } finally lock.unlock()
-          }
-        }, "graft-swap-token-io")
-        th.setDaemon(true)
-        th.start()
+      // token I/O never runs on the dispatcher pool (restampPool doc):
+      // BeatDispatch spawns a single-use daemon thread per firing,
+      // skipped when a previous beat still holds the lock (wedged or
+      // merely slow)
+      () => BeatDispatch.fireOnce(lock, "graft-swap-token-io") {
+        if (active.get())
+          try {
+            val owned = readSwapTokenFull(fs, path) match {
+              case Some((_, n)) if n.nonEmpty && n != nonce => false
+              case _ => true // ours, legacy, or racing-absent
+            }
+            if (owned) stampSwapToken(fs, path, nonce)
+          } catch { case _: Exception => () }
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
