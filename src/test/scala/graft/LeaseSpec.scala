@@ -486,6 +486,70 @@ class LeaseSpec extends AnyFunSuite {
     assert(cell.deleteIfTag(cell.get().get._2))
   }
 
+  test("timed-connect claim handshake: no interleaving leaks a connection or delivers to a departed waiter") {
+    // the claim CAS contract, raced for real: connects that finish well
+    // inside the bound are DELIVERED (and closed by the op's own
+    // finally); connects that finish around or after the bound are
+    // either delivered or ABANDONED — and an abandoned connect's thread
+    // must close the connection it later opens. Every connection ever
+    // opened must therefore be closed once the dust settles, whatever
+    // the interleaving.
+    val url = s"jdbc:derby:${java.nio.file.Files
+      .createTempDirectory("lease-jdbc-hand")}/db;create=true"
+    // boot the database once OUTSIDE the bounded path: the first embedded
+    // connect pays the db creation (~1 s), every later one is
+    // milliseconds — the race below must straddle the bound with the
+    // artificial delays, not with boot cost
+    java.sql.DriverManager.getConnection(url).close()
+    val open = ConcurrentHashMap.newKeySet[java.sql.Connection]()
+    def track(real: java.sql.Connection): java.sql.Connection = {
+      open.add(real)
+      java.lang.reflect.Proxy.newProxyInstance(
+        classOf[java.sql.Connection].getClassLoader,
+        Array(classOf[java.sql.Connection]),
+        (_, method, args) => {
+          if (method.getName == "close") open.remove(real)
+          try {
+            if (args == null) method.invoke(real)
+            else method.invoke(real, args: _*)
+          } catch {
+            case e: java.lang.reflect.InvocationTargetException =>
+              throw e.getCause
+          }
+        }).asInstanceOf[java.sql.Connection]
+    }
+    val delayMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val connect: () => java.sql.Connection = () => {
+      val d = delayMs.get()
+      if (d > 0) Thread.sleep(d)
+      track(java.sql.DriverManager.getConnection(url))
+    }
+    val cell = new graft.core.JdbcAtomicCell(connect, "graft_lease_cells",
+      "handshake", opTimeoutMs = 300L)
+    assert(cell.putIfAbsent("h|1"))
+    val rnd = new scala.util.Random(7L)
+    var delivered = 0
+    var abandoned = 0
+    (0 until 60).foreach { _ =>
+      // straddle the 300 ms bound: instant, half, at-the-bound, double
+      delayMs.set(Seq(0L, 150L, 300L, 600L)(rnd.nextInt(4)))
+      try { cell.get(); delivered += 1 }
+      catch { case _: java.sql.SQLException => abandoned += 1 }
+    }
+    delayMs.set(0L)
+    assert(delivered > 0 && abandoned > 0,
+      s"the race must exercise both outcomes (delivered=$delivered, " +
+        s"abandoned=$abandoned) — retune the delays if the box shifted")
+    // all delivered connections closed by withConn already; abandoned
+    // ones close on their orphan threads within their delay + epsilon
+    val deadline = System.currentTimeMillis() + 10000L
+    while (!open.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50L)
+    assert(open.isEmpty, s"${open.size()} connections leaked")
+    // and the cell still answers correctly afterwards
+    assert(cell.get().exists(_._1 == "h|1"))
+  }
+
   test("mediumFactory: warehouses sharing a long URI prefix never share a lease cell") {
     // the cell name used to be uri.take(512) — two warehouses sharing a
     // 512-char prefix silently serialized on ONE cell (safe direction,
