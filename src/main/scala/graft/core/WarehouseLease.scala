@@ -767,7 +767,7 @@ object WarehouseLease {
     acquireVia(mediumFor(spark, warehouse), warehouse, owner, ttlMs)
 
   /** Returns the stamp that was actually PUBLISHED on success — the
-    * content an exact-stamp release must target (lastStamps doc).
+    * content an exact-stamp release must target (HoldState doc).
     */
   private def acquireVia(m: LeaseMedium, warehouse: String,
                          owner: String, ttlMs: Long): String = {

@@ -337,8 +337,8 @@ class LeaseSpec extends AnyFunSuite {
     // `lost` at acquire, so the successor's healthy exit would throw a
     // spurious LeaseLostException; reading its own owner's residual
     // expired stamp it would re-stamp it — resurrecting a lease nobody
-    // holds for a full ttl. The hold-identity guard (beatLocks maps to
-    // THIS hold's lock instance) makes the zombie a no-op.
+    // holds for a full ttl. The hold-identity guard (activeHolds maps to
+    // THIS hold's state instance) makes the zombie a no-op.
     val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
     val resume = new CountDownLatch(1)
     val inner = new MemCell
