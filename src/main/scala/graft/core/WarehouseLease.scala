@@ -678,6 +678,11 @@ object WarehouseLease {
     val lastPub =
       new java.util.concurrent.atomic.AtomicReference[String]()
     val lastBeatOk = new java.util.concurrent.atomic.AtomicLong(0L)
+    // THIS hold's scheduled heartbeat task (heartbeatPool doc): kept on
+    // the hold, never in a per-key map, so no exit can cancel a
+    // successor's beating
+    val renewal = new java.util.concurrent.atomic.AtomicReference[
+      java.util.concurrent.ScheduledFuture[_]]()
     private val lostObserved =
       new java.util.concurrent.atomic.AtomicReference[String]()
     def markLost(observed: String): Unit =
@@ -694,8 +699,8 @@ object WarehouseLease {
   // present here always belongs to a live hold
   private val activeHolds = new ConcurrentHashMap[String, HoldState]()
 
-  // heartbeat renewals for held leases — a small shared daemon pool that
-  // only DISPATCHES: each firing hands the beat's medium I/O to
+  // the heartbeat scheduler — a small shared daemon pool that only
+  // DISPATCHES: each firing hands the beat's medium I/O to
   // [[BeatDispatch.fireOnce]] (single-use daemon thread, tryLock-gated
   // on the hold lock — a previous beat still in flight makes the new one
   // skip its period). The pool threads themselves never touch the
@@ -706,12 +711,12 @@ object WarehouseLease {
   // structurally impossible. Loss detection never depended on the beats
   // anyway (the exit-time lastBeatOk check fires with every beat
   // parked), and timeouts on the medium's connects (JdbcAtomicCell
-  // bounds every operation) reclaim even the orphans. Tasks are
-  // cancelled at outermost release and double-checked against `held` and
-  // the hold's identity, so a cancel/fire race can never re-stamp a
-  // released lease.
-  private val renewals =
-    new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+  // bounds every operation) reclaim even the orphans. Each hold's
+  // scheduled task lives ON its HoldState (never in a per-key map — an
+  // exit or failed acquire must only ever cancel ITS OWN task, never a
+  // successor's), cancelled at outermost release and double-checked
+  // against `held` and the hold's identity, so a cancel/fire race can
+  // never re-stamp a released lease.
   private lazy val heartbeatPool = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     val t = new java.util.concurrent.ScheduledThreadPoolExecutor(2,
@@ -857,6 +862,11 @@ object WarehouseLease {
     locally {
       val r = threadHeldRoots.get(); r(rootKey) = r.getOrElse(rootKey, 0) + 1
     }
+    // OUR hold instance, assigned under the in-JVM arbitration (no
+    // successor can race the assignment) — the loss check and the exit
+    // below use this reference and never re-read the map, which a
+    // successor may have re-mapped by then
+    var myHold: HoldState = null
     if (depth == 1) {
       try {
         val m = mediumFor(spark, warehouse)
@@ -868,6 +878,7 @@ object WarehouseLease {
         hold.lastPub.set(acquireVia(m, warehouse, owner, ttlMs))
         hold.lastBeatOk.set(System.currentTimeMillis())
         activeHolds.put(key, hold)
+        myHold = hold
         // heartbeat: re-stamp expiry every ttl/3 while held, so a live
         // holder outworking its ttl is never reclaimed mid-drop. The beat
         // checks the in-memory hold AND the cell's current owner before
@@ -920,7 +931,7 @@ object WarehouseLease {
                     // the lease as lost.
                     m.read() match {
                       case Some(r2) if parseLease(r2)._1 == owner => ()
-                      case other =>
+                      case other => if (stillOurs)
                         hold.markLost(other.getOrElse("<absent>"))
                     }
                 case other =>
@@ -929,8 +940,13 @@ object WarehouseLease {
                   // reclaimed. Never re-stamp — and surface it at the
                   // outermost exit (the two-writer window was OPEN;
                   // silence here is the failure mode the lease exists to
-                  // close).
-                  hold.markLost(other.getOrElse("<absent>"))
+                  // close). The stillOurs re-check is WARN hygiene, not
+                  // correctness (the mark lands on this hold's own
+                  // instance either way): a zombie unblocking after its
+                  // hold exited must not log a spurious loss alarm for a
+                  // call that already returned cleanly.
+                  if (stillOurs)
+                    hold.markLost(other.getOrElse("<absent>"))
               }
               hold.lastBeatOk.set(System.currentTimeMillis())
             } catch {
@@ -938,28 +954,32 @@ object WarehouseLease {
                 // medium unreachable: the next beat retries while the
                 // published stamp is in date; past one full ttl without
                 // a successful beat, treat the lease as lost (doc above)
-                if (System.currentTimeMillis() - hold.lastBeatOk.get()
-                  > ttlMs)
+                if (stillOurs &&
+                  System.currentTimeMillis() - hold.lastBeatOk.get()
+                    > ttlMs)
                   hold.markLost("<medium unreachable past the ttl>")
             }
         }
-        renewals.put(key, heartbeatPool.scheduleAtFixedRate(
+        hold.renewal.set(heartbeatPool.scheduleAtFixedRate(
           () => BeatDispatch.fireOnce(hold.lock, "graft-lease-beat")(
             beatOnce()),
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       } catch {
         case e: Throwable =>
+          // retire OUR state first — identity-guarded, and BEFORE
+          // held.remove opens the in-JVM arbitration: a by-key cleanup
+          // running after the open could cancel a successor's heartbeat
+          // or delete its activeHolds entry (silently disabling its
+          // loss detection)
+          if (myHold != null) {
+            Option(myHold.renewal.get()).foreach(_.cancel(false))
+            activeHolds.remove(key, myHold)
+            myHold = null
+          }
           held.remove(key); dropThreadRoot(rootKey)
-          Option(renewals.remove(key)).foreach(_.cancel(false))
-          activeHolds.remove(key)
           throw e
       }
     }
-    // capture OUR hold instance while the in-JVM arbitration still maps
-    // us (no successor can have replaced the activeHolds entry yet) —
-    // the exit below must never read the map after held opens, or it
-    // could retire a successor's state instead of its own
-    val myHold = if (depth == 1) activeHolds.get(key) else null
     try {
       val out = body
       // surface a mid-body lease loss on the success path: the work ran,
@@ -992,19 +1012,23 @@ object WarehouseLease {
       // retire THIS hold's state BEFORE opening the in-JVM arbitration:
       // identity-guarded, so a successor's mapping is never touched, and
       // from this instant every zombie closure of this hold answers
-      // `stillOurs == false`. Ordering matters: the per-key maps this
-      // design replaced deferred their removals past the releaser join,
-      // where they could clobber loss-detection entries a successor had
-      // already started using — a silent-dual-write window.
-      if (depth == 1 && myHold != null) activeHolds.remove(key, myHold)
+      // `stillOurs == false`. The heartbeat task is cancelled here too —
+      // it is THIS hold's own future (kept on the HoldState, never in a
+      // per-key map), so no exit can ever cancel a successor's beating.
+      // Ordering matters: the per-key maps this design replaced deferred
+      // their removals past the releaser join, where they could clobber
+      // state a successor had already started using — a
+      // silent-dual-write window.
+      if (depth == 1 && myHold != null) {
+        activeHolds.remove(key, myHold)
+        Option(myHold.renewal.get()).foreach(_.cancel(false))
+      }
       val left = held.compute(key, (_, cur) => cur match {
         case (o, t, 1) if o == owner && t == tid => null
         case (o, t, d) if o == owner && t == tid => (o, t, d - 1)
         case other => other
       })
       if (left == null) {
-        val hb = renewals.remove(key)
-        if (hb != null) hb.cancel(false)
         val hold = myHold
         // under the hold's beat lock: a beat already past its held-check
         // must finish (refresh-then-delete is fine) before we delete —
