@@ -111,32 +111,98 @@ object SwapProtocol {
   // newer swap's token with its pre-wedge millis (the ADVICE r16 false
   // crash-park). Legacy bare-millis tokens (pre-nonce residue) parse
   // with nonce "" and are treated as unowned — any beat may re-stamp.
-  private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String, nonce: String): Unit = {
-    val out = fs.create(swapTokenPath(path), true)
-    try out.write(
-      s"${System.currentTimeMillis()}|$nonce".getBytes("UTF-8"))
-    finally out.close()
+  //
+  // The stamp is write-to-temp + ATOMIC OVERWRITE RENAME on the RAW
+  // filesystem, never a direct create(overwrite) on the live token: a
+  // posix fs rewrites a created file as delete-then-recreate-then-write,
+  // so a reader polling storePresent DURING a beat's re-stamp would catch
+  // the token absent or torn and misread a healthy mid-swap table as
+  // crash-parked (pointing operators at repair) — the cross-process race
+  // (SwapRaceSpec) caught exactly that with a ~2% per-beat window. The
+  // raw fs matters just as much as the rename: ChecksumFileSystem moves a
+  // token's `.crc` sidecar in a SECOND rename, so even an atomic data
+  // rename leaves a window where a checksummed reader sees new data
+  // against the old sum and throws (the in-JVM hammer test caught that
+  // one) — writing the token raw means no sidecar ever exists and the
+  // checksummed read degrades to the plain one. Scheme ladder:
+  //   - posix local: raw rename(2) replaces the destination atomically
+  //   - HDFS-style (rename refuses an existing destination):
+  //     FileContext.rename OVERWRITE, atomic there
+  //   - no AbstractFileSystem binding (some object stores): direct
+  //     create — a single PUT, atomic at read level on those stores
+  private def tokenFs(fs: org.apache.hadoop.fs.FileSystem)
+      : org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
   }
 
+  private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, nonce: String): Unit = {
+    val content = s"${System.currentTimeMillis()}|$nonce".getBytes("UTF-8")
+    val live = swapTokenPath(path)
+    val wfs = tokenFs(fs)
+    // nonce-suffixed temp: a zombie beat's late write can never collide
+    // with the live swap's in-flight temp file
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + s"._swap_inflight.tmp-$nonce")
+    val out = wfs.create(tmp, true)
+    try out.write(content) finally out.close()
+    try {
+      if (!wfs.rename(tmp, live)) {
+        // dst-exists refusal (HDFS semantics): the atomic overwrite
+        // rename lives on FileContext there
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(wfs.getUri, wfs.getConf)
+          .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext binding for the scheme: single-PUT overwrite
+        // (atomic at read level on the object stores this covers)
+        try wfs.delete(tmp, false) catch { case _: Exception => () }
+        val direct = wfs.create(live, true)
+        try direct.write(content) finally direct.close()
+      case e: Exception =>
+        // rename refused (degraded store): drop the temp — a crash
+        // before this delete leaves a `._swap_inflight.tmp-*` file,
+        // which is inert (never read as the token, skipped by the
+        // parked-swap walk) — and let the caller's failure protocol run
+        // (entry stamp: abort the swap before its renames; beat: the
+        // beat's own catch retries next period)
+        try wfs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
+  // clear via the CHECKSUMMED handle on purpose: it removes a legacy
+  // token's `.crc` sidecar along with the data file (tokens are written
+  // raw since the atomic-stamp fix, but residue from older writers may
+  // still carry one)
   private def clearSwapToken(fs: org.apache.hadoop.fs.FileSystem,
                              path: String): Unit =
     try fs.delete(swapTokenPath(path), false)
     catch { case _: java.io.IOException => () }
 
-  /** (stamp, nonce), None when absent. A token that exists but cannot be
-    * read or parsed reads as stamp 0 with no owner — i.e. maximally
-    * STALE: ambiguity resolves toward the loud crash report (which only
-    * ever points at repair), never toward treating a parked store as
-    * absent.
+  /** (stamp, nonce), None when absent. Reads through the RAW filesystem —
+    * the stamp side writes raw (no checksum sidecar, see stampSwapToken),
+    * and a raw read also shrugs off stale `.crc` residue a pre-atomic-fix
+    * writer may have left. A token that exists but cannot be read or
+    * parsed is retried twice (a torn read on a filesystem whose overwrite
+    * visibility is weaker than posix rename — transient by construction,
+    * and the retry sits on the already-exceptional parked branch, never
+    * the healthy read path), then reads as stamp 0 with no owner — i.e.
+    * maximally STALE: persistent ambiguity resolves toward the loud crash
+    * report (which only ever points at repair), never toward treating a
+    * parked store as absent.
     */
   private def readSwapTokenFull(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String): Option[(Long, String)] = {
+    val rfs = tokenFs(fs)
     val p = swapTokenPath(path)
-    if (!fs.exists(p)) None
-    else Some(
-      try {
-        val in = fs.open(p)
+    def readOnce(): Option[(Long, String)] =
+      if (!rfs.exists(p)) None
+      else Some {
+        val in = rfs.open(p)
         val line =
           try new java.io.BufferedReader(new java.io.InputStreamReader(in))
             .readLine().trim
@@ -144,7 +210,16 @@ object SwapProtocol {
         val i = line.indexOf('|')
         if (i < 0) (line.toLong, "") // legacy bare-millis token
         else (line.substring(0, i).toLong, line.substring(i + 1))
-      } catch { case _: Exception => (0L, "") })
+      }
+    (0 to 2).iterator.map { attempt =>
+      try Right(readOnce())
+      catch {
+        case e: Exception =>
+          if (attempt < 2) Thread.sleep(20L)
+          Left(e)
+      }
+    }.collectFirst { case Right(r) => r }
+      .getOrElse(Some((0L, "")))
   }
 
   private def readSwapToken(spark: SparkSession,
@@ -199,6 +274,11 @@ object SwapProtocol {
     // and lands late — read-to-write instants, down from the whole wedge
     // duration.
     val nonce = java.util.UUID.randomUUID().toString.take(12)
+    // under the warehouse lease no other writer's swap can be in flight,
+    // so clearing first is safe — and it removes a PRE-ATOMIC-FIX
+    // writer's `.crc` sidecar residue, which the raw stamp below would
+    // otherwise leave stale next to the token forever
+    clearSwapToken(fs, path)
     stampSwapToken(fs, path, nonce)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
@@ -293,7 +373,13 @@ object SwapProtocol {
     if (pathExists(spark, path)) true
     else if (WarehouseLease.heldByCurrentThread(spark, path))
       recoverSwap(spark, path)
-    else if (!hasParkedSwap(spark, path)) false
+    else if (!hasParkedSwap(spark, path))
+      // re-probe before answering ABSENT: a swap-in rename landing
+      // between the pathExists above and hasParkedSwap's two exists
+      // calls makes both read false on a table that is HEALTHY right
+      // now — the in-JVM hammer test caught a reader in that instant.
+      // Absent must mean absent, not "mid-rename when I looked".
+      pathExists(spark, path)
     else {
       // staleness is writer-stamp vs reader-clock: the conf'd skew
       // allowance (SwapSkewAllowanceKey) mechanically absorbs a reader

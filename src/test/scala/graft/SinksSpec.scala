@@ -241,6 +241,62 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
   }
 
+  test("token re-stamps are ATOMIC: a tight reader loop never catches a beat mid-rewrite as crash-parked") {
+    // The bug this locks (caught by SwapRaceSpec's cross-process poll):
+    // stamping via create(overwrite) rewrites the token as delete-then-
+    // recreate-then-write on a checksummed/posix fs, so a reader polling
+    // DURING a beat's re-stamp saw the token absent or torn and misread
+    // a healthy mid-swap table as crash-parked. The stamp is now
+    // write-to-temp + atomic overwrite rename; this reader hammers
+    // storePresent with NO sleep (thousands of polls across several
+    // re-stamps — the old code failed this in well under one window),
+    // and every poll must resolve present or in-flight, never absent,
+    // never crash-parked.
+    import graft.core.{Sinks, SwapProtocol}
+    val base = Files.createTempDirectory("swap-atomic").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+    // same wall-clock margins as the re-stamp test above: beat period
+    // ttl/3 = 1 s, staleness bound 3 s, window 4 s (~4 re-stamps)
+    spark.conf.set(Sinks.SwapInflightTtlKey, "3000")
+    try {
+      val windowOpen = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() =>
+        try SwapProtocol.withSwapToken(spark, fs, p) {
+          assert(fs.rename(hp, old))
+          windowOpen.set(true)
+          Thread.sleep(4000L)
+          assert(fs.rename(old, hp))
+        } catch { case t: Throwable => failure.set(t) }
+        finally done.set(true))
+      writer.start()
+      var polls = 0L
+      var inflight = 0L
+      while (!done.get()) {
+        try { if (Sinks.storePresent(spark, p)) () else fail(
+          "a mid-swap table read as ABSENT during a token re-stamp") }
+        catch {
+          case e: IllegalStateException =>
+            assert(e.getMessage.contains("mid-swap"),
+              s"torn/absent token mid-re-stamp: ${e.getMessage}")
+            inflight += 1
+        }
+        polls += 1
+      }
+      writer.join(30000L)
+      assert(failure.get() == null, s"writer failed: ${failure.get()}")
+      assert(inflight >= 1000L,
+        s"the hammer loop barely ran inside the window ($inflight in-flight " +
+          s"reads of $polls polls) — the race was not exercised")
+      assert(Sinks.storePresent(spark, p))
+    } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+  }
+
   test("wedged swap-token beats orphan single-use threads: a concurrent swap's beats survive") {
     import graft.core.{Sinks, SwapProtocol}
     // Parity with the lease-side fix: token beats used to run their
