@@ -768,16 +768,21 @@ object StressProbe {
     // governance measurements that were single-size points — the fsck
     // audit (id-projected anti-joins + ledger compares: the wall should
     // track the thin id tables, roughly linear in doc count, never the
-    // corpus bytes) and the takedown delete (a leased rewrite of every
+    // corpus bytes), the takedown delete (a leased rewrite of every
     // table the ids touch: the documented per-takedown price, whose
     // slope shows whether the rewrite or the fixed per-call protocol
-    // cost dominates at scale). Same warm-up contract as store_size_*:
-    // one untimed fsck + delete of the same plan family first, so the
-    // first timed point doesn't pay the JVM/codegen warm-up.
+    // cost dominates at scale), and the one-stop warehouseStatus read
+    // (lease probe + parked-swap walk + ledger/census aggregates over
+    // id-sized tables: claimed metadata-sized, so its wall across 5× the
+    // docs should grow with the thin ledgers, never the corpus bytes).
+    // Same warm-up contract as store_size_*: one untimed run of each
+    // plan family first, so the first timed point doesn't pay the
+    // JVM/codegen warm-up.
     val govProbe = {
       val sizes = Seq("200k" -> 200000L, "1m" -> 1000000L)
       val tags = sizes.flatMap { case (l, _) =>
-        Seq(s"gov_build_$l", s"gov_fsck_$l", s"gov_takedown_$l") }
+        Seq(s"gov_build_$l", s"gov_fsck_$l", s"gov_takedown_$l",
+          s"gov_status_$l") }
       if (!tags.exists(selected)) tags.map(_ -> 0.0)
       else {
         def corpusOf(n: Long) = spark.range(0, n, 1, 64).select(
@@ -789,7 +794,7 @@ object StressProbe {
         val whs = sizes.flatMap { case (label, n) =>
           val buildTag = s"gov_build_$label"
           val anySel = Seq(buildTag, s"gov_fsck_$label",
-            s"gov_takedown_$label").exists(selected)
+            s"gov_takedown_$label", s"gov_status_$label").exists(selected)
           if (!anySel) None
           else {
             val wh = java.nio.file.Files
@@ -807,12 +812,15 @@ object StressProbe {
         // fsck/takedown will actually run (a build-only selection must
         // not pay a warm-up for measurements it skips)
         val measuring = sizes.exists { case (l, _) =>
-          selected(s"gov_fsck_$l") || selected(s"gov_takedown_$l") }
+          selected(s"gov_fsck_$l") || selected(s"gov_takedown_$l") ||
+            selected(s"gov_status_$l") }
         if (measuring) whs.headOption.foreach { case (_, _, wh, _) =>
           core.GraftCaches.withScope(spark)(
             app.CorpusIngest.fsck(spark, wh).collect())
           core.GraftCaches.withScope(spark)(
             app.CorpusIngest.delete(spark, wh, (0L until 10L).toSeq))
+          core.GraftCaches.withScope(spark)(
+            app.CorpusIngest.warehouseStatus(spark, wh).collect())
         }
         whs.flatMap { case (label, n, wh, b) =>
           Seq(b,
@@ -821,7 +829,10 @@ object StressProbe {
                 app.CorpusIngest.fsck(spark, wh).collect())),
             core.GraftCaches.withScope(spark)(
               timeEffect(s"gov_takedown_$label", n)(
-                app.CorpusIngest.delete(spark, wh, (10L until 20L).toSeq))))
+                app.CorpusIngest.delete(spark, wh, (10L until 20L).toSeq))),
+            core.GraftCaches.withScope(spark)(
+              timeEffect(s"gov_status_$label", n)(
+                app.CorpusIngest.warehouseStatus(spark, wh).collect())))
         }
       }
     }
