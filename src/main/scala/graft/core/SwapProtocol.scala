@@ -251,6 +251,20 @@ object SwapProtocol {
     t
   }
 
+  // the CURRENT live swap's nonce per qualified table path, this JVM —
+  // registered at withSwapToken entry, identity-removed at exit. The
+  // warehouse lease admits ONE live swap per path fleet-wide, so a beat
+  // (or exit clear) reading a FOREIGN nonce on its own path consults this
+  // to tell the two possible worlds apart: if it is still the registered
+  // live swap, the foreign nonce is a dead zombie's late-landing write —
+  // RECLAIM it (refusing would leave the token stale for the rest of the
+  // window, a persistent false crash-park to every reader); if it is no
+  // longer registered, it IS the zombie — refuse, the token belongs to a
+  // newer swap. Same instance-identity move as WarehouseLease's
+  // activeHolds, for the same reason.
+  private val activeSwaps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run `body` (the rename window of a rewrite swap) under a LIVE
     * inflight token: stamped before the body, re-stamped every TTL/3
     * while it runs, cleared after. The beat is what keeps a healthy swap
@@ -266,19 +280,22 @@ object SwapProtocol {
                                       path: String)(body: => T): T = {
     val lock = new java.util.concurrent.locks.ReentrantLock
     val active = new java.util.concurrent.atomic.AtomicBoolean(true)
-    // per-swap identity: the beat refuses to clobber a token a LATER
-    // swap stamped (its nonce differs), and the exit's clear refuses to
-    // delete one — a beat or clear that wedged past its swap's lifetime
-    // can no-op but never falsify a newer swap's in-flight claim. The
+    // per-swap identity: a ZOMBIE beat — one wedged inside a medium call
+    // that unblocks after its swap exited — re-reads the token and, no
+    // longer registered on the path, refuses to clobber what a newer
+    // swap stamped; the LIVE swap's beat conversely reclaims a zombie's
+    // blind late write within one period (activeSwaps doc). The
     // remaining window is a WRITE that wedged after its owner re-check
-    // and lands late — read-to-write instants, down from the whole wedge
-    // duration.
+    // and lands late — read-to-write instants, and the live beat heals
+    // even that within one period instead of leaving it stale.
     val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val key = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
     // under the warehouse lease no other writer's swap can be in flight,
     // so clearing first is safe — and it removes a PRE-ATOMIC-FIX
     // writer's `.crc` sidecar residue, which the raw stamp below would
     // otherwise leave stale next to the token forever
     clearSwapToken(fs, path)
+    activeSwaps.put(key, nonce)
     stampSwapToken(fs, path, nonce)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
@@ -287,14 +304,17 @@ object SwapProtocol {
       // skipped when a previous beat still holds the lock (wedged or
       // merely slow)
       () => BeatDispatch.fireOnce(lock, "graft-swap-token-io") {
-        if (active.get())
-          try {
-            val owned = readSwapTokenFull(fs, path) match {
-              case Some((_, n)) if n.nonEmpty && n != nonce => false
-              case _ => true // ours, legacy, or racing-absent
-            }
-            if (owned) stampSwapToken(fs, path, nonce)
-          } catch { case _: Exception => () }
+        // ownership IS registration: the lease admits one live swap per
+        // path fleet-wide, so while this swap is the registered one,
+        // whatever sits at the token path — our own stamp, a dead
+        // zombie's late-landing clobber (reclaimed here within one
+        // period), legacy bare-millis residue, or a racing absence — is
+        // ours to re-stamp; once deregistered, this beat is itself the
+        // zombie and must touch nothing (a newer swap may own the token,
+        // or nobody does and stamping would resurrect it).
+        if (active.get() && activeSwaps.get(key) == nonce)
+          try stampSwapToken(fs, path, nonce)
+          catch { case _: Exception => () }
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
@@ -316,14 +336,17 @@ object SwapProtocol {
         catch { case _: InterruptedException =>
           Thread.currentThread().interrupt(); false }
       try {
-        val owned = readSwapTokenFull(fs, path) match {
-          case Some((_, n)) if n.nonEmpty && n != nonce => false
-          case Some(_) => true
-          case None => false // already cleared / never landed
-        }
-        if (owned) clearSwapToken(fs, path)
+        // we are still the registered live swap at our own exit, so ANY
+        // token here is ours to clear — our own stamp, or zombie garbage
+        // that landed after our last beat (leaving that would hold a
+        // stale token next to the healed table); skip only when nothing
+        // is there
+        if (readSwapTokenFull(fs, path).isDefined) clearSwapToken(fs, path)
       } catch { case _: Exception => () }
-      finally if (locked) lock.unlock()
+      finally {
+        if (locked) lock.unlock()
+        activeSwaps.remove(key, nonce)
+      }
     }
   }
 

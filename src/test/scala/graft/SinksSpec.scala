@@ -320,7 +320,9 @@ class SinksSpec extends AnyFunSuite {
     val wedgingFs = new org.apache.hadoop.fs.FilterFileSystem(rawFs) {
       override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
           : org.apache.hadoop.fs.FSDataOutputStream = {
-        if (wedge.get() && f.getName.endsWith("._swap_inflight")) {
+        // beats stamp via a temp file since the atomic-rename fix, so
+        // match any token-family name (live or `.tmp-<nonce>`)
+        if (wedge.get() && f.getName.contains("._swap_inflight")) {
           new java.util.concurrent.CountDownLatch(1).await() // park forever
         }
         super.create(f, overwrite)
@@ -367,27 +369,27 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
   }
 
-  test("a stale swap-token beat can never clobber a NEWER swap's token (per-swap nonce)") {
+  test("zombie token garbage on a LIVE swap's path is reclaimed by its beat; the exit leaves no token behind") {
     import graft.core.{Sinks, SwapProtocol}
-    // The ADVICE r16 residual: a re-stamp that wedged and unblocked
-    // after a LATER swap stamped fresh used to overwrite the token with
-    // its pre-wedge millis — a false crash-park report for that swap's
-    // lease-free readers. The beat (and the exit's clear) now re-read
-    // the token and refuse when another swap's nonce owns it. Modeled
-    // here without a wedge: a foreign-nonce token planted mid-swap must
-    // survive every subsequent beat AND the swap's own exit clear.
+    // The lease admits ONE live swap per path, so a foreign-nonce token
+    // appearing mid-window can only be a dead zombie's late-landing
+    // write (a beat that wedged mid-stamp in a previous swap of this
+    // path and unblocked now). Refusing it — the first nonce design —
+    // left the garbage's stale millis as the token for the REST of the
+    // window: a persistent false crash-park to every lease-free reader.
+    // The live swap's beat now reclaims its path within one period, and
+    // the exit clears whatever is there (its own stamp or late garbage).
     val base = Files.createTempDirectory("swap-nonce").toString
     val p = s"$base/store"
     Seq((1L, "a")).toDF("k", "v").write.parquet(p)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
-    def tokenContent(): String = {
-      val in = fs.open(token)
-      try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-        .readLine()
-      finally in.close()
-    }
+    // read like the protocol does — RAW (tokens carry no checksum
+    // sidecar, and a planted one's stale .crc must not trip the test)
+    def tokenContent(): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p + "._swap_inflight")), "UTF-8")
     spark.conf.set(Sinks.SwapInflightTtlKey, "750") // beat period 250 ms
     try {
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
@@ -396,20 +398,98 @@ class SinksSpec extends AnyFunSuite {
         catch { case t: Throwable => failure.set(t) })
       writer.start()
       Thread.sleep(600L) // the swap's beat is live
-      // a newer swap's token lands (foreign nonce, distinctive stamp)
-      val foreignStamp = System.currentTimeMillis() + 7777777L
+      // zombie garbage lands: foreign nonce, distinctively stale stamp
+      val garbageStamp = System.currentTimeMillis() - 7777777L
       val out = fs.create(token, true)
-      try out.write(s"$foreignStamp|zz-foreign".getBytes("UTF-8"))
+      try out.write(s"$garbageStamp|zz-zombie".getBytes("UTF-8"))
       finally out.close()
-      Thread.sleep(1200L) // ≥4 beat periods — each must refuse to clobber
-      assert(tokenContent().endsWith("|zz-foreign"),
-        s"a stale beat clobbered the newer swap's token: ${tokenContent()}")
+      // within a couple of beat periods the LIVE swap reclaims its path:
+      // fresh millis, its own nonce — never the zombie's stale stamp
+      val deadline = System.currentTimeMillis() + 2000L
+      var content = tokenContent()
+      while (content.endsWith("|zz-zombie") &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(50L); content = tokenContent()
+      }
+      assert(!content.endsWith("|zz-zombie"),
+        s"the live swap's beat never reclaimed the zombie garbage: $content")
+      assert(math.abs(System.currentTimeMillis() -
+        content.takeWhile(_ != '|').toLong) < 5000L,
+        s"reclaimed token must carry a fresh stamp: $content")
       writer.join(30000L)
       assert(failure.get() == null, s"writer failed: ${failure.get()}")
-      // the exit's clear refused too: the foreign token is still there
-      assert(fs.exists(token) && tokenContent().endsWith("|zz-foreign"),
-        "the swap's exit must not clear a newer swap's token")
-      fs.delete(token, false)
+      // the exit cleared the token — its own stamp or any late garbage
+      assert(!fs.exists(token),
+        "the swap's exit must leave no token on its path")
+    } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
+  }
+
+  test("a beat wedged mid-stamp whose write lands AFTER its swap exited is healed by the next swap's beat") {
+    import graft.core.{Sinks, SwapProtocol}
+    // The irreducible residue: a beat wedged INSIDE its stamp I/O passed
+    // every ownership check before the wedge, so its write lands blind —
+    // no re-check can stop it. What the protocol guarantees instead is
+    // the heal: the NEXT swap's beat (the registered live swap for the
+    // path) reclaims the clobbered token within one period, so the false
+    // crash-park window is one beat period, never the rest of the window.
+    val base = Files.createTempDirectory("swap-zombie").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val rawFs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    val wedge = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // park BEAT stamps (the temp create) while wedged; release via gate
+    val wedgingFs = new org.apache.hadoop.fs.FilterFileSystem(rawFs) {
+      override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        if (wedge.get() && f.getName.contains("._swap_inflight.tmp-")) {
+          gate.await(30L, java.util.concurrent.TimeUnit.SECONDS)
+          ()
+        }
+        super.create(f, overwrite)
+      }
+    }
+    def nonceOf(): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p + "._swap_inflight")), "UTF-8")
+      .dropWhile(_ != '|').drop(1)
+    spark.conf.set(Sinks.SwapInflightTtlKey, "750") // beat period 250 ms
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // swap A: initial stamp flows (wedge off), then its first beat
+      // parks inside the temp create holding A's stamp content
+      val a = new Thread(() =>
+        try SwapProtocol.withSwapToken(spark, wedgingFs, p) {
+          wedge.set(true)
+          Thread.sleep(700L) // one beat fires at ~250 ms and parks
+        } catch { case t: Throwable => failures.add(t) })
+      a.start()
+      a.join(30000L) // A exits; its parked beat is now a live zombie
+      wedge.set(false)
+      // swap B: registers, stamps, beats — the live swap on the path
+      val b = new Thread(() =>
+        try SwapProtocol.withSwapToken(spark, rawFs, p)(Thread.sleep(3500L))
+        catch { case t: Throwable => failures.add(t) })
+      b.start()
+      Thread.sleep(500L)
+      val nonceB = nonceOf()
+      // release the zombie: its blind write lands with A's nonce and
+      // A's PRE-WEDGE millis — then B's next beat must take the path back
+      gate.countDown()
+      val deadline = System.currentTimeMillis() + 2500L
+      var healed = false
+      while (!healed && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50L)
+        healed = try nonceOf() == nonceB catch { case _: Exception => false }
+      }
+      assert(healed,
+        s"B's beat never reclaimed the path from the zombie's blind write " +
+          s"(token nonce ${nonceOf()} vs B's $nonceB)")
+      b.join(30000L)
+      assert(failures.isEmpty, s"swap bodies failed: $failures")
+      assert(!rawFs.exists(token), "B's exit must leave no token")
     } finally spark.conf.unset(Sinks.SwapInflightTtlKey)
   }
 
