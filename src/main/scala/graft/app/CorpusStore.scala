@@ -235,12 +235,10 @@ private[graft] object CorpusStore {
                                label: String, threshold: Double): Unit = {
     val p = thresholdLedgerAt(pairsP)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val line = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine()
-      finally in.close()
-      require(line != null && line.trim.nonEmpty,
+    graft.core.AtomicFiles.readLine(fs, p).foreach { line =>
+      // empty = a pre-atomic writer's torn first stamp (stamps publish
+      // atomically now) — still refused loudly, delete-to-restamp
+      require(line.trim.nonEmpty,
         s"$label threshold ledger $p exists but is empty/corrupt — " +
           "delete it to restamp on the next run")
       val stamped = line.trim.toDouble
@@ -256,10 +254,10 @@ private[graft] object CorpusStore {
                                threshold: Double): Unit = {
     val p = thresholdLedgerAt(pairsP)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      try out.write(threshold.toString.getBytes("UTF-8")) finally out.close()
-    }
+    // atomic first stamp: a racing reader sees absent or the full line,
+    // never the empty create-to-write window
+    if (!fs.exists(p))
+      graft.core.AtomicFiles.writeAtomic(fs, p, threshold.toString)
   }
 
   def checkThreshold(spark: SparkSession, wh: String,
@@ -271,27 +269,33 @@ private[graft] object CorpusStore {
     stampThresholdAt(spark, pairsPath(wh), threshold)
 
   /** Single-long sibling-ledger read (the `Sinks.promote` format); -1 when
-    * absent or unreadable (unreadable = re-do the guarded work, never skip).
+    * absent or unreadable (unreadable = re-do the guarded work, never
+    * skip). NOW ACTUALLY SO: the old body let a parse/checksum error out
+    * of the read, despite this doc — a lease-free reader (fsck, status)
+    * racing a leased writer's re-stamp could crash on a torn line. Reads
+    * go through [[graft.core.AtomicFiles.readLine]] (raw, bounded-retried)
+    * and every persistent failure maps to -1, the documented fail-safe.
     */
   def readLongLedger(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      val line = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine()
-      finally in.close()
-      if (line == null || line.trim.isEmpty) -1L else line.trim.toLong
-    }
+    try graft.core.AtomicFiles.readLine(fs, p) match {
+      case Some(line) if line.trim.nonEmpty =>
+        try line.trim.toLong catch { case _: NumberFormatException => -1L }
+      case _ => -1L
+    } catch { case _: Exception => -1L }
   }
 
+  /** Atomic publish ([[graft.core.AtomicFiles.writeAtomic]]): a
+    * lease-free reader polling the ledger across a re-stamp sees the old
+    * value or the new one — never absence (which reads as -1 and flips
+    * the guarded branch) and never a torn line.
+    */
   def writeLongLedger(spark: SparkSession, path: String,
                               value: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+    graft.core.AtomicFiles.writeAtomic(fs, p, value.toString)
   }
 
   def mediaHashPath(wh: String) = s"$wh/corpus/media_hashes"

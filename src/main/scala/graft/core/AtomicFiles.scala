@@ -1,0 +1,105 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** Sibling-ledger I/O — the tiny single-line control files the warehouse
+  * keeps next to its tables (watermark/promote longs, bucket-spec and
+  * threshold stamps, swap-inflight tokens). Their defining hazard: they
+  * are READ BY LEASE-FREE READERS (fsck, status, queries over bucketed
+  * stores) while a leased writer may be mid-rewrite, and a plain
+  * `fs.create(p, overwrite = true)` rewrites a file as
+  * delete-then-recreate-then-write — a reader in that window sees the
+  * file ABSENT or EMPTY and silently flips whatever branch keyed on it
+  * (the same bug class the swap-token race caught, SwapProtocol doc).
+  *
+  * So writes here are write-to-temp + ATOMIC OVERWRITE RENAME on the RAW
+  * filesystem, by the same scheme ladder as the token stamp:
+  *   - posix local: raw rename(2) replaces the destination atomically
+  *   - HDFS-style (rename refuses an existing destination):
+  *     FileContext.rename OVERWRITE, atomic there
+  *   - no AbstractFileSystem binding (some object stores): direct
+  *     create — a single PUT, atomic at read level on those stores
+  * Raw matters as much as the rename: ChecksumFileSystem moves a file's
+  * `.crc` sidecar in a SECOND rename, so even an atomic data rename
+  * leaves a window where a checksummed reader sees new data against the
+  * old sum and throws. Writing raw means no sidecar ever exists; reads
+  * go raw too, which also shrugs off stale `.crc` residue that
+  * pre-atomic writers left behind (it is inert from here on).
+  *
+  * Reads retry twice on an I/O error (a torn read on a filesystem whose
+  * overwrite visibility is weaker than posix rename — transient by
+  * construction) and then rethrow; each caller maps persistent failure
+  * to ITS OWN fail-safe direction (the token reads maximally stale, a
+  * watermark ledger reads -1 = re-do the guarded work, a geometry stamp
+  * refuses the append).
+  */
+private[graft] object AtomicFiles {
+
+  /** The checksum-free handle for control files (object doc). */
+  def raw(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** Publish `content` at `p` atomically-visible (object doc): a reader
+    * polling `p` across this call sees the old line or the new one,
+    * never absence, emptiness, or a checksum mismatch.
+    */
+  def writeAtomic(fs: FileSystem, p: Path, content: String): Unit = {
+    val wfs = raw(fs)
+    val bytes = content.getBytes("UTF-8")
+    val tmp = new Path(p.getParent,
+      p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = wfs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      if (!wfs.rename(tmp, p)) {
+        // dst-exists refusal (HDFS semantics): the atomic overwrite
+        // rename lives on FileContext there
+        FileContext.getFileContext(wfs.getUri, wfs.getConf)
+          .rename(tmp, p, Options.Rename.OVERWRITE)
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext binding for the scheme: single-PUT overwrite
+        try wfs.delete(tmp, false) catch { case _: Exception => () }
+        val direct = wfs.create(p, true)
+        try direct.write(bytes) finally direct.close()
+      case e: Exception =>
+        // rename refused (degraded store): drop the temp — crash residue
+        // is a `.tmp-*` file, inert (never read as the ledger) — and let
+        // the caller's failure protocol run
+        try wfs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
+  /** First line at `p` through the raw filesystem; None when absent.
+    * Bounded retries on I/O errors (object doc), then rethrow — the
+    * caller owns the fail-safe mapping. A file with no line reads "".
+    */
+  def readLine(fs: FileSystem, p: Path): Option[String] = {
+    val rfs = raw(fs)
+    def once(): Option[String] =
+      if (!rfs.exists(p)) None
+      else {
+        val in = rfs.open(p)
+        val line =
+          try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+            .readLine()
+          finally in.close()
+        Some(if (line == null) "" else line)
+      }
+    var attempt = 0
+    while (true) {
+      try return once()
+      catch {
+        case e: Exception =>
+          if (attempt >= 2) throw e
+          attempt += 1
+          Thread.sleep(20L)
+      }
+    }
+    sys.error("unreachable")
+  }
+}

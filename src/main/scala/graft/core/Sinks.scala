@@ -54,17 +54,17 @@ object Sinks {
                     batchId: Long): java.sql.Timestamp = {
     val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/batch-$batchId")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val millis = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine().trim.toLong
-      finally in.close()
-      new java.sql.Timestamp(millis)
-    } else {
-      val now = System.currentTimeMillis()
-      val out = fs.create(p, true)
-      try out.write(now.toString.getBytes("UTF-8")) finally out.close()
-      new java.sql.Timestamp(now)
+    // EMPTY = a pre-atomic writer crashed between its create and its
+    // write; nothing used the stamp (it is read before the snapshot
+    // write), so restamping is safe — the old body NPE'd on it forever,
+    // bricking the batchId. Stamps publish atomically now, so the torn
+    // state can no longer be created.
+    AtomicFiles.readLine(fs, p).filter(_.trim.nonEmpty) match {
+      case Some(line) => new java.sql.Timestamp(line.trim.toLong)
+      case None =>
+        val now = System.currentTimeMillis()
+        AtomicFiles.writeAtomic(fs, p, now.toString)
+        new java.sql.Timestamp(now)
     }
   }
 
@@ -571,22 +571,27 @@ object Sinks {
             idempotentAppend(batch, batchTablePath, keys, partitionCols)
         }
       }
-      val out = lfs.create(ledger, true)
-      try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+      // atomic publish: a lease-free ledger reader (fsck's
+      // watermark-vs-silver checks) polling across this re-stamp sees
+      // the old high-water or the new one, never absence (= -1 = "re-do
+      // everything") or a torn line
+      AtomicFiles.writeAtomic(lfs, ledger, b.toString)
       b
     }
   }
 
-  /** Single-long sibling ledger, -1 when absent (promote's format). */
+  /** Single-long sibling ledger, -1 when absent or unreadable — the
+    * fail-safe direction (re-promote; appends are idempotent). Raw,
+    * retried read via [[AtomicFiles.readLine]]: a torn line or a stale
+    * `.crc` sidecar from a pre-atomic writer must not crash the caller.
+    */
   private def readLedgerLong(fs: org.apache.hadoop.fs.FileSystem,
                              ledger: org.apache.hadoop.fs.Path): Long =
-    if (!fs.exists(ledger)) -1L
-    else {
-      val in = fs.open(ledger)
-      try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-        .readLine().trim.toLong
-      finally in.close()
-    }
+    try AtomicFiles.readLine(fs, ledger) match {
+      case Some(line) if line.trim.nonEmpty =>
+        try line.trim.toLong catch { case _: NumberFormatException => -1L }
+      case _ => -1L
+    } catch { case _: Exception => -1L }
 
   /** RETENTION for a promoted streaming landing — the missing end of the
     * promote() lifecycle: an always-on landing is append-only and grows
@@ -813,19 +818,14 @@ object Sinks {
                                path: String): Option[(Seq[String], Int, String)] = {
     val p = bucketSpecLedger(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine()
-      finally in.close()
-      require(line != null && line.contains("|"),
+    AtomicFiles.readLine(fs, p).map { line =>
+      require(line.contains("|"),
         s"bucketed store $path has a corrupt ._bucketspec ledger — " +
           "restore or remove it (removing demotes the store to plain parquet)")
       // split at most 3 fields: the schema DDL may itself contain pipes
       val parts = line.trim.split("\\|", 3)
-      Some((parts(1).split(',').toSeq, parts(0).toInt,
-        if (parts.length >= 3) parts(2) else ""))
+      (parts(1).split(',').toSeq, parts(0).toInt,
+        if (parts.length >= 3) parts(2) else "")
     }
   }
 
@@ -839,9 +839,12 @@ object Sinks {
       "bucket spec ledger is single-line; schema DDL must not contain newlines")
     val p = bucketSpecLedger(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$buckets|${keys.mkString(",")}|$schemaDdl".getBytes("UTF-8"))
-    finally out.close()
+    // atomic publish: lease-free readers (every query over a bucketed
+    // store) registering the table mid-restamp must see a whole spec
+    // line, never the create-to-write window (which read as "corrupt
+    // ledger" and failed the read loudly for nothing)
+    AtomicFiles.writeAtomic(fs, p,
+      s"$buckets|${keys.mkString(",")}|$schemaDdl")
   }
 
   /** Register (or re-register, in a fresh session) the external bucketed
@@ -927,30 +930,23 @@ object Sinks {
     require(!line.contains("\n"), "params ledger is single-line")
     val p = new org.apache.hadoop.fs.Path(path + "._params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in)).readLine()
-      finally in.close()
-      // an EMPTY ledger is a torn stamp (crash between create and write),
-      // not a drifted geometry: stamp-first ordering means no append can
-      // have succeeded under it, so restamping with the caller's params
-      // is safe — and requiring equality against an empty line would
-      // brick the store forever with a message no parameter change could
-      // satisfy (the torn-write tolerance WarehouseLease.readLease
-      // documents, applied to the geometry ledger)
-      if (stored == null || stored.trim.isEmpty) {
-        val out = fs.create(p, true)
-        try out.write(line.getBytes("UTF-8")) finally out.close()
-      } else require(stored.trim == line,
-        s"$path was built under params [${stored.trim}]; " +
-          s"refusing to append under drifted params [$line] — rows keyed on " +
-          "derived signature columns would land conflicting duplicates " +
-          "instead of no-opping on replay (rebuild the store, or restore " +
-          "the original parameters)")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(line.getBytes("UTF-8")) finally out.close()
+    AtomicFiles.readLine(fs, p) match {
+      // an EMPTY ledger is a pre-atomic writer's torn stamp (crash
+      // between its create and its write), not a drifted geometry:
+      // stamp-first ordering means no append can have succeeded under
+      // it, so restamping with the caller's params is safe — and
+      // requiring equality against an empty line would brick the store
+      // forever with a message no parameter change could satisfy.
+      // Stamps publish atomically now, so the torn state can no longer
+      // be created.
+      case Some(stored) if stored.trim.nonEmpty =>
+        require(stored.trim == line,
+          s"$path was built under params [${stored.trim}]; " +
+            s"refusing to append under drifted params [$line] — rows keyed on " +
+            "derived signature columns would land conflicting duplicates " +
+            "instead of no-opping on replay (rebuild the store, or restore " +
+            "the original parameters)")
+      case _ => AtomicFiles.writeAtomic(fs, p, line)
     }
   }
 

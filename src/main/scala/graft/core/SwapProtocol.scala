@@ -112,67 +112,21 @@ object SwapProtocol {
   // crash-park). Legacy bare-millis tokens (pre-nonce residue) parse
   // with nonce "" and are treated as unowned — any beat may re-stamp.
   //
-  // The stamp is write-to-temp + ATOMIC OVERWRITE RENAME on the RAW
-  // filesystem, never a direct create(overwrite) on the live token: a
-  // posix fs rewrites a created file as delete-then-recreate-then-write,
-  // so a reader polling storePresent DURING a beat's re-stamp would catch
-  // the token absent or torn and misread a healthy mid-swap table as
-  // crash-parked (pointing operators at repair) — the cross-process race
-  // (SwapRaceSpec) caught exactly that with a ~2% per-beat window. The
-  // raw fs matters just as much as the rename: ChecksumFileSystem moves a
-  // token's `.crc` sidecar in a SECOND rename, so even an atomic data
-  // rename leaves a window where a checksummed reader sees new data
-  // against the old sum and throws (the in-JVM hammer test caught that
-  // one) — writing the token raw means no sidecar ever exists and the
-  // checksummed read degrades to the plain one. Scheme ladder:
-  //   - posix local: raw rename(2) replaces the destination atomically
-  //   - HDFS-style (rename refuses an existing destination):
-  //     FileContext.rename OVERWRITE, atomic there
-  //   - no AbstractFileSystem binding (some object stores): direct
-  //     create — a single PUT, atomic at read level on those stores
-  private def tokenFs(fs: org.apache.hadoop.fs.FileSystem)
-      : org.apache.hadoop.fs.FileSystem = fs match {
-    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-    case other => other
-  }
-
+  // The stamp is an [[AtomicFiles.writeAtomic]] publish, never a direct
+  // create(overwrite) on the live token: a posix fs rewrites a created
+  // file as delete-then-recreate-then-write, so a reader polling
+  // storePresent DURING a beat's re-stamp would catch the token absent
+  // or torn and misread a healthy mid-swap table as crash-parked
+  // (pointing operators at repair) — the cross-process race
+  // (SwapRaceSpec) caught exactly that with a ~2% per-beat window, and
+  // the in-JVM hammer caught the narrower ChecksumFileSystem `.crc`
+  // variant. AtomicFiles carries the full scheme ladder and the
+  // raw-read contract; the bug class and its fix now live in ONE place
+  // for every sibling control file, not just this token.
   private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String, nonce: String): Unit = {
-    val content = s"${System.currentTimeMillis()}|$nonce".getBytes("UTF-8")
-    val live = swapTokenPath(path)
-    val wfs = tokenFs(fs)
-    // nonce-suffixed temp: a zombie beat's late write can never collide
-    // with the live swap's in-flight temp file
-    val tmp = new org.apache.hadoop.fs.Path(
-      path + s"._swap_inflight.tmp-$nonce")
-    val out = wfs.create(tmp, true)
-    try out.write(content) finally out.close()
-    try {
-      if (!wfs.rename(tmp, live)) {
-        // dst-exists refusal (HDFS semantics): the atomic overwrite
-        // rename lives on FileContext there
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(wfs.getUri, wfs.getConf)
-          .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no FileContext binding for the scheme: single-PUT overwrite
-        // (atomic at read level on the object stores this covers)
-        try wfs.delete(tmp, false) catch { case _: Exception => () }
-        val direct = wfs.create(live, true)
-        try direct.write(content) finally direct.close()
-      case e: Exception =>
-        // rename refused (degraded store): drop the temp — a crash
-        // before this delete leaves a `._swap_inflight.tmp-*` file,
-        // which is inert (never read as the token, skipped by the
-        // parked-swap walk) — and let the caller's failure protocol run
-        // (entry stamp: abort the swap before its renames; beat: the
-        // beat's own catch retries next period)
-        try wfs.delete(tmp, false) catch { case _: Exception => () }
-        throw e
-    }
-  }
+                             path: String, nonce: String): Unit =
+    AtomicFiles.writeAtomic(fs, swapTokenPath(path),
+      s"${System.currentTimeMillis()}|$nonce")
 
   // clear via the CHECKSUMMED handle on purpose: it removes a legacy
   // token's `.crc` sidecar along with the data file (tokens are written
@@ -183,44 +137,24 @@ object SwapProtocol {
     try fs.delete(swapTokenPath(path), false)
     catch { case _: java.io.IOException => () }
 
-  /** (stamp, nonce), None when absent. Reads through the RAW filesystem —
-    * the stamp side writes raw (no checksum sidecar, see stampSwapToken),
-    * and a raw read also shrugs off stale `.crc` residue a pre-atomic-fix
-    * writer may have left. A token that exists but cannot be read or
-    * parsed is retried twice (a torn read on a filesystem whose overwrite
-    * visibility is weaker than posix rename — transient by construction,
-    * and the retry sits on the already-exceptional parked branch, never
-    * the healthy read path), then reads as stamp 0 with no owner — i.e.
-    * maximally STALE: persistent ambiguity resolves toward the loud crash
-    * report (which only ever points at repair), never toward treating a
-    * parked store as absent.
+  /** (stamp, nonce), None when absent — an [[AtomicFiles.readLine]] (raw,
+    * bounded-retried). A token that persistently cannot be read or parsed
+    * reads as stamp 0 with no owner — i.e. maximally STALE: ambiguity
+    * resolves toward the loud crash report (which only ever points at
+    * repair), never toward treating a parked store as absent. The retry
+    * sits on the already-exceptional parked branch, never the healthy
+    * read path.
     */
   private def readSwapTokenFull(fs: org.apache.hadoop.fs.FileSystem,
-                                path: String): Option[(Long, String)] = {
-    val rfs = tokenFs(fs)
-    val p = swapTokenPath(path)
-    def readOnce(): Option[(Long, String)] =
-      if (!rfs.exists(p)) None
-      else Some {
-        val in = rfs.open(p)
-        val line =
-          try new java.io.BufferedReader(new java.io.InputStreamReader(in))
-            .readLine().trim
-          finally in.close()
+                                path: String): Option[(Long, String)] =
+    try AtomicFiles.readLine(fs, swapTokenPath(path)).map { raw =>
+      try {
+        val line = raw.trim
         val i = line.indexOf('|')
         if (i < 0) (line.toLong, "") // legacy bare-millis token
         else (line.substring(0, i).toLong, line.substring(i + 1))
-      }
-    (0 to 2).iterator.map { attempt =>
-      try Right(readOnce())
-      catch {
-        case e: Exception =>
-          if (attempt < 2) Thread.sleep(20L)
-          Left(e)
-      }
-    }.collectFirst { case Right(r) => r }
-      .getOrElse(Some((0L, "")))
-  }
+      } catch { case _: Exception => (0L, "") }
+    } catch { case _: Exception => Some((0L, "")) }
 
   private def readSwapToken(spark: SparkSession,
                             path: String): Option[Long] = {
