@@ -279,11 +279,7 @@ private[graft] object CorpusStore {
   def readLongLedger(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try graft.core.AtomicFiles.readLine(fs, p) match {
-      case Some(line) if line.trim.nonEmpty =>
-        try line.trim.toLong catch { case _: NumberFormatException => -1L }
-      case _ => -1L
-    } catch { case _: Exception => -1L }
+    graft.core.AtomicFiles.readLongOrNeg(fs, p)
   }
 
   /** Atomic publish ([[graft.core.AtomicFiles.writeAtomic]]): a

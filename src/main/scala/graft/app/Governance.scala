@@ -657,11 +657,13 @@ object Governance {
     */
   def warehouseStatus(spark: SparkSession, warehouse: String): DataFrame = {
     import spark.implicits._
-    // a scheme with no registered lease medium must DEGRADE the lease row,
-    // not fail the read: the census/ledger components need only a readable
-    // filesystem, and the operator asking "what state is this warehouse
-    // in" in a JVM that never registered the deployment's medium still
-    // deserves every answer the metadata can give
+    // the lease row DEGRADES, never aborts the read: a scheme with no
+    // registered medium reports `<unsupported>`, and a registered medium
+    // that cannot answer (coordination db down — its ops are
+    // timeout-bounded, so this resolves promptly) reports `<unreachable>`.
+    // The census/ledger components need only a readable filesystem, and
+    // the operator asking "what state is this warehouse in" still
+    // deserves every answer the metadata can give.
     val lease =
       try graft.core.WarehouseLease.status(spark, warehouse) match {
         case Some((owner, exp)) => ("lease", owner, exp)
@@ -669,13 +671,15 @@ object Governance {
       } catch {
         case _: graft.core.WarehouseLease.LeaseUnsupportedException =>
           ("lease", "<unsupported>", 0L)
+        case _: Exception =>
+          ("lease", "<unreachable>", 0L)
       }
     val parked = Sinks.parkedSwapTables(spark, warehouse)
       .map { case (_, rel) => ("parked_swap", rel, 1L) }
+    // readLongLedger answers -1 for an absent ledger itself — no
+    // pre-probe (this read's selling point is being metadata-cheap)
     val auditHead = ("audit_head", "audit_log",
-      if (Sinks.pathExists(spark, auditSeqLedger(warehouse)))
-        readLongLedger(spark, auditSeqLedger(warehouse))
-      else -1L)
+      readLongLedger(spark, auditSeqLedger(warehouse)))
     val driverRows = (lease +: parked) :+ auditHead
     driverRows.toDF("kind", "name", "n")
       .unionByName(CorpusSnapshots.listCorpusSnapshots(spark, warehouse)

@@ -74,6 +74,18 @@ private[graft] object AtomicFiles {
     }
   }
 
+  /** The single-long ledger read both ledger families share (promote's
+    * format): -1 when absent, empty, unparsable, or persistently
+    * unreadable — the fail-safe direction (re-do the guarded work,
+    * never skip it, never crash a lease-free reader like fsck/status).
+    */
+  def readLongOrNeg(fs: FileSystem, p: Path): Long =
+    try readLine(fs, p) match {
+      case Some(line) if line.trim.nonEmpty =>
+        try line.trim.toLong catch { case _: NumberFormatException => -1L }
+      case _ => -1L
+    } catch { case _: Exception => -1L }
+
   /** First line at `p` through the raw filesystem; None when absent.
     * Bounded retries on I/O errors (object doc), then rethrow — the
     * caller owns the fail-safe mapping. A file with no line reads "".

@@ -581,17 +581,11 @@ object Sinks {
   }
 
   /** Single-long sibling ledger, -1 when absent or unreadable — the
-    * fail-safe direction (re-promote; appends are idempotent). Raw,
-    * retried read via [[AtomicFiles.readLine]]: a torn line or a stale
-    * `.crc` sidecar from a pre-atomic writer must not crash the caller.
+    * fail-safe direction (re-promote; appends are idempotent).
     */
   private def readLedgerLong(fs: org.apache.hadoop.fs.FileSystem,
                              ledger: org.apache.hadoop.fs.Path): Long =
-    try AtomicFiles.readLine(fs, ledger) match {
-      case Some(line) if line.trim.nonEmpty =>
-        try line.trim.toLong catch { case _: NumberFormatException => -1L }
-      case _ => -1L
-    } catch { case _: Exception => -1L }
+    AtomicFiles.readLongOrNeg(fs, ledger)
 
   /** RETENTION for a promoted streaming landing — the missing end of the
     * promote() lifecycle: an always-on landing is append-only and grows

@@ -112,6 +112,15 @@ object SwapProtocol {
   // crash-park). Legacy bare-millis tokens (pre-nonce residue) parse
   // with nonce "" and are treated as unowned — any beat may re-stamp.
   //
+  // MIGRATION NOTE: the on-disk format changed in this version (it was
+  // bare millis before). A PRE-change reader parses `millis|nonce` as a
+  // NumberFormatException and resolves it maximally stale — it would
+  // report every healthy in-flight swap of a post-change writer as
+  // crash-parked ("run repair") for the whole rename window. A fleet
+  // upgrading across the change must drain/upgrade readers before
+  // post-change writers swap; post-change readers handle both formats,
+  // so the reverse order needs no drain.
+  //
   // The stamp is an [[AtomicFiles.writeAtomic]] publish, never a direct
   // create(overwrite) on the live token: a posix fs rewrites a created
   // file as delete-then-recreate-then-write, so a reader polling
@@ -229,8 +238,13 @@ object SwapProtocol {
     // writer's `.crc` sidecar residue, which the raw stamp below would
     // otherwise leave stale next to the token forever
     clearSwapToken(fs, path)
-    activeSwaps.put(key, nonce)
     stampSwapToken(fs, path, nonce)
+    // register AFTER the entry stamp: a stamp failure aborts the swap
+    // right here (before the try/finally exists to clean up), and a
+    // registration it left behind would leak until the path's next
+    // successful swap. Beats only start below, so nothing reads the
+    // registry in between.
+    activeSwaps.put(key, nonce)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
     val beat = restampPool.scheduleAtFixedRate(
       // token I/O never runs on the dispatcher pool (restampPool doc):

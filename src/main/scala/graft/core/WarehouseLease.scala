@@ -1050,11 +1050,18 @@ object WarehouseLease {
         // caller must see) — log and move on, never throw from the
         // release.
         val period = math.max(ttlMs / 3L, 100L)
+        // `hold` is never null here: the releaser only runs on the
+        // outermost frame, where myHold was assigned the moment
+        // acquireVia returned (a failed acquire rethrows before the
+        // try/finally) and lastPub was set in the same statement — so
+        // the release always has an exact stamp to target, and the
+        // owner-match deletion path (the two-writer window the
+        // exact-stamp design closed) stays gone.
         val releaser = new Thread(() => {
-          val locked = hold == null ||
-            (try hold.lock.tryLock(2L * period,
+          val locked =
+            try hold.lock.tryLock(2L * period,
               java.util.concurrent.TimeUnit.MILLISECONDS)
-            catch { case _: InterruptedException => false })
+            catch { case _: InterruptedException => false }
           if (!locked)
             // a beat is wedged mid-call and might still complete its
             // refresh: releasing concurrently could recreate the lease
@@ -1075,19 +1082,14 @@ object WarehouseLease {
               // registered AND match its exact string — which leaves
               // only a wedge landing between this check and the medium
               // write, read-to-write instants.
-              val expect =
-                if (hold != null) Option(hold.lastPub.get()) else None
-              if (activeHolds.get(key) != null) ()
-              else expect match {
-                case Some(st) => mediumFor(spark, warehouse).release(st)
-                case None => releaseVia(mediumFor(spark, warehouse), owner)
-              }
+              if (activeHolds.get(key) == null)
+                mediumFor(spark, warehouse).release(hold.lastPub.get())
             } catch {
               case e: Exception => log.warn(
                 s"could not release the write lease on $warehouse " +
                   s"(medium unreachable?) — it expires by ttl on its own",
                 e)
-            } finally if (hold != null) hold.lock.unlock()
+            } finally hold.lock.unlock()
         }, "graft-lease-release")
         releaser.setDaemon(true)
         releaser.start()

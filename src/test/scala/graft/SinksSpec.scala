@@ -15,6 +15,14 @@ class LeaselessRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("leaseless:///")
 }
 
+/** Same local-fs trick for the `deadcoord:` scheme — a REGISTERED lease
+  * medium whose coordination database is down (SinksSpec's unreachable
+  * status case).
+  */
+class DeadCoordRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("deadcoord:///")
+}
+
 class SinksSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -595,6 +603,42 @@ class SinksSpec extends AnyFunSuite {
           owner = "x")
       }
     } finally conf.unset("fs.leaseless.impl")
+  }
+
+  test("warehouseStatus degrades the lease row when the medium is UNREACHABLE, instead of failing the read") {
+    // the deployment-shaped failure: a REGISTERED medium (coordination
+    // db) that cannot answer — its ops are timeout-bounded, so status
+    // must degrade the one row it cannot compute to <unreachable> and
+    // still deliver the parked-swap census, audit head, and censuses
+    graft.core.WarehouseLease.registerMedium("deadcoord",
+      (_, _) => new graft.core.WarehouseLease.CasLeaseMedium(
+        new graft.core.WarehouseLease.AtomicCell {
+          private def die: Nothing =
+            throw new java.sql.SQLException("coordination db down", "08001")
+          override def get(): Option[(String, String)] = die
+          override def putIfAbsent(c: String): Boolean = die
+          override def putIfTag(t: String, c: String): Boolean = die
+          override def deleteIfTag(t: String): Boolean = die
+        }))
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.deadcoord.impl", classOf[DeadCoordRawFs].getName)
+    try {
+      val dir = Files.createTempDirectory("wh-status-dead").toString
+      val rows = graft.app.CorpusIngest
+        .warehouseStatus(spark, s"deadcoord:$dir")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      assert(rows.contains(("lease", "<unreachable>", 0L)), rows.toString)
+      assert(rows.contains(("audit_head", "audit_log", -1L)), rows.toString)
+      // writing through the dead medium stays loud at acquire
+      intercept[java.sql.SQLException] {
+        graft.core.WarehouseLease.acquire(spark, s"deadcoord:$dir",
+          owner = "x")
+      }
+    } finally {
+      conf.unset("fs.deadcoord.impl")
+      graft.core.WarehouseLease.unregisterMedium("deadcoord")
+    }
   }
 
   test("storePresent: the no-token parked store still fails loud after the completion re-probe") {
