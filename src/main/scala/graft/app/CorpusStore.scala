@@ -372,18 +372,34 @@ private[graft] object CorpusStore {
       if (prior.isEmpty) now else math.max(now, prior.max + 1L)
   }
 
-  /** Drop a warehouse table AND its sibling ledgers (bucket spec,
-    * threshold provenance) plus any catalog registration — the rebuild
-    * primitive retrain uses. A directory-only delete would leave a
-    * bucket-spec ledger pointing at nothing and a stale threshold stamp
-    * guarding an empty table.
+  /** Drop a warehouse table AND every `<path>._*` sibling artifact plus
+    * any catalog registration — the rebuild primitive retrain uses. A
+    * directory-only delete would leave a bucket-spec ledger pointing at
+    * nothing and a stale threshold stamp guarding an empty table. The
+    * sweep is a GLOB over the sibling naming convention (every control
+    * artifact next to a table is `<table>._<name>`), not a fixed list,
+    * so it also clears:
+    *   - ledger families the old list missed (`._promoted_upto`,
+    *     `._ingested_upto`, ...) — a STALE survivor after a
+    *     drop-and-rebuild would skip guarded work, the opposite of the
+    *     absent-reads-as--1 fail-safe;
+    *   - `._<ledger>.tmp-xxxxxxxx` — AtomicFiles.writeAtomic's
+    *     documented-inert crash residue, previously immortal;
+    *   - a parked `._compact_old`/`._compact_tmp` compaction dir —
+    *     leaving the parked copy made the DROPPED table read as
+    *     crash-parked ("run repair") instead of absent, flipping every
+    *     rebuild branch. Deleting it is safe exactly because dropStore's
+    *     contract is "this table's data is gone": callers hold the
+    *     warehouse lease, so no other writer's swap can be mid-flight.
     */
   def dropStore(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
-    Seq("._bucketspec", "._threshold", "._params", "._swap_inflight")
-      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(path + s), false))
+    val siblings = fs.globStatus(new org.apache.hadoop.fs.Path(path + "._*"))
+    if (siblings != null) siblings.foreach { st =>
+      try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
+    }
     val name = Sinks.bucketedTableName(path)
     if (spark.catalog.tableExists(name))
       spark.sql(s"DROP TABLE IF EXISTS `$name`")

@@ -19,6 +19,13 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   *     FileContext.rename OVERWRITE, atomic there
   *   - no AbstractFileSystem binding (some object stores): direct
   *     create — a single PUT, atomic at read level on those stores
+  * Rungs actually EXERCISED by tests (AtomicFilesSpec + the swap-token
+  * races): rung 1 on posix local — both bare RawLocalFileSystem and the
+  * checksummed LocalFileSystem wrapper (written raw through it) — and
+  * rung 3 via a registered scheme with no FileContext binding and a
+  * refusing rename. Rung 2 (FileContext OVERWRITE) has no in-harness
+  * filesystem that takes it — it is the documented HDFS code path,
+  * relied on for the atomicity HDFS's own rename contract guarantees.
   * Raw matters as much as the rename: ChecksumFileSystem moves a file's
   * `.crc` sidecar in a SECOND rename, so even an atomic data rename
   * leaves a window where a checksummed reader sees new data against the
@@ -44,9 +51,32 @@ private[graft] object AtomicFiles {
   /** Publish `content` at `p` atomically-visible (object doc): a reader
     * polling `p` across this call sees the old line or the new one,
     * never absence, emptiness, or a checksum mismatch.
+    *
+    * LEGACY-SIDECAR MIGRATION: a destination that a pre-atomic writer
+    * created THROUGH the checksummed fs carries a `.crc` sidecar. A raw
+    * rename over the data file would leave that sidecar permanently
+    * stale — inert to post-change readers (they read raw), but a
+    * PRE-change reader's checksummed open would throw ChecksumException
+    * on every read from then on. So a re-stamp that finds a sidecar
+    * deletes JUST THE SIDECAR (through the raw handle) before the
+    * rename — never the data file: a checksummed open with no sidecar
+    * falls back to an unverified read, so pre-change readers see old
+    * line → new line with no absence window and no mismatch instant,
+    * while deleting data+sidecar together would have re-opened exactly
+    * the torn-absence race this publish exists to close (the swap-token
+    * zombie test caught that variant of the fix). After the sweep no
+    * sidecar exists and the publish is the pure atomic rename.
     */
   def writeAtomic(fs: FileSystem, p: Path, content: String): Unit = {
     val wfs = raw(fs)
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val crc = c.getChecksumFile(p)
+        // sidecar probe on the raw handle; only a hit pays the delete
+        try { if (wfs.exists(crc)) wfs.delete(crc, false) }
+        catch { case _: Exception => () }
+      case _ => ()
+    }
     val bytes = content.getBytes("UTF-8")
     val tmp = new Path(p.getParent,
       p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))

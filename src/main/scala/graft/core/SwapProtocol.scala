@@ -105,21 +105,32 @@ object SwapProtocol {
   private def swapTokenPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "._swap_inflight")
 
-  // token content: `<epochMillis>|<swapNonce>` — the nonce identifies
-  // WHICH swap's beat owns the token, so a beat that wedged and
-  // unblocked after a LATER swap stamped fresh refuses to clobber the
-  // newer swap's token with its pre-wedge millis (the ADVICE r16 false
-  // crash-park). Legacy bare-millis tokens (pre-nonce residue) parse
-  // with nonce "" and are treated as unowned — any beat may re-stamp.
+  // token content: `v2|<epochMillis>|<swapNonce>` — VERSION-PREFIXED so
+  // format evolution is mechanically detectable, not convention-gated.
+  // The nonce identifies WHICH swap's beat owns the token, so a beat
+  // that wedged and unblocked after a LATER swap stamped fresh refuses
+  // to clobber the newer swap's token with its pre-wedge millis (the
+  // ADVICE r16 false crash-park). Readers accept THREE generations:
+  //   - gen 1, bare `<millis>` (pre-nonce residue): nonce "" = unowned —
+  //     any beat may re-stamp;
+  //   - gen 2, `<millis>|<nonce>` (pre-version residue): distinguished
+  //     from a version prefix by the all-digits first field;
+  //   - gen 3 (current), `v2|<millis>|<nonce>`.
+  // An UNRECOGNIZED version prefix (a future writer's `v3|…`) parses
+  // maximally stale + unowned: ambiguity resolves toward the loud
+  // crash-park report (which only ever points at repair), never toward
+  // treating a parked store as absent.
   //
-  // MIGRATION NOTE: the on-disk format changed in this version (it was
-  // bare millis before). A PRE-change reader parses `millis|nonce` as a
-  // NumberFormatException and resolves it maximally stale — it would
-  // report every healthy in-flight swap of a post-change writer as
-  // crash-parked ("run repair") for the whole rename window. A fleet
-  // upgrading across the change must drain/upgrade readers before
-  // post-change writers swap; post-change readers handle both formats,
-  // so the reverse order needs no drain.
+  // MIGRATION NOTE: readers at this version read every prior generation,
+  // so upgrading readers-before-writers needs no drain, and a fleet one
+  // writer generation behind its readers is also safe. The only unsafe
+  // shape is a reader TWO OR MORE writer generations old (a pre-nonce
+  // reader against these tokens: it parses `v2|…` as a
+  // NumberFormatException → maximally stale → reports every healthy
+  // in-flight swap as crash-parked for the whole rename window) — drain
+  // such readers before post-change writers swap. From gen 3 on, a
+  // format change bumps the prefix and old-but-v2-aware readers degrade
+  // the same bounded way (stale → "run repair"), never silently.
   //
   // The stamp is an [[AtomicFiles.writeAtomic]] publish, never a direct
   // create(overwrite) on the live token: a posix fs rewrites a created
@@ -135,7 +146,7 @@ object SwapProtocol {
   private def stampSwapToken(fs: org.apache.hadoop.fs.FileSystem,
                              path: String, nonce: String): Unit =
     AtomicFiles.writeAtomic(fs, swapTokenPath(path),
-      s"${System.currentTimeMillis()}|$nonce")
+      s"v2|${System.currentTimeMillis()}|$nonce")
 
   // clear via the CHECKSUMMED handle on purpose: it removes a legacy
   // token's `.crc` sidecar along with the data file (tokens are written
@@ -145,6 +156,28 @@ object SwapProtocol {
                              path: String): Unit =
     try fs.delete(swapTokenPath(path), false)
     catch { case _: java.io.IOException => () }
+
+  /** Parse one token line into (stamp, nonce) across all three on-disk
+    * generations (token-content doc above). Anything unrecognized — a
+    * future version prefix, torn bytes — reads as (0, ""): maximally
+    * stale and unowned, the fail-loud-at-repair direction.
+    */
+  private[graft] def parseSwapToken(raw: String): (Long, String) =
+    try {
+      val line = raw.trim
+      if (line.startsWith("v2|")) {
+        val rest = line.drop(3)
+        val i = rest.indexOf('|')
+        if (i < 0) (0L, "")
+        else (rest.substring(0, i).toLong, rest.substring(i + 1))
+      } else {
+        val i = line.indexOf('|')
+        if (i < 0) (line.toLong, "") // gen 1: legacy bare-millis token
+        else if (line.take(i).nonEmpty && line.take(i).forall(_.isDigit))
+          (line.take(i).toLong, line.substring(i + 1)) // gen 2
+        else (0L, "") // unrecognized version prefix (a future writer)
+      }
+    } catch { case _: Exception => (0L, "") }
 
   /** (stamp, nonce), None when absent — an [[AtomicFiles.readLine]] (raw,
     * bounded-retried). A token that persistently cannot be read or parsed
@@ -156,14 +189,8 @@ object SwapProtocol {
     */
   private def readSwapTokenFull(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String): Option[(Long, String)] =
-    try AtomicFiles.readLine(fs, swapTokenPath(path)).map { raw =>
-      try {
-        val line = raw.trim
-        val i = line.indexOf('|')
-        if (i < 0) (line.toLong, "") // legacy bare-millis token
-        else (line.substring(0, i).toLong, line.substring(i + 1))
-      } catch { case _: Exception => (0L, "") }
-    } catch { case _: Exception => Some((0L, "")) }
+    try AtomicFiles.readLine(fs, swapTokenPath(path)).map(parseSwapToken)
+    catch { case _: Exception => Some((0L, "")) }
 
   private def readSwapToken(spark: SparkSession,
                             path: String): Option[Long] = {
@@ -195,16 +222,26 @@ object SwapProtocol {
   }
 
   // the CURRENT live swap's nonce per qualified table path, this JVM —
-  // registered at withSwapToken entry, identity-removed at exit. The
-  // warehouse lease admits ONE live swap per path fleet-wide, so a beat
-  // (or exit clear) reading a FOREIGN nonce on its own path consults this
-  // to tell the two possible worlds apart: if it is still the registered
-  // live swap, the foreign nonce is a dead zombie's late-landing write —
-  // RECLAIM it (refusing would leave the token stale for the rest of the
-  // window, a persistent false crash-park to every reader); if it is no
-  // longer registered, it IS the zombie — refuse, the token belongs to a
-  // newer swap. Same instance-identity move as WarehouseLease's
-  // activeHolds, for the same reason.
+  // registered at withSwapToken entry, identity-removed at exit.
+  // Ownership is decided in TWO layers:
+  //   - the registry (here) settles the IN-JVM zombie: a beat that
+  //     wedged inside a medium call and unblocked after its swap exited
+  //     is no longer the registered swap for the path and touches
+  //     nothing (the token may belong to a newer swap);
+  //   - a registered beat additionally RE-READS the token and backs off
+  //     from a FOREIGN nonce whose stamp is FRESH — the cross-JVM case
+  //     the lease premise normally excludes (a writer losing its lease
+  //     mid-swap to a GC pause while a successor JVM starts its own
+  //     swap: both are locally registered, and without the re-read their
+  //     beats would clobber each other's token indefinitely). A foreign
+  //     nonce whose stamp is STALE is a dead zombie's late-landing blind
+  //     write — RECLAIM it (refusing would leave the stale stamp as the
+  //     token for the rest of the window, a persistent false crash-park
+  //     to every reader). During the bounded fresh-foreign back-off the
+  //     token IS fresh, so lease-free readers read "in-flight, retry" —
+  //     never a false park.
+  // Same instance-identity move as WarehouseLease's activeHolds, for the
+  // same reason.
   private val activeSwaps =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -224,13 +261,15 @@ object SwapProtocol {
     val lock = new java.util.concurrent.locks.ReentrantLock
     val active = new java.util.concurrent.atomic.AtomicBoolean(true)
     // per-swap identity: a ZOMBIE beat — one wedged inside a medium call
-    // that unblocks after its swap exited — re-reads the token and, no
-    // longer registered on the path, refuses to clobber what a newer
-    // swap stamped; the LIVE swap's beat conversely reclaims a zombie's
-    // blind late write within one period (activeSwaps doc). The
-    // remaining window is a WRITE that wedged after its owner re-check
-    // and lands late — read-to-write instants, and the live beat heals
-    // even that within one period instead of leaving it stale.
+    // that unblocks after its swap exited — finds itself no longer
+    // registered on the path (the activeSwaps check) and refuses to
+    // clobber what a newer swap stamped; the LIVE swap's beat conversely
+    // reclaims a zombie's STALE blind late write within one period, and
+    // backs off from a FRESH foreign stamp (a cross-JVM successor's live
+    // token — activeSwaps doc). The remaining window is a WRITE that
+    // wedged after its owner re-check and lands late — read-to-write
+    // instants, and the live beat heals even that within one period
+    // instead of leaving it stale.
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val key = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
     // under the warehouse lease no other writer's swap can be in flight,
@@ -246,21 +285,35 @@ object SwapProtocol {
     // registry in between.
     activeSwaps.put(key, nonce)
     val period = math.max(swapInflightTtlMs(spark) / 3L, 50L)
+    val staleBoundMs = swapInflightTtlMs(spark) + swapSkewAllowanceMs(spark)
+    // a FOREIGN nonce with a FRESH stamp is another live swap's token
+    // (cross-JVM lease loss — activeSwaps doc): back off, never clobber.
+    // A read failure or unparsable token reports (0, "") = stale +
+    // unowned, so a degraded store degrades toward re-stamping our own
+    // token (registry-owned default), never toward silently abandoning
+    // the beat. Sampled per firing — a back-off is re-decided every
+    // period, so a foreign token going stale is reclaimed within one.
+    def freshForeignToken(): Boolean =
+      readSwapTokenFull(fs, path).exists { case (st, n) =>
+        n.nonEmpty && n != nonce &&
+          System.currentTimeMillis() - st <= staleBoundMs
+      }
     val beat = restampPool.scheduleAtFixedRate(
       // token I/O never runs on the dispatcher pool (restampPool doc):
       // BeatDispatch spawns a single-use daemon thread per firing,
       // skipped when a previous beat still holds the lock (wedged or
       // merely slow)
       () => BeatDispatch.fireOnce(lock, "graft-swap-token-io") {
-        // ownership IS registration: the lease admits one live swap per
-        // path fleet-wide, so while this swap is the registered one,
-        // whatever sits at the token path — our own stamp, a dead
-        // zombie's late-landing clobber (reclaimed here within one
-        // period), legacy bare-millis residue, or a racing absence — is
-        // ours to re-stamp; once deregistered, this beat is itself the
-        // zombie and must touch nothing (a newer swap may own the token,
-        // or nobody does and stamping would resurrect it).
-        if (active.get() && activeSwaps.get(key) == nonce)
+        // ownership = registration (the in-JVM zombie check) AND no
+        // fresh foreign stamp on the token (the cross-JVM back-off):
+        // while both hold, whatever sits at the token path — our own
+        // stamp, a dead zombie's STALE late-landing clobber (reclaimed
+        // here within one period), legacy residue, or a racing absence —
+        // is ours to re-stamp; once deregistered, this beat is itself
+        // the zombie and must touch nothing (a newer swap may own the
+        // token, or nobody does and stamping would resurrect it).
+        if (active.get() && activeSwaps.get(key) == nonce &&
+            !freshForeignToken())
           try stampSwapToken(fs, path, nonce)
           catch { case _: Exception => () }
       },
@@ -284,12 +337,19 @@ object SwapProtocol {
         catch { case _: InterruptedException =>
           Thread.currentThread().interrupt(); false }
       try {
-        // we are still the registered live swap at our own exit, so ANY
-        // token here is ours to clear — our own stamp, or zombie garbage
-        // that landed after our last beat (leaving that would hold a
-        // stale token next to the healed table); skip only when nothing
-        // is there
-        if (readSwapTokenFull(fs, path).isDefined) clearSwapToken(fs, path)
+        // we are still the registered live swap at our own exit, so a
+        // token here is ours to clear — our own stamp, or a zombie's
+        // STALE garbage that landed after our last beat (leaving that
+        // would hold a stale token next to the healed table). The one
+        // exception mirrors the beat's back-off: a FRESH FOREIGN stamp
+        // is a cross-JVM successor's live token (we lost the lease
+        // mid-swap) — leave it; clearing would false-park the
+        // successor's readers for up to one of its beat periods. Skip
+        // when nothing is there.
+        if (readSwapTokenFull(fs, path).exists { case (st, n) =>
+          n.isEmpty || n == nonce ||
+            System.currentTimeMillis() - st > staleBoundMs
+        }) clearSwapToken(fs, path)
       } catch { case _: Exception => () }
       finally {
         if (locked) lock.unlock()
@@ -394,8 +454,17 @@ object SwapProtocol {
     * `recoverSwap` (or the next swap on it) restores the rename; this
     * enumeration is how an operator inheriting a warehouse finds every
     * parked table in one pass — the fsck entry points surface each hit.
-    * Driver-side recursive listing: warehouse trees are shallow and
-    * directory counts metadata-sized.
+    * Driver-side recursive listing, ONE `listStatus` batch per
+    * directory: the parked verdict (`<t>._compact_old` present, live
+    * `<t>` absent) is answered from the directory's OWN listing — both
+    * names are siblings by construction — never a per-candidate
+    * `exists` round-trip, so a warehouse of tens of thousands of tables
+    * costs exactly its directory count in metadata calls. Control
+    * artifacts (`<t>._compact_old`/`._compact_tmp` and `._`-prefixed
+    * dirs) are never descended into; data dirs are (a table dir's files
+    * come back in its one listing and recursion stops where
+    * subdirectories stop), which bounds the walk at the warehouse's
+    * directory tree — shallow and metadata-sized by layout.
     */
   def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
@@ -403,17 +472,24 @@ object SwapProtocol {
     if (!fs.exists(rp)) Seq.empty
     else {
       val out = Seq.newBuilder[String]
-      def walk(p: org.apache.hadoop.fs.Path): Unit =
-        fs.listStatus(p).foreach { st =>
+      def walk(p: org.apache.hadoop.fs.Path): Unit = {
+        val listing = fs.listStatus(p)
+        // the live-table check consults the sibling NAME SET from this
+        // same listing (one snapshot — a name and its parked twin are
+        // read in the same batch, so the verdict is also internally
+        // consistent, unlike two racing exists probes)
+        val names = listing.iterator.map(_.getPath.getName).toSet
+        listing.foreach { st =>
           if (st.isDirectory) {
             val name = st.getPath.getName
             if (name.endsWith("._compact_old")) {
-              val live = new org.apache.hadoop.fs.Path(st.getPath.getParent,
-                name.stripSuffix("._compact_old"))
-              if (!fs.exists(live)) out += st.getPath.toString
-            } else if (!name.startsWith("._")) walk(st.getPath)
+              if (!names.contains(name.stripSuffix("._compact_old")))
+                out += st.getPath.toString
+            } else if (!name.startsWith("._") && !name.contains("._compact_"))
+              walk(st.getPath)
           }
         }
+      }
       walk(rp)
       out.result()
     }

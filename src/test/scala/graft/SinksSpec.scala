@@ -422,7 +422,7 @@ class SinksSpec extends AnyFunSuite {
       assert(!content.endsWith("|zz-zombie"),
         s"the live swap's beat never reclaimed the zombie garbage: $content")
       assert(math.abs(System.currentTimeMillis() -
-        content.takeWhile(_ != '|').toLong) < 5000L,
+        graft.core.SwapProtocol.parseSwapToken(content)._1) < 5000L,
         s"reclaimed token must carry a fresh stamp: $content")
       writer.join(30000L)
       assert(failure.get() == null, s"writer failed: ${failure.get()}")
@@ -459,10 +459,9 @@ class SinksSpec extends AnyFunSuite {
         super.create(f, overwrite)
       }
     }
-    def nonceOf(): String = new String(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(p + "._swap_inflight")), "UTF-8")
-      .dropWhile(_ != '|').drop(1)
+    def nonceOf(): String = graft.core.SwapProtocol.parseSwapToken(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p + "._swap_inflight")), "UTF-8"))._2
     spark.conf.set(Sinks.SwapInflightTtlKey, "750") // beat period 250 ms
     try {
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -1680,5 +1679,150 @@ class SinksSpec extends AnyFunSuite {
     GraftCaches.releaseAll(spark)
     assert(GraftCaches.registered(spark) == 0)
     assert(outer.storageLevel == StorageLevel.NONE)
+  }
+
+  test("parkedSwaps over a WIDE warehouse: sibling-listing verdicts, control dirs never descended, healthy residue not reported") {
+    import graft.core.SwapProtocol
+    val root = Files.createTempDirectory("wide-wh").toString
+    def mkTable(p: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(p))
+      Files.write(java.nio.file.Paths.get(s"$p/part-0"), "x".getBytes("UTF-8"))
+    }
+    // three modality dirs x 200 tables — the many-thousand-table shape
+    // scaled to test time; the walk must stay one listing per directory
+    for (m <- Seq("text", "media", "emb"); i <- 0 until 200)
+      mkTable(f"$root/$m/t$i%03d")
+    // CRASH-PARKED: data at ._compact_old, live dir gone
+    mkTable(s"$root/text/t007._compact_old")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/text/t007"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    // HEALTHY residue: ._compact_old next to a LIVE table — not parked
+    mkTable(s"$root/media/t003._compact_old")
+    // staged-copy residue: a ._compact_tmp control dir must not be
+    // descended into (nor ever reported)
+    mkTable(s"$root/emb/t001._compact_tmp")
+    // a nested namespace level still gets walked
+    mkTable(s"$root/text/nested/deep._compact_old")
+    val parked = SwapProtocol.parkedSwapTables(spark, root)
+    assert(parked.map(_._2).sorted ==
+      Seq("text/nested/deep", "text/t007"),
+      s"got $parked")
+  }
+
+  test("swap-token format: readers accept all three on-disk generations; an unknown version reads maximally stale") {
+    import graft.core.SwapProtocol
+    val base = Files.createTempDirectory("swap-fmt").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p + "._compact_old")
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    assert(fs.rename(hp, old)) // parked signature for the whole test
+    def plant(content: String): Unit = {
+      val out = fs.create(token, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    def verdict(): String =
+      intercept[IllegalStateException](Sinks.storePresent(spark, p))
+        .getMessage
+    try {
+      val now = System.currentTimeMillis()
+      val stale = now - 10L * 60L * 1000L
+      // gen 1 (bare millis), gen 2 (millis|nonce), gen 3 (v2|millis|
+      // nonce): a fresh stamp reads in-flight and a stale one reads
+      // crash-parked — IDENTICALLY across generations, so a fleet one
+      // writer generation behind its readers needs no drain
+      for (fmt <- Seq[Long => String](
+        m => s"$m", m => s"$m|nn-gen2", m => s"v2|$m|nn-gen3")) {
+        plant(fmt(now))
+        assert(verdict().contains("mid-swap"),
+          s"fresh ${fmt(now)} must read in-flight")
+        plant(fmt(stale))
+        assert(verdict().contains("crash-parked"),
+          s"stale ${fmt(stale)} must read crash-parked")
+      }
+      // a FUTURE writer's unknown version prefix: maximally stale even
+      // with fresh millis — resolves to the loud repair report, never
+      // "absent", never a silently wrong in-flight verdict
+      plant(s"v3|$now|nn-future")
+      assert(verdict().contains("crash-parked"),
+        "an unknown version prefix must read maximally stale")
+      // the parse itself, pinned per generation
+      assert(SwapProtocol.parseSwapToken("12345") == ((12345L, "")))
+      assert(SwapProtocol.parseSwapToken("12345|abc") == ((12345L, "abc")))
+      assert(SwapProtocol.parseSwapToken("v2|12345|abc") == ((12345L, "abc")))
+      assert(SwapProtocol.parseSwapToken("v3|12345|abc") == ((0L, "")))
+      assert(SwapProtocol.parseSwapToken("garbage") == ((0L, "")))
+    } finally {
+      fs.delete(token, false)
+      assert(fs.rename(old, hp))
+    }
+  }
+
+  test("a FRESH foreign token on a live swap's path is backed off from by beat and exit; a stale one is reclaimed") {
+    import graft.core.{Sinks, SwapProtocol}
+    // The lease normally admits one live swap per path; the exception is
+    // a writer losing its lease mid-swap (GC pause, medium partition)
+    // while a successor JVM starts its own swap on the path — BOTH are
+    // registered in their own JVM's activeSwaps. The loser's beat must
+    // back off from the successor's FRESH foreign stamp instead of
+    // clobbering it indefinitely (r17's registry-only ownership stamped
+    // blind), and its exit must not clear it either; a STALE foreign
+    // stamp stays a dead zombie's garbage and is reclaimed within a
+    // beat period, as before.
+    val base = Files.createTempDirectory("swap-foreign").toString
+    val p = s"$base/store"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = new org.apache.hadoop.fs.Path(p + "._swap_inflight")
+    def tokenContent(): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p + "._swap_inflight")), "UTF-8")
+    def plant(content: String): Unit = {
+      val out = fs.create(token, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    spark.conf.set(Sinks.SwapInflightTtlKey, "750") // beat period 250 ms
+    try {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() =>
+        try SwapProtocol.withSwapToken(spark, fs, p)(Thread.sleep(4000L))
+        catch { case t: Throwable => failure.set(t) })
+      writer.start()
+      Thread.sleep(600L) // the swap's beat is live
+      // the successor's token lands: foreign nonce, fresh stamp
+      val freshForeign = s"v2|${System.currentTimeMillis()}|ff-successor"
+      plant(freshForeign)
+      // two-plus beat periods inside the stamp's freshness window: the
+      // live swap's beat must leave it byte-identical (back-off)
+      Thread.sleep(600L)
+      assert(tokenContent() == freshForeign,
+        s"beat clobbered a fresh foreign token: ${tokenContent()}")
+      // ...and once the foreign stamp goes STALE (no successor beating
+      // it), it is zombie garbage — reclaimed within a period or two
+      val deadline = System.currentTimeMillis() + 2200L
+      var content = tokenContent()
+      while (content.endsWith("|ff-successor") &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(50L); content = tokenContent()
+      }
+      assert(!content.endsWith("|ff-successor"),
+        s"stale foreign token was never reclaimed: $content")
+      // successor stamps again, far ahead (stays fresh past the exit —
+      // the skew test's future-stamp move): the EXIT must leave it too
+      val exitForeign =
+        s"v2|${System.currentTimeMillis() + 60000L}|ff-successor"
+      plant(exitForeign)
+      writer.join(30000L)
+      assert(failure.get() == null, s"writer failed: ${failure.get()}")
+      assert(fs.exists(token) && tokenContent() == exitForeign,
+        "the exit must not clear a fresh foreign (successor's) token")
+    } finally {
+      spark.conf.unset(Sinks.SwapInflightTtlKey)
+      fs.delete(token, false)
+    }
   }
 }
