@@ -649,6 +649,15 @@ object Governance {
     *   - `snapshot` / `export` — the retention censuses: one row per
     *     committed artifact, name = stamp, n = pinned doc count (off the
     *     commit markers — metadata reads, no manifest scan).
+    *   - `coordination` — THIS JVM's coordination-health gauges
+    *     ([[graft.core.WarehouseLease.coordinationGauges]]): connects
+    *     abandoned as wedged, beats skipped behind a wedged one.
+    *     Monotonic-since-JVM-start and inherently non-deterministic, so
+    *     they are unit-locked (LeaseSpec asserts the counting), not
+    *     oracle-locked — the `corpus_status` query filters the kind out
+    *     before its hash compare. `*_jvm` names mark the scope: the
+    *     rows answer "is the ASKING driver's medium degrading", not a
+    *     property of the warehouse.
     *
     * Purely metadata-sized: a lease read, a directory walk, ledger reads
     * — no content table is scanned, so the answer costs the same on a
@@ -680,7 +689,9 @@ object Governance {
     // pre-probe (this read's selling point is being metadata-cheap)
     val auditHead = ("audit_head", "audit_log",
       readLongLedger(spark, auditSeqLedger(warehouse)))
-    val driverRows = (lease +: parked) :+ auditHead
+    val coordination = graft.core.WarehouseLease.coordinationGauges
+      .map { case (gauge, n) => ("coordination", gauge, n) }
+    val driverRows = (lease +: parked) ++ (auditHead +: coordination)
     driverRows.toDF("kind", "name", "n")
       .unionByName(CorpusSnapshots.listCorpusSnapshots(spark, warehouse)
         .select(lit("snapshot").as("kind"),

@@ -12,12 +12,22 @@ package graft.core
   */
 private[core] object BeatDispatch {
 
+  /** JVM-global count of beat firings SKIPPED because the previous
+    * firing still held the hold's lock — wedged, or merely slow.
+    * Monotonic, never reset (consumers diff across reads). Near-zero on
+    * a healthy medium/filesystem; sustained growth means SOME beat is
+    * parked inside its I/O — the same intermittent-wedge signature as
+    * [[JdbcAtomicCell.orphanedConnects]], from the dispatch side
+    * (surfaced together through [[WarehouseLease.coordinationGauges]]).
+    */
+  val skippedBeats = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def fireOnce(lock: java.util.concurrent.locks.ReentrantLock,
                threadName: String)(body: => Unit): Unit = {
     val th = new Thread(() => {
       if (lock.tryLock()) {
         try body finally lock.unlock()
-      }
+      } else skippedBeats.incrementAndGet()
     }, threadName)
     th.setDaemon(true)
     th.start()

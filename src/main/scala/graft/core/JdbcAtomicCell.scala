@@ -126,15 +126,25 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
       catch { case _: InterruptedException =>
         Thread.currentThread().interrupt(); false }
     if (finished) result.get().fold(throw _, identity)
-    else if (claimed.compareAndSet(false, true))
+    else if (claimed.compareAndSet(false, true)) {
       // abandonment claimed: the wedged connect's thread is ORPHANED (it
       // closes its own connection if one ever opens) — the caller's
       // thread is free, which is the whole point. An interrupt lands
       // here too (type-stable: the protocol above maps SQLException).
+      // COUNTED (and logged): a healthy fleet claims ~zero abandonments,
+      // so the gauge is how an operator tells "the coordination medium
+      // wedges intermittently" from "healthy" before it wedges hard
+      // enough to lose a lease (object doc; surfaced through
+      // WarehouseLease.coordinationGauges → warehouseStatus).
+      JdbcAtomicCell.orphanedConnects.incrementAndGet()
+      JdbcAtomicCell.log.warn(
+        "abandoned a wedged coordination-db connect after {} ms (cell {})",
+        opTimeoutMs, cellName)
       throw new SQLException(
         s"JdbcAtomicCell: connect to the coordination database timed " +
           s"out (or the caller was interrupted) after <= $opTimeoutMs " +
           s"ms (cell $cellName)", "08001")
+    }
     else
       // the connect finished in the instant between our timeout (or
       // interrupt) and our claim — it won delivery. Its result.set
@@ -258,6 +268,21 @@ final class JdbcAtomicCell(connect: () => Connection, table: String,
 }
 
 object JdbcAtomicCell {
+
+  private[core] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.core.JdbcAtomicCell")
+
+  /** JVM-global count of connects ABANDONED by [[timedConnect]]'s claim
+    * handshake (the wedged thread is orphaned; bounded at one per wedge
+    * event because beats are tryLock-gated). Monotonic, never reset:
+    * consumers diff across reads. A healthy medium sits at ~zero —
+    * growth is the early-warning signature of an intermittently-wedging
+    * coordination database, visible long before four-in-a-TTL loses a
+    * lease. Surfaced as a `coordination` row of
+    * [[graft.app.Governance.warehouseStatus]] via
+    * [[WarehouseLease.coordinationGauges]].
+    */
+  val orphanedConnects = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Default bound on one cell operation (connect + statement): an order
     * of magnitude over a healthy coordination round-trip, far under any

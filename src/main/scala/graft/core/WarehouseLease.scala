@@ -761,6 +761,20 @@ object WarehouseLease {
              warehouse: String): Option[(String, Long)] =
     mediumFor(spark, warehouse).read().map(parseLease)
 
+  /** THIS JVM's coordination-health gauges, monotonic since JVM start
+    * (consumers diff across reads): connects the JDBC cell abandoned as
+    * wedged, and beat firings skipped behind a previous one still in
+    * flight. Both sit at ~zero on a healthy medium; growth is the
+    * signature of an INTERMITTENTLY-wedging coordination database or
+    * store — visible here long before a wedge streak outlasts a TTL and
+    * surfaces as a lost lease. JVM-scoped on purpose (they answer "is
+    * MY driver's view of the medium degrading"), which is why
+    * `warehouseStatus` reports them under `*_jvm` names.
+    */
+  def coordinationGauges: Seq[(String, Long)] = Seq(
+    "orphaned_connects_jvm" -> JdbcAtomicCell.orphanedConnects.get(),
+    "skipped_beats_jvm" -> BeatDispatch.skippedBeats.get())
+
   /** Take the warehouse write lease. Throws LeaseHeldException when
     * another live owner holds it (or when a racing transition beat us),
     * LeaseUnsupportedException when the warehouse's filesystem has no

@@ -985,7 +985,12 @@ object CorpusLifecycle {
          |  UNION ALL SELECT 'snapshot', '1000',
          |    (${survivorCountSql(statusPred)})
          |) t ORDER BY kind, name""".stripMargin) { (s, d) =>
+      // the `coordination` gauge rows are monotonic JVM counters —
+      // inherently non-deterministic across runs, so unit-locked
+      // (LeaseSpec) rather than oracle-locked; every deterministic row
+      // stays under the hash compare
       CorpusIngest.warehouseStatus(s, statusWarehouse(s, d))
+        .filter(col("kind") =!= "coordination")
     },
 
     // The INCREMENTALLY-MAINTAINED datacard read off the warehouse's thin

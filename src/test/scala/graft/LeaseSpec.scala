@@ -260,6 +260,8 @@ class LeaseSpec extends AnyFunSuite {
     WarehouseLease.registerMedium("wedgemem",
       (_, _) => new WarehouseLease.CasLeaseMedium(cell))
     try {
+      val skippedBefore = WarehouseLease.coordinationGauges.toMap
+        .apply("skipped_beats_jvm")
       val t0 = System.currentTimeMillis()
       intercept[WarehouseLease.LeaseLostException] {
         WarehouseLease.withWriteLease(spark, "wedgemem://bucket/wh",
@@ -272,6 +274,13 @@ class LeaseSpec extends AnyFunSuite {
       // not a deadlock
       assert(System.currentTimeMillis() - t0 < 15000L,
         "exit must not block on the wedged beat")
+      // the firings skipped behind the wedged beat registered on the
+      // dispatch-side gauge (ttl 600 → period 200 ms; the beat wedges at
+      // ~200 ms and at least a couple of the remaining ~6 firings in
+      // the 1.5 s window must have skipped, whatever the scheduler slip)
+      assert(WarehouseLease.coordinationGauges.toMap
+        .apply("skipped_beats_jvm") >= skippedBefore + 2L,
+        "skips behind a wedged beat must register on the gauge")
     } finally WarehouseLease.unregisterMedium("wedgemem")
   }
 
@@ -463,6 +472,11 @@ class LeaseSpec extends AnyFunSuite {
     // after abandonment is closed by its own thread, never leaked.
     val url = s"jdbc:derby:${java.nio.file.Files
       .createTempDirectory("lease-jdbc-wedge")}/db;create=true"
+    // boot the database OUTSIDE the bounded path (same move as the
+    // handshake test): a cold Derby engine pays ~1 s creation on the
+    // first connect, which would trip the 500 ms bound when this test
+    // runs in a fresh JVM rather than after suite-mates warmed it
+    java.sql.DriverManager.getConnection(url).close()
     val hang = new java.util.concurrent.atomic.AtomicBoolean(false)
     val connect: () => java.sql.Connection = () => {
       if (hang.get()) new CountDownLatch(1).await() // a black-hole connect
@@ -471,6 +485,7 @@ class LeaseSpec extends AnyFunSuite {
     val cell = new graft.core.JdbcAtomicCell(connect, "graft_lease_cells",
       "wedged", opTimeoutMs = 500L)
     assert(cell.putIfAbsent("w|1"))
+    val orphansBefore = graft.core.JdbcAtomicCell.orphanedConnects.get()
     hang.set(true)
     val t0 = System.currentTimeMillis()
     val ex = intercept[java.sql.SQLException](cell.get())
@@ -480,6 +495,12 @@ class LeaseSpec extends AnyFunSuite {
     // same bound on the write paths
     intercept[java.sql.SQLException](cell.putIfTag("0", "x"))
     intercept[java.sql.SQLException](cell.deleteIfTag("0"))
+    // each abandonment is COUNTED — the gauge that makes an
+    // intermittently-wedging medium visible before it loses a lease
+    // (monotonic JVM-global: other suites may add, never subtract)
+    assert(graft.core.JdbcAtomicCell.orphanedConnects.get()
+      >= orphansBefore + 3L,
+      "three abandoned connects must register on the orphan gauge")
     // once the medium answers again, the cell state is intact
     hang.set(false)
     assert(cell.get().exists(_._1 == "w|1"))
