@@ -99,19 +99,25 @@ object Bench {
         val subset = defs.filter(d => unstable.contains(d.name))
         (1 to 2).map(_ => once(subset)._1.toMap)
       }
-    val samples = names.map { name =>
-      name -> (byName ++ remeasured).flatMap(_.get(name)).sorted
+    val results = names.map { name =>
+      name -> (byName ++ remeasured).flatMap(_.get(name)).min
     }
-    val results = samples.map { case (name, ts) => name -> ts.min }
     // per-query dispersion rides along so a cross-round reader can tell
     // box noise from plan regression WITHOUT re-deriving it from the
     // pass totals: `median` is the noise-robust center, `spread` is
-    // max/min across this run's passes (r17 lesson: ann_semdedup
-    // drifted 1.49x on pure box load — a spread column that wide marks
-    // the query's cross-round ratio as noise-dominated). "queries"
-    // stays the per-query MIN, so the driver's total remains comparable
-    // across rounds.
-    val statsJson = samples.map { case (name, ts) =>
+    // max/min across the samples (r17 lesson: ann_semdedup drifted
+    // 1.49x on pure box load — a spread column that wide marks the
+    // query's cross-round ratio as noise-dominated). For RETRIED
+    // queries the stats come from the solo remeasure passes ONLY:
+    // pooling them with the shared passes would bake the very
+    // contention spike that triggered the retry into the reported
+    // spread, branding a query the remeasure proved stable as
+    // noise-dominated forever. "queries" stays the per-query MIN over
+    // everything, so the driver's total remains comparable across
+    // rounds.
+    val statsJson = names.map { name =>
+      val pool = if (unstable.contains(name)) remeasured else byName
+      val ts = pool.flatMap(_.get(name)).sorted
       val median = ts(ts.size / 2)
       val spread = if (ts.head > 0) ts.last / ts.head else 1.0
       "\"" + name + "\":{\"min\":" + num(ts.head) +
@@ -199,22 +205,29 @@ object Bench {
         "(noise-dominated: a lease probe, a parked-swap walk, and ledger/" +
         "census reads, no content table scanned) - the first read an " +
         "operator makes on an inherited warehouse costs the same at any " +
-        "corpus size. EMBEDDING/SEMDEDUP STORE-SIZE INDEPENDENCE is now " +
+        "corpus size. EMBEDDING/SEMDEDUP STORE-SIZE SLOPES are now " +
         "measured too (StressProbe emb_size_*/sem_size_* tags, r18 box, " +
-        "warmed, broadcast disabled = the at-scale join regime): the SAME " +
-        "1,000-vector drop against a 100k-vec and a 500k-vec sign-LSH " +
-        "signature store costs 41.2s vs 46.2s - ratio 1.12 for 5x the " +
-        "store, with band geometry following the store size (2^18 -> " +
-        "2^20 buckets/band, the production discipline that pins per-" +
-        "bucket occupancy; the large fixed term is the probe's no-" +
-        "broadcast sort-merge regime, not a store-sized scan). The " +
-        "frozen-centroid SemDeDup drop against a 100k (k=64) and a 500k " +
-        "(k=320) assignment store costs 3.2s vs 3.5s - ratio 1.08 with " +
-        "k scaled to hold ~1.5k vecs/cluster (the paper's discipline; at " +
-        "FIXED k the candidate set provably tracks cluster occupancy " +
-        "instead - documented caveat, not a probe target). Both of the " +
-        "r17 design-only scale claims are measurements now: drop cost " +
-        "is bounded by the increment, not the store, for all three " +
+        "warmed, broadcast disabled = the at-scale join regime; min of 3 " +
+        "ISOLATED JVM runs per point - running builds and both sizes' " +
+        "drops in ONE probe JVM inflated the drop walls ~8x with " +
+        "accumulated heap/GC state and masked the slope, so each point " +
+        "runs alone): the SAME 1,000-vector drop against a 100k-vec and " +
+        "a 500k-vec sign-LSH signature store costs 4.1s vs 4.9s - ratio " +
+        "1.20 for 5x the store, with band geometry following the store " +
+        "size (2^18 -> 2^20 buckets/band, the production discipline that " +
+        "pins per-bucket occupancy; the residual slope is the store's " +
+        "THIN columnar (band,code,vec_id) scan plus the vec-store stream " +
+        "on the verify side - sequential, shuffle-free, the documented " +
+        "store-sized term). The frozen-centroid SemDeDup drop against a " +
+        "100k (k=64) and a 500k (k=320) assignment store costs 1.8s vs " +
+        "2.0s - ratio 1.11 with k scaled to hold ~1.5k vecs/cluster (the " +
+        "paper's discipline; at FIXED k the candidate set provably " +
+        "tracks cluster occupancy instead - documented caveat, not a " +
+        "probe target). Per-point spread across runs reaches ~1.5x on " +
+        "this box, so treat both ratios as 'strongly sublinear', not as " +
+        "exact exponents. Both of the r17 design-only scale claims are " +
+        "measurements now: drop cost is bounded by the increment plus a " +
+        "thin-scan term, never by corpus-sized shuffles, for all three " +
         "incremental store families.\""
     val total = results.map(_._2).sum
     val json =

@@ -396,10 +396,13 @@ private[graft] object CorpusStore {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+    // sibling-delete failures PROPAGATE (as the pre-sweep fixed list's
+    // did): swallowing one would return success while leaving exactly
+    // the stale guard the sweep exists to remove — a surviving
+    // `._promoted_upto` next to a rebuilt table silently skips the
+    // guarded work on the next promotion pass
     val siblings = fs.globStatus(new org.apache.hadoop.fs.Path(path + "._*"))
-    if (siblings != null) siblings.foreach { st =>
-      try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
-    }
+    if (siblings != null) siblings.foreach(st => fs.delete(st.getPath, true))
     val name = Sinks.bucketedTableName(path)
     if (spark.catalog.tableExists(name))
       spark.sql(s"DROP TABLE IF EXISTS `$name`")

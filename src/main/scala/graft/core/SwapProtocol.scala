@@ -237,9 +237,13 @@ object SwapProtocol {
   //     nonce whose stamp is STALE is a dead zombie's late-landing blind
   //     write — RECLAIM it (refusing would leave the stale stamp as the
   //     token for the rest of the window, a persistent false crash-park
-  //     to every reader). During the bounded fresh-foreign back-off the
-  //     token IS fresh, so lease-free readers read "in-flight, retry" —
-  //     never a false park.
+  //     to every reader). During the fresh-foreign back-off the token IS
+  //     fresh, so lease-free readers read "in-flight, retry" — correct
+  //     either way; and when a backed-off-from zombie stamp crosses
+  //     staleness between firings, the next firing reclaims it, so the
+  //     false-park exposure stays bounded by ONE beat period — the same
+  //     residual any zombie landing always had (per-swap identity doc
+  //     below), not a new window.
   // Same instance-identity move as WarehouseLease's activeHolds, for the
   // same reason.
   private val activeSwaps =

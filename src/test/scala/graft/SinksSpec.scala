@@ -1792,25 +1792,31 @@ class SinksSpec extends AnyFunSuite {
       val out = fs.create(token, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    spark.conf.set(Sinks.SwapInflightTtlKey, "750") // beat period 250 ms
+    // a WIDE ttl (period 500 ms, staleness bound 1.5 s) so every phase
+    // below keeps >= 400 ms of scheduler-slip margin between "the beat
+    // read a FRESH stamp" and "the stamp crossed staleness" — with a
+    // 750 ms ttl the back-off assert sat 150 ms from the boundary and a
+    // loaded box could legitimately reclaim before it ran
+    spark.conf.set(Sinks.SwapInflightTtlKey, "1500")
     try {
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val writer = new Thread(() =>
-        try SwapProtocol.withSwapToken(spark, fs, p)(Thread.sleep(4000L))
+        try SwapProtocol.withSwapToken(spark, fs, p)(Thread.sleep(6000L))
         catch { case t: Throwable => failure.set(t) })
       writer.start()
       Thread.sleep(600L) // the swap's beat is live
       // the successor's token lands: foreign nonce, fresh stamp
       val freshForeign = s"v2|${System.currentTimeMillis()}|ff-successor"
       plant(freshForeign)
-      // two-plus beat periods inside the stamp's freshness window: the
-      // live swap's beat must leave it byte-identical (back-off)
-      Thread.sleep(600L)
+      // two-plus beat periods inside the stamp's freshness window (1.1 s
+      // of the 1.5 s bound): the live swap's beat must leave it
+      // byte-identical (back-off)
+      Thread.sleep(1100L)
       assert(tokenContent() == freshForeign,
         s"beat clobbered a fresh foreign token: ${tokenContent()}")
       // ...and once the foreign stamp goes STALE (no successor beating
       // it), it is zombie garbage — reclaimed within a period or two
-      val deadline = System.currentTimeMillis() + 2200L
+      val deadline = System.currentTimeMillis() + 2500L
       var content = tokenContent()
       while (content.endsWith("|ff-successor") &&
         System.currentTimeMillis() < deadline) {
