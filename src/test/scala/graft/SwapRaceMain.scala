@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   * so the parent can poll them for the window edges:
   *   `window-open`  — stage-out rename done, live path now ABSENT
   *   `swap-done`    — swap-in rename done, table live again
+  *
+  * Mode `read <table> <ttlMs> <eventsFile>`: resolve `<table>` through
+  * the lease-free [[graft.core.Sinks.storePresent]] gate ONCE and log
+  * the verdict (`verdict-present` / `verdict-absent` /
+  * `verdict-inflight` / `verdict-parked`) — the cross-process half of
+  * the token FORMAT-GENERATION contract: a reader process with its own
+  * clock resolving token residue some other-generation writer process
+  * left behind.
   */
 object SwapRaceMain {
 
@@ -51,6 +59,29 @@ object SwapRaceMain {
         }
         fs.delete(old, true)
         logEvent(eventsFile, "swap-done")
+      } finally spark.stop()
+      sys.exit(0)
+
+    case "read" =>
+      val Array(_, table, ttlMs, eventsFile) = args
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("swap-race-reader")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config(SwapProtocol.SwapInflightTtlKey, ttlMs)
+        .getOrCreate()
+      try {
+        val verdict =
+          try { if (graft.core.Sinks.storePresent(spark, table))
+            "verdict-present" else "verdict-absent" }
+          catch {
+            case e: IllegalStateException if e.getMessage.contains("mid-swap") =>
+              "verdict-inflight"
+            case e: IllegalStateException
+              if e.getMessage.contains("crash-parked") => "verdict-parked"
+          }
+        logEvent(eventsFile, verdict)
       } finally spark.stop()
       sys.exit(0)
 

@@ -164,4 +164,55 @@ class SwapRaceSpec extends AnyFunSuite {
       assert(!SwapProtocol.hasParkedSwap(spark, table))
     } finally if (p.isAlive) p.destroyForcibly()
   }
+
+  test("cross-process: a reader process resolves token residue of EVERY writer generation") {
+    // The format-compat contract across a REAL process boundary: a
+    // post-change reader (own JVM, own clock) resolving a parked
+    // signature whose token some other-generation writer left — gen 1
+    // (bare millis), gen 2 (millis|nonce), gen 3 (v2|millis|nonce) all
+    // read in-flight while fresh; a stale gen-3 stamp and an UNKNOWN
+    // future version both resolve to the loud crash-park verdict.
+    val dir = Files.createTempDirectory("swap-xproc-fmt").toString
+    val table = s"$dir/series"
+    Files.createDirectories(java.nio.file.Paths.get(s"$table._compact_old"))
+    Files.write(
+      java.nio.file.Paths.get(s"$table._compact_old/data.txt"),
+      "v1".getBytes("UTF-8")) // parked signature: live absent, data parked
+    val token = java.nio.file.Paths.get(s"$table._swap_inflight")
+    // wide: the "fresh" stamps must still read fresh after a reader-JVM
+    // boot that can take tens of seconds under full-suite load; the
+    // stale fixture stamp is 10 min old, comfortably past even this
+    val ttlMs = 300000L
+    def readerVerdict(tokenLine: String, what: String): String = {
+      Files.write(token, tokenLine.getBytes("UTF-8"))
+      val ev = s"$dir/events-${math.abs(tokenLine.hashCode)}.log"
+      val log = java.io.File.createTempFile("swap-xproc-fmt", ".log")
+      val p = forkJvm(Seq("read", table, ttlMs.toString, ev), log)
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (events(ev).isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100L)
+        assert(events(ev).nonEmpty,
+          s"$what: reader never reported; log tail:\n" +
+            new String(Files.readAllBytes(log.toPath), "UTF-8")
+              .linesIterator.toSeq.takeRight(25).mkString("\n"))
+        events(ev).head
+      } finally if (p.isAlive) p.destroyForcibly()
+    }
+    val now = System.currentTimeMillis()
+    val stale = now - 10L * 60L * 1000L
+    for ((mk, gen) <- Seq[(Long => String, String)](
+      (m => s"$m", "gen1 bare millis"),
+      (m => s"$m|nn-gen2", "gen2 millis|nonce"),
+      (m => s"v2|$m|nn-gen3", "gen3 v2|millis|nonce"))) {
+      assert(readerVerdict(mk(now), s"fresh $gen") == "verdict-inflight",
+        s"fresh $gen must read in-flight across the process boundary")
+    }
+    assert(readerVerdict(s"v2|$stale|nn-gen3", "stale gen3")
+      == "verdict-parked",
+      "a stale v2 token must read crash-parked across the process boundary")
+    assert(readerVerdict(s"v3|$now|nn-future", "unknown version")
+      == "verdict-parked",
+      "an unknown future version must resolve maximally stale (crash-park)")
+  }
 }
