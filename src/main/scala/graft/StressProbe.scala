@@ -502,6 +502,15 @@ object StressProbe {
     // enough GC/cache state to dominate a 5 s drop, and that shared
     // inflation flattened the apparent slope. The in-run ratios printed
     // below are indicative only; the notes carry the isolated numbers.
+    //
+    // Runtime BLOOM-FILTER injection was tested as a lever on the
+    // residual store-scan slope (default-on in Spark 4.x once the
+    // application-side scan passes 10 GB): with the threshold lowered
+    // to cover this store, the optimizer does NOT inject into the
+    // (band, code) two-key equi-join (checked via optimizedPlan for
+    // might_contain; walls unchanged 4.1 s vs 4.0 s) — so the thin-scan
+    // term stands on its own merits and no free conf win is being left
+    // on the table.
     val embSizeProbe = {
       val sizes = Seq(("100k", 100000L, 18), ("500k", 500000L, 20))
       val tags = sizes.flatMap { case (l, _, _) =>
