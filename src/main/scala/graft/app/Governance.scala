@@ -433,6 +433,16 @@ object Governance {
     Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
       local += (("parked_swap", rel, 1L, "warn"))
     }
+    // AtomicFiles.writeAtomic's crash residue next to LIVE tables
+    // (`<table>._<ledger>.tmp-*` — a writer died between its temp create
+    // and the publish rename). Inert by construction (never read as a
+    // ledger) and swept at dropStore for the dropped table's own, but
+    // otherwise immortal — census'd so accumulation is visible, warn so
+    // repair (which clears it) is the pointer. Always emitted, count 0
+    // on a healthy warehouse, so the check can't silently vanish from
+    // the inventory.
+    local += (("writeatomic_tmp_residue", "warehouse",
+      tempResidue(spark, warehouse).size.toLong, "warn"))
     // label-store / pair-table consistency
     labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
@@ -570,6 +580,33 @@ object Governance {
     * reporting them until it does. Returns (action, table) rows for the
     * audit trail; a healthy warehouse returns an empty frame.
     */
+  /** Every `<table>._<ledger>.tmp-*` file under `root` —
+    * [[graft.core.AtomicFiles.writeAtomic]]'s crash residue, recognized
+    * by `AtomicFiles.isTempResidue` (which owns the naming convention).
+    * Driver-side one-listing-per-directory walk, the same shape and
+    * metadata cost as the parked-swap census; `._`-prefixed and
+    * compaction control dirs are never descended into.
+    */
+  private def tempResidue(spark: SparkSession, root: String): Seq[String] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) Seq.empty
+    else {
+      val out = Seq.newBuilder[String]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isFile) {
+            if (graft.core.AtomicFiles.isTempResidue(name))
+              out += st.getPath.toString
+          } else if (!name.startsWith("._") && !name.contains("._compact_"))
+            walk(st.getPath)
+        }
+      walk(rp)
+      out.result()
+    }
+  }
+
   def repair(spark: SparkSession, warehouse: String): DataFrame =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     import spark.implicits._
@@ -625,6 +662,18 @@ object Governance {
         dropStore(spark, d)
         out += (("cleared_uncommitted_export", short(d)))
       }
+    // writeAtomic's `.tmp-*` crash residue next to LIVE tables: inert
+    // by construction (never the live ledger — the rename that would
+    // have made it one never ran), so clearing needs no drop data; the
+    // fsck census keeps warning until someone does. The name test lives
+    // with the writer (AtomicFiles.isTempResidue) so this can't drift
+    // into deleting anything writeAtomic didn't create.
+    tempResidue(spark, warehouse).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, false)
+      out += (("cleared_tmp_residue", short(f)))
+    }
     // the repair itself is a governance-grade event: record WHICH actions
     // ran (the counts columns carry no row delta for a repair — zeroed)
     if (out.nonEmpty)

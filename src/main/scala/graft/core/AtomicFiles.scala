@@ -104,6 +104,20 @@ private[graft] object AtomicFiles {
     }
   }
 
+  /** True when `name` is [[writeAtomic]]'s crash residue — the
+    * `<table>._<ledger>.tmp-xxxxxxxx` a writer dying between the temp
+    * create and its rename leaves behind. Inert by construction (never
+    * read as a ledger) but otherwise immortal next to LIVE tables:
+    * dropStore sweeps its own table's, fsck censuses the rest and
+    * repair clears them. The naming convention lives HERE with the
+    * writer, so the recognizers can never drift from it.
+    */
+  def isTempResidue(name: String): Boolean = {
+    val i = name.lastIndexOf(".tmp-")
+    i > 0 && name.substring(0, i).contains("._") &&
+      name.length > i + ".tmp-".length
+  }
+
   /** The single-long ledger read both ledger families share (promote's
     * format): -1 when absent, empty, unparsable, or persistently
     * unreadable — the fail-safe direction (re-do the guarded work,

@@ -359,6 +359,12 @@ object CorpusLifecycle {
       val staged = graft.app.CorpusStore.stagedPath(wh)
       fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
       graft.app.CorpusStore.writeLongLedger(s, staged + "._ingested_upto", 5L)
+      // plant 6 — writeAtomic's crash residue next to a LIVE table (a
+      // writer died between its temp create and the publish rename)
+      val residue = new org.apache.hadoop.fs.Path(
+        graft.app.CorpusStore.docsPath(wh) + "._watermark.tmp-deadbeef")
+      val ro = fs.create(residue, true)
+      try ro.write("torn".getBytes("UTF-8")) finally ro.close()
       wh
     })
 
@@ -788,7 +794,8 @@ object CorpusLifecycle {
         |  ('orphan_bands','bands',0,'warn'),
         |  ('orphan_emb_bands','emb_bands',0,'warn'),
         |  ('snapshot_uncommitted','snapshots',0,'warn'),
-        |  ('stranded_docs','documents',0,'warn')
+        |  ('stranded_docs','documents',0,'warn'),
+        |  ('writeatomic_tmp_residue','warehouse',0,'warn')
         |) AS t("check", "table", violations, severity)
         |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
       CorpusIngest.fsck(s, curatedWarehouse(s, d))
@@ -796,10 +803,11 @@ object CorpusLifecycle {
     },
 
     // The integrity audit's TRUE-POSITIVE half: the fsck findings over a
-    // warehouse with five PLANTED violation classes (a ghost pair ref and
+    // warehouse with six PLANTED violation classes (a ghost pair ref and
     // its uncovered label evidence, a removed threshold ledger, a removed
     // params ledger, a crash-parked swap, an ingest ledger ahead of its
-    // promote ledger — see dirtyWarehouse). Every planted state has an
+    // promote ledger, a writeAtomic temp-residue file next to a live
+    // table — see dirtyWarehouse). Every planted state has an
     // exactly fixture-independent count, so the oracle is the literal
     // finding table: each check fires with the right count, table,
     // and severity, and nothing else fires.
@@ -813,7 +821,8 @@ object CorpusLifecycle {
         |  ('ghost_pair_refs','pairs',2,'warn'),
         |  ('label_missing_nodes','cc_labels',2,'warn'),
         |  ('missing_params_ledger','bands',1,'warn'),
-        |  ('parked_swap','corpus/doc_stats',1,'warn')
+        |  ('parked_swap','corpus/doc_stats',1,'warn'),
+        |  ('writeatomic_tmp_residue','warehouse',1,'warn')
         |) AS t("check", "table", violations, severity)
         |ORDER BY severity, "check", "table"""".stripMargin) { (s, d) =>
       CorpusIngest.fsck(s, dirtyWarehouse(s, d))

@@ -1616,9 +1616,10 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(findings().isEmpty)
     assert(CorpusIngest.repair(spark, wh).isEmpty,
       "a healthy warehouse repairs nothing")
-    // plant all three repairable states: a parked swap, a torn label
-    // create (on the emb store path), and label coverage drift (a pair
-    // row the merge never saw)
+    // plant all four repairable states: a parked swap, a torn label
+    // create (on the emb store path), label coverage drift (a pair
+    // row the merge never saw), and writeAtomic's `.tmp-*` crash
+    // residue next to a live table
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats"),
@@ -1631,18 +1632,24 @@ class CorpusIngestSpec extends AnyFunSuite {
       Seq((10L, 20L, 1.0)).toDF("doc_a", "doc_b", "jac"),
       s"$wh/corpus/pairs", keys = Seq("doc_a", "doc_b"),
       bucketKeys = Seq("doc_a", "doc_b"), buckets = 8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$wh/corpus/documents._watermark.tmp-deadbeef"),
+      "torn".getBytes("UTF-8"))
     assert(findings().toSet == Set(("parked_swap", "warn"),
-      ("label_store_torn_create", "warn"), ("label_missing_nodes", "warn")),
+      ("label_store_torn_create", "warn"), ("label_missing_nodes", "warn"),
+      ("writeatomic_tmp_residue", "warn")),
       s"${findings()}")
     val actions = CorpusIngest.repair(spark, wh)
       .select("action", "table").as[(String, String)].collect().toSet
     assert(actions == Set(("recovered_swap", "corpus/doc_stats"),
       ("cleared_torn_label_create", "emb_cc_labels"),
-      ("rebuilt_label_store", "cc_labels")), s"$actions")
+      ("rebuilt_label_store", "cc_labels"),
+      ("cleared_tmp_residue", "documents._watermark.tmp-deadbeef")),
+      s"$actions")
     assert(findings().isEmpty, s"repair must heal to clean: ${findings()}")
     // the repair is itself on the audit trail
     assert(CorpusIngest.governanceAudit(spark, wh)
-      .filter(col("op") === "repair").count() == 3L)
+      .filter(col("op") === "repair").count() == 4L)
     graft.core.GraftCaches.releaseAll(spark)
   }
 
