@@ -118,11 +118,66 @@ object Bench {
     val statsJson = names.map { name =>
       val pool = if (unstable.contains(name)) remeasured else byName
       val ts = pool.flatMap(_.get(name)).sorted
-      val median = ts(ts.size / 2)
+      // true median: even pools average the two middle elements — the
+      // upper-middle shortcut reported the MAX of a retried query's
+      // 2-sample solo pool, biasing high exactly where the stats were
+      // meant to rehabilitate
+      val median =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       val spread = if (ts.head > 0) ts.last / ts.head else 1.0
       "\"" + name + "\":{\"min\":" + num(ts.head) +
         ",\"median\":" + num(median) + ",\"spread\":" + num(spread) + "}"
     }.mkString("{", ",", "}")
+    // NOISE-VS-REGRESSION, decided by the artifact itself (r18 brief
+    // item 6): against the PRIOR round's persisted stats (the
+    // bench_out.json this run is about to overwrite, or
+    // SPARK_GRAFT_BENCH_PREV), flag any query whose cross-round
+    // min-ratio exceeds max(1.5, its own measured spread in either
+    // round) — the exact rule the judge applied by hand across r6-r18
+    // (cross-round ratios under ~1.5x are box noise on this machine,
+    // and a query whose own spread column is wider than 1.5x has
+    // declared its noise floor higher than that). Empty list = no true
+    // regression this round; a missing/unparsable prior file reports
+    // prev:"none" rather than failing the bench.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val curStats = names.map { name =>
+      val pool = if (unstable.contains(name)) remeasured else byName
+      val ts = pool.flatMap(_.get(name))
+      name -> (ts.min, if (ts.min > 0) ts.max / ts.min else 1.0)
+    }.toMap
+    val (prevLabel, regressions) =
+      try {
+        val f = new java.io.File(prevPath)
+        if (!f.exists()) ("none", Seq.empty[(String, Double, Double)])
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f)
+          val prevStats = Option(root.get("stats"))
+          val flagged = names.flatMap { name =>
+            val prev = prevStats.flatMap(s => Option(s.get(name)))
+            prev.flatMap { p =>
+              val prevMin = p.get("min").asDouble()
+              val prevSpread = p.get("spread").asDouble()
+              val (curMin, curSpread) = curStats(name)
+              if (prevMin <= 0) None
+              else {
+                val ratio = curMin / prevMin
+                val threshold = math.max(1.5, math.max(prevSpread, curSpread))
+                if (ratio > threshold) Some((name, ratio, threshold)) else None
+              }
+            }
+          }
+          (prevPath, flagged)
+        }
+      } catch { case _: Exception =>
+        ("unparsable:" + prevPath, Seq.empty[(String, Double, Double)])
+      }
+    val regressionsJson = regressions.map { case (n, r, t) =>
+      "{\"query\":\"" + n + "\",\"ratio\":" + num(r) +
+        ",\"threshold\":" + num(t) + "}"
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -231,7 +286,7 @@ object Bench {
         "incremental store families.\""
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"regressions":$regressionsJson,"regressions_vs":"$prevLabel","failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt/log4j noise; also land the line in a
     // clean file so the driver can parse it without scraping logs

@@ -942,6 +942,16 @@ object StressProbe {
     // Same warm-up contract as store_size_*: one untimed run of each
     // plan family first, so the first timed point doesn't pay the
     // JVM/codegen warm-up.
+    // the doc generator the governance-family probes share (gov_* and
+    // gov_repair_*): unique 20-token md5 docs, no planted dups — the
+    // probes price the governance reads, not dedup recall
+    def govCorpusOf(n: Long) = spark.range(0, n, 1, 64).select(
+      col("id").as("doc_id"),
+      array_join(expr(
+        """transform(sequence(0, 19), i -> substr(
+          |  md5(concat(id, '-', i)), 1, 6))""".stripMargin),
+        " ").as("text"))
+
     val govProbe = {
       val sizes = Seq("200k" -> 200000L, "1m" -> 1000000L)
       val tags = sizes.flatMap { case (l, _) =>
@@ -949,12 +959,7 @@ object StressProbe {
           s"gov_status_$l") }
       if (!tags.exists(selected)) tags.map(_ -> 0.0)
       else {
-        def corpusOf(n: Long) = spark.range(0, n, 1, 64).select(
-          col("id").as("doc_id"),
-          array_join(expr(
-            """transform(sequence(0, 19), i -> substr(
-              |  md5(concat(id, '-', i)), 1, 6))""".stripMargin),
-            " ").as("text"))
+        def corpusOf(n: Long) = govCorpusOf(n)
         val whs = sizes.flatMap { case (label, n) =>
           val buildTag = s"gov_build_$label"
           val anySel = Seq(buildTag, s"gov_fsck_$label",
@@ -1001,10 +1006,135 @@ object StressProbe {
       }
     }
 
+    // ---- connected-components SCALE SLOPE: the one incremental-family
+    // algorithm whose 100 TB claim (O(log² n) shuffle-bounded rounds)
+    // was design-only until this probe — two sizes of the same topology
+    // class (random recursive tree: one giant log-diameter component,
+    // the near-dup-cluster regime at volume), rounds-to-convergence AND
+    // wall at each. The claim passes when rounds grow by at most ~log
+    // of the size ratio and wall stays far under the 5× edge ratio.
+    // Measurement discipline per the r18 lesson: run each size in its
+    // own JVM (SPARK_GRAFT_STRESS_ONLY=cc_size_200k / cc_size_1m) so
+    // accumulated heap/GC state can't fake a slope; the small untimed
+    // warm-up run absorbs JIT/codegen inside each JVM.
+    val ccSizeProbe = {
+      val sizes = Seq("200k" -> 200000L, "1m" -> 1000000L)
+      val tags = sizes.map { case (l, _) => s"cc_size_$l" }
+      if (!tags.exists(selected)) tags.map(_ -> 0.0)
+      else {
+        def edgesOf(n: Long) = spark.range(1, n, 1, 64)
+          .select(col("id").as("u"),
+            pmod(xxhash64(col("id")), col("id")).as("v"))
+        // untimed warm-up: the full plan family once, at 1/10 scale
+        locally {
+          val lab = operators.Components.connectedComponents(edgesOf(20000L))
+          lab.groupBy(col("component")).agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        sizes.map { case (label, n) =>
+          val tag = s"cc_size_$label"
+          if (!selected(tag)) tag -> 0.0
+          else {
+            var rounds = -1L
+            val t = timeEffect(tag, n) {
+              val lab = operators.Components.connectedComponents(edgesOf(n))
+              rounds = lab.schema("component").metadata
+                .getLong("graft.cc.rounds")
+              lab.groupBy(col("component")).agg(count(lit(1)).as("n"))
+                .write.format("noop").mode("overwrite").save()
+            }
+            println(s"[stress] $tag rounds-to-convergence: $rounds")
+            t
+          }
+        }
+      }
+    }
+
+    // ---- REPAIR AT SCALE: the operator's worst-day path — a warehouse
+    // carrying every repairable violation class at once — priced at the
+    // gov-probe sizes (previously only exercised at test scale). Plants
+    // all six: crash-parked swap, torn label create, label-coverage
+    // drift (ghost pair), writeAtomic temp residue (backdated past the
+    // age bound), uncommitted snapshot dir, uncommitted export dir.
+    // Measures the full operational cycle: fsck(dirty) -> repair ->
+    // fsck(clean). The heal is driver-side renames/deletes plus ONE
+    // label rebuild (the full-contraction merge over the pair table) —
+    // the rebuild is the only corpus-tracking term, so the cycle wall
+    // should track the PAIR table, never corpus bytes.
+    val govRepairProbe = {
+      val sizes = Seq("200k" -> 200000L, "1m" -> 1000000L)
+      val tags = sizes.flatMap { case (l, _) =>
+        Seq(s"gov_repair_fsck_dirty_$l", s"gov_repair_heal_$l",
+          s"gov_repair_fsck_clean_$l") }
+      if (!tags.exists(selected)) tags.map(_ -> 0.0)
+      else sizes.flatMap { case (label, n) =>
+        val myTags = Seq(s"gov_repair_fsck_dirty_$label",
+          s"gov_repair_heal_$label", s"gov_repair_fsck_clean_$label")
+        if (!myTags.exists(selected)) myTags.map(_ -> 0.0)
+        else {
+          val wh = java.nio.file.Files
+            .createTempDirectory(s"graft-stress-rep-$label").toString
+          core.GraftCaches.withScope(spark)(
+            app.CorpusIngest.run(spark, govCorpusOf(n), wh, threshold = 0.5))
+          val fs = new org.apache.hadoop.fs.Path(wh)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def plant(): Unit = {
+            // 1. crash-parked rewrite swap
+            fs.rename(new org.apache.hadoop.fs.Path(s"$wh/corpus/doc_stats"),
+              new org.apache.hadoop.fs.Path(
+                s"$wh/corpus/doc_stats._compact_old"))
+            // 2. torn label create (no spec ledger)
+            spark.range(1).select(col("id").as("node"),
+              col("id").as("component"), col("id").as("seq"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$wh/corpus/emb_cc_labels")
+            // 3. label drift: a pair row the merge never saw
+            core.Sinks.bucketedIdempotentAppend(
+              spark.range(1).select(lit(900000001L).as("doc_a"),
+                lit(900000002L).as("doc_b"), lit(1.0).as("jac")),
+              s"$wh/corpus/pairs", keys = Seq("doc_a", "doc_b"),
+              bucketKeys = Seq("doc_a", "doc_b"), buckets = 8)
+            // 4. temp residue, backdated past the census age bound
+            val residue = new org.apache.hadoop.fs.Path(
+              s"$wh/corpus/documents._watermark.tmp-deadbeef")
+            val o = fs.create(residue, true)
+            try o.write("torn".getBytes("UTF-8")) finally o.close()
+            fs.setTimes(residue, System.currentTimeMillis() - 3600000L, -1L)
+            // 5 + 6. uncommitted snapshot/export dirs (manifest landed,
+            // commit marker didn't)
+            for (d <- Seq(s"$wh/corpus/snapshots/snap_ts=123",
+              s"$wh/corpus/exports/export_ts=123")) {
+              spark.range(1).select(col("id").as("doc_id"))
+                .coalesce(1).write.mode("overwrite").parquet(d)
+            }
+          }
+          plant()
+          val dirty = core.GraftCaches.withScope(spark)(
+            timeEffect(s"gov_repair_fsck_dirty_$label", n)(
+              app.CorpusIngest.fsck(spark, wh).collect()))
+          val heal = core.GraftCaches.withScope(spark)(
+            timeEffect(s"gov_repair_heal_$label", n)(
+              app.CorpusIngest.repair(spark, wh).collect()))
+          var leftover = -1L
+          val clean = core.GraftCaches.withScope(spark)(
+            timeEffect(s"gov_repair_fsck_clean_$label", n) {
+              leftover = app.CorpusIngest.fsck(spark, wh)
+                .filter(col("violations") > 0).count()
+            })
+          println(s"[stress] gov_repair_$label post-repair violation rows: " +
+            s"$leftover (label-drift ghost pair remains by design — " +
+            "repair rebuilds labels to COVER it; only the drop's retry " +
+            "removes the ghost row itself)")
+          Seq(dirty, heal, clean)
+        }
+      }
+    }
+
     val all =
       results ++ llm ++ storeProbe ++ skewProbe ++ embStoreProbe ++
         mediaStoreProbe ++ semStoreProbe ++ embSizeProbe ++ semSizeProbe ++
-        ccProbe ++ corpusProbe ++ exportProbe ++ sizeProbe ++ govProbe
+        ccProbe ++ ccSizeProbe ++ corpusProbe ++ exportProbe ++ sizeProbe ++
+        govProbe ++ govRepairProbe
     val qs = all.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     }.mkString("{", ",", "}")

@@ -886,6 +886,7 @@ object CorpusIngest {
     // landing (which is never rewritten) — purge them before ingest; the
     // delete is existence-probed, so a clean staged table costs one probe
     if (Sinks.storePresent(spark, tombs)) {
+      Sinks.freshenIfRewritten(spark, tombs)
       val t = spark.read.parquet(tombs)
       if (Sinks.isBucketedStore(spark, staged))
         Sinks.deleteBucketedByKey(spark, staged, t, Seq(keyCol))
@@ -1156,6 +1157,7 @@ object CorpusIngest {
       // executors (a localCheckpoint here was executor-held state — one
       // spot reclaim mid-cadence and the centroids were unrecoverable)
       Sinks.writeCurrent(cents0, semCentsPath(warehouse))
+      Sinks.freshenIfRewritten(spark, semCentsPath(warehouse))
       val cents = spark.read.parquet(semCentsPath(warehouse))
       // stamp the NEW centroid identity on the rebuilt assignment store
       // (dropStore removed the old ledger with the old table), so later
@@ -1191,7 +1193,10 @@ object CorpusIngest {
     */
   def semCentroids(spark: SparkSession, warehouse: String): Option[DataFrame] =
     if (Sinks.storePresent(spark, semCentsPath(warehouse)))
-      Some(spark.read.parquet(semCentsPath(warehouse)))
+      Some {
+        Sinks.freshenIfRewritten(spark, semCentsPath(warehouse))
+        spark.read.parquet(semCentsPath(warehouse))
+      }
     else None
 
   /** The deduplicated corpus view: keep-the-minimum canonical per near-dup

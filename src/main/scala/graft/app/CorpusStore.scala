@@ -42,7 +42,23 @@ private[graft] object CorpusStore {
     */
   def readStore(spark: SparkSession, path: String): DataFrame =
     if (Sinks.isBucketedStore(spark, path)) Sinks.readBucketedPath(spark, path)
-    else spark.read.parquet(path)
+    else {
+      // same cross-driver staleness guard as the bucketed branch gets
+      // inside readBucketedPath: plain parquet reads share the session
+      // FileStatusCache, which a foreign writer's rewrite also strands
+      Sinks.freshenIfRewritten(spark, path)
+      // torn store create (Sinks.hasCommittedDataFiles doc): resolve the
+      // bare-directory crash state to a DOCUMENTED verdict instead of
+      // parquet's cryptic UNABLE_TO_INFER_SCHEMA — same loud-and-
+      // actionable style as the mid-swap/crash-parked reader verdicts
+      if (!Sinks.hasCommittedDataFiles(spark, path))
+        throw new IllegalStateException(
+          s"$path: torn store create — the directory exists but holds no " +
+            "committed data files (a writer died between creating it and " +
+            "its first task commit). The owning drop's retry rebuilds it; " +
+            "retry this read after the next ingest, or dropStore the residue.")
+      spark.read.parquet(path)
+    }
 
   /** Keyed idempotent append into a cumulative warehouse table: bucketed
     * on the key for new warehouses (and ones already bucketed), so the
@@ -400,9 +416,18 @@ private[graft] object CorpusStore {
     // did): swallowing one would return success while leaving exactly
     // the stale guard the sweep exists to remove — a surviving
     // `._promoted_upto` next to a rebuilt table silently skips the
-    // guarded work on the next promotion pass
+    // guarded work on the next promotion pass. fs.delete reports
+    // failure BOTH ways (some filesystems throw, HDFS-style ones
+    // return false on an existing path), so the boolean is checked
+    // too; false on an already-gone sibling is the benign race and
+    // passes.
     val siblings = fs.globStatus(new org.apache.hadoop.fs.Path(path + "._*"))
-    if (siblings != null) siblings.foreach(st => fs.delete(st.getPath, true))
+    if (siblings != null) siblings.foreach { st =>
+      if (!fs.delete(st.getPath, true) && fs.exists(st.getPath))
+        sys.error(s"dropStore: could not delete sibling ${st.getPath} — " +
+          "a surviving control artifact would guard the rebuilt table " +
+          "with stale state")
+    }
     val name = Sinks.bucketedTableName(path)
     if (spark.catalog.tableExists(name))
       spark.sql(s"DROP TABLE IF EXISTS `$name`")

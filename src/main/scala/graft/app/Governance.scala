@@ -63,6 +63,7 @@ object Governance {
     else {
       import spark.implicits._
       val keyDf = contentKeys.toDF("content_key")
+      Sinks.freshenIfRewritten(spark, linksPath(warehouse))
       val resolved = spark.read.parquet(linksPath(warehouse))
         .join(keyDf, "content_key")
         .select(col("modality"), col("id")).distinct().collect()
@@ -189,9 +190,13 @@ object Governance {
                                   keys: DataFrame,
                                   keyCols: Seq[String]): (Long, Long) = {
     val before =
-      if (Sinks.storePresent(spark, path)) spark.read.parquet(path).count()
+      if (Sinks.storePresent(spark, path)) {
+        Sinks.freshenIfRewritten(spark, path)
+        spark.read.parquet(path).count()
+      }
       else 0L
     Sinks.idempotentAppend(keys, path, keys = keyCols, partitionCols = Nil)
+    Sinks.freshenIfRewritten(spark, path)
     (before, spark.read.parquet(path).count())
   }
 
@@ -230,6 +235,7 @@ object Governance {
     val docs = CorpusIngest.survivors(spark, warehouse)
     if (!Sinks.storePresent(spark, linksPath(warehouse))) docs
     else {
+      Sinks.freshenIfRewritten(spark, linksPath(warehouse))
       val links = spark.read.parquet(linksPath(warehouse))
       // "lost" means LOST A DEDUP CLUSTER (a component non-minimum) —
       // deliberately not "absent from the survivors view": the media view
@@ -301,7 +307,17 @@ object Governance {
       if (!Sinks.pathExists(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(Sinks.readBucketedPath(spark, p))
-      else Some(spark.read.parquet(p))
+      else if (!Sinks.hasCommittedDataFiles(spark, p))
+        // torn store create: a bare dir a killed first-create left —
+        // zero rows by construction, so every check over it is vacuous
+        // (the owning drop's retry rebuilds it); fsck's design goal is
+        // to COMPLETE on a torn warehouse, never to crash on one
+        None
+      else {
+        // cross-driver staleness guard, same as readStore's plain branch
+        Sinks.freshenIfRewritten(spark, p)
+        Some(spark.read.parquet(p))
+      }
     def short(p: String) = p.split('/').takeRight(1).mkString
     def fileExists(p: String) = Sinks.pathExists(spark, p)
     // Two result channels, ONE action: distributed checks build 1-row
@@ -430,19 +446,31 @@ object Governance {
     // the table) restores the rename, so surface every one (warn: a
     // documented crash state with a one-call heal). Reported by
     // warehouse-RELATIVE name so same-basename tables stay distinct.
-    Sinks.parkedSwapTables(spark, warehouse).foreach { case (_, rel) =>
-      local += (("parked_swap", rel, 1L, "warn"))
-    }
+    // ONE shared tree traversal feeds both filesystem censuses below
+    // (parked swaps + writeAtomic temp residue) — WarehouseWalk doc;
+    // previously each ran its own recursive listing of the same tree,
+    // and the duplicate metadata storm was fsck's slowest row at a
+    // many-thousand-table warehouse.
+    val treeScan = graft.core.WarehouseWalk.scan(spark, warehouse)
+    graft.core.SwapProtocol
+      .resolveParkedTables(spark, warehouse, treeScan.parkedSwaps)
+      .foreach { case (_, rel) =>
+        local += (("parked_swap", rel, 1L, "warn"))
+      }
     // AtomicFiles.writeAtomic's crash residue next to LIVE tables
-    // (`<table>._<ledger>.tmp-*` — a writer died between its temp create
+    // (`<name>.tmp-xxxxxxxx` — a writer died between its temp create
     // and the publish rename). Inert by construction (never read as a
     // ledger) and swept at dropStore for the dropped table's own, but
     // otherwise immortal — census'd so accumulation is visible, warn so
-    // repair (which clears it) is the pointer. Always emitted, count 0
-    // on a healthy warehouse, so the check can't silently vanish from
-    // the inventory.
+    // repair (which clears it) is the pointer. AGE-BOUNDED: fsck runs
+    // lease-free, so the raw walk can catch a LIVE writer's in-flight
+    // temp (the swap-token beat re-stamps one every TTL/3) — only files
+    // older than the bound count, so an actively-written warehouse
+    // doesn't flash transient warn counts. Always emitted, count 0 on a
+    // healthy warehouse, so the check can't silently vanish from the
+    // inventory.
     local += (("writeatomic_tmp_residue", "warehouse",
-      tempResidue(spark, warehouse).size.toLong, "warn"))
+      staleTempResidue(spark, treeScan).size.toLong, "warn"))
     // label-store / pair-table consistency
     labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
@@ -480,7 +508,11 @@ object Governance {
     // reused) — error; ledger ahead of the log is the same crash window
     // as a gap — warn. Legacy rows (seq = -1, pre-ledger files) are
     // outside the numbering contract and excluded.
-    if (fileExists(auditPath(warehouse))) {
+    // presence AND at least one committed file: a kill during the very
+    // first audit append leaves the bare-dir torn-create state, which
+    // has no events to audit (and no footer to read)
+    if (fileExists(auditPath(warehouse)) &&
+        Sinks.hasCommittedDataFiles(spark, auditPath(warehouse))) {
       val events = readAudit(spark, warehouse).filter(col("seq") >= 0)
         .select(col("seq"), col("at_ms"), col("op"), col("id_col"),
           col("n_ids")).distinct()
@@ -561,6 +593,35 @@ object Governance {
       .orderBy(col("severity"), col("check"), col("table"))
   }
 
+  /** Conf key: minimum age (millis, file-mtime-based, default 15 min)
+    * before a walked `.tmp-*` file counts as [[graft.core.AtomicFiles]]
+    * `writeAtomic` CRASH residue rather than a live writer's in-flight
+    * temp. fsck and repair both run the census through this bound: a
+    * lease-free fsck racing a healthy writer would otherwise flash a
+    * transient warn for a temp that is milliseconds from its publish
+    * rename, and a repair clearing that same temp would fail the
+    * writer's rename out from under it. Any bound comfortably above
+    * the longest legitimately-live temp works — temps live for one
+    * write + rename (ms), and the longest-lived family, the swap-token
+    * beat's, is re-created every TTL/3 (20 s default); 15 min is three
+    * orders of magnitude of margin while still surfacing a crashed
+    * writer's residue on the same operational shift it died.
+    */
+  val TmpResidueMinAgeKey = "spark.graft.fsck.tmpResidueMinAgeMs"
+
+  /** The walk's temp-residue finding, age-bounded per
+    * [[TmpResidueMinAgeKey]] — the single filter both fsck (census) and
+    * repair (clear) apply, so the warn count and the heal can never
+    * disagree about which files qualify.
+    */
+  private def staleTempResidue(spark: SparkSession,
+      scan: graft.core.WarehouseWalk.Findings): Seq[String] = {
+    val minAge = spark.conf.getOption(TmpResidueMinAgeKey)
+      .map(_.trim.toLong).getOrElse(900000L)
+    val cutoff = System.currentTimeMillis() - minAge
+    scan.tempResidue.collect { case (p, mtime) if mtime <= cutoff => p }
+  }
+
   /** MECHANICAL REPAIR — the write-side companion to `fsck`: applies, in
     * one leased call, every heal that is safe WITHOUT re-running a drop:
     *
@@ -580,41 +641,19 @@ object Governance {
     * reporting them until it does. Returns (action, table) rows for the
     * audit trail; a healthy warehouse returns an empty frame.
     */
-  /** Every `<table>._<ledger>.tmp-*` file under `root` —
-    * [[graft.core.AtomicFiles.writeAtomic]]'s crash residue, recognized
-    * by `AtomicFiles.isTempResidue` (which owns the naming convention).
-    * Driver-side one-listing-per-directory walk, the same shape and
-    * metadata cost as the parked-swap census; `._`-prefixed and
-    * compaction control dirs are never descended into.
-    */
-  private def tempResidue(spark: SparkSession, root: String): Seq[String] = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rp)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      def walk(p: org.apache.hadoop.fs.Path): Unit =
-        fs.listStatus(p).foreach { st =>
-          val name = st.getPath.getName
-          if (st.isFile) {
-            if (graft.core.AtomicFiles.isTempResidue(name))
-              out += st.getPath.toString
-          } else if (!name.startsWith("._") && !name.contains("._compact_"))
-            walk(st.getPath)
-        }
-      walk(rp)
-      out.result()
-    }
-  }
-
   def repair(spark: SparkSession, warehouse: String): DataFrame =
       graft.core.WarehouseLease.withWriteLease(spark, warehouse) {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     def short(p: String) = p.split('/').takeRight(1).mkString
+    // the one shared tree traversal (WarehouseWalk doc) — parked swaps
+    // and temp residue both read off this scan
+    val treeScan = graft.core.WarehouseWalk.scan(spark, warehouse)
     // warehouse-relative names keep same-basename tables distinct in both
     // the result and the audit keys (the walk covers the whole tree)
-    Sinks.parkedSwapTables(spark, warehouse).foreach { case (table, rel) =>
+    graft.core.SwapProtocol
+      .resolveParkedTables(spark, warehouse, treeScan.parkedSwaps)
+      .foreach { case (table, rel) =>
       if (Sinks.recoverSwap(spark, table))
         out += (("recovered_swap", rel))
     }
@@ -667,8 +706,11 @@ object Governance {
     // have made it one never ran), so clearing needs no drop data; the
     // fsck census keeps warning until someone does. The name test lives
     // with the writer (AtomicFiles.isTempResidue) so this can't drift
-    // into deleting anything writeAtomic didn't create.
-    tempResidue(spark, warehouse).foreach { f =>
+    // into deleting anything writeAtomic didn't create; the AGE bound
+    // (staleTempResidue, shared with fsck's census) keeps it off a live
+    // writer's in-flight temp, whose delete would fail the publish
+    // rename out from under the writer.
+    staleTempResidue(spark, treeScan).foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, false)

@@ -19,13 +19,17 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   *     FileContext.rename OVERWRITE, atomic there
   *   - no AbstractFileSystem binding (some object stores): direct
   *     create — a single PUT, atomic at read level on those stores
-  * Rungs actually EXERCISED by tests (AtomicFilesSpec + the swap-token
-  * races): rung 1 on posix local — both bare RawLocalFileSystem and the
-  * checksummed LocalFileSystem wrapper (written raw through it) — and
-  * rung 3 via a registered scheme with no FileContext binding and a
-  * refusing rename. Rung 2 (FileContext OVERWRITE) has no in-harness
-  * filesystem that takes it — it is the documented HDFS code path,
-  * relied on for the atomicity HDFS's own rename contract guarantees.
+  * ALL THREE rungs are exercised by tests (AtomicFilesSpec + the
+  * swap-token races): rung 1 on posix local — both bare
+  * RawLocalFileSystem and the checksummed LocalFileSystem wrapper
+  * (written raw through it); rung 2 via a registered scratch scheme
+  * with HDFS's rename semantics (FileSystem rename refuses an existing
+  * destination; the scheme's AbstractFileSystem binding provides the
+  * atomic OVERWRITE rename, as HDFS's does server-side) — including
+  * the old-or-new visibility hammer under a concurrent reader; rung 3
+  * via a scheme with no FileContext binding and a refusing rename. On
+  * real HDFS the rung-2 atomicity is HDFS's own rename contract; the
+  * harness binding mimics it with a posix ATOMIC_MOVE.
   * Raw matters as much as the rename: ChecksumFileSystem moves a file's
   * `.crc` sidecar in a SECOND rename, so even an atomic data rename
   * leaves a window where a checksummed reader sees new data against the
@@ -105,17 +109,27 @@ private[graft] object AtomicFiles {
   }
 
   /** True when `name` is [[writeAtomic]]'s crash residue — the
-    * `<table>._<ledger>.tmp-xxxxxxxx` a writer dying between the temp
-    * create and its rename leaves behind. Inert by construction (never
-    * read as a ledger) but otherwise immortal next to LIVE tables:
-    * dropStore sweeps its own table's, fsck censuses the rest and
-    * repair clears them. The naming convention lives HERE with the
-    * writer, so the recognizers can never drift from it.
+    * `<name>.tmp-xxxxxxxx` a writer dying between the temp create and
+    * its rename leaves behind. Inert by construction (never read as a
+    * ledger) but otherwise immortal next to LIVE tables: dropStore
+    * sweeps its own table's, fsck censuses the rest and repair clears
+    * them. The naming convention lives HERE with the writer, so the
+    * recognizers can never drift from it.
+    *
+    * The match is the EXACT shape writeAtomic stamps — a nonempty
+    * target name, `.tmp-`, then precisely the 8 lowercase-hex chars of
+    * the UUID nonce at end-of-name — not merely "contains `.tmp-`":
+    * writeAtomic's targets are not all sibling ledgers (`batch-<id>`
+    * snapshot stamps, `_snap_commit`/`_export_*` commit markers carry
+    * no `._`), so a recognizer keyed on the sibling convention would
+    * leave THEIR residue invisible to the census and immortal, while a
+    * looser one would let the census claim user files it never wrote.
     */
   def isTempResidue(name: String): Boolean = {
     val i = name.lastIndexOf(".tmp-")
-    i > 0 && name.substring(0, i).contains("._") &&
-      name.length > i + ".tmp-".length
+    val nonce = if (i < 0) "" else name.substring(i + ".tmp-".length)
+    i > 0 && nonce.length == 8 &&
+      nonce.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
   }
 
   /** The single-long ledger read both ledger families share (promote's

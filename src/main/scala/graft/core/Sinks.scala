@@ -243,6 +243,36 @@ object Sinks {
   def storePresent(spark: SparkSession, path: String): Boolean =
     SwapProtocol.storePresent(spark, path)
 
+  /** True when `path` holds at least one COMMITTED data file — a file
+    * whose name Spark's readers would admit (not `_`/`.`-prefixed write
+    * -protocol residue like `_temporary` or `_SUCCESS`), at any depth.
+    * The discriminator for the TORN STORE CREATE crash state (r19
+    * cross-JVM soak): a writer killed between a first create's
+    * directory creation and its first task commit leaves a bare
+    * directory that plain reads explode on (no footer to infer from)
+    * and the bucketed create path refused as "exists but not bucketed"
+    * — bricking the drop's retry. A dir in this state is provably
+    * valueless (nothing ever committed), so writers clear-and-recreate
+    * it and integrity readers treat it as holding zero rows. Early-exit
+    * walk: cost is one listing batch per directory level until the
+    * first committed file, O(1) on any healthy store.
+    */
+  def hasCommittedDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(d: org.apache.hadoop.fs.Path): Boolean = {
+      val listing =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException => return false }
+      listing.exists { st =>
+        val name = st.getPath.getName
+        !name.startsWith("_") && !name.startsWith(".") &&
+          (st.isFile || walk(st.getPath))
+      }
+    }
+    fs.exists(p) && walk(p)
+  }
+
   /** Build a static partition-pruning predicate restricting `stored` to
     * the partition values present in `batch`: the existence anti-join's
     * store side then READS only the partitions the batch can possibly
@@ -287,6 +317,11 @@ object Sinks {
        else writer).parquet(path)
     }
     if (!pathExists(spark, path)) return write(df)
+    // torn store create (hasCommittedDataFiles doc): a bare directory a
+    // killed first-create left behind holds nothing to anti-join
+    // against and no footer to read — write as if absent; Append
+    // coexists with the dead job's `_temporary` residue
+    if (!hasCommittedDataFiles(spark, path)) return write(df)
     val storedAll = spark.read.parquet(path)
     // schema-drift guard BEFORE anything touches the stored schema by
     // name: parquet append would happily interleave a drifted batch
@@ -891,7 +926,55 @@ object Sinks {
     */
   def readBucketedPath(spark: SparkSession, path: String): DataFrame = {
     storePresent(spark, path)
+    freshenIfRewritten(spark, path)
     spark.table(ensureBucketedRegistered(spark, path))
+  }
+
+  // freshenIfRewritten state: (session identity | qualified path) -> the
+  // table directory's last OBSERVED mtime. Session-scoped on purpose —
+  // staleness is a property of one session's caches, and two sessions in
+  // one JVM (tests, notebook + job) must not suppress each other's
+  // refreshes.
+  private val lastDirStamp =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** CROSS-DRIVER cache invalidation for warehouse reads: drop this
+    * session's cached file listings for `path` when the table directory
+    * CHANGED since this session last read it. Spark caches file listings
+    * per session (the catalog's relation cache for registered bucketed
+    * tables, the shared FileStatusCache for plain parquet reads) and
+    * same-JVM writers invalidate them at the write site — but a rewrite
+    * by ANOTHER driver (a delete cascade's swap, a compaction, a label
+    * rebuild on a second writer host) leaves this session's listings
+    * pointing at renamed-away files, and the next read fails mid-scan
+    * with FileNotFound instead of seeing the new table. Found by the
+    * round-19 cross-JVM soak (SoakRaceSpec): the parent's fsck crashed
+    * reading a table a restarted writer JVM had rewritten between kill
+    * cycles — the exact multi-driver deployment shape (lease-protected
+    * writers, lease-free readers on other hosts).
+    *
+    * The guard is ONE `getFileStatus` per read (the directory's mtime
+    * moves on every child add/remove/replace on posix and HDFS — a swap
+    * replaces the directory itself): refresh only when it moved, so the
+    * steady-state read path pays metadata, never a relisting. First
+    * observation of a path just records the stamp — nothing can be
+    * cached before a first read. An absent directory records -1 (the
+    * refresh then fires on creation, clearing any stale pre-drop cache).
+    */
+  def freshenIfRewritten(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mt: Long =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val key = System.identityHashCode(spark).toString + "|" +
+      fs.makeQualified(p).toString
+    val prev = lastDirStamp.put(key, java.lang.Long.valueOf(mt))
+    if (prev != null && prev.longValue() != mt) {
+      spark.catalog.refreshByPath(path)
+      val name = bucketedTableName(path)
+      if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
+    }
   }
 
   /** Idempotent keyed append into a path-anchored bucketed store — the
@@ -965,6 +1048,17 @@ object Sinks {
     // over the parked data (see readBucketedPath's heal note)
     if (!pathExists(spark, path) && isBucketedStore(spark, path))
       recoverSwap(spark, path)
+    // torn store create: a FIRST create killed between its directory
+    // creation and its first task commit leaves a bare dir with neither
+    // committed files nor a spec ledger (the ledger lands after the
+    // files) — previously refused below as "exists but is not a
+    // bucketed store", bricking the drop's retry (r19 cross-JVM soak).
+    // Provably valueless, so clear it and take the create branch.
+    if (pathExists(spark, path) && !isBucketedStore(spark, path) &&
+        !hasCommittedDataFiles(spark, path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     if (!pathExists(spark, path)) {
       val name = bucketedTableName(path)
       if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE IF EXISTS `$name`")

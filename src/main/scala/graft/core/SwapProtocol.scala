@@ -458,65 +458,43 @@ object SwapProtocol {
     * `recoverSwap` (or the next swap on it) restores the rename; this
     * enumeration is how an operator inheriting a warehouse finds every
     * parked table in one pass — the fsck entry points surface each hit.
-    * Driver-side recursive listing, ONE `listStatus` batch per
-    * directory: the parked verdict (`<t>._compact_old` present, live
-    * `<t>` absent) is answered from the directory's OWN listing — both
-    * names are siblings by construction — never a per-candidate
-    * `exists` round-trip, so a warehouse of tens of thousands of tables
-    * costs exactly its directory count in metadata calls. Control
-    * artifacts (`<t>._compact_old`/`._compact_tmp` and `._`-prefixed
-    * dirs) are never descended into; data dirs are (a table dir's files
-    * come back in its one listing and recursion stops where
-    * subdirectories stop), which bounds the walk at the warehouse's
-    * directory tree — shallow and metadata-sized by layout.
+    * The traversal itself is [[WarehouseWalk.scan]] — the ONE shared
+    * driver-side walk (one `listStatus` batch per directory, parked
+    * verdict off each directory's own listing), so callers that need
+    * several censuses at once (fsck, repair) scan once and read this
+    * finding off the shared result instead of re-walking per
+    * recognizer.
     */
-  def parkedSwaps(spark: SparkSession, root: String): Seq[String] = {
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rp)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      def walk(p: org.apache.hadoop.fs.Path): Unit = {
-        val listing = fs.listStatus(p)
-        // the live-table check consults the sibling NAME SET from this
-        // same listing (one snapshot — a name and its parked twin are
-        // read in the same batch, so the verdict is also internally
-        // consistent, unlike two racing exists probes)
-        val names = listing.iterator.map(_.getPath.getName).toSet
-        listing.foreach { st =>
-          if (st.isDirectory) {
-            val name = st.getPath.getName
-            if (name.endsWith("._compact_old")) {
-              if (!names.contains(name.stripSuffix("._compact_old")))
-                out += st.getPath.toString
-            } else if (!name.startsWith("._") && !name.contains("._compact_"))
-              walk(st.getPath)
-          }
-        }
-      }
-      walk(rp)
-      out.result()
-    }
-  }
+  def parkedSwaps(spark: SparkSession, root: String): Seq[String] =
+    WarehouseWalk.scan(spark, root).parkedSwaps
 
-  /** `parkedSwaps` resolved to (live table path, warehouse-RELATIVE table
-    * name) pairs — the shape the fsck/repair call sites report: the
-    * relative name disambiguates two parked tables sharing a basename
-    * (the walk covers the whole tree), and deriving it here keeps the
-    * `._compact_old` naming convention in one place.
+  /** Parked-swap paths resolved to (live table path, warehouse-RELATIVE
+    * table name) pairs — the shape the fsck/repair call sites report:
+    * the relative name disambiguates two parked tables sharing a
+    * basename (the walk covers the whole tree), and deriving it here
+    * keeps the `._compact_old` naming convention in one place. Takes
+    * the walk's finding as input so a caller holding a shared
+    * [[WarehouseWalk]] scan pays no second traversal.
     */
-  def parkedSwapTables(spark: SparkSession,
-                       root: String): Seq[(String, String)] = {
+  def resolveParkedTables(spark: SparkSession, root: String,
+                          parked: Seq[String]): Seq[(String, String)] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     // qualify the root the same way the walk's listStatus qualifies its
     // results — a RELATIVE root would otherwise never prefix-match and
     // the "relative" name would degrade to the absolute path
     val rootUri = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(rp).toUri.getPath
-    parkedSwaps(spark, root).map { parked =>
-      val table = parked.stripSuffix("._compact_old")
+    parked.map { p =>
+      val table = p.stripSuffix("._compact_old")
       val tableUri = new org.apache.hadoop.fs.Path(table).toUri.getPath
       (table, tableUri.stripPrefix(rootUri).dropWhile(_ == '/'))
     }
   }
+
+  /** One-call form of [[resolveParkedTables]] for callers that need only
+    * this census (status, backfill) — runs its own walk.
+    */
+  def parkedSwapTables(spark: SparkSession,
+                       root: String): Seq[(String, String)] =
+    resolveParkedTables(spark, root, parkedSwaps(spark, root))
 }

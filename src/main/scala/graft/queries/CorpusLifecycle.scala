@@ -360,11 +360,15 @@ object CorpusLifecycle {
       fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
       graft.app.CorpusStore.writeLongLedger(s, staged + "._ingested_upto", 5L)
       // plant 6 — writeAtomic's crash residue next to a LIVE table (a
-      // writer died between its temp create and the publish rename)
+      // writer died between its temp create and the publish rename).
+      // Backdated past the census age bound: fsck only counts residue
+      // older than TmpResidueMinAgeMs (a fresh temp is presumed a live
+      // writer's in-flight file), and this plant models a long-dead one.
       val residue = new org.apache.hadoop.fs.Path(
         graft.app.CorpusStore.docsPath(wh) + "._watermark.tmp-deadbeef")
       val ro = fs.create(residue, true)
       try ro.write("torn".getBytes("UTF-8")) finally ro.close()
+      fs.setTimes(residue, System.currentTimeMillis() - 3600_000L, -1L)
       wh
     })
 

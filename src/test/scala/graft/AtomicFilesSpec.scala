@@ -28,6 +28,50 @@ class NoFileContextRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
                       dst: org.apache.hadoop.fs.Path): Boolean = false
 }
 
+/** A local filesystem answering for the `rung2:` scheme with HDFS's
+  * FileSystem-level rename semantics — REFUSES a rename onto an existing
+  * destination — so AtomicFiles.writeAtomic's rung 1 fails on every
+  * re-stamp and the ladder must climb to rung 2. Instantiated by Hadoop
+  * via reflection (fs.rung2.impl).
+  */
+class Rung2RefusingRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("rung2:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    !exists(dst) && super.rename(src, dst)
+}
+
+/** The `rung2:` scheme's AbstractFileSystem (FileContext) binding — the
+  * piece HDFS has and plain local schemes lack — whose OVERWRITE rename
+  * is ATOMIC (posix ATOMIC_MOVE), mimicking the server-side atomic
+  * overwrite rename HDFS's own binding provides. Registered via
+  * fs.AbstractFileSystem.rung2.impl; Hadoop instantiates it reflectively
+  * with (URI, Configuration). The static counter lets the spec assert
+  * the ladder genuinely took this rung rather than quietly succeeding
+  * on rung 1 or falling through to rung 3.
+  */
+class Rung2AbstractFs(uri: java.net.URI,
+                      conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new Rung2RefusingRawFs, conf, "rung2", false) {
+  override def renameInternal(src: org.apache.hadoop.fs.Path,
+                              dst: org.apache.hadoop.fs.Path,
+                              overwrite: Boolean): Unit =
+    if (!overwrite) renameInternal(src, dst)
+    else {
+      Rung2AbstractFs.overwriteRenames.incrementAndGet()
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+}
+object Rung2AbstractFs {
+  val overwriteRenames = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class AtomicFilesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -143,6 +187,69 @@ class AtomicFilesSpec extends AnyFunSuite {
     assert(graft.core.AtomicFiles.readLine(fs, p).contains("12"))
   }
 
+  test("scheme-ladder rung 2: refusing FileSystem rename + FileContext OVERWRITE binding -> atomic publish, old-or-new under a concurrent reader") {
+    // the HDFS production path of the publish primitive (AtomicFiles
+    // object doc): FileSystem.rename refuses an existing destination, so
+    // every RE-stamp must go through the scheme's AbstractFileSystem
+    // OVERWRITE rename — previously the one rung no in-harness
+    // filesystem took
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.rung2.impl", classOf[Rung2RefusingRawFs].getName)
+    conf.set("fs.AbstractFileSystem.rung2.impl",
+      classOf[Rung2AbstractFs].getName)
+    val dir = Files.createTempDirectory("ledger-rung2").toString
+    val fs = new org.apache.hadoop.fs.Path(s"rung2://$dir/_watermark")
+      .getFileSystem(conf)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_watermark")
+    Rung2AbstractFs.overwriteRenames.set(0L)
+    // first stamp: no destination yet, rung 1 legitimately serves it
+    graft.core.AtomicFiles.writeAtomic(fs, p, "0")
+    assert(graft.core.AtomicFiles.readLine(fs, p).contains("0"))
+    // concurrent lease-free reader across re-stamps: the rung-2 rename
+    // must present old-line-or-new-line, never absence/emptiness (the
+    // delete-then-recreate window this publish exists to close)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writer = new Thread(() => {
+      var v = 1L
+      while (!stop.get()) {
+        graft.core.AtomicFiles.writeAtomic(fs, p, v.toString)
+        v += 1
+      }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    var polls = 0L
+    var last = 0L
+    val deadline = System.currentTimeMillis() + 3000L
+    while (System.currentTimeMillis() < deadline && failure.get() == null) {
+      graft.core.AtomicFiles.readLine(fs, p) match {
+        case Some(line) if line.nonEmpty =>
+          val v = line.toLong
+          if (v < last)
+            failure.set(s"ledger went backwards: $last -> $v")
+          last = v
+        case other =>
+          failure.set(s"reader caught the publish window: $other " +
+            s"after $polls polls")
+      }
+      polls += 1
+    }
+    stop.set(true)
+    writer.join(5000L)
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(polls > 500L, s"hammer barely ran ($polls polls)")
+    assert(last > 50L, s"writer barely ran (last value $last)")
+    // the ladder genuinely exercised rung 2 (not rung 1, not the rung-3
+    // single-PUT fallthrough), and left no temp residue behind
+    assert(Rung2AbstractFs.overwriteRenames.get() >= last - 1,
+      s"only ${Rung2AbstractFs.overwriteRenames.get()} OVERWRITE renames " +
+        s"for $last re-stamps — the re-stamps did not take rung 2")
+    val residue = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains(".tmp-"))
+    assert(residue.isEmpty, s"rung-2 left temp residue: ${residue.toSeq}")
+  }
+
   test("dropStore sweeps EVERY ._* sibling: ledgers, writeAtomic .tmp-* residue, and a parked compaction dir") {
     import org.apache.spark.sql.functions.lit
     val dir = Files.createTempDirectory("ledger-residue").toString
@@ -172,6 +279,38 @@ class AtomicFilesSpec extends AnyFunSuite {
       "dropStore must not sweep a different table's residue")
     // and the dropped table reads ABSENT, not crash-parked
     assert(!Sinks.storePresent(spark, table))
+  }
+
+  test("torn store create heals: a bare dir from a killed first-create is recreated by the retry, read loud by readers, vacuous to fsck") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("torn-create").toString
+    val table = s"$dir/store"
+    // the crash state the r19 cross-JVM soak found: directory created,
+    // zero committed files (only write-protocol residue), no spec ledger
+    Files.createDirectories(java.nio.file.Paths.get(s"$table/_temporary/0"))
+    assert(!Sinks.hasCommittedDataFiles(spark, table))
+    // plain reader: the documented verdict, not parquet's cryptic
+    // UNABLE_TO_INFER_SCHEMA
+    val e = intercept[IllegalStateException](
+      CorpusStore.readStore(spark, table).collect())
+    assert(e.getMessage.contains("torn store create"), e.getMessage)
+    // the retry's append heals: clears the residue, takes the create
+    // branch, and the store comes back bucketed and complete
+    val df = spark.range(3).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      lit("x").as("v"))
+    Sinks.bucketedIdempotentAppend(df, table, keys = Seq("doc_id"),
+      bucketKeys = Seq("doc_id"), buckets = 2)
+    assert(Sinks.isBucketedStore(spark, table))
+    assert(Sinks.readBucketedPath(spark, table).count() == 3L)
+    assert(Sinks.hasCommittedDataFiles(spark, table))
+    // plain-append twin: a torn PLAIN dir writes as if absent
+    val plain = s"$dir/plain"
+    Files.createDirectories(java.nio.file.Paths.get(s"$plain/_temporary/0"))
+    Sinks.idempotentAppend(df, plain, keys = Seq("doc_id"),
+      partitionCols = Nil)
+    assert(spark.read.parquet(plain).count() == 3L)
+    graft.core.GraftCaches.releaseAll(spark)
   }
 
   test("stableBatchTs restamps a torn (empty) legacy stamp instead of bricking the batchId") {

@@ -1635,6 +1635,17 @@ class CorpusIngestSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(
       s"$wh/corpus/documents._watermark.tmp-deadbeef"),
       "torn".getBytes("UTF-8"))
+    // backdate past the census age bound (a fresh temp is presumed a
+    // live writer's in-flight file and neither counted nor cleared)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      s"$wh/corpus/documents._watermark.tmp-deadbeef"),
+      System.currentTimeMillis() - 3600000L, -1L)
+    // and a FRESH temp — a live writer mid-publish; the age bound must
+    // keep both the census and the clear off it (clearing would fail
+    // the writer's rename out from under it)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$wh/corpus/documents._threshold.tmp-0badf00d"),
+      "inflight".getBytes("UTF-8"))
     assert(findings().toSet == Set(("parked_swap", "warn"),
       ("label_store_torn_create", "warn"), ("label_missing_nodes", "warn"),
       ("writeatomic_tmp_residue", "warn")),
@@ -1646,6 +1657,9 @@ class CorpusIngestSpec extends AnyFunSuite {
       ("rebuilt_label_store", "cc_labels"),
       ("cleared_tmp_residue", "documents._watermark.tmp-deadbeef")),
       s"$actions")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$wh/corpus/documents._threshold.tmp-0badf00d")),
+      "repair cleared a fresh (live-writer) temp the age bound protects")
     assert(findings().isEmpty, s"repair must heal to clean: ${findings()}")
     // the repair is itself on the audit trail
     assert(CorpusIngest.governanceAudit(spark, wh)

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.app.CorpusIngest
+import org.apache.spark.sql.SparkSession
+
+/** Forked-JVM body for the MIXED-WORKLOAD soak race (SoakRaceSpec): a
+  * writer driver working through a deterministic plan of corpus drops —
+  * text + embeddings + media ingests AND governance deletes (the delete
+  * cascade is what exercises the rewrite-swap protocol mid-soak) — that
+  * the parent SIGKILLs at seeded-random points and restarts until the
+  * plan completes. Each protocol (lease, swap token, ledger publishes,
+  * keyed idempotent appends) has its own isolated race suite; this body
+  * exists to COMPOSE them: a real crash lands wherever it lands in the
+  * ingest call tree, and the recovery story (retry the drop; fsck +
+  * repair; survivors unchanged) has to hold for every such point at
+  * once.
+  *
+  * Mode `write <warehouse> <eventsFile> <leaseTtlMs>`: run the plan,
+  * SKIPPING drops the events file already records as done — the crash
+  * -resume contract is "re-run the killed drop; everything it landed is
+  * a keyed no-op". Each drop is wrapped in an OUTER short-TTL lease
+  * hold (re-entrant with the entry points' own default-TTL holds, so
+  * the short TTL is the one on the medium): a killed writer's stamp
+  * must expire within seconds, not the production 15 minutes, for the
+  * restart to reclaim it inside a test budget. Events (O_APPEND single
+  * lines on a posix fs):
+  *   `drop-start <k>` / `drop-done <k>` / `all-done`
+  *
+  * The PLAN and the per-drop inputs live here as pure functions of the
+  * drop index so the parent's uninterrupted control run uses byte-equal
+  * inputs through the identical entry points.
+  */
+object SoakRaceMain {
+
+  val NumDrops = 8
+
+  /** Deterministic near-dup-bearing text: ids pair (4k+0, 4k+1) as
+    * near-duplicates (one token changed out of 40), everything else
+    * unrelated (disjoint token vocabularies).
+    */
+  def docText(id: Long): String = {
+    val base = if (id % 4 == 1) id - 1 else id
+    val words = (0 until 40).map { j =>
+      if (id % 4 == 1 && j == 7) "changed"
+      else "tok" + ((base * 131 + j * 17) % 9973)
+    }
+    words.mkString(" ")
+  }
+
+  /** Deterministic embeddings: ids pair (4k+0, 4k+1) as near-identical
+    * twins (same one-hot major, epsilon side component).
+    */
+  def embedding(id: Long): Array[Float] = {
+    val base = if (id % 4 == 1) id - 1 else id
+    val a = Array.fill(64)(0f)
+    a((base % 64).toInt) = 1f
+    if (id % 4 == 1) a(((base + 1) % 64).toInt) = 0.01f
+    a
+  }
+
+  /** Apply drop `k` of the plan to `warehouse` through the production
+    * entry points. Overlapping id ranges across drops exercise the
+    * store-trim/no-op replay paths even without a crash; the two delete
+    * drops exercise the swap-protocol rewrite cascade.
+    */
+  def applyDrop(spark: SparkSession, warehouse: String, k: Int): Unit = {
+    import spark.implicits._
+    k match {
+      case 0 => CorpusIngest.run(spark,
+        (0L until 20L).map(i => (i, docText(i))).toDF("doc_id", "text"),
+        warehouse)
+      case 1 => CorpusIngest.ingestEmbeddings(spark,
+        (0L until 16L).map(i => (i, embedding(i))).toDF("vec_id", "embedding"),
+        warehouse)
+      case 2 => CorpusIngest.ingestMedia(spark,
+        graft.operators.Multimodal.syntheticImageCorpus(
+          (0L until 6L).toDF("doc_id")), warehouse)
+      case 3 => CorpusIngest.run(spark,
+        (15L until 35L).map(i => (i, docText(i))).toDF("doc_id", "text"),
+        warehouse)
+      case 4 => CorpusIngest.delete(spark, warehouse, Seq(2L, 7L, 16L))
+      case 5 => CorpusIngest.ingestEmbeddings(spark,
+        (12L until 28L).map(i => (i, embedding(i))).toDF("vec_id", "embedding"),
+        warehouse)
+      case 6 => CorpusIngest.ingestMedia(spark,
+        graft.operators.Multimodal.syntheticImageCorpus(
+          (4L until 12L).toDF("doc_id")), warehouse)
+      case 7 => CorpusIngest.deleteMedia(spark, warehouse, Seq(1L, 5L))
+    }
+    ()
+  }
+
+  private def logEvent(eventsFile: String, line: String): Unit =
+    Files.write(Paths.get(eventsFile), (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.APPEND)
+
+  private def doneDrops(eventsFile: String): Set[Int] = {
+    val p = Paths.get(eventsFile)
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p).toArray.toSeq.map(_.toString)
+      .collect { case s if s.startsWith("drop-done ") =>
+        s.stripPrefix("drop-done ").trim.toInt }.toSet
+  }
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "write" =>
+      val Array(_, warehouse, eventsFile, ttlMs) = args
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .appName("soak-race-writer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val done = doneDrops(eventsFile)
+        for (k <- 0 until NumDrops if !done.contains(k)) {
+          logEvent(eventsFile, s"drop-start $k")
+          // a killed predecessor's lease expires by the short TTL; spin
+          // on LeaseHeldException until the reclaim wins (bounded —
+          // anything past TTL + beat slack means a real lease bug)
+          val deadline = System.currentTimeMillis() + ttlMs.toLong * 10 + 30000L
+          var acquired = false
+          while (!acquired) {
+            try {
+              graft.core.WarehouseLease.withWriteLease(spark, warehouse,
+                ttlMs = ttlMs.toLong) {
+                applyDrop(spark, warehouse, k)
+              }
+              acquired = true
+            } catch {
+              case e: graft.core.WarehouseLease.LeaseHeldException =>
+                if (System.currentTimeMillis() > deadline) throw e
+                Thread.sleep(500L)
+            }
+          }
+          logEvent(eventsFile, s"drop-done $k")
+        }
+        logEvent(eventsFile, "all-done")
+      } finally spark.stop()
+      sys.exit(0)
+
+    case other =>
+      System.err.println(s"unknown mode $other")
+      sys.exit(3)
+  }
+}

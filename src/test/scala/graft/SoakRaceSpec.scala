@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.app.CorpusIngest
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The COMPOSITION race (SoakRaceMain body): lease + swap token + ledger
+  * publishes + keyed idempotent appends, raced TOGETHER across real JVM
+  * boundaries under a seeded-random SIGKILL schedule, with lease-free
+  * readers interleaved. The per-protocol suites (LeaseSpec, SwapRaceSpec,
+  * the model property) prove each seam in isolation; protocol bugs that
+  * survive those live in the composition — a crash landing between two
+  * protocols' commit points, a reader consulting one protocol's state
+  * while another's is torn. The postcondition is the deployment claim in
+  * full: after kills at arbitrary points, re-running the killed drop +
+  * repair returns the warehouse healthy, and every survivor view equals
+  * an uninterrupted control run's, row for row.
+  */
+class SoakRaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def forkWriter(args: Seq[String], log: java.io.File): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    new ProcessBuilder(
+      (Seq(java) ++ addOpens ++ Seq("-Xmx3g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.SoakRaceMain") ++ args): _*)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.appendTo(log))
+      .start()
+  }
+
+  private def events(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (Files.exists(p))
+      Files.readAllLines(p).toArray.toSeq.map(_.toString)
+    else Seq.empty
+  }
+
+  test("cross-JVM mixed-workload soak: random-point kills + lease-free readers; repair heals and survivors equal an uninterrupted control") {
+    // seeded schedule — reproducible, overridable for exploring other
+    // kill points (SOAK_SEED env); the default seed is arbitrary
+    val seed = sys.env.get("SOAK_SEED").map(_.toLong).getOrElse(20260816L)
+    val rnd = new scala.util.Random(seed)
+
+    // ---- control: the same plan, uninterrupted, in this JVM ----
+    val controlWh = Files.createTempDirectory("soak-control-wh").toString
+    (0 until SoakRaceMain.NumDrops)
+      .foreach(k => SoakRaceMain.applyDrop(spark, controlWh, k))
+
+    // ---- soak: forked writer, killed at seeded-random points ----
+    val soakWh = Files.createTempDirectory("soak-race-wh").toString
+    val eventsFile = s"$soakWh.events"
+    val log = new java.io.File(s"$soakWh.writer.log")
+    def logTail = new String(Files.readAllBytes(log.toPath), "UTF-8")
+      .linesIterator.toSeq.takeRight(30).mkString("\n")
+    val leaseTtlMs = 4000L
+    var kills = 0
+    val maxKills = 3
+    while (kills < maxKills && !events(eventsFile).contains("all-done")) {
+      val before = events(eventsFile).count(_.startsWith("drop-start"))
+      // aim each kill at a seeded-random TARGET drop so the schedule
+      // spreads across the whole plan (ingests, deletes, the swap
+      // cascade) instead of always landing in the first drop's
+      // cold-start window; a target the resume has already passed
+      // degrades to "kill wherever the writer currently is" — still a
+      // valid point
+      val targetDrop = rnd.nextInt(SoakRaceMain.NumDrops)
+      val p = forkWriter(Seq("write", soakWh, eventsFile,
+        leaseTtlMs.toString), log)
+      def lastStart: Int = events(eventsFile)
+        .filter(_.startsWith("drop-start "))
+        .lastOption.map(_.stripPrefix("drop-start ").trim.toInt)
+        .getOrElse(-1)
+      // phase 1: the writer must enter SOME drop this incarnation
+      val deadline = System.currentTimeMillis() + 180000L
+      while (p.isAlive &&
+          events(eventsFile).count(_.startsWith("drop-start")) <= before &&
+          !events(eventsFile).contains("all-done")) {
+        assert(System.currentTimeMillis() < deadline,
+          s"writer never started a drop; log tail:\n$logTail")
+        Thread.sleep(50L)
+      }
+      // phase 2: give it a bounded window to reach the target drop,
+      // then kill a seeded-random interval into whatever it is doing —
+      // the kill lands wherever the ingest call tree happens to be
+      // (ledger publish, bucketed append, swap rename, audit append, ...)
+      val reachBy = System.currentTimeMillis() + 60000L
+      while (p.isAlive && lastStart < targetDrop &&
+          System.currentTimeMillis() < reachBy &&
+          !events(eventsFile).contains("all-done")) {
+        Thread.sleep(50L)
+      }
+      if (p.isAlive && !events(eventsFile).contains("all-done")) {
+        Thread.sleep(rnd.nextInt(6000).toLong)
+        p.destroyForcibly()
+        p.waitFor()
+        kills += 1
+        // lease-free readers against the crash-state warehouse: status
+        // and fsck must complete (their whole design is to be safe on a
+        // torn warehouse); the curated view may refuse with one of the
+        // two DOCUMENTED verdicts while a table is parked or a swap
+        // credible — anything else is a reader bug
+        CorpusIngest.warehouseStatus(spark, soakWh).collect()
+        CorpusIngest.fsck(spark, soakWh).collect()
+        try CorpusIngest.survivors(spark, soakWh).collect()
+        catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("mid-swap") ||
+              e.getMessage.contains("crash-parked") ||
+              e.getMessage.contains("torn store create") => ()
+          // a kill during the FIRST drop can leave the warehouse with no
+          // doc store at all — absent is a legitimate pre-first-commit
+          // state, distinct from the parked/in-flight/torn verdicts
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") => ()
+        }
+      } else p.waitFor()
+    }
+    // final pass: run the plan to completion (resume skips done drops)
+    if (!events(eventsFile).contains("all-done")) {
+      val p = forkWriter(Seq("write", soakWh, eventsFile,
+        leaseTtlMs.toString), log)
+      val deadline = System.currentTimeMillis() + 300000L
+      while (!events(eventsFile).contains("all-done")) {
+        assert(System.currentTimeMillis() < deadline,
+          s"final writer pass never completed; log tail:\n$logTail")
+        assert(p.isAlive || events(eventsFile).contains("all-done"),
+          s"final writer pass died; log tail:\n$logTail")
+        Thread.sleep(200L)
+      }
+      p.waitFor()
+    }
+    assert(kills > 0, "schedule never killed the writer — not a soak")
+
+    // ---- heal + audit: repair, then fsck must return healthy ----
+    CorpusIngest.repair(spark, soakWh)
+    val bad = CorpusIngest.fsck(spark, soakWh)
+      .filter(col("violations") > 0)
+      .select("check", "severity")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(!bad.exists(_._2 == "error"),
+      s"errors after repair: $bad\nwriter log tail:\n$logTail")
+    // the one warn class that may legitimately survive: a kill between
+    // the audit seq-ledger stamp and its row append makes the trail
+    // under-report that event forever — the DOCUMENTED crash window,
+    // correctly surfaced, unhealable by design (the information is gone)
+    val allowedWarns = Set("audit_seq_gaps", "audit_seq_ledger_ahead")
+    assert(bad.forall(b => allowedWarns.contains(b._1)),
+      s"unexpected residue after repair: $bad")
+
+    // ---- survivors hash-equal the uninterrupted control ----
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    def compare(name: String,
+                view: (org.apache.spark.sql.SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): Unit = {
+      val c = rows(view(spark, controlWh))
+      val s = rows(view(spark, soakWh))
+      assert(c == s,
+        s"$name diverged from control (control ${c.size} rows, soak " +
+          s"${s.size}); first diff: ${
+            c.zipAll(s, "<missing>", "<extra>").find(p => p._1 != p._2)}")
+    }
+    compare("survivors", CorpusIngest.survivors)
+    compare("embSurvivors", CorpusIngest.embSurvivors)
+    compare("mediaSurvivors", CorpusIngest.mediaSurvivors)
+    compare("datacard", CorpusIngest.datacard)
+    graft.core.GraftCaches.releaseAll(spark)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{AtomicFiles, WarehouseWalk}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A local filesystem answering for the `walkct:` scheme that counts
+  * `listStatus` calls per directory — the instrument for WarehouseWalk's
+  * cost contract (exactly one listing batch per visited directory, no
+  * directory visited twice, control dirs never visited). Instantiated by
+  * Hadoop via reflection (fs.walkct.impl).
+  */
+class CountingListRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("walkct:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingListRawFs.counts.merge(p.toUri.getPath, Int.box(1),
+      (a: Integer, b: Integer) => Int.box(a + b))
+    super.listStatus(p)
+  }
+}
+object CountingListRawFs {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
+/** The shared warehouse traversal (core/WarehouseWalk): ONE driver-side
+  * walk feeds every residue recognizer — parked swaps + writeAtomic temp
+  * residue — at exactly one `listStatus` batch per directory. Before the
+  * seam, fsck ran the same traversal once per census; these lock that
+  * the fold kept both findings correct AND halved the metadata bill.
+  */
+class WalkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** A scratch warehouse exercising every walk verdict:
+    *   - `t1` crash-parked (`t1._compact_old` present, live absent)
+    *   - `t2` live, with ledger temp residue AND a healthy ledger
+    *   - `snap_ts=5/` nested dir with commit-marker residue (the
+    *     non-sibling-ledger residue shape the r18 recognizer missed)
+    *   - `._checkpoints`-style control dir that must never be descended
+    */
+  private def buildTree(): String = {
+    val dir = Files.createTempDirectory("walk-tree").toString
+    def mkdir(p: String) = Files.createDirectories(java.nio.file.Paths.get(p))
+    def touch(p: String) = Files.write(java.nio.file.Paths.get(p),
+      "x".getBytes("UTF-8"))
+    mkdir(s"$dir/t1._compact_old"); touch(s"$dir/t1._compact_old/part-0")
+    mkdir(s"$dir/t2"); touch(s"$dir/t2/part-0")
+    touch(s"$dir/t2._watermark")
+    touch(s"$dir/t2._watermark.tmp-deadbeef")
+    mkdir(s"$dir/snap_ts=5"); touch(s"$dir/snap_ts=5/_snap_commit")
+    touch(s"$dir/snap_ts=5/_snap_commit.tmp-01234567")
+    mkdir(s"$dir/._ctl"); touch(s"$dir/._ctl/inner.tmp-deadbeef")
+    // a parked pair WITH its live twin present = healthy mid-swap
+    // stage-out or pre-drop residue, NOT parked
+    mkdir(s"$dir/t3"); touch(s"$dir/t3/part-0")
+    mkdir(s"$dir/t3._compact_old")
+    dir
+  }
+
+  test("one scan, both recognizers: parked swaps and temp residue off a single traversal") {
+    val dir = buildTree()
+    val scan = WarehouseWalk.scan(spark, dir)
+    assert(scan.parkedSwaps.map(_.split('/').last) == Seq("t1._compact_old"),
+      s"parked: ${scan.parkedSwaps}")
+    val residue = scan.tempResidue.map(_._1.split('/').last).sorted
+    assert(residue == Seq("_snap_commit.tmp-01234567",
+      "t2._watermark.tmp-deadbeef"),
+      s"residue (must include the non-sibling commit-marker shape and " +
+        s"exclude the control dir's): $residue")
+    // mtimes ride along for the age bound
+    assert(scan.tempResidue.forall(_._2 > 0L))
+  }
+
+  test("cost contract: exactly one listStatus batch per directory, control dirs never listed") {
+    val dir = buildTree()
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.walkct.impl", classOf[CountingListRawFs].getName)
+    CountingListRawFs.counts.clear()
+    val scan = WarehouseWalk.scan(spark, s"walkct://$dir")
+    // findings are intact through the counting scheme
+    assert(scan.parkedSwaps.map(_.split('/').last) == Seq("t1._compact_old"))
+    assert(scan.tempResidue.size == 2)
+    val visited = CountingListRawFs.counts.keySet()
+      .toArray(Array.empty[String]).map(_.split('/').last).toSet
+    val counts = CountingListRawFs.counts.values()
+      .toArray(Array.empty[Integer]).map(_.intValue())
+    assert(counts.forall(_ == 1),
+      s"a directory was listed more than once: ${CountingListRawFs.counts}")
+    assert(visited == Set(dir.split('/').last, "t2", "snap_ts=5", "t3"),
+      s"visited set drifted (control/parked dirs must not be listed): $visited")
+  }
+
+  test("isTempResidue matches exactly writeAtomic's stamp shape — all its target families, nothing looser") {
+    // sibling-ledger family (the r18 shape)
+    assert(AtomicFiles.isTempResidue("documents._watermark.tmp-deadbeef"))
+    // non-sibling families writeAtomic also stamps (ADVICE r18: their
+    // residue was invisible to the census and immortal)
+    assert(AtomicFiles.isTempResidue("batch-3.tmp-abcdef01"))
+    assert(AtomicFiles.isTempResidue("_snap_commit.tmp-01234567"))
+    assert(AtomicFiles.isTempResidue("_export_commit.tmp-00ff00ff"))
+    // not writeAtomic's shape: wrong nonce length / alphabet / case,
+    // empty target name, or no marker at all
+    assert(!AtomicFiles.isTempResidue("x.tmp-abc"))
+    assert(!AtomicFiles.isTempResidue("x.tmp-deadbeef9"))
+    assert(!AtomicFiles.isTempResidue("x.tmp-DEADBEEF"))
+    assert(!AtomicFiles.isTempResidue("x.tmp-ghijklmn"))
+    assert(!AtomicFiles.isTempResidue(".tmp-deadbeef"))
+    assert(!AtomicFiles.isTempResidue("part-00000.parquet"))
+    assert(!AtomicFiles.isTempResidue("_temporary"))
+  }
+}
