@@ -142,10 +142,18 @@ object Bench {
     // prev:"none" rather than failing the bench.
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    // curMin must be the REPORTED per-query min (the fold over shared +
+    // solo passes — the number the driver compares across rounds), not
+    // the stats pool's min: a retried query's solo-pool min can sit
+    // above its folded min, and comparing the wrong basis flagged two
+    // queries whose reported numbers had actually IMPROVED (caught on
+    // this rule's first run). The spread still comes from the stats
+    // pool — that is the declared noise floor.
+    val resultsMap = results.toMap
     val curStats = names.map { name =>
       val pool = if (unstable.contains(name)) remeasured else byName
       val ts = pool.flatMap(_.get(name))
-      name -> (ts.min, if (ts.min > 0) ts.max / ts.min else 1.0)
+      name -> (resultsMap(name), if (ts.min > 0) ts.max / ts.min else 1.0)
     }.toMap
     val (prevLabel, regressions) =
       try {
@@ -155,10 +163,15 @@ object Bench {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(f)
           val prevStats = Option(root.get("stats"))
+          val prevQueries = Option(root.get("queries"))
           val flagged = names.flatMap { name =>
             val prev = prevStats.flatMap(s => Option(s.get(name)))
             prev.flatMap { p =>
-              val prevMin = p.get("min").asDouble()
+              // prior min on the same reported basis (the "queries" map);
+              // the stats min is only the fallback for artifacts predating
+              // the queries field
+              val prevMin = prevQueries.flatMap(q => Option(q.get(name)))
+                .map(_.asDouble()).getOrElse(p.get("min").asDouble())
               val prevSpread = p.get("spread").asDouble()
               val (curMin, curSpread) = curStats(name)
               if (prevMin <= 0) None
@@ -283,7 +296,26 @@ object Bench {
         "exact exponents. Both of the r17 design-only scale claims are " +
         "measurements now: drop cost is bounded by the increment plus a " +
         "thin-scan term, never by corpus-sized shuffles, for all three " +
-        "incremental store families.\""
+        "incremental store families. CONNECTED-COMPONENTS SLOPE measured " +
+        "(StressProbe cc_size_* tags, r19 box, min of 3 isolated JVMs per " +
+        "point, small untimed warm-up absorbing JIT): the same random-" +
+        "recursive-tree topology at 200k and 1M edges converges in 6 " +
+        "rounds at BOTH sizes (round count tracks diameter, which is " +
+        "log-shaped in this class and moves sub-integer across 5x) and " +
+        "walls 8.8s vs 14.8s - 1.68x for 5x the edges: per-round fixed " +
+        "scheduling dominates at these sizes and volume-per-round grows " +
+        "sublinearly, consistent with the O(log^2 n) shuffle-bounded " +
+        "design claim. REPAIR AT SCALE measured (gov_repair_* tags, all " +
+        "six repairable violation classes planted, fsck-repair-fsck " +
+        "cycle, min of 2 isolated JVMs per size): dirty fsck 2.0s at " +
+        "200k docs vs 3.6s at 1M (1.8x for 5x docs - same metadata-" +
+        "sized slope as the clean fsck probes), the HEAL itself 0.3s vs " +
+        "0.3s - FLAT: repair is driver-side renames/deletes plus a " +
+        "label rebuild that contracts the PAIR table (near-empty on the " +
+        "unique-doc probe corpus; pair-table-sized, never corpus-sized, " +
+        "by construction), and the post-heal clean fsck 1.6s vs 2.8s. " +
+        "The operator's worst-day path costs the same class of wall as " +
+        "a routine fsck at any corpus size.\""
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"regressions":$regressionsJson,"regressions_vs":"$prevLabel","failed":$failedJson,"passes":$passesJson,"retried":$retriedJson,"notes":$notes,"sf":"$sfDir"}"""

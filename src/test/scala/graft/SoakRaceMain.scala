@@ -107,7 +107,8 @@ object SoakRaceMain {
 
   def main(args: Array[String]): Unit = args(0) match {
     case "write" =>
-      val Array(_, warehouse, eventsFile, ttlMs) = args
+      val warehouse = args(1); val eventsFile = args(2); val ttlMs = args(3)
+      val wedge = args.length > 4 && args(4) == "wedge"
       val spark = SparkSession.builder()
         .master("local[4]")
         .appName("soak-race-writer")
@@ -117,6 +118,32 @@ object SoakRaceMain {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
+        // `wedge` mode: the LeaseSpec WEDGED-medium shape composed into
+        // the soak — every 3rd lease refresh stalls ~2 beat periods (on
+        // the beat's own single-use thread, so the drop body never
+        // blocks and the stall stays well inside the TTL), which makes
+        // BeatDispatch skip the firings queued behind it. The parent
+        // asserts the skipped-beats gauge moved under REAL mixed load +
+        // kills, not just in the unit wedge cases; `gauges` events
+        // carry this JVM's counters out (they are JVM-scoped by design).
+        if (wedge) {
+          val inner = graft.core.WarehouseLease.mediumFor(spark, warehouse)
+          val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+          graft.core.WarehouseLease.registerMedium("file", (_, _) =>
+            new graft.core.WarehouseLease.LeaseMedium {
+              override def read(): Option[String] = inner.read()
+              override def createIfAbsent(c: String): Boolean =
+                inner.createIfAbsent(c)
+              override def refresh(e: String, n: String): Boolean = {
+                if (calls.incrementAndGet() % 3 == 0)
+                  Thread.sleep(ttlMs.toLong * 2 / 3)
+                inner.refresh(e, n)
+              }
+              override def reclaim(e: String, n: String): Boolean =
+                inner.reclaim(e, n)
+              override def release(e: String): Unit = inner.release(e)
+            })
+        }
         val done = doneDrops(eventsFile)
         for (k <- 0 until NumDrops if !done.contains(k)) {
           logEvent(eventsFile, s"drop-start $k")
@@ -139,6 +166,10 @@ object SoakRaceMain {
             }
           }
           logEvent(eventsFile, s"drop-done $k")
+          // JVM-scoped coordination gauges ride the events file out —
+          // (orphaned connects, skipped beats), WarehouseLease order
+          logEvent(eventsFile, "gauges " + graft.core.WarehouseLease
+            .coordinationGauges.map(_._2).mkString(" "))
         }
         logEvent(eventsFile, "all-done")
       } finally spark.stop()

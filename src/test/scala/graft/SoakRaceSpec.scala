@@ -78,7 +78,7 @@ class SoakRaceSpec extends AnyFunSuite {
       // valid point
       val targetDrop = rnd.nextInt(SoakRaceMain.NumDrops)
       val p = forkWriter(Seq("write", soakWh, eventsFile,
-        leaseTtlMs.toString), log)
+        leaseTtlMs.toString, "wedge"), log)
       def lastStart: Int = events(eventsFile)
         .filter(_.startsWith("drop-start "))
         .lastOption.map(_.stripPrefix("drop-start ").trim.toInt)
@@ -131,7 +131,7 @@ class SoakRaceSpec extends AnyFunSuite {
     // final pass: run the plan to completion (resume skips done drops)
     if (!events(eventsFile).contains("all-done")) {
       val p = forkWriter(Seq("write", soakWh, eventsFile,
-        leaseTtlMs.toString), log)
+        leaseTtlMs.toString, "wedge"), log)
       val deadline = System.currentTimeMillis() + 300000L
       while (!events(eventsFile).contains("all-done")) {
         assert(System.currentTimeMillis() < deadline,
@@ -143,6 +143,16 @@ class SoakRaceSpec extends AnyFunSuite {
       p.waitFor()
     }
     assert(kills > 0, "schedule never killed the writer — not a soak")
+    // the writers ran with the WEDGED medium (every 3rd lease refresh
+    // stalled ~2 beat periods): the skipped-beats gauge must have moved
+    // in at least one writer incarnation — the coordination-health
+    // instrumentation observed under real mixed load + kills, not just
+    // the unit wedge cases. Gauges are JVM-scoped, so they arrive via
+    // the writers' own `gauges <orphaned> <skipped>` events.
+    val skipped = events(eventsFile).filter(_.startsWith("gauges "))
+      .map(_.split(' ')(2).toLong)
+    assert(skipped.nonEmpty && skipped.max > 0L,
+      s"wedged medium never registered a skipped beat: gauges=$skipped")
 
     // ---- heal + audit: repair, then fsck must return healthy ----
     CorpusIngest.repair(spark, soakWh)
