@@ -930,13 +930,22 @@ object Sinks {
     spark.table(ensureBucketedRegistered(spark, path))
   }
 
-  // freshenIfRewritten state: (session identity | qualified path) -> the
-  // table directory's last OBSERVED mtime. Session-scoped on purpose —
+  // freshenIfRewritten state: session -> (qualified path -> the table
+  // directory's last OBSERVED mtime). Session-scoped on purpose —
   // staleness is a property of one session's caches, and two sessions in
   // one JVM (tests, notebook + job) must not suppress each other's
-  // refreshes.
-  private val lastDirStamp =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // refreshes. WEAK keys make the lifetime exactly right without an
+  // eviction policy: evicting a LIVE session's stamps would make its
+  // next read record the current mtime as "first observation" and skip
+  // the refresh — resurrecting exactly the stale-listing crash this
+  // guard exists for — while a session that is GONE drops its whole
+  // submap with it. (identityHashCode-in-a-string keying had the
+  // converse flaw: a GC'd session's hash can be recycled by a new one,
+  // which then inherits the dead session's stamps; sessionUUID is
+  // private[sql].)
+  private val lastDirStamp = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
 
   /** CROSS-DRIVER cache invalidation for warehouse reads: drop this
     * session's cached file listings for `path` when the table directory
@@ -967,9 +976,17 @@ object Sinks {
     val mt: Long =
       try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => -1L }
-    val key = System.identityHashCode(spark).toString + "|" +
-      fs.makeQualified(p).toString
-    val prev = lastDirStamp.put(key, java.lang.Long.valueOf(mt))
+    val stamps = lastDirStamp.synchronized {
+      var m = lastDirStamp.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.Long]()
+        lastDirStamp.put(spark, m)
+      }
+      m
+    }
+    val prev =
+      stamps.put(fs.makeQualified(p).toString, java.lang.Long.valueOf(mt))
     if (prev != null && prev.longValue() != mt) {
       spark.catalog.refreshByPath(path)
       val name = bucketedTableName(path)

@@ -20,6 +20,19 @@ import org.apache.spark.sql.SparkSession
   * exactly its directory count in metadata calls, once per scan, not
   * once per recognizer.
   *
+  * Listings run on a small bounded pool ([[Parallelism]] wide): each
+  * directory's verdicts depend only on its OWN listing, so sibling
+  * subtrees are independent once their parent is listed, and on
+  * round-trip-bound stores (S3/ABFS-class, ~10–50 ms per `listStatus`)
+  * a serial walk pays its directory count in SEQUENTIAL round-trips —
+  * minutes at tens of thousands of tables — where the pool bounds the
+  * wall near dirs/width + depth·latency. Local filesystems lose nothing
+  * (the pool degrades to cheap in-process calls). A directory that
+  * VANISHES between its parent's listing and its own (a live writer
+  * dropping a table under a lease-free scan) is skipped, not crashed
+  * on: gone means nothing to census, and fsck's design goal is to
+  * complete on a warehouse that is being worked on.
+  *
   * Descent rule (shared by all recognizers, unchanged from the walks it
   * replaces): control artifacts (`._`-prefixed names and
   * `._compact_old`/`._compact_tmp` park/stage dirs) are never descended
@@ -29,6 +42,12 @@ import org.apache.spark.sql.SparkSession
   * metadata-sized by layout.
   */
 private[graft] object WarehouseWalk {
+
+  /** Concurrent listings per scan. Sized for latency-hiding on remote
+    * metadata round-trips, small enough to stay polite to a namenode /
+    * object-store listing quota.
+    */
+  private val Parallelism = 16
 
   /** One scan's findings:
     *   - `parkedSwaps` — `<table>._compact_old` dirs whose live
@@ -50,10 +69,44 @@ private[graft] object WarehouseWalk {
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rp)) Findings(Seq.empty, Seq.empty)
     else {
-      val parked = Seq.newBuilder[String]
-      val residue = Seq.newBuilder[(String, Long)]
-      def walk(p: org.apache.hadoop.fs.Path): Unit = {
-        val listing = fs.listStatus(p)
+      val parked = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val residue =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        Parallelism,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-warehouse-walk")
+          t.setDaemon(true)
+          t
+        })
+      // manual completion tracking (pending listings), not pool
+      // shutdown-and-await: tasks submit child tasks, so "queue empty"
+      // is only meaningful when no task is still running either. First
+      // failure wins and fails the scan loudly; later tasks become
+      // no-ops so the latch still falls.
+      val pending = new java.util.concurrent.atomic.AtomicLong(0L)
+      val failed =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      def submit(p: org.apache.hadoop.fs.Path): Unit = {
+        pending.incrementAndGet()
+        pool.execute { () =>
+          try { if (failed.get() == null) visit(p) }
+          catch {
+            case t: Throwable => failed.compareAndSet(null, t)
+          } finally {
+            if (pending.decrementAndGet() == 0L) done.countDown()
+          }
+        }
+      }
+      def visit(p: org.apache.hadoop.fs.Path): Unit = {
+        val listing =
+          try fs.listStatus(p)
+          catch {
+            // dropped between its parent's listing and this one by a
+            // live writer — nothing to census (see object doc)
+            case _: java.io.FileNotFoundException => return
+          }
         // the parked verdict consults the sibling NAME SET from this
         // same listing (one snapshot — a name and its parked twin are
         // read in the same batch, so the verdict is internally
@@ -63,16 +116,24 @@ private[graft] object WarehouseWalk {
           val name = st.getPath.getName
           if (st.isFile) {
             if (AtomicFiles.isTempResidue(name))
-              residue += ((st.getPath.toString, st.getModificationTime))
+              residue.add((st.getPath.toString, st.getModificationTime))
           } else if (name.endsWith("._compact_old")) {
             if (!names.contains(name.stripSuffix("._compact_old")))
-              parked += st.getPath.toString
+              parked.add(st.getPath.toString)
           } else if (!name.startsWith("._") && !name.contains("._compact_"))
-            walk(st.getPath)
+            submit(st.getPath)
         }
       }
-      walk(rp)
-      Findings(parked.result(), residue.result())
+      try {
+        submit(rp)
+        done.await()
+        if (failed.get() != null) throw failed.get()
+      } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      // deterministic order regardless of pool scheduling — callers
+      // count/iterate, but a stable artifact beats a racy one
+      Findings(parked.asScala.toSeq.sorted,
+        residue.asScala.toSeq.sortBy(_._1))
     }
   }
 }

@@ -24,6 +24,20 @@ object CountingListRawFs {
   val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
+/** A local filesystem answering for the `walkvan:` scheme where any
+  * directory named `vanished` lists from its parent but throws
+  * FileNotFoundException on its own listing — the shape of a table a
+  * live writer drops between a lease-free scan's two metadata calls.
+  */
+class VanishingDirRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("walkvan:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    if (p.getName == "vanished")
+      throw new java.io.FileNotFoundException(p.toString)
+    else super.listStatus(p)
+}
+
 /** The shared warehouse traversal (core/WarehouseWalk): ONE driver-side
   * walk feeds every residue recognizer — parked swaps + writeAtomic temp
   * residue — at exactly one `listStatus` batch per directory. Before the
@@ -90,6 +104,61 @@ class WalkSpec extends AnyFunSuite {
       s"a directory was listed more than once: ${CountingListRawFs.counts}")
     assert(visited == Set(dir.split('/').last, "t2", "snap_ts=5", "t3"),
       s"visited set drifted (control/parked dirs must not be listed): $visited")
+  }
+
+  test("parallel walk: a wide warehouse lists each directory exactly once and misses nothing") {
+    // wide enough that the bounded pool genuinely interleaves (16
+    // workers over ~300 dirs), with plants scattered through the range:
+    // locks that the parallel traversal neither double-lists nor drops
+    // a subtree, and that the findings come back in deterministic order
+    val dir = Files.createTempDirectory("walk-wide").toString
+    def mkdir(p: String) = Files.createDirectories(java.nio.file.Paths.get(p))
+    def touch(p: String) = Files.write(java.nio.file.Paths.get(p),
+      "x".getBytes("UTF-8"))
+    val parkedIdx = Seq(7, 131, 288)
+    val residueIdx = Seq(19, 140, 299)
+    (0 until 300).foreach { i =>
+      mkdir(s"$dir/t$i"); touch(s"$dir/t$i/part-0")
+      if (residueIdx.contains(i)) touch(s"$dir/t$i/._spec.tmp-deadbeef")
+    }
+    parkedIdx.foreach { i =>
+      // parked = `tN._compact_old` present with the live twin REMOVED
+      mkdir(s"$dir/p$i._compact_old"); touch(s"$dir/p$i._compact_old/part-0")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.walkct.impl", classOf[CountingListRawFs].getName)
+    CountingListRawFs.counts.clear()
+    val scan = WarehouseWalk.scan(spark, s"walkct://$dir")
+    assert(scan.parkedSwaps.map(_.split('/').last) ==
+      parkedIdx.map(i => s"p$i._compact_old").sorted,
+      s"parked: ${scan.parkedSwaps}")
+    // the residue's parent dir names, in the scan's path-sorted order
+    assert(scan.tempResidue.map(_._1.split('/').takeRight(2).head) ==
+      residueIdx.map(i => s"t$i").sortBy(t => s"$dir/$t"),
+      s"residue: ${scan.tempResidue}")
+    val counts = CountingListRawFs.counts.values()
+      .toArray(Array.empty[Integer]).map(_.intValue())
+    assert(counts.length == 301 && counts.forall(_ == 1),
+      s"expected 301 single-listing visits, got ${counts.length} dirs, " +
+        s"max count ${if (counts.isEmpty) 0 else counts.max}")
+  }
+
+  test("a directory dropped between its parent's listing and its own is skipped, not crashed on") {
+    val dir = Files.createTempDirectory("walk-vanish").toString
+    def mkdir(p: String) = Files.createDirectories(java.nio.file.Paths.get(p))
+    def touch(p: String) = Files.write(java.nio.file.Paths.get(p),
+      "x".getBytes("UTF-8"))
+    mkdir(s"$dir/t1"); touch(s"$dir/t1/part-0")
+    touch(s"$dir/t1/._spec.tmp-deadbeef")
+    mkdir(s"$dir/vanished"); touch(s"$dir/vanished/part-0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.walkvan.impl", classOf[VanishingDirRawFs].getName)
+    val scan = WarehouseWalk.scan(spark, s"walkvan://$dir")
+    // the vanished table contributes nothing; the rest of the scan is
+    // unaffected — fsck completes on a warehouse that is being worked on
+    assert(scan.tempResidue.map(_._1.split('/').last) ==
+      Seq("._spec.tmp-deadbeef"), s"residue: ${scan.tempResidue}")
+    assert(scan.parkedSwaps.isEmpty)
   }
 
   test("isTempResidue matches exactly writeAtomic's stamp shape — all its target families, nothing looser") {
