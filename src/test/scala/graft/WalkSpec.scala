@@ -24,6 +24,23 @@ object CountingListRawFs {
   val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
+/** A local filesystem answering for the `walkslow:` scheme that charges
+  * every `listStatus` a fixed latency — the round-trip-bound shape of a
+  * remote metadata store (S3/ABFS-class), where the walk's pool either
+  * hides the latency or doesn't.
+  */
+class SlowListRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("walkslow:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    Thread.sleep(SlowListRawFs.latencyMs)
+    super.listStatus(p)
+  }
+}
+object SlowListRawFs {
+  val latencyMs = 5L
+}
+
 /** A local filesystem answering for the `walkvan:` scheme where any
   * directory named `vanished` lists from its parent but throws
   * FileNotFoundException on its own listing — the shape of a table a
@@ -141,6 +158,32 @@ class WalkSpec extends AnyFunSuite {
     assert(counts.length == 301 && counts.forall(_ == 1),
       s"expected 301 single-listing visits, got ${counts.length} dirs, " +
         s"max count ${if (counts.isEmpty) 0 else counts.max}")
+  }
+
+  test("the pool genuinely hides remote listing latency: wall stays far under the serial round-trip bound") {
+    // 150 table dirs × 5 ms per listing = 755 ms if the walk paid the
+    // round-trips serially (the pre-r19 shape); 16 concurrent listings
+    // bound it near 150/16 × 5 ms ≈ 50 ms. Assert < half the serial
+    // bound — a ~7× headroom over the expected wall, so scheduler jitter
+    // on a loaded box can't flake it, while a regression to a serial
+    // walk (the failure this locks against) overshoots by 2×.
+    val dir = Files.createTempDirectory("walk-slow").toString
+    val nDirs = 150
+    (0 until nDirs).foreach { i =>
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/t$i"))
+      Files.write(java.nio.file.Paths.get(s"$dir/t$i/part-0"),
+        "x".getBytes("UTF-8"))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.walkslow.impl", classOf[SlowListRawFs].getName)
+    val t0 = System.nanoTime()
+    val scan = WarehouseWalk.scan(spark, s"walkslow://$dir")
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(scan.parkedSwaps.isEmpty && scan.tempResidue.isEmpty)
+    val serialBoundMs = (nDirs + 1) * SlowListRawFs.latencyMs
+    assert(wallMs < serialBoundMs / 2,
+      s"walk took $wallMs ms against a $serialBoundMs ms serial bound — " +
+        "the pool is not hiding listing latency")
   }
 
   test("a directory dropped between its parent's listing and its own is skipped, not crashed on") {
