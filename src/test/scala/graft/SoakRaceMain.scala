@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Forked-JVM body for the MIXED-WORKLOAD soak race (SoakRaceSpec): a
   * writer driver working through a deterministic plan of corpus drops —
-  * text + embeddings + media ingests AND governance deletes (the delete
-  * cascade is what exercises the rewrite-swap protocol mid-soak) — that
+  * text + embeddings + media ingests, governance deletes (the delete
+  * cascade is what exercises the rewrite-swap protocol mid-soak), and a
+  * snapshot pin + training export (the commit-marker-last publish
+  * protocol, raced here under kills like every other seam) — that
   * the parent SIGKILLs at seeded-random points and restarts until the
   * plan completes. Each protocol (lease, swap token, ledger publishes,
   * keyed idempotent appends) has its own isolated race suite; this body
@@ -34,7 +36,15 @@ import org.apache.spark.sql.SparkSession
   */
 object SoakRaceMain {
 
-  val NumDrops = 8
+  val NumDrops = 10
+
+  /** Fixed stamps for the snapshot/export drops: explicit so the soak
+    * and control pins are byte-comparable (default clock stamps would
+    * differ between runs). Arbitrary positive values — the stamp
+    * ledgers are empty before these drops, so any advancing pair works.
+    */
+  val SnapTs = 9000000L
+  val ExportTs = 9500000L
 
   /** Deterministic near-dup-bearing text: ids pair (4k+0, 4k+1) as
     * near-duplicates (one token changed out of 40), everything else
@@ -63,7 +73,8 @@ object SoakRaceMain {
   /** Apply drop `k` of the plan to `warehouse` through the production
     * entry points. Overlapping id ranges across drops exercise the
     * store-trim/no-op replay paths even without a crash; the two delete
-    * drops exercise the swap-protocol rewrite cascade.
+    * drops exercise the swap-protocol rewrite cascade; the final two
+    * exercise the commit-marker-last snapshot/export publishes.
     */
   def applyDrop(spark: SparkSession, warehouse: String, k: Int): Unit = {
     import spark.implicits._
@@ -88,6 +99,31 @@ object SoakRaceMain {
         graft.operators.Multimodal.syntheticImageCorpus(
           (4L until 12L).toDF("doc_id")), warehouse)
       case 7 => CorpusIngest.deleteMedia(spark, warehouse, Seq(1L, 5L))
+      // the two commit-marker-last publishes (snapshot pin, training
+      // export) — the one protocol family the soak's first 8 drops
+      // never exercised. Guarded on the committed census first, exactly
+      // the production retry shape: a kill AFTER the commit marker but
+      // BEFORE the caller records success means the retry re-requests
+      // an explicitly-stamped artifact that already exists, which the
+      // stamp monotonicity check refuses by design (loud, never a
+      // silent double-pin) — so the retry loop's first move is "is it
+      // already committed?".
+      case 8 =>
+        import org.apache.spark.sql.functions.col
+        val committed = graft.app.CorpusSnapshots
+          .listCorpusSnapshots(spark, warehouse)
+          .where(col("snap_ts") === SnapTs).count() > 0
+        if (!committed)
+          graft.app.CorpusSnapshots.snapshotCorpus(spark, warehouse,
+            atMs = Some(SnapTs))
+      case 9 =>
+        import org.apache.spark.sql.functions.col
+        val committed = graft.app.CorpusExports
+          .listCorpusExports(spark, warehouse)
+          .where(col("export_ts") === ExportTs).count() > 0
+        if (!committed)
+          graft.app.CorpusExports.exportCorpus(spark, warehouse,
+            asOfMs = SnapTs, numShards = 4, atMs = Some(ExportTs))
     }
     ()
   }

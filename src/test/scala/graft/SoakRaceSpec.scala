@@ -75,8 +75,14 @@ class SoakRaceSpec extends AnyFunSuite {
       // cascade) instead of always landing in the first drop's
       // cold-start window; a target the resume has already passed
       // degrades to "kill wherever the writer currently is" — still a
-      // valid point
-      val targetDrop = rnd.nextInt(SoakRaceMain.NumDrops)
+      // valid point. The LAST kill always aims at the snapshot/export
+      // tail, so the commit-marker-last publish protocol is raced under
+      // composition on every run, not only when the seed happens to
+      // land there.
+      val targetDrop =
+        if (kills == maxKills - 1)
+          SoakRaceMain.NumDrops - 2 + rnd.nextInt(2)
+        else rnd.nextInt(SoakRaceMain.NumDrops)
       val p = forkWriter(Seq("write", soakWh, eventsFile,
         leaseTtlMs.toString, "wedge"), log)
       def lastStart: Int = events(eventsFile)
@@ -190,6 +196,16 @@ class SoakRaceSpec extends AnyFunSuite {
     compare("embSurvivors", CorpusIngest.embSurvivors)
     compare("mediaSurvivors", CorpusIngest.mediaSurvivors)
     compare("datacard", CorpusIngest.datacard)
+    // the pinned artifacts: the snapshot census, the export census
+    // (stamps, lineage, counts — all explicit-stamped so byte-equal by
+    // design), the export's full pinned placement (manifest ⋈ docs),
+    // and the trainer's pre-run shard integrity view
+    compare("snapshots", graft.app.CorpusSnapshots.listCorpusSnapshots)
+    compare("exports", graft.app.CorpusExports.listCorpusExports)
+    compare("exportRead", (s, wh) =>
+      graft.app.CorpusExports.readExport(s, wh, SoakRaceMain.ExportTs))
+    compare("exportIntegrity", (s, wh) =>
+      graft.app.CorpusExports.exportIntegrity(s, wh, SoakRaceMain.ExportTs))
     graft.core.GraftCaches.releaseAll(spark)
   }
 }
