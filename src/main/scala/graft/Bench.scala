@@ -115,19 +115,19 @@ object Bench {
     // noise-dominated forever. "queries" stays the per-query MIN over
     // everything, so the driver's total remains comparable across
     // rounds.
+    // true median: even pools average the two middle elements — the
+    // upper-middle shortcut reported the MAX of a retried query's
+    // 2-sample solo pool, biasing high exactly where the stats were
+    // meant to rehabilitate
+    def medianOf(sortedTs: Seq[Double]): Double =
+      if (sortedTs.size % 2 == 1) sortedTs(sortedTs.size / 2)
+      else (sortedTs(sortedTs.size / 2 - 1) + sortedTs(sortedTs.size / 2)) / 2.0
     val statsJson = names.map { name =>
       val pool = if (unstable.contains(name)) remeasured else byName
       val ts = pool.flatMap(_.get(name)).sorted
-      // true median: even pools average the two middle elements — the
-      // upper-middle shortcut reported the MAX of a retried query's
-      // 2-sample solo pool, biasing high exactly where the stats were
-      // meant to rehabilitate
-      val median =
-        if (ts.size % 2 == 1) ts(ts.size / 2)
-        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       val spread = if (ts.head > 0) ts.last / ts.head else 1.0
       "\"" + name + "\":{\"min\":" + num(ts.head) +
-        ",\"median\":" + num(median) + ",\"spread\":" + num(spread) + "}"
+        ",\"median\":" + num(medianOf(ts)) + ",\"spread\":" + num(spread) + "}"
     }.mkString("{", ",", "}")
     // NOISE-VS-REGRESSION, decided by the artifact itself (r18 brief
     // item 6): against the PRIOR round's persisted stats (the
@@ -152,13 +152,14 @@ object Bench {
     val resultsMap = results.toMap
     val curStats = names.map { name =>
       val pool = if (unstable.contains(name)) remeasured else byName
-      val ts = pool.flatMap(_.get(name))
-      name -> (resultsMap(name), if (ts.min > 0) ts.max / ts.min else 1.0)
+      val ts = pool.flatMap(_.get(name)).sorted
+      name -> (resultsMap(name),
+        if (ts.min > 0) ts.max / ts.min else 1.0, medianOf(ts))
     }.toMap
     val (prevLabel, regressions) =
       try {
         val f = new java.io.File(prevPath)
-        if (!f.exists()) ("none", Seq.empty[(String, Double, Double)])
+        if (!f.exists()) ("none", Seq.empty[String])
         else {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(f)
@@ -173,24 +174,37 @@ object Bench {
               val prevMin = prevQueries.flatMap(q => Option(q.get(name)))
                 .map(_.asDouble()).getOrElse(p.get("min").asDouble())
               val prevSpread = p.get("spread").asDouble()
-              val (curMin, curSpread) = curStats(name)
+              val (curMin, curSpread, curMedian) = curStats(name)
               if (prevMin <= 0) None
               else {
                 val ratio = curMin / prevMin
                 val threshold = math.max(1.5, math.max(prevSpread, curSpread))
-                if (ratio > threshold) Some((name, ratio, threshold)) else None
+                if (ratio <= threshold) None
+                else {
+                  // a flagged entry carries BOTH rounds' min and median
+                  // so the reader can separate a min-lottery artifact
+                  // (a reported min that folds a lucky co-scheduled
+                  // shared pass — medians close while mins diverge)
+                  // from a real plan shift (medians move together with
+                  // the mins) without exhuming the prior artifact
+                  val prevMedian = Option(p.get("median"))
+                    .map(_.asDouble()).getOrElse(prevMin)
+                  Some("{\"query\":\"" + name + "\",\"ratio\":" +
+                    num(ratio) + ",\"threshold\":" + num(threshold) +
+                    ",\"prev_min\":" + num(prevMin) +
+                    ",\"cur_min\":" + num(curMin) +
+                    ",\"prev_median\":" + num(prevMedian) +
+                    ",\"cur_median\":" + num(curMedian) + "}")
+                }
               }
             }
           }
           (prevPath, flagged)
         }
       } catch { case _: Exception =>
-        ("unparsable:" + prevPath, Seq.empty[(String, Double, Double)])
+        ("unparsable:" + prevPath, Seq.empty[String])
       }
-    val regressionsJson = regressions.map { case (n, r, t) =>
-      "{\"query\":\"" + n + "\",\"ratio\":" + num(r) +
-        ",\"threshold\":" + num(t) + "}"
-    }.mkString("[", ",", "]")
+    val regressionsJson = regressions.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
