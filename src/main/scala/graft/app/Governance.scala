@@ -300,8 +300,63 @@ object Governance {
     *
     * Every check is an id-projected anti-join or a ledger compare —
     * bounded scans, no content read; bucketed stores join co-located.
+    *
+    * COMPLETION against a LIVE writer: fsck is lease-free, and the
+    * deployment shape it serves (readers on hosts that hold no lease)
+    * means a concurrent writer's rewrite swap can rename files away
+    * between this scan's planning and its execution — a window the
+    * session-cache freshness guard cannot close, because the listing
+    * was current when the scan planned. So fsck MATERIALIZES its
+    * result internally and retries the whole pass (bounded, 3
+    * attempts) when the failure is the vanished-file race; the freshen
+    * guard makes the next attempt see the post-swap listing. The
+    * returned frame is therefore a small LOCAL one (check rows — this
+    * read was always collect-sized), and against a live writer the
+    * counts are a consistent-per-attempt point-in-time audit, not a
+    * frozen snapshot — quiesce the writer (or take the lease) when an
+    * exact census is required.
     */
   def fsck(spark: SparkSession, warehouse: String): DataFrame = {
+    var attempt = 0
+    while (true) {
+      try {
+        val frame = fsckOnce(spark, warehouse)
+        return spark.createDataFrame(frame.collectAsList(), frame.schema)
+      } catch {
+        case e: Throwable if attempt < 2 && isVanishedFileRace(e) =>
+          attempt += 1
+          // one beat for the swap's second rename to land; the re-read
+          // then sees the moved directory mtime and relists
+          Thread.sleep(200L)
+      }
+    }
+    sys.error("unreachable: fsck retry loop exits via return or throw")
+  }
+
+  /** True when `t`'s cause chain is the vanished-file race a concurrent
+    * writer's swap induces in a lease-free scan (FileNotFound at task
+    * time, or PATH_NOT_FOUND when the directory itself moved between
+    * the existence probe and the read) — the one failure class fsck
+    * retries; anything else propagates untouched.
+    */
+  private def isVanishedFileRace(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = cur.getMessage
+          if (m != null && (m.contains("FileNotFoundException") ||
+              m.contains("PATH_NOT_FOUND"))) return true
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  private def fsckOnce(spark: SparkSession, warehouse: String): DataFrame = {
     import spark.implicits._
     def read(p: String): Option[DataFrame] =
       if (!Sinks.pathExists(spark, p)) None

@@ -68,6 +68,37 @@ class SoakRaceSpec extends AnyFunSuite {
     val leaseTtlMs = 4000L
     var kills = 0
     val maxKills = 3
+    // vanished-file race: the one failure class a lease-free CORPUS
+    // read may surface when a concurrent writer's swap renames files
+    // away mid-scan — retry-class by contract (fsck retries it
+    // internally; survivors callers retry like the other documented
+    // verdicts)
+    def vanished(t: Throwable): Boolean = {
+      var c = t; var d = 0
+      while (c != null && d < 20) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = c.getMessage
+        if (m != null && (m.contains("FileNotFoundException") ||
+            m.contains("PATH_NOT_FOUND"))) return true
+        c = c.getCause; d += 1
+      }
+      false
+    }
+    // lease-free readers against the LIVE writer: status and fsck must
+    // complete; survivors may refuse only with a documented verdict or
+    // the vanished-file retry class
+    def liveReaderPass(): Unit = {
+      CorpusIngest.warehouseStatus(spark, soakWh).collect()
+      CorpusIngest.fsck(spark, soakWh).collect()
+      try CorpusIngest.survivors(spark, soakWh).collect()
+      catch {
+        case e: IllegalStateException
+          if e.getMessage.contains("mid-swap") ||
+            e.getMessage.contains("crash-parked") ||
+            e.getMessage.contains("torn store create") => ()
+        case e: Throwable if vanished(e) => ()
+      }
+    }
     while (kills < maxKills && !events(eventsFile).contains("all-done")) {
       val before = events(eventsFile).count(_.startsWith("drop-start"))
       // aim each kill at a seeded-random TARGET drop so the schedule
@@ -102,12 +133,24 @@ class SoakRaceSpec extends AnyFunSuite {
       // then kill a seeded-random interval into whatever it is doing —
       // the kill lands wherever the ingest call tree happens to be
       // (ledger publish, bucketed append, swap rename, audit append, ...)
+      // While waiting, run lease-free readers against the LIVE writer —
+      // the multi-host deployment shape (writers under lease, readers
+      // elsewhere) that the post-kill readers below never exercise:
+      // status and fsck must COMPLETE mid-swap (fsck retries the
+      // vanished-file race internally), survivors may refuse only with
+      // a documented verdict
       val reachBy = System.currentTimeMillis() + 60000L
+      var livePasses = 0
       while (p.isAlive && lastStart < targetDrop &&
           System.currentTimeMillis() < reachBy &&
           !events(eventsFile).contains("all-done")) {
+        liveReaderPass()
+        livePasses += 1
         Thread.sleep(50L)
       }
+      assert(livePasses > 0 || lastStart >= targetDrop ||
+        events(eventsFile).contains("all-done"),
+        "no live-reader pass ran and the writer never progressed")
       if (p.isAlive && !events(eventsFile).contains("all-done")) {
         Thread.sleep(rnd.nextInt(6000).toLong)
         p.destroyForcibly()
@@ -144,6 +187,9 @@ class SoakRaceSpec extends AnyFunSuite {
           s"final writer pass never completed; log tail:\n$logTail")
         assert(p.isAlive || events(eventsFile).contains("all-done"),
           s"final writer pass died; log tail:\n$logTail")
+        // keep racing the live readers through the uninterrupted pass
+        // too — this incarnation runs the snapshot/export publishes
+        liveReaderPass()
         Thread.sleep(200L)
       }
       p.waitFor()
