@@ -307,9 +307,11 @@ object Governance {
     * between this scan's planning and its execution — a window the
     * session-cache freshness guard cannot close, because the listing
     * was current when the scan planned. So fsck MATERIALIZES its
-    * result internally and retries the whole pass (bounded, 3
-    * attempts) when the failure is the vanished-file race; the freshen
-    * guard makes the next attempt see the post-swap listing. The
+    * result internally with scan-level missing-file tolerance (scoped
+    * ignoreMissingFiles — masks only the listing-then-vanish race, see
+    * the note in the body) plus a bounded whole-pass retry for the
+    * directory-level vanish; the freshen guard makes a retry see the
+    * post-swap listing. The
     * returned frame is therefore a small LOCAL one (check rows — this
     * read was always collect-sized), and against a live writer the
     * counts are a consistent-per-attempt point-in-time audit, not a
@@ -317,20 +319,41 @@ object Governance {
     * exact census is required.
     */
   def fsck(spark: SparkSession, warehouse: String): DataFrame = {
-    var attempt = 0
-    while (true) {
-      try {
-        val frame = fsckOnce(spark, warehouse)
-        return spark.createDataFrame(frame.collectAsList(), frame.schema)
-      } catch {
-        case e: Throwable if attempt < 2 && isVanishedFileRace(e) =>
-          attempt += 1
-          // one beat for the swap's second rename to land; the re-read
-          // then sees the moved directory mtime and relists
-          Thread.sleep(200L)
+    // scan-level completion: a FILE that vanishes between this scan's
+    // listing and its open (a concurrent swap's rename-out) is SKIPPED,
+    // not failed on — scoped ignoreMissingFiles. This masks ONLY the
+    // listing-then-vanish race: a file missing from a STATIC warehouse
+    // is simply absent from the listing and never errors today either,
+    // so no static corruption class loses its signal. Retrying instead
+    // of skipping was tried first and lost to roulette: a delete
+    // cascade swaps half a dozen tables over several seconds, so
+    // consecutive whole-pass retries kept landing inside successive
+    // swap windows (found by the soak under an alternate kill seed).
+    // The bounded retry below still covers the DIRECTORY-level vanish
+    // (PATH_NOT_FOUND between the existence probe and the read), which
+    // the scan-level skip cannot.
+    val imfKey = "spark.sql.files.ignoreMissingFiles"
+    val imfPrev = spark.conf.getOption(imfKey)
+    spark.conf.set(imfKey, "true")
+    try {
+      var attempt = 0
+      while (true) {
+        try {
+          val frame = fsckOnce(spark, warehouse)
+          return spark.createDataFrame(frame.collectAsList(), frame.schema)
+        } catch {
+          case e: Throwable if attempt < 2 && isVanishedFileRace(e) =>
+            attempt += 1
+            // one beat for the swap's second rename to land; the
+            // re-read then sees the moved directory mtime and relists
+            Thread.sleep(200L)
+        }
       }
+      sys.error("unreachable: fsck retry loop exits via return or throw")
+    } finally imfPrev match {
+      case Some(v) => spark.conf.set(imfKey, v)
+      case None => spark.conf.unset(imfKey)
     }
-    sys.error("unreachable: fsck retry loop exits via return or throw")
   }
 
   /** True when `t`'s cause chain is the vanished-file race a concurrent

@@ -239,9 +239,33 @@ object Sinks {
     */
   val SwapSkewAllowanceKey: String = SwapProtocol.SwapSkewAllowanceKey
 
-  /** Park-aware existence gate — see [[SwapProtocol.storePresent]]. */
-  def storePresent(spark: SparkSession, path: String): Boolean =
-    SwapProtocol.storePresent(spark, path)
+  /** Park-aware existence gate — see [[SwapProtocol.storePresent]] —
+    * that ALSO heals the torn-store-create crash state for WRITERS:
+    * under the caller's own warehouse lease, a bare directory a killed
+    * FIRST create left behind (zero committed files at any depth; the
+    * spec ledger lands after the files, so it is not a bucketed store
+    * either) is cleared and reported ABSENT, so a drop's retry takes
+    * its first-create branch. Found by the soak under an alternate kill
+    * seed: a kill inside ingestEmbeddings' first store create bricked
+    * EVERY retry — the gate said "present", so the retry's pre-append
+    * trim read the torn store and died on the torn-create verdict,
+    * forever. Same heal-under-lease shape as the park recovery inside
+    * SwapProtocol.storePresent. Lease-free callers see the state
+    * unchanged and the reader contract applies (CorpusStore.readStore's
+    * documented loud verdict): healing without the lease could delete a
+    * LIVE writer's first create out from under its in-flight job.
+    */
+  def storePresent(spark: SparkSession, path: String): Boolean = {
+    val present = SwapProtocol.storePresent(spark, path)
+    if (present &&
+        graft.core.WarehouseLease.heldByCurrentThread(spark, path) &&
+        !isBucketedStore(spark, path) &&
+        !hasCommittedDataFiles(spark, path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      false
+    } else present
+  }
 
   /** True when `path` holds at least one COMMITTED data file — a file
     * whose name Spark's readers would admit (not `_`/`.`-prefixed write

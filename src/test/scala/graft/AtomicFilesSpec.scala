@@ -313,6 +313,30 @@ class AtomicFilesSpec extends AnyFunSuite {
     graft.core.GraftCaches.releaseAll(spark)
   }
 
+  test("storePresent heals a torn create under the caller's lease, leaves it loud without one") {
+    val dir = Files.createTempDirectory("torn-gate").toString
+    val table = s"$dir/store"
+    def plant(): Unit =
+      Files.createDirectories(java.nio.file.Paths.get(s"$table/_temporary/0"))
+    plant()
+    // lease-free: the gate reports present (the dir exists) and does NOT
+    // delete — healing here could race a live writer's in-flight first
+    // create; the reader contract is readStore's loud verdict
+    assert(Sinks.storePresent(spark, table))
+    assert(Files.exists(java.nio.file.Paths.get(table)))
+    // under the caller's own lease (the drop-retry shape): the gate
+    // clears the valueless dir and reports ABSENT, so the retry takes
+    // its first-create branch instead of reading the torn store
+    graft.core.WarehouseLease.withWriteLease(spark, dir) {
+      assert(!Sinks.storePresent(spark, table))
+      assert(!Files.exists(java.nio.file.Paths.get(table)))
+      // and a healthy store under the same lease is untouched
+      spark.range(2).coalesce(1).write.parquet(table)
+      assert(Sinks.storePresent(spark, table))
+      assert(spark.read.parquet(table).count() == 2L)
+    }
+  }
+
   test("stableBatchTs restamps a torn (empty) legacy stamp instead of bricking the batchId") {
     val dir = Files.createTempDirectory("batch-ts").toString
     // a pre-atomic writer crashed between create and write: empty file
