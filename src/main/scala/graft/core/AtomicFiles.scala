@@ -72,6 +72,18 @@ private[graft] object AtomicFiles {
     * sidecar exists and the publish is the pure atomic rename.
     */
   def writeAtomic(fs: FileSystem, p: Path, content: String): Unit = {
+    // self-enforcing residue contract: every target must belong to a
+    // family isTempResidue recognizes, or a crash here would leave
+    // residue the census can never see (immortal next to a live table).
+    // Refusing the WRITE keeps writer and recognizer in lockstep — a new
+    // ledger family is added in isControlTargetName FIRST, and this
+    // require makes forgetting that a loud test failure, not silent
+    // immortal residue.
+    require(isControlTargetName(p.getName),
+      s"writeAtomic: ${p.getName} is not a recognized control-file " +
+        "family (._*, _snap_*, _export_*, batch-<id>) — add the family " +
+        "to AtomicFiles.isControlTargetName so its crash residue stays " +
+        "visible to the fsck census")
     val wfs = raw(fs)
     fs match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem =>
@@ -116,20 +128,49 @@ private[graft] object AtomicFiles {
     * them. The naming convention lives HERE with the writer, so the
     * recognizers can never drift from it.
     *
-    * The match is the EXACT shape writeAtomic stamps — a nonempty
-    * target name, `.tmp-`, then precisely the 8 lowercase-hex chars of
-    * the UUID nonce at end-of-name — not merely "contains `.tmp-`":
-    * writeAtomic's targets are not all sibling ledgers (`batch-<id>`
-    * snapshot stamps, `_snap_commit`/`_export_*` commit markers carry
-    * no `._`), so a recognizer keyed on the sibling convention would
-    * leave THEIR residue invisible to the census and immortal, while a
-    * looser one would let the census claim user files it never wrote.
+    * The match is the EXACT shape writeAtomic stamps — a target name
+    * from a family writeAtomic actually writes (see
+    * [[isControlTargetName]]), `.tmp-`, then precisely the 8
+    * lowercase-hex chars of the UUID nonce at end-of-name — not merely
+    * "contains `.tmp-`": writeAtomic's targets are not all sibling
+    * ledgers (`batch-<id>` snapshot stamps, `_snap_commit`/`_export_*`
+    * commit markers carry no `._`), so a recognizer keyed on the
+    * sibling convention would leave THEIR residue invisible to the
+    * census and immortal — while one keyed on the generic
+    * `<any>.tmp-hex8` shape would let repair claim an operator-placed
+    * or externally-written file that coincidentally matches (e.g. a
+    * user's `data.tmp-12345678`): the age bound protects live WRITERS,
+    * not innocent bystander files. The family gate in writeAtomic
+    * (refuse unrecognized targets at the write) is what keeps this
+    * recognizer provably complete.
     */
   def isTempResidue(name: String): Boolean = {
     val i = name.lastIndexOf(".tmp-")
     val nonce = if (i < 0) "" else name.substring(i + ".tmp-".length)
     i > 0 && nonce.length == 8 &&
-      nonce.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+      nonce.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')) &&
+      isControlTargetName(name.substring(0, i))
+  }
+
+  /** The exact target-name families [[writeAtomic]] stamps (and
+    * [[isTempResidue]] therefore claims residue for): sibling ledgers
+    * carrying the `._` control marker in-name (`<table>._params`,
+    * `<table>._bucketspec`, `<table>._promoted_upto`,
+    * `<table>._ingested_upto`, `<table>._swap_inflight`,
+    * `<table>._threshold`, `<table>._audit_seq`, `<table>._rewritegen`,
+    * the bare `._clockprobe`, …), snapshot/export commit markers
+    * (`_snap_*`, `_export_*`), and `batch-<digits>` timestamp stamps.
+    * An operator-placed file with none of these markers (e.g. a user's
+    * `data.tmp-12345678`) belongs to NO family — repair must never
+    * claim it. Enforced at the write by writeAtomic's require, so the
+    * two ends of the contract cannot drift apart.
+    */
+  def isControlTargetName(name: String): Boolean = {
+    val sib = name.indexOf("._")
+    (sib >= 0 && name.length > sib + 2) ||
+      name.startsWith("_snap_") || name.startsWith("_export_") ||
+      (name.startsWith("batch-") && name.length > "batch-".length &&
+        name.drop("batch-".length).forall(c => c >= '0' && c <= '9'))
   }
 
   /** The single-long ledger read both ledger families share (promote's

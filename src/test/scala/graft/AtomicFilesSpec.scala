@@ -77,7 +77,7 @@ class AtomicFilesSpec extends AnyFunSuite {
 
   test("ledger hammer: a lease-free reader polling across re-stamps never sees absence, emptiness, or a torn line") {
     val dir = Files.createTempDirectory("ledger-hammer").toString
-    val ledger = s"$dir/_watermark"
+    val ledger = s"$dir/._watermark"
     CorpusStore.writeLongLedger(spark, ledger, 0L)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val writer = new Thread(() => {
@@ -113,7 +113,7 @@ class AtomicFilesSpec extends AnyFunSuite {
 
   test("readLongLedger maps garbage and foreign residue to -1, per its own fail-safe doc") {
     val dir = Files.createTempDirectory("ledger-garbage").toString
-    val ledger = s"$dir/_watermark"
+    val ledger = s"$dir/._watermark"
     // absent
     assert(CorpusStore.readLongLedger(spark, ledger) == -1L)
     // unparsable content (hand surgery / foreign residue): -1, never a
@@ -131,9 +131,9 @@ class AtomicFilesSpec extends AnyFunSuite {
 
   test("re-stamping a legacy checksummed ledger removes its .crc sidecar — a pre-change reader's checksummed open stays healthy") {
     val dir = Files.createTempDirectory("ledger-crc").toString
-    val ledger = s"$dir/_watermark"
+    val ledger = s"$dir/._watermark"
     val p = new org.apache.hadoop.fs.Path(ledger)
-    val crc = new org.apache.hadoop.fs.Path(s"$dir/._watermark.crc")
+    val crc = new org.apache.hadoop.fs.Path(s"$dir/.._watermark.crc")
     // legacy write through the CHECKSUMMED fs: data + .crc sidecar
     val cfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = cfs.create(p, true)
@@ -173,9 +173,9 @@ class AtomicFilesSpec extends AnyFunSuite {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.nofc.impl", classOf[NoFileContextRawFs].getName)
     val dir = Files.createTempDirectory("ledger-nofc").toString
-    val fs = new org.apache.hadoop.fs.Path(s"nofc://$dir/_watermark")
+    val fs = new org.apache.hadoop.fs.Path(s"nofc://$dir/._watermark")
       .getFileSystem(conf)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_watermark")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/._watermark")
     graft.core.AtomicFiles.writeAtomic(fs, p, "11")
     assert(graft.core.AtomicFiles.readLine(fs, p).contains("11"))
     // the failed-rename temp was cleaned before the direct PUT
@@ -198,9 +198,9 @@ class AtomicFilesSpec extends AnyFunSuite {
     conf.set("fs.AbstractFileSystem.rung2.impl",
       classOf[Rung2AbstractFs].getName)
     val dir = Files.createTempDirectory("ledger-rung2").toString
-    val fs = new org.apache.hadoop.fs.Path(s"rung2://$dir/_watermark")
+    val fs = new org.apache.hadoop.fs.Path(s"rung2://$dir/._watermark")
       .getFileSystem(conf)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_watermark")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/._watermark")
     Rung2AbstractFs.overwriteRenames.set(0L)
     // first stamp: no destination yet, rung 1 legitimately serves it
     graft.core.AtomicFiles.writeAtomic(fs, p, "0")

@@ -221,5 +221,24 @@ class WalkSpec extends AnyFunSuite {
     assert(!AtomicFiles.isTempResidue(".tmp-deadbeef"))
     assert(!AtomicFiles.isTempResidue("part-00000.parquet"))
     assert(!AtomicFiles.isTempResidue("_temporary"))
+    // right nonce SHAPE but no control-family marker in the target name
+    // (ADVICE r19): an operator-placed or externally-written file that
+    // coincidentally matches the generic `<any>.tmp-hex8` pattern is a
+    // bystander — the age bound protects live writers, this family gate
+    // protects innocent files from repair's delete
+    assert(!AtomicFiles.isTempResidue("data.tmp-12345678"))
+    assert(!AtomicFiles.isTempResidue("backup.tar.tmp-0a1b2c3d"))
+    // the family gate is self-enforcing at the WRITE: a writeAtomic
+    // target outside every recognized family is refused loudly, so a
+    // new ledger family cannot ship with census-invisible residue
+    val badTarget = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("walk-badtgt").toString,
+      "data")
+    val fs = badTarget.getFileSystem(
+      TestSpark.spark.sparkContext.hadoopConfiguration)
+    val refused = intercept[IllegalArgumentException] {
+      AtomicFiles.writeAtomic(fs, badTarget, "1")
+    }
+    assert(refused.getMessage.contains("isControlTargetName"))
   }
 }
