@@ -17,19 +17,26 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** O-SNK1: overwrite the current view at a fixed path. */
-  def writeCurrent(df: DataFrame, path: String): Unit =
+  def writeCurrent(df: DataFrame, path: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
+    stampRewriteGen(df.sparkSession, path)
+  }
 
   /** O-SNK2: append one timestamped snapshot partition. Dynamic partition
     * overwrite (only the snapshot_ts being written is replaced, existing
     * history untouched) makes a REPLAY of the same runTs idempotent — it
     * rewrites its own partition instead of appending duplicate rows into it.
     */
-  def writeSnapshot(df: DataFrame, path: String, runTs: java.sql.Timestamp): Unit =
+  def writeSnapshot(df: DataFrame, path: String, runTs: java.sql.Timestamp): Unit = {
     df.withColumn("snapshot_ts", lit(runTs))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("snapshot_ts").parquet(path)
+    // a REPLAY rewrites files inside an existing snapshot partition — a
+    // subdirectory change the root mtime never reflects; the generation
+    // stamp is what tells a foreign reader's cache about it
+    stampRewriteGen(df.sparkSession, path)
+  }
 
   /** The dimension-refresh sink shape shared by the batch sweep
     * (Backfill.refreshDims) and the streaming refresh
@@ -339,6 +346,9 @@ object Sinks {
       val writer = fresh.write.mode(SaveMode.Append)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
        else writer).parquet(path)
+      // appends into existing partition subdirs move no root mtime —
+      // only the generation stamp makes foreign readers relist
+      stampRewriteGen(spark, path)
     }
     if (!pathExists(spark, path)) return write(df)
     // torn store create (hasCommittedDataFiles doc): a bare directory a
@@ -797,6 +807,9 @@ object Sinks {
       }
       fs.delete(old, true)
     }
+    // the swap replaced every file under the path: announce the new
+    // generation so readers on OTHER drivers drop their listings too
+    stampRewriteGen(spark, path)
   }
 
   /** CO-LOCATED join storage: write `df` hash-bucketed AND sorted by
@@ -954,8 +967,9 @@ object Sinks {
     spark.table(ensureBucketedRegistered(spark, path))
   }
 
-  // freshenIfRewritten state: session -> (qualified path -> the table
-  // directory's last OBSERVED mtime). Session-scoped on purpose —
+  // freshenIfRewritten state: session -> (qualified path -> the table's
+  // last OBSERVED freshness stamp, "<generation>|<mtime>"). Session-scoped
+  // on purpose —
   // staleness is a property of one session's caches, and two sessions in
   // one JVM (tests, notebook + job) must not suppress each other's
   // refreshes. WEAK keys make the lifetime exactly right without an
@@ -969,12 +983,41 @@ object Sinks {
   // private[sql].)
   private val lastDirStamp = new java.util.WeakHashMap[
     SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+    java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  /** Sibling path of the table's REWRITE-GENERATION ledger — the
+    * portable freshness signal [[freshenIfRewritten]] prefers over the
+    * directory mtime (which S3/ABFS-class stores don't maintain: no real
+    * directories, so a swap that replaces files under a prefix moves no
+    * parent mtime and an mtime-keyed guard silently never fires on
+    * exactly the multi-driver deployment it exists for).
+    */
+  private def rewriteGenPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "._rewritegen")
+
+  /** Stamp a fresh rewrite generation for `path` — called by EVERY
+    * publish that changes the table's file set (swap-in, compaction,
+    * keyed delete, idempotent append, current-view overwrite, snapshot
+    * partition write, crash-park recovery), so a reader on ANY driver
+    * can detect "this table changed since I last listed it" with one
+    * small atomic-sibling read, on any store. The value is a random
+    * nonce, not a counter: freshness is an EQUALITY check (did it
+    * change?), so a nonce needs no cross-driver read-modify-write — two
+    * racing publishers each land a distinct value and either lands a
+    * change. Publish is [[AtomicFiles.writeAtomic]]: a reader polling
+    * across the stamp sees old nonce or new, never absence or a torn
+    * line.
+    */
+  def stampRewriteGen(spark: SparkSession, path: String): Unit = {
+    val p = rewriteGenPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicFiles.writeAtomic(fs, p, java.util.UUID.randomUUID().toString)
+  }
 
   /** CROSS-DRIVER cache invalidation for warehouse reads: drop this
-    * session's cached file listings for `path` when the table directory
-    * CHANGED since this session last read it. Spark caches file listings
-    * per session (the catalog's relation cache for registered bucketed
+    * session's cached file listings for `path` when the table CHANGED
+    * since this session last read it. Spark caches file listings per
+    * session (the catalog's relation cache for registered bucketed
     * tables, the shared FileStatusCache for plain parquet reads) and
     * same-JVM writers invalidate them at the write site — but a rewrite
     * by ANOTHER driver (a delete cascade's swap, a compaction, a label
@@ -986,36 +1029,70 @@ object Sinks {
     * cycles — the exact multi-driver deployment shape (lease-protected
     * writers, lease-free readers on other hosts).
     *
-    * The guard is ONE `getFileStatus` per read (the directory's mtime
-    * moves on every child add/remove/replace on posix and HDFS — a swap
-    * replaces the directory itself): refresh only when it moved, so the
-    * steady-state read path pays metadata, never a relisting. First
-    * observation of a path just records the stamp — nothing can be
-    * cached before a first read. An absent directory records -1 (the
-    * refresh then fires on creation, clearing any stale pre-drop cache).
+    * The change signal is a COMPOSITE stamp, compared for equality
+    * against this session's last observation:
+    *   - the `._rewritegen` sibling ledger ([[stampRewriteGen]] — a
+    *     nonce every graft publish re-stamps): portable to object
+    *     stores, immune to mtime granularity (same-millisecond
+    *     rewrites) and to appends inside partition subdirectories that
+    *     never move the root mtime;
+    *   - the table directory's mtime, kept IN the stamp as a belt for
+    *     mtime-honest filesystems (posix, HDFS): a rewrite by a
+    *     non-graft tool that never stamps the ledger still moves it.
+    * Either component moving triggers the refresh; an absent ledger or
+    * directory contributes a sentinel, so creation after absence fires
+    * too (clearing any stale pre-drop cache). A PERSISTENTLY unreadable
+    * ledger maps to an always-fresh nonce — the fail-safe direction is
+    * refresh-every-read (costs a relisting), never trust-the-cache.
+    *
+    * Cost: one `getFileStatus` + one atomic-sibling read per read call —
+    * metadata, never a relisting, on the steady-state path. FIRST
+    * observation of a path refreshes UNCONDITIONALLY: un-guarded reads
+    * elsewhere in the session (plain `spark.read.parquet` call sites)
+    * may already have populated the shared FileStatusCache before this
+    * guard ever saw the path, so "nothing can be cached before a first
+    * read" does not hold session-wide — a foreign rewrite landing
+    * between such a read and the first guarded one would otherwise be
+    * recorded as the baseline and the refresh skipped forever. The
+    * refresh is an invalidation (the relist happens at the scan that
+    * was about to run anyway), so the once-per-session-per-path cost is
+    * the cache entry, not I/O.
+    *
+    * Returns true when a refresh fired (first observation, or the stamp
+    * moved) — read-path callers ignore it; the mtime-frozen-filesystem
+    * spec locks the decision itself.
     */
-  def freshenIfRewritten(spark: SparkSession, path: String): Unit = {
+  def freshenIfRewritten(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mt: Long =
       try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => -1L }
+    val gen: String =
+      try AtomicFiles.readLine(fs, rewriteGenPath(path)).getOrElse("-")
+      catch {
+        // unreadable ledger (degraded store): force the refresh on this
+        // and every subsequent read until it reads again — stale-cache
+        // reads are the failure being guarded, a relist is only a cost
+        case _: Exception => "unreadable-" + java.util.UUID.randomUUID()
+      }
+    val cur = gen + "|" + mt
     val stamps = lastDirStamp.synchronized {
       var m = lastDirStamp.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String,
-          java.lang.Long]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
         lastDirStamp.put(spark, m)
       }
       m
     }
-    val prev =
-      stamps.put(fs.makeQualified(p).toString, java.lang.Long.valueOf(mt))
-    if (prev != null && prev.longValue() != mt) {
+    val prev = stamps.put(fs.makeQualified(p).toString, cur)
+    val refresh = prev == null || prev != cur
+    if (refresh) {
       spark.catalog.refreshByPath(path)
       val name = bucketedTableName(path)
       if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
     }
+    refresh
   }
 
   /** Idempotent keyed append into a path-anchored bucketed store — the
@@ -1163,6 +1240,7 @@ object Sinks {
         } finally spark.conf.set(coKey, oldCo)
       }
     }
+    stampRewriteGen(spark, path)
   }
 
   /** deleteByKey for a bucketed store: same existence probe, anti-join and
@@ -1284,6 +1362,7 @@ object Sinks {
       }
       fs.delete(old, true)
     }
+    stampRewriteGen(spark, path)
     spark.catalog.refreshTable(name)
   }
 }

@@ -447,6 +447,10 @@ object SwapProtocol {
       // park is healed); clear it so no stale stamp survives to confuse
       // a LATER park's readers
       clearSwapToken(fs, path)
+      // absent → present is a file-set change like any publish: stamp
+      // the generation so foreign readers that cached the parked state
+      // (or pre-park listings) relist on object stores too
+      Sinks.stampRewriteGen(spark, path)
       true
     }
   }
