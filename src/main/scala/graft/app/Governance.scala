@@ -321,39 +321,64 @@ object Governance {
   def fsck(spark: SparkSession, warehouse: String): DataFrame = {
     // scan-level completion: a FILE that vanishes between this scan's
     // listing and its open (a concurrent swap's rename-out) is SKIPPED,
-    // not failed on — scoped ignoreMissingFiles. This masks ONLY the
-    // listing-then-vanish race: a file missing from a STATIC warehouse
-    // is simply absent from the listing and never errors today either,
-    // so no static corruption class loses its signal. Retrying instead
-    // of skipping was tried first and lost to roulette: a delete
-    // cascade swaps half a dozen tables over several seconds, so
-    // consecutive whole-pass retries kept landing inside successive
-    // swap windows (found by the soak under an alternate kill seed).
-    // The bounded retry below still covers the DIRECTORY-level vanish
-    // (PATH_NOT_FOUND between the existence probe and the read), which
-    // the scan-level skip cannot.
-    val imfKey = "spark.sql.files.ignoreMissingFiles"
-    val imfPrev = spark.conf.getOption(imfKey)
-    spark.conf.set(imfKey, "true")
-    try {
-      var attempt = 0
-      while (true) {
-        try {
-          val frame = fsckOnce(spark, warehouse)
-          return spark.createDataFrame(frame.collectAsList(), frame.schema)
-        } catch {
-          case e: Throwable if attempt < 2 && isVanishedFileRace(e) =>
-            attempt += 1
-            // one beat for the swap's second rename to land; the
-            // re-read then sees the moved directory mtime and relists
-            Thread.sleep(200L)
-        }
+    // not failed on — ignoreMissingFiles, scoped to fsck's OWN reader
+    // session (below). This masks ONLY the listing-then-vanish race: a
+    // file missing from a STATIC warehouse is simply absent from the
+    // listing and never errors today either, so no static corruption
+    // class loses its signal. Retrying instead of skipping was tried
+    // first and lost to roulette: a delete cascade swaps half a dozen
+    // tables over several seconds, so consecutive whole-pass retries
+    // kept landing inside successive swap windows (found by the soak
+    // under an alternate kill seed). The bounded retry below still
+    // covers the DIRECTORY-level vanish (PATH_NOT_FOUND between the
+    // existence probe and the read), which the scan-level skip cannot.
+    val reader = fsckReader(spark)
+    var attempt = 0
+    while (true) {
+      try {
+        val frame = fsckOnce(reader, warehouse)
+        return spark.createDataFrame(frame.collectAsList(), frame.schema)
+      } catch {
+        case e: Throwable if attempt < 2 && isVanishedFileRace(e) =>
+          attempt += 1
+          // one beat for the swap's second rename to land; the
+          // re-read then sees the moved rewrite generation and relists
+          Thread.sleep(200L)
       }
-      sys.error("unreachable: fsck retry loop exits via return or throw")
-    } finally imfPrev match {
-      case Some(v) => spark.conf.set(imfKey, v)
-      case None => spark.conf.unset(imfKey)
     }
+    sys.error("unreachable: fsck retry loop exits via return or throw")
+  }
+
+  // fsck's DEDICATED reader session, one per caller session (weak-keyed:
+  // dies with its parent). The r19 body flipped ignoreMissingFiles on
+  // the CALLER's session conf for the scan's duration — so any user
+  // query planned concurrently on that session silently skipped missing
+  // files too, masking real data loss in ITS results (ADVICE r19). An
+  // isolated session scopes the relaxation to exactly fsck's own reads;
+  // it shares the SparkContext, the external catalog (bucketed-store
+  // registrations), and the cached data, so nothing else changes.
+  private val fsckSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def fsckReader(spark: SparkSession): SparkSession = {
+    val s = fsckSessions.synchronized {
+      var r = fsckSessions.get(spark)
+      if (r == null) {
+        r = spark.newSession()
+        fsckSessions.put(spark, r)
+      }
+      r
+    }
+    // mirror the caller's MODIFIABLE conf each call: conf-keyed audit
+    // behavior (residue age bound, swap TTL/skew allowances, shuffle
+    // partitions) must match what the caller configured, today and at
+    // this instant — newSession only inherits builder-time options
+    for ((k, v) <- spark.conf.getAll)
+      if (k != "spark.sql.files.ignoreMissingFiles" &&
+          s.conf.getOption(k) != Some(v) && s.conf.isModifiable(k))
+        s.conf.set(k, v)
+    s.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    s
   }
 
   /** True when `t`'s cause chain is the vanished-file race a concurrent
@@ -381,7 +406,16 @@ object Governance {
 
   private def fsckOnce(spark: SparkSession, warehouse: String): DataFrame = {
     import spark.implicits._
-    def read(p: String): Option[DataFrame] =
+    // MEMOIZED per pass: several checks consult the same table (a commit
+    // table anchors every missing-from/ghost check of its modality), and
+    // the un-memoized shape re-paid the presence probe, bucket-ledger
+    // read, torn-create walk, freshness guard, and parquet footer
+    // schema-infer per CHECK — pure driver-side metadata latency that
+    // measured as a visible slice of the fsck floor (r20 decomposition).
+    // One read per table per pass is also the more honest audit shape:
+    // every check of a pass sees the same relation snapshot.
+    val readCache = scala.collection.mutable.Map[String, Option[DataFrame]]()
+    def read(p: String): Option[DataFrame] = readCache.getOrElseUpdate(p, {
       if (!Sinks.pathExists(spark, p)) None
       else if (Sinks.isBucketedStore(spark, p))
         Some(Sinks.readBucketedPath(spark, p))
@@ -396,6 +430,7 @@ object Governance {
         Sinks.freshenIfRewritten(spark, p)
         Some(spark.read.parquet(p))
       }
+    })
     def short(p: String) = p.split('/').takeRight(1).mkString
     def fileExists(p: String) = Sinks.pathExists(spark, p)
     // Two result channels, ONE action: distributed checks build 1-row
@@ -548,7 +583,7 @@ object Governance {
     // healthy warehouse, so the check can't silently vanish from the
     // inventory.
     local += (("writeatomic_tmp_residue", "warehouse",
-      staleTempResidue(spark, treeScan).size.toLong, "warn"))
+      staleTempResidue(spark, warehouse, treeScan).size.toLong, "warn"))
     // label-store / pair-table consistency
     labelChecks(ccLabelsPath(warehouse), pairsPath(warehouse),
       "doc_a", "doc_b")
@@ -691,13 +726,41 @@ object Governance {
     * [[TmpResidueMinAgeKey]] — the single filter both fsck (census) and
     * repair (clear) apply, so the warn count and the heal can never
     * disagree about which files qualify.
+    *
+    * Ages compare STORAGE-side mtimes against a STORAGE-derived "now"
+    * ([[storageNow]]) — never the driver's wall clock: object stores
+    * and HDFS stamp mtimes server-side, so driver/storage clock skew
+    * would erode the margin in both directions, and a driver clock a
+    * skew ahead of the store could make repair claim a LIVE writer's
+    * in-flight temp, failing its publish rename (ADVICE r19).
     */
-  private def staleTempResidue(spark: SparkSession,
+  private def staleTempResidue(spark: SparkSession, warehouse: String,
       scan: graft.core.WarehouseWalk.Findings): Seq[String] = {
+    if (scan.tempResidue.isEmpty) return Seq.empty
     val minAge = spark.conf.getOption(TmpResidueMinAgeKey)
       .map(_.trim.toLong).getOrElse(900000L)
-    val cutoff = System.currentTimeMillis() - minAge
+    val cutoff = storageNow(spark, warehouse) - minAge
     scan.tempResidue.collect { case (p, mtime) if mtime <= cutoff => p }
+  }
+
+  /** The warehouse's OWN clock: publish a tiny probe sibling at the
+    * root and read its mtime back — that is "now" as the filesystem
+    * stamps it, directly comparable with the walked residue mtimes
+    * whatever the driver's clock does. The probe goes through the
+    * atomic publish (a racing second census overlaps harmlessly) and
+    * its name is a recognized control family, so even ITS crash residue
+    * stays census-visible. A store that refuses the write (read-only
+    * mount) falls back to the driver clock — on such a mount repair
+    * cannot delete anything anyway, so the skew hazard the probe
+    * removes cannot arise there.
+    */
+  private def storageNow(spark: SparkSession, warehouse: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(warehouse + "/._clockprobe")
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.core.AtomicFiles.writeAtomic(fs, p, "probe")
+      graft.core.AtomicFiles.raw(fs).getFileStatus(p).getModificationTime
+    } catch { case _: Exception => System.currentTimeMillis() }
   }
 
   /** MECHANICAL REPAIR — the write-side companion to `fsck`: applies, in
@@ -788,7 +851,7 @@ object Governance {
     // (staleTempResidue, shared with fsck's census) keeps it off a live
     // writer's in-flight temp, whose delete would fail the publish
     // rename out from under the writer.
-    staleTempResidue(spark, treeScan).foreach { f =>
+    staleTempResidue(spark, warehouse, treeScan).foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, false)

@@ -49,6 +49,25 @@ private[graft] object WarehouseWalk {
     */
   private val Parallelism = 16
 
+  /** ONE shared lazy pool for every scan in the process — fsck/status
+    * call scan() on every invocation, and spinning 16 threads up and
+    * down per call was a measurable slice of the operational read
+    * path's floor (VERDICT r19). Daemon threads, never shut down: the
+    * pool dies with the JVM. Scans stay independent — completion is
+    * tracked per-scan by a pending counter + latch, not by pool
+    * drain, so concurrent scans interleave tasks safely (no task ever
+    * blocks on another task, so a saturated pool cannot deadlock,
+    * only queue).
+    */
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      Parallelism,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-warehouse-walk")
+        t.setDaemon(true)
+        t
+      })
+
   /** One scan's findings:
     *   - `parkedSwaps` — `<table>._compact_old` dirs whose live
     *     `<table>` sibling is absent (the crash-parked rewrite-swap
@@ -72,13 +91,6 @@ private[graft] object WarehouseWalk {
       val parked = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val residue =
         new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        Parallelism,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-warehouse-walk")
-          t.setDaemon(true)
-          t
-        })
       // manual completion tracking (pending listings), not pool
       // shutdown-and-await: tasks submit child tasks, so "queue empty"
       // is only meaningful when no task is still running either. First
@@ -124,11 +136,9 @@ private[graft] object WarehouseWalk {
             submit(st.getPath)
         }
       }
-      try {
-        submit(rp)
-        done.await()
-        if (failed.get() != null) throw failed.get()
-      } finally pool.shutdown()
+      submit(rp)
+      done.await()
+      if (failed.get() != null) throw failed.get()
       import scala.jdk.CollectionConverters._
       // deterministic order regardless of pool scheduling — callers
       // count/iterate, but a stable artifact beats a racy one
