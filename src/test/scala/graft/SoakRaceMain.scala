@@ -133,18 +133,25 @@ object SoakRaceMain {
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.APPEND)
 
+  /** Token-wise parse: pair-phase writers suffix their id onto the
+    * event line (`drop-done 3 pairB`), so the drop index is the first
+    * token after the tag, never the whole remainder.
+    */
   private def doneDrops(eventsFile: String): Set[Int] = {
     val p = Paths.get(eventsFile)
     if (!Files.exists(p)) Set.empty
     else Files.readAllLines(p).toArray.toSeq.map(_.toString)
       .collect { case s if s.startsWith("drop-done ") =>
-        s.stripPrefix("drop-done ").trim.toInt }.toSet
+        s.stripPrefix("drop-done ").trim.split("\\s+")(0).toInt }.toSet
   }
 
   def main(args: Array[String]): Unit = args(0) match {
     case "write" =>
       val warehouse = args(1); val eventsFile = args(2); val ttlMs = args(3)
       val wedge = args.length > 4 && args(4) == "wedge"
+      // optional writer id (pair phase): suffixed onto drop events so
+      // the parent can attribute work and refusals per contender
+      val writerId = if (args.length > 5) " " + args(5) else ""
       val spark = SparkSession.builder()
         .master("local[4]")
         .appName("soak-race-writer")
@@ -180,14 +187,18 @@ object SoakRaceMain {
               override def release(e: String): Unit = inner.release(e)
             })
         }
-        val done = doneDrops(eventsFile)
-        for (k <- 0 until NumDrops if !done.contains(k)) {
-          logEvent(eventsFile, s"drop-start $k")
+        for (k <- 0 until NumDrops if !doneDrops(eventsFile).contains(k)) {
+          logEvent(eventsFile, s"drop-start $k$writerId")
           // a killed predecessor's lease expires by the short TTL; spin
           // on LeaseHeldException until the reclaim wins (bounded —
-          // anything past TTL + beat slack means a real lease bug)
+          // anything past TTL + beat slack means a real lease bug). In
+          // the PAIR phase the holder is a LIVE contender, not a corpse:
+          // the refusal must stay loud (logged once per drop) and the
+          // loser retries into the next acquire — never silently
+          // proceeds, never dies.
           val deadline = System.currentTimeMillis() + ttlMs.toLong * 10 + 30000L
           var acquired = false
+          var refusalLogged = false
           while (!acquired) {
             try {
               graft.core.WarehouseLease.withWriteLease(spark, warehouse,
@@ -197,11 +208,15 @@ object SoakRaceMain {
               acquired = true
             } catch {
               case e: graft.core.WarehouseLease.LeaseHeldException =>
+                if (!refusalLogged) {
+                  logEvent(eventsFile, s"lease-held $k$writerId")
+                  refusalLogged = true
+                }
                 if (System.currentTimeMillis() > deadline) throw e
                 Thread.sleep(500L)
             }
           }
-          logEvent(eventsFile, s"drop-done $k")
+          logEvent(eventsFile, s"drop-done $k$writerId")
           // JVM-scoped coordination gauges ride the events file out —
           // (orphaned connects, skipped beats), WarehouseLease order
           logEvent(eventsFile, "gauges " + graft.core.WarehouseLease

@@ -118,7 +118,8 @@ class SoakRaceSpec extends AnyFunSuite {
         leaseTtlMs.toString, "wedge"), log)
       def lastStart: Int = events(eventsFile)
         .filter(_.startsWith("drop-start "))
-        .lastOption.map(_.stripPrefix("drop-start ").trim.toInt)
+        .lastOption
+        .map(_.stripPrefix("drop-start ").trim.split("\\s+")(0).toInt)
         .getOrElse(-1)
       // phase 1: the writer must enter SOME drop this incarnation
       val deadline = System.currentTimeMillis() + 180000L
@@ -177,22 +178,55 @@ class SoakRaceSpec extends AnyFunSuite {
         }
       } else p.waitFor()
     }
-    // final pass: run the plan to completion (resume skips done drops)
-    if (!events(eventsFile).contains("all-done")) {
-      val p = forkWriter(Seq("write", soakWh, eventsFile,
-        leaseTtlMs.toString, "wedge"), log)
+    // final pass: restart into a CONTENDING WRITER PAIR (VERDICT r19
+    // #4) — the multi-host deployment has a second writer racing for
+    // the lease at the instant of a crash, and the per-protocol
+    // LeaseSpec units never composed that handoff with real drops.
+    // Both contenders start into the LAST KILL's crash state (the dead
+    // incarnation's unexpired lease stamp is the first thing both must
+    // reclaim-race), then contend drop by drop to plan completion: one
+    // wins each acquire, the loser must refuse LOUDLY (a `lease-held`
+    // event — never a silent co-write) and retry into useful work —
+    // skipping drops the winner finished (the per-drop done-set
+    // re-read) or no-op-replaying them idempotently.
+    val pairRan = !events(eventsFile).contains("all-done")
+    if (pairRan) {
+      val pa = forkWriter(Seq("write", soakWh, eventsFile,
+        leaseTtlMs.toString, "wedge", "pairA"), log)
+      val pb = forkWriter(Seq("write", soakWh, eventsFile,
+        leaseTtlMs.toString, "wedge", "pairB"), log)
       val deadline = System.currentTimeMillis() + 300000L
       while (!events(eventsFile).contains("all-done")) {
         assert(System.currentTimeMillis() < deadline,
-          s"final writer pass never completed; log tail:\n$logTail")
-        assert(p.isAlive || events(eventsFile).contains("all-done"),
-          s"final writer pass died; log tail:\n$logTail")
-        // keep racing the live readers through the uninterrupted pass
-        // too — this incarnation runs the snapshot/export publishes
+          s"contending pair never completed; log tail:\n$logTail")
+        assert(pa.isAlive || pb.isAlive ||
+          events(eventsFile).contains("all-done"),
+          s"both pair writers died; log tail:\n$logTail")
+        // keep racing the live readers through the contending pass
+        // too — this phase runs the snapshot/export publishes
         liveReaderPass()
         Thread.sleep(200L)
       }
-      p.waitFor()
+      // BOTH contenders must exit cleanly: the loser's documented
+      // life is refuse-retry-progress, never an unhandled refusal
+      assert(pa.waitFor() == 0,
+        s"pair writer A exited nonzero; log tail:\n$logTail")
+      assert(pb.waitFor() == 0,
+        s"pair writer B exited nonzero; log tail:\n$logTail")
+      // the handoff was a real contention, observably: at least one
+      // loud refusal from a pair contender, or interleaved completions
+      // from both ids (two simultaneous JVMs over a multi-drop plan
+      // cannot BOTH avoid the lease and the work without one of these)
+      val pairRefusals = events(eventsFile).filter(e =>
+        e.startsWith("lease-held ") &&
+          (e.endsWith(" pairA") || e.endsWith(" pairB")))
+      val pairDoneIds = events(eventsFile)
+        .filter(_.startsWith("drop-done "))
+        .map(_.split("\\s+"))
+        .collect { case a if a.length > 2 => a(2) }.toSet
+      assert(pairRefusals.nonEmpty || pairDoneIds.size == 2,
+        "contending pair showed no contention: no lease-held refusal " +
+          s"and work from only $pairDoneIds; log tail:\n$logTail")
     }
     assert(kills > 0, "schedule never killed the writer — not a soak")
     // the writers ran with the WEDGED medium (every 3rd lease refresh
@@ -248,6 +282,16 @@ class SoakRaceSpec extends AnyFunSuite {
     // and the trainer's pre-run shard integrity view
     compare("snapshots", graft.app.CorpusSnapshots.listCorpusSnapshots)
     compare("exports", graft.app.CorpusExports.listCorpusExports)
+    // the contending pair (and every crash retry before it) never
+    // DOUBLE-COMMITS an explicitly-stamped artifact: exactly one
+    // committed census row per stamp, however many incarnations raced
+    // the publish
+    assert(graft.app.CorpusSnapshots.listCorpusSnapshots(spark, soakWh)
+      .where(col("snap_ts") === SoakRaceMain.SnapTs).count() == 1L,
+      "snapshot stamp double-committed")
+    assert(graft.app.CorpusExports.listCorpusExports(spark, soakWh)
+      .where(col("export_ts") === SoakRaceMain.ExportTs).count() == 1L,
+      "export stamp double-committed")
     compare("exportRead", (s, wh) =>
       graft.app.CorpusExports.readExport(s, wh, SoakRaceMain.ExportTs))
     compare("exportIntegrity", (s, wh) =>
