@@ -47,6 +47,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Janino class cache for generated code. The default (100 entries) is
+      // far below this workload's footprint — the 135 declared queries
+      // compile ~2-4k distinct codegen units, so on every measured pass each
+      // query re-compiles most of its stages (measured r20: ann_semdedup
+      // alone re-compiled 77 units × ~20 ms on a warm pass, ~1.6 s of its
+      // wall; with the cache sized to the workload, warm-pass compiles drop
+      // to ~0 and the warmup pass's compiles are what the JVM keeps). This
+      // is compiled-CODE caching — same class as JIT warmup, which the
+      // unreported warmup pass exists to absorb — never result caching; any
+      // long-lived production session serving a query inventory this size
+      // needs the same setting (scale it with the inventory, not the box).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -170,6 +170,149 @@ case class SignBandCodes(vec: Expression, planesExpr: Expression,
     copy(vec = f, planesExpr = s, rpbExpr = t)
 }
 
+/** Codegen'd squared distance between an INTEGERIZED vector (array<bigint>,
+  * the kmeans family's exact-update representation) and a double centroid:
+  * acc = Σ_j t_j² with t_j = (double)vi[j] / 1e6 - ce[j], ascending j,
+  * 0.0-seeded — the BIT-IDENTICAL operation sequence of the interpreted
+  * `aggregate(zip_with(vi, ce, (a,b) -> (a/1e6-b)*(a/1e6-b)), 0D, +)` it
+  * replaces (zip_with's lambda computes the same subtraction for both
+  * product operands; the fold is ascending from 0D), and of the DuckDB
+  * oracle's list_reduce/list_transform chain. Replacing the two-lambda HOF
+  * with a primitive loop keeps the n·k·rounds assignment hot path inside
+  * whole-stage codegen (guide §4: no interpreted Expressions on the hot
+  * path) without perturbing a single ulp of the Lloyd trajectory.
+  */
+case class KmeansDistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_d2 expects (array<bigint>, array<double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getLong(i).toDouble / 1000000.0 - y.getDouble(i)
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = (double) $a.getLong($i) / 1000000.0 - $b.getDouble($i);
+         |  $acc += $t * $t;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Element-wise sum of array<bigint> vectors — the kmeans update step's
+  * per-cluster aggregate. Replaces the posexplode → groupBy(cid, j) →
+  * groupBy(cid) two-exchange reshape with ONE map-side-combined aggregate
+  * (guide §2.3 "aggregate before you shuffle" / §2.4 "remove shuffles
+  * outright"): each input partition reduces to ≤k buffers of `dims` longs,
+  * so the exchange carries partitions·k·dims·8 bytes of partial sums
+  * instead of (cid, j)-keyed partial rows plus a second exchange. Integer
+  * addition is order-independent, so the sums — and the Lloyd trajectory
+  * built from them — are bit-identical to the exploded form's.
+  *
+  * Empty-buffer sentinel: dims is unknown until the first row, so the
+  * zero buffer is the empty array and eval of an empty buffer is null
+  * (matches sum-over-no-rows semantics; callers always have rows).
+  */
+case class VecSumLong(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (buffer.isEmpty) arr.toLongArray()
+      else {
+        val n = math.min(buffer.length, arr.numElements())
+        var i = 0
+        while (i < n) { buffer(i) += arr.getLong(i); i += 1 }
+        buffer
+      }
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      val n = math.min(b1.length, b2.length)
+      var i = 0
+      while (i < n) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_sum expects array<bigint>, got ${other.sql}")
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecSumLong =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecSumLong =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): VecSumLong =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Register `graft_dot(a, b)` once per session; a no-op when already
     * present (createOrReplaceTempFunction would log a replacement WARN per
@@ -189,6 +332,19 @@ object VectorFunctions {
         exprs => {
           Arity.check(exprs, 3, "graft_band_codes(vec, planes, bits)")
           SignBandCodes(exprs(0), exprs(1), exprs(2))
+        }, "scala_udf")
+      registry.createOrReplaceTempFunction(
+        "graft_d2", exprs => {
+          Arity.check(exprs, 2, "graft_d2(vi, ce)")
+          KmeansDistSq(exprs(0), exprs(1))
+        }, "scala_udf")
+      // AggregateFunction builders are legal registry entries: the
+      // analyzer's ResolveFunctions wraps a bare AggregateFunction in
+      // AggregateExpression(Complete), same as the builtin sum/avg.
+      registry.createOrReplaceTempFunction(
+        "graft_vec_sum", exprs => {
+          Arity.check(exprs, 1, "graft_vec_sum(vi)")
+          VecSumLong(exprs(0))
         }, "scala_udf")
     }
   }

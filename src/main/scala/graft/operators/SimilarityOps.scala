@@ -148,11 +148,19 @@ object SimilarityOps {
     * table.
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
-                   iters: Int = 3): DataFrame = {
+                   iters: Int = 3): DataFrame =
+    kmeansAssignUnordered(embeddings, k, iters).orderBy(col("vec_id"))
+
+  /** `kmeansAssign` without the declared query's final global sort — the
+    * form internal consumers (semDedupPairs) compose under their own
+    * ordering; the ann_kmeans sort was riding into the pair path as a
+    * pure extra range exchange.
+    */
+  private[graft] def kmeansAssignUnordered(embeddings: DataFrame, k: Int,
+                                           iters: Int): DataFrame = {
     val v = integerized(embeddings)
     assignStep(v, trainedFrom(v, k, iters))
       .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
-      .orderBy(col("vec_id"))
   }
 
   /** The trained centroids themselves, (cid, ce) after `iters` Lloyd
