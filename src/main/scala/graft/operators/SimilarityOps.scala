@@ -185,24 +185,31 @@ object SimilarityOps {
         .repartition(col("vec_id")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private def kmeansD2Expr = expr(
-    """aggregate(zip_with(vi, ce,
-      |    (a, b) -> (CAST(a AS DOUBLE) / 1000000D - b)
-      |            * (CAST(a AS DOUBLE) / 1000000D - b)),
-      |  0D, (acc, x) -> acc + x)""".stripMargin)
+  /** Codegen'd d2 (KmeansDistSq — guide §4: no interpreted expressions on
+    * the hot path): bit-identical operation sequence to the interpreted
+    * `aggregate(zip_with(vi, ce, (a,b) -> (a/1e6-b)*(a/1e6-b)), 0D, +)` it
+    * replaces — ascending-j fold from 0.0 of ((double)vi[j]/1e6 - ce[j])²
+    * — so the Lloyd trajectory is unchanged to the last ulp. The HOF form
+    * evaluated a lambda per (vector × centroid × dim × round) and showed up
+    * as `lambdafunction` outside WholeStageCodegen in the ann_kmeans plan.
+    */
+  private def kmeansD2Expr = expr("graft_d2(vi, ce)")
 
   /** One assignment pass: nearest centroid (and its d2) per vector. */
-  private def assignStep(v: DataFrame, cs: DataFrame): DataFrame =
+  private def assignStep(v: DataFrame, cs: DataFrame): DataFrame = {
+    VectorFunctions.register(v.sparkSession)
     v.crossJoin(broadcast(cs))
       .withColumn("d2", kmeansD2Expr)
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
 
   /** Lloyd iterations from the deterministic fixed-k init; returns the
     * final (cid, ce) centroid frame (never collected to the driver).
     */
   private def trainedFrom(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    VectorFunctions.register(v.sparkSession)
     val hk = pmod((col("vec_id") % 1000003L) * 40503L, lit(65536L))
     // k-row global TopK (orderBy.limit plans TakeOrderedAndProject), then
     // rank WITHOUT a window: the unpartitioned row_number this used to run
@@ -219,14 +226,21 @@ object SimilarityOps {
       .select(col("cid").cast("long").as("cid"),
         expr("transform(kk.vi, x -> CAST(x AS DOUBLE) / 1000000D)").as("ce"))
 
+    // Lloyd update as ONE map-side-combined aggregate (VecSumLong — guide
+    // §2.3 "aggregate before you shuffle" / §2.4): each input partition
+    // reduces to ≤k element-wise BIGINT sum buffers, so the one Exchange
+    // carries partitions·k·dims·8 bytes of partials — the posexplode →
+    // groupBy(cid, j) → groupBy(cid) form this replaces exploded dims rows
+    // per vector and paid TWO exchanges per round. Integer addition is
+    // order-independent and the mean divides the same operands in the same
+    // order ((double)Σvi[j] / n / 1e6), so the centroid trajectory is
+    // bit-identical to the exploded form's.
     def update(assigned: DataFrame): DataFrame =
       assigned.join(v, "vec_id")
-        .select(col("cid"), posexplode(col("vi")).as(Seq("j", "x")))
-        .groupBy(col("cid"), col("j"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, sx, n))), " +
-          "t -> CAST(t.sx AS DOUBLE) / t.n / 1000000D)").as("ce"))
+        .agg(expr("graft_vec_sum(vi)").as("sx"), count(lit(1)).as("n"))
+        .select(col("cid"),
+          expr("transform(sx, x -> CAST(x AS DOUBLE) / n / 1000000D)").as("ce"))
 
     for (_ <- 1 to iters) cents = update(assignStep(v, cents))
     cents
@@ -439,9 +453,11 @@ object SimilarityOps {
   )
 
   /** Within-cluster near-dup pairs over trained k-means clusters — see the
-    * ann_semdedup QueryDef. Reuses kmeansAssign for the assignment (the
-    * oracle-exact trajectory) and the family's raw-dot-first verify (the
-    * cheap unrounded superset test guards the rounded exact one).
+    * ann_semdedup QueryDef. Reuses kmeansAssignUnordered for the assignment
+    * (the oracle-exact trajectory, minus ann_kmeans' declared-output sort —
+    * a pure extra range exchange here, where the pair join imposes its own
+    * ordering) and the family's raw-dot-first verify (the cheap unrounded
+    * superset test guards the rounded exact one).
     *
     * `maxClusterSize` is the mega-cluster guard: the within-cluster
     * self-join is quadratic in the LARGEST cluster, and a collapsed
@@ -463,7 +479,8 @@ object SimilarityOps {
     // without the cache the oversized-cluster existence check would re-run
     // the full Lloyd assignment pipeline (measured 2x on the bench query)
     val asg = graft.core.GraftCaches.acquire(
-      kmeansAssign(embeddings, k, iters).select(col("vec_id"), col("cid")),
+      kmeansAssignUnordered(embeddings, k, iters)
+        .select(col("vec_id"), col("cid")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k rows — the size tag rides a broadcast join, never a shuffle
     val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("_csz"))

@@ -86,6 +86,77 @@ class FunctionsSpec extends AnyFunSuite {
     assert(codes == expected)
   }
 
+  test("graft_d2: bit-identical to the aggregate(zip_with) fold it replaces, both eval paths") {
+    graft.functions.VectorFunctions.register(spark)
+    // adversarial doubles: denormal-adjacent, sign flips, non-representable
+    // decimals — any reordering or fused-multiply difference would surface
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(20) { i =>
+      (Array.fill(64)(rng.nextInt(2000001).toLong - 1000000L),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("vi", "ce")
+    val hof = df.selectExpr(
+      """aggregate(zip_with(vi, ce,
+        |    (a, b) -> (CAST(a AS DOUBLE) / 1000000D - b)
+        |            * (CAST(a AS DOUBLE) / 1000000D - b)),
+        |  0D, (acc, x) -> acc + x) AS d""".stripMargin).as[Double].collect()
+    val viaExpr = df.selectExpr("graft_d2(vi, ce) AS d").as[Double].collect()
+    assert(viaExpr.toSeq == hof.toSeq, "codegen d2 must match the HOF bit-for-bit")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.selectExpr("graft_d2(vi, ce) AS d").as[Double].collect()
+      assert(interp.toSeq == hof.toSeq, "interpreted d2 must match too")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // length mismatch: shorter side bounds the loop, no crash
+    val short = Seq((Array(2000000L), Array(1.0, 9.0))).toDF("vi", "ce")
+      .selectExpr("graft_d2(vi, ce) AS d").as[Double].head()
+    assert(short == 1.0)
+    // type mismatch fails analysis with the pointed message
+    val e = intercept[Exception] {
+      Seq((Array(1.0), Array(1.0))).toDF("vi", "ce")
+        .selectExpr("graft_d2(vi, ce)").collect()
+    }
+    assert(e.getMessage.contains("graft_d2") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+
+  test("graft_vec_sum: equals the exploded groupBy sum under any partitioning") {
+    graft.functions.VectorFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(50) { i =>
+      (i % 5L, Array.fill(16)(rng.nextInt(2000001).toLong - 1000000L))
+    }
+    // reference: the posexplode → groupBy(cid, j) → groupBy(cid) reshape
+    // the aggregate replaced (the Lloyd update's prior shape)
+    def exploded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), posexplode(col("vi")).as(Seq("j", "x")))
+      .groupBy(col("cid"), col("j")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, sx))), t -> t.sx)")
+        .as("sx"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // 1, 3 and 8 partitions: partial buffers merge across every layout
+    val results = Seq(1, 3, 8).map { p =>
+      rows.toDF("cid", "vi").repartition(p)
+        .groupBy(col("cid")).agg(expr("graft_vec_sum(vi)").as("sx"))
+        .as[(Long, Seq[Long])].collect().toMap
+    }
+    val ref = exploded(rows.toDF("cid", "vi"))
+    results.foreach(r => assert(r == ref,
+      "map-side-combined vector sum must equal the exploded two-level sum"))
+    // sum over no rows per SQL semantics: aggregating an empty frame is empty
+    val empty = rows.toDF("cid", "vi").filter(col("cid") < 0)
+      .groupBy(col("cid")).agg(expr("graft_vec_sum(vi)").as("sx"))
+    assert(empty.count() == 0)
+    // null inputs are skipped like sum(): only non-null arrays contribute
+    val withNull = Seq((0L, Some(Array(1L, 2L))), (0L, None), (0L, Some(Array(3L, 4L))))
+      .toDF("cid", "vi")
+      .groupBy(col("cid")).agg(expr("graft_vec_sum(vi)").as("sx"))
+      .as[(Long, Seq[Long])].head()
+    assert(withNull == ((0L, Seq(4L, 6L))))
+  }
+
   test("sketch/band-code expressions reject bad arguments at analysis and tolerate null elements") {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.SketchFunctions.register(spark)
